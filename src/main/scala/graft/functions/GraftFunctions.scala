@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL registration for the engine's native expressions. After
+  * `register(spark)`, `cosine_sim(a, b)` and `rolling_hash(s)` are
+  * usable from `expr(...)` / `spark.sql(...)` and participate in
+  * whole-stage codegen like any built-in.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash", es => RollingHash(es.head), "built-in")
+  }
+}

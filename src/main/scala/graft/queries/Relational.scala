@@ -1,0 +1,541 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface per SURVEY.md §2 Part B.
+  *
+  * Each query is a standard Spark primitive (scan, filter, join, agg,
+  * window, set op, scalar functions) exercised over the materialized
+  * capture tables; the CDC-specific ones (as-of latest-row snapshot,
+  * latest-wins apply, debounce compaction) re-express the reference's
+  * apply semantics (pgcapture pkg/sink/postgres.go:507-593 upserts,
+  * pkg/pgcapture/debounce.go:87-139) as declarative plans Catalyst can
+  * optimize.
+  *
+  * Scale notes (100 TB design point): every aggregation is a partial
+  * (map-side combine) + final hash agg; joins to the small dimension
+  * tables are explicitly broadcast; large fact-fact joins shuffle on
+  * the join key only after filters are pushed to the parquet scan.
+  * Floating-point outputs are rounded so results are stable across
+  * partition-order / engine differences.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- Aggregation: TPC-H Q1 style pricing summary (partial+final agg) ----
+    QueryDef.sql("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- Projection + selective filter (predicate/column pushdown to scan) ----
+    QueryDef.sql("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- 3-way join + agg + top-k (shuffle join on fact keys) ----
+    QueryDef.sql("q03_top_revenue_orders",
+      """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- Star join through broadcast dimensions (nation/region tiny) ----
+    QueryDef.sql("q04_region_revenue",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+
+    // ---- Left-semi join (EXISTS; reference's change∩snapshot reconciliation) ----
+    QueryDef.sql("q05_semi_join",
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- Left-anti join (NOT EXISTS) ----
+    QueryDef.sql("q06_anti_join",
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- Left outer join + agg (nulls preserved for missing matches) ----
+    QueryDef.sql("q07_left_join_spend",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(sum(coalesce(o_totalprice, 0)), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0))), 2).as("total_spend"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- As-of latest-row snapshot: the CDC latest-wins upsert view
+    //      (row_number over pk ordered by checkpoint desc = 1; SURVEY §2B
+    //      "As-of", reference apply semantics pkg/sink/postgres.go:507) ----
+    QueryDef.sql("q08_asof_latest",
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- Ranking window: top suppliers per nation ----
+    QueryDef.sql("q09_rank_suppliers",
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  CAST(dense_rank() OVER (PARTITION BY s_nationkey
+        |       ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rnk
+        |FROM supplier
+        |QUALIFY rnk <= 3
+        |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      t(s, d, "supplier")
+        .withColumn("rnk", dense_rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"), col("rnk"))
+        .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))
+    },
+
+    // ---- Analytic window: lag/lead (old-vs-new diffs per SURVEY §2B) ----
+    QueryDef.sql("q10_lag_delta",
+      """SELECT user_id, event_id, value - lag(value) OVER
+        |    (PARTITION BY user_id ORDER BY event_id) AS delta
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ---- Frame window: running total ----
+    QueryDef.sql("q11_running_total",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- Rollup ----
+    QueryDef.sql("q12_rollup",
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- Cube ----
+    QueryDef.sql("q13_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- Distinct aggregation ----
+    QueryDef.sql("q14_count_distinct",
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"), count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- Total order + top-k (checkpoint (lsn,seq) ordering analog) ----
+    QueryDef.sql("q15_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    },
+
+    // ---- Union (stream ∪ dump merge shape, SURVEY §2B set ops / A25) ----
+    QueryDef.sql("q16_union_all",
+      """SELECT id, kind, bal FROM (
+        |  SELECT c_custkey AS id, 'customer' AS kind, c_acctbal AS bal FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS id, 'supplier' AS kind, s_acctbal AS bal FROM supplier)
+        |ORDER BY kind, id""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_custkey").as("id"),
+        lit("customer").as("kind"), col("c_acctbal").as("bal"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey").as("id"),
+        lit("supplier").as("kind"), col("s_acctbal").as("bal"))
+      c.unionByName(sup).orderBy(col("kind"), col("id"))
+    },
+
+    // ---- Except (table diff / sync verification) ----
+    QueryDef.sql("q17_except",
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+        .except(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+
+    // ---- Intersect ----
+    QueryDef.sql("q18_intersect",
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        |  INTERSECT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(t(s, d, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+
+    // ---- Scalar string functions ----
+    QueryDef.sql("q19_string_funcs",
+      """SELECT p_partkey,
+        |  upper(substring(p_name, 1, 10)) AS name_pfx,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  replace(p_type, ' ', '_') AS type_slug,
+        |  p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_slug"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- Scalar date functions incl. the PG Y2K-epoch µs conversion
+    //      (reference pkg/sink/postgres.go:718-731) ----
+    QueryDef.sql("q20_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  epoch_us(o_orderdate) - 946684800000000 AS pg_epoch_us
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) - lit(946684800000000L)).as("pg_epoch_us"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- Scalar math functions ----
+    QueryDef.sql("q21_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_discount - 0.05), 4) AS disc_dev,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  round(ln(l_extendedprice), 6) AS price_ln
+        |FROM lineitem
+        |WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 1000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- Array functions (tokenize / contains / index; `tags`-style) ----
+    QueryDef.sql("q22_array_funcs",
+      """SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  list_contains(toks, 'data') AS has_data,
+        |  toks[1] AS first_tok,
+        |  toks[-1] AS last_tok
+        |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          array_contains(col("toks"), "data").as("has_data"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- JSON extraction (ddl_logs.activity / props-style payloads) ----
+    QueryDef.sql("q23_json_extract",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- Regex routing filter (gateway table regex, A23) ----
+    QueryDef.sql("q24_regex_route",
+      """SELECT event_type, count(*) AS cnt
+        |FROM events
+        |WHERE regexp_matches(event_type, '^(click|view)$')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type").rlike("^(click|view)$"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- CDC apply semantics in batch: latest-wins per key, deletes drop
+    //      the row (reference A16-A19 upsert/delete + A27 dump-as-UPDATE) ----
+    QueryDef.sql("q25_cdc_apply",
+      """SELECT user_id, event_id AS applied_lsn, value AS current_value
+        |FROM (SELECT user_id, event_id, value,
+        |        CASE event_type WHEN 'signup' THEN 'INSERT'
+        |                        WHEN 'error' THEN 'DELETE'
+        |                        ELSE 'UPDATE' END AS op
+        |      FROM events)
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |  AND op <> 'DELETE'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val changes = t(s, d, "events").select(
+        col("user_id"), col("event_id"), col("value"),
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE").as("op"))
+      graft.cdc.CdcApply.latestSnapshot(changes,
+          keyCols = Seq("user_id"), orderCols = Seq("event_id"))
+        .filter(col("op") =!= "DELETE")
+        .select(col("user_id"), col("event_id").as("applied_lsn"),
+          col("value").as("current_value"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- Grouping sets via SQL entry point ----
+    QueryDef.sql("q26_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS cnt
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // ---- Tumbling time window rollup (streaming window agg, batch form) ----
+    QueryDef.sql("q27_hourly_rollup",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+
+    // ---- Sessionization: 30-min-gap sessions per user (session_window
+    //      batch analog; tx grouping per SURVEY §2B streaming) ----
+    QueryDef.sql("q28_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- Debounce compaction, batch analog of A34: within each
+    //      (key, interval) window keep only the newest change ----
+    QueryDef.sql("q29_debounce",
+      """SELECT user_id, event_id, event_type
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, date_trunc('minute', ts)
+        |  ORDER BY event_id DESC) = 1
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), date_trunc("minute", col("ts")))
+        .orderBy(col("event_id").desc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
+}

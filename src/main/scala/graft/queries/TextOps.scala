@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (BASELINE.json north star).
+  *
+  * Everything here is built from codegen'd Catalyst built-ins
+  * (higher-order array functions, regexp, hashes) — no Scala UDFs — so
+  * the plans scale: tokenization happens inside the scan projection,
+  * the n-gram inverted-index join shuffles only (gram, doc_id, size)
+  * tuples, and aggregations are partial+final.
+  */
+object TextOps {
+
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.load(s, d, n)
+
+  /** lowercase whitespace tokens; trim first so Java/DuckDB split agree
+    * on edge tokens. */
+  private val toks = split(lower(trim(col("text"))), "\\s+")
+
+  private val enWords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deWords = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  private val frWords = Seq("le", "la", "les", "et", "est", "une", "dans")
+  private val esWords = Seq("el", "los", "las", "y", "es", "una", "por")
+
+  private def hitsExpr(words: Seq[String]) =
+    expr(s"size(filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))")
+
+  private def hitsSqlDuck(words: Seq[String]) =
+    s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER)"
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- Exact dedup: hash-groupBy, keep lowest doc_id per content hash.
+    //      One-row fingerprint so the oracle checks the whole outcome. ----
+    QueryDef.sql("q30_dedup_exact",
+      """SELECT CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(m) AS BIGINT) AS keep_id_sum,
+        |  CAST(sum(c) AS BIGINT) AS n_docs
+        |FROM (SELECT md5(text) AS h, min(doc_id) AS m, count(*) AS c
+        |      FROM documents GROUP BY 1)""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("m"), count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_unique"), sum(col("m")).as("keep_id_sum"),
+          sum(col("c")).as("n_docs"))
+    },
+
+    // ---- Near-dup detection: word-3-gram shingles, inverted-index
+    //      self-join, exact Jaccard ≥ 0.3. The join key is the shingle —
+    //      at 100 TB this is the standard "similarity join via token
+    //      index" plan: shuffle carries (gram, doc, setsize) only, and
+    //      hot grams (stopword-only shingles) can be dropped by a
+    //      document-frequency filter without changing near-dup recall. ----
+    QueryDef.sql("q31_ngram_jaccard",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
+        |FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3
+        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val withSh = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .as("grams"))
+      val e = withSh.select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(col("grams")).as("g"))
+      val a = e.select(col("doc_id").as("doc1"), col("sz").as("sz1"), col("g"))
+      val b = e.select(col("doc_id").as("doc2"), col("sz").as("sz2"), col("g"))
+      a.join(b, Seq("g"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"), col("sz1"), col("sz2"))
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jac", col("common") / (col("sz1") + col("sz2") - col("common")))
+        .filter(col("jac") >= 0.3)
+        .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // ---- Language ID: n-gram/stopword heuristic, argmax with fixed
+    //      tie-break order. ----
+    QueryDef.sql("q32_langid",
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |    ${hitsSqlDuck(enWords)} AS en_hits,
+         |    ${hitsSqlDuck(deWords)} AS de_hits,
+         |    ${hitsSqlDuck(frWords)} AS fr_hits,
+         |    ${hitsSqlDuck(esWords)} AS es_hits
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+         |         AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+         |       WHEN de_hits >= fr_hits AND de_hits >= es_hits
+         |         AND de_hits > 0 THEN 'de'
+         |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+         |       WHEN es_hits > 0 THEN 'es'
+         |       ELSE 'und' END AS pred_lang,
+         |  en_hits, de_hits, fr_hits, es_hits
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          hitsExpr(enWords).as("en_hits"), hitsExpr(deWords).as("de_hits"),
+          hitsExpr(frWords).as("fr_hits"), hitsExpr(esWords).as("es_hits"))
+      h.select(col("doc_id"),
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
+          && col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits")
+            && col("de_hits") > 0, "de")
+          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
+          .when(col("es_hits") > 0, "es")
+          .otherwise("und").as("pred_lang"),
+        col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Quality scoring: length / character-class / stopword ratios. ----
+    QueryDef.sql("q33_quality",
+      s"""WITH t AS (SELECT doc_id, text, n_chars,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |m AS (SELECT doc_id, n_chars,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      / greatest(length(text), 1), 4) AS alpha_ratio,
+         |    ${hitsSqlDuck(enWords)} AS stop_hits
+         |  FROM t),
+         |r AS (SELECT doc_id, n_chars, n_tokens, alpha_ratio,
+         |    round(stop_hits / greatest(n_tokens, 1), 4) AS stop_ratio
+         |  FROM m)
+         |SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio,
+         |  round(0.5 * alpha_ratio + 0.3 * (1 - stop_ratio)
+         |    + 0.2 * least(n_tokens / 200.0, 1.0), 4) AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val m = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"), toks.as("toks"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+            / greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"),
+          hitsExpr(enWords).as("stop_hits"))
+      m.withColumn("stop_ratio",
+          round(col("stop_hits") / greatest(col("n_tokens"), lit(1)), 4))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("alpha_ratio"),
+          col("stop_ratio"),
+          round(lit(0.5) * col("alpha_ratio") + lit(0.3) * (lit(1) - col("stop_ratio"))
+            + lit(0.2) * least(col("n_tokens") / lit(200.0), lit(1.0)), 4)
+            .as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Token counting: whitespace + BPE-ish regex pieces. ----
+    QueryDef.sql("q34_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS sub_tokens,
+        |  round(n_chars / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 4) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).as("ws_tokens"),
+          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("sub_tokens"),
+          round(col("n_chars") / greatest(size(toks), lit(1)), 4).as("chars_per_tok"))
+        .orderBy(col("doc_id"))
+    })
+}
