@@ -50,13 +50,19 @@ object CdcApply {
     materialize(base.unionByName(changes), keyCols, orderCols, opCol)
 
   /** Idempotent-resume filter (reference A12, pkg/sink/pulsar.go:116-127):
-    * drop changes at or before the high-watermark checkpoint.
+    * drop changes at or before the high-watermark checkpoint. LSNs are
+    * unsigned 64-bit (reference pkg/cursor/main.go:13-48, and
+    * [[Checkpoint.compare]]); XOR with Long.MinValue maps unsigned order
+    * onto signed so the comparison stays a codegen'd column expression.
     */
   def afterCheckpoint(changes: DataFrame, watermark: Checkpoint,
-      lsnCol: String = "lsn", seqCol: String = "seq"): DataFrame =
+      lsnCol: String = "lsn", seqCol: String = "seq"): DataFrame = {
+    val flip = lit(Long.MinValue)
+    val lsnU = col(lsnCol).bitwiseXOR(flip)
+    val wmU = lit(watermark.lsn ^ Long.MinValue)
     changes.filter(
-      col(lsnCol) > lit(watermark.lsn) ||
-        (col(lsnCol) === lit(watermark.lsn) && col(seqCol) > lit(watermark.seq)))
+      lsnU > wmU || (lsnU === wmU && col(seqCol) > lit(watermark.seq)))
+  }
 
   /** Table-regex routing (reference A23, pkg/dblog/gateway.go:159-173). */
   def routeTables(changes: DataFrame, regex: String,

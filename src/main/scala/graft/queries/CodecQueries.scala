@@ -1,0 +1,224 @@
+package graft.queries
+
+import java.time.{Instant, LocalDate}
+
+import graft.Tables
+import graft.codec.{PgOutput, PgType}
+import graft.codec.PgOutput.{Column => PgCol, Relation => PgRel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked exercises of the binary codec (graft.codec): every
+  * row is encoded to real pgoutput wire bytes and decoded back *inside
+  * the distributed plan* (mapPartitions — one stateful Decoder per
+  * partition, seeded with its Relation message, exactly like one
+  * replication-stream consumer). The DuckDB oracle recomputes the same
+  * values straight from the parquet, so any drift in the wire codec
+  * (endianness, epoch offsets, numeric digit groups, tuple framing)
+  * breaks the hash compare.
+  *
+  * Wire formats follow the public pgoutput protocol; semantics mirror
+  * reference pkg/decode/pgoutput.go:33-159 + pkg/decode/decoder.go:56-118.
+  */
+object CodecQueries {
+
+  import PgType._
+
+  /** Typed round-trip row: one field per wire format in the SURVEY §1.3
+    * matrix (int2/int4/int8, float4/float8, bool, text, jsonb, uuid,
+    * bytea, date, time, timestamptz, numeric, text[]). */
+  final case class RtRow(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: Instant, props: String, uid: String, flag: Boolean,
+      day: LocalDate, amount: java.math.BigDecimal, small: Short, mid: Int,
+      fval: Float, time_us: Long, tags: Seq[String], payload: Array[Byte])
+
+  private val rtRel = PgRel(1, "public", "codec_rt", 'd', Seq(
+    PgCol("event_id", Int8, isKey = true), PgCol("user_id", Int8, isKey = false),
+    PgCol("event_type", Text, isKey = false), PgCol("value", Float8, isKey = false),
+    PgCol("ts", Timestamptz, isKey = false), PgCol("props", Jsonb, isKey = false),
+    PgCol("uid", Uuid, isKey = false), PgCol("flag", Bool, isKey = false),
+    PgCol("day", Date, isKey = false), PgCol("amount", Numeric, isKey = false),
+    PgCol("small", Int2, isKey = false), PgCol("mid", Int4, isKey = false),
+    PgCol("fval", Float4, isKey = false), PgCol("time_us", Time, isKey = false),
+    PgCol("tags", elemToArray(Text), isKey = false),
+    PgCol("payload", Bytea, isKey = false)))
+
+  private def rtDatums(r: RtRow): Seq[Array[Byte]] = Seq(
+    encode(Int8, r.event_id), encode(Int8, r.user_id),
+    encode(Text, r.event_type), encode(Float8, r.value),
+    encode(Timestamptz, r.ts), encode(Jsonb, r.props), encode(Uuid, r.uid),
+    encode(Bool, r.flag), encode(Date, r.day), encode(Numeric, r.amount),
+    encode(Int2, r.small), encode(Int4, r.mid), encode(Float4, r.fval),
+    encode(Time, r.time_us), encode(elemToArray(Text), r.tags),
+    encode(Bytea, r.payload))
+
+  private def rtFromFields(f: Map[String, Array[Byte]]): RtRow = RtRow(
+    decode(Int8, f("event_id")).asInstanceOf[Long],
+    decode(Int8, f("user_id")).asInstanceOf[Long],
+    decode(Text, f("event_type")).asInstanceOf[String],
+    decode(Float8, f("value")).asInstanceOf[Double],
+    decode(Timestamptz, f("ts")).asInstanceOf[Instant],
+    decode(Jsonb, f("props")).asInstanceOf[String],
+    decode(Uuid, f("uid")).asInstanceOf[String],
+    decode(Bool, f("flag")).asInstanceOf[Boolean],
+    decode(Date, f("day")).asInstanceOf[LocalDate],
+    decode(Numeric, f("amount")).asInstanceOf[java.math.BigDecimal],
+    decode(Int2, f("small")).asInstanceOf[Short],
+    decode(Int4, f("mid")).asInstanceOf[Int],
+    decode(Float4, f("fval")).asInstanceOf[Float],
+    decode(Time, f("time_us")).asInstanceOf[Long],
+    decode(elemToArray(Text), f("tags")).asInstanceOf[Seq[Any]].map(_.toString),
+    decode(Bytea, f("payload")).asInstanceOf[Array[Byte]])
+
+  /** Wire-encode then wire-decode every row of `ds` through pgoutput
+    * INSERT messages. */
+  def roundTrip(ds: org.apache.spark.sql.Dataset[RtRow]):
+      org.apache.spark.sql.Dataset[RtRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val dec = new PgOutput.Decoder
+      dec.decode(PgOutput.Encoder.relation(rtRel))
+      it.map { row =>
+        val wire = PgOutput.Encoder.insert(rtRel, rtDatums(row))
+        dec.decode(wire) match {
+          case PgOutput.Change("INSERT", _, Some(nf), None) => rtFromFields(nf)
+          case other => throw new graft.codec.CodecException(s"bad decode: $other")
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------- q42 transaction log
+
+  final case class TxIn(event_id: Long, user_id: Long, op: String, value: Double)
+  final case class TxOut(op: String, user_id: Long, lsn: Long,
+      value: Option[Double])
+
+  private val txRel = PgRel(2, "public", "tx_state", 'd', Seq(
+    PgCol("user_id", Int8, isKey = true), PgCol("event_id", Int8, isKey = false),
+    PgCol("value", Float8, isKey = false)))
+
+  /** Encode each input row as a full Begin→Change→Commit transaction at
+    * lsn = event_id, then decode the stream statefully and stamp each
+    * change with its transaction's LSN (the reference's checkpoint
+    * tracking, pkg/source/postgres.go:165-248). */
+  def txLog(ds: org.apache.spark.sql.Dataset[TxIn]):
+      org.apache.spark.sql.Dataset[TxOut] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val enc = PgOutput.Encoder
+      val dec = new PgOutput.Decoder
+      dec.decode(enc.relation(txRel))
+      it.map { r =>
+        val lsn = r.event_id + 1 // LSN 0 is reserved for dump rows (A25)
+        val wire: Seq[Array[Byte]] = Seq(
+          enc.begin(lsn, 0L, r.event_id.toInt),
+          r.op match {
+            case "INSERT" => enc.insert(txRel, Seq(
+              encode(Int8, r.user_id), encode(Int8, r.event_id),
+              encode(Float8, r.value)))
+            case "DELETE" => enc.delete(txRel, Seq(
+              encode(Int8, r.user_id), null, null))
+            case _ => enc.update(txRel,
+              Some(Seq(encode(Int8, r.user_id), null, null)),
+              Seq(encode(Int8, r.user_id), encode(Int8, r.event_id),
+                encode(Float8, r.value)))
+          },
+          enc.commit(lsn, lsn, 0L))
+        var beginLsn = -1L
+        var out: TxOut = null
+        wire.foreach { msg =>
+          dec.decode(msg) match {
+            case PgOutput.Begin(fl, _, _) => beginLsn = fl
+            case PgOutput.Change(op, _, nf, of) =>
+              val fields = nf.orElse(of).get
+              out = TxOut(op,
+                decode(Int8, fields("user_id")).asInstanceOf[Long],
+                beginLsn,
+                nf.flatMap(m => Option(m.getOrElse("value", null)))
+                  .map(d => decode(Float8, d).asInstanceOf[Double]))
+            case _ => ()
+          }
+        }
+        out
+      }
+    }
+  }
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val md5uuid =
+    """concat(substring(h,1,8),'-',substring(h,9,4),'-',substring(h,13,4),
+      |'-',substring(h,17,4),'-',substring(h,21,12))""".stripMargin.replace("\n", "")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("q41_codec_roundtrip",
+      s"""WITH b AS (SELECT event_id, user_id, event_type, value,
+         |    CAST(ts AS TIMESTAMP) AS ts, props,
+         |    md5(CAST(event_id AS VARCHAR)) AS h FROM events)
+         |SELECT event_id, user_id, event_type, value, ts, props,
+         |  $md5uuid AS uid,
+         |  (event_id % 2 = 0) AS flag,
+         |  CAST(ts AS DATE) AS day,
+         |  CAST(CAST(user_id * 0.015625 AS DECIMAL(18,6)) AS DOUBLE) AS amount,
+         |  CAST(user_id % 100 AS INTEGER) AS small,
+         |  CAST(event_id % 100000 AS INTEGER) AS mid,
+         |  CAST(CAST(value AS FLOAT) AS DOUBLE) AS fval,
+         |  epoch_us(ts) % 86400000000 AS time_us,
+         |  event_type AS tag0, 2 AS n_tags,
+         |  CAST(octet_length(encode(event_type)) AS INTEGER) AS payload_len
+         |FROM b ORDER BY event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val base = t(s, d, "events")
+        .withColumn("h", md5(col("event_id").cast("string").cast("binary")))
+        .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("ts"), col("props"),
+        expr(md5uuid).as("uid"),
+        (col("event_id") % 2 === 0).as("flag"),
+        col("ts").cast("date").as("day"),
+        (col("user_id") * lit(0.015625)).cast("decimal(18,6)").as("amount"),
+        (col("user_id") % 100).cast("smallint").as("small"),
+        (col("event_id") % 100000).cast("int").as("mid"),
+        col("value").cast("float").as("fval"),
+        (unix_micros(col("ts")) % 86400000000L).as("time_us"),
+        array(col("event_type"), col("user_id").cast("string")).as("tags"),
+        col("event_type").cast("binary").as("payload"))
+      roundTrip(base.as[RtRow]).toDF()
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          col("ts"), col("props"), col("uid"), col("flag"), col("day"),
+          col("amount").cast("double").as("amount"),
+          col("small").cast("int").as("small"), col("mid"),
+          col("fval").cast("double").as("fval"), col("time_us"),
+          element_at(col("tags"), 1).as("tag0"), size(col("tags")).as("n_tags"),
+          octet_length(col("payload")).as("payload_len"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef.sql("q42_codec_txlog",
+      """SELECT user_id, event_id + 1 AS applied_lsn, value AS current_value
+        |FROM (SELECT user_id, event_id, value,
+        |        CASE event_type WHEN 'signup' THEN 'INSERT'
+        |                        WHEN 'error' THEN 'DELETE'
+        |                        ELSE 'UPDATE' END AS op
+        |      FROM events)
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |  AND op <> 'DELETE'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val changes = t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE").as("op"),
+        col("value"))
+      val decoded = txLog(changes.as[TxIn]).toDF()
+      graft.cdc.CdcApply.latestSnapshot(decoded,
+          keyCols = Seq("user_id"), orderCols = Seq("lsn"))
+        .filter(col("op") =!= "DELETE")
+        .select(col("user_id"), col("lsn").as("applied_lsn"),
+          col("value").as("current_value"))
+        .orderBy(col("user_id"))
+    })
+}

@@ -61,7 +61,7 @@ object Relational {
     // ---- Projection + selective filter (predicate/column pushdown to scan) ----
     QueryDef.sql("q02_filter_project",
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1 - l_discount), 2) AS revenue
+        |  CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -73,8 +73,12 @@ object Relational {
           && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
           && col("l_discount").between(0.05, 0.07)
           && col("l_quantity") < 24)
+        // Round in decimal, not double: the product is an exact 4-dp value,
+        // so the decimal(18,4) cast recovers it exactly on both engines and
+        // HALF_UP ties at .xx5 agree (double rounding diverges on 5/1251 rows).
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+          round((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)"), 2).cast("double").as("revenue"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 

@@ -140,8 +140,8 @@ object TextOps {
          |    round(stop_hits / greatest(n_tokens, 1), 4) AS stop_ratio
          |  FROM m)
          |SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio,
-         |  round(0.5 * alpha_ratio + 0.3 * (1 - stop_ratio)
-         |    + 0.2 * least(n_tokens / 200.0, 1.0), 4) AS quality_score
+         |  CAST(round(CAST(0.5 * alpha_ratio + 0.3 * (1 - stop_ratio)
+         |    + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4) AS DOUBLE) AS quality_score
          |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
       val m = t(s, d, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"), toks.as("toks"))
@@ -152,10 +152,14 @@ object TextOps {
           hitsExpr(enWords).as("stop_hits"))
       m.withColumn("stop_ratio",
           round(col("stop_hits") / greatest(col("n_tokens"), lit(1)), 4))
+        // The weighted sum is an exact 5-dp value, so .xxxx5 HALF_UP ties
+        // at 4 dp must be decided in decimal on both engines (double
+        // rounding diverges); decimal(18,6) recovers the exact value.
         .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("alpha_ratio"),
           col("stop_ratio"),
-          round(lit(0.5) * col("alpha_ratio") + lit(0.3) * (lit(1) - col("stop_ratio"))
-            + lit(0.2) * least(col("n_tokens") / lit(200.0), lit(1.0)), 4)
+          round((lit(0.5) * col("alpha_ratio") + lit(0.3) * (lit(1) - col("stop_ratio"))
+            + lit(0.2) * least(col("n_tokens") / lit(200.0), lit(1.0)))
+            .cast("decimal(18,6)"), 4).cast("double")
             .as("quality_score"))
         .orderBy(col("doc_id"))
     },
