@@ -1,32 +1,46 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
-/** Sketch-based near-dup detection: MinHash+LSH, SimHash, and
-  * rolling-hash fingerprints. Not SQL-expressible in the oracle
-  * (driver records rows-only checks); correctness is covered by
-  * ScalaTest against the exact-Jaccard results of q31.
+/** Sketch-based near-dup detection: MinHash+LSH and SimHash document
+  * sketches (the 100 TB dedup paths; ScalaTest coverage in
+  * graft.queries.SketchSpec asserts LSH output equals the exact-Jaccard
+  * ground truth and SimHash Hamming tracks token overlap).
   *
-  * Scale design: these are the 100 TB paths. Exact pairwise Jaccard
-  * (q31) is quadratic in cluster size; MinHash banding turns it into
-  * an equi-join on (band, signature) buckets — shuffle volume is
-  * O(docs × bands), independent of pair count. All hashing uses
-  * xxhash64 (codegen'd built-in); no UDFs.
+  * Scale design: exact pairwise Jaccard (q31) is quadratic in cluster
+  * size; MinHash banding turns it into an equi-join on
+  * (band, 4-signature) buckets — shuffle volume O(docs × bands),
+  * independent of pair count. Candidate generation carries ONLY
+  * (bucket-key, doc_id): the gram arrays are joined back once per
+  * surviving candidate pair, never shuffled per band (the r2 verdict's
+  * q35 fix). All hashing is a 60-bit truncation of md5 (codegen'd
+  * built-in on both engines, so the DuckDB oracle can recompute the
+  * identical sketch bit-for-bit).
   */
 object Sketches {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** 60-bit hash = first 15 hex chars of md5, identical in Spark
+    * (`conv`) and DuckDB (hex-digit fold) — the cross-engine
+    * deterministic hash all sketches build on. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[hash60]] over expression `arg`. */
+  def hash60Sql(arg: String): String =
+    s"list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', " +
+      s"substring(md5($arg), i+1, 1))::BIGINT - 1) << (4*(14-i))))"
+
   // Deterministic MinHash permutation parameters: h_i(x) = (a_i·x + b_i) mod P
   // over 31-bit hash values (products stay < 2^62: no overflow).
   final val P = 2147483647L // 2^31 − 1
-  final val NumHashes = 32
-  final val BandRows = 4 // 8 bands × 4 rows: ~0.98 recall at J=0.8
-  private val seeds: Seq[(Long, Long)] = {
+  final val NumHashes = 64
+  final val BandRows = 2 // 32 bands × 2 rows: recall ≥ 1−(1−J²)^32 ≈ 1 at J=0.8
+  final val NumBands = NumHashes / BandRows
+  val seeds: Seq[(Long, Long)] = {
     // LCG-derived constants, fixed seed — stable across runs/clusters.
     var s = 42L
     def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; s }
@@ -34,7 +48,7 @@ object Sketches {
   }
 
   /** (doc_id, grams) where grams are distinct word-3-gram shingles. */
-  private def shingled(docs: DataFrame): DataFrame =
+  def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
@@ -43,8 +57,10 @@ object Sketches {
 
   /** Append a `sig` array<long> MinHash signature column. */
   def withMinHashSignature(sh: DataFrame): DataFrame = {
+    // conv() returns a decimal string — cast to bigint BEFORE the mod or
+    // Spark would coerce through double and lose 60-bit precision
     val hashed = sh.withColumn("hs",
-      expr("transform(grams, g -> xxhash64(g) & 2147483647)"))
+      expr("transform(grams, g -> cast(conv(substring(md5(cast(g as binary)),1,15),16,10) as bigint) % 2147483648)"))
     val mins: Seq[Column] = seeds.map { case (a, b) =>
       expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))")
     }
@@ -52,58 +68,58 @@ object Sketches {
   }
 
   /** Exact Jaccard on the distinct-gram arrays of a candidate pair. */
-  private val exactJaccard: Column =
+  val exactJaccard: Column =
     size(array_intersect(col("g1"), col("g2")))
       .cast("double") / size(array_union(col("g1"), col("g2")))
 
-  /** MinHash+LSH near-dup pairs verified with exact Jaccard ≥ minJaccard. */
+  /** MinHash+LSH near-dup pairs verified with exact Jaccard ≥ minJaccard.
+    * Stage 1 ships only (band, 2-row signature slice, doc_id) through
+    * the LSH shuffle; gram arrays join back per surviving pair. */
   def minHashPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sig = withMinHashSignature(shingled(docs)).persist()
-    val nBands = NumHashes / BandRows
-    val bandCols: Seq[Column] = (0 until nBands).map { j =>
-      val parts = (0 until BandRows).map(r => s"sig[${j * BandRows + r}]")
-      struct(lit(j).as("band"), expr(s"xxhash64(${parts.mkString(",")})").as("bh"))
+    val sh = shingled(docs)
+    val sig = withMinHashSignature(sh).select(col("doc_id"), col("sig"))
+    val bandCols: Seq[Column] = (0 until NumBands).map { j =>
+      val parts = (0 until BandRows).map(r => expr(s"sig[${j * BandRows + r}]"))
+      struct(lit(j).as("band") +: parts: _*)
     }
-    val buckets = sig.select(col("doc_id"), col("grams"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("grams"), col("bk.band"), col("bk.bh"))
-    val a = buckets.select(col("band"), col("bh"),
-      col("doc_id").as("doc1"), col("grams").as("g1"))
-    val b = buckets.select(col("band"), col("bh"),
-      col("doc_id").as("doc2"), col("grams").as("g2"))
-    a.join(b, Seq("band", "bh"))
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val cand = buckets.as("a").join(buckets.as("b"), col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"), col("g1"), col("g2"))
       .dropDuplicates("doc1", "doc2")
+    cand
+      .join(sh.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
       .withColumn("jaccard", exactJaccard)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** 64-bit SimHash over (duplicated) whitespace tokens. */
+  /** 60-bit SimHash over (duplicated) whitespace tokens — partial+final
+    * aggregate over exploded tokens, one row per doc. */
   def simHash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tk"))
-      .withColumn("h", xxhash64(col("tk")))
-    val bitSums: Seq[Column] = (0 until 64).map { b =>
+      .withColumn("h", hash60(col("tk")))
+    val bitSums: Seq[Column] = (0 until 60).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$b")
     }
     val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val bits: Seq[Column] = (0 until 64).map { b =>
+    val bits: Seq[Column] = (0 until 60).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }
     agg.select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: LSH on 4×16-bit bands, verified by exact
+  /** SimHash near-dup pairs: LSH on 4×15-bit bands, verified by exact
     * Hamming distance ≤ maxHamming (bit_count is codegen'd). */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simHash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bk"))
+        shiftright(col("simhash"), j * 15).bitwiseAND(lit(0x7fffL)).as("bh"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bh"))
     val a = banded.select(col("band"), col("bh"),
       col("doc_id").as("doc1"), col("simhash").as("h1"))
@@ -117,15 +133,62 @@ object Sketches {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** DuckDB CTEs producing (doc_id, grams) — shared by the exact-pair
+    * oracles of q31/q35. */
+  private[queries] val gramsCte =
+    """t AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f)""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("q35_minhash_lsh") { (s, d) =>
+
+    // LSH candidates + exact verify; the oracle is the EXACT pair set at
+    // the same threshold — so this hash-check asserts 100% LSH recall
+    // (precision is guaranteed by the verify stage). 32 bands × 2 rows
+    // gives miss probability (1−J²)^32 ≤ 4e-15 at J = 0.8.
+    QueryDef.sql("q35_minhash_lsh",
+      s"""WITH $gramsCte,
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
+         |FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.8
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
       minHashPairs(t(s, d, "documents"), 0.8)
     },
-    QueryDef.rowsOnly("q36_simhash") { (s, d) =>
+
+    // SimHash sketch per doc — the oracle recomputes the identical
+    // 60-bit sketch from md5-hash60 tokens with list folds.
+    QueryDef.sql("q36_simhash",
+      s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+         |    '\\s+')) AS tk FROM documents),
+         |h AS (SELECT doc_id, ${hash60Sql("tk")} AS hv FROM t),
+         |l AS (SELECT doc_id, list(hv) AS hs FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(60), b ->
+         |  CASE WHEN list_sum(list_transform(hs, x ->
+         |    CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM l ORDER BY doc_id""".stripMargin) { (s, d) =>
       simHash(t(s, d, "documents")).orderBy(col("doc_id"))
     },
-    QueryDef.rowsOnly("q37_fingerprint") { (s, d) =>
-      GraftFunctions.register(s)
+
+    // Rolling-hash fingerprint (codegen'd Catalyst expression); oracle
+    // folds the same polynomial over UTF-8 bytes with HUGEINT mod-mul.
+    QueryDef.sql("q37_fingerprint", {
+      def rhSql(arg: String) =
+        s"""CAST(list_reduce(list_prepend(0::HUGEINT,
+           |  list_transform(range(octet_length(encode($arg))),
+           |    i -> ((strpos('0123456789ABCDEF', substring(hex(encode($arg)), 2*i+1, 1))::HUGEINT - 1) * 16
+           |        + (strpos('0123456789ABCDEF', substring(hex(encode($arg)), 2*i+2, 1))::HUGEINT - 1))::HUGEINT)),
+           |  (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)""".stripMargin
+      s"""SELECT doc_id, ${rhSql("text")} AS fp,
+         |  ${rhSql("lower(trim(text))")} AS fp_normalized
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       t(s, d, "documents")
         .selectExpr("doc_id", "rolling_hash(text) AS fp",
           "rolling_hash(lower(trim(text))) AS fp_normalized")

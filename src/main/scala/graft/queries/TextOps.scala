@@ -32,6 +32,35 @@ object TextOps {
   private def hitsSqlDuck(words: Seq[String]) =
     s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER)"
 
+  /** Document-frequency cap for the q31 candidate index: grams shared
+    * by more docs than this are boilerplate and skipped for candidate
+    * generation (bounded join fan-out at any corpus size). */
+  final val MaxGramDf = 64
+
+  /** Inverted-index candidates (df-capped) + exact Jaccard verify over
+    * gram arrays. `sh` = (doc_id, grams) from [[Sketches.shingled]]. */
+  def ngramJaccardPairs(sh: org.apache.spark.sql.DataFrame,
+      minJaccard: Double): org.apache.spark.sql.DataFrame = {
+    val e = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    // grams usable as candidate keys: 2 ≤ df ≤ MaxGramDf
+    val keep = e.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, MaxGramDf))
+      .select(col("g"))
+    val ek = e.join(keep, Seq("g")) // broadcast-able pruned gram list
+    val cand = ek.select(col("doc_id").as("doc1"), col("g"))
+      .join(ek.select(col("doc_id").as("doc2"), col("g")), Seq("g"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    cand
+      .join(sh.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
+      .withColumn("jac", Sketches.exactJaccard)
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: hash-groupBy, keep lowest doc_id per content hash.
@@ -50,11 +79,16 @@ object TextOps {
     },
 
     // ---- Near-dup detection: word-3-gram shingles, inverted-index
-    //      self-join, exact Jaccard ≥ 0.3. The join key is the shingle —
-    //      at 100 TB this is the standard "similarity join via token
-    //      index" plan: shuffle carries (gram, doc, setsize) only, and
-    //      hot grams (stopword-only shingles) can be dropped by a
-    //      document-frequency filter without changing near-dup recall. ----
+    //      candidate join, exact Jaccard ≥ 0.3. The candidate index
+    //      drops grams with document frequency > MaxGramDf (and the
+    //      unpairable df = 1) BEFORE the self-join, so a hot boilerplate
+    //      shingle can never blow up a join bucket: worst-case fan-out
+    //      per gram is MaxGramDf², a constant — the r2 verdict's q31
+    //      scale fix. Jaccard is then computed exactly from the full
+    //      gram arrays of the surviving candidate pairs only, so the
+    //      result is identical to the uncapped join as long as every
+    //      true pair shares ≥1 sub-hot gram (asserted by SketchSpec;
+    //      the oracle here stays the pure uncapped ground truth). ----
     QueryDef.sql("q31_ngram_jaccard",
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
@@ -68,24 +102,7 @@ object TextOps {
         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
         |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3
         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      val withSh = t(s, d, "documents")
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-          .as("grams"))
-      val e = withSh.select(col("doc_id"), size(col("grams")).as("sz"),
-        explode(col("grams")).as("g"))
-      val a = e.select(col("doc_id").as("doc1"), col("sz").as("sz1"), col("g"))
-      val b = e.select(col("doc_id").as("doc2"), col("sz").as("sz2"), col("g"))
-      a.join(b, Seq("g"))
-        .filter(col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2"), col("sz1"), col("sz2"))
-        .agg(count(lit(1)).as("common"))
-        .withColumn("jac", col("common") / (col("sz1") + col("sz2") - col("common")))
-        .filter(col("jac") >= 0.3)
-        .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
-        .orderBy(col("doc1"), col("doc2"))
+      ngramJaccardPairs(Sketches.shingled(t(s, d, "documents")), 0.3)
     },
 
     // ---- Language ID: n-gram/stopword heuristic, argmax with fixed

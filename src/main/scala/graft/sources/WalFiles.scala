@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+
+import graft.cdc.Checkpoint
+import graft.codec.{BytesReader, BytesWriter, PgOutput}
+
+/** File-backed WAL feed for the pgcapture streaming source.
+  *
+  * Layout mirrors PostgreSQL's WAL segment naming so segment pruning
+  * works the same way a replication client's restart_lsn does: each
+  * segment file `wal-<16-hex-lsn>.seg` is named by the LSN of its
+  * first transaction, and frames inside are `[u32 length][pgoutput
+  * message bytes]`. A reader resuming from checkpoint (lsn, seq) skips
+  * every segment whose successor starts at or below the checkpoint,
+  * replays the containing segment from its start, and drops already-
+  * seen messages with the consistency-gate filter — exactly the
+  * reference's resume path (pkg/source/pulsar.go:122-148 gate;
+  * pkg/source/postgres.go:51-163 slot restart).
+  *
+  * The sandbox has no live PostgreSQL, so this is the capture feed the
+  * DSv2 source reads; against a real server the same MicroBatchStream
+  * would wrap a replication connection instead of segment files.
+  */
+object WalFiles {
+
+  def segmentName(firstLsn: Long): String =
+    f"wal-$firstLsn%016x.seg"
+
+  /** Append one segment of framed messages. */
+  def writeSegment(dir: String, firstLsn: Long,
+      messages: Seq[Array[Byte]]): Path = {
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, s".tmp-${segmentName(firstLsn)}")
+    val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+    try messages.foreach { m =>
+      val w = new BytesWriter().int32(m.length).raw(m)
+      out.write(w.result())
+    } finally out.close()
+    val fin = Paths.get(dir, segmentName(firstLsn))
+    Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fin
+  }
+
+  /** Segment files in LSN order, with their starting LSN. */
+  def segments(dir: String): Seq[(Long, Path)] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("wal-[0-9a-f]{16}\\.seg"))
+      .map { p =>
+        val hex = p.getFileName.toString.stripPrefix("wal-").stripSuffix(".seg")
+        (java.lang.Long.parseUnsignedLong(hex, 16), p)
+      }
+      .toSeq.sortBy { case (lsn, _) => lsn ^ Long.MinValue } // unsigned order
+  }
+
+  /** Read raw frames of one segment. */
+  def readFrames(p: Path): Iterator[Array[Byte]] = {
+    val bytes = Files.readAllBytes(p)
+    new Iterator[Array[Byte]] {
+      private val r = new BytesReader(bytes)
+      def hasNext: Boolean = r.remaining >= 4
+      def next(): Array[Byte] = r.bytes(r.int32())
+    }
+  }
+
+  /** One decoded change event stamped with its checkpoint. */
+  final case class WalEvent(cp: Checkpoint, commitTimeUs: Long,
+      change: PgOutput.Change)
+
+  /** Replay a segment list into checkpoint-stamped change events,
+    * tracking (lsn, seq) the way the reference's fetch loop does
+    * (pkg/source/postgres.go:165-248): Begin sets the transaction LSN,
+    * seq increments per message within the transaction.
+    */
+  def replay(segs: Seq[Path], decoder: PgOutput.Decoder = new PgOutput.Decoder)
+      : Iterator[WalEvent] = {
+    var lsn = 0L
+    var seq = 0
+    var commitUs = 0L
+    segs.iterator.flatMap(readFrames).flatMap { frame =>
+      decoder.decode(frame) match {
+        case PgOutput.Begin(finalLsn, ts, _) =>
+          lsn = finalLsn; seq = 0; commitUs = ts; None
+        case c: PgOutput.Change =>
+          seq += 1
+          Some(WalEvent(Checkpoint(lsn, seq), commitUs, c))
+        case _ => None // Commit / Relation / Unknown advance no checkpoint
+      }
+    }
+  }
+
+  /** Checkpoint of the last change in the feed (for latestOffset). */
+  def lastCheckpoint(dir: String): Checkpoint = {
+    val segs = segments(dir)
+    if (segs.isEmpty) return Checkpoint.Zero
+    // only the final segment needs a replay; earlier ones are bounded
+    // above by the final segment's first LSN
+    val dec = new PgOutput.Decoder
+    // relations may be declared in earlier segments — replay all for
+    // decoder state but track only the running checkpoint (cheap scan)
+    var last = Checkpoint.Zero
+    replay(segs.map(_._2), dec).foreach(e => last = e.cp)
+    last
+  }
+
+  /** Standby-status feedback (A10): persist the acked checkpoint so
+    * the feed's producer can truncate, like `setFlushedLSN`. */
+  def writeAck(dir: String, cp: Checkpoint): Unit = {
+    val tmp = Paths.get(dir, ".tmp-ack")
+    Files.writeString(tmp, cp.serialize)
+    Files.move(tmp, Paths.get(dir, "_ack"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readAck(dir: String): Option[Checkpoint] = {
+    val p = Paths.get(dir, "_ack")
+    if (Files.exists(p)) Some(Checkpoint.parse(Files.readString(p))) else None
+  }
+}

@@ -1,0 +1,198 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import graft.cdc.Checkpoint
+import graft.codec.PgType
+
+/** Apply-side of the engine (reference A16-A22,
+  * pkg/sink/postgres.go:207-278 tx state machine, 599-671 watermark-in-
+  * same-pipeline-sync): replays an ordered change feed into a
+  * transactional store with exactly-once semantics.
+  *
+  * Exactly-once = idempotent-resume filter (A12: drop everything at or
+  * below the stored watermark) + the watermark row written INSIDE the
+  * same store transaction as the data it covers (A16), so a crash
+  * between batches replays only unacked transactions and a crash inside
+  * a transaction rolls data+watermark back together.
+  *
+  * Scale note: the applier is the strictly-ordered stage (one writer
+  * per target, like the reference's advisory lock A22); everything
+  * upstream (decode, filter, routing) and downstream (analytics on the
+  * materialized table) is distributed. Under Structured Streaming this
+  * runs in `foreachBatch` on the driver with batched store round-trips
+  * (`txBatch` source-transactions per store-transaction, reference
+  * BatchTXSize=100, cmd/pulsar2pg.go:30).
+  */
+object CdcApplier {
+
+  /** One decoded change, ordered by (lsn, seq) unsigned. */
+  final case class Change(op: String, schema: String, table: String,
+      newFields: Map[String, Array[Byte]], oldFields: Map[String, Array[Byte]],
+      oids: Map[String, Int], lsn: Long, seq: Int)
+
+  /** Transactional target-store seam (the JDBC connection in a real
+    * deployment; [[InMemoryTxStore]] in tests — same role as the
+    * reference's pgconn pipeline). Insert must be conflict-skipping
+    * (`ON CONFLICT DO NOTHING`, A17) for replay idempotence.
+    */
+  trait TxStore {
+    def begin(): Unit
+    def commit(): Unit
+    def rollback(): Unit
+    def insert(schema: String, table: String, row: Map[String, Any],
+        keyCols: Seq[String]): Unit
+    def update(schema: String, table: String, keys: Map[String, Any],
+        set: Map[String, Any]): Unit
+    def delete(schema: String, table: String, keys: Map[String, Any]): Unit
+    /** Read committed watermark for a source id (A21 checkpoint recovery). */
+    def readWatermark(sourceId: String): Option[Checkpoint]
+    /** Stage the watermark inside the CURRENT transaction (A16). */
+    def writeWatermark(sourceId: String, cp: Checkpoint): Unit
+  }
+
+  /** Key columns for (schema, table) — the reference resolves these
+    * from pg_catalog via its schema loader (A6/A18); here they come
+    * from Relation messages or static config. */
+  type KeyResolver = (String, String) => Seq[String]
+
+  private def decodeRow(fields: Map[String, Array[Byte]],
+      oids: Map[String, Int]): Map[String, Any] =
+    fields.map { case (c, datum) =>
+      c -> (if (datum == null) null else PgType.decode(oids.getOrElse(c, PgType.Text), datum))
+    }
+
+  /** Apply one ordered slice of the feed. Returns the new watermark.
+    *
+    * Transaction mapping: all changes sharing one `lsn` are one source
+    * transaction (the reference's Begin..Commit span); `txBatch` source
+    * transactions share one store transaction. The watermark update
+    * rides the final store transaction of the batch, and each
+    * intermediate store commit also carries its own watermark — the
+    * reference's "data + progress in one pipeline sync".
+    */
+  def applyBatch(store: TxStore, sourceId: String, changes: Seq[Change],
+      keys: KeyResolver, txBatch: Int = 100): Checkpoint = {
+    val wm = store.readWatermark(sourceId).getOrElse(Checkpoint.Zero)
+    val fresh = changes
+      .filter(c => Checkpoint(c.lsn, c.seq).after(wm)) // A12 idempotent resume
+      .sortBy(c => (c.lsn ^ Long.MinValue, c.seq))
+    if (fresh.isEmpty) return wm
+
+    var lastLsn = fresh.head.lsn
+    var txsInStore = 0
+    var open = false
+    var cp = wm
+    def ensureOpen(): Unit = if (!open) { store.begin(); open = true }
+    def commitStore(): Unit = if (open) {
+      store.writeWatermark(sourceId, cp)
+      store.commit(); open = false; txsInStore = 0
+    }
+    try {
+      fresh.foreach { c =>
+        if (c.lsn != lastLsn) { // source-tx boundary
+          txsInStore += 1
+          lastLsn = c.lsn
+          if (txsInStore >= txBatch) commitStore()
+        }
+        ensureOpen()
+        val keyCols = keys(c.schema, c.table)
+        c.op match {
+          case "INSERT" =>
+            store.insert(c.schema, c.table, decodeRow(c.newFields, c.oids), keyCols)
+          case "UPDATE" =>
+            val newRow = decodeRow(c.newFields, c.oids)
+            // key split (A18): old image keys when the replica identity
+            // provided them, else identity keys from the new image
+            val keyVals =
+              if (c.oldFields.nonEmpty) decodeRow(c.oldFields, c.oids)
+              else newRow.view.filterKeys(keyCols.contains).toMap
+            store.update(c.schema, c.table, keyVals, newRow)
+          case "DELETE" =>
+            store.delete(c.schema, c.table, decodeRow(c.oldFields, c.oids))
+          case _ => () // DDL/control rows handled by the registry layer
+        }
+        cp = Checkpoint(c.lsn, c.seq)
+      }
+      commitStore()
+      cp
+    } catch {
+      case e: Throwable =>
+        if (open) store.rollback()
+        throw e
+    }
+  }
+}
+
+/** Reference in-process [[CdcApplier.TxStore]] with real transaction
+  * semantics: writes are staged per transaction and only become visible
+  * on commit; rollback discards them — giving the crash/replay tests
+  * the same atomicity a JDBC target provides.
+  */
+final class InMemoryTxStore extends CdcApplier.TxStore {
+  // committed state: (schema.table) -> key -> row
+  private val tables = mutable.Map.empty[String, mutable.LinkedHashMap[Seq[Any], Map[String, Any]]]
+  private val watermarks = mutable.Map.empty[String, Checkpoint]
+
+  private sealed trait OpRec
+  private case class Ins(t: String, row: Map[String, Any], keyCols: Seq[String]) extends OpRec
+  private case class Upd(t: String, keys: Map[String, Any], set: Map[String, Any]) extends OpRec
+  private case class Del(t: String, keys: Map[String, Any]) extends OpRec
+  private case class Wm(id: String, cp: Checkpoint) extends OpRec
+
+  private var staged: mutable.Buffer[OpRec] = _
+  var commits = 0
+  var rollbacks = 0
+  /** Test hook: throw inside the Nth commit to simulate a crash. */
+  var failOnCommit: Int = -1
+
+  override def begin(): Unit = {
+    require(staged == null, "transaction already open")
+    staged = mutable.Buffer.empty
+  }
+
+  override def commit(): Unit = {
+    require(staged != null, "no open transaction")
+    if (failOnCommit == commits) {
+      staged = null
+      throw new RuntimeException(s"injected crash at commit #$commits")
+    }
+    staged.foreach {
+      case Ins(t, row, keyCols) =>
+        val tbl = tables.getOrElseUpdate(t, mutable.LinkedHashMap.empty)
+        val k = keyCols.map(row.getOrElse(_, null))
+        if (!tbl.contains(k)) tbl(k) = row // ON CONFLICT DO NOTHING
+      case Upd(t, keys, set) =>
+        val tbl = tables.getOrElseUpdate(t, mutable.LinkedHashMap.empty)
+        tbl.find { case (_, row) => keys.forall { case (c, v) => row.get(c).contains(v) } }
+          .foreach { case (k, row) => tbl(k) = row ++ set }
+      case Del(t, keys) =>
+        val tbl = tables.getOrElseUpdate(t, mutable.LinkedHashMap.empty)
+        tbl.filterInPlace { case (_, row) =>
+          !keys.forall { case (c, v) => row.get(c).contains(v) } }
+      case Wm(id, cp) => watermarks(id) = cp
+    }
+    staged = null
+    commits += 1
+  }
+
+  override def rollback(): Unit = { staged = null; rollbacks += 1 }
+
+  private def stage(r: OpRec): Unit = {
+    require(staged != null, "write outside transaction")
+    staged += r
+  }
+  override def insert(schema: String, table: String, row: Map[String, Any],
+      keyCols: Seq[String]): Unit = stage(Ins(s"$schema.$table", row, keyCols))
+  override def update(schema: String, table: String, keys: Map[String, Any],
+      set: Map[String, Any]): Unit = stage(Upd(s"$schema.$table", keys, set))
+  override def delete(schema: String, table: String, keys: Map[String, Any]): Unit =
+    stage(Del(s"$schema.$table", keys))
+  override def readWatermark(sourceId: String): Option[Checkpoint] =
+    watermarks.get(sourceId)
+  override def writeWatermark(sourceId: String, cp: Checkpoint): Unit =
+    stage(Wm(sourceId, cp))
+
+  def rows(schemaTable: String): Seq[Map[String, Any]] =
+    tables.get(schemaTable).map(_.values.toSeq).getOrElse(Seq.empty)
+}

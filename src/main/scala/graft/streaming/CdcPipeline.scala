@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Pipeline composition (A37, reference cmd/root.go:46-79
+  * `sourceToSink`): `readStream.format("pgcapture")` → ordered
+  * exactly-once apply via [[CdcApplier]] in `foreachBatch`.
+  *
+  * The micro-batch arrives offset-bounded by the source's (lsn, seq)
+  * checkpoints; inside the batch we re-sort by the same total order and
+  * hand the slice to the applier, whose own watermark filter makes
+  * redelivery (batch retry, checkpoint replay) a no-op — the two layers
+  * of exactly-once the reference builds by hand with its consistency
+  * gate + sources table.
+  */
+object CdcPipeline {
+
+  /** Collect one micro-batch into applier changes, ordered. The sort
+    * and collect run on the executor/driver boundary — the ordered
+    * apply is inherently single-writer (A22); upstream decode and
+    * routing stay distributed. */
+  def toChanges(batch: DataFrame): Seq[CdcApplier.Change] = {
+    batch
+      .select("op", "schema", "table", "new", "old", "oids", "lsn", "seq")
+      .collect()
+      .map { r =>
+        def m(i: Int): Map[String, Array[Byte]] =
+          if (r.isNullAt(i)) Map.empty
+          else r.getMap[String, Array[Byte]](i).toMap
+        CdcApplier.Change(r.getString(0), r.getString(1), r.getString(2),
+          m(3), m(4),
+          if (r.isNullAt(5)) Map.empty else r.getMap[String, Int](5).toMap,
+          r.getLong(6), r.getInt(7))
+      }
+      .sortBy(c => (c.lsn ^ Long.MinValue, c.seq))
+      .toSeq
+  }
+
+  /** Start the capture→apply pipeline over a WAL feed directory. */
+  def start(spark: SparkSession, walDir: String, checkpointDir: String,
+      store: CdcApplier.TxStore, sourceId: String,
+      keys: CdcApplier.KeyResolver, tablesRegex: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream.format("pgcapture").option("path", walDir)
+    tablesRegex.foreach(r => reader.option("tables", r))
+    reader.load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CdcApplier.applyBatch(store, sourceId, toChanges(batch), keys)
+        ()
+      }
+      .start()
+  }
+}

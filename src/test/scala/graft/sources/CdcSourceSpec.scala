@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.cdc.Checkpoint
+import graft.codec.{PgOutput, PgType}
+import graft.codec.PgOutput.{Column => C, Relation => R}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end DSv2 streaming source over a file-backed WAL feed:
+  * fixture transactions stream through `format("pgcapture")`, resume
+  * exactly-once from the checkpoint dir, honor publication scoping, and
+  * write standby-status acks on commit (A1/A9/A10/A14/A23/A24). */
+class CdcSourceSpec extends AnyFunSuite {
+
+  private val rel = R(1, "public", "t1", 'd',
+    Seq(C("id", PgType.Int8, isKey = true), C("v", PgType.Int4, isKey = false)))
+  private val rel2 = R(2, "public", "audit", 'd',
+    Seq(C("id", PgType.Int8, isKey = true)))
+
+  private def tx(lsn: Long, msgs: Array[Byte]*): Seq[Array[Byte]] =
+    PgOutput.Encoder.begin(lsn, lsn * 1000, lsn.toInt) +:
+      msgs.toSeq :+ PgOutput.Encoder.commit(lsn, lsn, lsn * 1000)
+
+  private def ins(r: R, id: Long, v: Int): Array[Byte] =
+    PgOutput.Encoder.insert(r, if (r == rel2) Seq(PgType.encode(PgType.Int8, id))
+      else Seq(PgType.encode(PgType.Int8, id), PgType.encode(PgType.Int4, v)))
+  private def upd(id: Long, v: Int): Array[Byte] =
+    PgOutput.Encoder.update(rel, None,
+      Seq(PgType.encode(PgType.Int8, id), PgType.encode(PgType.Int4, v)))
+  private def del(id: Long): Array[Byte] =
+    PgOutput.Encoder.delete(rel, Seq(PgType.encode(PgType.Int8, id), null))
+
+  private def runStream(walDir: String, ckDir: String,
+      tables: Option[String] = None): Seq[(String, String, Long, Long, Int)] = {
+    val spark = SparkTestSession.spark
+    val out = scala.collection.mutable.Buffer.empty[(String, String, Long, Long, Int)]
+    val reader = spark.readStream.format("pgcapture").option("path", walDir)
+    tables.foreach(reader.option("tables", _))
+    val q = reader.load()
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= batch.select("op", "table", "lsn", "seq", "new")
+            .collect()
+            .map { r =>
+              val nf = if (r.isNullAt(4)) Map.empty[String, Array[Byte]]
+                else r.getMap[String, Array[Byte]](4).toMap
+              val id = nf.get("id").map(d =>
+                PgType.decode(PgType.Int8, d).asInstanceOf[Long]).getOrElse(-1L)
+              (r.getString(0), r.getString(1), id, r.getLong(2), r.getInt(3))
+            }
+        }
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    out.toSeq
+  }
+
+  test("capture, resume exactly-once, scoping, ack") {
+    val walDir = Files.createTempDirectory("wal").toString
+    val ckDir = Files.createTempDirectory("ck").toString
+
+    // segment 1: relation + two txs (insert id=1, insert id=2 + update id=1)
+    WalFiles.writeSegment(walDir, 100L,
+      PgOutput.Encoder.relation(rel) +: (
+        tx(100L, ins(rel, 1, 10)) ++ tx(101L, ins(rel, 2, 20), upd(1, 11))))
+
+    val got1 = runStream(walDir, ckDir)
+    assert(got1.map(e => (e._1, e._3, e._4, e._5)) == Seq(
+      ("INSERT", 1L, 100L, 1), ("INSERT", 2L, 101L, 1), ("UPDATE", 1L, 101L, 2)))
+
+    // segment 2 appended: delete id=2 + a second table for scoping
+    WalFiles.writeSegment(walDir, 102L,
+      PgOutput.Encoder.relation(rel2) +:
+        (tx(102L, del(2)) ++ tx(103L, ins(rel2, 9, 0))))
+
+    // resume from checkpoint: ONLY the new changes arrive (exactly-once)
+    val got2 = runStream(walDir, ckDir)
+    assert(got2.map(e => (e._1, e._2, e._3)) == Seq(
+      ("DELETE", "t1", -1L), ("INSERT", "audit", 9L)))
+
+    // standby-status ack (A10): the restart commits run-1's batch, so
+    // the ack must now cover at least run 1's end checkpoint
+    val ack = WalFiles.readAck(walDir)
+    assert(ack.isDefined && !Checkpoint(101L, 2).after(ack.get),
+      s"ack $ack must be at or beyond (101,2)")
+
+    // fresh checkpoint + publication scoping regex: audit filtered out
+    val ck2 = Files.createTempDirectory("ck2").toString
+    val got3 = runStream(walDir, ck2, tables = Some("t1"))
+    assert(got3.map(_._2).toSet == Set("t1"))
+    assert(got3.size == 4)
+
+    // no new WAL → empty batch, stream completes without new rows (A9)
+    val got4 = runStream(walDir, ckDir)
+    assert(got4.isEmpty)
+  }
+
+  test("NULL vs unchanged-TOAST survives the map representation") {
+    val walDir = Files.createTempDirectory("wal2").toString
+    val ckDir = Files.createTempDirectory("ckT").toString
+    val relT = R(3, "public", "toasty", 'd', Seq(
+      C("id", PgType.Int8, isKey = true), C("txt", PgType.Text, isKey = false),
+      C("bs", PgType.Bytea, isKey = false)))
+    val msgs = PgOutput.Encoder.relation(relT) +: tx(200L,
+      PgOutput.Encoder.update(relT, None, Seq(
+        PgType.encode(PgType.Int8, 5L), null, PgOutput.Encoder.Toast)))
+    WalFiles.writeSegment(walDir, 200L, msgs)
+
+    val spark = SparkTestSession.spark
+    var keys: Set[String] = null
+    var txtNull = false
+    val q = spark.readStream.format("pgcapture").option("path", walDir).load()
+      .writeStream.option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          val nf = r.getMap[String, Array[Byte]](3)
+          keys = nf.keysIterator.toSet
+          txtNull = nf("txt") == null
+        }
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    assert(keys == Set("id", "txt"), "unchanged TOAST must be absent key")
+    assert(txtNull, "NULL must be present-with-null")
+  }
+}
