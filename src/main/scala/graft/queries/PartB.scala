@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 Part B operators: approximate distinct counts,
+  * map functions (the TOAST-absent-key detection shape), right/full
+  * outer joins, and the DBLog stream∪dump merge exercised through
+  * [[graft.cdc.CdcApply.mergeSnapshot]].
+  */
+object PartB {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- approx_count_distinct (HLL++). The sketch is estimator-
+    //      specific, so the oracle pins the exact count plus the
+    //      estimator's error contract (|apx−exact| ≤ 5·rsd·exact — the
+    //      hash check fails if the sketch ever drifts out of bound).
+    //      At 100 TB the approx plan aggregates a fixed-size sketch
+    //      map-side where count(DISTINCT) would shuffle every key. ----
+    QueryDef.sql("q43_approx_distinct",
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS exact_custs,
+        |  true AS apx_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("apx"))
+        .select(col("o_orderpriority"), col("exact_custs"),
+          (abs(col("apx") - col("exact_custs"))
+            <= lit(5 * 0.01) * col("exact_custs")).as("apx_ok"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- Map functions: build a column-map per row and detect
+    //      present/absent keys — exactly how a consumer detects
+    //      unchanged-TOAST columns in the CDC envelope (absent key ≠
+    //      null value; SURVEY §1.3 nulls & TOAST). ----
+    QueryDef.sql("q44_map_funcs",
+      """SELECT event_id,
+        |  CAST(cardinality(m) AS INTEGER) AS n_cols,
+        |  list_contains(map_keys(m), 'value') AS has_value,
+        |  m['type'][1] AS type_val
+        |FROM (SELECT event_id,
+        |        CASE WHEN value >= 10
+        |          THEN map(['type','uid','value'],
+        |               [event_type, CAST(user_id AS VARCHAR), CAST(value AS VARCHAR)])
+        |          ELSE map(['type','uid'],
+        |               [event_type, CAST(user_id AS VARCHAR)]) END AS m
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .withColumn("m",
+          when(col("value") >= 10,
+            map(lit("type"), col("event_type"), lit("uid"),
+              col("user_id").cast("string"), lit("value"),
+              col("value").cast("string")))
+            .otherwise(map(lit("type"), col("event_type"), lit("uid"),
+              col("user_id").cast("string"))))
+        .select(col("event_id"),
+          size(col("m")).as("n_cols"),
+          array_contains(map_keys(col("m")), "value").as("has_value"),
+          element_at(col("m"), "type").as("type_val"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- Right outer join (kept right-shaped in the plan; Catalyst
+    //      may flip build sides but null-extension semantics are the
+    //      oracle-checked part) ----
+    QueryDef.sql("q45_right_outer",
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- Full outer join: table diff across two filtered change sets
+    //      (sync-verification shape from SURVEY §2B set ops) ----
+    QueryDef.sql("q46_full_outer",
+      """WITH u AS (SELECT o_custkey AS k, count(*) AS c FROM orders
+        |           WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |l AS (SELECT o_custkey AS k, count(*) AS c FROM orders
+        |      WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT coalesce(u.k, l.k) AS custkey,
+        |  coalesce(u.c, 0) AS urgent_cnt, coalesce(l.c, 0) AS low_cnt
+        |FROM u FULL OUTER JOIN l ON u.k = l.k
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val u = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("uk")).agg(count(lit(1)).as("uc"))
+      val l = o.filter(col("o_orderpriority") === "5-LOW")
+        .groupBy(col("o_custkey").as("lk")).agg(count(lit(1)).as("lc"))
+      u.join(l, col("uk") === col("lk"), "full_outer")
+        .select(coalesce(col("uk"), col("lk")).as("custkey"),
+          coalesce(col("uc"), lit(0)).as("urgent_cnt"),
+          coalesce(col("lc"), lit(0)).as("low_cnt"))
+        .orderBy(col("custkey"))
+    },
+
+    // ---- Multimodal: binary payload column + typed metadata; mime
+    //      sniffed from magic bytes inside the scan projection; the
+    //      (stubbed, deterministic) decode kernel runs per-partition
+    //      through the batched mapPartitions path — the oracle pins the
+    //      whole pipeline end to end. ----
+    QueryDef.sql("q48_multimodal",
+      """WITH p AS (SELECT doc_id,
+        |    (CASE CAST(doc_id % 4 AS INTEGER)
+        |       WHEN 0 THEN '\x89PNG'::BLOB WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
+        |       WHEN 2 THEN 'RIFF'::BLOB ELSE '\x1A\x45\xDF\xA3'::BLOB END)
+        |      || encode(text) AS payload FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'audio/wav' ELSE 'video/webm' END AS mime,
+        |  CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+        |  CAST(16 + octet_length(payload) % 64 AS INTEGER) AS width,
+        |  CAST(16 + (octet_length(payload) // 64) % 64 AS INTEGER) AS height,
+        |  CAST(CAST((CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 137 WHEN 1 THEN 255
+        |    WHEN 2 THEN 82 ELSE 26 END) / 255.0 AS FLOAT) AS DOUBLE) AS feat0
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      def magic(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+      val media = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0, magic(0x89, 'P', 'N', 'G'))
+            .when(col("doc_id") % 4 === 1, magic(0xFF, 0xD8, 0xFF))
+            .when(col("doc_id") % 4 === 2, magic('R', 'I', 'F', 'F'))
+            .otherwise(magic(0x1A, 0x45, 0xDF, 0xA3)),
+          col("text").cast("binary")).as("payload"))
+      val meta = media.select(col("doc_id"),
+        Multimodal.sniffMime(col("payload")).as("mime"),
+        octet_length(col("payload")).as("n_bytes"))
+      val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRow])
+        .toDF().select(col("doc_id"), col("width"), col("height"),
+          element_at(col("features"), 1).cast("double").as("feat0"))
+      meta.join(feats, "doc_id")
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
+          col("height"), col("feat0"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- DBLog stream∪dump merge (A25/A27): a full dump of the
+    //      customer table rides in as op=UPDATE rows with lsn=0, the
+    //      live events feed carries real checkpoints; latest-wins per
+    //      key with DELETE dropping the row — dump rows only surface
+    //      for keys with no live change (gateway semantics,
+    //      pkg/dblog/gateway.go:113-217). ----
+    QueryDef.sql("q47_merge_snapshot",
+      """WITH live AS (
+        |  SELECT user_id, event_id + 1 AS lsn, value,
+        |    CASE event_type WHEN 'signup' THEN 'INSERT'
+        |                    WHEN 'error' THEN 'DELETE'
+        |                    ELSE 'UPDATE' END AS op
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT c.c_custkey AS key, coalesce(l.lsn, 0) AS lsn,
+        |  round(CASE WHEN l.user_id IS NULL THEN c.c_acctbal
+        |        ELSE l.value END, 2) AS value
+        |FROM customer c LEFT JOIN live l ON c.c_custkey = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'DELETE'
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      val dump = t(s, d, "customer").select(
+        col("c_custkey").as("key"), lit("UPDATE").as("op"),
+        col("c_acctbal").as("value"), lit(0L).as("lsn"), lit(0).as("seq"))
+      val live = t(s, d, "events").select(
+        col("user_id").as("key"),
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE").as("op"),
+        col("value"), (col("event_id") + 1).as("lsn"), lit(1).as("seq"))
+      graft.cdc.CdcApply.mergeSnapshot(dump, live,
+          keyCols = Seq("key"), orderCols = Seq("lsn", "seq"))
+        .select(col("key"), col("lsn"), round(col("value"), 2).as("value"))
+        .orderBy(col("key"))
+    })
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.cdc.Checkpoint
+import graft.codec.{BytesReader, BytesWriter}
+
+/** Bus leg (A11-A13; reference pkg/sink/pulsar.go + pkg/cursor).
+  *
+  * Under Spark the bus is normally `writeStream.format("kafka")` with
+  * `key = lsn|seq` — the sandbox has no broker, so the producer/
+  * consumer pair here targets append-only segment files with the same
+  * contract the reference builds on Pulsar:
+  *
+  *  - messages are the serialized change envelope, keyed by the
+  *    checkpoint string `lsn|seq` (hex) so log compaction keeps the
+  *    newest message per checkpoint (A11);
+  *  - the producer drops anything at or below the last produced
+  *    checkpoint before writing (idempotent resume, A12);
+  *  - [[Bus.last]] recovers the last produced checkpoint by reading to
+  *    the end, exactly what the reference's `PulsarTracker.Last` does
+  *    with a read-to-end reader (A13);
+  *  - the consumer side gates on `afterCheckpoint` — the consistency
+  *    gate of the reader source (A14).
+  */
+object Bus {
+
+  /** Wire format of one bus message: the change envelope, self-framed.
+    * (The reference ships protobuf `pb.Message`; this is the same
+    * role with the engine's own codec.) */
+  def serialize(c: CdcApplier.Change): Array[Byte] = {
+    val w = new BytesWriter()
+    w.cstring(c.op).cstring(c.schema).cstring(c.table)
+    def map(m: Map[String, Array[Byte]]): Unit = {
+      w.int32(m.size)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => w.cstring(k); w.bytes32(v) }
+    }
+    map(c.newFields); map(c.oldFields)
+    w.int32(c.oids.size)
+    c.oids.toSeq.sortBy(_._1).foreach { case (k, v) => w.cstring(k); w.int32(v) }
+    w.int64(c.lsn).int32(c.seq)
+    w.result()
+  }
+
+  def deserialize(bytes: Array[Byte]): CdcApplier.Change = {
+    val r = new BytesReader(bytes)
+    val op = r.cstring(); val schema = r.cstring(); val table = r.cstring()
+    def map(): Map[String, Array[Byte]] =
+      (0 until r.int32()).map(_ => r.cstring() -> r.bytes32()).toMap
+    val nf = map(); val of = map()
+    val oids = (0 until r.int32()).map(_ => r.cstring() -> r.int32()).toMap
+    CdcApplier.Change(op, schema, table, nf, of, oids, r.int64(), r.int32())
+  }
+
+  /** Message key, the reference's Pulsar key scheme (A11). */
+  def key(c: CdcApplier.Change): String = Checkpoint(c.lsn, c.seq).serialize
+
+  private def segPath(dir: String) = Paths.get(dir, "bus.seg")
+
+  /** Produce a slice, dropping messages at or below the last produced
+    * checkpoint (A12). Returns the number actually written. */
+  def produce(dir: String, changes: Seq[CdcApplier.Change]): Int = {
+    Files.createDirectories(Paths.get(dir))
+    val wm = last(dir).getOrElse(Checkpoint.Zero)
+    val fresh = changes
+      .filter(c => Checkpoint(c.lsn, c.seq).after(wm))
+      .sortBy(c => (c.lsn ^ Long.MinValue, c.seq))
+    if (fresh.isEmpty) return 0
+    val w = new BytesWriter()
+    fresh.foreach { c =>
+      val body = serialize(c)
+      w.cstring(key(c)); w.int32(body.length).raw(body)
+    }
+    Files.write(segPath(dir), w.result(),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    fresh.size
+  }
+
+  /** Read every message after `from` (consumer with consistency gate,
+    * A14). */
+  def consume(dir: String, from: Checkpoint = Checkpoint.Zero): Seq[CdcApplier.Change] = {
+    val p = segPath(dir)
+    if (!Files.exists(p)) return Seq.empty
+    val r = new BytesReader(Files.readAllBytes(p))
+    val out = Seq.newBuilder[CdcApplier.Change]
+    while (r.remaining > 0) {
+      val k = Checkpoint.parse(r.cstring())
+      val body = r.bytes(r.int32())
+      if (k.after(from)) out += deserialize(body)
+    }
+    out.result()
+  }
+
+  /** Last produced checkpoint — read-to-end tracker (A13). */
+  def last(dir: String): Option[Checkpoint] = {
+    val p = segPath(dir)
+    if (!Files.exists(p)) return None
+    val r = new BytesReader(Files.readAllBytes(p))
+    var lastCp: Option[Checkpoint] = None
+    while (r.remaining > 0) {
+      val k = Checkpoint.parse(r.cstring())
+      r.bytes(r.int32())
+      lastCp = Some(k)
+    }
+    lastCp
+  }
+}
+
+/** Replication-lag metric (A38, reference pkg/sink/postgres.go:662-675):
+  * lag = now − commit_ts of the last applied change, fed per batch by
+  * the apply pipeline and readable as a gauge.
+  */
+final class ReplicationLag {
+  @volatile private var lastCommitTsMs: Long = -1L
+  def record(commitTsMs: Long): Unit =
+    if (commitTsMs > lastCommitTsMs) lastCommitTsMs = commitTsMs
+  def lagMillis(nowMs: Long = System.currentTimeMillis()): Option[Long] =
+    if (lastCommitTsMs < 0) None else Some(math.max(0L, nowMs - lastCommitTsMs))
+}

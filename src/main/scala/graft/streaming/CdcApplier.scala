@@ -45,6 +45,8 @@ object CdcApplier {
     def update(schema: String, table: String, keys: Map[String, Any],
         set: Map[String, Any]): Unit
     def delete(schema: String, table: String, keys: Map[String, Any]): Unit
+    /** Replay a captured DDL statement (A20) inside the current tx. */
+    def executeDdl(sql: String): Unit
     /** Read committed watermark for a source id (A21 checkpoint recovery). */
     def readWatermark(sourceId: String): Option[Checkpoint]
     /** Stage the watermark inside the CURRENT transaction (A16). */
@@ -83,6 +85,11 @@ object CdcApplier {
     var txsInStore = 0
     var open = false
     var cp = wm
+    // A20 state: relations whose row changes the current source tx's
+    // DDL already produced (suppressed), and the CRC of the last
+    // replayed DDL (consecutive identical DDL is deduplicated)
+    var skipTables = Set.empty[String]
+    var lastDdlCrc = -1L
     def ensureOpen(): Unit = if (!open) { store.begin(); open = true }
     def commitStore(): Unit = if (open) {
       store.writeWatermark(sourceId, cp)
@@ -93,24 +100,45 @@ object CdcApplier {
         if (c.lsn != lastLsn) { // source-tx boundary
           txsInStore += 1
           lastLsn = c.lsn
+          skipTables = Set.empty // DML suppression is per source tx
           if (txsInStore >= txBatch) commitStore()
         }
-        ensureOpen()
         val keyCols = keys(c.schema, c.table)
-        c.op match {
-          case "INSERT" =>
-            store.insert(c.schema, c.table, decodeRow(c.newFields, c.oids), keyCols)
-          case "UPDATE" =>
-            val newRow = decodeRow(c.newFields, c.oids)
-            // key split (A18): old image keys when the replica identity
-            // provided them, else identity keys from the new image
-            val keyVals =
-              if (c.oldFields.nonEmpty) decodeRow(c.oldFields, c.oids)
-              else newRow.view.filterKeys(keyCols.contains).toMap
-            store.update(c.schema, c.table, keyVals, newRow)
-          case "DELETE" =>
-            store.delete(c.schema, c.table, decodeRow(c.oldFields, c.oids))
-          case _ => () // DDL/control rows handled by the registry layer
+        if (graft.cdc.DdlClassifier.ignore(c.schema, c.table)) {
+          // pgcapture.sources bookkeeping rows are never applied (A7)
+        } else if (graft.cdc.DdlClassifier.isDdl(c.schema, c.table)) {
+          val row = decodeRow(c.newFields, c.oids)
+          val ddl = row.getOrElse("query", "").toString
+          val crc = { val x = new java.util.zip.CRC32
+            x.update(ddl.getBytes("UTF-8")); x.getValue }
+          if (crc != lastDdlCrc) {
+            lastDdlCrc = crc
+            graft.cdc.DdlClassifier.stripNonReplayable(ddl).foreach { sql =>
+              ensureOpen()
+              store.executeDdl(sql)
+            }
+            skipTables ++= graft.cdc.DdlClassifier.touchedRelations(ddl)
+          }
+        } else if (skipTables.contains(c.table.toLowerCase)) {
+          // the tx's DDL (CTAS / SELECT INTO / DML-in-DDL) already wrote
+          // these rows — replaying them would double-apply (A20)
+        } else {
+          ensureOpen()
+          c.op match {
+            case "INSERT" =>
+              store.insert(c.schema, c.table, decodeRow(c.newFields, c.oids), keyCols)
+            case "UPDATE" =>
+              val newRow = decodeRow(c.newFields, c.oids)
+              // key split (A18): old image keys when the replica identity
+              // provided them, else identity keys from the new image
+              val keyVals =
+                if (c.oldFields.nonEmpty) decodeRow(c.oldFields, c.oids)
+                else newRow.view.filterKeys(keyCols.contains).toMap
+              store.update(c.schema, c.table, keyVals, newRow)
+            case "DELETE" =>
+              store.delete(c.schema, c.table, decodeRow(c.oldFields, c.oids))
+            case _ => ()
+          }
         }
         cp = Checkpoint(c.lsn, c.seq)
       }
@@ -138,7 +166,11 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
   private case class Ins(t: String, row: Map[String, Any], keyCols: Seq[String]) extends OpRec
   private case class Upd(t: String, keys: Map[String, Any], set: Map[String, Any]) extends OpRec
   private case class Del(t: String, keys: Map[String, Any]) extends OpRec
+  private case class Ddl(sql: String) extends OpRec
   private case class Wm(id: String, cp: Checkpoint) extends OpRec
+
+  /** Committed DDL replay log, in order. */
+  val ddlLog = mutable.Buffer.empty[String]
 
   private var staged: mutable.Buffer[OpRec] = _
   var commits = 0
@@ -170,6 +202,7 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
         val tbl = tables.getOrElseUpdate(t, mutable.LinkedHashMap.empty)
         tbl.filterInPlace { case (_, row) =>
           !keys.forall { case (c, v) => row.get(c).contains(v) } }
+      case Ddl(sql) => ddlLog += sql
       case Wm(id, cp) => watermarks(id) = cp
     }
     staged = null
@@ -188,6 +221,7 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
       set: Map[String, Any]): Unit = stage(Upd(s"$schema.$table", keys, set))
   override def delete(schema: String, table: String, keys: Map[String, Any]): Unit =
     stage(Del(s"$schema.$table", keys))
+  override def executeDdl(sql: String): Unit = stage(Ddl(sql))
   override def readWatermark(sourceId: String): Option[Checkpoint] =
     watermarks.get(sourceId)
   override def writeWatermark(sourceId: String, cp: Checkpoint): Unit =

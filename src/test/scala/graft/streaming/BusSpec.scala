@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.cdc.Checkpoint
+import graft.codec.PgType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bus producer/consumer contract (A11-A14) and the lag gauge (A38). */
+class BusSpec extends AnyFunSuite {
+
+  private def ch(lsn: Long, seq: Int, id: Long) =
+    CdcApplier.Change("INSERT", "public", "t",
+      Map("id" -> PgType.encode(PgType.Int8, id), "n" -> null),
+      Map.empty, Map("id" -> PgType.Int8), lsn, seq)
+
+  test("serialize round-trip incl. null datum") {
+    val c = ch(7, 2, 42L)
+    val back = Bus.deserialize(Bus.serialize(c))
+    assert(back.op == "INSERT" && back.table == "t"
+      && back.lsn == 7L && back.seq == 2)
+    assert(PgType.decode(PgType.Int8, back.newFields("id")) == 42L)
+    assert(back.newFields.contains("n") && back.newFields("n") == null)
+    assert(Bus.key(c) == Checkpoint(7, 2).serialize)
+  }
+
+  test("produce is idempotent on redelivery; tracker finds last (A12/A13)") {
+    val dir = Files.createTempDirectory("bus").toString
+    assert(Bus.produce(dir, Seq(ch(1, 1, 1), ch(2, 1, 2))) == 2)
+    assert(Bus.last(dir).contains(Checkpoint(2, 1)))
+    // full redelivery + one new message → only the new one is appended
+    assert(Bus.produce(dir, Seq(ch(1, 1, 1), ch(2, 1, 2), ch(3, 1, 3))) == 1)
+    assert(Bus.last(dir).contains(Checkpoint(3, 1)))
+    assert(Bus.consume(dir).size == 3)
+  }
+
+  test("consumer consistency gate skips up to the checkpoint (A14)") {
+    val dir = Files.createTempDirectory("bus2").toString
+    Bus.produce(dir, Seq(ch(1, 1, 1), ch(2, 1, 2), ch(3, 1, 3)))
+    val got = Bus.consume(dir, from = Checkpoint(2, 1))
+    assert(got.map(_.lsn) == Seq(3L))
+  }
+
+  test("bus → applier end-to-end preserves exactly-once") {
+    val dir = Files.createTempDirectory("bus3").toString
+    Bus.produce(dir, Seq(ch(1, 1, 10), ch(2, 1, 20)))
+    val store = new InMemoryTxStore
+    val keys: CdcApplier.KeyResolver = (_, _) => Seq("id")
+    CdcApplier.applyBatch(store, "s", Bus.consume(dir), keys)
+    // re-consume + re-apply: watermark makes it a no-op
+    CdcApplier.applyBatch(store, "s", Bus.consume(dir), keys)
+    assert(store.rows("public.t").map(_("id")).toSet == Set(10L, 20L))
+  }
+
+  test("replication lag gauge (A38)") {
+    val lag = new ReplicationLag
+    assert(lag.lagMillis().isEmpty, "no data yet → undefined, not zero")
+    lag.record(1000L)
+    assert(lag.lagMillis(nowMs = 3500L).contains(2500L))
+    lag.record(900L) // older commit must not move the gauge backwards
+    assert(lag.lagMillis(nowMs = 3500L).contains(2500L))
+  }
+}
