@@ -27,9 +27,14 @@ object PartB {
         |  true AS apx_ok
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // pre-aggregate to distinct (group, key) pairs map-side, then the
+      // exact count is a cheap count(*) and the HLL sketch sees each
+      // key once (duplicates never change an HLL estimate) — one wide
+      // shuffle instead of count(DISTINCT)'s expand
       t(s, d, "orders")
+        .groupBy(col("o_orderpriority"), col("o_custkey")).agg(count(lit(1)))
         .groupBy(col("o_orderpriority"))
-        .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+        .agg(count(lit(1)).as("exact_custs"),
           approx_count_distinct(col("o_custkey"), 0.01).as("apx"))
         .select(col("o_orderpriority"), col("exact_custs"),
           (abs(col("apx") - col("exact_custs"))

@@ -82,10 +82,18 @@ object Sketches {
       val parts = (0 until BandRows).map(r => expr(s"sig[${j * BandRows + r}]"))
       struct(lit(j).as("band") +: parts: _*)
     }
+    // one shuffle keyed on the bucket builds posting lists; candidate
+    // pairs come from in-list combinatorics — no bucket self-join
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-    val cand = buckets.as("a").join(buckets.as("b"), col("a.bk") === col("b.bk"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .filter(col("doc1") < col("doc2"))
+    val cand = buckets.groupBy(col("bk"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(array_sort(ds),
+          |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
+          |            y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc1"), col("p.doc2"))
       .dropDuplicates("doc1", "doc2")
     cand
       .join(sh.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")

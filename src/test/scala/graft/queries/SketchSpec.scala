@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{SparkTestSession, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch vs exact ground truth on the sf0.001 corpus:
+  * LSH pair sets must equal the exact-threshold pair sets, the
+  * df-capped count-based Jaccard must equal the uncapped array-based
+  * one, and bound-pruned IVF must equal brute force. */
+class SketchSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def spark = SparkTestSession.spark
+  private def docs = Tables.load(spark, dir, "documents")
+
+  /** Uncapped array-based exact Jaccard pairs — the ground truth. */
+  private def exactPairs(minJ: Double): DataFrame = {
+    val sh = Sketches.shingled(docs)
+    val e = sh.select(col("doc_id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("g"))
+    e.select(col("doc_id").as("doc1"), col("sz").as("sz1"), col("g"))
+      .join(e.select(col("doc_id").as("doc2"), col("sz").as("sz2"), col("g")), Seq("g"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2", "sz1", "sz2")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jac", col("c") / (col("sz1") + col("sz2") - col("c")))
+      .filter(col("jac") >= minJ)
+      .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  private def asSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("df-capped count Jaccard == uncapped exact (q31 path)") {
+    val got = asSet(TextOps.ngramJaccardPairs(Sketches.shingled(docs), 0.3))
+    val want = asSet(exactPairs(0.3))
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+  }
+
+  test("MinHash LSH pairs == exact pairs at J>=0.8 (q35 recall)") {
+    val got = asSet(Sketches.minHashPairs(docs, 0.8))
+    val want = asSet(exactPairs(0.8))
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("SimHash banded pairing finds ALL pairs with hamming <= 3") {
+    // 4 bands × 15 bits: hamming ≤ 3 < 4 forces one identical band
+    // (pigeonhole) — the banding is exact for this radius
+    val sketches = Sketches.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (id1, h1) <- sketches; (id2, h2) <- sketches
+      if id1 < id2
+      ham = java.lang.Long.bitCount(h1 ^ h2)
+      if ham <= 3
+    } yield (id1, id2, ham)).toSet
+    val got = Sketches.simHashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty, "fixture must contain simhash near-dups")
+  }
+
+  test("bound-pruned IVF == brute force (q40 exactness)") {
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val ivf = VectorOps.ivfTopK(spark, e, q, nCentroids = 8, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bf = VectorOps.bruteForceTopK(q, e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivf == bf, s"missing=${bf -- ivf} extra=${ivf -- bf}")
+  }
+
+  test("cluster-pruned cosine pair join == all-pairs (q39 exactness)") {
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    val pruned = VectorOps.cosinePairsExact(spark, e, 0.45, nClusters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = {
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("raw", expr("cosine_sim(v1, v2)"))
+        .filter(col("raw") >= 0.45)
+        .select(col("id1"), col("id2"), round(col("raw"), 4).as("cs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(pruned == all, s"missing=${all -- pruned} extra=${pruned -- all}")
+  }
+}
