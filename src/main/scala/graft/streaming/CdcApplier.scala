@@ -42,6 +42,12 @@ object CdcApplier {
     def rollback(): Unit
     def insert(schema: String, table: String, row: Map[String, Any],
         keyCols: Seq[String]): Unit
+    /** Multi-row insert (A17): consecutive same-table INSERTs arrive
+      * run-length batched (reference multi-VALUES, up to 2500 rows,
+      * pkg/sink/postgres.go:395-470). Default: row-at-a-time. */
+    def insertMany(schema: String, table: String, rows: Seq[Map[String, Any]],
+        keyCols: Seq[String]): Unit =
+      rows.foreach(insert(schema, table, _, keyCols))
     def update(schema: String, table: String, keys: Map[String, Any],
         set: Map[String, Any]): Unit
     def delete(schema: String, table: String, keys: Map[String, Any]): Unit
@@ -90,8 +96,18 @@ object CdcApplier {
     // replayed DDL (consecutive identical DDL is deduplicated)
     var skipTables = Set.empty[String]
     var lastDdlCrc = -1L
+    // A17 run-length INSERT batching: consecutive same-table inserts
+    // land as one multi-row write (reference cap: 2500 rows)
+    val MaxInsertBatch = 2500
+    var insTarget: (String, String, Seq[String]) = null
+    val insBuf = mutable.Buffer.empty[Map[String, Any]]
+    def flushInserts(): Unit = if (insBuf.nonEmpty) {
+      store.insertMany(insTarget._1, insTarget._2, insBuf.toSeq, insTarget._3)
+      insBuf.clear()
+    }
     def ensureOpen(): Unit = if (!open) { store.begin(); open = true }
     def commitStore(): Unit = if (open) {
+      flushInserts()
       store.writeWatermark(sourceId, cp)
       store.commit(); open = false; txsInStore = 0
     }
@@ -115,6 +131,7 @@ object CdcApplier {
             lastDdlCrc = crc
             graft.cdc.DdlClassifier.stripNonReplayable(ddl).foreach { sql =>
               ensureOpen()
+              flushInserts() // DDL is a barrier for pending inserts
               store.executeDdl(sql)
             }
             skipTables ++= graft.cdc.DdlClassifier.touchedRelations(ddl)
@@ -126,8 +143,13 @@ object CdcApplier {
           ensureOpen()
           c.op match {
             case "INSERT" =>
-              store.insert(c.schema, c.table, decodeRow(c.newFields, c.oids), keyCols)
+              val target = (c.schema, c.table, keyCols)
+              if (insTarget != target || insBuf.size >= MaxInsertBatch) {
+                flushInserts(); insTarget = target
+              }
+              insBuf += decodeRow(c.newFields, c.oids)
             case "UPDATE" =>
+              flushInserts() // ordering: pending inserts land first
               val newRow = decodeRow(c.newFields, c.oids)
               // key split (A18): old image keys when the replica identity
               // provided them, else identity keys from the new image
@@ -136,6 +158,7 @@ object CdcApplier {
                 else newRow.view.filterKeys(keyCols.contains).toMap
               store.update(c.schema, c.table, keyVals, newRow)
             case "DELETE" =>
+              flushInserts()
               store.delete(c.schema, c.table, decodeRow(c.oldFields, c.oids))
             case _ => ()
           }
@@ -171,6 +194,8 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
 
   /** Committed DDL replay log, in order. */
   val ddlLog = mutable.Buffer.empty[String]
+  /** Observed multi-row insert batch sizes (A17 instrumentation). */
+  val insertBatchSizes = mutable.Buffer.empty[Int]
 
   private var staged: mutable.Buffer[OpRec] = _
   var commits = 0
@@ -222,6 +247,11 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
   override def delete(schema: String, table: String, keys: Map[String, Any]): Unit =
     stage(Del(s"$schema.$table", keys))
   override def executeDdl(sql: String): Unit = stage(Ddl(sql))
+  override def insertMany(schema: String, table: String,
+      rows: Seq[Map[String, Any]], keyCols: Seq[String]): Unit = {
+    insertBatchSizes += rows.size
+    rows.foreach(insert(schema, table, _, keyCols))
+  }
   override def readWatermark(sourceId: String): Option[Checkpoint] =
     watermarks.get(sourceId)
   override def writeWatermark(sourceId: String, cp: Checkpoint): Unit =

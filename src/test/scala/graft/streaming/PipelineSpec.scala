@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.cdc.{Checkpoint, SchemaRegistry}
+import graft.codec.{PgOutput, PgType}
+import graft.codec.PgOutput.{Column => C, Relation => R}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The full capture→apply pipeline (A37): WAL feed → DSv2 source →
+  * foreachBatch → transactional store, with restart-resume and INSERT
+  * batching — the Spark rendition of `sourceToSink`
+  * (reference cmd/root.go:46-79). */
+class PipelineSpec extends AnyFunSuite {
+
+  private val rel = R(1, "public", "accounts", 'd', Seq(
+    C("id", PgType.Int8, isKey = true), C("bal", PgType.Int4, isKey = false)))
+
+  private def tx(lsn: Long, msgs: Array[Byte]*): Seq[Array[Byte]] =
+    PgOutput.Encoder.begin(lsn, lsn * 1000, lsn.toInt) +:
+      msgs.toSeq :+ PgOutput.Encoder.commit(lsn, lsn, lsn * 1000)
+  private def ins(id: Long, bal: Int) = PgOutput.Encoder.insert(rel,
+    Seq(PgType.encode(PgType.Int8, id), PgType.encode(PgType.Int4, bal)))
+  private def upd(id: Long, bal: Int) = PgOutput.Encoder.update(rel, None,
+    Seq(PgType.encode(PgType.Int8, id), PgType.encode(PgType.Int4, bal)))
+  private def del(id: Long) = PgOutput.Encoder.delete(rel,
+    Seq(PgType.encode(PgType.Int8, id), null))
+
+  test("WAL feed → source → applier store, restart resumes exactly-once") {
+    val walDir = Files.createTempDirectory("pwal").toString
+    val ckDir = Files.createTempDirectory("pck").toString
+    val spark = SparkTestSession.spark
+    val store = new InMemoryTxStore
+    val registry = new SchemaRegistry
+    registry.update(rel)
+    val keys: CdcApplier.KeyResolver = registry.keyColumns(_, _)
+
+    // 3 txs: batched inserts, an update, a delete
+    graft.sources.WalFiles.writeSegment(walDir, 10L,
+      PgOutput.Encoder.relation(rel) +: (
+        tx(10L, ins(1, 100), ins(2, 200), ins(3, 300)) ++
+          tx(11L, upd(2, 250)) ++ tx(12L, del(3))))
+
+    val q1 = CdcPipeline.start(spark, walDir, ckDir, store, "acct", keys)
+    q1.awaitTermination(60000)
+    assert(store.rows("public.accounts").map(r => (r("id"), r("bal"))).toSet ==
+      Set((1L, 100), (2L, 250)))
+    assert(store.readWatermark("acct").contains(Checkpoint(12, 1)))
+    assert(store.insertBatchSizes.contains(3),
+      s"consecutive inserts batch (A17): ${store.insertBatchSizes}")
+
+    // restart with new WAL appended: only the new tx applies
+    graft.sources.WalFiles.writeSegment(walDir, 13L, tx(13L, ins(4, 400)))
+    val commitsBefore = store.commits
+    val q2 = CdcPipeline.start(spark, walDir, ckDir, store, "acct", keys)
+    q2.awaitTermination(60000)
+    assert(store.rows("public.accounts").map(_("id")).toSet == Set(1L, 2L, 4L))
+    assert(store.commits == commitsBefore + 1, "one store tx for the new slice")
+    assert(store.readWatermark("acct").contains(Checkpoint(13, 1)))
+
+    // replay the whole feed against the same store with a FRESH
+    // checkpoint dir: the store-level watermark alone dedups (A12)
+    val q3 = CdcPipeline.start(spark, walDir,
+      Files.createTempDirectory("pck2").toString, store, "acct", keys)
+    q3.awaitTermination(60000)
+    assert(store.rows("public.accounts").map(r => (r("id"), r("bal"))).toSet ==
+      Set((1L, 100), (2L, 250), (4L, 400)))
+  }
+
+  test("single-writer lock excludes a second applier (A22)") {
+    val dir = Files.createTempDirectory("lock").toString
+    val a = new SingleWriterLock(dir, "target")
+    val b = new SingleWriterLock(dir, "target")
+    assert(a.tryAcquire())
+    assert(a.tryAcquire(), "re-acquire by holder is idempotent")
+    // same JVM: OverlappingFileLockException means "already locked" too
+    val bGot = try b.tryAcquire() catch {
+      case _: java.nio.channels.OverlappingFileLockException => false
+    }
+    assert(!bGot, "second writer must be rejected")
+    a.release()
+    assert(b.tryAcquire())
+    b.release()
+  }
+}
