@@ -39,7 +39,14 @@ object PgOutput {
   private final case class Tuple(values: Map[String, Array[Byte]],
       nulls: Set[String], toastUnchanged: Set[String])
 
-  final class Decoder {
+  /** Common decoder contract for the logical-replication wire formats
+    * (pgoutput here, pglogical in [[PgLogical]]) so the source and
+    * everything downstream are plugin-agnostic. */
+  trait WireDecoder {
+    def decode(msg: Array[Byte]): Message
+  }
+
+  final class Decoder extends WireDecoder {
     private val relations = mutable.Map.empty[Int, Relation]
 
     def relation(relId: Int): Option[Relation] = relations.get(relId)

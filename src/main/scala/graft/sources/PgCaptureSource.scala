@@ -45,7 +45,8 @@ class PgCaptureSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new PgCaptureTable(properties.get("path"),
       Option(properties.get("tables")),
-      Option(properties.get("startlsn")).map(java.lang.Long.parseUnsignedLong(_, 16)))
+      Option(properties.get("startlsn")).map(java.lang.Long.parseUnsignedLong(_, 16)),
+      Option(properties.get("plugin")).getOrElse("pgoutput"))
 }
 
 object PgCaptureSource {
@@ -62,7 +63,7 @@ object PgCaptureSource {
 }
 
 final class PgCaptureTable(path: String, tablesRegex: Option[String],
-    startLsn: Option[Long]) extends Table with SupportsRead {
+    startLsn: Option[Long], plugin: String) extends Table with SupportsRead {
   require(path != null, "pgcapture source requires option 'path'")
   override def name(): String = s"pgcapture($path)"
   override def schema(): StructType = PgCaptureSource.schema
@@ -73,7 +74,7 @@ final class PgCaptureTable(path: String, tablesRegex: Option[String],
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = PgCaptureSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PgCaptureMicroBatchStream(path, tablesRegex, startLsn)
+          new PgCaptureMicroBatchStream(path, tablesRegex, startLsn, plugin)
       }
     }
 }
@@ -95,20 +96,21 @@ object PgOffset {
 }
 
 final class PgCaptureMicroBatchStream(dir: String, tablesRegex: Option[String],
-    startLsn: Option[Long]) extends MicroBatchStream with SupportsTriggerAvailableNow {
+    startLsn: Option[Long], plugin: String = "pgoutput")
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow: pin the end of "available" WAL once at query
   // start so the run drains to a fixed checkpoint and stops (A9/A14).
   private var availableEnd: Option[Checkpoint] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableEnd = Some(WalFiles.lastCheckpoint(dir))
+    availableEnd = Some(WalFiles.lastCheckpoint(dir, plugin))
 
   override def initialOffset(): Offset =
     PgOffset(startLsn.map(Checkpoint(_, 0)).getOrElse(Checkpoint.Zero))
 
   override def latestOffset(): Offset =
-    PgOffset(availableEnd.getOrElse(WalFiles.lastCheckpoint(dir)))
+    PgOffset(availableEnd.getOrElse(WalFiles.lastCheckpoint(dir, plugin)))
 
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow): the WAL
   // feed has no rate limit — a real deployment would bound by
@@ -117,7 +119,7 @@ final class PgCaptureMicroBatchStream(dir: String, tablesRegex: Option[String],
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
     latestOffset()
   override def reportLatestOffset(): Offset =
-    PgOffset(WalFiles.lastCheckpoint(dir))
+    PgOffset(WalFiles.lastCheckpoint(dir, plugin))
 
   override def deserializeOffset(json: String): Offset = PgOffset.parse(json)
 
@@ -125,7 +127,7 @@ final class PgCaptureMicroBatchStream(dir: String, tablesRegex: Option[String],
     val s = start.asInstanceOf[PgOffset]
     val e = end.asInstanceOf[PgOffset]
     if (s == e) Array.empty // keepalive: no new WAL → empty batch (A9)
-    else Array(PgWalPartition(dir, s.cp, e.cp, tablesRegex))
+    else Array(PgWalPartition(dir, s.cp, e.cp, tablesRegex, plugin))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -143,7 +145,8 @@ final class PgCaptureMicroBatchStream(dir: String, tablesRegex: Option[String],
 }
 
 final case class PgWalPartition(dir: String, start: Checkpoint,
-    end: Checkpoint, tablesRegex: Option[String]) extends InputPartition
+    end: Checkpoint, tablesRegex: Option[String],
+    plugin: String = "pgoutput") extends InputPartition
 
 final class PgWalPartitionReader(p: PgWalPartition)
     extends PartitionReader[InternalRow] {
@@ -163,7 +166,7 @@ final class PgWalPartitionReader(p: PgWalPartition)
     if (keepFrom <= 0) all.map(_._2) else all.drop(keepFrom).map(_._2)
   }
 
-  private val it = WalFiles.replay(segs)
+  private val it = WalFiles.replay(segs, WalFiles.decoderFor(p.plugin))
     .filter(e => e.cp.after(p.start) && !e.cp.after(p.end))
     .filter(e => pattern.forall(_.matcher(e.change.rel.name).matches()))
 

@@ -77,8 +77,8 @@ object WalFiles {
     * (pkg/source/postgres.go:165-248): Begin sets the transaction LSN,
     * seq increments per message within the transaction.
     */
-  def replay(segs: Seq[Path], decoder: PgOutput.Decoder = new PgOutput.Decoder)
-      : Iterator[WalEvent] = {
+  def replay(segs: Seq[Path],
+      decoder: PgOutput.WireDecoder = new PgOutput.Decoder): Iterator[WalEvent] = {
     var lsn = 0L
     var seq = 0
     var commitUs = 0L
@@ -94,17 +94,20 @@ object WalFiles {
     }
   }
 
+  /** Decoder for a plugin name (source option `plugin`, A2/A3). */
+  def decoderFor(plugin: String): PgOutput.WireDecoder =
+    if (plugin != null && plugin.equalsIgnoreCase("pglogical"))
+      new graft.codec.PgLogical.Decoder()
+    else new PgOutput.Decoder
+
   /** Checkpoint of the last change in the feed (for latestOffset). */
-  def lastCheckpoint(dir: String): Checkpoint = {
+  def lastCheckpoint(dir: String, plugin: String = "pgoutput"): Checkpoint = {
     val segs = segments(dir)
     if (segs.isEmpty) return Checkpoint.Zero
-    // only the final segment needs a replay; earlier ones are bounded
-    // above by the final segment's first LSN
-    val dec = new PgOutput.Decoder
     // relations may be declared in earlier segments — replay all for
     // decoder state but track only the running checkpoint (cheap scan)
     var last = Checkpoint.Zero
-    replay(segs.map(_._2), dec).foreach(e => last = e.cp)
+    replay(segs.map(_._2), decoderFor(plugin)).foreach(e => last = e.cp)
     last
   }
 
