@@ -28,6 +28,19 @@ object Tables {
     }
   }
 
+  /** Fan a (small-file, compute-heavy) scan out to full parallelism.
+    * Small parquet inputs arrive as 1-2 input partitions (row-group
+    * granularity), which serializes CPU-bound projections like
+    * tokenization or wire encoding onto one core; a round-robin
+    * rebalance of the raw rows is cheap relative to that compute. On a
+    * real lake the scan is already wide and AQE coalesces the extra
+    * exchange away.
+    */
+  def wide(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Register all tables as temp views for spark.sql entry points. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -170,7 +170,7 @@ object CodecQueries {
          |  CAST(octet_length(encode(event_type)) AS INTEGER) AS payload_len
          |FROM b ORDER BY event_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val base = t(s, d, "events")
+      val base = graft.Tables.wide(t(s, d, "events"))
         .withColumn("h", md5(col("event_id").cast("string").cast("binary")))
         .select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
@@ -207,7 +207,7 @@ object CodecQueries {
         |  AND op <> 'DELETE'
         |ORDER BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val changes = t(s, d, "events").select(
+      val changes = graft.Tables.wide(t(s, d, "events")).select(
         col("event_id"), col("user_id"),
         when(col("event_type") === "signup", "INSERT")
           .when(col("event_type") === "error", "DELETE")

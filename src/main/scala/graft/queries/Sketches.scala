@@ -47,9 +47,19 @@ object Sketches {
     (0 until NumHashes).map(_ => ((next() % (P - 1)) + 1, next() % P))
   }
 
-  /** (doc_id, grams) where grams are distinct word-3-gram shingles. */
+  /** (doc_id, grams) where grams are distinct word-3-gram shingles.
+    *
+    * The repartition sits BETWEEN tokenize and shingle on purpose: it
+    * both fans the CPU-heavy work out of a single-row-group scan and —
+    * because an exchange materializes its input — pins `toks` as a
+    * bound attribute. Without the barrier, CollapseProject inlines the
+    * regex split into every `toks` reference inside the gram lambda and
+    * the split re-runs per shingle (~8× slower end to end).
+    */
   def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
@@ -84,11 +94,11 @@ object Sketches {
     }
     // one shuffle keyed on the bucket builds posting lists; candidate
     // pairs come from in-list combinatorics — no bucket self-join
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val buckets = sig.select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bk"))
     val cand = buckets.groupBy(col("bk"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
+      .select(explode_outer(expr(
         """flatten(transform(array_sort(ds),
           |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
           |            y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
@@ -107,8 +117,8 @@ object Sketches {
   /** 60-bit SimHash over (duplicated) whitespace tokens — partial+final
     * aggregate over exploded tokens, one row per doc. */
   def simHash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+    val tok = graft.Tables.wide(docs)
+      .select(col("doc_id"), explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
       .withColumn("h", hash60(col("tk")))
     val bitSums: Seq[Column] = (0 until 60).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)

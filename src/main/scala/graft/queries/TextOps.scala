@@ -59,24 +59,28 @@ object TextOps {
     */
   def ngramJaccardPairs(sh: org.apache.spark.sql.DataFrame,
       minJaccard: Double): org.apache.spark.sql.DataFrame = {
-    val sizes = sh.select(col("doc_id"), size(col("grams")).as("sz"))
-    val e = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    // the posting entries carry (doc_id, set size), so pair instances
+    // already hold both sizes and NO join is needed after the count agg
+    // explode_outer: the plain explode makes InferFiltersFromGenerate
+    // add a size(grams)>0 filter whose pushdown re-inlines the whole
+    // tokenizer below the repartition exchange (~8s of duplicate regex
+    // work at sf0.1); outer explode carries no such constraint and the
+    // upstream filters already guarantee non-empty gram arrays
+    val e = sh.select(struct(col("doc_id").as("d"),
+      size(col("grams")).as("sz")).as("ds"), explode_outer(col("grams")).as("g"))
     val posting = e.groupBy(col("g"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(collect_list(col("ds")).as("ds"))
       .filter(size(col("ds")).between(2, MaxGramDf))
-    val common = posting
-      .select(explode(expr(
+    posting
+      .select(explode_outer(expr(
         """flatten(transform(array_sort(ds),
           |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
-          |            y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
+          |            y -> struct(x.d AS doc1, x.sz AS sz1,
+          |                        y.d AS doc2, y.sz AS sz2))))""".stripMargin))
         .as("p"))
-      .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"),
+        col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
       .agg(count(lit(1)).as("c"))
-    // size joins: unhinted — the optimizer broadcasts the (doc_id, sz)
-    // side while it fits and falls back to a key shuffle beyond that
-    common
-      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
-      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
       .withColumn("jac", col("c") / (col("sz1") + col("sz2") - col("c")))
       .filter(col("jac") >= minJaccard)
       .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
@@ -93,7 +97,7 @@ object TextOps {
         |  CAST(sum(c) AS BIGINT) AS n_docs
         |FROM (SELECT md5(text) AS h, min(doc_id) AS m, count(*) AS c
         |      FROM documents GROUP BY 1)""".stripMargin) { (s, d) =>
-      t(s, d, "documents")
+      graft.Tables.wide(t(s, d, "documents"))
         .groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min(col("doc_id")).as("m"), count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_unique"), sum(col("m")).as("keep_id_sum"),
@@ -124,7 +128,7 @@ object TextOps {
         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
         |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3
         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      ngramJaccardPairs(Sketches.shingled(t(s, d, "documents")), 0.3)
+      ngramJaccardPairs(Sketches.shingled(graft.Tables.wide(t(s, d, "documents"))), 0.3)
     },
 
     // ---- Language ID: n-gram/stopword heuristic, argmax with fixed
@@ -148,7 +152,7 @@ object TextOps {
          |       ELSE 'und' END AS pred_lang,
          |  en_hits, de_hits, fr_hits, es_hits
          |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val h = t(s, d, "documents")
+      val h = graft.Tables.wide(t(s, d, "documents"))
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"),
           hitsExpr(enWords).as("en_hits"), hitsExpr(deWords).as("de_hits"),
@@ -182,7 +186,7 @@ object TextOps {
          |  CAST(round(CAST(0.5 * alpha_ratio + 0.3 * (1 - stop_ratio)
          |    + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4) AS DOUBLE) AS quality_score
          |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val m = t(s, d, "documents")
+      val m = graft.Tables.wide(t(s, d, "documents"))
         .select(col("doc_id"), col("text"), col("n_chars"), toks.as("toks"))
         .select(col("doc_id"), col("n_chars"),
           size(col("toks")).as("n_tokens"),
@@ -210,7 +214,7 @@ object TextOps {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS sub_tokens,
         |  round(n_chars / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 4) AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      t(s, d, "documents")
+      graft.Tables.wide(t(s, d, "documents"))
         .select(col("doc_id"),
           size(toks).as("ws_tokens"),
           regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("sub_tokens"),
