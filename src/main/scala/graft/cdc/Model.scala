@@ -23,6 +23,27 @@ final case class CdcEvent(
     seq: Int,
     commitTs: java.sql.Timestamp)
 
+object CdcEvents {
+  /** The streaming source's envelope DataFrame as a typed
+    * `Dataset[CdcEvent]` (SURVEY §1.1 "unbounded streaming
+    * Dataset[CdcEvent]") — map columns renamed onto the case-class
+    * fields; TOAST semantics survive because the maps move as-is. */
+  def typed(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.Dataset[CdcEvent] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[CdcEvent]
+    df.select(
+      org.apache.spark.sql.functions.col("op"),
+      org.apache.spark.sql.functions.col("schema"),
+      org.apache.spark.sql.functions.col("table"),
+      org.apache.spark.sql.functions.col("new").as("newFields"),
+      org.apache.spark.sql.functions.col("old").as("oldFields"),
+      org.apache.spark.sql.functions.col("oids"),
+      org.apache.spark.sql.functions.col("lsn"),
+      org.apache.spark.sql.functions.col("seq"),
+      org.apache.spark.sql.functions.col("commit_ts").as("commitTs")).as[CdcEvent]
+  }
+}
+
 object CdcOp {
   val Insert = "INSERT"
   val Update = "UPDATE"

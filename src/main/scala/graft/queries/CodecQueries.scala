@@ -147,6 +147,16 @@ object CodecQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Generic CDC envelope row for the typed-projection exercise (A32):
+    * the `new` image is a name→binary-datum map exactly as the
+    * streaming source emits it. */
+  final case class EnvRow(op: String, lsn: Long, seq: Int,
+      `new`: Map[String, Array[Byte]], old: Map[String, Array[Byte]])
+
+  private[queries] val projRel = PgRel(3, "public", "events_t", 'd', Seq(
+    PgCol("user_id", Int8, isKey = true), PgCol("event_type", Text, isKey = false),
+    PgCol("value", Float8, isKey = false)))
+
   private val md5uuid =
     """concat(substring(h,1,8),'-',substring(h,9,4),'-',substring(h,13,4),
       |'-',substring(h,17,4),'-',substring(h,21,12))""".stripMargin.replace("\n", "")
@@ -220,5 +230,32 @@ object CodecQueries {
         .select(col("user_id"), col("lsn").as("applied_lsn"),
           col("value").as("current_value"))
         .orderBy(col("user_id"))
+    },
+
+    // Typed projection of the generic envelope (A32): rows become
+    // name→binary-datum maps (exactly the streaming source's `new`
+    // image, with an every-3rd-row NULL for event_type), then
+    // TypedProjection turns them back into typed columns via the
+    // pg_decode expression — the oracle recomputes the same values
+    // relationally, so the envelope → StructType path is hash-checked.
+    QueryDef.sql("q49_typed_projection",
+      """SELECT user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS event_type,
+        |  value, event_id AS lsn
+        |FROM events ORDER BY lsn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val env = graft.Tables.wide(t(s, d, "events"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)]
+        .map { case (eid, uid, et, v) =>
+          EnvRow("INSERT", eid, 1, Map(
+            "user_id" -> encode(Int8, uid),
+            "event_type" -> (if (eid % 3 == 0) null else encode(Text, et)),
+            "value" -> encode(Float8, v)), Map.empty)
+        }.toDF()
+      graft.cdc.TypedProjection.project(env, projRel)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("lsn"))
+        .orderBy(col("lsn"))
     })
 }

@@ -101,6 +101,28 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(got4.isEmpty)
   }
 
+  test("envelope batches convert to typed Dataset[CdcEvent]") {
+    val walDir = Files.createTempDirectory("walT").toString
+    val ckDir = Files.createTempDirectory("ckE").toString
+    WalFiles.writeSegment(walDir, 300L,
+      PgOutput.Encoder.relation(rel) +: tx(300L, ins(rel, 3, 33)))
+    val spark = SparkTestSession.spark
+    var events: Seq[graft.cdc.CdcEvent] = Seq.empty
+    val q = spark.readStream.format("pgcapture").option("path", walDir).load()
+      .writeStream.option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        events = events ++ graft.cdc.CdcEvents.typed(batch).collect()
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    assert(events.size == 1)
+    val e = events.head
+    assert(e.op == "INSERT" && e.table == "t1" && e.lsn == 300L && e.seq == 1)
+    assert(PgType.decode(PgType.Int8, e.newFields("id")) == 3L)
+    assert(e.oids("v") == PgType.Int4)
+  }
+
   test("NULL vs unchanged-TOAST survives the map representation") {
     val walDir = Files.createTempDirectory("wal2").toString
     val ckDir = Files.createTempDirectory("ckT").toString
