@@ -70,4 +70,10 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
         print(f"   spark cols: {list(s.columns)}")
         print(f"   duck  cols: {list(o.columns)}")
 
+seen = {os.path.basename(d) for d in glob.glob(f"{out_dir}/q*")}
+expected = only if only else set(oracles)
+missing = sorted(expected - seen)
+for m in missing:
+    print(f"{m}: MISSING (no Verify output)")
+fails.extend(missing)
 print("FAILS:", fails if fails else "none")

@@ -151,7 +151,7 @@ object CodecQueries {
     * the `new` image is a name→binary-datum map exactly as the
     * streaming source emits it. */
   final case class EnvRow(op: String, lsn: Long, seq: Int,
-      `new`: Map[String, Array[Byte]], old: Map[String, Array[Byte]])
+      newFields: Map[String, Array[Byte]], oldFields: Map[String, Array[Byte]])
 
   private[queries] val projRel = PgRel(3, "public", "events_t", 'd', Seq(
     PgCol("user_id", Int8, isKey = true), PgCol("event_type", Text, isKey = false),
@@ -253,7 +253,7 @@ object CodecQueries {
             "event_type" -> (if (eid % 3 == 0) null else encode(Text, et)),
             "value" -> encode(Float8, v)), Map.empty)
         }.toDF()
-      graft.cdc.TypedProjection.project(env, projRel)
+      graft.cdc.TypedProjection.project(env, projRel, mapCol = "newFields")
         .select(col("user_id"), col("event_type"), col("value"),
           col("lsn"))
         .orderBy(col("lsn"))

@@ -193,6 +193,28 @@ object Sketches {
       simHash(t(s, d, "documents")).orderBy(col("doc_id"))
     },
 
+    // SimHash near-dup pairs: banded candidates verified by exact
+    // Hamming distance. 4×15-bit bands make the banding EXACT for
+    // radius ≤ 3 (pigeonhole), and the oracle recomputes the bit-exact
+    // sketch and brute-forces all pairs — so the hash check covers both
+    // the sketch and the banding.
+    QueryDef.sql("q50_simhash_neardup",
+      s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+         |    '\\s+')) AS tk FROM documents),
+         |h AS (SELECT doc_id, ${hash60Sql("tk")} AS hv FROM t),
+         |l AS (SELECT doc_id, list(hv) AS hs FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), b ->
+         |  CASE WHEN list_sum(list_transform(hs, x ->
+         |    CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS sh FROM l)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      simHashPairs(t(s, d, "documents"), 3)
+    },
+
     // Rolling-hash fingerprint (codegen'd Catalyst expression); oracle
     // folds the same polynomial over UTF-8 bytes with HUGEINT mod-mul.
     QueryDef.sql("q37_fingerprint", {

@@ -42,11 +42,15 @@ class PgCaptureSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PgCaptureSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new PgCaptureTable(properties.get("path"),
-      Option(properties.get("tables")),
-      Option(properties.get("startlsn")).map(java.lang.Long.parseUnsignedLong(_, 16)),
-      Option(properties.get("plugin")).getOrElse("pgoutput"))
+      properties: util.Map[String, String]): Table = {
+    // properties keep the caller's key casing — normalize
+    val opts = new CaseInsensitiveStringMap(properties)
+    new PgCaptureTable(opts.get("path"),
+      Option(opts.get("tables")),
+      Option(opts.get("startlsn")).map(java.lang.Long.parseUnsignedLong(_, 16)),
+      Option(opts.get("plugin")).getOrElse("pgoutput"),
+      Option(opts.get("maxchangesperbatch")).map(_.toInt))
+  }
 }
 
 object PgCaptureSource {
@@ -63,7 +67,8 @@ object PgCaptureSource {
 }
 
 final class PgCaptureTable(path: String, tablesRegex: Option[String],
-    startLsn: Option[Long], plugin: String) extends Table with SupportsRead {
+    startLsn: Option[Long], plugin: String,
+    maxChanges: Option[Int]) extends Table with SupportsRead {
   require(path != null, "pgcapture source requires option 'path'")
   override def name(): String = s"pgcapture($path)"
   override def schema(): StructType = PgCaptureSource.schema
@@ -74,7 +79,8 @@ final class PgCaptureTable(path: String, tablesRegex: Option[String],
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = PgCaptureSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PgCaptureMicroBatchStream(path, tablesRegex, startLsn, plugin)
+          new PgCaptureMicroBatchStream(path, tablesRegex, startLsn, plugin,
+            maxChanges)
       }
     }
 }
@@ -96,7 +102,8 @@ object PgOffset {
 }
 
 final class PgCaptureMicroBatchStream(dir: String, tablesRegex: Option[String],
-    startLsn: Option[Long], plugin: String = "pgoutput")
+    startLsn: Option[Long], plugin: String = "pgoutput",
+    maxChanges: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow: pin the end of "available" WAL once at query
@@ -112,12 +119,34 @@ final class PgCaptureMicroBatchStream(dir: String, tablesRegex: Option[String],
   override def latestOffset(): Offset =
     PgOffset(availableEnd.getOrElse(WalFiles.lastCheckpoint(dir, plugin)))
 
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): the WAL
-  // feed has no rate limit — a real deployment would bound by
-  // maxOffsetsPerTrigger-style limits here.
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow):
+  // maxChangesPerBatch bounds each micro-batch, never splitting a
+  // transaction (batch boundaries are commit boundaries) — the
+  // backpressure role of the reference's bounded channels
+  // (pkg/source/main.go:76). The limit is advertised through
+  // getDefaultReadLimit (the engine only engages the rate-limited
+  // path when the default limit is not allAvailable) and honored in
+  // latestOffset(start, limit); under AvailableNow the engine loops
+  // bounded batches until the pinned end is drained.
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+  override def getDefaultReadLimit: ReadLimit =
+    maxChanges.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = limit match {
+      case mr: ReadMaxRows => Some(mr.maxRows().toInt)
+      case _ => maxChanges
+    }
+    cap match {
+      case Some(n) =>
+        val from = start.asInstanceOf[PgOffset].cp
+        val capped = WalFiles.boundedCheckpoint(dir, plugin, from, n)
+        val end = availableEnd.getOrElse(WalFiles.lastCheckpoint(dir, plugin))
+        PgOffset(if (capped.after(end)) end else capped)
+      case None => latestOffset()
+    }
+  }
   override def reportLatestOffset(): Offset =
     PgOffset(WalFiles.lastCheckpoint(dir, plugin))
 

@@ -100,6 +100,28 @@ object WalFiles {
       new graft.codec.PgLogical.Decoder()
     else new PgOutput.Decoder
 
+  /** Checkpoint reached after at most `maxChanges` changes beyond
+    * `from` — the admission-control scan for rate-limited batches.
+    * Never splits a transaction: the returned checkpoint is advanced to
+    * the last change of its transaction, so a batch boundary is always
+    * a commit boundary (the applier's tx atomicity relies on it). */
+  def boundedCheckpoint(dir: String, plugin: String, from: Checkpoint,
+      maxChanges: Int): Checkpoint = {
+    val segs = segments(dir)
+    if (segs.isEmpty) return from
+    var last = from
+    var taken = 0
+    var curLsn = -1L
+    replay(segs.map(_._2), decoderFor(plugin)).foreach { e =>
+      if (e.cp.after(from)) {
+        if (taken < maxChanges || e.cp.lsn == curLsn) {
+          last = e.cp; curLsn = e.cp.lsn; taken += 1
+        } else return last
+      }
+    }
+    last
+  }
+
   /** Checkpoint of the last change in the feed (for latestOffset). */
   def lastCheckpoint(dir: String, plugin: String = "pgoutput"): Checkpoint = {
     val segs = segments(dir)

@@ -182,6 +182,22 @@ class CodecSpec extends AnyFunSuite {
     assert(decode(Int8, ch.oldTuple.get("id")) == 7L)
   }
 
+  test("pgoutput 't' text-format datums parse alongside 'b'") {
+    // servers without `binary` option send text-format datums ('t');
+    // build the tuple by hand since the fixture encoder emits 'b'
+    val dec = new PgOutput.Decoder
+    dec.decode(PgOutput.Encoder.relation(fixtureRel))
+    val idTxt = "42".getBytes("UTF-8")
+    val w = new BytesWriter().byte('I').int32(fixtureRel.relId).byte('N')
+      .int16(6)
+      .byte('t').int32(idTxt.length).raw(idTxt) // id as text datum
+      .byte('n').byte('n').byte('n').byte('n').byte('n')
+    val ch = dec.decode(w.result()).asInstanceOf[PgOutput.Change]
+    assert(new String(ch.newTuple.get("id"), "UTF-8") == "42",
+      "text datum carried through as raw bytes")
+    assert(ch.newTuple.get("txt") == null)
+  }
+
   test("pgoutput Begin/Commit framing") {
     val dec = new PgOutput.Decoder
     val b = dec.decode(PgOutput.Encoder.begin(0x16B374D848L, 123456789L, 42))

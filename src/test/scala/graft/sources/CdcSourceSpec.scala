@@ -101,6 +101,42 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(got4.isEmpty)
   }
 
+  test("maxChangesPerBatch rate-limits batches at tx boundaries") {
+    val walDir = Files.createTempDirectory("walR").toString
+    val ckDir = Files.createTempDirectory("ckR").toString
+    // 4 txs: sizes 1, 3 (one tx, must not split), 1, 1 → with limit 2:
+    // batches [tx1], [tx2 (overflows to finish the tx)], [tx3, tx4]
+    WalFiles.writeSegment(walDir, 400L,
+      PgOutput.Encoder.relation(rel) +: (
+        tx(400L, ins(rel, 1, 1)) ++
+          tx(401L, ins(rel, 2, 2), ins(rel, 3, 3), ins(rel, 4, 4)) ++
+          tx(402L, ins(rel, 5, 5)) ++ tx(403L, ins(rel, 6, 6))))
+    val spark = SparkTestSession.spark
+    val batches = scala.collection.mutable.Buffer.empty[Seq[Long]]
+    // NOTE: Trigger.AvailableNow deliberately ignores read limits
+    // (drains in one batch), so rate limiting is exercised under a
+    // normal processing-time trigger
+    val q = spark.readStream.format("pgcapture").option("path", walDir)
+      .option("maxChangesPerBatch", "2").load()
+      .writeStream.option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ls = batch.select("lsn").collect().map(_.getLong(0)).toSeq
+        if (ls.nonEmpty) batches.synchronized { batches += ls }
+        ()
+      }.start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (batches.synchronized(batches.flatten.size) < 6
+        && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop()
+    assert(batches.flatten == Seq(400L, 401L, 401L, 401L, 402L, 403L))
+    assert(batches.forall(b => b.distinct.size <= 2),
+      s"bounded batches: $batches")
+    assert(batches.exists(_.count(_ == 401L) == 3),
+      s"tx 401 must not split across batches: $batches")
+    assert(batches.size >= 2, s"the feed drains over multiple batches: $batches")
+  }
+
   test("envelope batches convert to typed Dataset[CdcEvent]") {
     val walDir = Files.createTempDirectory("walT").toString
     val ckDir = Files.createTempDirectory("ckE").toString
