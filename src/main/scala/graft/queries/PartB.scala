@@ -112,6 +112,27 @@ object PartB {
         .orderBy(col("custkey"))
     },
 
+    // ---- Sliding event-time windows (2h length, 1h slide): each event
+    //      lands in two overlapping windows — Spark's window() with a
+    //      slide duration; the oracle materializes the same assignment
+    //      by unioning both candidate window starts per event. ----
+    QueryDef.sql("q51_sliding_window",
+      """WITH w AS (
+        |  SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type, value
+        |  FROM events, unnest([date_trunc('hour', ts),
+        |                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS u(ws))
+        |SELECT window_start, event_type, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
     // ---- Multimodal: binary payload column + typed metadata; mime
     //      sniffed from magic bytes inside the scan projection; the
     //      (stubbed, deterministic) decode kernel runs per-partition

@@ -213,13 +213,16 @@ object Relational {
     // ---- Analytic window: lag/lead (old-vs-new diffs per SURVEY §2B) ----
     QueryDef.sql("q10_lag_delta",
       """SELECT user_id, event_id, value - lag(value) OVER
-        |    (PARTITION BY user_id ORDER BY event_id) AS delta
+        |    (PARTITION BY user_id ORDER BY event_id) AS delta,
+        |  lead(event_id) OVER
+        |    (PARTITION BY user_id ORDER BY event_id) AS next_event
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       t(s, d, "events")
         .select(col("user_id"), col("event_id"),
-          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+          lead(col("event_id"), 1).over(w).as("next_event"))
         .orderBy(col("user_id"), col("event_id"))
     },
 
