@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * Everything here is built from codegen'd Catalyst built-ins
   * (higher-order array functions, regexp, hashes) — no Scala UDFs — so
-  * the plans scale: tokenization happens inside the scan projection,
-  * the n-gram inverted-index join shuffles only (gram, doc_id, size)
-  * tuples, and aggregations are partial+final.
+  * the plans scale: tokenization is a projection fanned out behind one
+  * rebalance, the n-gram similarity join goes through df-capped
+  * per-gram posting lists (bounded fan-out, no self-join), and all
+  * aggregations are partial+final.
   */
 object TextOps {
 
