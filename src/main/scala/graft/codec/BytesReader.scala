@@ -11,7 +11,9 @@ final class BytesReader(val buf: Array[Byte], private var pos: Int = 0) {
   def offset: Int = pos
 
   private def need(n: Int): Unit =
-    if (pos + n > buf.length)
+    // n < 0 catches corrupt negative lengths; the subtraction form
+    // (not pos + n > length) cannot overflow to a false pass
+    if (n < 0 || buf.length - pos < n)
       throw new CodecException(
         s"buffer underflow: need $n bytes at offset $pos of ${buf.length}")
 

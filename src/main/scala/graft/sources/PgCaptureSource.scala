@@ -106,18 +106,23 @@ final class PgCaptureMicroBatchStream(dir: String, tablesRegex: Option[String],
     maxChanges: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  // Incremental tail (reference currentLsn tracking,
+  // pkg/source/postgres.go:165-248): each trigger decodes only segments
+  // that appeared since the previous call — never the whole feed.
+  private val tail = new WalTail(dir, plugin)
+
   // Trigger.AvailableNow: pin the end of "available" WAL once at query
   // start so the run drains to a fixed checkpoint and stops (A9/A14).
   private var availableEnd: Option[Checkpoint] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableEnd = Some(WalFiles.lastCheckpoint(dir, plugin))
+    availableEnd = Some(tail.last())
 
   override def initialOffset(): Offset =
     PgOffset(startLsn.map(Checkpoint(_, 0)).getOrElse(Checkpoint.Zero))
 
   override def latestOffset(): Offset =
-    PgOffset(availableEnd.getOrElse(WalFiles.lastCheckpoint(dir, plugin)))
+    PgOffset(availableEnd.getOrElse(tail.last()))
 
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow):
   // maxChangesPerBatch bounds each micro-batch, never splitting a
@@ -141,14 +146,13 @@ final class PgCaptureMicroBatchStream(dir: String, tablesRegex: Option[String],
     cap match {
       case Some(n) =>
         val from = start.asInstanceOf[PgOffset].cp
-        val capped = WalFiles.boundedCheckpoint(dir, plugin, from, n)
-        val end = availableEnd.getOrElse(WalFiles.lastCheckpoint(dir, plugin))
+        val capped = tail.bounded(from, n)
+        val end = availableEnd.getOrElse(tail.last())
         PgOffset(if (capped.after(end)) end else capped)
       case None => latestOffset()
     }
   }
-  override def reportLatestOffset(): Offset =
-    PgOffset(WalFiles.lastCheckpoint(dir, plugin))
+  override def reportLatestOffset(): Offset = PgOffset(tail.last())
 
   override def deserializeOffset(json: String): Offset = PgOffset.parse(json)
 
@@ -185,17 +189,24 @@ final class PgWalPartitionReader(p: PgWalPartition)
   // Segment pruning: drop every segment strictly below the one that
   // contains the start checkpoint (PG WAL restart_lsn semantics); the
   // replay gate below drops already-delivered messages inside it.
-  private val segs = {
+  // Pruned segments may still hold the only Relation declarations for
+  // rows decoded later, so they are replayed in state-only mode first
+  // ('R' frames feed the decoder, nothing is emitted).
+  private val (prunedSegs, liveSegs) = {
     val all = WalFiles.segments(p.dir)
     val keepFrom = all.lastIndexWhere { case (first, _) =>
       java.lang.Long.compareUnsigned(first, p.start.lsn) <= 0
     }
     // the containing segment must be replayed from its first frame so
-    // the decoder sees its Relation messages
-    if (keepFrom <= 0) all.map(_._2) else all.drop(keepFrom).map(_._2)
+    // the replay gate (not the decoder) drops delivered rows
+    if (keepFrom <= 0) (Seq.empty[java.nio.file.Path], all.map(_._2))
+    else (all.take(keepFrom).map(_._2), all.drop(keepFrom).map(_._2))
   }
 
-  private val it = WalFiles.replay(segs, WalFiles.decoderFor(p.plugin))
+  private val decoder = WalFiles.decoderFor(p.plugin)
+  WalFiles.warmRelations(prunedSegs, decoder)
+
+  private val it = WalFiles.replay(liveSegs, decoder)
     .filter(e => e.cp.after(p.start) && !e.cp.after(p.end))
     .filter(e => pattern.forall(_.matcher(e.change.rel.name).matches()))
 

@@ -100,38 +100,16 @@ object WalFiles {
       new graft.codec.PgLogical.Decoder()
     else new PgOutput.Decoder
 
-  /** Checkpoint reached after at most `maxChanges` changes beyond
-    * `from` — the admission-control scan for rate-limited batches.
-    * Never splits a transaction: the returned checkpoint is advanced to
-    * the last change of its transaction, so a batch boundary is always
-    * a commit boundary (the applier's tx atomicity relies on it). */
-  def boundedCheckpoint(dir: String, plugin: String, from: Checkpoint,
-      maxChanges: Int): Checkpoint = {
-    val segs = segments(dir)
-    if (segs.isEmpty) return from
-    var last = from
-    var taken = 0
-    var curLsn = -1L
-    replay(segs.map(_._2), decoderFor(plugin)).foreach { e =>
-      if (e.cp.after(from)) {
-        if (taken < maxChanges || e.cp.lsn == curLsn) {
-          last = e.cp; curLsn = e.cp.lsn; taken += 1
-        } else return last
-      }
+  /** Decode ONLY Relation ('R') frames of `segs` into `decoder` — the
+    * state-only replay a resumed reader needs: its segment pruning may
+    * drop segments that declared relations still referenced by later
+    * rows (both wire formats tag relation messages with a leading 'R').
+    * No tuples are decoded, so cost is frame iteration plus the handful
+    * of R frames. */
+  def warmRelations(segs: Seq[Path], decoder: PgOutput.WireDecoder): Unit =
+    segs.iterator.flatMap(readFrames).foreach { f =>
+      if (f.nonEmpty && f(0) == 'R') decoder.decode(f)
     }
-    last
-  }
-
-  /** Checkpoint of the last change in the feed (for latestOffset). */
-  def lastCheckpoint(dir: String, plugin: String = "pgoutput"): Checkpoint = {
-    val segs = segments(dir)
-    if (segs.isEmpty) return Checkpoint.Zero
-    // relations may be declared in earlier segments — replay all for
-    // decoder state but track only the running checkpoint (cheap scan)
-    var last = Checkpoint.Zero
-    replay(segs.map(_._2), decoderFor(plugin)).foreach(e => last = e.cp)
-    last
-  }
 
   /** Standby-status feedback (A10): persist the acked checkpoint so
     * the feed's producer can truncate, like `setFlushedLSN`. */

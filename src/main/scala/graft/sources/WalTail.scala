@@ -1,0 +1,92 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import graft.cdc.Checkpoint
+import graft.codec.PgOutput
+
+/** Incremental WAL tail — the driver-side progress tracker of the
+  * streaming source.
+  *
+  * The reference advances `currentLsn` incrementally as frames arrive
+  * (pkg/source/postgres.go:165-248); the r3 implementation instead
+  * re-decoded the ENTIRE feed inside every `latestOffset()` call, making
+  * per-trigger cost linear in total feed size and stream-lifetime cost
+  * quadratic. This class restores the incremental contract: segments are
+  * write-once (atomic move in [[WalFiles.writeSegment]]), so each
+  * `advance()` decodes only segments that appeared since the last call —
+  * per-trigger cost is O(new bytes).
+  *
+  * State kept on the driver is deliberately compact:
+  *  - the running decoder (relation map — bounded by table count);
+  *  - the last checkpoint seen;
+  *  - a per-transaction index `(commitLsn, changeCount)` used by
+  *    admission control to place batch boundaries on commit boundaries
+  *    without re-reading the feed. Entries at or below the latest batch
+  *    start are pruned, so the index holds only not-yet-dispatched
+  *    transactions (the reference's bounded in-flight channel role).
+  */
+final class WalTail(dir: String, plugin: String = "pgoutput") {
+
+  private val decoder = WalFiles.decoderFor(plugin)
+  private val consumedSegments = mutable.Set.empty[Long]
+  // replay state carried across segments (a tx may span segments)
+  private var lsn = 0L
+  private var seq = 0
+  private var lastCp = Checkpoint.Zero
+  // (commitLsn, number of changes in the tx), in feed order
+  private val txIndex = mutable.ArrayDeque.empty[(Long, Int)]
+
+  /** Frames decoded since construction — instrumentation proving the
+    * O(new data) contract (WalTailSpec). */
+  @volatile var framesDecoded: Long = 0L
+
+  /** Decode any newly-appeared segments into the tail state. */
+  def advance(): Unit = synchronized {
+    WalFiles.segments(dir).foreach { case (first, path) =>
+      if (!consumedSegments.contains(first)) {
+        WalFiles.readFrames(path).foreach { frame =>
+          framesDecoded += 1
+          decoder.decode(frame) match {
+            case PgOutput.Begin(finalLsn, _, _) =>
+              lsn = finalLsn; seq = 0
+            case _: PgOutput.Change =>
+              seq += 1
+              lastCp = Checkpoint(lsn, seq)
+              if (txIndex.nonEmpty && txIndex.last._1 == lsn)
+                txIndex(txIndex.length - 1) = (lsn, seq)
+              else txIndex.append((lsn, seq))
+            case _ => () // Commit / Relation / Unknown advance no checkpoint
+          }
+        }
+        consumedSegments += first
+      }
+    }
+  }
+
+  /** Checkpoint of the last change in the feed (latestOffset). */
+  def last(): Checkpoint = { advance(); lastCp }
+
+  /** Checkpoint after at most `maxChanges` changes beyond `from`, never
+    * splitting a transaction (batch boundaries are commit boundaries —
+    * the applier's tx atomicity relies on it). Served from the tx index,
+    * no feed re-read. `from` values are Spark's batch-start offsets and
+    * therefore monotone; older index entries are pruned.
+    */
+  def bounded(from: Checkpoint, maxChanges: Int): Checkpoint = synchronized {
+    advance()
+    // prune transactions fully delivered before this batch start
+    while (txIndex.nonEmpty &&
+        !Checkpoint(txIndex.head._1, txIndex.head._2).after(from))
+      txIndex.removeHead()
+    var taken = 0
+    var cp = from
+    val it = txIndex.iterator
+    while (it.hasNext && taken < maxChanges) {
+      val (txLsn, count) = it.next()
+      val avail = if (txLsn == from.lsn) count - from.seq else count
+      if (avail > 0) { cp = Checkpoint(txLsn, count); taken += avail }
+    }
+    cp
+  }
+}

@@ -101,6 +101,26 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(got4.isEmpty)
   }
 
+  test("resume past pruned segments still knows their relations") {
+    // Relation declared ONLY in segment 1; the resume checkpoint lands
+    // past later segment boundaries, so the reader prunes segment 1 —
+    // it must warm decoder state from pruned segments or rows of rel
+    // in new segments throw "unknown relation id" (ADVICE r3 medium).
+    val walDir = Files.createTempDirectory("walP").toString
+    val ckDir = Files.createTempDirectory("ckP").toString
+    WalFiles.writeSegment(walDir, 100L,
+      PgOutput.Encoder.relation(rel) +: tx(100L, ins(rel, 1, 10)))
+    WalFiles.writeSegment(walDir, 101L, tx(101L, ins(rel, 2, 20)))
+    val got1 = runStream(walDir, ckDir)
+    assert(got1.size == 2)
+
+    // segment 3 references rel but declares nothing; the resumed reader
+    // prunes segments 1-2 (checkpoint (101,1) ≥ segment-3 predecessors)
+    WalFiles.writeSegment(walDir, 102L, tx(102L, upd(1, 99)))
+    val got2 = runStream(walDir, ckDir)
+    assert(got2.map(e => (e._1, e._3, e._4)) == Seq(("UPDATE", 1L, 102L)))
+  }
+
   test("maxChangesPerBatch rate-limits batches at tx boundaries") {
     val walDir = Files.createTempDirectory("walR").toString
     val ckDir = Files.createTempDirectory("ckR").toString
