@@ -82,11 +82,45 @@ object Sketches {
     size(array_intersect(col("g1"), col("g2")))
       .cast("double") / size(array_union(col("g1"), col("g2")))
 
+  /** LSH bucket posting-list cap — the q31 `MaxGramDf` argument applied
+    * to bands (r3 verdict item 2): pair fan-out per bucket is bounded by
+    * C(MaxBucketSize, 2) regardless of corpus skew. With exact
+    * duplicates pre-collapsed (the dominant cause of hot buckets — a
+    * crawl corpus's boilerplate pages land in ONE bucket per band), a
+    * capped-out bucket can only lose a candidate pair whose EVERY one of
+    * the 32 bands is >MaxBucketSize-hot with distinct near-dup texts;
+    * such pairs sit in dense near-dup cliques whose membership is
+    * already represented through other members' surviving pairs. */
+  final val MaxBucketSize = 64
+
   /** MinHash+LSH near-dup pairs verified with exact Jaccard ≥ minJaccard.
+    *
+    * Stage 0 collapses exact duplicates (md5 key, the q30 dedup path)
+    * to one representative per distinct text — identical docs always
+    * have Jaccard 1 and would otherwise fill LSH buckets with
+    * quadratic pair noise. The LSH pipeline runs on representatives
+    * only; member pairs are expanded back at the end (intra-group pairs
+    * at Jaccard 1.0, cross-group pairs inheriting the representative
+    * pair's Jaccard — gram sets are identical by construction).
+    *
     * Stage 1 ships only (band, 2-row signature slice, doc_id) through
-    * the LSH shuffle; gram arrays join back per surviving pair. */
-  def minHashPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = shingled(docs)
+    * the LSH shuffle; gram arrays join back once per surviving
+    * representative pair, never per band. */
+  def minHashPairs(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
+    // ---- stage 0: exact-dup pre-collapse -------------------------------
+    val groups = docs
+      .select(md5(col("text").cast("binary")).as("k"), col("doc_id"), col("text"))
+      .groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    val repDocs = groups.select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    // (rep, member) — includes the representative itself
+    val members = groups.select(col("r.doc_id").as("rep"),
+      explode_outer(col("members")).as("m"))
+
+    // ---- stages 1-2: LSH + exact verify over representatives ----------
+    val sh = shingled(repDocs)
     val sig = withMinHashSignature(sh).select(col("doc_id"), col("sig"))
     val bandCols: Seq[Column] = (0 until NumBands).map { j =>
       val parts = (0 until BandRows).map(r => expr(s"sig[${j * BandRows + r}]"))
@@ -97,7 +131,7 @@ object Sketches {
     val buckets = sig.select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bk"))
     val cand = buckets.groupBy(col("bk"))
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")).between(2, maxBucket))
       .select(explode_outer(expr(
         """flatten(transform(array_sort(ds),
           |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
@@ -105,11 +139,33 @@ object Sketches {
         .as("p"))
       .select(col("p.doc1"), col("p.doc2"))
       .dropDuplicates("doc1", "doc2")
-    cand
+    val repPairs = cand
       .join(sh.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
       .join(sh.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
       .withColumn("jaccard", exactJaccard)
       .filter(col("jaccard") >= minJaccard)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+
+    // ---- stage 3: expand duplicate groups back to member pairs --------
+    // cross-group: every (member of rep1) × (member of rep2)
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc1"), col("m").as("m1")), "doc1")
+      .join(members.select(col("rep").as("doc2"), col("m").as("m2")), "doc2")
+      .select(least(col("m1"), col("m2")).as("doc1"),
+        greatest(col("m1"), col("m2")).as("doc2"), col("jaccard"))
+    // intra-group: all pairs of identical docs (Jaccard exactly 1),
+    // counted only when the text actually shingles (≥3 tokens)
+    val intra = members
+      .join(sh.select(col("doc_id").as("rep")), "rep")
+      .groupBy(col("rep")).agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode_outer(expr(
+        """flatten(transform(ms,
+          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
+          |            y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc1"), col("p.doc2"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc1"), col("doc2"))
   }
