@@ -13,6 +13,8 @@ import graft.codec.PgOutput
 final class SchemaRegistry {
   @volatile private var tables =
     Map.empty[(String, String), PgOutput.Relation]
+  @volatile private var infos =
+    Map.empty[(String, String), ColumnInfo]
 
   def update(rel: PgOutput.Relation): Unit = synchronized {
     tables = tables + ((rel.namespace, rel.name) -> rel)
@@ -29,12 +31,44 @@ final class SchemaRegistry {
     get(schema, table).map(_.columns.map(c => c.name -> c.oid).toMap)
       .getOrElse(Map.empty)
 
+  /** Seed generated/identity column info for a table — the side channel
+    * Relation messages cannot carry (the reference loads it from
+    * pg_catalog, pkg/decode/schema.go:161-190 RefreshColumnInfo). */
+  def setColumnInfo(schema: String, table: String, info: ColumnInfo): Unit =
+    synchronized { infos = infos + ((schema, table) -> info) }
+
+  /** Column info for the applier (reference GetColumnInfo,
+    * pkg/decode/schema.go:205-213): the seeded catalog entry when
+    * present, else keys derived from the Relation message with empty
+    * generated/identity sets. */
+  def columnInfo(schema: String, table: String): ColumnInfo =
+    infos.getOrElse((schema, table),
+      ColumnInfo(keyColumns(schema, table)))
+
   /** DDL invalidation (reference refreshes pg_catalog caches on DDL,
     * pkg/source/postgres.go:219-223): drop the entry so the next
     * Relation message re-establishes it. */
   def invalidate(schema: String, table: String): Unit = synchronized {
     tables = tables - ((schema, table))
+    infos = infos - ((schema, table))
   }
+}
+
+/** Per-table apply metadata (reference decode.ColumnInfo,
+  * pkg/decode/schema.go:30-90): identity key columns plus the two
+  * column classes the sink must never write — `GENERATED ALWAYS AS
+  * (…) STORED` columns (excluded from INSERT and UPDATE SET) and
+  * `GENERATED ALWAYS AS IDENTITY` columns (excluded from UPDATE SET;
+  * INSERTs keep them under `OVERRIDING SYSTEM VALUE`,
+  * pkg/sink/postgres.go:400-404, 507-538).
+  */
+final case class ColumnInfo(
+    keys: Seq[String],
+    generated: Set[String] = Set.empty,
+    identityGeneration: Set[String] = Set.empty) {
+  def isKey(c: String): Boolean = keys.contains(c)
+  def isGenerated(c: String): Boolean = generated.contains(c)
+  def isIdentityGeneration(c: String): Boolean = identityGeneration.contains(c)
 }
 
 /** DDL detect / classify (A7, reference pkg/decode/decoder.go:48-54). */

@@ -1,0 +1,194 @@
+package graft.sql
+
+import java.sql.{Connection, PreparedStatement, SQLIntegrityConstraintViolationException}
+
+import scala.collection.mutable
+
+import graft.cdc.Checkpoint
+import graft.streaming.CdcApplier
+
+/** Production [[CdcApplier.TxStore]] over a `java.sql.Connection`
+  * (reference PGXSink, pkg/sink/postgres.go:101-205 Setup + 599-671
+  * watermark-in-same-tx): autocommit off, every write is a prepared
+  * statement built by [[SqlBuilder]], and the watermark row commits in
+  * the SAME database transaction as the data it covers — the applier's
+  * exactly-once contract needs nothing else from the target.
+  *
+  * Dialect seam: against PostgreSQL the multi-VALUES insert carries
+  * `ON CONFLICT (keys) DO NOTHING` natively (`onConflictSupported =
+  * true`); targets without it (embedded Derby in the tests) take the
+  * optimistic path — the plain multi-VALUES insert runs first, and
+  * only a duplicate-key violation (SQLState 23505, statement-level
+  * rollback, transaction intact) downgrades that one batch to per-row
+  * exists-checked inserts. Replay batches are the only ones that pay
+  * the slow path; steady-state cost is one statement per insert run.
+  *
+  * The watermark table is `(source_id, wm_lsn, wm_seq)` keyed by
+  * source id — the role of the reference's `pgcapture.sources` table
+  * (pkg/sink/postgres.go:609-614 UPDATE … SET commit = $1).
+  */
+final class JdbcTxStore(conn: Connection,
+    watermarkTable: String = "graft_watermarks",
+    onConflictSupported: Boolean = false,
+    pgVersion: Long = 0L) extends CdcApplier.TxStore with AutoCloseable {
+
+  conn.setAutoCommit(false)
+  ensureWatermarkTable()
+
+  private val stmts = mutable.HashMap.empty[String, PreparedStatement]
+  var commits = 0
+  var rollbacks = 0
+  /** Test hook mirroring [[graft.streaming.InMemoryTxStore]]: throw
+    * inside the Nth commit to simulate a crash before the database
+    * commit lands. */
+  var failOnCommit: Int = -1
+
+  private def prepared(sql: String): PreparedStatement =
+    stmts.getOrElseUpdate(sql, conn.prepareStatement(sql))
+
+  /** JDBC bind covering every JVM type [[graft.codec.PgType.decode]]
+    * produces. Null needs the declared parameter type on strict
+    * drivers (Derby), resolved from parameter metadata. */
+  private def bind(ps: PreparedStatement, i: Int, v: Any): Unit = v match {
+    case null => ps.setNull(i, ps.getParameterMetaData.getParameterType(i))
+    case x: java.time.Instant => ps.setTimestamp(i, java.sql.Timestamp.from(x))
+    case x: java.time.LocalDate => ps.setDate(i, java.sql.Date.valueOf(x))
+    case x: Array[Byte] => ps.setBytes(i, x)
+    case x: scala.collection.Seq[_] =>
+      // PG arrays need Connection.createArrayOf with a PG type name —
+      // target-specific; the file/parquet legs carry arrays natively
+      throw new UnsupportedOperationException(
+        s"array column bind not supported by JdbcTxStore (got $x)")
+    case x => ps.setObject(i, x)
+  }
+
+  override def begin(): Unit = () // autocommit off: tx is implicitly open
+
+  override def commit(): Unit = {
+    if (failOnCommit == commits)
+      throw new RuntimeException(s"injected crash at commit #$commits")
+    conn.commit()
+    commits += 1
+  }
+
+  override def rollback(): Unit = { conn.rollback(); rollbacks += 1 }
+
+  override def insert(schema: String, table: String, row: Map[String, Any],
+      keyCols: Seq[String]): Unit = insertMany(schema, table, Seq(row), keyCols)
+
+  override def insertMany(schema: String, table: String,
+      rows: Seq[Map[String, Any]], keyCols: Seq[String]): Unit = {
+    if (rows.isEmpty) return
+    // one statement per column signature; the applier's run-length
+    // batching already groups by table, so this is almost always one
+    rows.groupBy(_.keys.toSeq.sorted).foreach { case (cols, part) =>
+      insertSlice(schema, table, cols, part, keyCols)
+    }
+  }
+
+  private def insertSlice(schema: String, table: String, cols: Seq[String],
+      rows: Seq[Map[String, Any]], keyCols: Seq[String]): Unit = {
+    val sql = SqlBuilder.insertQuery(SqlBuilder.InsertOption(
+      schema, table, cols, rows.size,
+      keys = if (onConflictSupported) keyCols else Seq.empty,
+      pgVersion = pgVersion, style = SqlBuilder.JdbcParams))
+    val ps = prepared(sql)
+    var i = 1
+    rows.foreach(r => cols.foreach { c => bind(ps, i, r(c)); i += 1 })
+    if (onConflictSupported || keyCols.isEmpty) { ps.executeUpdate(); return }
+    try ps.executeUpdate()
+    catch {
+      case _: SQLIntegrityConstraintViolationException =>
+        // replay overlap: the statement rolled back, the tx did not —
+        // re-apply this batch row-at-a-time, skipping existing keys
+        rows.foreach { r =>
+          if (!keyExists(schema, table, keyCols, r)) {
+            val one = prepared(SqlBuilder.insertQuery(SqlBuilder.InsertOption(
+              schema, table, cols, 1, pgVersion = pgVersion,
+              style = SqlBuilder.JdbcParams)))
+            var j = 1
+            cols.foreach { c => bind(one, j, r(c)); j += 1 }
+            one.executeUpdate()
+          }
+        }
+    }
+  }
+
+  private def keyExists(schema: String, table: String, keyCols: Seq[String],
+      row: Map[String, Any]): Boolean = {
+    val where = keyCols.map(c => SqlBuilder.quote(c) + "=?").mkString(" and ")
+    val ps = prepared(
+      s"select 1 from ${SqlBuilder.quoted(schema, table)} where $where")
+    keyCols.zipWithIndex.foreach { case (c, i) => bind(ps, i + 1, row(c)) }
+    val rs = ps.executeQuery()
+    try rs.next() finally rs.close()
+  }
+
+  override def update(schema: String, table: String, keys: Map[String, Any],
+      set: Map[String, Any]): Unit = {
+    require(keys.nonEmpty, s"UPDATE on $schema.$table with empty key set")
+    val setCols = set.keys.toSeq.sorted
+    val keyCols = keys.keys.toSeq.sorted
+    val ps = prepared(SqlBuilder.updateQuery(schema, table, setCols, keyCols,
+      SqlBuilder.JdbcParams))
+    var i = 1
+    setCols.foreach { c => bind(ps, i, set(c)); i += 1 }
+    keyCols.foreach { c => bind(ps, i, keys(c)); i += 1 }
+    ps.executeUpdate()
+  }
+
+  override def delete(schema: String, table: String, keys: Map[String, Any]): Unit = {
+    require(keys.nonEmpty, s"DELETE on $schema.$table with empty key set")
+    val keyCols = keys.keys.toSeq.sorted
+    val ps = prepared(SqlBuilder.deleteQuery(schema, table, keyCols,
+      SqlBuilder.JdbcParams))
+    keyCols.zipWithIndex.foreach { case (c, i) => bind(ps, i + 1, keys(c)) }
+    ps.executeUpdate()
+  }
+
+  override def executeDdl(sql: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(sql) finally st.close()
+  }
+
+  override def readWatermark(sourceId: String): Option[Checkpoint] = {
+    val ps = prepared(
+      s"select wm_lsn, wm_seq from $watermarkTable where source_id = ?")
+    ps.setString(1, sourceId)
+    val rs = ps.executeQuery()
+    try {
+      if (rs.next()) Some(Checkpoint(rs.getLong(1), rs.getInt(2))) else None
+    } finally rs.close()
+  }
+
+  override def writeWatermark(sourceId: String, cp: Checkpoint): Unit = {
+    val upd = prepared(
+      s"update $watermarkTable set wm_lsn = ?, wm_seq = ? where source_id = ?")
+    upd.setLong(1, cp.lsn); upd.setInt(2, cp.seq); upd.setString(3, sourceId)
+    if (upd.executeUpdate() == 0) {
+      val ins = prepared(
+        s"insert into $watermarkTable (source_id, wm_lsn, wm_seq) values (?, ?, ?)")
+      ins.setString(1, sourceId); ins.setLong(2, cp.lsn); ins.setInt(3, cp.seq)
+      ins.executeUpdate()
+    }
+  }
+
+  private def ensureWatermarkTable(): Unit = {
+    val st = conn.createStatement()
+    try {
+      st.execute(s"create table $watermarkTable (" +
+        "source_id varchar(256) not null primary key, " +
+        "wm_lsn bigint not null, wm_seq integer not null)")
+      conn.commit()
+    } catch {
+      case _: java.sql.SQLException => conn.rollback() // already exists
+    } finally st.close()
+  }
+
+  override def close(): Unit = {
+    stmts.values.foreach(s => try s.close() catch { case _: Exception => () })
+    // reads under autocommit-off leave an implicit tx open; discard it
+    try conn.rollback() catch { case _: java.sql.SQLException => () }
+    conn.close()
+  }
+}

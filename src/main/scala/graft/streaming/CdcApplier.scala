@@ -64,6 +64,11 @@ object CdcApplier {
     * from Relation messages or static config. */
   type KeyResolver = (String, String) => Seq[String]
 
+  /** Full column info for (schema, table): keys plus generated/identity
+    * column sets (reference GetColumnInfo, pkg/decode/schema.go:205-213)
+    * — usually [[graft.cdc.SchemaRegistry.columnInfo]]. */
+  type InfoResolver = (String, String) => graft.cdc.ColumnInfo
+
   private def decodeRow(fields: Map[String, Array[Byte]],
       oids: Map[String, Int]): Map[String, Any] =
     fields.map { case (c, datum) =>
@@ -80,7 +85,22 @@ object CdcApplier {
     * reference's "data + progress in one pipeline sync".
     */
   def applyBatch(store: TxStore, sourceId: String, changes: Seq[Change],
-      keys: KeyResolver, txBatch: Int = 100): Checkpoint = {
+      keys: KeyResolver, txBatch: Int = 100): Checkpoint =
+    applyWithInfo(store, sourceId, changes,
+      (s, t) => graft.cdc.ColumnInfo(keys(s, t)), txBatch)
+
+  /** [[applyBatch]] with full column info: generated columns never
+    * reach INSERT or UPDATE SET, identity-generation columns never
+    * reach UPDATE SET, and an UPDATE/DELETE that cannot produce a key
+    * (replica identity NOTHING, filtered old image) is skipped rather
+    * than handed to the store — the reference's exact guards
+    * (pkg/sink/postgres.go:400-404, 507-545: `len(sets) == 0 ||
+    * len(keys) == 0 → no-op`). Without the skip, an empty key map
+    * means "match everything" downstream (a WHERE-less DELETE on a
+    * JDBC target), which is how a malformed event truncates a table.
+    */
+  def applyWithInfo(store: TxStore, sourceId: String, changes: Seq[Change],
+      resolve: InfoResolver, txBatch: Int = 100): Checkpoint = {
     val wm = store.readWatermark(sourceId).getOrElse(Checkpoint.Zero)
     val fresh = changes
       .filter(c => Checkpoint(c.lsn, c.seq).after(wm)) // A12 idempotent resume
@@ -119,7 +139,7 @@ object CdcApplier {
           skipTables = Set.empty // DML suppression is per source tx
           if (txsInStore >= txBatch) commitStore()
         }
-        val keyCols = keys(c.schema, c.table)
+        val info = resolve(c.schema, c.table)
         if (graft.cdc.DdlClassifier.ignore(c.schema, c.table)) {
           // pgcapture.sources bookkeeping rows are never applied (A7)
         } else if (graft.cdc.DdlClassifier.isDdl(c.schema, c.table)) {
@@ -143,23 +163,38 @@ object CdcApplier {
           ensureOpen()
           c.op match {
             case "INSERT" =>
-              val target = (c.schema, c.table, keyCols)
+              val target = (c.schema, c.table, info.keys)
               if (insTarget != target || insBuf.size >= MaxInsertBatch) {
                 flushInserts(); insTarget = target
               }
-              insBuf += decodeRow(c.newFields, c.oids)
+              // generated columns never carry a writable value
+              // (pkg/sink/postgres.go:400-404 Filter(!IsGenerated))
+              insBuf += decodeRow(
+                c.newFields.view.filterKeys(!info.isGenerated(_)).toMap, c.oids)
             case "UPDATE" =>
               flushInserts() // ordering: pending inserts land first
               val newRow = decodeRow(c.newFields, c.oids)
+              val sets0 = newRow.view.filterKeys(k =>
+                !info.isGenerated(k) && !info.isIdentityGeneration(k)).toMap
               // key split (A18): old image keys when the replica identity
-              // provided them, else identity keys from the new image
-              val keyVals =
-                if (c.oldFields.nonEmpty) decodeRow(c.oldFields, c.oids)
-                else newRow.view.filterKeys(keyCols.contains).toMap
-              store.update(c.schema, c.table, keyVals, newRow)
+              // provided them, else identity keys from the new image (in
+              // which case keys also leave the SET list,
+              // pkg/sink/postgres.go:520-538)
+              val (keyVals, sets) =
+                if (c.oldFields.nonEmpty) (decodeRow(c.oldFields, c.oids), sets0)
+                else (newRow.view.filterKeys(info.isKey).toMap,
+                  sets0.view.filterKeys(!info.isKey(_)).toMap)
+              // reference guard (postgres.go:541-543): no keys (replident
+              // NOTHING / filtered old image) or nothing to set → skip;
+              // an empty key map must never reach the store
+              if (keyVals.nonEmpty && sets.nonEmpty)
+                store.update(c.schema, c.table, keyVals, sets)
             case "DELETE" =>
               flushInserts()
-              store.delete(c.schema, c.table, decodeRow(c.oldFields, c.oids))
+              val keyVals = decodeRow(c.oldFields, c.oids)
+              // empty old image (replident NOTHING / malformed event):
+              // skipping beats the WHERE-less DELETE it would become
+              if (keyVals.nonEmpty) store.delete(c.schema, c.table, keyVals)
             case _ => ()
           }
         }
@@ -243,9 +278,17 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
   override def insert(schema: String, table: String, row: Map[String, Any],
       keyCols: Seq[String]): Unit = stage(Ins(s"$schema.$table", row, keyCols))
   override def update(schema: String, table: String, keys: Map[String, Any],
-      set: Map[String, Any]): Unit = stage(Upd(s"$schema.$table", keys, set))
-  override def delete(schema: String, table: String, keys: Map[String, Any]): Unit =
+      set: Map[String, Any]): Unit = {
+    // an empty key map would vacuously match EVERY row — fail loudly
+    // instead of becoming a whole-table write (the applier skips these
+    // upstream; this guards direct callers)
+    require(keys.nonEmpty, s"UPDATE on $schema.$table with empty key set")
+    stage(Upd(s"$schema.$table", keys, set))
+  }
+  override def delete(schema: String, table: String, keys: Map[String, Any]): Unit = {
+    require(keys.nonEmpty, s"DELETE on $schema.$table with empty key set")
     stage(Del(s"$schema.$table", keys))
+  }
   override def executeDdl(sql: String): Unit = stage(Ddl(sql))
   override def insertMany(schema: String, table: String,
       rows: Seq[Map[String, Any]], keyCols: Seq[String]): Unit = {

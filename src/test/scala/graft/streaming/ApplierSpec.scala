@@ -1,124 +1,119 @@
 package graft.streaming
 
-import graft.cdc.Checkpoint
+import graft.cdc.{Checkpoint, ColumnInfo}
 import graft.codec.PgType
-import org.scalatest.funsuite.AnyFunSuite
 
-/** Sink-apply scenario suite, mirroring the reference's
-  * pkg/sink/postgres_test.go shapes (FIXTURES.md §2): ordered tx apply,
-  * batch-tx boundaries, watermark-in-same-tx atomicity, crash/replay
-  * idempotence, update key-split, conflict-skipping inserts. */
-class ApplierSpec extends AnyFunSuite {
+/** [[TxStoreContract]] over [[InMemoryTxStore]], plus the applier-level
+  * column-info matrix: replica identity d/n/f/i × op, generated and
+  * identity-generation column filtering (reference
+  * pkg/sink/postgres.go:400-404, 507-545; pkg/decode/schema.go:30-90). */
+class ApplierSpec extends TxStoreContract {
 
-  private val keys: CdcApplier.KeyResolver = (_, _) => Seq("id")
-  private val oids = Map("id" -> PgType.Int8, "v" -> PgType.Int4)
-
-  private def ch(op: String, lsn: Long, seq: Int, id: Long,
-      v: Option[Int] = None, old: Map[String, Array[Byte]] = Map.empty) = {
-    val nf = op match {
-      case "DELETE" => Map.empty[String, Array[Byte]]
-      case _ => Map("id" -> PgType.encode(PgType.Int8, id)) ++
-        v.map(x => "v" -> PgType.encode(PgType.Int4, x))
-    }
-    val of = if (op == "DELETE") Map("id" -> PgType.encode(PgType.Int8, id)) else old
-    CdcApplier.Change(op, "public", "test_table", nf, of, oids, lsn, seq)
+  private final class MemHarness extends Harness {
+    val s = new InMemoryTxStore
+    def store: CdcApplier.TxStore = s
+    def commits: Int = s.commits
+    def failNextCommit(): Unit = s.failOnCommit = s.commits
+    def clearFailures(): Unit = s.failOnCommit = -1
+    def rows(schemaTable: String): Seq[Map[String, Any]] = s.rows(schemaTable)
   }
 
-  test("ordered apply: insert, update, delete land in order") {
-    val store = new InMemoryTxStore
-    val cp = CdcApplier.applyBatch(store, "src1", Seq(
-      ch("INSERT", 1, 1, 1, Some(10)),
-      ch("INSERT", 2, 1, 2, Some(20)),
-      ch("UPDATE", 3, 1, 1, Some(11)),
-      ch("DELETE", 4, 1, 2)), keys)
-    assert(cp == Checkpoint(4, 1))
-    val rows = store.rows("public.test_table")
-    assert(rows == Seq(Map("id" -> 1L, "v" -> 11)))
-    assert(store.readWatermark("src1").contains(Checkpoint(4, 1)))
+  override def withHarness(f: Harness => Unit): Unit = f(new MemHarness)
+
+  // ---- column-info matrix (SURVEY §7.3) -------------------------------
+
+  private val allOids = Map("id" -> PgType.Int8, "v" -> PgType.Int4,
+    "gen" -> PgType.Int4, "serial" -> PgType.Int8)
+  private val colInfo = ColumnInfo(keys = Seq("id"),
+    generated = Set("gen"), identityGeneration = Set("serial"))
+  private val resolve: CdcApplier.InfoResolver = (_, _) => colInfo
+
+  private def enc(m: Map[String, Any]): Map[String, Array[Byte]] = m.map {
+    case (k, v: Long) => k -> PgType.encode(PgType.Int8, v)
+    case (k, v: Int) => k -> PgType.encode(PgType.Int4, v)
+    case (k, v) => sys.error(s"fixture type $k=$v")
   }
 
-  test("idempotent resume: redelivered slice is a no-op (A12)") {
-    val store = new InMemoryTxStore
-    val slice = Seq(ch("INSERT", 1, 1, 1, Some(10)), ch("UPDATE", 2, 1, 1, Some(12)))
-    CdcApplier.applyBatch(store, "s", slice, keys)
-    val commitsAfterFirst = store.commits
-    // full redelivery (e.g. foreachBatch retry) — watermark filters all
-    CdcApplier.applyBatch(store, "s", slice, keys)
-    assert(store.commits == commitsAfterFirst, "no store tx for stale slice")
-    assert(store.rows("public.test_table") == Seq(Map("id" -> 1L, "v" -> 12)))
+  private def change(op: String, nf: Map[String, Any], of: Map[String, Any],
+      lsn: Long): CdcApplier.Change =
+    CdcApplier.Change(op, "public", "t", enc(nf), enc(of), allOids, lsn, 1)
+
+  test("INSERT drops generated columns, keeps identity columns") {
+    val s = new InMemoryTxStore
+    CdcApplier.applyWithInfo(s, "s", Seq(change("INSERT",
+      Map("id" -> 1L, "v" -> 10, "gen" -> 99, "serial" -> 7L), Map.empty, 1)),
+      resolve)
+    // gen is computed by the target; serial rides OVERRIDING SYSTEM VALUE
+    assert(s.rows("public.t") ==
+      Seq(Map("id" -> 1L, "v" -> 10, "serial" -> 7L)))
   }
 
-  test("partial overlap: only unseen suffix applies") {
-    val store = new InMemoryTxStore
-    CdcApplier.applyBatch(store, "s",
-      Seq(ch("INSERT", 1, 1, 1, Some(10))), keys)
-    CdcApplier.applyBatch(store, "s", Seq(
-      ch("INSERT", 1, 1, 1, Some(999)), // dup: must be skipped by watermark
-      ch("INSERT", 2, 1, 2, Some(20))), keys)
-    assert(store.rows("public.test_table").toSet == Set(
-      Map("id" -> 1L, "v" -> 10), Map("id" -> 2L, "v" -> 20)))
+  test("UPDATE with old image: keys from old, sets exclude generated+identity") {
+    val s = new InMemoryTxStore
+    CdcApplier.applyWithInfo(s, "s", Seq(
+      change("INSERT", Map("id" -> 1L, "v" -> 10, "serial" -> 7L), Map.empty, 1),
+      // replident FULL: old image = entire row; WHERE matches all old cols
+      change("UPDATE", Map("id" -> 1L, "v" -> 11, "gen" -> 5, "serial" -> 7L),
+        Map("id" -> 1L, "v" -> 10, "serial" -> 7L), 2)), resolve)
+    assert(s.rows("public.t") ==
+      Seq(Map("id" -> 1L, "v" -> 11, "serial" -> 7L)))
   }
 
-  test("crash inside store tx rolls back data AND watermark together (A16)") {
-    val store = new InMemoryTxStore
-    CdcApplier.applyBatch(store, "s", Seq(ch("INSERT", 1, 1, 1, Some(1))), keys)
-    val wm0 = store.readWatermark("s")
-    store.failOnCommit = store.commits // next commit throws
-    intercept[RuntimeException] {
-      CdcApplier.applyBatch(store, "s", Seq(ch("INSERT", 2, 1, 2, Some(2))), keys)
-    }
-    assert(store.rows("public.test_table") == Seq(Map("id" -> 1L, "v" -> 1)))
-    assert(store.readWatermark("s") == wm0, "watermark must not outrun data")
-    // replay after recovery applies exactly once
-    store.failOnCommit = -1
-    CdcApplier.applyBatch(store, "s", Seq(ch("INSERT", 2, 1, 2, Some(2))), keys)
-    assert(store.rows("public.test_table").map(_("id")).toSet == Set(1L, 2L))
+  test("UPDATE without old image: identity keys from new, keys leave SET") {
+    val s = new InMemoryTxStore
+    CdcApplier.applyWithInfo(s, "s", Seq(
+      change("INSERT", Map("id" -> 1L, "v" -> 10), Map.empty, 1),
+      // replident DEFAULT, key unchanged → no old image on the wire
+      change("UPDATE", Map("id" -> 1L, "v" -> 12, "gen" -> 5), Map.empty, 2)),
+      resolve)
+    assert(s.rows("public.t") == Seq(Map("id" -> 1L, "v" -> 12)))
   }
 
-  test("txBatch groups source txs per store tx (reference BatchTXSize)") {
-    val store = new InMemoryTxStore
-    val changes = (1 to 10).map(i => ch("INSERT", i.toLong, 1, i.toLong, Some(i)))
-    CdcApplier.applyBatch(store, "s", changes, keys, txBatch = 3)
-    assert(store.rows("public.test_table").size == 10)
-    assert(store.commits == 4, s"10 txs / batch 3 -> 4 store commits, got ${store.commits}")
-    assert(store.readWatermark("s").contains(Checkpoint(10, 1)))
+  test("replident NOTHING: UPDATE with no resolvable key is skipped, stream advances") {
+    val s = new InMemoryTxStore
+    val noKeys: CdcApplier.InfoResolver = (_, _) => ColumnInfo(Seq.empty)
+    CdcApplier.applyWithInfo(s, "s", Seq(
+      change("INSERT", Map("id" -> 1L, "v" -> 10), Map.empty, 1),
+      change("UPDATE", Map("id" -> 1L, "v" -> 99), Map.empty, 2)), noKeys)
+    assert(s.rows("public.t") == Seq(Map("id" -> 1L, "v" -> 10)),
+      "no identity → update must not guess a match")
+    assert(s.readWatermark("s").contains(Checkpoint(2, 1)))
   }
 
-  test("source tx is never split across store txs") {
-    val store = new InMemoryTxStore
-    // one source tx (lsn=1) with 5 changes, txBatch=1: still one commit
-    val changes = (1 to 5).map(i => ch("INSERT", 1, i, i.toLong, Some(i)))
-    CdcApplier.applyBatch(store, "s", changes, keys, txBatch = 1)
-    assert(store.commits == 1)
-    assert(store.rows("public.test_table").size == 5)
+  test("replident INDEX: old image carries index columns only") {
+    val s = new InMemoryTxStore
+    val idxInfo: CdcApplier.InfoResolver = (_, _) => ColumnInfo(Seq("v"))
+    CdcApplier.applyWithInfo(s, "s", Seq(
+      change("INSERT", Map("id" -> 1L, "v" -> 10), Map.empty, 1),
+      // USING INDEX (v): wire old image = the index column
+      change("UPDATE", Map("id" -> 2L, "v" -> 20), Map("v" -> 10), 2)), idxInfo)
+    assert(s.rows("public.t") == Seq(Map("id" -> 2L, "v" -> 20)))
   }
 
-  test("update key-split: old image keys win over new-row keys (A18)") {
-    val store = new InMemoryTxStore
-    CdcApplier.applyBatch(store, "s", Seq(ch("INSERT", 1, 1, 7, Some(70))), keys)
-    // key change 7→8 ships old image {id:7}; row must be found by OLD key
-    val keyChange = CdcApplier.Change("UPDATE", "public", "test_table",
-      Map("id" -> PgType.encode(PgType.Int8, 8L), "v" -> PgType.encode(PgType.Int4, 80)),
-      Map("id" -> PgType.encode(PgType.Int8, 7L)), oids, 2, 1)
-    CdcApplier.applyBatch(store, "s", Seq(keyChange), keys)
-    assert(store.rows("public.test_table") == Seq(Map("id" -> 8L, "v" -> 80)))
+  test("UPDATE whose SET would be empty is skipped") {
+    val s = new InMemoryTxStore
+    // every non-key column is generated → nothing writable remains
+    val genOnly: CdcApplier.InfoResolver =
+      (_, _) => ColumnInfo(Seq("id"), generated = Set("gen"))
+    CdcApplier.applyWithInfo(s, "s", Seq(
+      change("INSERT", Map("id" -> 1L), Map.empty, 1),
+      change("UPDATE", Map("id" -> 1L, "gen" -> 9), Map.empty, 2)), genOnly)
+    assert(s.rows("public.t") == Seq(Map("id" -> 1L)))
+    assert(s.readWatermark("s").contains(Checkpoint(2, 1)))
   }
 
-  test("insert is conflict-skipping (ON CONFLICT DO NOTHING, A17)") {
-    val store = new InMemoryTxStore
-    CdcApplier.applyBatch(store, "a", Seq(ch("INSERT", 1, 1, 1, Some(1))), keys)
-    // second source id replays the same row (e.g. dump overlap): skipped
-    CdcApplier.applyBatch(store, "b", Seq(ch("INSERT", 5, 1, 1, Some(99))), keys)
-    assert(store.rows("public.test_table") == Seq(Map("id" -> 1L, "v" -> 1)))
+  test("store-level guard: empty-key update/delete fail loudly") {
+    val s = new InMemoryTxStore
+    s.begin()
+    intercept[IllegalArgumentException](s.update("p", "t", Map.empty, Map("v" -> 1)))
+    intercept[IllegalArgumentException](s.delete("p", "t", Map.empty))
   }
 
-  test("unsigned LSN ordering in the apply sort") {
-    val store = new InMemoryTxStore
-    val big = Long.MinValue // 2^63 unsigned — must apply AFTER MaxValue
-    CdcApplier.applyBatch(store, "s", Seq(
-      ch("UPDATE", big, 1, 1, Some(2)),
-      ch("INSERT", Long.MaxValue, 1, 1, Some(1))), keys)
-    assert(store.rows("public.test_table") == Seq(Map("id" -> 1L, "v" -> 2)))
-    assert(store.readWatermark("s").contains(Checkpoint(big, 1)))
+  test("run-length INSERT batching reaches the store as multi-row writes (A17)") {
+    val s = new InMemoryTxStore
+    val changes = (1 to 5).map(i =>
+      change("INSERT", Map("id" -> i.toLong, "v" -> i), Map.empty, i.toLong))
+    CdcApplier.applyWithInfo(s, "s", changes, resolve)
+    assert(s.insertBatchSizes == Seq(5), "5 consecutive same-table inserts → one batch")
   }
 }
