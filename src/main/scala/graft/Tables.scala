@@ -32,13 +32,24 @@ object Tables {
     * Small parquet inputs arrive as 1-2 input partitions (row-group
     * granularity), which serializes CPU-bound projections like
     * tokenization or wire encoding onto one core; a round-robin
-    * rebalance of the raw rows is cheap relative to that compute. On a
-    * real lake the scan is already wide and AQE coalesces the extra
-    * exchange away.
+    * rebalance of the raw rows is cheap relative to that compute.
+    *
+    * Reserved for per-row CPU-heavy pipelines — cheap scans (hash
+    * aggregations, projections) lose more to the exchange than they
+    * gain (r3 measured q30 0.2 s → 1.9 s under a blanket rebalance).
+    * The gate reads optimizer statistics (file sizes), NOT
+    * `df.rdd.getNumPartitions`, which forced a full physical-plan
+    * evaluation per call: a scan big enough to already fan out to
+    * `defaultParallelism` partitions passes through untouched — on a
+    * real lake this is a no-op and AQE owns the layout.
     */
   def wide(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(maxPartBytes) * target) df
+    else df.repartition(target)
   }
 
   /** Register all tables as temp views for spark.sql entry points. */

@@ -24,8 +24,12 @@ object TypedProjection {
   private def ensureRegistered(df: DataFrame): Unit =
     graft.functions.GraftFunctions.register(df.sparkSession)
 
+  // Columns are built with the DSL (call_function + lit), never by
+  // interpolating wire-supplied column names into SQL text: a legal PG
+  // name containing a quote must round-trip, not break the parser.
   private def decodeCol(mapCol: String, c: PgOutput.Column): Column =
-    expr(s"pg_decode(element_at($mapCol, '${c.name}'), ${c.oid})").as(c.name)
+    call_function("pg_decode",
+      element_at(col(mapCol), lit(c.name)), lit(c.oid)).as(c.name)
 
   /** Envelope rows → typed columns from the `new` image. */
   def project(df: DataFrame, rel: PgOutput.Relation,
@@ -39,8 +43,9 @@ object TypedProjection {
   def projectFilled(df: DataFrame, rel: PgOutput.Relation): DataFrame = {
     ensureRegistered(df)
     df.select(Seq(col("op"), col("lsn"), col("seq")) ++ rel.columns.map { c =>
-      expr(s"pg_decode(coalesce(element_at(new, '${c.name}'), " +
-        s"element_at(old, '${c.name}')), ${c.oid})").as(c.name)
+      call_function("pg_decode",
+        coalesce(element_at(col("new"), lit(c.name)),
+          element_at(col("old"), lit(c.name))), lit(c.oid)).as(c.name)
     }: _*)
   }
 
@@ -54,8 +59,9 @@ object TypedProjection {
     val entries = rel.columns.map { c =>
       when(map_contains_key(col(mapCol), c.name),
         struct(lit(c.name).as("key"),
-          expr(s"cast(pg_decode(element_at($mapCol, '${c.name}'), ${c.oid}) as string)")
-            .as("value")))
+          call_function("pg_decode",
+            element_at(col(mapCol), lit(c.name)), lit(c.oid))
+            .cast("string").as("value")))
     }
     // ignoreNullFields=false: explicit SQL NULL renders as "col":null;
     // only ABSENT (unchanged TOAST) keys disappear — the A35 contract

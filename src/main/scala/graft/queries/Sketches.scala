@@ -121,16 +121,7 @@ object Sketches {
 
     // ---- stages 1-2: LSH + exact verify over representatives ----------
     val sh = shingled(repDocs)
-    val sig = withMinHashSignature(sh).select(col("doc_id"), col("sig"))
-    val bandCols: Seq[Column] = (0 until NumBands).map { j =>
-      val parts = (0 until BandRows).map(r => expr(s"sig[${j * BandRows + r}]"))
-      struct(lit(j).as("band") +: parts: _*)
-    }
-    // one shuffle keyed on the bucket builds posting lists; candidate
-    // pairs come from in-list combinatorics — no bucket self-join
-    val buckets = sig.select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bk"))
-    val cand = buckets.groupBy(col("bk"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+    val cand = minHashBuckets(sh)
       .filter(size(col("ds")).between(2, maxBucket))
       .select(explode_outer(expr(
         """flatten(transform(array_sort(ds),
@@ -170,6 +161,21 @@ object Sketches {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** MinHash LSH posting lists `(bk, ds: array<doc_id>)`, one row per
+    * (band, signature-slice) bucket, built from [[shingled]] docs: one
+    * shuffle keyed on the bucket; candidate pairs come from in-list
+    * combinatorics — no bucket self-join. */
+  private[queries] def minHashBuckets(sh: DataFrame): DataFrame = {
+    val sig = withMinHashSignature(sh).select(col("doc_id"), col("sig"))
+    val bandCols: Seq[Column] = (0 until NumBands).map { j =>
+      val parts = (0 until BandRows).map(r => expr(s"sig[${j * BandRows + r}]"))
+      struct(lit(j).as("band") +: parts: _*)
+    }
+    sig.select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bk"))
+      .groupBy(col("bk"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+  }
+
   /** 60-bit SimHash over (duplicated) whitespace tokens — partial+final
     * aggregate over exploded tokens, one row per doc. */
   def simHash(docs: DataFrame): DataFrame = {
@@ -187,25 +193,86 @@ object Sketches {
     agg.select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: LSH on 4×15-bit bands, verified by exact
-    * Hamming distance ≤ maxHamming (bit_count is codegen'd). */
-  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simHash(docs)
-    val banded = sh.select(col("doc_id"), col("simhash"), explode(array(
-      (0 until 4).map(j => struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * 15).bitwiseAND(lit(0x7fffL)).as("bh"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bh"))
-    val a = banded.select(col("band"), col("bh"),
-      col("doc_id").as("doc1"), col("simhash").as("h1"))
-    val b = banded.select(col("band"), col("bh"),
-      col("doc_id").as("doc2"), col("simhash").as("h2"))
-    a.join(b, Seq("band", "bh")).filter(col("doc1") < col("doc2"))
+  /** SimHash near-dup pairs: LSH on 4×15-bit bands (pigeonhole-exact
+    * for hamming ≤ 3), verified by exact Hamming distance ≤ maxHamming
+    * (bit_count is codegen'd).
+    *
+    * Same scale shape as [[minHashPairs]] (the r4 verdict's remaining
+    * quadratic corner): exact duplicates collapse to one representative
+    * BEFORE banding — identical texts share all four bands, so a
+    * dup-heavy corpus would otherwise put n copies into one (band, bh)
+    * key and pay C(n,2) join rows. Candidates come from capped
+    * posting-list combinatorics, never a bucket self-join; the sketch
+    * rides inside the posting list (one i64), so verification needs no
+    * join back. Member pairs expand at the end — identical text ⇒
+    * identical sketch ⇒ the representative pair's hamming is every
+    * member pair's hamming, and intra-group pairs are hamming 0. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
+    // ---- stage 0: exact-dup pre-collapse (the q35 path) ---------------
+    val groups = docs
+      .select(md5(col("text").cast("binary")).as("k"), col("doc_id"), col("text"))
+      .groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    val repDocs = groups.select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val members = groups.select(col("r.doc_id").as("rep"),
+      explode_outer(col("members")).as("m"))
+
+    // ---- stages 1-2: banded LSH + Hamming verify over representatives -
+    val repPairs = simHashBuckets(simHash(repDocs))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode_outer(expr(
+        """flatten(transform(array_sort(ds),
+          |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
+          |            y -> struct(x.doc_id AS doc1, y.doc_id AS doc2,
+          |                        x.simhash AS h1, y.simhash AS h2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc1"), col("p.doc2"), col("p.h1"), col("p.h2"))
       .dropDuplicates("doc1", "doc2")
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc1"), col("doc2"), col("hamming"))
+
+    // ---- stage 3: expand duplicate groups back to member pairs --------
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc1"), col("m").as("m1")), "doc1")
+      .join(members.select(col("rep").as("doc2"), col("m").as("m2")), "doc2")
+      .select(least(col("m1"), col("m2")).as("doc1"),
+        greatest(col("m1"), col("m2")).as("doc2"), col("hamming"))
+    val intra = members
+      .groupBy(col("rep")).agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode_outer(expr(
+        """flatten(transform(ms,
+          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
+          |            y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc1"), col("p.doc2"), lit(0).as("hamming"))
+    cross.unionByName(intra)
       .orderBy(col("doc1"), col("doc2"))
   }
+
+  /** SimHash LSH posting lists `(bk, ds: array<struct<doc_id,simhash>>)`
+    * over the 4×15-bit bands, one row per (band, bh) bucket. */
+  private[queries] def simHashBuckets(sh: DataFrame): DataFrame =
+    sh.select(
+      explode_outer(array((0 until 4).map(j => struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * 15).bitwiseAND(lit(0x7fffL)).as("bh"))): _*))
+        .as("bk"),
+      struct(col("doc_id"), col("simhash")).as("d"))
+      .groupBy(col("bk"))
+      .agg(collect_list(col("d")).as("ds"))
+
+  /** Count of LSH buckets a given cap would silently drop (no-silent-
+    * caps audit, not in the query hot path): buckets whose post-collapse
+    * size exceeds `maxBucket` lose ALL their candidate pairs, so the
+    * "LSH equals exact pairs" guarantee of [[minHashPairs]] /
+    * [[simHashPairs]] is conditional on this being 0 — assert it on a
+    * sample before trusting a new corpus, or raise the cap. Pass the
+    * output of [[minHashBuckets]]/[[simHashBuckets]] over exact-dup-
+    * collapsed docs. */
+  def overCapBuckets(buckets: DataFrame, maxBucket: Int = MaxBucketSize): Long =
+    buckets.filter(size(col("ds")) > maxBucket).count()
 
   /** DuckDB CTEs producing (doc_id, grams) — shared by the exact-pair
     * oracles of q31/q35. */

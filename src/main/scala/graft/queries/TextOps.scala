@@ -98,7 +98,9 @@ object TextOps {
         |  CAST(sum(c) AS BIGINT) AS n_docs
         |FROM (SELECT md5(text) AS h, min(doc_id) AS m, count(*) AS c
         |      FROM documents GROUP BY 1)""".stripMargin) { (s, d) =>
-      graft.Tables.wide(t(s, d, "documents"))
+      // no wide(): partial hash-agg parallelizes fine from a narrow
+      // scan, and the rebalance costs more than the md5 (r3 bench)
+      t(s, d, "documents")
         .groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min(col("doc_id")).as("m"), count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_unique"), sum(col("m")).as("keep_id_sum"),
@@ -129,7 +131,8 @@ object TextOps {
         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
         |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3
         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      ngramJaccardPairs(Sketches.shingled(graft.Tables.wide(t(s, d, "documents"))), 0.3)
+      // shingled() repartitions between tokenize and shingle itself
+      ngramJaccardPairs(Sketches.shingled(t(s, d, "documents")), 0.3)
     },
 
     // ---- Language ID: n-gram/stopword heuristic, argmax with fixed

@@ -116,17 +116,23 @@ object VectorOps {
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       nCentroids: Int, k: Int): DataFrame = {
     val cents = kmeans(spark, corpus, nCentroids, iters = 3)
-    val assigned0 = corpus
+    // NOT persisted, deliberately (the r3/r4 leaked-persist fix): the
+    // two probe passes recompute this scan + codegen'd argmax — cheap,
+    // shuffle-free map-side work — whereas a persist inside a
+    // composable operator that returns a LAZY DataFrame has no safe
+    // unpersist point and pins executor memory for the session. A
+    // deployment running many queries over one corpus should persist
+    // the assignment OUTSIDE and pass it in pre-bucketed.
+    val assigned = corpus
       .select(col("vec_id").as("cid"), col("embedding").as("cve"))
       .withColumn("bucket", assignExpr(cents, "cve"))
-    val radii = assigned0
+    val radii = assigned
       .withColumn("cdist", sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) *
         array_max(array(cents.map { case (id, v) =>
           when(col("bucket") === id, expr(s"cosine_sim(cve, ${litF(v)})"))
         }: _*)))))
       .groupBy(col("bucket")).agg(max(col("cdist")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val assigned = assigned0.persist()
 
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("bucket", assignExpr(cents, "qv"))

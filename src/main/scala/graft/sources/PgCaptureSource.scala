@@ -49,11 +49,22 @@ class PgCaptureSource extends TableProvider with DataSourceRegister {
       Option(opts.get("tables")),
       Option(opts.get("startlsn")).map(java.lang.Long.parseUnsignedLong(_, 16)),
       Option(opts.get("plugin")).getOrElse("pgoutput"),
-      Option(opts.get("maxchangesperbatch")).map(_.toInt))
+      // bounded by default: the ordered apply collects each micro-batch
+      // on the driver (A22), so an uncapped first batch after a long
+      // pause is an OOM hazard; `maxChangesPerBatch=0` opts out
+      Option(opts.get("maxchangesperbatch")).map(_.toInt)
+        .orElse(Some(PgCaptureSource.DefaultMaxChangesPerBatch))
+        .filter(_ > 0))
   }
 }
 
 object PgCaptureSource {
+  /** Default admission-control cap (changes per micro-batch). At ~100
+    * bytes a change this bounds the driver-side collect of the ordered
+    * apply leg to ~a few MB; batch boundaries still land on commit
+    * boundaries. Override with the `maxChangesPerBatch` option
+    * (0 = unbounded). */
+  final val DefaultMaxChangesPerBatch = 10000
   /** The CdcEvent envelope (SURVEY §1.1): NULL datum = present-with-
     * null map value; unchanged TOAST = absent key. */
   val schema: StructType = StructType(Seq(
@@ -108,8 +119,10 @@ final class PgCaptureMicroBatchStream(dir: String, tablesRegex: Option[String],
 
   // Incremental tail (reference currentLsn tracking,
   // pkg/source/postgres.go:165-248): each trigger decodes only segments
-  // that appeared since the previous call — never the whole feed.
-  private val tail = new WalTail(dir, plugin)
+  // that appeared since the previous call — never the whole feed. The
+  // tx index exists only under admission control, where bounded()
+  // prunes it per batch (unbounded mode would leak one entry per tx).
+  private val tail = new WalTail(dir, plugin, trackTx = maxChanges.isDefined)
 
   // Trigger.AvailableNow: pin the end of "available" WAL once at query
   // start so the run drains to a fixed checkpoint and stops (A9/A14).

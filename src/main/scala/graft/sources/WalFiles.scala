@@ -100,15 +100,31 @@ object WalFiles {
       new graft.codec.PgLogical.Decoder()
     else new PgOutput.Decoder
 
+  // Per-segment Relation-frame cache: segments are write-once (atomic
+  // move), so their 'R' frames are immutable — extract them once per
+  // JVM (per executor on a cluster) instead of re-reading every pruned
+  // segment's bytes in every batch's reader (r4 ADVICE: reader-side
+  // I/O must not stay O(total feed) after the driver side went
+  // incremental). Entries are tiny (a few schema frames per segment).
+  private val relFrames =
+    new java.util.concurrent.ConcurrentHashMap[Path, Array[Array[Byte]]]()
+  /** Cache misses = segments actually scanned (instrumentation). */
+  val relScans = new java.util.concurrent.atomic.AtomicLong
+
   /** Decode ONLY Relation ('R') frames of `segs` into `decoder` — the
     * state-only replay a resumed reader needs: its segment pruning may
     * drop segments that declared relations still referenced by later
     * rows (both wire formats tag relation messages with a leading 'R').
-    * No tuples are decoded, so cost is frame iteration plus the handful
-    * of R frames. */
+    * Segment bytes are read at most once per JVM; warm calls replay the
+    * cached frames (bounded by table count, not feed size). */
   def warmRelations(segs: Seq[Path], decoder: PgOutput.WireDecoder): Unit =
-    segs.iterator.flatMap(readFrames).foreach { f =>
-      if (f.nonEmpty && f(0) == 'R') decoder.decode(f)
+    segs.foreach { p =>
+      val frames = relFrames.computeIfAbsent(p, { path =>
+        relScans.incrementAndGet()
+        readFrames(path).filter(f => f.nonEmpty && f(0) == 'R').toArray
+      })
+      if (relFrames.size > 8192) relFrames.clear() // stream-lifetime bound
+      frames.foreach(decoder.decode)
     }
 
   /** Standby-status feedback (A10): persist the acked checkpoint so

@@ -26,24 +26,49 @@ import graft.codec.PgOutput
   *    start are pruned, so the index holds only not-yet-dispatched
   *    transactions (the reference's bounded in-flight channel role).
   */
-final class WalTail(dir: String, plugin: String = "pgoutput") {
+final class WalTail(dir: String, plugin: String = "pgoutput",
+    trackTx: Boolean = true) {
 
-  private val decoder = WalFiles.decoderFor(plugin)
+  private var decoder = WalFiles.decoderFor(plugin)
   private val consumedSegments = mutable.Set.empty[Long]
   // replay state carried across segments (a tx may span segments)
   private var lsn = 0L
   private var seq = 0
   private var lastCp = Checkpoint.Zero
-  // (commitLsn, number of changes in the tx), in feed order
+  // (commitLsn, number of changes in the tx), in feed order. Maintained
+  // ONLY under admission control (`trackTx`): bounded() prunes it per
+  // batch; without a cap nothing ever would, and one entry per
+  // transaction for the stream's lifetime is an unbounded driver leak.
   private val txIndex = mutable.ArrayDeque.empty[(Long, Int)]
+  // highest segment firstLsn consumed (unsigned); None until the first
+  private var consumedMax: Option[Long] = None
 
   /** Frames decoded since construction — instrumentation proving the
     * O(new data) contract (WalTailSpec). */
   @volatile var framesDecoded: Long = 0L
+  /** Full-state resets forced by out-of-order segment appearance. */
+  @volatile var resets: Int = 0
 
   /** Decode any newly-appeared segments into the tail state. */
   def advance(): Unit = synchronized {
-    WalFiles.segments(dir).foreach { case (first, path) =>
+    val segs = WalFiles.segments(dir)
+    // Segments must appear in increasing firstLsn order (write-once,
+    // atomic move). If one lands BELOW the consumed high-water mark
+    // (slow concurrent producer), decoding it now would feed frames out
+    // of order — regressing lastCp and corrupting txIndex. Reset and
+    // re-decode the whole feed in sorted order instead (the pre-r4
+    // full-rescan semantics, paid only on this anomaly).
+    val outOfOrder = consumedMax.exists(mx => segs.exists { case (first, _) =>
+      !consumedSegments.contains(first) &&
+        java.lang.Long.compareUnsigned(first, mx) < 0
+    })
+    if (outOfOrder) {
+      decoder = WalFiles.decoderFor(plugin)
+      consumedSegments.clear(); txIndex.clear()
+      lsn = 0L; seq = 0; lastCp = Checkpoint.Zero; consumedMax = None
+      resets += 1
+    }
+    segs.foreach { case (first, path) =>
       if (!consumedSegments.contains(first)) {
         WalFiles.readFrames(path).foreach { frame =>
           framesDecoded += 1
@@ -53,13 +78,19 @@ final class WalTail(dir: String, plugin: String = "pgoutput") {
             case _: PgOutput.Change =>
               seq += 1
               lastCp = Checkpoint(lsn, seq)
-              if (txIndex.nonEmpty && txIndex.last._1 == lsn)
-                txIndex(txIndex.length - 1) = (lsn, seq)
-              else txIndex.append((lsn, seq))
+              if (trackTx) {
+                if (txIndex.nonEmpty && txIndex.last._1 == lsn)
+                  txIndex(txIndex.length - 1) = (lsn, seq)
+                else txIndex.append((lsn, seq))
+              }
             case _ => () // Commit / Relation / Unknown advance no checkpoint
           }
         }
         consumedSegments += first
+        consumedMax = Some(consumedMax match {
+          case Some(mx) if java.lang.Long.compareUnsigned(mx, first) >= 0 => mx
+          case _ => first
+        })
       }
     }
   }
@@ -75,6 +106,7 @@ final class WalTail(dir: String, plugin: String = "pgoutput") {
     */
   def bounded(from: Checkpoint, maxChanges: Int): Checkpoint = synchronized {
     advance()
+    if (!trackTx) return lastCp // no index → no admission control
     // prune transactions fully delivered before this batch start
     while (txIndex.nonEmpty &&
         !Checkpoint(txIndex.head._1, txIndex.head._2).after(from))

@@ -56,6 +56,31 @@ class TypedProjectionSpec extends AnyFunSuite {
     assert(sch("id").dataType == LongType)
   }
 
+  test("column names with quotes round-trip (no SQL-text interpolation)") {
+    // a legal PG identifier: create table t ("wei'rd x" int, ...)
+    val weird = R(2, "public", "t2", 'd', Seq(
+      C("id", PgType.Int8, isKey = true),
+      C("wei'rd x", PgType.Int4, isKey = false),
+      C("""qu"ote""", PgType.Text, isKey = false)))
+    val spark = SparkTestSession.spark
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("lsn", LongType),
+      StructField("seq", IntegerType),
+      StructField("new", MapType(StringType, BinaryType)),
+      StructField("old", MapType(StringType, BinaryType))))
+    val rows = Seq(Row("INSERT", 1L, 1, Map(
+      "id" -> PgType.encode(PgType.Int8, 5L),
+      "wei'rd x" -> PgType.encode(PgType.Int4, 42),
+      """qu"ote""" -> PgType.encode(PgType.Text, "v")), null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = TypedProjection.project(df, weird).collect()
+    assert(out(0).getAs[Int]("wei'rd x") == 42)
+    assert(out(0).getAs[String]("""qu"ote""") == "v")
+    val js = TypedProjection.toJson(df, weird).select("js")
+      .collect()(0).getString(0)
+    assert(js.contains("wei'rd x"))
+  }
+
   test("projectFilled back-fills TOAST from the old image") {
     val out = TypedProjection.projectFilled(envelope(), rel)
       .orderBy("lsn").collect()

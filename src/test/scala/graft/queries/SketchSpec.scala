@@ -64,6 +64,35 @@ class SketchSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must contain simhash near-dups")
   }
 
+  test("SimHash banded pairing: capped == uncapped (q50 bucket cap)") {
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val capped = asSet(Sketches.simHashPairs(docs, 3))
+    val uncapped = asSet(Sketches.simHashPairs(docs, 3, maxBucket = Int.MaxValue))
+    assert(capped == uncapped,
+      s"missing=${uncapped -- capped} extra=${capped -- uncapped}")
+    assert(capped.nonEmpty)
+  }
+
+  test("LSH bucket caps are exercised by the fixture and lossless (no-silent-caps)") {
+    // the pair pipelines band exact-dup-collapsed docs — audit the same
+    val reps = docs
+      .select(md5(col("text").cast("binary")).as("k"), col("doc_id"), col("text"))
+      .groupBy("k")
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val mh = Sketches.minHashBuckets(Sketches.shingled(reps))
+    val sh = Sketches.simHashBuckets(Sketches.simHash(reps))
+    // cap must be observable: multi-entry buckets exist, so a cap
+    // regression (dropping them) would flip the pair-set tests above
+    assert(mh.filter(size(col("ds")) >= 2).count() > 0)
+    assert(sh.filter(size(col("ds")) >= 2).count() > 0)
+    // and at the default cap nothing is dropped on this corpus — the
+    // precondition of the 'LSH == exact' guarantee
+    assert(Sketches.overCapBuckets(mh) == 0)
+    assert(Sketches.overCapBuckets(sh) == 0)
+  }
+
   test("bound-pruned IVF == brute force (q40 exactness)") {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")

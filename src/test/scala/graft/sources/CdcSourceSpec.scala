@@ -157,6 +157,35 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(batches.size >= 2, s"the feed drains over multiple batches: $batches")
   }
 
+  test("admission control is bounded by default; 0 opts out") {
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+    def streamFor(props: Map[String, String]) = {
+      val m = new java.util.HashMap[String, String]()
+      props.foreach { case (k, v) => m.put(k, v) }
+      new PgCaptureSource().getTable(PgCaptureSource.schema, Array.empty, m)
+        .asInstanceOf[PgCaptureTable]
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().toMicroBatchStream("ignored")
+        .asInstanceOf[PgCaptureMicroBatchStream]
+    }
+    val dir = Files.createTempDirectory("walD").toString
+    // no option → the bounded default (driver-collect OOM guard)
+    streamFor(Map("path" -> dir)).getDefaultReadLimit match {
+      case mr: ReadMaxRows =>
+        assert(mr.maxRows() == PgCaptureSource.DefaultMaxChangesPerBatch)
+      case other => fail(s"expected bounded default, got $other")
+    }
+    // explicit 0 = unbounded (the old default, now opt-in)
+    assert(streamFor(Map("path" -> dir, "maxChangesPerBatch" -> "0"))
+      .getDefaultReadLimit == ReadLimit.allAvailable())
+    // explicit value wins
+    streamFor(Map("path" -> dir, "maxChangesPerBatch" -> "7"))
+      .getDefaultReadLimit match {
+      case mr: ReadMaxRows => assert(mr.maxRows() == 7L)
+      case other => fail(s"expected maxRows(7), got $other")
+    }
+  }
+
   test("envelope batches convert to typed Dataset[CdcEvent]") {
     val walDir = Files.createTempDirectory("walT").toString
     val ckDir = Files.createTempDirectory("ckE").toString

@@ -45,6 +45,47 @@ class WalTailSpec extends AnyFunSuite {
     assert(tail.framesDecoded == afterFirst + 4)
   }
 
+  test("out-of-order segment appearance resets the tail, offsets stay monotone") {
+    val dir = Files.createTempDirectory("tailO").toString
+    WalFiles.writeSegment(dir, 200L,
+      PgOutput.Encoder.relation(rel) +: tx(200L, 2))
+    val tail = new WalTail(dir)
+    assert(tail.last() == Checkpoint(200L, 2))
+    // a straggler lands BELOW the consumed high-water mark (slow
+    // concurrent producer): silently decoding it after segment 200
+    // would feed the decoder out of order and regress the checkpoint
+    WalFiles.writeSegment(dir, 150L,
+      PgOutput.Encoder.relation(rel) +: tx(150L, 1))
+    assert(tail.last() == Checkpoint(200L, 2),
+      "latestOffset must never go backwards (Spark monotone-offset contract)")
+    assert(tail.resets == 1, "low segment must force a state reset")
+    // the tx index was rebuilt in feed order: the straggler batches first
+    assert(tail.bounded(Checkpoint.Zero, 1) == Checkpoint(150L, 1))
+    assert(tail.bounded(Checkpoint(150L, 1), 2) == Checkpoint(200L, 2))
+  }
+
+  test("warmRelations scans each segment's bytes once per JVM (R-frame cache)") {
+    val dir = Files.createTempDirectory("tailW").toString
+    val p = WalFiles.writeSegment(dir, 300L,
+      PgOutput.Encoder.relation(rel) +: tx(300L, 1))
+    val scans0 = WalFiles.relScans.get()
+    val d1 = WalFiles.decoderFor("pgoutput")
+    WalFiles.warmRelations(Seq(p), d1)
+    assert(WalFiles.relScans.get() == scans0 + 1)
+    // a second reader over the same pruned segment replays cached frames
+    val d2 = WalFiles.decoderFor("pgoutput")
+    WalFiles.warmRelations(Seq(p), d2)
+    assert(WalFiles.relScans.get() == scans0 + 1,
+      "reader-side warmup must not re-read pruned segment bytes per batch")
+    // and the cached warmup really seeded the relation state
+    val decoded = d2.decode(PgOutput.Encoder.insert(rel,
+      Seq(PgType.encode(PgType.Int8, 7L))))
+    assert(decoded match {
+      case c: PgOutput.Change => c.rel.name == "t1"
+      case other => fail(s"expected Change, got $other")
+    })
+  }
+
   test("bounded places batch ends on commit boundaries from the tx index") {
     val dir = Files.createTempDirectory("tailB").toString
     // txs of sizes 1, 3, 1, 1 — the CdcSourceSpec rate-limit fixture

@@ -52,6 +52,23 @@ class BusSpec extends AnyFunSuite {
     assert(store.rows("public.t").map(_("id")).toSet == Set(10L, 20L))
   }
 
+  test("producer watermark is cached: one tracker scan, O(new) per produce") {
+    val dir = Files.createTempDirectory("bus4").toString
+    val p = Bus.producer(dir)
+    assert(p.trackerScans == 0)
+    assert(p.produce(Seq(ch(1, 1, 1))) == 1)
+    assert(p.produce(Seq(ch(1, 1, 1), ch(2, 1, 2))) == 1) // redelivery + 1 new
+    assert(p.produce(Seq(ch(3, 1, 3))) == 1)
+    assert(p.trackerScans == 1,
+      "read-to-end scan must run once per producer, not per produce")
+    // restart: a fresh producer re-warms from the segment exactly once
+    val p2 = new BusProducer(dir)
+    assert(p2.produce(Seq(ch(2, 1, 2), ch(3, 1, 3), ch(4, 1, 4))) == 1)
+    assert(p2.trackerScans == 1)
+    assert(Bus.last(dir).contains(Checkpoint(4, 1)))
+    assert(Bus.consume(dir).map(_.lsn) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("replication lag gauge (A38)") {
     val lag = new ReplicationLag
     assert(lag.lagMillis().isEmpty, "no data yet → undefined, not zero")
