@@ -28,16 +28,16 @@ object PgType {
   val Bool = 16; val Bytea = 17; val Int8 = 20; val Int2 = 21; val Int4 = 23
   val Text = 25; val Json = 114; val Float4 = 700; val Float8 = 701
   val Bpchar = 1042; val Varchar = 1043; val Date = 1082; val Time = 1083
-  val Timestamp = 1114; val Timestamptz = 1184; val Numeric = 1700
-  val Uuid = 2950; val Jsonb = 3802
+  val Timestamp = 1114; val Timestamptz = 1184; val Interval = 1186
+  val Numeric = 1700; val Uuid = 2950; val Jsonb = 3802
 
   // 1-D array OIDs → element OID
   val arrayElem: Map[Int, Int] = Map(
     1000 -> Bool, 1001 -> Bytea, 1005 -> Int2, 1007 -> Int4, 1016 -> Int8,
     1009 -> Text, 199 -> Json, 1021 -> Float4, 1022 -> Float8,
     1014 -> Bpchar, 1015 -> Varchar, 1182 -> Date, 1183 -> Time,
-    1115 -> Timestamp, 1185 -> Timestamptz, 1231 -> Numeric,
-    2951 -> Uuid, 3807 -> Jsonb)
+    1115 -> Timestamp, 1185 -> Timestamptz, 1187 -> Interval,
+    1231 -> Numeric, 2951 -> Uuid, 3807 -> Jsonb)
   val elemToArray: Map[Int, Int] = arrayElem.map(_.swap)
 
   /** µs between PG epoch 2000-01-01 and Unix epoch 1970-01-01
@@ -59,6 +59,7 @@ object PgType {
     case Date => DateType
     case Time => LongType // µs of day
     case Timestamp | Timestamptz => TimestampType
+    case Interval => CalendarIntervalType
     case Numeric => DecimalType(38, 18)
     case a if arrayElem.contains(a) => ArrayType(sparkType(arrayElem(a)))
     case other => throw new CodecException(s"unsupported OID $other")
@@ -91,6 +92,11 @@ object PgType {
         val us = r.int64() + PgEpochMicros
         Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
           Math.floorMod(us, 1000000L) * 1000L)
+      case Interval =>
+        // interval_send: i64 µs, i32 days, i32 months — exactly
+        // Catalyst's CalendarInterval (months, days, microseconds)
+        val us = r.int64(); val days = r.int32(); val months = r.int32()
+        new org.apache.spark.unsafe.types.CalendarInterval(months, days, us)
       case Numeric => decodeNumeric(r)
       case a if arrayElem.contains(a) => decodeArray(r, arrayElem(a))
       case other => throw new CodecException(s"unsupported OID $other")
@@ -161,6 +167,9 @@ object PgType {
         val us = Math.multiplyExact(inst.getEpochSecond, 1000000L) +
           inst.getNano / 1000L
         w.int64(us - PgEpochMicros)
+      case Interval =>
+        val iv = value.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+        w.int64(iv.microseconds).int32(iv.days).int32(iv.months)
       case Numeric => encodeNumeric(w, value.asInstanceOf[JBigDecimal])
       case a if arrayElem.contains(a) =>
         encodeArray(w, arrayElem(a), value.asInstanceOf[Seq[Any]])

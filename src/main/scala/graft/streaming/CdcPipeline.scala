@@ -38,7 +38,12 @@ object CdcPipeline {
       .toSeq
   }
 
-  /** Start the capture→apply pipeline over a WAL feed directory. */
+  /** Start the capture→apply pipeline over a WAL feed directory.
+    *
+    * The stream carries an `observe()` block (changes, max lsn, latest
+    * commit_ts) so every StreamingQueryProgress event reports apply
+    * metrics — attach a [[GraftMetricsListener]] via
+    * `spark.streams.addListener` for the A38 lag gauge. */
   def start(spark: SparkSession, walDir: String, checkpointDir: String,
       store: CdcApplier.TxStore, sourceId: String,
       keys: CdcApplier.KeyResolver, tablesRegex: Option[String] = None,
@@ -46,6 +51,10 @@ object CdcPipeline {
     val reader = spark.readStream.format("pgcapture").option("path", walDir)
     tablesRegex.foreach(r => reader.option("tables", r))
     reader.load()
+      .observe(GraftMetricsListener.MetricName,
+        count(lit(1)).as("changes"),
+        max(col("lsn")).as("max_lsn"),
+        max(col("commit_ts")).as("last_commit_ts"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

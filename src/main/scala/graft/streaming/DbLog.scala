@@ -39,6 +39,52 @@ object DbLog {
       .withColumn("lsn", lit(0L))
       .withColumn("seq", lit(dumpId))
 
+  /** One TID page range as a SQL predicate — the reference's DumpQuery
+    * WHERE clause (pkg/dblog/dumper.go:112-122): PG ≥ 14 plans a TID
+    * Range Scan for it, so partial scans touch only their blocks. The
+    * upper bound uses offset 65535 (max offset number) rather than
+    * `(end+1, 0)` for the same max-block edge case the reference
+    * documents. */
+  def ctidRangePredicate(pageBegin: Long, pageEnd: Long): String =
+    s"ctid >= '($pageBegin,0)'::tid AND ctid <= '($pageEnd,65535)'::tid"
+
+  /** Split `[0, maxPages)` into `(begin, endInclusive)` chunks of
+    * `pagesPerChunk` — the reference dump planner's DumpInfo units. */
+  def pageRanges(maxPages: Long, pagesPerChunk: Int): Seq[(Long, Long)] = {
+    require(pagesPerChunk > 0, "pagesPerChunk must be positive")
+    (0L until maxPages by pagesPerChunk.toLong)
+      .map(b => (b, math.min(b + pagesPerChunk, maxPages) - 1))
+  }
+
+  /** DumpInfo units covering a table — feed these to the [[Scheduler]]
+    * for the drip-fed per-client flow, or scan them all at once with
+    * [[tidRangeScan]]. */
+  def plan(schema: String, table: String, maxPages: Long,
+      pagesPerChunk: Int): Seq[DumpInfo] =
+    pageRanges(maxPages, pagesPerChunk)
+      .map { case (b, e) => DumpInfo(schema, table, b, e) }
+
+  /** TID-range partitioned snapshot scan (A26 proper, reference
+    * PGXSourceDumper): ONE Spark input partition per page range,
+    * executed as `spark.read.jdbc(url, table, predicates, …)` — Spark's
+    * JDBC relation plans exactly one partition per predicate, which IS
+    * the "DSv2 Batch with one InputPartition per ctid range" shape, with
+    * pushdown, column pruning and the connection pool handled by the
+    * built-in source rather than re-implemented.
+    *
+    * `predicateFor` defaults to [[ctidRangePredicate]] (PostgreSQL);
+    * tests run the same plumbing against embedded Derby with a plain
+    * column predicate. Compose with [[dumpAsUpdates]] +
+    * [[graft.cdc.CdcApply.mergeSnapshot]] for the DBLog merge (q47). */
+  def tidRangeScan(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String, maxPages: Long, pagesPerChunk: Int,
+      props: java.util.Properties,
+      predicateFor: (Long, Long) => String = ctidRangePredicate): DataFrame = {
+    val predicates = pageRanges(maxPages, pagesPerChunk)
+      .map { case (b, e) => predicateFor(b, e) }.toArray
+    spark.read.jdbc(url, table, predicates, props)
+  }
+
   /** LSN staleness guard (A26): a replica may only serve a dump if its
     * applied watermark has reached the requester's observed LSN. */
   final case class LsnFallBehind(replica: Checkpoint, required: Checkpoint)

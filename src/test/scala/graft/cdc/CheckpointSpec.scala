@@ -26,6 +26,23 @@ class CheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("PITR log scan recovers the last consistent-recovery LSN (A21)") {
+    val log = Seq(
+      "2024-01-01 LOG:  starting point-in-time recovery",
+      "2024-01-01 LOG:  consistent recovery state reached at 0/1A2B3C4D",
+      "2024-01-01 LOG:  redo done at 2/00FF0001",
+      "2024-01-01 LOG:  last completed transaction was at log time 2024-01-01 10:00:00.5+00.",
+      "2024-01-01 LOG:  database system is ready")
+    val cp = PitrLog.scanCheckpointFromLog(log.iterator)
+    // the LAST lsn line wins (redo done supersedes consistent-state)
+    assert(cp.lsnText.contains("2/00FF0001"))
+    assert(cp.lsn.contains((2L << 32) | 0x00FF0001L))
+    assert(cp.txTime.exists(_.startsWith("2024-01-01 10:00:00.5+00")))
+    // no recovery lines → empty, caller falls back to the watermark
+    assert(PitrLog.scanCheckpointFromLog(Iterator("LOG: ready")).lsn.isEmpty)
+    assert(PitrLog.parseLsn("0/0") == 0L)
+  }
+
   test("afterCheckpoint DataFrame filter matches case-class compare") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

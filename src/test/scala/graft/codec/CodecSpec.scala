@@ -113,6 +113,17 @@ class CodecSpec extends AnyFunSuite {
     assert(decode(Text, null) == null)
   }
 
+  test("interval: (months, days, µs) triple incl. negatives (OID 1186)") {
+    import org.apache.spark.unsafe.types.CalendarInterval
+    val iv = new CalendarInterval(14, 3, 12 * 3600L * 1000000L + 30L)
+    assert(rt(Interval, iv) == iv)
+    val neg = new CalendarInterval(-1, -2, -3L)
+    assert(rt(Interval, neg) == neg)
+    assert(sparkType(Interval) ==
+      org.apache.spark.sql.types.CalendarIntervalType)
+    assert(rt(elemToArray(Interval), Seq(iv, null, neg)) == Seq(iv, null, neg))
+  }
+
   // -------------------------------------------------------------- pgoutput
 
   private val fixtureRel = R(16385, "public", "t", 'd', Seq(

@@ -68,6 +68,43 @@ class DbLogSpec extends AnyFunSuite {
     }
   }
 
+  test("ctid predicates mirror the reference DumpQuery block ranges") {
+    assert(ctidRangePredicate(0, 4095) ==
+      "ctid >= '(0,0)'::tid AND ctid <= '(4095,65535)'::tid")
+    assert(pageRanges(10, 3) == Seq((0L, 2L), (3L, 5L), (6L, 8L), (9L, 9L)))
+    assert(plan("public", "t", 8, 4) == Seq(
+      DumpInfo("public", "t", 0, 3), DumpInfo("public", "t", 4, 7)))
+  }
+
+  test("TID-range scan: one input partition per page range, full coverage") {
+    // same plumbing as the PG ctid scan, against embedded Derby with a
+    // plain page-column predicate (Derby has no ctid)
+    val conn = java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:dump1;create=true")
+    val st = conn.createStatement()
+    st.execute("create table pages(pg int, id int, val int)")
+    val ins = conn.prepareStatement("insert into pages values (?, ?, ?)")
+    (0 until 100).foreach { i =>
+      ins.setInt(1, i / 10); ins.setInt(2, i); ins.setInt(3, i * 2)
+      ins.addBatch()
+    }
+    ins.executeBatch(); conn.commit(); st.close()
+
+    val spark = graft.SparkTestSession.spark
+    val props = new java.util.Properties()
+    props.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = tidRangeScan(spark, "jdbc:derby:memory:dump1", "pages",
+      maxPages = 10, pagesPerChunk = 3, props,
+      predicateFor = (b, e) => s"pg >= $b AND pg <= $e")
+    assert(df.rdd.getNumPartitions == 4, "one partition per page range")
+    assert(df.count() == 100, "ranges cover every row exactly once")
+    // dump rows flow on as UPDATEs at (lsn=0, seq=dumpId) — the q47 merge
+    val up = dumpAsUpdates(df, dumpId = 3)
+    assert(up.filter(org.apache.spark.sql.functions.col("op") === "UPDATE")
+      .count() == 100)
+    conn.close()
+  }
+
   test("dumpAsUpdates stamps the (lsn=0, seq=dumpId) convention") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

@@ -68,6 +68,37 @@ class PipelineSpec extends AnyFunSuite {
       Set((1L, 100), (2L, 250), (4L, 400)))
   }
 
+  test("observed metrics reach a StreamingQueryListener (A38 lag gauge)") {
+    val walDir = Files.createTempDirectory("pmet").toString
+    val ckDir = Files.createTempDirectory("pmetck").toString
+    val spark = SparkTestSession.spark
+    val store = new InMemoryTxStore
+    val registry = new SchemaRegistry
+    registry.update(rel)
+    graft.sources.WalFiles.writeSegment(walDir, 20L,
+      PgOutput.Encoder.relation(rel) +:
+        (tx(20L, ins(1, 100), ins(2, 200)) ++ tx(21L, upd(2, 250))))
+
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val q = CdcPipeline.start(spark, walDir, ckDir, store, "met",
+        registry.keyColumns(_, _))
+      q.awaitTermination(60000)
+      // listener events are delivered asynchronously — poll briefly
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.changesApplied < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(listener.changesApplied == 3, "3 changes observed through progress")
+      assert(listener.lastLsn == 21L)
+      assert(listener.batchesObserved >= 1)
+      // commit_ts of tx 21 drives the gauge: lag is defined and moves
+      // with the wall clock, never negative
+      assert(listener.replicationLag.lagMillis().exists(_ >= 0L),
+        "lag gauge must be defined after the first applied batch")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("single-writer lock excludes a second applier (A22)") {
     val dir = Files.createTempDirectory("lock").toString
     val a = new SingleWriterLock(dir, "target")
