@@ -35,7 +35,19 @@ final class JdbcTxStore(conn: Connection,
   conn.setAutoCommit(false)
   ensureWatermarkTable()
 
-  private val stmts = mutable.HashMap.empty[String, PreparedStatement]
+  // LRU-bounded: insert SQL varies by batch size (1..2500 value
+  // tuples), so an unbounded cache would hold one server-side prepared
+  // statement per distinct size for the connection's lifetime
+  private val MaxCachedStatements = 256
+  private val stmts = new java.util.LinkedHashMap[String, PreparedStatement](
+    64, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, PreparedStatement]): Boolean = {
+      val evict = size() > MaxCachedStatements
+      if (evict) { try e.getValue.close() catch { case _: Exception => () } }
+      evict
+    }
+  }
   var commits = 0
   var rollbacks = 0
   /** Test hook mirroring [[graft.streaming.InMemoryTxStore]]: throw
@@ -43,8 +55,15 @@ final class JdbcTxStore(conn: Connection,
     * commit lands. */
   var failOnCommit: Int = -1
 
-  private def prepared(sql: String): PreparedStatement =
-    stmts.getOrElseUpdate(sql, conn.prepareStatement(sql))
+  private def prepared(sql: String): PreparedStatement = {
+    val cached = stmts.get(sql)
+    if (cached != null) cached
+    else {
+      val ps = conn.prepareStatement(sql)
+      stmts.put(sql, ps)
+      ps
+    }
+  }
 
   /** JDBC bind covering every JVM type [[graft.codec.PgType.decode]]
     * produces. Null needs the declared parameter type on strict
@@ -186,7 +205,7 @@ final class JdbcTxStore(conn: Connection,
   }
 
   override def close(): Unit = {
-    stmts.values.foreach(s => try s.close() catch { case _: Exception => () })
+    stmts.values.forEach(s => try s.close() catch { case _: Exception => () })
     // reads under autocommit-off leave an implicit tx open; discard it
     try conn.rollback() catch { case _: java.sql.SQLException => () }
     conn.close()

@@ -64,4 +64,26 @@ object CdcPipeline {
       }
       .start()
   }
+
+  /** The capture→bus leg (the reference's pg2pulsar, cmd/pg2pulsar.go):
+    * WAL feed → bus producer, idempotent via the producer's cached
+    * watermark (A11-A13). Against a real broker this leg is
+    * `writeStream.format("kafka")` with `key = lsn|seq` and the broker's
+    * log compaction playing the part of the segment file — the seam is
+    * the foreachBatch body. */
+  def startBusLeg(spark: SparkSession, walDir: String, checkpointDir: String,
+      busDir: String, tablesRegex: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream.format("pgcapture").option("path", walDir)
+    tablesRegex.foreach(r => reader.option("tables", r))
+    reader.load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Bus.produce(busDir, toChanges(batch))
+        ()
+      }
+      .start()
+  }
 }
