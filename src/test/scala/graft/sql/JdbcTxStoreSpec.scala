@@ -47,6 +47,47 @@ class JdbcTxStoreSpec extends TxStoreContract {
     try f(h) finally h.close()
   }
 
+  test("full pipeline into the JDBC store: WAL feed → DSv2 source → Derby") {
+    import graft.codec.{PgOutput, PgType}
+    import graft.codec.PgOutput.{Column => C, Relation => R}
+    val rel = R(1, "public", "accounts", 'd', Seq(
+      C("id", PgType.Int8, isKey = true), C("bal", PgType.Int4, isKey = false)))
+    def tx(lsn: Long, msgs: Array[Byte]*): Seq[Array[Byte]] =
+      PgOutput.Encoder.begin(lsn, lsn * 1000, lsn.toInt) +:
+        msgs.toSeq :+ PgOutput.Encoder.commit(lsn, lsn, lsn * 1000)
+    def ins(id: Long, bal: Int) = PgOutput.Encoder.insert(rel,
+      Seq(PgType.encode(PgType.Int8, id), PgType.encode(PgType.Int4, bal)))
+    def upd(id: Long, bal: Int) = PgOutput.Encoder.update(rel, None,
+      Seq(PgType.encode(PgType.Int8, id), PgType.encode(PgType.Int4, bal)))
+
+    val walDir = java.nio.file.Files.createTempDirectory("jwal").toString
+    graft.sources.WalFiles.writeSegment(walDir, 50L,
+      PgOutput.Encoder.relation(rel) +: (
+        tx(50L, ins(1, 100), ins(2, 200)) ++ tx(51L, upd(2, 222))))
+
+    val conn = JdbcTxStoreSpec.freshDb()
+    val st = conn.createStatement()
+    st.execute("""create schema "public"""")
+    st.execute("""create table "public"."accounts" (
+      "id" bigint not null primary key, "bal" integer)""")
+    conn.commit()
+    val store = new JdbcTxStore(conn)
+    val registry = new graft.cdc.SchemaRegistry
+    registry.update(rel)
+    val spark = graft.SparkTestSession.spark
+    val q = graft.streaming.CdcPipeline.start(spark, walDir,
+      java.nio.file.Files.createTempDirectory("jck").toString,
+      store, "acct", registry.keyColumns(_, _))
+    q.awaitTermination(60000)
+    val rs = st.executeQuery("""select "id", "bal" from "public"."accounts" order by "id"""")
+    val rows = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getLong(1), r.getInt(2))).toSeq
+    rs.close()
+    assert(rows == Seq((1L, 100), (2L, 222)))
+    assert(store.readWatermark("acct").contains(graft.cdc.Checkpoint(51, 1)))
+    st.close(); store.close()
+  }
+
   test("watermark table round-trips across store instances (A21 recovery)") {
     withHarness { h =>
       CdcApplier.applyBatch(h.store, "s", Seq(ch("INSERT", 9, 2, 1, Some(1))),
