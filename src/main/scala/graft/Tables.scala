@@ -52,6 +52,23 @@ object Tables {
     else df.repartition(target)
   }
 
+  /** Write `df` into the session catalog bucketed (and sorted) by
+    * `keys` — the 100 TB co-location tool: two tables bucketed the same
+    * way join/aggregate on the bucket keys with NO shuffle exchange
+    * (each bucket pair meets on one task). Bucket the big fact tables
+    * once at ingest; every later join is exchange-free
+    * (BucketedJoinSpec asserts the plan shape). Bucket count should be
+    * sized so one bucket ≈ one task's worth of data at the target
+    * scale — it is fixed at write time, unlike AQE shuffle coalescing.
+    */
+  def bucketize(df: DataFrame, table: String, buckets: Int,
+      keys: String*): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Register all tables as temp views for spark.sql entry points. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -57,6 +57,25 @@ class SqlBuilderSpec extends AnyFunSuite {
       "update \"public\".\"my\"\"table\" set \"c\"\"1\"=$1 where \"id\"=$2")
   }
 
+  test("randomized placeholder alignment across shapes (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val pRe = """\$(\d+)""".r
+    def params(q: String): Seq[Int] =
+      pRe.findAllMatchIn(q).map(_.group(1).toInt).toSeq
+    for (_ <- 1 to 200) {
+      val cols = (1 to 1 + rnd.nextInt(8)).map(i => s"c$i")
+      val keys = (1 to 1 + rnd.nextInt(3)).map(i => s"k$i")
+      val count = 1 + rnd.nextInt(6)
+      // insert binds cols.size × count params, numbered 1..n in order
+      assert(params(insertQuery(InsertOption("s", "t", cols, count, keys)))
+        == (1 to cols.size * count))
+      // update binds sets then keys, one continuous numbering
+      assert(params(updateQuery("s", "t", cols, keys))
+        == (1 to cols.size + keys.size))
+      assert(params(deleteQuery("s", "t", keys)) == (1 to keys.size))
+    }
+  }
+
   test("degenerate shapes are rejected") {
     intercept[IllegalArgumentException](deleteQuery("s", "t", Seq.empty))
     intercept[IllegalArgumentException](updateQuery("s", "t", Seq.empty, Seq("k")))
