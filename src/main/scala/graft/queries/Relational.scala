@@ -477,18 +477,29 @@ object Relational {
     },
 
     // ---- Tumbling time window rollup (streaming window agg, batch form) ----
+    // sum/avg aggregate in DECIMAL (exact, order-independent: double
+    // summation order differs between engines) and ROUND in decimal
+    // too — an exact .xx5 tie rounds HALF_UP in decimal on both
+    // engines, while double rounding is binary and diverged on 3 of
+    // 3385 groups at sf0.1. The avg does ONE double division of
+    // identical operands (deterministic), then decimal-rounds.
     QueryDef.sql("q27_hourly_rollup",
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value,
-        |  round(avg(value), 4) AS avg_value
+        |  count(*) AS cnt,
+        |  CAST(round(sum(CAST(value AS DECIMAL(25,10))), 2) AS DOUBLE) AS sum_value,
+        |  CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE)
+        |    / count(*) AS DECIMAL(25,10)), 4) AS DOUBLE) AS avg_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
       t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("value")), 2).as("sum_value"),
-          round(avg(col("value")), 4).as("avg_value"))
+          sum(col("value").cast("decimal(25,10)")).as("sd"))
+        .select(col("hour_start"), col("event_type"), col("cnt"),
+          round(col("sd"), 2).cast("double").as("sum_value"),
+          round((col("sd").cast("double") / col("cnt")).cast("decimal(25,10)"), 4)
+            .cast("double").as("avg_value"))
         .orderBy(col("hour_start"), col("event_type"))
     },
 

@@ -82,15 +82,12 @@ object Sketches {
     size(array_intersect(col("g1"), col("g2")))
       .cast("double") / size(array_union(col("g1"), col("g2")))
 
-  /** LSH bucket posting-list cap — the q31 `MaxGramDf` argument applied
-    * to bands (r3 verdict item 2): pair fan-out per bucket is bounded by
-    * C(MaxBucketSize, 2) regardless of corpus skew. With exact
-    * duplicates pre-collapsed (the dominant cause of hot buckets — a
-    * crawl corpus's boilerplate pages land in ONE bucket per band), a
-    * capped-out bucket can only lose a candidate pair whose EVERY one of
-    * the 32 bands is >MaxBucketSize-hot with distinct near-dup texts;
-    * such pairs sit in dense near-dup cliques whose membership is
-    * already represented through other members' surviving pairs. */
+  /** LSH bucket strategy threshold (see [[elementPairs]]): buckets up
+    * to this size expand their pairs in-list (one row, no join); hotter
+    * buckets — dense near-dup cliques that survive exact-dup collapse —
+    * take a distributed per-bucket self-join. Nothing is dropped at
+    * either size; the cap only bounds how much pair data a single task
+    * materializes at once. */
   final val MaxBucketSize = 64
 
   /** MinHash+LSH near-dup pairs verified with exact Jaccard ≥ minJaccard.
@@ -121,14 +118,8 @@ object Sketches {
 
     // ---- stages 1-2: LSH + exact verify over representatives ----------
     val sh = shingled(repDocs)
-    val cand = minHashBuckets(sh)
-      .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode_outer(expr(
-        """flatten(transform(array_sort(ds),
-          |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
-          |            y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc1"), col("p.doc2"))
+    val cand = elementPairs(minHashBuckets(sh), maxBucket)
+      .select(col("p.x").as("doc1"), col("p.y").as("doc2"))
       .dropDuplicates("doc1", "doc2")
     val repPairs = cand
       .join(sh.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
@@ -220,15 +211,9 @@ object Sketches {
       explode_outer(col("members")).as("m"))
 
     // ---- stages 1-2: banded LSH + Hamming verify over representatives -
-    val repPairs = simHashBuckets(simHash(repDocs))
-      .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode_outer(expr(
-        """flatten(transform(array_sort(ds),
-          |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
-          |            y -> struct(x.doc_id AS doc1, y.doc_id AS doc2,
-          |                        x.simhash AS h1, y.simhash AS h2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc1"), col("p.doc2"), col("p.h1"), col("p.h2"))
+    val repPairs = elementPairs(simHashBuckets(simHash(repDocs)), maxBucket)
+      .select(col("p.x.doc_id").as("doc1"), col("p.y.doc_id").as("doc2"),
+        col("p.x.simhash").as("h1"), col("p.y.simhash").as("h2"))
       .dropDuplicates("doc1", "doc2")
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
@@ -263,14 +248,44 @@ object Sketches {
       .groupBy(col("bk"))
       .agg(collect_list(col("d")).as("ds"))
 
-  /** Count of LSH buckets a given cap would silently drop (no-silent-
-    * caps audit, not in the query hot path): buckets whose post-collapse
-    * size exceeds `maxBucket` lose ALL their candidate pairs, so the
-    * "LSH equals exact pairs" guarantee of [[minHashPairs]] /
-    * [[simHashPairs]] is conditional on this being 0 — assert it on a
-    * sample before trusting a new corpus, or raise the cap. Pass the
-    * output of [[minHashBuckets]]/[[simHashBuckets]] over exact-dup-
-    * collapsed docs. */
+  /** Candidate pairs `(p.x, p.y)` from LSH posting lists, LOSSLESS at
+    * any bucket size (found necessary at sf0.1, where the corpus's
+    * genuinely dense near-dup cliques overflow the cap — a hard drop
+    * loses true pairs):
+    *
+    *  - buckets within `maxBucket` expand in-list — one row, no join,
+    *    the overwhelmingly common case after exact-dup collapse;
+    *  - hotter buckets fall back to a distributed per-bucket self-join:
+    *    the C(n,2) output is inherent to an exact LSH (the clique's
+    *    pairs all exist), but it streams through the join across tasks
+    *    (AQE skew-split applies) instead of materializing as one
+    *    C(n,2)-element array in a single task's memory.
+    *
+    * Elements sort/compare lexicographically (doc_id leads), so
+    * `x < y` dedups orientation in both paths. */
+  private[queries] def elementPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val small = buckets
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode_outer(expr(
+        """flatten(transform(array_sort(ds),
+          |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
+          |            y -> struct(x, y))))""".stripMargin)).as("p"))
+    val hot = buckets.filter(size(col("ds")) > maxBucket)
+      .select(col("bk"), explode_outer(col("ds")).as("e"))
+    val hotPairs = hot.select(col("bk"), col("e").as("x"))
+      .join(hot.select(col("bk"), col("e").as("y")), "bk")
+      .filter(col("x") < col("y"))
+      .select(struct(col("x"), col("y")).as("p"))
+    small.unionByName(hotPairs)
+  }
+
+  /** Count of LSH buckets above `maxBucket` — the buckets
+    * [[elementPairs]] routes through the distributed-join path instead
+    * of in-list expansion (no pairs are lost either way; this audits
+    * how much of the corpus is dense-clique shaped, which drives the
+    * quadratic share of the run). Pass the output of
+    * [[minHashBuckets]]/[[simHashBuckets]] over exact-dup-collapsed
+    * docs. */
   def overCapBuckets(buckets: DataFrame, maxBucket: Int = MaxBucketSize): Long =
     buckets.filter(size(col("ds")) > maxBucket).count()
 

@@ -64,17 +64,28 @@ class SketchSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must contain simhash near-dups")
   }
 
-  test("SimHash banded pairing: capped == uncapped (q50 bucket cap)") {
+  test("SimHash pairing is bucket-size invariant: in-list == join fallback (q50)") {
     def asSet(df: DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val capped = asSet(Sketches.simHashPairs(docs, 3))
-    val uncapped = asSet(Sketches.simHashPairs(docs, 3, maxBucket = Int.MaxValue))
-    assert(capped == uncapped,
-      s"missing=${uncapped -- capped} extra=${capped -- uncapped}")
-    assert(capped.nonEmpty)
+    val default = asSet(Sketches.simHashPairs(docs, 3))
+    // maxBucket=2 forces (almost) every bucket through the distributed
+    // self-join fallback; Int.MaxValue keeps everything in-list — the
+    // three strategies must produce the IDENTICAL pair set
+    val allJoin = asSet(Sketches.simHashPairs(docs, 3, maxBucket = 2))
+    val allInList = asSet(Sketches.simHashPairs(docs, 3, maxBucket = Int.MaxValue))
+    assert(default == allInList)
+    assert(default == allJoin,
+      s"missing=${allJoin -- default} extra=${default -- allJoin}")
+    assert(default.nonEmpty)
   }
 
-  test("LSH bucket caps are exercised by the fixture and lossless (no-silent-caps)") {
+  test("MinHash pairing is bucket-size invariant (q35 hot-bucket path)") {
+    val viaJoin = asSet(Sketches.minHashPairs(docs, 0.8, maxBucket = 2))
+    val want = asSet(exactPairs(0.8))
+    assert(viaJoin == want, s"missing=${want -- viaJoin} extra=${viaJoin -- want}")
+  }
+
+  test("bucket-strategy audit: fixture exercises multi-entry buckets") {
     // the pair pipelines band exact-dup-collapsed docs — audit the same
     val reps = docs
       .select(md5(col("text").cast("binary")).as("k"), col("doc_id"), col("text"))
@@ -83,14 +94,12 @@ class SketchSpec extends AnyFunSuite {
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     val mh = Sketches.minHashBuckets(Sketches.shingled(reps))
     val sh = Sketches.simHashBuckets(Sketches.simHash(reps))
-    // cap must be observable: multi-entry buckets exist, so a cap
-    // regression (dropping them) would flip the pair-set tests above
+    // multi-entry buckets exist (the pair tests above are non-vacuous)
     assert(mh.filter(size(col("ds")) >= 2).count() > 0)
     assert(sh.filter(size(col("ds")) >= 2).count() > 0)
-    // and at the default cap nothing is dropped on this corpus — the
-    // precondition of the 'LSH == exact' guarantee
-    assert(Sketches.overCapBuckets(mh) == 0)
-    assert(Sketches.overCapBuckets(sh) == 0)
+    // overCapBuckets now audits the quadratic (join-path) share, and at
+    // maxBucket=1 every multi-entry bucket is over-cap
+    assert(Sketches.overCapBuckets(sh, maxBucket = 1) > 0)
   }
 
   test("bound-pruned IVF == brute force (q40 exactness)") {

@@ -45,6 +45,16 @@ class WalTailSpec extends AnyFunSuite {
     assert(tail.framesDecoded == afterFirst + 4)
   }
 
+  test("untracked tail (no admission cap) answers bounded() with the feed end") {
+    val dir = Files.createTempDirectory("tailU").toString
+    WalFiles.writeSegment(dir, 500L,
+      PgOutput.Encoder.relation(rel) +: (tx(500L, 2) ++ tx(501L, 1)))
+    val tail = new WalTail(dir, trackTx = false)
+    // no tx index → no admission control, but never a stall: the whole
+    // available feed is the batch
+    assert(tail.bounded(Checkpoint.Zero, 1) == Checkpoint(501L, 1))
+  }
+
   test("out-of-order segment appearance resets the tail, offsets stay monotone") {
     val dir = Files.createTempDirectory("tailO").toString
     WalFiles.writeSegment(dir, 200L,

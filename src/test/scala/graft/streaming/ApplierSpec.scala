@@ -102,6 +102,28 @@ class ApplierSpec extends TxStoreContract {
     assert(s.readWatermark("s").contains(Checkpoint(2, 1)))
   }
 
+  test("unchanged-TOAST column absent from UPDATE must not be overwritten") {
+    val s = new InMemoryTxStore
+    val oids3 = Map("id" -> PgType.Int8, "v" -> PgType.Int4, "blob" -> PgType.Text)
+    def c3(op: String, nf: Map[String, Any], lsn: Long) =
+      CdcApplier.Change(op, "public", "t",
+        nf.map {
+          case (k, x: Long) => k -> PgType.encode(PgType.Int8, x)
+          case (k, x: Int) => k -> PgType.encode(PgType.Int4, x)
+          case (k, x: String) => k -> PgType.encode(PgType.Text, x)
+          case (k, x) => sys.error(s"$k=$x")
+        }, Map.empty, oids3, lsn, 1)
+    CdcApplier.applyWithInfo(s, "s", Seq(
+      c3("INSERT", Map("id" -> 1L, "v" -> 10, "blob" -> "big-toast-value"), 1),
+      // UPDATE ships only changed columns; `blob` is ABSENT (unchanged
+      // TOAST, pkg/decode/decoder.go:98-115) — the apply must merge,
+      // never null it out
+      c3("UPDATE", Map("id" -> 1L, "v" -> 11), 2)),
+      (_, _) => ColumnInfo(Seq("id")))
+    assert(s.rows("public.t") ==
+      Seq(Map("id" -> 1L, "v" -> 11, "blob" -> "big-toast-value")))
+  }
+
   test("store-level guard: empty-key update/delete fail loudly") {
     val s = new InMemoryTxStore
     s.begin()
