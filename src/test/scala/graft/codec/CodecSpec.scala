@@ -113,6 +113,27 @@ class CodecSpec extends AnyFunSuite {
     assert(decode(Text, null) == null)
   }
 
+  test("decoders fail cleanly on garbage frames (seeded fuzz)") {
+    // a malicious/corrupt feed must produce CodecException, never raw
+    // index/allocation errors, hangs, or huge allocations
+    val rnd = new scala.util.Random(99)
+    val decoders = Seq(
+      () => new graft.codec.PgOutput.Decoder,
+      () => new graft.codec.PgLogical.Decoder)
+    decoders.foreach { mk =>
+      val d = mk()
+      for (_ <- 1 to 4000) {
+        val frame = new Array[Byte](rnd.nextInt(48))
+        rnd.nextBytes(frame)
+        // bias some frames toward real message tags to reach deeper code
+        if (frame.nonEmpty && rnd.nextBoolean())
+          frame(0) = "BCRIUD".charAt(rnd.nextInt(6)).toByte
+        try { d.decode(frame); () }
+        catch { case _: graft.codec.CodecException => () }
+      }
+    }
+  }
+
   test("interval: (months, days, µs) triple incl. negatives (OID 1186)") {
     import org.apache.spark.unsafe.types.CalendarInterval
     val iv = new CalendarInterval(14, 3, 12 * 3600L * 1000000L + 30L)
