@@ -217,6 +217,8 @@ final class PgWalPartitionReader(p: PgWalPartition)
   }
 
   private val decoder = WalFiles.decoderFor(p.plugin)
+  // truncated history first (sidecar catalog), then pruned segments
+  WalFiles.warmCatalog(p.dir, decoder)
   WalFiles.warmRelations(prunedSegs, decoder)
 
   private val it = WalFiles.replay(liveSegs, decoder)

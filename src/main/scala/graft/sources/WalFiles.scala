@@ -127,6 +127,57 @@ object WalFiles {
       frames.foreach(decoder.decode)
     }
 
+  /** Sidecar relation catalog: raw 'R' frames preserved from truncated
+    * segments, replayed into a decoder before any segment bytes. */
+  def relationsPath(dir: String): Path = Paths.get(dir, "_relations.seg")
+
+  /** Feed the preserved relation catalog (if any) into `decoder` —
+    * REQUIRED before decoding a feed whose history was truncated:
+    * relations are declared once per recorded stream, and the only copy
+    * may live in a dropped segment. */
+  def warmCatalog(dir: String, decoder: PgOutput.WireDecoder): Unit = {
+    val p = relationsPath(dir)
+    if (Files.exists(p)) readFrames(p).foreach(decoder.decode)
+  }
+
+  /** Ack-driven WAL retention (the recycling a standby-status ack
+    * enables — reference: the replication slot's restart_lsn advancing
+    * frees server WAL, pkg/source/postgres.go:250-275): delete every
+    * segment STRICTLY below the one containing the acked checkpoint,
+    * preserving their Relation frames in the sidecar catalog first so
+    * a later resume can still decode rows of relations declared only
+    * in dropped history. Returns the number of segments dropped.
+    * Single-writer maintenance op (run it where the producer runs). */
+  def truncateAcked(dir: String): Int = readAck(dir) match {
+    case None => 0
+    case Some(cp) =>
+      val all = segments(dir)
+      val keepFrom = all.lastIndexWhere { case (first, _) =>
+        java.lang.Long.compareUnsigned(first, cp.lsn) <= 0
+      }
+      if (keepFrom <= 0) return 0
+      val drop = all.take(keepFrom).map(_._2)
+      // preserve relation declarations before deleting bytes
+      val rFrames = drop.iterator.flatMap(readFrames)
+        .filter(f => f.nonEmpty && f(0) == 'R').toSeq
+      if (rFrames.nonEmpty) {
+        val keep =
+          if (Files.exists(relationsPath(dir)))
+            readFrames(relationsPath(dir)).toSeq
+          else Seq.empty
+        val tmp = Paths.get(dir, ".tmp-relations")
+        val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+        try (keep ++ rFrames).foreach { f =>
+          out.write(new BytesWriter().int32(f.length).raw(f).result())
+        } finally out.close()
+        Files.move(tmp, relationsPath(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      drop.foreach(Files.delete)
+      drop.size
+  }
+
   /** Standby-status feedback (A10): persist the acked checkpoint so
     * the feed's producer can truncate, like `setFlushedLSN`. */
   def writeAck(dir: String, cp: Checkpoint): Unit = {

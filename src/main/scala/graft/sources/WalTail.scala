@@ -29,8 +29,16 @@ import graft.codec.PgOutput
 final class WalTail(dir: String, plugin: String = "pgoutput",
     trackTx: Boolean = true) {
 
-  private var decoder = WalFiles.decoderFor(plugin)
+  private var decoder = freshDecoder()
   private val consumedSegments = mutable.Set.empty[Long]
+
+  // relations declared only in truncated history live in the sidecar
+  // catalog (WalFiles.truncateAcked) — seed every decoder from it
+  private def freshDecoder() = {
+    val d = WalFiles.decoderFor(plugin)
+    WalFiles.warmCatalog(dir, d)
+    d
+  }
   // replay state carried across segments (a tx may span segments)
   private var lsn = 0L
   private var seq = 0
@@ -63,7 +71,7 @@ final class WalTail(dir: String, plugin: String = "pgoutput",
         java.lang.Long.compareUnsigned(first, mx) < 0
     })
     if (outOfOrder) {
-      decoder = WalFiles.decoderFor(plugin)
+      decoder = freshDecoder()
       consumedSegments.clear(); txIndex.clear()
       lsn = 0L; seq = 0; lastCp = Checkpoint.Zero; consumedMax = None
       resets += 1

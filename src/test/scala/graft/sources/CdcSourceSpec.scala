@@ -157,6 +157,35 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(batches.size >= 2, s"the feed drains over multiple batches: $batches")
   }
 
+  test("ack-driven truncation preserves relations; resume survives (WAL retention)") {
+    val walDir = Files.createTempDirectory("walX").toString
+    val ckDir = Files.createTempDirectory("ckX").toString
+    // relation declared ONLY in segment 100
+    WalFiles.writeSegment(walDir, 100L,
+      PgOutput.Encoder.relation(rel) +: tx(100L, ins(rel, 1, 10)))
+    WalFiles.writeSegment(walDir, 101L, tx(101L, ins(rel, 2, 20)))
+    assert(runStream(walDir, ckDir).size == 2)
+    // the delivered range is acked (the e2e ack path is covered by the
+    // A10 test above; Spark only calls commit() when the NEXT batch is
+    // constructed, so stamp it here)
+    WalFiles.writeAck(walDir, Checkpoint(101L, 1))
+    assert(WalFiles.truncateAcked(walDir) == 1, "segment 100 dropped")
+    assert(!Files.exists(java.nio.file.Paths.get(walDir,
+      WalFiles.segmentName(100L))))
+    assert(Files.exists(WalFiles.relationsPath(walDir)),
+      "dropped relation declarations must persist in the sidecar catalog")
+
+    // new WAL references rel, which now exists ONLY in the catalog;
+    // a fresh driver + fresh reader must still decode it
+    WalFiles.writeSegment(walDir, 102L, tx(102L, upd(1, 99)))
+    val got = runStream(walDir, ckDir)
+    assert(got.map(e => (e._1, e._3, e._4)) == Seq(("UPDATE", 1L, 102L)))
+    // once (102,1) is acked, segment 101 goes the same way — and the
+    // catalog keeps working for the rows it already preserved
+    WalFiles.writeAck(walDir, Checkpoint(102L, 1))
+    assert(WalFiles.truncateAcked(walDir) == 1, "segment 101 dropped after new ack")
+  }
+
   test("admission control is bounded by default; 0 opts out") {
     import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
     def streamFor(props: Map[String, String]) = {
