@@ -66,7 +66,11 @@ object PgCaptureSource {
     * (0 = unbounded). */
   final val DefaultMaxChangesPerBatch = 10000
   /** The CdcEvent envelope (SURVEY §1.1): NULL datum = present-with-
-    * null map value; unchanged TOAST = absent key. */
+    * null map value; unchanged TOAST = absent key. `keys` carries the
+    * replica-identity key columns from the Relation message, so a
+    * downstream applier is self-describing — no out-of-band catalog
+    * needed for key resolution (the reference reads pg_catalog for
+    * this; pgoutput already ships the flags on the wire). */
   val schema: StructType = StructType(Seq(
     StructField("op", StringType), StructField("schema", StringType),
     StructField("table", StringType),
@@ -74,7 +78,8 @@ object PgCaptureSource {
     StructField("old", MapType(StringType, BinaryType)),
     StructField("oids", MapType(StringType, IntegerType)),
     StructField("lsn", LongType), StructField("seq", IntegerType),
-    StructField("commit_ts", TimestampType)))
+    StructField("commit_ts", TimestampType),
+    StructField("keys", ArrayType(StringType))))
 }
 
 final class PgCaptureTable(path: String, tablesRegex: Option[String],
@@ -252,7 +257,9 @@ final class PgWalPartitionReader(p: PgWalPartition)
       UTF8String.fromString(rel.name),
       mapData(ch.newTuple), mapData(ch.oldTuple), oids,
       current.cp.lsn, current.cp.seq,
-      current.commitTimeUs + graft.codec.PgType.PgEpochMicros))
+      current.commitTimeUs + graft.codec.PgType.PgEpochMicros,
+      new GenericArrayData(rel.columns.filter(_.isKey)
+        .map(c => UTF8String.fromString(c.name): Any).toArray)))
   }
 
   override def close(): Unit = ()

@@ -38,15 +38,32 @@ object CdcPipeline {
       .toSeq
   }
 
+  /** Key resolver read off the batch itself: the envelope's `keys`
+    * column carries the replica-identity columns from each table's
+    * Relation message, so the apply leg needs no out-of-band catalog
+    * (SURVEY A6 — pgoutput ships the key flags on the wire; pglogical
+    * does not, so there an explicit resolver is still required). */
+  def batchKeyResolver(batch: DataFrame): CdcApplier.KeyResolver = {
+    val km = batch.select("schema", "table", "keys")
+      .dropDuplicates("schema", "table")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) Seq.empty[String] else r.getSeq[String](2)))
+      .toMap
+    (s: String, t: String) => km.getOrElse((s, t), Seq.empty)
+  }
+
   /** Start the capture→apply pipeline over a WAL feed directory.
     *
-    * The stream carries an `observe()` block (changes, max lsn, latest
+    * `keys` defaults to null = self-describing: resolve key columns
+    * from the stream's own `keys` envelope column per batch. The
+    * stream carries an `observe()` block (changes, max lsn, latest
     * commit_ts) so every StreamingQueryProgress event reports apply
     * metrics — attach a [[GraftMetricsListener]] via
     * `spark.streams.addListener` for the A38 lag gauge. */
   def start(spark: SparkSession, walDir: String, checkpointDir: String,
       store: CdcApplier.TxStore, sourceId: String,
-      keys: CdcApplier.KeyResolver, tablesRegex: Option[String] = None,
+      keys: CdcApplier.KeyResolver = null, tablesRegex: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val reader = spark.readStream.format("pgcapture").option("path", walDir)
     tablesRegex.foreach(r => reader.option("tables", r))
@@ -59,7 +76,8 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        CdcApplier.applyBatch(store, sourceId, toChanges(batch), keys)
+        val resolver = if (keys != null) keys else batchKeyResolver(batch)
+        CdcApplier.applyBatch(store, sourceId, toChanges(batch), resolver)
         ()
       }
       .start()

@@ -32,9 +32,9 @@ class PipelineSpec extends AnyFunSuite {
     val ckDir = Files.createTempDirectory("pck").toString
     val spark = SparkTestSession.spark
     val store = new InMemoryTxStore
-    val registry = new SchemaRegistry
-    registry.update(rel)
-    val keys: CdcApplier.KeyResolver = registry.keyColumns(_, _)
+    // no key resolver passed anywhere in this test: the pipeline is
+    // self-describing — key columns ride the envelope's `keys` column
+    // straight from the wire's Relation messages
 
     // 3 txs: batched inserts, an update, a delete
     graft.sources.WalFiles.writeSegment(walDir, 10L,
@@ -42,7 +42,7 @@ class PipelineSpec extends AnyFunSuite {
         tx(10L, ins(1, 100), ins(2, 200), ins(3, 300)) ++
           tx(11L, upd(2, 250)) ++ tx(12L, del(3))))
 
-    val q1 = CdcPipeline.start(spark, walDir, ckDir, store, "acct", keys)
+    val q1 = CdcPipeline.start(spark, walDir, ckDir, store, "acct")
     q1.awaitTermination(60000)
     assert(store.rows("public.accounts").map(r => (r("id"), r("bal"))).toSet ==
       Set((1L, 100), (2L, 250)))
@@ -53,7 +53,7 @@ class PipelineSpec extends AnyFunSuite {
     // restart with new WAL appended: only the new tx applies
     graft.sources.WalFiles.writeSegment(walDir, 13L, tx(13L, ins(4, 400)))
     val commitsBefore = store.commits
-    val q2 = CdcPipeline.start(spark, walDir, ckDir, store, "acct", keys)
+    val q2 = CdcPipeline.start(spark, walDir, ckDir, store, "acct")
     q2.awaitTermination(60000)
     assert(store.rows("public.accounts").map(_("id")).toSet == Set(1L, 2L, 4L))
     assert(store.commits == commitsBefore + 1, "one store tx for the new slice")
@@ -62,7 +62,7 @@ class PipelineSpec extends AnyFunSuite {
     // replay the whole feed against the same store with a FRESH
     // checkpoint dir: the store-level watermark alone dedups (A12)
     val q3 = CdcPipeline.start(spark, walDir,
-      Files.createTempDirectory("pck2").toString, store, "acct", keys)
+      Files.createTempDirectory("pck2").toString, store, "acct")
     q3.awaitTermination(60000)
     assert(store.rows("public.accounts").map(r => (r("id"), r("bal"))).toSet ==
       Set((1L, 100), (2L, 250), (4L, 400)))
