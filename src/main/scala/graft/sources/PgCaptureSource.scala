@@ -89,7 +89,7 @@ final class PgCaptureTable(path: String, tablesRegex: Option[String],
   override def name(): String = s"pgcapture($path)"
   override def schema(): StructType = PgCaptureSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -97,6 +97,28 @@ final class PgCaptureTable(path: String, tablesRegex: Option[String],
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new PgCaptureMicroBatchStream(path, tablesRegex, startLsn, plugin,
             maxChanges)
+        // Batch backfill (`spark.read.format("pgcapture")`): decode is
+        // PARALLEL — one input partition per segment, each executor
+        // seeded with its boundary state + relation catalog by the
+        // driver's tag-level scan, decoding only its own bytes. The
+        // ordered single-partition layout is a STREAM-side constraint
+        // (the applier's total order); analytics over the feed have no
+        // such constraint and get full cluster fan-out.
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+          require(plugin.equalsIgnoreCase("pgoutput"),
+            "batch read supports the pgoutput plugin (tag-scan planning)")
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions(): Array[InputPartition] =
+              WalFiles.planBatch(path)
+                .map(sp => PgWalBatchPartition(sp, tablesRegex, startLsn): InputPartition)
+                .toArray
+            override def createReaderFactory(): PartitionReaderFactory =
+              new PartitionReaderFactory {
+                override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+                  new PgWalBatchReader(p.asInstanceOf[PgWalBatchPartition])
+              }
+          }
+        }
       }
     }
 }
@@ -236,8 +258,16 @@ final class PgWalPartitionReader(p: PgWalPartition)
     if (it.hasNext) { current = it.next(); true } else false
   }
 
-  override def get(): InternalRow = {
-    val ch = current.change
+  override def get(): InternalRow = PgWalRows.toRow(current)
+
+  override def close(): Unit = ()
+}
+
+/** Envelope row construction shared by the streaming and batch
+  * readers. */
+private[sources] object PgWalRows {
+  def toRow(e: WalFiles.WalEvent): InternalRow = {
+    val ch = e.change
     val rel = ch.rel
     def mapData(m: Option[Map[String, Array[Byte]]]) = m.map { mm =>
       val ks = mm.keys.toArray.sorted
@@ -256,11 +286,40 @@ final class PgWalPartitionReader(p: PgWalPartition)
       UTF8String.fromString(rel.namespace),
       UTF8String.fromString(rel.name),
       mapData(ch.newTuple), mapData(ch.oldTuple), oids,
-      current.cp.lsn, current.cp.seq,
-      current.commitTimeUs + graft.codec.PgType.PgEpochMicros,
+      e.cp.lsn, e.cp.seq,
+      e.commitTimeUs + graft.codec.PgType.PgEpochMicros,
       new GenericArrayData(rel.columns.filter(_.isKey)
         .map(c => UTF8String.fromString(c.name): Any).toArray)))
   }
+}
+
+/** One segment of the feed, decoded in isolation: boundary replay
+  * state and the relation catalog as of the segment start came from
+  * the driver's plan (see [[WalFiles.planBatch]]). */
+final case class PgWalBatchPartition(plan: WalFiles.SegPlan,
+    tablesRegex: Option[String], startLsn: Option[Long]) extends InputPartition
+
+final class PgWalBatchReader(p: PgWalBatchPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val pattern = p.tablesRegex.map(_.r.pattern)
+  private val startCp = p.startLsn.map(Checkpoint(_, 0))
+
+  private val decoder = new PgOutput.Decoder
+  p.plan.relFrames.foreach(decoder.decode)
+
+  private val it = WalFiles.replay(
+    Seq(java.nio.file.Paths.get(p.plan.path)), decoder,
+    p.plan.startLsn, p.plan.startSeq, p.plan.startCommitUs)
+    .filter(e => startCp.forall(c => e.cp.after(c)))
+    .filter(e => pattern.forall(_.matcher(e.change.rel.name).matches()))
+
+  private var current: WalFiles.WalEvent = _
+
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
+
+  override def get(): InternalRow = PgWalRows.toRow(current)
 
   override def close(): Unit = ()
 }

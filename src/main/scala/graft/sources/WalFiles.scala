@@ -78,10 +78,12 @@ object WalFiles {
     * seq increments per message within the transaction.
     */
   def replay(segs: Seq[Path],
-      decoder: PgOutput.WireDecoder = new PgOutput.Decoder): Iterator[WalEvent] = {
-    var lsn = 0L
-    var seq = 0
-    var commitUs = 0L
+      decoder: PgOutput.WireDecoder = new PgOutput.Decoder,
+      startLsn: Long = 0L, startSeq: Int = 0,
+      startCommitUs: Long = 0L): Iterator[WalEvent] = {
+    var lsn = startLsn
+    var seq = startSeq
+    var commitUs = startCommitUs
     segs.iterator.flatMap(readFrames).flatMap { frame =>
       decoder.decode(frame) match {
         case PgOutput.Begin(finalLsn, ts, _) =>
@@ -91,6 +93,38 @@ object WalFiles {
           Some(WalEvent(Checkpoint(lsn, seq), commitUs, c))
         case _ => None // Commit / Relation / Unknown advance no checkpoint
       }
+    }
+  }
+
+  /** Per-segment plan for a PARALLEL batch decode of the feed
+    * (`spark.read.format("pgcapture")`): the replay state at the
+    * segment's boundary plus every Relation frame seen before it, so
+    * each executor decodes ONLY its own segment's bytes. The driver
+    * derives the states with a tag-level scan — frame tags and Begin
+    * headers only, no tuple decode (pgoutput layout: 'B' + i64
+    * finalLsn + i64 commitTs; seq advances once per I/U/D frame,
+    * exactly as [[replay]] does). */
+  final case class SegPlan(path: String, startLsn: Long, startSeq: Int,
+      startCommitUs: Long, relFrames: Seq[Array[Byte]])
+
+  def planBatch(dir: String): Seq[SegPlan] = {
+    var lsn = 0L; var seq = 0; var cus = 0L
+    val rels = scala.collection.mutable.Buffer.empty[Array[Byte]]
+    if (Files.exists(relationsPath(dir)))
+      rels ++= readFrames(relationsPath(dir))
+    segments(dir).map { case (_, p) =>
+      val plan = SegPlan(p.toString, lsn, seq, cus, rels.toSeq)
+      readFrames(p).foreach { f =>
+        if (f.nonEmpty) f(0).toChar match {
+          case 'B' =>
+            val r = new BytesReader(f)
+            r.byte(); lsn = r.int64(); cus = r.int64(); seq = 0
+          case 'I' | 'U' | 'D' => seq += 1
+          case 'R' => rels += f
+          case _ => ()
+        }
+      }
+      plan
     }
   }
 

@@ -186,6 +186,39 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(WalFiles.truncateAcked(walDir) == 1, "segment 101 dropped after new ack")
   }
 
+  test("batch read: one partition per segment, split-tx stamping, options") {
+    val walDir = Files.createTempDirectory("walB").toString
+    // relation only in segment 1; a tx SPLIT across segments 2-3 (the
+    // boundary case parallel decode must stamp correctly)
+    WalFiles.writeSegment(walDir, 200L,
+      PgOutput.Encoder.relation(rel) +: tx(200L, ins(rel, 1, 10)))
+    val split = tx(201L, ins(rel, 2, 20), ins(rel, 3, 30)) // B, I, I, C
+    WalFiles.writeSegment(walDir, 201L, split.take(2)) // B + first I
+    WalFiles.writeSegment(walDir, 202L, split.drop(2)) // second I + C
+
+    val spark = SparkTestSession.spark
+    val df = spark.read.format("pgcapture").option("path", walDir).load()
+    assert(df.rdd.getNumPartitions == 3, "one partition per segment")
+    val got = df.select("op", "new", "lsn", "seq", "keys").collect()
+      .map { r =>
+        val nf = r.getMap[String, Array[Byte]](1)
+        (r.getString(0),
+          PgType.decode(PgType.Int8, nf("id")).asInstanceOf[Long],
+          r.getLong(2), r.getInt(3), r.getSeq[String](4))
+      }.sortBy(e => (e._3, e._4))
+    assert(got.map(e => (e._1, e._2, e._3, e._4)).toSeq == Seq(
+      ("INSERT", 1L, 200L, 1),
+      ("INSERT", 2L, 201L, 1),
+      // decoded by the partition of segment 3, seeded startSeq=1
+      ("INSERT", 3L, 201L, 2)))
+    assert(got.forall(_._5 == Seq("id")), "keys column from Relation flags")
+
+    // startLsn gate applies to batch reads too
+    val fromLsn = spark.read.format("pgcapture").option("path", walDir)
+      .option("startLsn", java.lang.Long.toHexString(201L)).load()
+    assert(fromLsn.count() == 2)
+  }
+
   test("admission control is bounded by default; 0 opts out") {
     import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
     def streamFor(props: Map[String, String]) = {
