@@ -257,5 +257,72 @@ object CodecQueries {
         .select(col("user_id"), col("event_type"), col("value"),
           col("lsn"))
         .orderBy(col("lsn"))
+    },
+
+    // End-to-end batch backfill through the DSv2 source itself: a WAL
+    // segment feed is generated DISTRIBUTED from the events table (one
+    // tx per event at lsn = event_id, one segment per range partition,
+    // real pgoutput wire bytes), then read back with
+    // spark.read.format("pgcapture") — parallel decode, one partition
+    // per segment — typed-projected and aggregated. The oracle
+    // recomputes the aggregate straight from parquet, so the whole
+    // write → frame → decode → project pipeline is hash-checked.
+    QueryDef.sql("q52_wal_backfill",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(25,10))), 4) AS DOUBLE) AS sum_value,
+        |  max(event_id) AS max_lsn
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dir = ensureBackfillFeed(s, d)
+      val env = s.read.format("pgcapture").option("path", dir).load()
+      graft.cdc.TypedProjection.project(env, bfRel, mapCol = "new",
+          keep = Seq("lsn"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(25,10)")), 4)
+            .cast("double").as("sum_value"),
+          max(col("lsn")).as("max_lsn"))
+        .orderBy(col("event_type"))
     })
+
+  /** Relation of the generated backfill feed (q52). */
+  private val bfRel = PgRel(7, "public", "events_cdc", 'd', Seq(
+    PgCol("user_id", Int8, isKey = true),
+    PgCol("event_type", Text, isKey = false),
+    PgCol("value", Float8, isKey = false)))
+
+  /** Write the q52 feed: executors each encode their range of events
+    * into one segment (pgoutput frames, relation declared per segment),
+    * named by its first lsn. Regenerated per run — it is a derived
+    * fixture, not state; a real deployment's feed comes from the
+    * capture agent. Local-FS write, which in local[n] lands in one dir
+    * (on a cluster a backfill reads the agent's recorded feed from
+    * shared storage instead of generating one). */
+  private def ensureBackfillFeed(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(
+      s"/tmp/graft_walbf_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+    val f = new java.io.File(dir)
+    if (f.isDirectory) f.listFiles().foreach(_.delete())
+    import s.implicits._
+    val rel = bfRel
+    Tables.load(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)]
+      .repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .mapPartitions { it =>
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var first = -1L
+        it.foreach { case (eid, uid, et, v) =>
+          if (first < 0) { first = eid; frames += PgOutput.Encoder.relation(rel) }
+          frames += PgOutput.Encoder.begin(eid, eid * 1000L, eid.toInt)
+          frames += PgOutput.Encoder.insert(rel,
+            Seq(encode(Int8, uid), encode(Text, et), encode(Float8, v)))
+          frames += PgOutput.Encoder.commit(eid, eid, eid * 1000L)
+        }
+        if (first >= 0)
+          graft.sources.WalFiles.writeSegment(dir, first, frames.toSeq)
+        Iterator.single(first)
+      }.collect()
+    dir
+  }
 }
