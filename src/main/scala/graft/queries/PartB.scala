@@ -211,5 +211,42 @@ object PartB {
           keyCols = Seq("key"), orderCols = Seq("lsn", "seq"))
         .select(col("key"), col("lsn"), round(col("value"), 2).as("value"))
         .orderBy(col("key"))
+    },
+
+    // ---- Exact percentiles (median / p90), linear interpolation on
+    //      both engines; rounding rides the decimal path (q27 rule).
+    //      Exactness is the oracle contract here — at lake scale the
+    //      plan swaps percentile() for approx_percentile(), which
+    //      aggregates a fixed-size sketch map-side instead of
+    //      buffering every group value. ----
+    QueryDef.sql("q53_percentiles",
+      """SELECT l_returnflag,
+        |  CAST(round(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(25,10)), 4) AS DOUBLE) AS p50,
+        |  CAST(round(CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(25,10)), 4) AS DOUBLE) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)").cast("decimal(25,10)"), 4)
+            .cast("double").as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)").cast("decimal(25,10)"), 4)
+            .cast("double").as("p90"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- Edit distance (levenshtein is a built-in on both engines —
+    //      integer-exact, no rounding concerns): the fuzzy-string leg
+    //      of text dedup alongside the n-gram/sketch paths. ----
+    QueryDef.sql("q54_edit_distance",
+      """SELECT event_type,
+        |  CAST(levenshtein(event_type, 'signup') AS INTEGER) AS dist,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          levenshtein(col("event_type"), lit("signup")).as("dist"), col("n"))
+        .orderBy(col("event_type"))
     })
 }
