@@ -248,5 +248,29 @@ object PartB {
         .select(col("event_type"),
           levenshtein(col("event_type"), lit("signup")).as("dist"), col("n"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- Pivot (wide aggregation): one column per event type with an
+    //      EXPLICIT value list — the values-known form compiles to a
+    //      single pass of conditional aggregates (exactly the oracle's
+    //      CASE sums), no extra distinct-values job and no shuffle
+    //      beyond the group-by. coalesce(0) because pivot leaves empty
+    //      cells null where the CASE sum yields 0. ----
+    QueryDef.sql("q55_pivot",
+      """SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = t(s, d, "events")
+        .groupBy((col("user_id") % 4).as("cohort"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("cohort") +:
+        types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy(col("cohort"))
     })
 }

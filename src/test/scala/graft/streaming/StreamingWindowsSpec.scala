@@ -65,6 +65,47 @@ class StreamingWindowsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream interval join with watermark-bounded state") {
+    // the attribution-join shape: a click joins its impression only
+    // within [imp.ts, imp.ts + 10']; watermarks on BOTH sides let the
+    // engine expire join state instead of buffering streams forever
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Ev] // user = ad id, value = impression id
+    val clicks = MemoryStream[Ev]
+    val q = imps.toDF()
+      .select(col("ts").as("its"), col("user").as("ad"), col("value").as("imp_id"))
+      .withWatermark("its", "5 minutes")
+      .join(
+        clicks.toDF()
+          .select(col("ts").as("cts"), col("user").as("c_ad"), col("value").as("click_id"))
+          .withWatermark("cts", "5 minutes"),
+        expr("ad = c_ad AND cts >= its AND cts <= its + interval 10 minutes"))
+      .select(col("ad"), col("imp_id"), col("click_id"))
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("jck").toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+
+    imps.addData(Ev(ts(0), "adA", 1.0), Ev(ts(0), "adB", 2.0))
+    // in-window click for adA (4' after), out-of-window click for adB (20')
+    clicks.addData(Ev(ts(4), "adA", 101.0), Ev(ts(20), "adB", 202.0))
+    q.processAllAvailable()
+    val got = spark.table("join_out").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set(("adA", 1.0, 101.0)),
+      s"only the in-window click attributes: $got")
+
+    // a second in-window click still joins (state not yet expired)
+    clicks.addData(Ev(ts(8), "adA", 102.0))
+    q.processAllAvailable()
+    assert(spark.table("join_out").count() == 2)
+    q.stop()
+  }
+
   test("session windows: 10-minute gap splits sessions per user") {
     val spark = SparkTestSession.spark
     import spark.implicits._
