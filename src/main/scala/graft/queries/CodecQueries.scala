@@ -319,8 +319,9 @@ object CodecQueries {
             Seq(encode(Int8, uid), encode(Text, et), encode(Float8, v)))
           frames += PgOutput.Encoder.commit(eid, eid, eid * 1000L)
         }
-        if (first >= 0)
-          graft.sources.WalFiles.writeSegment(dir, first, frames.toSeq)
+        if (first >= 0) // overwrite: task retries re-write identical bytes
+          graft.sources.WalFiles.writeSegment(dir, first, frames.toSeq,
+            overwrite = true)
         Iterator.single(first)
       }.collect()
     dir

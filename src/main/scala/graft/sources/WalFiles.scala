@@ -28,19 +28,27 @@ object WalFiles {
   def segmentName(firstLsn: Long): String =
     f"wal-$firstLsn%016x.seg"
 
-  /** Append one segment of framed messages. */
+  /** Append one segment of framed messages. Segments are write-once
+    * (the tail's incremental contract); `overwrite = true` is for
+    * DETERMINISTIC producers running inside Spark tasks, where a retry
+    * or speculative attempt re-writes identical bytes and must land as
+    * success, not FileAlreadyExistsException. The tmp name is unique
+    * per attempt so concurrent attempts never race on it. */
   def writeSegment(dir: String, firstLsn: Long,
-      messages: Seq[Array[Byte]]): Path = {
+      messages: Seq[Array[Byte]], overwrite: Boolean = false): Path = {
     Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, s".tmp-${segmentName(firstLsn)}")
+    val tmp = Paths.get(dir,
+      s".tmp-${java.util.UUID.randomUUID()}-${segmentName(firstLsn)}")
     val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
     try messages.foreach { m =>
       val w = new BytesWriter().int32(m.length).raw(m)
       out.write(w.result())
     } finally out.close()
     val fin = Paths.get(dir, segmentName(firstLsn))
-    Files.move(tmp, fin,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (overwrite)
+      Files.move(tmp, fin, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else Files.move(tmp, fin, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     fin
   }
 
@@ -186,9 +194,19 @@ object WalFiles {
     case None => 0
     case Some(cp) =>
       val all = segments(dir)
-      val keepFrom = all.lastIndexWhere { case (first, _) =>
+      var keepFrom = all.lastIndexWhere { case (first, _) =>
         java.lang.Long.compareUnsigned(first, cp.lsn) <= 0
       }
+      // never sever a transaction: if the first kept segment does not
+      // begin with a Begin frame, its opening rows continue a tx whose
+      // Begin lives in an earlier segment — dropping that segment would
+      // make later replays misstamp the continuation (lsn 0, epoch
+      // commit_ts). Walk back until the boundary is a tx boundary.
+      def startsAtTx(p: Path): Boolean =
+        readFrames(p)
+          .find(f => f.nonEmpty && "BIUDC".indexOf(f(0).toChar) >= 0)
+          .forall(_(0) == 'B')
+      while (keepFrom > 0 && !startsAtTx(all(keepFrom)._2)) keepFrom -= 1
       if (keepFrom <= 0) return 0
       val drop = all.take(keepFrom).map(_._2)
       // preserve relation declarations before deleting bytes

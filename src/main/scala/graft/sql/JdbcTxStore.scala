@@ -135,33 +135,47 @@ final class JdbcTxStore(conn: Connection,
 
   private def keyExists(schema: String, table: String, keyCols: Seq[String],
       row: Map[String, Any]): Boolean = {
-    val where = keyCols.map(c => SqlBuilder.quote(c) + "=?").mkString(" and ")
+    val (where, bindCols) = whereOf(keyCols.map(c => c -> row.getOrElse(c, null)).toMap)
     val ps = prepared(
       s"select 1 from ${SqlBuilder.quoted(schema, table)} where $where")
-    keyCols.zipWithIndex.foreach { case (c, i) => bind(ps, i + 1, row(c)) }
+    bindCols.zipWithIndex.foreach { case (c, i) => bind(ps, i + 1, row(c)) }
     val rs = ps.executeQuery()
     try rs.next() finally rs.close()
+  }
+
+  // WHERE over a key map that may contain SQL NULLs (a replident-FULL
+  // old image when no identity is known): `"c" = ?` never matches NULL,
+  // so null-valued keys become `"c" is null`. Returns (sql fragment,
+  // bind columns in order).
+  private def whereOf(keys: Map[String, Any]): (String, Seq[String]) = {
+    val cols = keys.keys.toSeq.sorted
+    val frag = cols.map { c =>
+      if (keys(c) == null) SqlBuilder.quote(c) + " is null"
+      else SqlBuilder.quote(c) + "=?"
+    }.mkString(" and ")
+    (frag, cols.filter(keys(_) != null))
   }
 
   override def update(schema: String, table: String, keys: Map[String, Any],
       set: Map[String, Any]): Unit = {
     require(keys.nonEmpty, s"UPDATE on $schema.$table with empty key set")
     val setCols = set.keys.toSeq.sorted
-    val keyCols = keys.keys.toSeq.sorted
-    val ps = prepared(SqlBuilder.updateQuery(schema, table, setCols, keyCols,
-      SqlBuilder.JdbcParams))
+    val (where, bindCols) = whereOf(keys)
+    val sets = setCols.map(SqlBuilder.quote(_) + "=?").mkString(",")
+    val ps = prepared(
+      s"update ${SqlBuilder.quoted(schema, table)} set $sets where $where")
     var i = 1
     setCols.foreach { c => bind(ps, i, set(c)); i += 1 }
-    keyCols.foreach { c => bind(ps, i, keys(c)); i += 1 }
+    bindCols.foreach { c => bind(ps, i, keys(c)); i += 1 }
     ps.executeUpdate()
   }
 
   override def delete(schema: String, table: String, keys: Map[String, Any]): Unit = {
     require(keys.nonEmpty, s"DELETE on $schema.$table with empty key set")
-    val keyCols = keys.keys.toSeq.sorted
-    val ps = prepared(SqlBuilder.deleteQuery(schema, table, keyCols,
-      SqlBuilder.JdbcParams))
-    keyCols.zipWithIndex.foreach { case (c, i) => bind(ps, i + 1, keys(c)) }
+    val (where, bindCols) = whereOf(keys)
+    val ps = prepared(
+      s"delete from ${SqlBuilder.quoted(schema, table)} where $where")
+    bindCols.zipWithIndex.foreach { case (c, i) => bind(ps, i + 1, keys(c)) }
     ps.executeUpdate()
   }
 

@@ -62,9 +62,12 @@ object Bus {
   private val producers =
     new java.util.concurrent.ConcurrentHashMap[String, BusProducer]
 
-  /** The (single-writer) producer of a topic dir. */
+  /** The (single-writer) producer of a topic dir. Keyed by the
+    * canonical path so "/bus" and "/bus/" share one watermark. */
   def producer(dir: String): BusProducer =
-    producers.computeIfAbsent(dir, d => new BusProducer(d))
+    producers.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString,
+      d => new BusProducer(d))
 
   /** Produce a slice, dropping messages at or below the last produced
     * checkpoint (A12). Returns the number actually written. */
@@ -122,6 +125,10 @@ final class BusProducer private[streaming] (dir: String) {
 
   def produce(changes: Seq[CdcApplier.Change]): Int = synchronized {
     Files.createDirectories(Paths.get(dir))
+    // topic reset (segment deleted out-of-band): the cached watermark
+    // no longer describes the log — rewarm instead of silently
+    // filtering every message against stale state
+    if (wm != null && !Files.exists(Bus.segPath(dir))) wm = null
     if (wm == null) {
       wm = Bus.last(dir).getOrElse(Checkpoint.Zero)
       trackerScans += 1

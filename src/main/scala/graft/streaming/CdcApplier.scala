@@ -179,10 +179,19 @@ object CdcApplier {
               // key split (A18): old image keys when the replica identity
               // provided them, else identity keys from the new image (in
               // which case keys also leave the SET list,
-              // pkg/sink/postgres.go:520-538)
+              // pkg/sink/postgres.go:520-538). A replident-FULL old image
+              // carries EVERY column incl. NULLs; when identity keys are
+              // known, restrict the WHERE to them — `col = NULL` never
+              // matches on a SQL target, so a full-row match with a null
+              // column would silently update nothing.
               val (keyVals, sets) =
-                if (c.oldFields.nonEmpty) (decodeRow(c.oldFields, c.oids), sets0)
-                else (newRow.view.filterKeys(info.isKey).toMap,
+                if (c.oldFields.nonEmpty) {
+                  val old = decodeRow(c.oldFields, c.oids)
+                  val keyed =
+                    if (info.keys.nonEmpty) old.view.filterKeys(info.isKey).toMap
+                    else old
+                  (if (keyed.nonEmpty) keyed else old, sets0)
+                } else (newRow.view.filterKeys(info.isKey).toMap,
                   sets0.view.filterKeys(!info.isKey(_)).toMap)
               // reference guard (postgres.go:541-543): no keys (replident
               // NOTHING / filtered old image) or nothing to set → skip;
@@ -191,7 +200,12 @@ object CdcApplier {
                 store.update(c.schema, c.table, keyVals, sets)
             case "DELETE" =>
               flushInserts()
-              val keyVals = decodeRow(c.oldFields, c.oids)
+              val old = decodeRow(c.oldFields, c.oids)
+              // same key restriction as UPDATE (replident-FULL NULLs)
+              val keyed =
+                if (info.keys.nonEmpty) old.view.filterKeys(info.isKey).toMap
+                else old
+              val keyVals = if (keyed.nonEmpty) keyed else old
               // empty old image (replident NOTHING / malformed event):
               // skipping beats the WHERE-less DELETE it would become
               if (keyVals.nonEmpty) store.delete(c.schema, c.table, keyVals)

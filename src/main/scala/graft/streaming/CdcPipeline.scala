@@ -38,19 +38,35 @@ object CdcPipeline {
       .toSeq
   }
 
-  /** Key resolver read off the batch itself: the envelope's `keys`
+  /** Collect one micro-batch EXACTLY ONCE: the ordered changes plus a
+    * key resolver read off the same rows — the envelope's `keys`
     * column carries the replica-identity columns from each table's
     * Relation message, so the apply leg needs no out-of-band catalog
     * (SURVEY A6 — pgoutput ships the key flags on the wire; pglogical
-    * does not, so there an explicit resolver is still required). */
-  def batchKeyResolver(batch: DataFrame): CdcApplier.KeyResolver = {
-    val km = batch.select("schema", "table", "keys")
-      .dropDuplicates("schema", "table")
+    * does not, so there an explicit resolver is still required). A
+    * second action would re-read and re-decode the offset range's
+    * segments; everything derives from the single collect. */
+  def collectBatch(batch: DataFrame): (Seq[CdcApplier.Change], CdcApplier.KeyResolver) = {
+    val rows = batch
+      .select("op", "schema", "table", "new", "old", "oids", "lsn", "seq", "keys")
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        (if (r.isNullAt(2)) Seq.empty[String] else r.getSeq[String](2)))
-      .toMap
-    (s: String, t: String) => km.getOrElse((s, t), Seq.empty)
+    def m(r: Row, i: Int): Map[String, Array[Byte]] =
+      if (r.isNullAt(i)) Map.empty
+      else r.getMap[String, Array[Byte]](i).toMap
+    val changes = rows
+      .map { r =>
+        CdcApplier.Change(r.getString(0), r.getString(1), r.getString(2),
+          m(r, 3), m(r, 4),
+          if (r.isNullAt(5)) Map.empty else r.getMap[String, Int](5).toMap,
+          r.getLong(6), r.getInt(7))
+      }
+      .sortBy(c => (c.lsn ^ Long.MinValue, c.seq))
+      .toSeq
+    val km = rows.iterator.map { r =>
+      (r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(8)) Seq.empty[String] else r.getSeq[String](8))
+    }.toMap
+    (changes, (s: String, t: String) => km.getOrElse((s, t), Seq.empty))
   }
 
   /** Start the capture→apply pipeline over a WAL feed directory.
@@ -76,8 +92,9 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val resolver = if (keys != null) keys else batchKeyResolver(batch)
-        CdcApplier.applyBatch(store, sourceId, toChanges(batch), resolver)
+        val (changes, derived) = collectBatch(batch)
+        CdcApplier.applyBatch(store, sourceId, changes,
+          if (keys != null) keys else derived)
         ()
       }
       .start()

@@ -219,6 +219,28 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(fromLsn.count() == 2)
   }
 
+  test("truncation never severs a transaction spanning segments") {
+    val walDir = Files.createTempDirectory("walS").toString
+    WalFiles.writeSegment(walDir, 300L,
+      PgOutput.Encoder.relation(rel) +: tx(300L, ins(rel, 1, 1)))
+    // tx 301 spans segments: Begin+I in 301, I+Commit in 302
+    val split = tx(301L, ins(rel, 2, 2), ins(rel, 3, 3))
+    WalFiles.writeSegment(walDir, 301L, split.take(2))
+    WalFiles.writeSegment(walDir, 302L, split.drop(2))
+    // acked into the continuation: candidate keepFrom is segment 302,
+    // but 302 opens mid-tx — dropping 301 would orphan its Begin
+    WalFiles.writeAck(walDir, Checkpoint(302L, 0))
+    assert(WalFiles.truncateAcked(walDir) == 1,
+      "only segment 300 may go; 301 holds the spanning tx's Begin")
+    assert(Files.exists(java.nio.file.Paths.get(walDir,
+      WalFiles.segmentName(301L))))
+    // the kept feed still batch-reads with correct stamps
+    val spark = SparkTestSession.spark
+    val got = spark.read.format("pgcapture").option("path", walDir).load()
+      .select("lsn", "seq").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((301L, 1), (301L, 2)))
+  }
+
   test("admission control is bounded by default; 0 opts out") {
     import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
     def streamFor(props: Map[String, String]) = {

@@ -119,6 +119,24 @@ class JdbcTxStoreSpec extends TxStoreContract {
     }
   }
 
+  test("NULL-valued keys become IS NULL predicates (replident FULL, no key info)") {
+    withHarness { h =>
+      val s = h.store
+      s.begin()
+      s.insert("public", "test_table",
+        Map[String, Any]("id" -> 1L, "v" -> null), Seq("id"))
+      s.insert("public", "test_table",
+        Map[String, Any]("id" -> 2L, "v" -> 7), Seq("id"))
+      s.commit()
+      s.begin()
+      // full-row identity with a NULL column: `v = ?` would match
+      // nothing; the store must emit `"v" is null`
+      s.delete("public", "test_table", Map[String, Any]("id" -> 1L, "v" -> null))
+      s.commit()
+      assert(h.rows("public.test_table").map(_("id")) == Seq(2L))
+    }
+  }
+
   test("null column values bind correctly") {
     withHarness { h =>
       val s = h.store

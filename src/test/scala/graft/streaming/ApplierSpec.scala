@@ -124,6 +124,43 @@ class ApplierSpec extends TxStoreContract {
       Seq(Map("id" -> 1L, "v" -> 11, "blob" -> "big-toast-value")))
   }
 
+  test("replident FULL old image with NULL column: WHERE restricted to identity keys") {
+    val s = new InMemoryTxStore
+    val oids3 = Map("id" -> PgType.Int8, "v" -> PgType.Int4, "note" -> PgType.Text)
+    // note is NULL: a full-row WHERE would emit `note = NULL` on a SQL
+    // target and match nothing — the store must only see the key
+    val nullNote = Map("id" -> PgType.encode(PgType.Int8, 1L),
+      "v" -> PgType.encode(PgType.Int4, 10),
+      "note" -> null.asInstanceOf[Array[Byte]])
+    val keyProbe = scala.collection.mutable.Buffer.empty[Map[String, Any]]
+    val inner = new InMemoryTxStore
+    val probe = new CdcApplier.TxStore {
+      def begin(): Unit = inner.begin()
+      def commit(): Unit = inner.commit()
+      def rollback(): Unit = inner.rollback()
+      def insert(sc: String, t: String, row: Map[String, Any],
+          k: Seq[String]): Unit = inner.insert(sc, t, row, k)
+      def update(sc: String, t: String, keys: Map[String, Any],
+          set: Map[String, Any]): Unit = {
+        keyProbe += keys; inner.update(sc, t, keys, set)
+      }
+      def delete(sc: String, t: String, keys: Map[String, Any]): Unit = {
+        keyProbe += keys; inner.delete(sc, t, keys)
+      }
+      def executeDdl(sql: String): Unit = inner.executeDdl(sql)
+      def readWatermark(id: String): Option[Checkpoint] = inner.readWatermark(id)
+      def writeWatermark(id: String, cp: Checkpoint): Unit =
+        inner.writeWatermark(id, cp)
+    }
+    CdcApplier.applyWithInfo(probe, "s", Seq(
+      CdcApplier.Change("INSERT", "public", "t", nullNote, Map.empty, oids3, 1, 1),
+      CdcApplier.Change("DELETE", "public", "t", Map.empty, nullNote, oids3, 2, 1)),
+      (_, _) => ColumnInfo(Seq("id")))
+    assert(keyProbe == Seq(Map("id" -> 1L)),
+      "identity keys only — no NULL columns in the WHERE key map")
+    assert(inner.rows("public.t").isEmpty, "the delete must match")
+  }
+
   test("store-level guard: empty-key update/delete fail loudly") {
     val s = new InMemoryTxStore
     s.begin()

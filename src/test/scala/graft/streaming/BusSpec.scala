@@ -69,6 +69,19 @@ class BusSpec extends AnyFunSuite {
     assert(Bus.consume(dir).map(_.lsn) == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("topic reset invalidates the cached producer watermark") {
+    val dir = Files.createTempDirectory("bus5").toString
+    val p = Bus.producer(dir)
+    assert(p.produce(Seq(ch(5, 1, 5))) == 1)
+    // out-of-band reset (retention wiped the topic)
+    Files.delete(Bus.segPath(dir))
+    // the cached watermark no longer describes the log: messages below
+    // it must be writable again, not silently dropped
+    assert(p.produce(Seq(ch(1, 1, 1))) == 1,
+      "stale watermark must rewarm after a topic reset")
+    assert(Bus.consume(dir).map(_.lsn) == Seq(1L))
+  }
+
   test("replication lag gauge (A38)") {
     val lag = new ReplicationLag
     assert(lag.lagMillis().isEmpty, "no data yet → undefined, not zero")
