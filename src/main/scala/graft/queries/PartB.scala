@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Remaining SURVEY §2 Part B operators: approximate distinct counts,
@@ -272,5 +273,34 @@ object PartB {
       wide.select(col("cohort") +:
         types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
         .orderBy(col("cohort"))
+    },
+
+    // ---- Distribution window functions: ntile / percent_rank /
+    //      cume_dist (rank-based, frame-free) and first/nth value over
+    //      an explicit running frame. percent_rank and cume_dist are
+    //      exact integer ratios, so the doubles match bit-for-bit
+    //      across engines without rounding games. ----
+    QueryDef.sql("q56_window_distribution",
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_orderkey) OVER wf AS first_k,
+        |  nth_value(o_orderkey, 3) OVER wf AS third_k
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(wf).as("first_k"),
+          nth_value(col("o_orderkey"), 3).over(wf).as("third_k"))
+        .orderBy(col("o_orderkey"))
     })
 }
