@@ -164,7 +164,7 @@ object Sketches {
     }
     sig.select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bk"))
       .groupBy(col("bk"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
   }
 
   /** 60-bit SimHash over (duplicated) whitespace tokens — partial+final
@@ -246,7 +246,7 @@ object Sketches {
         .as("bk"),
       struct(col("doc_id"), col("simhash")).as("d"))
       .groupBy(col("bk"))
-      .agg(collect_list(col("d")).as("ds"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
 
   /** Candidate pairs `(p.x, p.y)` from LSH posting lists, LOSSLESS at
     * any bucket size (found necessary at sf0.1, where the corpus's
@@ -264,11 +264,15 @@ object Sketches {
     * Elements sort/compare lexicographically (doc_id leads), so
     * `x < y` dedups orientation in both paths. */
   private[queries] def elementPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    // `ds` arrives SORTED from the bucket builders' aggregate (a bound
+    // attribute after the shuffle), so the lambda never re-sorts —
+    // sorting here via a projection would get re-inlined into every
+    // lambda reference by CollapseProject (the q31 generator pathology)
     val small = buckets
       .filter(size(col("ds")).between(2, maxBucket))
       .select(explode_outer(expr(
-        """flatten(transform(array_sort(ds),
-          |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
           |            y -> struct(x, y))))""".stripMargin)).as("p"))
     val hot = buckets.filter(size(col("ds")) > maxBucket)
       .select(col("bk"), explode_outer(col("ds")).as("e"))

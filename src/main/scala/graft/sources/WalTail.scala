@@ -95,10 +95,10 @@ final class WalTail(dir: String, plugin: String = "pgoutput",
           }
         }
         consumedSegments += first
-        consumedMax = Some(consumedMax match {
-          case Some(mx) if java.lang.Long.compareUnsigned(mx, first) >= 0 => mx
-          case _ => first
-        })
+        // segs iterate in ascending unsigned order and anything below
+        // the high-water mark forced a reset above, so the last
+        // consumed firstLsn IS the max
+        consumedMax = Some(first)
       }
     }
   }

@@ -21,22 +21,8 @@ object CdcPipeline {
     * and collect run on the executor/driver boundary — the ordered
     * apply is inherently single-writer (A22); upstream decode and
     * routing stay distributed. */
-  def toChanges(batch: DataFrame): Seq[CdcApplier.Change] = {
-    batch
-      .select("op", "schema", "table", "new", "old", "oids", "lsn", "seq")
-      .collect()
-      .map { r =>
-        def m(i: Int): Map[String, Array[Byte]] =
-          if (r.isNullAt(i)) Map.empty
-          else r.getMap[String, Array[Byte]](i).toMap
-        CdcApplier.Change(r.getString(0), r.getString(1), r.getString(2),
-          m(3), m(4),
-          if (r.isNullAt(5)) Map.empty else r.getMap[String, Int](5).toMap,
-          r.getLong(6), r.getInt(7))
-      }
-      .sortBy(c => (c.lsn ^ Long.MinValue, c.seq))
-      .toSeq
-  }
+  def toChanges(batch: DataFrame): Seq[CdcApplier.Change] =
+    collectBatch(batch)._1
 
   /** Collect one micro-batch EXACTLY ONCE: the ordered changes plus a
     * key resolver read off the same rows — the envelope's `keys`
