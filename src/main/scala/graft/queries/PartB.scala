@@ -302,5 +302,51 @@ object PartB {
           first(col("o_orderkey")).over(wf).as("first_k"),
           nth_value(col("o_orderkey"), 3).over(wf).as("third_k"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- AS-OF join, Spark-first: tag both sides, union, and take the
+    //      last right-side value at or before each left row with an
+    //      ignoreNulls last() over a (key, time)-ordered running frame.
+    //      ONE shuffle on the key, one in-partition sort — no range
+    //      join, no per-row probe, and unlike a windowed range join the
+    //      state per key is a single running value. The oracle is
+    //      DuckDB's native ASOF LEFT JOIN, so the semantics (greatest
+    //      right time <= left time, per key; unmatched -> NULL) are
+    //      pinned by an independent implementation. Event times are
+    //      synthesized into the orders era deterministically so the
+    //      two time lines genuinely interleave. ----
+    QueryDef.sql("q57_asof_join",
+      """WITH od AS (SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS t,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,10))), 2) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY 1, 2),
+        |ev AS (SELECT event_id, user_id,
+        |    CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS TIMESTAMP) AS t
+        |  FROM events)
+        |SELECT ev.event_id, ev.user_id, od.day_total AS asof_total
+        |FROM ev ASOF LEFT JOIN od ON ev.user_id = od.k AND ev.t >= od.t
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val od = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("k"),
+          col("o_orderdate").cast("timestamp_ntz").as("t"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(25,10)")), 2)
+          .cast("double").as("day_total"))
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id").as("k"),
+          date_add(lit("1995-01-01").cast("date"),
+            (col("event_id") % 2400).cast("int"))
+            .cast("timestamp_ntz").as("t"))
+      val tagged = od
+        .select(col("k"), col("t"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"), col("day_total"))
+        .unionByName(ev.select(col("k"), col("t"), lit(1).as("side"),
+          col("event_id"), lit(null).cast("double").as("day_total")))
+      // order rows sort before same-instant events: t >= matches inclusively
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_total", last(col("day_total"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("asof_total"))
+        .orderBy(col("event_id"))
     })
 }
