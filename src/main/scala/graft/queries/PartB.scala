@@ -348,5 +348,33 @@ object PartB {
         .filter(col("side") === 1)
         .select(col("event_id"), col("k").as("user_id"), col("asof_total"))
         .orderBy(col("event_id"))
+    },
+
+    // ---- String aggregation + regexp extraction: ordered string_agg
+    //      of a top-k-per-group (sorted collect on the Spark side =
+    //      ORDER BY inside DuckDB's string_agg), and regexp_extract of
+    //      the numeric id embedded in c_name. ----
+    QueryDef.sql("q58_string_agg",
+      """WITH r AS (SELECT c_mktsegment AS seg,
+        |    CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS name_id,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |  string_agg(CAST(name_id AS VARCHAR), ',' ORDER BY name_id) AS top_ids
+        |FROM r WHERE rn <= 5 GROUP BY seg ORDER BY seg""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1)
+            .cast("long").as("name_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",",
+            sort_array(collect_list(col("name_id"))).cast("array<string>"))
+            .as("top_ids"))
+        .orderBy(col("seg"))
     })
 }
