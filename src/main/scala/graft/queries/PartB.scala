@@ -376,5 +376,33 @@ object PartB {
             sort_array(collect_list(col("name_id"))).cast("array<string>"))
             .as("top_ids"))
         .orderBy(col("seg"))
+    },
+
+    // ---- Multiset set-ops: EXCEPT ALL / INTERSECT ALL preserve
+    //      duplicate counts (bag semantics) — a different operator from
+    //      q17/q18's distinct forms; Spark's exceptAll/intersectAll
+    //      compile to count-matching anti/semi shapes, no distinct. ----
+    QueryDef.sql("q59_multiset_ops",
+      """WITH a AS (SELECT l_orderkey % 100 AS k FROM lineitem WHERE l_linenumber <= 2),
+        |b AS (SELECT l_orderkey % 100 AS k FROM lineitem WHERE l_linenumber = 1),
+        |ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+        |ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |SELECT op, k, CAST(c AS BIGINT) AS c FROM (
+        |  SELECT 'except_all' AS op, k, count(*) AS c FROM ex GROUP BY k
+        |  UNION ALL
+        |  SELECT 'intersect_all' AS op, k, count(*) AS c FROM ia GROUP BY k)
+        |ORDER BY op, k""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val a = li.filter(col("l_linenumber") <= 2)
+        .select((col("l_orderkey") % 100).as("k"))
+      val b = li.filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 100).as("k"))
+      val ex = a.exceptAll(b).groupBy(col("k"))
+        .agg(count(lit(1)).as("c")).withColumn("op", lit("except_all"))
+      val ia = a.intersectAll(b).groupBy(col("k"))
+        .agg(count(lit(1)).as("c")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(ia)
+        .select(col("op"), col("k"), col("c"))
+        .orderBy(col("op"), col("k"))
     })
 }
