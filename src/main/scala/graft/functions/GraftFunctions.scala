@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL registration for the engine's native expressions. After
   * `register(spark)`, `cosine_sim(a, b)` and `rolling_hash(s)` are
@@ -8,18 +10,42 @@ import org.apache.spark.sql.SparkSession
   * whole-stage codegen like any built-in.
   */
 object GraftFunctions {
+
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "rolling_hash" -> (es => RollingHash(es.head)),
+    // pg_decode(datum, oid): oid must be a literal so the result type
+    // is known at analysis time
+    "pg_decode" -> (es => {
+      require(es(1).foldable, "pg_decode oid must be a literal")
+      PgDecode(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    }))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "cosine_sim", es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "rolling_hash", es => RollingHash(es.head), "built-in")
-    // pg_decode(datum, oid): oid must be a literal so the result type is
-    // known at analysis time
-    reg.createOrReplaceTempFunction(
-      "pg_decode", es => {
-        require(es(1).foldable, "pg_decode oid must be a literal")
-        PgDecode(es(0), es(1).eval().asInstanceOf[Number].intValue())
-      }, "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+}
+
+/** Cluster-wide registration without code changes (the library entry
+  * point a deployment configures once):
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions …
+  * }}}
+  *
+  * Every session then has the engine's functions from first use — no
+  * per-session `register` call. The same mechanism is the hook for
+  * future custom rules/strategies (`injectOptimizerRule` /
+  * `injectPlannerStrategy`) if an operator ever outgrows expression
+  * form.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), b))
+    }
 }

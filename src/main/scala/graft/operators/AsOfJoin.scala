@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join as a first-class operator (exercised end-to-end by q57,
+  * whose oracle is DuckDB's native ASOF LEFT JOIN).
+  *
+  * Spark-first shape — no range join, no per-row probing: tag both
+  * inputs, union them, and take the last right-side values at or
+  * before each left row with `last(_, ignoreNulls = true)` over a
+  * (key, time)-ordered running frame. Cost at any scale: ONE shuffle
+  * on the join key, one in-partition sort, constant running state per
+  * key — the same plan a sort-merge join would need anyway, minus the
+  * range-predicate explosion a naive `l.t >= r.t` join produces.
+  *
+  * Right-side time ties: rows at the same instant as a left row sort
+  * BEFORE it (side 0 < side 1), so matching is inclusive (`>=`), the
+  * standard as-of contract. Left rows with no right row at or before
+  * them get NULLs (left-join semantics).
+  */
+object AsOfJoin {
+
+  /** For each row of `left`, append the `valueCols` of the latest
+    * `right` row with `right.timeCol <= left.timeCol` on the same key.
+    * Column names must not collide between sides except `keyCol` and
+    * `timeCol` (shared join columns). */
+  def lastAtOrBefore(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val side = "__asof_side"
+    val taggedRight = right
+      .select(col(keyCol) +: col(timeCol) +: lit(0).as(side) +:
+        (valueCols.map(col) ++
+          leftCols.filterNot(c => c == keyCol || c == timeCol)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left
+      .select(col(keyCol) +: col(timeCol) +: lit(1).as(side) +:
+        (valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+          leftCols.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(side) === 1).drop(side)
+  }
+
+  /** Column-expression form for composition. */
+  def asOfColumn(valueCol: Column, keyCol: Column, timeCol: Column,
+      sideCol: Column): Column =
+    last(valueCol, ignoreNulls = true).over(
+      Window.partitionBy(keyCol).orderBy(timeCol, sideCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+}

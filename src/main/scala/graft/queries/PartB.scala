@@ -335,18 +335,11 @@ object PartB {
           date_add(lit("1995-01-01").cast("date"),
             (col("event_id") % 2400).cast("int"))
             .cast("timestamp_ntz").as("t"))
-      val tagged = od
-        .select(col("k"), col("t"), lit(0).as("side"),
-          lit(null).cast("long").as("event_id"), col("day_total"))
-        .unionByName(ev.select(col("k"), col("t"), lit(1).as("side"),
-          col("event_id"), lit(null).cast("double").as("day_total")))
-      // order rows sort before same-instant events: t >= matches inclusively
-      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("asof_total", last(col("day_total"), ignoreNulls = true).over(w))
-        .filter(col("side") === 1)
-        .select(col("event_id"), col("k").as("user_id"), col("asof_total"))
+      graft.operators.AsOfJoin
+        .lastAtOrBefore(ev, od, keyCol = "k", timeCol = "t",
+          valueCols = Seq("day_total"))
+        .select(col("event_id"), col("k").as("user_id"),
+          col("day_total").as("asof_total"))
         .orderBy(col("event_id"))
     },
 

@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AS-OF semantics pinned on hand-computed fixtures (the q57 oracle
+  * pins them against DuckDB's native ASOF JOIN at corpus scale). */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private def ts(m: Int) = new Timestamp(60000L * m)
+
+  test("latest right row at or before each left row; NULL when none") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val quotes = Seq( // (key, t, px)
+      ("A", ts(1), 10.0), ("A", ts(5), 11.0), ("B", ts(4), 20.0))
+      .toDF("k", "t", "px")
+    val trades = Seq( // (key, t, trade id)
+      ("A", ts(0), 100L), // before any quote → NULL
+      ("A", ts(1), 101L), // exactly at quote time → inclusive match 10.0
+      ("A", ts(3), 102L), // between quotes → 10.0
+      ("A", ts(9), 103L), // after latest → 11.0
+      ("B", ts(6), 104L), // other key → 20.0
+      ("C", ts(2), 105L)) // key with no quotes → NULL
+      .toDF("k", "t", "trade")
+    val got = AsOfJoin.lastAtOrBefore(trades, quotes, "k", "t", Seq("px"))
+      .select(col("trade"), col("px"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(
+      100L -> None, 101L -> Some(10.0), 102L -> Some(10.0),
+      103L -> Some(11.0), 104L -> Some(20.0), 105L -> None))
+  }
+
+  test("GraftExtensions injects every function builder; SQL surface works") {
+    // spark.sql.extensions only applies at FIRST session construction
+    // in a JVM — the shared test session already exists, so exercise
+    // the injection wiring directly (same builders, same identifiers)
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val spark = SparkTestSession.spark
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-9)
+  }
+}
