@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,32 +25,36 @@ object AsOfJoin {
   /** For each row of `left`, append the `valueCols` of the latest
     * `right` row with `right.timeCol <= left.timeCol` on the same key.
     * Column names must not collide between sides except `keyCol` and
-    * `timeCol` (shared join columns). */
+    * `timeCol` (shared join columns).
+    *
+    * All value columns are carried through the window inside ONE
+    * struct (non-null for every right row, null for left rows): the
+    * running `last(ignoreNulls)` therefore skips only the left-row
+    * placeholders, never a genuine NULL inside a matched right row —
+    * and all values always come from the SAME right row. */
   def lastAtOrBefore(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
     val side = "__asof_side"
+    val pack = "__asof_values"
+    val packType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c)))
     val taggedRight = right
-      .select(col(keyCol) +: col(timeCol) +: lit(0).as(side) +:
-        (valueCols.map(col) ++
-          leftCols.filterNot(c => c == keyCol || c == timeCol)
-            .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+      .select(col(keyCol), col(timeCol), lit(0).as(side),
+        struct(valueCols.map(col): _*).as(pack))
+      .select(col(keyCol) +: col(timeCol) +: col(side) +: col(pack) +:
+        leftCols.filterNot(c => c == keyCol || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left
       .select(col(keyCol) +: col(timeCol) +: lit(1).as(side) +:
-        (valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-          leftCols.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)
+        lit(null).cast(packType).as(pack) +:
+        leftCols.filterNot(c => c == keyCol || c == timeCol).map(col): _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(side) === 1).drop(side)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select((leftCols.map(col) ++
+        valueCols.map(c => col(s"$pack.$c").as(c))): _*)
   }
-
-  /** Column-expression form for composition. */
-  def asOfColumn(valueCol: Column, keyCol: Column, timeCol: Column,
-      sideCol: Column): Column =
-    last(valueCol, ignoreNulls = true).over(
-      Window.partitionBy(keyCol).orderBy(timeCol, sideCol)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 }

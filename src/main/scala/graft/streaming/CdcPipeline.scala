@@ -22,7 +22,7 @@ object CdcPipeline {
     * apply is inherently single-writer (A22); upstream decode and
     * routing stay distributed. */
   def toChanges(batch: DataFrame): Seq[CdcApplier.Change] =
-    collectBatch(batch)._1
+    changesOf(collectRows(batch))
 
   /** Collect one micro-batch EXACTLY ONCE: the ordered changes plus a
     * key resolver read off the same rows — the envelope's `keys`
@@ -33,13 +33,23 @@ object CdcPipeline {
     * second action would re-read and re-decode the offset range's
     * segments; everything derives from the single collect. */
   def collectBatch(batch: DataFrame): (Seq[CdcApplier.Change], CdcApplier.KeyResolver) = {
-    val rows = batch
-      .select("op", "schema", "table", "new", "old", "oids", "lsn", "seq", "keys")
-      .collect()
+    val rows = collectRows(batch)
+    val km = rows.iterator.map { r =>
+      (r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(8)) Seq.empty[String] else r.getSeq[String](8))
+    }.toMap
+    (changesOf(rows), (s: String, t: String) => km.getOrElse((s, t), Seq.empty))
+  }
+
+  private def collectRows(batch: DataFrame): Array[Row] = batch
+    .select("op", "schema", "table", "new", "old", "oids", "lsn", "seq", "keys")
+    .collect()
+
+  private def changesOf(rows: Array[Row]): Seq[CdcApplier.Change] = {
     def m(r: Row, i: Int): Map[String, Array[Byte]] =
       if (r.isNullAt(i)) Map.empty
       else r.getMap[String, Array[Byte]](i).toMap
-    val changes = rows
+    rows
       .map { r =>
         CdcApplier.Change(r.getString(0), r.getString(1), r.getString(2),
           m(r, 3), m(r, 4),
@@ -48,11 +58,6 @@ object CdcPipeline {
       }
       .sortBy(c => (c.lsn ^ Long.MinValue, c.seq))
       .toSeq
-    val km = rows.iterator.map { r =>
-      (r.getString(1), r.getString(2)) ->
-        (if (r.isNullAt(8)) Seq.empty[String] else r.getSeq[String](8))
-    }.toMap
-    (changes, (s: String, t: String) => km.getOrElse((s, t), Seq.empty))
   }
 
   /** Start the capture→apply pipeline over a WAL feed directory.

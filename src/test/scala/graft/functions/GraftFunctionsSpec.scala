@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Function registration surface: the per-session register() path and
+  * the cluster-wide GraftExtensions injection share ONE builder list,
+  * so proving each builder constructs an evaluable expression covers
+  * both (spark.sql.extensions only applies at first session
+  * construction in a JVM, so the config path itself can't be driven
+  * from the shared test session). */
+class GraftFunctionsSpec extends AnyFunSuite {
+
+  test("every registered builder constructs an evaluable expression") {
+    val sample: Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = Map(
+      "cosine_sim" -> Seq(
+        Literal.create(Seq(1.0f, 0.0f), ArrayType(FloatType)),
+        Literal.create(Seq(1.0f, 0.0f), ArrayType(FloatType))),
+      "rolling_hash" -> Seq(Literal.create("abc", StringType)),
+      "pg_decode" -> Seq(
+        Literal.create(graft.codec.PgType.encode(graft.codec.PgType.Int8, 7L),
+          BinaryType),
+        Literal.create(graft.codec.PgType.Int8, IntegerType)))
+    assert(GraftFunctions.builders.map(_._1).toSet == sample.keySet,
+      "builder list and test coverage must stay in sync")
+    GraftFunctions.builders.foreach { case (name, b) =>
+      val e = b(sample(name))
+      assert(e.checkInputDataTypes().isSuccess, s"$name type check")
+      assert(e.eval() != null, s"$name must evaluate")
+    }
+  }
+
+  test("GraftExtensions applies its injections without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("SQL surface resolves via register()") {
+    val spark = SparkTestSession.spark
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-9)
+  }
+}

@@ -35,17 +35,18 @@ class AsOfJoinSpec extends AnyFunSuite {
       103L -> Some(11.0), 104L -> Some(20.0), 105L -> None))
   }
 
-  test("GraftExtensions injects every function builder; SQL surface works") {
-    // spark.sql.extensions only applies at FIRST session construction
-    // in a JVM — the shared test session already exists, so exercise
-    // the injection wiring directly (same builders, same identifiers)
-    new graft.functions.GraftExtensions()
-      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  test("a matched right row with a NULL value yields NULL, not an older value") {
     val spark = SparkTestSession.spark
-    graft.functions.GraftFunctions.register(spark)
-    val r = spark.sql(
-      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
-      .collect()(0).getDouble(0)
-    assert(math.abs(r - 1.0) < 1e-9)
+    import spark.implicits._
+    // (k, t=1, 5.0), (k, t=2, NULL): the latest row at t=3 IS the NULL
+    // one — the as-of contract (and DuckDB ASOF) returns its NULL, not
+    // the older 5.0
+    val quotes = Seq(("A", ts(1), Some(5.0)), ("A", ts(2), None))
+      .toDF("k", "t", "px")
+    val trades = Seq(("A", ts(3), 1L)).toDF("k", "t", "trade")
+    val got = AsOfJoin.lastAtOrBefore(trades, quotes, "k", "t", Seq("px"))
+      .select(col("px")).collect()
+    assert(got(0).isNullAt(0),
+      "NULL inside the matched right row must survive, not be skipped")
   }
 }
