@@ -88,6 +88,41 @@ class JdbcTxStoreSpec extends TxStoreContract {
     st.close(); store.close()
   }
 
+  test("interleaved multi-table apply: run-length batches flush at table switches") {
+    withHarness { h =>
+      val st2 = h.asInstanceOf[DerbyHarness].conn.createStatement()
+      st2.execute("""create table "public"."audit" (
+        "id" bigint not null primary key, "v" integer)""")
+      h.asInstanceOf[DerbyHarness].conn.commit()
+      st2.close()
+      val oids = Map("id" -> graft.codec.PgType.Int8,
+        "v" -> graft.codec.PgType.Int4)
+      def c(op: String, table: String, lsn: Long, id: Long, v: Int) = {
+        val nf = Map("id" -> graft.codec.PgType.encode(graft.codec.PgType.Int8, id),
+          "v" -> graft.codec.PgType.encode(graft.codec.PgType.Int4, v))
+        CdcApplier.Change(op, "public", table,
+          if (op == "DELETE") Map.empty else nf,
+          if (op == "DELETE") Map("id" ->
+            graft.codec.PgType.encode(graft.codec.PgType.Int8, id)) else Map.empty,
+          oids, lsn, 1)
+      }
+      // inserts into t, switch to audit, back to t, then update + delete —
+      // every switch must flush the pending multi-VALUES batch in order
+      CdcApplier.applyBatch(h.store, "s", Seq(
+        c("INSERT", "test_table", 1, 1, 10),
+        c("INSERT", "test_table", 2, 2, 20),
+        c("INSERT", "audit", 3, 1, 100),
+        c("INSERT", "test_table", 4, 3, 30),
+        c("UPDATE", "test_table", 5, 2, 22),
+        c("DELETE", "audit", 6, 1, 0)), keys)
+      assert(h.rows("public.test_table").map(r => (r("id"), r("v"))).toSet ==
+        Set((1L, 10), (2L, 22), (3L, 30)))
+      assert(h.rows("public.audit").isEmpty)
+      assert(h.store.readWatermark("s")
+        .contains(graft.cdc.Checkpoint(6, 1)))
+    }
+  }
+
   test("watermark table round-trips across store instances (A21 recovery)") {
     withHarness { h =>
       CdcApplier.applyBatch(h.store, "s", Seq(ch("INSERT", 9, 2, 1, Some(1))),
