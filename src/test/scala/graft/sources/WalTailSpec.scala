@@ -45,6 +45,20 @@ class WalTailSpec extends AnyFunSuite {
     assert(tail.framesDecoded == afterFirst + 4)
   }
 
+  test("fresh tail seeds relations from the sidecar catalog (post-truncation driver)") {
+    val dir = Files.createTempDirectory("tailC").toString
+    // the catalog holds the ONLY Relation declaration (its declaring
+    // segment was truncated away); the segment carries just the tx
+    val w = new graft.codec.BytesWriter()
+    val rFrame = PgOutput.Encoder.relation(rel)
+    w.int32(rFrame.length).raw(rFrame)
+    Files.write(WalFiles.relationsPath(dir.toString).normalize, w.result())
+    WalFiles.writeSegment(dir, 600L, tx(600L, 2))
+    val tail = new WalTail(dir)
+    assert(tail.last() == Checkpoint(600L, 2),
+      "driver tail must decode rows of catalog-only relations")
+  }
+
   test("untracked tail (no admission cap) answers bounded() with the feed end") {
     val dir = Files.createTempDirectory("tailU").toString
     WalFiles.writeSegment(dir, 500L,
