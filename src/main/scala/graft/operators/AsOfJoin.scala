@@ -19,8 +19,25 @@ import org.apache.spark.sql.functions._
   * BEFORE it (side 0 < side 1), so matching is inclusive (`>=`), the
   * standard as-of contract. Left rows with no right row at or before
   * them get NULLs (left-join semantics).
+  *
+  * Right rows that tie on BOTH (key, time) are broken by the packed
+  * value struct itself (Spark defines a total order over structs of
+  * orderable fields): `last()` then deterministically picks the
+  * struct-wise greatest row, run to run. When a value column is not
+  * orderable (a map), ties fall back to undefined order — callers
+  * needing determinism there must make (keyCol, timeCol) unique on
+  * the right side.
   */
 object AsOfJoin {
+
+  /** Whether Spark can sort values of this type (everything except
+    * maps, recursively — mirrors Catalyst's RowOrdering.isOrderable). */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+    case _ => true
+  }
 
   /** For each row of `left`, append the `valueCols` of the latest
     * `right` row with `right.timeCol <= left.timeCol` on the same key.
@@ -49,7 +66,13 @@ object AsOfJoin {
       .select(col(keyCol) +: col(timeCol) +: lit(1).as(side) +:
         lit(null).cast(packType).as(pack) +:
         leftCols.filterNot(c => c == keyCol || c == timeCol).map(col): _*)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(side))
+    // Deterministic tie-break among right rows sharing (key, time):
+    // order by the packed struct too (value-based, so stable across
+    // runs and partitionings — unlike monotonically_increasing_id).
+    val ordering =
+      if (orderable(packType)) Seq(col(timeCol), col(side), col(pack))
+      else Seq(col(timeCol), col(side))
+    val w = Window.partitionBy(col(keyCol)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))

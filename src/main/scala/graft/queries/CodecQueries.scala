@@ -298,8 +298,14 @@ object CodecQueries {
     * (on a cluster a backfill reads the agent's recorded feed from
     * shared storage instead of generating one). */
   private def ensureBackfillFeed(s: SparkSession, d: String): String = {
+    // fixture name = sanitized data-dir path (no hashCode collisions
+    // between different dirs) + this JVM's pid (two concurrent runs
+    // over the same data dir never share a feed, so one run's
+    // regeneration can't delete files the other is still reading)
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+    val pid = ProcessHandle.current().pid()
     val dir = new java.io.File(
-      s"/tmp/graft_walbf_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      s"/tmp/graft_walbf_${safe}_$pid").getAbsolutePath
     val f = new java.io.File(dir)
     if (f.isDirectory) f.listFiles().foreach(_.delete())
     import s.implicits._

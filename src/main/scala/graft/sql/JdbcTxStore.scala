@@ -23,6 +23,16 @@ import graft.streaming.CdcApplier
   * exists-checked inserts. Replay batches are the only ones that pay
   * the slow path; steady-state cost is one statement per insert run.
   *
+  * DIALECT REQUIREMENT: the optimistic path assumes STATEMENT-level
+  * rollback — the transaction must stay usable after a failed
+  * statement (Derby, SQL Server, MySQL). PostgreSQL aborts the whole
+  * transaction on any error, so against PG `onConflictSupported` MUST
+  * be true (the fallback never fires); running PG with it false would
+  * poison the transaction ("current transaction is aborted"). The
+  * fallback detects that state — if its own first statement fails, it
+  * re-throws the ORIGINAL duplicate-key violation with the secondary
+  * failure suppressed, keeping the root cause visible.
+  *
   * The watermark table is `(source_id, wm_lsn, wm_seq)` keyed by
   * source id — the role of the reference's `pgcapture.sources` table
   * (pkg/sink/postgres.go:609-614 UPDATE … SET commit = $1).
@@ -117,18 +127,31 @@ final class JdbcTxStore(conn: Connection,
     if (onConflictSupported || keyCols.isEmpty) { ps.executeUpdate(); return }
     try ps.executeUpdate()
     catch {
-      case _: SQLIntegrityConstraintViolationException =>
+      case dup: SQLIntegrityConstraintViolationException =>
         // replay overlap: the statement rolled back, the tx did not —
         // re-apply this batch row-at-a-time, skipping existing keys
-        rows.foreach { r =>
-          if (!keyExists(schema, table, keyCols, r)) {
-            val one = prepared(SqlBuilder.insertQuery(SqlBuilder.InsertOption(
-              schema, table, cols, 1, pgVersion = pgVersion,
-              style = SqlBuilder.JdbcParams)))
-            var j = 1
-            cols.foreach { c => bind(one, j, r(c)); j += 1 }
-            one.executeUpdate()
+        var progressed = false // any fallback statement completed?
+        try {
+          rows.foreach { r =>
+            val exists = keyExists(schema, table, keyCols, r)
+            progressed = true
+            if (!exists) {
+              val one = prepared(SqlBuilder.insertQuery(SqlBuilder.InsertOption(
+                schema, table, cols, 1, pgVersion = pgVersion,
+                style = SqlBuilder.JdbcParams)))
+              var j = 1
+              cols.foreach { c => bind(one, j, r(c)); j += 1 }
+              one.executeUpdate()
+            }
           }
+        } catch {
+          case e: java.sql.SQLException if !progressed =>
+            // the very first fallback statement failed too: the
+            // transaction is poisoned (a dialect without statement-level
+            // rollback, e.g. PG with onConflictSupported left false) —
+            // surface the ORIGINAL violation as the root cause
+            dup.addSuppressed(e)
+            throw dup
         }
     }
   }

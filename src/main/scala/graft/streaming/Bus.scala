@@ -39,6 +39,11 @@ object Bus {
     w.int32(c.oids.size)
     c.oids.toSeq.sortBy(_._1).foreach { case (k, v) => w.cstring(k); w.int32(v) }
     w.int64(c.lsn).int32(c.seq)
+    // per-change replica-identity keys (−1 = wire didn't carry any)
+    c.keys match {
+      case None => w.int32(-1)
+      case Some(ks) => w.int32(ks.size); ks.foreach(w.cstring)
+    }
     w.result()
   }
 
@@ -49,7 +54,12 @@ object Bus {
       (0 until r.int32()).map(_ => r.cstring() -> r.bytes32()).toMap
     val nf = map(); val of = map()
     val oids = (0 until r.int32()).map(_ => r.cstring() -> r.int32()).toMap
-    CdcApplier.Change(op, schema, table, nf, of, oids, r.int64(), r.int32())
+    val lsn = r.int64(); val seq = r.int32()
+    val keys = r.int32() match {
+      case -1 => None
+      case n => Some((0 until n).map(_ => r.cstring()).toList)
+    }
+    CdcApplier.Change(op, schema, table, nf, of, oids, lsn, seq, keys)
   }
 
   /** Message key, the reference's Pulsar key scheme (A11). */
@@ -119,18 +129,27 @@ object Bus {
   */
 final class BusProducer private[streaming] (dir: String) {
   private var wm: Checkpoint = _
+  // segment length as of our last write: an out-of-band append,
+  // truncation, or replace (second process, restored backup) shows up
+  // as a size mismatch and invalidates the cached watermark — the
+  // single-writer contract makes this impossible in-protocol, but a
+  // stale watermark would silently duplicate messages, so verify
+  private var knownSize: Long = -1L
   /** Read-to-end tracker scans performed — instrumentation proving the
     * O(1)-scans contract (BusSpec). */
   @volatile var trackerScans: Int = 0
 
   def produce(changes: Seq[CdcApplier.Change]): Int = synchronized {
     Files.createDirectories(Paths.get(dir))
-    // topic reset (segment deleted out-of-band): the cached watermark
-    // no longer describes the log — rewarm instead of silently
-    // filtering every message against stale state
-    if (wm != null && !Files.exists(Bus.segPath(dir))) wm = null
+    // topic reset or out-of-band mutation: the cached watermark no
+    // longer describes the log — rewarm instead of silently filtering
+    // every message against stale state
+    val seg = Bus.segPath(dir)
+    if (wm != null &&
+        (!Files.exists(seg) || Files.size(seg) != knownSize)) wm = null
     if (wm == null) {
       wm = Bus.last(dir).getOrElse(Checkpoint.Zero)
+      knownSize = if (Files.exists(seg)) Files.size(seg) else 0L
       trackerScans += 1
     }
     val fresh = changes
@@ -145,6 +164,7 @@ final class BusProducer private[streaming] (dir: String) {
     Files.write(Bus.segPath(dir), w.result(),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    knownSize = Files.size(Bus.segPath(dir))
     val last = fresh.last
     wm = Checkpoint(last.lsn, last.seq)
     fresh.size

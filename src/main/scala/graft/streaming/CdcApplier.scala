@@ -26,10 +26,18 @@ import graft.codec.PgType
   */
 object CdcApplier {
 
-  /** One decoded change, ordered by (lsn, seq) unsigned. */
+  /** One decoded change, ordered by (lsn, seq) unsigned.
+    *
+    * `keys` is the replica-identity column list that was in force when
+    * THIS row was captured (from the table's Relation message riding
+    * the same envelope) — carried per change, not per table, so a
+    * replident change mid-batch (DDL) resolves each row with the keys
+    * of its own capture point, not the batch's newest. `None` = the
+    * wire didn't say (pglogical); the apply-side resolver decides. */
   final case class Change(op: String, schema: String, table: String,
       newFields: Map[String, Array[Byte]], oldFields: Map[String, Array[Byte]],
-      oids: Map[String, Int], lsn: Long, seq: Int)
+      oids: Map[String, Int], lsn: Long, seq: Int,
+      keys: Option[Seq[String]] = None)
 
   /** Transactional target-store seam (the JDBC connection in a real
     * deployment; [[InMemoryTxStore]] in tests — same role as the
@@ -139,7 +147,13 @@ object CdcApplier {
           skipTables = Set.empty // DML suppression is per source tx
           if (txsInStore >= txBatch) commitStore()
         }
-        val info = resolve(c.schema, c.table)
+        // per-change envelope keys (the Relation in force at capture
+        // time) beat the batch-level resolver — a mid-batch replident
+        // change must not retro-apply to earlier rows
+        val info = {
+          val base = resolve(c.schema, c.table)
+          c.keys.fold(base)(k => base.copy(keys = k))
+        }
         if (graft.cdc.DdlClassifier.ignore(c.schema, c.table)) {
           // pgcapture.sources bookkeeping rows are never applied (A7)
         } else if (graft.cdc.DdlClassifier.isDdl(c.schema, c.table)) {

@@ -31,7 +31,13 @@ object CdcPipeline {
     * (SURVEY A6 — pgoutput ships the key flags on the wire; pglogical
     * does not, so there an explicit resolver is still required). A
     * second action would re-read and re-decode the offset range's
-    * segments; everything derives from the single collect. */
+    * segments; everything derives from the single collect.
+    *
+    * Each Change also carries its OWN row's keys ([[CdcApplier.Change.keys]],
+    * which the applier prefers over any resolver): if replica identity
+    * changes mid-batch, rows captured before the DDL keep the keys that
+    * rode their envelope rows. The returned resolver (last-row-wins per
+    * table) is only the fallback for rows whose envelope had none. */
   def collectBatch(batch: DataFrame): (Seq[CdcApplier.Change], CdcApplier.KeyResolver) = {
     val rows = collectRows(batch)
     val km = rows.iterator.map { r =>
@@ -54,7 +60,8 @@ object CdcPipeline {
         CdcApplier.Change(r.getString(0), r.getString(1), r.getString(2),
           m(r, 3), m(r, 4),
           if (r.isNullAt(5)) Map.empty else r.getMap[String, Int](5).toMap,
-          r.getLong(6), r.getInt(7))
+          r.getLong(6), r.getInt(7),
+          keys = if (r.isNullAt(8)) None else Some(r.getSeq[String](8).toList))
       }
       .sortBy(c => (c.lsn ^ Long.MinValue, c.seq))
       .toSeq

@@ -35,6 +35,24 @@ class AsOfJoinSpec extends AnyFunSuite {
       103L -> Some(11.0), 104L -> Some(20.0), 105L -> None))
   }
 
+  test("right rows tying on (key, time) resolve deterministically") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // three quotes at the SAME (key, instant): the packed value struct
+    // is the tiebreaker, so every run (and any partitioning) picks the
+    // struct-wise greatest row — (12.0, 2) here
+    val quotes = Seq(("A", ts(1), 10.0, 7L), ("A", ts(1), 12.0, 2L),
+      ("A", ts(1), 11.0, 9L)).toDF("k", "t", "px", "sz")
+    val trades = Seq(("A", ts(2), 1L)).toDF("k", "t", "trade")
+    (1 to 3).foreach { n =>
+      val got = AsOfJoin.lastAtOrBefore(
+        trades, quotes.repartition(n * 2), "k", "t", Seq("px", "sz"))
+        .select(col("px"), col("sz")).collect()
+      assert(got(0).getDouble(0) == 12.0 && got(0).getLong(1) == 2L,
+        s"tie must break the same way under repartition($n)")
+    }
+  }
+
   test("a matched right row with a NULL value yields NULL, not an older value") {
     val spark = SparkTestSession.spark
     import spark.implicits._

@@ -154,6 +154,28 @@ class JdbcTxStoreSpec extends TxStoreContract {
     }
   }
 
+  test("poisoned-tx detection: first fallback failure re-throws the original violation") {
+    withHarness { h =>
+      val s = h.store
+      s.begin()
+      s.insertMany("public", "test_table",
+        Seq(Map[String, Any]("id" -> 1L, "v" -> 1)), Seq("id"))
+      s.commit()
+      s.begin()
+      // the duplicate triggers the fallback; a bogus key column makes
+      // the fallback's FIRST statement (the exists probe) fail too —
+      // the store must surface the ORIGINAL duplicate-key violation
+      // with the probe failure suppressed, not the secondary error
+      val e = intercept[java.sql.SQLIntegrityConstraintViolationException] {
+        s.insertMany("public", "test_table",
+          Seq(Map[String, Any]("id" -> 1L, "v" -> 1)), Seq("no_such_col"))
+      }
+      assert(e.getSuppressed.nonEmpty,
+        "the secondary failure must ride along as suppressed")
+      s.rollback()
+    }
+  }
+
   test("NULL-valued keys become IS NULL predicates (replident FULL, no key info)") {
     withHarness { h =>
       val s = h.store

@@ -48,6 +48,23 @@ class ApplierSpec extends TxStoreContract {
       Seq(Map("id" -> 1L, "v" -> 10, "serial" -> 7L)))
   }
 
+  test("per-change envelope keys beat the batch resolver (mid-batch replident change)") {
+    val s = new InMemoryTxStore
+    // the batch-level resolver reflects the batch's NEWEST catalog and
+    // says key = v — wrong for rows captured before a mid-batch
+    // replident change, whose own envelope still says key = id
+    val newest: CdcApplier.InfoResolver = (_, _) => ColumnInfo(Seq("v"))
+    CdcApplier.applyWithInfo(s, "s", Seq(
+      change("INSERT", Map("id" -> 1L, "v" -> 10), Map.empty, 1)
+        .copy(keys = Some(Seq("id"))),
+      // UPDATE without old image resolves keys from the new image: with
+      // the row's own keys (id=1, matches) — with the resolver's (v=12,
+      // matches nothing) the update would silently vanish
+      change("UPDATE", Map("id" -> 1L, "v" -> 12), Map.empty, 2)
+        .copy(keys = Some(Seq("id")))), newest)
+    assert(s.rows("public.t") == Seq(Map("id" -> 1L, "v" -> 12)))
+  }
+
   test("UPDATE with old image: keys from old, sets exclude generated+identity") {
     val s = new InMemoryTxStore
     CdcApplier.applyWithInfo(s, "s", Seq(

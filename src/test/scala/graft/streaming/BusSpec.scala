@@ -82,6 +82,32 @@ class BusSpec extends AnyFunSuite {
     assert(Bus.consume(dir).map(_.lsn) == Seq(1L))
   }
 
+  test("serialize round-trip carries per-change replica-identity keys") {
+    val c = ch(9, 1, 7L).copy(keys = Some(Seq("id", "region")))
+    assert(Bus.deserialize(Bus.serialize(c)).keys.contains(Seq("id", "region")))
+    // unknown (pglogical wire) stays unknown …
+    assert(Bus.deserialize(Bus.serialize(ch(9, 1, 7L))).keys.isEmpty)
+    // … and is distinct from "known to have no identity" (empty list)
+    val c0 = ch(9, 1, 7L).copy(keys = Some(Nil))
+    assert(Bus.deserialize(Bus.serialize(c0)).keys.contains(Nil))
+  }
+
+  test("out-of-band segment append invalidates the cached watermark") {
+    val dir = Files.createTempDirectory("bus6").toString
+    val p = Bus.producer(dir)
+    assert(p.produce(Seq(ch(1, 1, 1))) == 1)
+    // a second writer (single-writer contract violation, or a restored
+    // backup) appends lsn 2 behind the cached producer's back
+    val rogue = new BusProducer(dir)
+    assert(rogue.produce(Seq(ch(2, 1, 2))) == 1)
+    // the cached producer must detect the size change, rescan, and
+    // neither re-append lsn 2 nor trust its stale watermark
+    assert(p.produce(Seq(ch(2, 1, 2), ch(3, 1, 3))) == 1)
+    assert(p.trackerScans == 2,
+      "an out-of-band append must force exactly one rescan")
+    assert(Bus.consume(dir).map(_.lsn) == Seq(1L, 2L, 3L))
+  }
+
   test("replication lag gauge (A38)") {
     val lag = new ReplicationLag
     assert(lag.lagMillis().isEmpty, "no data yet → undefined, not zero")
