@@ -371,6 +371,62 @@ object PartB {
         .orderBy(col("seg"))
     },
 
+    // ---- Correlated subqueries through Spark SQL itself: a scalar
+    //      subquery (per-order max line price) plus a correlated EXISTS
+    //      — Catalyst decorrelates both into aggregate+join shapes (the
+    //      scalar one becomes a left outer join on a pre-aggregated
+    //      lineitem, EXISTS a left semi join), so the executed plan has
+    //      NO per-row probing: two shuffles on l_orderkey at any scale.
+    //      The oracle runs the very same SQL text on DuckDB. ----
+    QueryDef.sql("q60_correlated_subquery",
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  (SELECT max(l.l_extendedprice) FROM lineitem l
+        |     WHERE l.l_orderkey = o.o_orderkey) AS max_line_price
+        |FROM orders o
+        |WHERE o.o_totalprice > 400000
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders_q60")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_q60")
+      s.sql("""SELECT o.o_orderkey, o.o_totalprice,
+        (SELECT max(l.l_extendedprice) FROM lineitem_q60 l
+           WHERE l.l_orderkey = o.o_orderkey) AS max_line_price
+      FROM orders_q60 o
+      WHERE o.o_totalprice > 400000
+        AND EXISTS (SELECT 1 FROM lineitem_q60 l2
+          WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+      ORDER BY o.o_orderkey""")
+    },
+
+    // ---- Dense date spine (calendar fill): sequence() + explode
+    //      generates the day dimension from the data's own bounds, then
+    //      a left join zero-fills gap days — the generated side is tiny
+    //      (one row per day) and broadcast, the fact side aggregates
+    //      BEFORE the join, so the only wide shuffle is the per-day
+    //      group-by. DuckDB's generate_series is the oracle. ----
+    QueryDef.sql("q61_date_spine",
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |    CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |per AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+        |    round(sum(CAST(o_totalprice AS DECIMAL(25,10))), 2) AS rev FROM orders GROUP BY 1)
+        |SELECT d.day, CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(p.rev, 0) AS DOUBLE) AS revenue
+        |FROM days d LEFT JOIN per p ON d.day = p.day ORDER BY d.day""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+        .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      val days = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val per = o.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(25,10)")), 2).as("rev"))
+      broadcast(days).join(per, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("rev"), lit(0)).cast("double").as("revenue"))
+        .orderBy(col("day"))
+    },
+
     // ---- Multiset set-ops: EXCEPT ALL / INTERSECT ALL preserve
     //      duplicate counts (bag semantics) — a different operator from
     //      q17/q18's distinct forms; Spark's exceptAll/intersectAll

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data export operators beyond the reference's surface:
+  * deterministic mixture sampling and sequence (token-bin) packing —
+  * the two steps between "deduplicated corpus" and "training shards".
+  *
+  * Both are built to the 100 TB rule: no global single-partition
+  * window, no driver-side loops over data, every shuffle keyed and
+  * bounded. Determinism comes from content hashes (md5) and document
+  * ids, never from RNG state — so reruns, retried tasks, and the
+  * DuckDB oracle all agree bit-for-bit.
+  */
+object TrainingOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** First two hex chars of md5(doc_id) — a uniform draw in [0, 256)
+    * that any engine reproduces from the row alone. */
+  private def hashBucket(c: org.apache.spark.sql.Column) =
+    substring(md5(c.cast("string").cast("binary")), 1, 2)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- Deterministic weighted mixture sampling: each language gets
+    //      a target keep-rate (upsample rare, downsample dominant) and
+    //      a row is kept iff md5(doc_id)'s first byte falls under the
+    //      language's threshold — a pure per-row filter pushed into the
+    //      scan, no shuffle, no RNG, no coordination; identical sample
+    //      on any cluster size, and the oracle re-derives it exactly.
+    //      This is the "domain mixing" step of corpus assembly. ----
+    QueryDef.sql("q62_mixture_sample",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |    CASE lang WHEN 'en' THEN '20' WHEN 'de' THEN '80'
+        |              WHEN 'fr' THEN '80' WHEN 'es' THEN '40'
+        |              WHEN 'zh' THEN '40' ELSE '10' END AS thresh
+        |  FROM documents) WHERE bucket < thresh
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // rates in 256ths: en 32 (down to 12.5%), de/fr 128, es/zh 64
+      val thresh = when(col("lang") === "en", "20")
+        .when(col("lang") === "de", "80").when(col("lang") === "fr", "80")
+        .when(col("lang") === "es", "40").when(col("lang") === "zh", "40")
+        .otherwise("10")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          hashBucket(col("doc_id")).as("bucket"), thresh.as("thresh"))
+        .filter(col("bucket") < col("thresh"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Sequence packing: stream documents in doc_id order into
+    //      fixed-capacity token bins (2048 tokens, documents may span a
+    //      bin boundary — each doc's bin is where its first token
+    //      lands). The naive plan is ONE global running sum = a single-
+    //      partition window, dead at scale; instead this is the
+    //      classic two-level prefix sum, all-distributed:
+    //        1. contiguous range buckets by doc_id (pure projection);
+    //        2. running sum WITHIN each bucket (partitioned window);
+    //        3. per-bucket totals (tiny: one row per bucket) prefix-
+    //           summed into bucket offsets and broadcast back;
+    //        4. global offset = bucket offset + within-bucket sum.
+    //      Only the final per-bin aggregate shuffles on data. ----
+    QueryDef.sql("q63_sequence_packing",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
+        |SELECT CAST(floor(cum / 2048.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs, sum(n_tokens) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val Capacity = 2048
+      val Buckets = 32 // at lake scale: O(executors), still tiny driver-side
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      // contiguous doc_id ranges → bucket id (deterministic, no sampling)
+      val bounds = toks.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val width = math.max(1L, (hi - lo) / Buckets + 1)
+      val staged = toks.withColumn("pid",
+        ((col("doc_id") - lit(lo)) / lit(width)).cast("int"))
+      // running sum within each bucket — a PARTITIONED window, scales
+      val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = staged.withColumn("cum_in",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      // bucket offsets: one row per bucket, prefix-summed (the only
+      // unpartitioned window — over ≤ Buckets rows, not data). The
+      // totals branch re-reads the table with a map-side partial agg
+      // (32 output rows); it does re-tokenize, which at lake scale you
+      // avoid by carrying a precomputed n_tokens column in the corpus
+      // metadata (standard practice) or persisting the staged slice.
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = staged.groupBy(col("pid"))
+        .agg(sum(col("n_tokens")).as("part_total"))
+        .withColumn("offset", coalesce(sum(col("part_total")).over(wOff), lit(0L)))
+        .select(col("pid"), col("offset"))
+      within.join(broadcast(offsets), "pid")
+        .withColumn("bin", expr(s"(offset + cum_in) div $Capacity"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin"))
+    })
+}

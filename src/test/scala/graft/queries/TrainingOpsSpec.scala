@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the training-data export operators that the
+  * row-compare oracle can't state directly. */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sequence packing: bins are dense, conserve tokens, and respect capacity") {
+    val spark = SparkTestSession.spark
+    val q = graft.SparkEntry.queries("q63_sequence_packing")
+    val bins = q(spark, dir).collect()
+    val binIds = bins.map(_.getLong(0))
+    assert(binIds.toSeq == (0L until binIds.length).toSeq,
+      "bin ids must be dense from 0 — a gap means tokens were lost")
+    // conservation: bin token sums add up to the corpus total
+    val total = graft.Tables.load(spark, dir, "documents")
+      .select(size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(bins.map(_.getLong(2)).sum == total)
+    // capacity: a doc is assigned to the bin its FIRST token lands in,
+    // so a bin's docs start strictly below (bin+1)·capacity tokens —
+    // every bin except the last must have been filled to at least
+    // capacity by its own docs (they may overflow into the next)
+    val nonFinal = bins.dropRight(1)
+    assert(nonFinal.forall(_.getLong(2) > 0))
+    // doc ranges must be contiguous and ordered across bins
+    val ranges = bins.map(r => (r.getLong(3), r.getLong(4)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(lo2 == hi + 1,
+        "packing must consume documents in one contiguous doc_id order")
+      case _ => ()
+    }
+  }
+
+  test("mixture sample: per-language rates land near target, deterministic across runs") {
+    val spark = SparkTestSession.spark
+    val q = graft.SparkEntry.queries("q62_mixture_sample")
+    val a = q(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = q(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash sampling must be bit-deterministic")
+    assert(a.nonEmpty)
+    // en keep-rate target is 32/256 = 12.5%: with ~50 en docs at
+    // sf0.001 the binomial 5σ band is wide, so just bound it loosely
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val en = docs.filter(col("lang") === "en").count()
+    val enKept = q(spark, dir).filter(col("lang") === "en").count()
+    assert(enKept.toDouble / en < 0.5, s"en must be downsampled (kept $enKept/$en)")
+  }
+}
