@@ -427,6 +427,33 @@ object PartB {
         .orderBy(col("day"))
     },
 
+    // ---- Time-RANGE window frames: a rolling 1-hour per-user window
+    //      keyed on exact epoch microseconds — value-based (RANGE)
+    //      frames, unlike q11's row-based ones: peers at the same
+    //      instant share a frame, and the frame width is wall-clock,
+    //      not row count. One shuffle on user_id; running-frame sums
+    //      are incremental per partition. The rolling sum rides the
+    //      decimal path (q27 rounding rule). ----
+    QueryDef.sql("q64_range_frame",
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(round(sum(CAST(value AS DECIMAL(25,10))) OVER w, 4) AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value").cast("decimal(25,10)")).over(w), 4)
+            .cast("double").as("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- Multiset set-ops: EXCEPT ALL / INTERSECT ALL preserve
     //      duplicate counts (bag semantics) — a different operator from
     //      q17/q18's distinct forms; Spark's exceptAll/intersectAll
