@@ -129,6 +129,34 @@ class PipelineSpec extends AnyFunSuite {
       Set((1L, 11), (2L, 20)))
   }
 
+  test("mid-batch replica-identity change: each row applies with its own keys") {
+    val walDir = Files.createTempDirectory("prid").toString
+    val ckDir = Files.createTempDirectory("pridck").toString
+    val spark = SparkTestSession.spark
+    val store = new InMemoryTxStore
+    // same table, replident flips mid-feed from the id PK to a unique
+    // index on bal ('i'); everything lands in ONE micro-batch
+    val relBalKey = R(1, "public", "accounts", 'i', Seq(
+      C("id", PgType.Int8, isKey = false), C("bal", PgType.Int4, isKey = true)))
+    def updOf(r: R, id: Long, bal: Int) = PgOutput.Encoder.update(r, None,
+      Seq(PgType.encode(PgType.Int8, id), PgType.encode(PgType.Int4, bal)))
+    graft.sources.WalFiles.writeSegment(walDir, 40L,
+      (PgOutput.Encoder.relation(rel) +:
+        (tx(40L, ins(1, 100), ins(2, 200)) ++
+          // keyless UPDATE under key=id: WHERE id=1 SET bal=150
+          tx(41L, updOf(rel, 1, 150)))) ++
+        (PgOutput.Encoder.relation(relBalKey) +:
+          // keyless UPDATE under key=bal: WHERE bal=200 SET id=9
+          tx(42L, updOf(relBalKey, 9, 200))))
+    val q = CdcPipeline.start(spark, walDir, ckDir, store, "rid")
+    q.awaitTermination(60000)
+    // with batch-level last-Relation-wins keys, the FIRST update would
+    // have resolved WHERE bal=150 (matching nothing); per-row envelope
+    // keys make it WHERE id=1
+    assert(store.rows("public.accounts").map(r => (r("id"), r("bal"))).toSet ==
+      Set((1L, 150), (9L, 200)))
+  }
+
   test("single-writer lock excludes a second applier (A22)") {
     val dir = Files.createTempDirectory("lock").toString
     val a = new SingleWriterLock(dir, "target")
