@@ -235,6 +235,34 @@ object PartB {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- approx_percentile, the lake-scale swap q53 documents, made
+    //      oracle-checkable the q43 way: the sketch value is estimator-
+    //      specific, so the result carries the EXACT percentiles plus a
+    //      boolean asserting the approximation landed inside its rank-
+    //      error contract (accuracy 100 ⇒ rank error ≤ n/100 ⇒ value
+    //      within the exact quantiles at p ± 0.02). The approx plan
+    //      aggregates a fixed-size sketch map-side — no per-group value
+    //      buffering, which is what kills exact percentile at 100 TB. ----
+    QueryDef.sql("q65_approx_percentile",
+      """SELECT l_returnflag,
+        |  CAST(round(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(25,10)), 4) AS DOUBLE) AS p50_exact,
+        |  true AS p50_ok, true AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      def q(p: Double) = expr(s"percentile(l_extendedprice, $p)")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(q(0.5).cast("decimal(25,10)"), 4).cast("double").as("p50_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 100)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 100)").as("ap90"),
+          q(0.48).as("p50_lo"), q(0.52).as("p50_hi"),
+          q(0.88).as("p90_lo"), q(0.92).as("p90_hi"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          col("ap50").between(col("p50_lo"), col("p50_hi")).as("p50_ok"),
+          col("ap90").between(col("p90_lo"), col("p90_hi")).as("p90_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- Edit distance (levenshtein is a built-in on both engines —
     //      integer-exact, no rounding concerns): the fuzzy-string leg
     //      of text dedup alongside the n-gram/sketch paths. ----

@@ -79,6 +79,13 @@ object Bus {
       Paths.get(dir).toAbsolutePath.normalize.toString,
       d => new BusProducer(d))
 
+  /** Drop the cached producer of a topic (teardown/reset hygiene —
+    * the map is otherwise bounded only by the number of distinct topic
+    * dirs a JVM ever produces to). A later produce to the same dir
+    * builds a fresh producer, which rewarms from the segment. */
+  def evictProducer(dir: String): Unit =
+    producers.remove(Paths.get(dir).toAbsolutePath.normalize.toString)
+
   /** Produce a slice, dropping messages at or below the last produced
     * checkpoint (A12). Returns the number actually written. */
   def produce(dir: String, changes: Seq[CdcApplier.Change]): Int =

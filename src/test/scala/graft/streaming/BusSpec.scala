@@ -106,6 +106,13 @@ class BusSpec extends AnyFunSuite {
     assert(p.trackerScans == 2,
       "an out-of-band append must force exactly one rescan")
     assert(Bus.consume(dir).map(_.lsn) == Seq(1L, 2L, 3L))
+    // teardown hygiene: eviction drops the cached producer; the next
+    // produce rewarms from the segment and stays idempotent
+    Bus.evictProducer(dir)
+    val fresh = Bus.producer(dir)
+    assert(fresh ne p)
+    assert(fresh.produce(Seq(ch(3, 1, 3), ch(4, 1, 4))) == 1)
+    assert(Bus.consume(dir).map(_.lsn) == Seq(1L, 2L, 3L, 4L))
   }
 
   test("replication lag gauge (A38)") {
