@@ -482,6 +482,41 @@ object PartB {
         .orderBy(col("event_id"))
     },
 
+    // ---- Interval (point-in-range) join through operators/IntervalJoin:
+    //      events matched to the 7-day window after each same-user
+    //      order. The operator bands time into buckets (width = the
+    //      interval length, so each order explodes to ≤ 2 rows), sends
+    //      each point to its single bucket, and equi-joins on
+    //      (key, bucket) + exact verify — no per-key cross product, no
+    //      BroadcastNestedLoop, duplicates impossible by construction.
+    //      Oracle: the plain inequality join, which DuckDB runs as an
+    //      IEJoin. Event times ride q57's deterministic mapping into
+    //      the orders era. ----
+    QueryDef.sql("q66_interval_join",
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS TIMESTAMP) AS t
+        |  FROM events)
+        |SELECT o.o_orderkey, ev.event_id, o.o_custkey AS user_id
+        |FROM orders o JOIN ev
+        |  ON ev.user_id = o.o_custkey
+        | AND ev.t >= o.o_orderdate AND ev.t < o.o_orderdate + INTERVAL 7 DAY
+        |ORDER BY o.o_orderkey, ev.event_id""".stripMargin) { (s, d) =>
+      val SevenDaysUs = 7L * 24 * 3600 * 1000 * 1000
+      val ev = t(s, d, "events").select(col("event_id"),
+        col("user_id").as("k"),
+        date_add(lit("1995-01-01").cast("date"),
+          (col("event_id") % 2400).cast("int")).cast("timestamp").as("t"))
+      val ords = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp").as("w_start"),
+        (col("o_orderdate").cast("timestamp") + expr("interval 7 days"))
+          .as("w_end"))
+      graft.operators.IntervalJoin.pointInInterval(ev, ords,
+          keyCol = "k", timeCol = "t", startCol = "w_start", endCol = "w_end",
+          bucketMicros = SevenDaysUs)
+        .select(col("o_orderkey"), col("event_id"), col("k").as("user_id"))
+        .orderBy(col("o_orderkey"), col("event_id"))
+    },
+
     // ---- Multiset set-ops: EXCEPT ALL / INTERSECT ALL preserve
     //      duplicate counts (bag semantics) — a different operator from
     //      q17/q18's distinct forms; Spark's exceptAll/intersectAll
