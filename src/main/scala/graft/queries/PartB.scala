@@ -482,6 +482,32 @@ object PartB {
         .orderBy(col("event_id"))
     },
 
+    // ---- UNPIVOT (melt): wide per-measure aggregates back to long
+    //      (measure, value) rows — q55's inverse. Spark's unpivot is a
+    //      Generate over the aggregated (tiny) side: the wide shuffle
+    //      is the group-by; the melt itself is a projection. ----
+    QueryDef.sql("q67_unpivot",
+      """WITH agg AS (SELECT l_returnflag,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(25,10))), 2) AS DOUBLE) AS quantity,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,10))), 2) AS DOUBLE) AS extendedprice,
+        |    CAST(round(sum(CAST(l_discount AS DECIMAL(25,10))), 2) AS DOUBLE) AS discount,
+        |    CAST(round(sum(CAST(l_tax AS DECIMAL(25,10))), 2) AS DOUBLE) AS tax
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, total
+        |FROM (UNPIVOT agg ON quantity, extendedprice, discount, tax
+        |      INTO NAME measure VALUE total)
+        |ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
+      def m(c: String) = round(sum(col(c).cast("decimal(25,10)")), 2)
+        .cast("double").as(c.stripPrefix("l_"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(m("l_quantity"), m("l_extendedprice"), m("l_discount"), m("l_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "total")
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
     // ---- Interval (point-in-range) join through operators/IntervalJoin:
     //      events matched to the 7-day window after each same-user
     //      order. The operator bands time into buckets (width = the
