@@ -248,18 +248,20 @@ object PartB {
         |  CAST(round(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(25,10)), 4) AS DOUBLE) AS p50_exact,
         |  true AS p50_ok, true AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      def q(p: Double) = expr(s"percentile(l_extendedprice, $p)")
+      // ONE exact-percentile buffer (array form: one sort, five reads)
+      // and ONE approx sketch — not seven independent aggregates
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(q(0.5).cast("decimal(25,10)"), 4).cast("double").as("p50_exact"),
-          expr("approx_percentile(l_extendedprice, 0.5, 100)").as("ap50"),
-          expr("approx_percentile(l_extendedprice, 0.9, 100)").as("ap90"),
-          q(0.48).as("p50_lo"), q(0.52).as("p50_hi"),
-          q(0.88).as("p90_lo"), q(0.92).as("p90_hi"))
-        .select(col("l_returnflag"), col("p50_exact"),
-          col("ap50").between(col("p50_lo"), col("p50_hi")).as("p50_ok"),
-          col("ap90").between(col("p90_lo"), col("p90_hi")).as("p90_ok"))
+          expr("percentile(l_extendedprice, array(0.5, 0.48, 0.52, 0.88, 0.92))").as("ex"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 100)").as("ap"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ex"), 1).cast("decimal(25,10)"), 4)
+            .cast("double").as("p50_exact"),
+          element_at(col("ap"), 1)
+            .between(element_at(col("ex"), 2), element_at(col("ex"), 3)).as("p50_ok"),
+          element_at(col("ap"), 2)
+            .between(element_at(col("ex"), 4), element_at(col("ex"), 5)).as("p90_ok"))
         .orderBy(col("l_returnflag"))
     },
 
