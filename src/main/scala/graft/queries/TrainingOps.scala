@@ -112,5 +112,46 @@ object TrainingOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("bin"))
+    },
+
+    // ---- The corpus-build composition, end to end: exact dedup (md5
+    //      groupBy, keep lowest doc_id) → quality gate → deterministic
+    //      mixture sample (q62's thresholds) → per-language summary.
+    //      Each stage is the scalable primitive proven on its own
+    //      (q30 / q33 / q62); this pins that they COMPOSE — the whole
+    //      chain is two hash shuffles (dedup group, final group), the
+    //      gate and sample are scan-level filters. ----
+    QueryDef.sql("q68_corpus_build",
+      """WITH dedup AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |docs AS (SELECT d.doc_id, d.lang, d.n_chars, d.text
+        |  FROM documents d JOIN dedup USING (doc_id)),
+        |filt AS (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_toks
+        |  FROM docs WHERE n_chars >= 100),
+        |samp AS (SELECT * FROM filt
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |    CASE lang WHEN 'en' THEN '20' WHEN 'de' THEN '80' WHEN 'fr' THEN '80'
+        |              WHEN 'es' THEN '40' WHEN 'zh' THEN '40' ELSE '10' END)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, sum(n_toks) AS tokens,
+        |  min(doc_id) AS min_doc
+        |FROM samp GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val keep = docs.groupBy(md5(col("text").cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val thresh = when(col("lang") === "en", "20")
+        .when(col("lang") === "de", "80").when(col("lang") === "fr", "80")
+        .when(col("lang") === "es", "40").when(col("lang") === "zh", "40")
+        .otherwise("10")
+      docs.join(keep, "doc_id")
+        .filter(col("n_chars") >= 100)
+        .filter(hashBucket(col("doc_id")) < thresh)
+        .select(col("lang"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_toks"),
+          col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("lang"))
     })
 }
