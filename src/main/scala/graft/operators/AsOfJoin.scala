@@ -30,14 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Whether Spark can sort values of this type (everything except
-    * maps, recursively — mirrors Catalyst's RowOrdering.isOrderable). */
-  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.MapType => false
-    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
-    case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
-    case _ => true
-  }
+  /** Whether Spark can sort values of this type — Catalyst's own
+    * answer, so maps, calendar intervals, variants etc. are all
+    * classified exactly as the window orderBy will judge them. */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
 
   /** For each row of `left`, append the `valueCols` of the latest
     * `right` row with `right.timeCol <= left.timeCol` on the same key.

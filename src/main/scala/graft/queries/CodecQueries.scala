@@ -297,15 +297,31 @@ object CodecQueries {
     * capture agent. Local-FS write, which in local[n] lands in one dir
     * (on a cluster a backfill reads the agent's recorded feed from
     * shared storage instead of generating one). */
+  // fixture dirs registered for deletion at JVM exit (once per dir)
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cleanupOnExit(dir: String): Unit =
+    if (cleanupRegistered.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val f = new java.io.File(dir)
+        Option(f.listFiles()).foreach(_.foreach(_.delete()))
+        f.delete(); ()
+      }))
+
   private def ensureBackfillFeed(s: SparkSession, d: String): String = {
-    // fixture name = sanitized data-dir path (no hashCode collisions
-    // between different dirs) + this JVM's pid (two concurrent runs
-    // over the same data dir never share a feed, so one run's
-    // regeneration can't delete files the other is still reading)
-    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+    // fixture name = readable path tail + md5 of the FULL path (so
+    // truncation can't collide two data dirs) + this JVM's pid (two
+    // concurrent runs over the same data dir never share a feed, so
+    // one run's regeneration can't delete files the other is reading);
+    // the dir is removed on JVM exit — per-pid names would otherwise
+    // accumulate in /tmp across runs
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
+    val full = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val pid = ProcessHandle.current().pid()
     val dir = new java.io.File(
-      s"/tmp/graft_walbf_${safe}_$pid").getAbsolutePath
+      s"/tmp/graft_walbf_${safe}_${full}_$pid").getAbsolutePath
+    CodecQueries.cleanupOnExit(dir)
     val f = new java.io.File(dir)
     if (f.isDirectory) f.listFiles().foreach(_.delete())
     import s.implicits._

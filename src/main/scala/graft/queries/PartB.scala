@@ -431,10 +431,12 @@ object PartB {
 
     // ---- Dense date spine (calendar fill): sequence() + explode
     //      generates the day dimension from the data's own bounds, then
-    //      a left join zero-fills gap days — the generated side is tiny
-    //      (one row per day) and broadcast, the fact side aggregates
-    //      BEFORE the join, so the only wide shuffle is the per-day
-    //      group-by. DuckDB's generate_series is the oracle. ----
+    //      a left join zero-fills gap days. The fact side aggregates
+    //      BEFORE the join to one row per day, and THAT side broadcasts
+    //      (a LeftOuter join can only build/broadcast its right side —
+    //      hinting the preserved spine would be silently ignored), so
+    //      the only wide shuffle is the per-day group-by. DuckDB's
+    //      generate_series is the oracle. ----
     QueryDef.sql("q61_date_spine",
       """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
         |    CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
@@ -451,7 +453,7 @@ object PartB {
       val per = o.groupBy(col("day"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice").cast("decimal(25,10)")), 2).as("rev"))
-      broadcast(days).join(per, Seq("day"), "left")
+      days.join(broadcast(per), Seq("day"), "left")
         .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"),
           coalesce(col("rev"), lit(0)).cast("double").as("revenue"))
         .orderBy(col("day"))

@@ -24,6 +24,15 @@ object TrainingOps {
   private def hashBucket(c: org.apache.spark.sql.Column) =
     substring(md5(c.cast("string").cast("binary")), 1, 2)
 
+  /** Per-language keep-rate thresholds in 256ths, as 2-hex-char upper
+    * bounds for [[hashBucket]]: en 32 (down to 12.5%), de/fr 128,
+    * es/zh 64, everything else 16. Shared by q62 and q68 — one table,
+    * or the two queries silently drift apart. */
+  private val langThresh = when(col("lang") === "en", "20")
+    .when(col("lang") === "de", "80").when(col("lang") === "fr", "80")
+    .when(col("lang") === "es", "40").when(col("lang") === "zh", "40")
+    .otherwise("10")
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- Deterministic weighted mixture sampling: each language gets
@@ -42,14 +51,9 @@ object TrainingOps {
         |              WHEN 'zh' THEN '40' ELSE '10' END AS thresh
         |  FROM documents) WHERE bucket < thresh
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // rates in 256ths: en 32 (down to 12.5%), de/fr 128, es/zh 64
-      val thresh = when(col("lang") === "en", "20")
-        .when(col("lang") === "de", "80").when(col("lang") === "fr", "80")
-        .when(col("lang") === "es", "40").when(col("lang") === "zh", "40")
-        .otherwise("10")
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          hashBucket(col("doc_id")).as("bucket"), thresh.as("thresh"))
+          hashBucket(col("doc_id")).as("bucket"), langThresh.as("thresh"))
         .filter(col("bucket") < col("thresh"))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
@@ -85,33 +89,39 @@ object TrainingOps {
           size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
       // contiguous doc_id ranges → bucket id (deterministic, no sampling)
       val bounds = toks.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val width = math.max(1L, (hi - lo) / Buckets + 1)
-      val staged = toks.withColumn("pid",
-        ((col("doc_id") - lit(lo)) / lit(width)).cast("int"))
-      // running sum within each bucket — a PARTITIONED window, scales
-      val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val within = staged.withColumn("cum_in",
-        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      // bucket offsets: one row per bucket, prefix-summed (the only
-      // unpartitioned window — over ≤ Buckets rows, not data). The
-      // totals branch re-reads the table with a map-side partial agg
-      // (32 output rows); it does re-tokenize, which at lake scale you
-      // avoid by carrying a precomputed n_tokens column in the corpus
-      // metadata (standard practice) or persisting the staged slice.
-      val wOff = Window.orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = staged.groupBy(col("pid"))
-        .agg(sum(col("n_tokens")).as("part_total"))
-        .withColumn("offset", coalesce(sum(col("part_total")).over(wOff), lit(0L)))
-        .select(col("pid"), col("offset"))
-      within.join(broadcast(offsets), "pid")
-        .withColumn("bin", expr(s"(offset + cum_in) div $Capacity"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy(col("bin"))
+      if (bounds.isNullAt(0)) { // empty corpus: empty result, not an NPE
+        toks.filter(lit(false)).select(lit(0L).as("bin"),
+          lit(0L).as("n_docs"), lit(0L).as("bin_tokens"),
+          lit(0L).as("first_doc"), lit(0L).as("last_doc"))
+      } else {
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val width = math.max(1L, (hi - lo) / Buckets + 1)
+        val staged = toks.withColumn("pid",
+          ((col("doc_id") - lit(lo)) / lit(width)).cast("int"))
+        // running sum within each bucket — a PARTITIONED window, scales
+        val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val within = staged.withColumn("cum_in",
+          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        // bucket offsets: one row per bucket, prefix-summed (the only
+        // unpartitioned window — over ≤ Buckets rows, not data). The
+        // totals branch re-reads the table with a map-side partial agg
+        // (32 output rows); it does re-tokenize, which at lake scale you
+        // avoid by carrying a precomputed n_tokens column in the corpus
+        // metadata (standard practice) or persisting the staged slice.
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = staged.groupBy(col("pid"))
+          .agg(sum(col("n_tokens")).as("part_total"))
+          .withColumn("offset", coalesce(sum(col("part_total")).over(wOff), lit(0L)))
+          .select(col("pid"), col("offset"))
+        within.join(broadcast(offsets), "pid")
+          .withColumn("bin", expr(s"(offset + cum_in) div $Capacity"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("bin"))
+      }
     },
 
     // ---- The corpus-build composition, end to end: exact dedup (md5
@@ -139,13 +149,9 @@ object TrainingOps {
       val keep = docs.groupBy(md5(col("text").cast("binary")))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val thresh = when(col("lang") === "en", "20")
-        .when(col("lang") === "de", "80").when(col("lang") === "fr", "80")
-        .when(col("lang") === "es", "40").when(col("lang") === "zh", "40")
-        .otherwise("10")
       docs.join(keep, "doc_id")
         .filter(col("n_chars") >= 100)
-        .filter(hashBucket(col("doc_id")) < thresh)
+        .filter(hashBucket(col("doc_id")) < langThresh)
         .select(col("lang"),
           size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_toks"),
           col("doc_id"))

@@ -55,10 +55,14 @@ object Bus {
     val nf = map(); val of = map()
     val oids = (0 until r.int32()).map(_ => r.cstring() -> r.int32()).toMap
     val lsn = r.int64(); val seq = r.int32()
-    val keys = r.int32() match {
-      case -1 => None
-      case n => Some((0 until n).map(_ => r.cstring()).toList)
-    }
+    // keys trailer is optional for wire compatibility: segments written
+    // before it existed simply end here and read back as keys = None
+    val keys =
+      if (r.remaining == 0) None
+      else r.int32() match {
+        case -1 => None
+        case n => Some((0 until n).map(_ => r.cstring()).toList)
+      }
     CdcApplier.Change(op, schema, table, nf, of, oids, lsn, seq, keys)
   }
 
@@ -136,12 +140,14 @@ object Bus {
   */
 final class BusProducer private[streaming] (dir: String) {
   private var wm: Checkpoint = _
-  // segment length as of our last write: an out-of-band append,
-  // truncation, or replace (second process, restored backup) shows up
-  // as a size mismatch and invalidates the cached watermark — the
-  // single-writer contract makes this impossible in-protocol, but a
-  // stale watermark would silently duplicate messages, so verify
+  // segment (length, mtime) as of our last write: an out-of-band
+  // append, truncation, or replace invalidates the cached watermark.
+  // Best-effort only — a same-length same-mtime-tick replace slips
+  // through; the real guarantee is the single-writer contract, this
+  // check just turns the common violations into a rescan instead of
+  // silent duplicate/dropped messages
   private var knownSize: Long = -1L
+  private var knownMtime: Long = -1L
   /** Read-to-end tracker scans performed — instrumentation proving the
     * O(1)-scans contract (BusSpec). */
   @volatile var trackerScans: Int = 0
@@ -152,11 +158,13 @@ final class BusProducer private[streaming] (dir: String) {
     // longer describes the log — rewarm instead of silently filtering
     // every message against stale state
     val seg = Bus.segPath(dir)
-    if (wm != null &&
-        (!Files.exists(seg) || Files.size(seg) != knownSize)) wm = null
+    def mtime() = Files.getLastModifiedTime(seg).toMillis
+    if (wm != null && (!Files.exists(seg) ||
+        Files.size(seg) != knownSize || mtime() != knownMtime)) wm = null
     if (wm == null) {
       wm = Bus.last(dir).getOrElse(Checkpoint.Zero)
-      knownSize = if (Files.exists(seg)) Files.size(seg) else 0L
+      if (Files.exists(seg)) { knownSize = Files.size(seg); knownMtime = mtime() }
+      else { knownSize = 0L; knownMtime = -1L }
       trackerScans += 1
     }
     val fresh = changes
@@ -172,6 +180,7 @@ final class BusProducer private[streaming] (dir: String) {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     knownSize = Files.size(Bus.segPath(dir))
+    knownMtime = Files.getLastModifiedTime(Bus.segPath(dir)).toMillis
     val last = fresh.last
     wm = Checkpoint(last.lsn, last.seq)
     fresh.size

@@ -90,6 +90,11 @@ class BusSpec extends AnyFunSuite {
     // … and is distinct from "known to have no identity" (empty list)
     val c0 = ch(9, 1, 7L).copy(keys = Some(Nil))
     assert(Bus.deserialize(Bus.serialize(c0)).keys.contains(Nil))
+    // wire compatibility: a message written BEFORE the keys trailer
+    // existed (body ends at seq) still deserializes, as keys = None
+    val legacy = Bus.serialize(ch(9, 1, 7L)).dropRight(4)
+    assert(Bus.deserialize(legacy).keys.isEmpty)
+    assert(Bus.deserialize(legacy).lsn == 9L)
   }
 
   test("out-of-band segment append invalidates the cached watermark") {
