@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list, via
+  * alternating large-star / small-star rounds (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014).
+  *
+  * This is the cluster-formation stage of a dedup pipeline: near-dup
+  * PAIRS (MinHash/SimHash/Jaccard joins) only say "a ~ b"; to keep one
+  * document per duplicate *group* you need the transitive closure —
+  * components of the pair graph — and at 100 TB that graph does not fit
+  * on the driver, so the closure has to be computed as dataframe rounds.
+  *
+  * Scale design:
+  *  - Each round is two keyed aggregations + two co-partitioned joins —
+  *    no collect_list of neighbor sets, so a celebrity node (a boiler-
+  *    plate cluster with millions of members) never materializes its
+  *    adjacency in one task; its min propagates through (key, min)
+  *    partial aggregates.
+  *  - The star rounds converge in O(log² V) rounds on adversarial
+  *    graphs and 2-3 rounds on dedup graphs (near-clique components of
+  *    small diameter). A driver loop with one tiny action per round
+  *    (count + checksum) detects the fixpoint.
+  *  - `localCheckpoint` truncates the growing lineage each round (on a
+  *    real cluster swap for `checkpoint` against the fault-tolerant
+  *    checkpoint dir; the plan shape is identical).
+  *
+  * Contrast with the naive hash-min label propagation: that needs
+  * O(diameter) rounds and ships the full label table every round; the
+  * star algorithm contracts the graph itself, so later rounds shrink.
+  */
+object ConnectedComponents {
+
+  /** Components of the undirected graph given by `pairs` (two numeric
+    * columns; orientation and duplicates don't matter, self-loops are
+    * dropped). Returns (node, component) for every non-isolated node,
+    * where component = the smallest node id in its component.
+    */
+  def run(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).cast("long").as("lo"),
+        greatest(col(aCol), col(bCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var round = 0
+    var sig = checksum(edges)
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      round += 1
+    }
+    // At the fixpoint every edge is (member, root): hi's component is
+    // lo, and every lo is itself a root (lo = component min).
+    edges.select(col("hi").as("node"), col("lo").as("component"))
+      .union(edges.select(col("lo").as("node"), col("lo").as("component")))
+      .distinct()
+  }
+
+  /** large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u}).
+    * Bidirectional neighborhoods; (key, min) aggregate, join back. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(least(col("v"), col("m")).as("lo"),
+        greatest(col("v"), col("m")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+  }
+
+  /** small-star: orient edges toward the larger endpoint; every smaller
+    * neighbor (and the center) links to the neighborhood min. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    // e is canonical (lo < hi): the center is hi, neighbors are lo's.
+    val m = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    val linked = e.join(m, "hi")
+      .filter(col("lo") =!= col("m"))
+      .select(col("m").as("lo"), col("lo").as("hi"))
+    linked
+      .union(m.select(col("m").as("lo"), col("hi")))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+  }
+
+  /** Order-insensitive fingerprint of an edge set (count + xor-fold of
+    * per-edge hashes — no overflow under ANSI): one tiny action. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("lo"), col("hi")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

@@ -282,6 +282,55 @@ object CodecQueries {
             .cast("double").as("sum_value"),
           max(col("lsn")).as("max_lsn"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- Incremental view maintenance from a CDC change stream: keep
+    //      a per-bucket (count, sum) aggregate of a keyed table current
+    //      WITHOUT rebuilding the table. Each change row becomes a
+    //      delta against the key's previous state (lag over the key's
+    //      lsn order — within a micro-batch; across batches the
+    //      applier's keyed store supplies prev); deltas telescope, so
+    //      summing them IS the aggregate of the final table state. The
+    //      oracle rebuilds the final state from scratch (q42's
+    //      latest-row QUALIFY) and aggregates it — hash equality proves
+    //      delta maintenance ≡ recompute. Sums run in decimal so the
+    //      proof is exact, not float-order luck. At 100 TB the view
+    //      never scans the base table: per batch it shuffles only the
+    //      changed keys, then merges |buckets| partials. ----
+    QueryDef.sql("q74_incremental_agg",
+      """WITH st AS (SELECT user_id, value,
+        |    CASE event_type WHEN 'signup' THEN 'INSERT'
+        |                    WHEN 'error' THEN 'DELETE'
+        |                    ELSE 'UPDATE' END AS op
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+        |live AS (SELECT user_id, value FROM st WHERE op <> 'DELETE')
+        |SELECT user_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(round(sum(CAST(value AS DECIMAL(25,10))), 4) AS DOUBLE) AS total_value
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val changes = t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE").as("op"),
+        col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      changes
+        .withColumn("cur", when(col("op") === "DELETE", lit(null))
+          .otherwise(col("value")).cast("decimal(25,10)"))
+        .withColumn("prev", lag(col("cur"), 1).over(w))
+        .select(col("user_id"),
+          (coalesce(col("cur"), lit(0)) - coalesce(col("prev"), lit(0))).as("dv"),
+          (when(col("cur").isNotNull, 1L).otherwise(0L)
+            - when(col("prev").isNotNull, 1L).otherwise(0L)).as("dn"))
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(sum(col("dn")).as("n_live"),
+          round(sum(col("dv")), 4).cast("double").as("total_value"))
+        // a bucket whose keys are all deleted nets to zero; the
+        // recompute oracle has no row for it — drop to align
+        .filter(col("n_live") > 0)
+        .orderBy(col("bucket"))
     })
 
   /** Relation of the generated backfill feed (q52). */

@@ -555,5 +555,29 @@ object Relational {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("event_type"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ---- Salted two-phase aggregation: the skew-survival pattern for
+    //      low-cardinality keys. Phase 1 aggregates on (key, salt16)
+    //      — a hot key ('en' here; at 100 TB think "one domain is 40%
+    //      of the corpus") spreads over 16 reducers instead of melting
+    //      one; phase 2 re-aggregates the ≤ 16·|keys| partials. Sums
+    //      are integer (exact under any regrouping), the average is
+    //      derived once at the end — the oracle's plain GROUP BY must
+    //      match bit-for-bit, proving salting changes the plan, not
+    //      the answer. ----
+    QueryDef.sql("q73_salted_skew_agg",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val partial = t(s, d, "documents")
+        .groupBy(col("lang"), pmod(xxhash64(col("doc_id")), lit(16)).as("salt"))
+        .agg(count(lit(1)).as("c"), sum(col("n_chars")).cast("long").as("s"))
+      partial.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_docs"), sum(col("s")).as("total_chars"))
+        .select(col("lang"), col("n_docs"), col("total_chars"),
+          round(col("total_chars").cast("double") / col("n_docs"), 4).as("avg_chars"))
+        .orderBy(col("lang"))
     })
 }

@@ -375,5 +375,52 @@ object Sketches {
         .selectExpr("doc_id", "rolling_hash(text) AS fp",
           "rolling_hash(lower(trim(text))) AS fp_normalized")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Count-min sketch (d=4 rows × w=256 buckets, md5-derived
+    //      bucket hashes): the streaming-friendly frequency sketch.
+    //      The sketch state is a CONSTANT 1024 cells regardless of
+    //      corpus size — built by one map-side-combined aggregate over
+    //      (row, bucket), then point-queried for the heavy hitters via
+    //      a broadcast join. Deterministic hashes mean the oracle
+    //      rebuilds the identical sketch, so the compare pins both the
+    //      estimates and the CMS guarantee (err = est − true ≥ 0,
+    //      visible in the output). ----
+    QueryDef.sql("q72_countmin_heavy", {
+      def bucket(arg: String) = s"(${hash60Sql(arg)}) % 256"
+      s"""WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+         |  FROM documents),
+         |cells AS (SELECT d.d AS d, ${bucket("CAST(d.d AS VARCHAR) || ':' || tk")} AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok, range(4) d(d) GROUP BY 1, 2),
+         |tc AS (SELECT tk, CAST(count(*) AS BIGINT) AS true_cnt FROM tok GROUP BY tk),
+         |lk AS (SELECT tc.tk, tc.true_cnt, d.d AS d,
+         |    ${bucket("CAST(d.d AS VARCHAR) || ':' || tc.tk")} AS bucket
+         |  FROM tc, range(4) d(d)),
+         |est AS (SELECT lk.tk AS token, lk.true_cnt, min(cells.cnt) AS est
+         |  FROM lk JOIN cells ON lk.d = cells.d AND lk.bucket = cells.bucket
+         |  GROUP BY 1, 2)
+         |SELECT token, est, true_cnt, est - true_cnt AS err FROM est
+         |ORDER BY true_cnt DESC, token LIMIT 30""".stripMargin
+    }) { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+      def bucket(c: Column): Column = hash60(c) % 256
+      val cells = tok
+        .select(explode(sequence(lit(0), lit(3))).as("d"), col("tk"))
+        .groupBy(col("d"),
+          bucket(concat(col("d").cast("string"), lit(":"), col("tk"))).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val tc = tok.groupBy(col("tk")).agg(count(lit(1)).as("true_cnt"))
+      tc.select(col("tk"), col("true_cnt"), explode(sequence(lit(0), lit(3))).as("d"))
+        .withColumn("bucket",
+          bucket(concat(col("d").cast("string"), lit(":"), col("tk"))))
+        .join(broadcast(cells), Seq("d", "bucket"))
+        .groupBy(col("tk").as("token"), col("true_cnt"))
+        .agg(min(col("cnt")).as("est"))
+        .select(col("token"), col("est"), col("true_cnt"),
+          (col("est") - col("true_cnt")).as("err"))
+        .orderBy(col("true_cnt").desc, col("token"))
+        .limit(30)
     })
 }

@@ -85,7 +85,6 @@ object TextOps {
       .withColumn("jac", col("c") / (col("sz1") + col("sz2") - col("c")))
       .filter(col("jac") >= minJaccard)
       .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
-      .orderBy(col("doc1"), col("doc2"))
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -133,6 +132,7 @@ object TextOps {
         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
       // shingled() repartitions between tokenize and shingle itself
       ngramJaccardPairs(Sketches.shingled(t(s, d, "documents")), 0.3)
+        .orderBy(col("doc1"), col("doc2"))
     },
 
     // ---- Language ID: n-gram/stopword heuristic, argmax with fixed
@@ -224,5 +224,93 @@ object TextOps {
           regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("sub_tokens"),
           round(col("n_chars") / greatest(size(toks), lit(1)), 4).as("chars_per_tok"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Dup-cluster formation: near-dup PAIRS (q31's inverted-index
+    //      Jaccard join) are only half of dedup — keeping one doc per
+    //      GROUP needs the transitive closure of the pair graph. The
+    //      closure runs as alternating large-star/small-star dataframe
+    //      rounds (operators/ConnectedComponents: O(log² V) rounds, no
+    //      driver-resident graph, no adjacency-list blowup on celebrity
+    //      nodes), so the same plan survives a pair graph that is
+    //      itself lake-scale. Cluster id = min doc_id of the component
+    //      — deterministic, so the DuckDB oracle re-derives it with a
+    //      recursive min-propagation CTE over the identical pair set. ----
+    QueryDef.sql("q69_dup_clusters",
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |walk(node, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+        |  WHERE w.comp < e.v)
+        |SELECT node AS doc_id, min(comp) AS cluster
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = ngramJaccardPairs(Sketches.shingled(t(s, d, "documents")), 0.3)
+        .select(col("doc1"), col("doc2"))
+      graft.operators.ConnectedComponents.run(pairs, "doc1", "doc2")
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- BM25 relevance (Okapi, Lucene idf): top-10 docs per query
+    //      term. Corpus stats (N, avgdl) are a 1-row broadcast; per-term
+    //      document frequencies a vocabulary-of-3-row broadcast; the
+    //      only data-sized shuffle is the (doc, term) tf aggregate —
+    //      the shape that scales to web corpora. Scores round to 4 dp
+    //      on both engines; ranking orders by the ROUNDED score so the
+    //      tie-break (doc_id) is decided on identical keys. ----
+    QueryDef.sql("q71_bm25",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+        |  WHERE tk IN ('vector', 'join', 'customer') GROUP BY doc_id, tk),
+        |dft AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tk),
+        |sc AS (SELECT tf.tk AS term, tf.doc_id,
+        |    round(ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 4) AS bm25
+        |  FROM tf, st
+        |  JOIN dft ON tf.tk = dft.tk
+        |  JOIN dl ON tf.doc_id = dl.doc_id)
+        |SELECT term, doc_id, bm25 FROM (
+        |  SELECT term, doc_id, bm25, row_number() OVER (PARTITION BY term
+        |    ORDER BY bm25 DESC, doc_id) AS rn FROM sc)
+        |WHERE rn <= 10 ORDER BY term, doc_id""".stripMargin) { (s, d) =>
+      val terms = Seq("vector", "join", "customer")
+      val tokd = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      val dl = tokd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      val tf = tokd.select(col("doc_id"), explode_outer(col("toks")).as("tk"))
+        .filter(col("tk").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("bm25").desc, col("doc_id"))
+      tf.join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .join(broadcast(dft), "tk")
+        .withColumn("bm25", round(
+          log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 4))
+        .select(col("tk").as("term"), col("doc_id"), col("bm25"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("term"), col("doc_id"), col("bm25"))
+        .orderBy(col("term"), col("doc_id"))
     })
 }

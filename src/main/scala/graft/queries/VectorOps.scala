@@ -222,6 +222,87 @@ object VectorOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // ----------------------------------------------------- SRP-LSH (ANN)
+
+  /** Signed-random-projection LSH parameters: 128 hyperplanes → 16
+    * bands of 8 bits. At cos ≥ 0.9 the per-band collision probability
+    * is (1 − θ/π)⁸ ≈ 0.29, so 16 bands give ≈ 99.6% recall, while a
+    * random pair collides in a given band with probability 2⁻⁸ —
+    * candidate volume stays ≈ corpus × 16 / 256 per band. */
+  final val SrpPlanes = 128
+  final val SrpBandBits = 8
+  final val SrpBands = SrpPlanes / SrpBandBits
+  final val SrpQuantScale = 1000
+
+  /** ±1 hyperplane matrix derived from md5("p_j") (first hex digit
+    * < '8' → +1): the same bytes ANY engine computes, so the DuckDB
+    * oracle rebuilds the identical matrix in SQL and the whole sketch
+    * is bit-exact across engines. Driver-side constant (128×64 ints),
+    * folded into the row expressions — nothing is shuffled or
+    * broadcast for it. */
+  lazy val srpSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until SrpPlanes).map { p =>
+      (0 until 64).map { j =>
+        val h = md.digest(s"${p}_${j}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xF) < 8) 1 else -1
+      }
+    }
+  }
+
+  /** (vec_id, band, code) SRP band codes — one row per (vector, band).
+    *
+    * The embedding is quantized to integers (round(x·1000), exact in
+    * double for float inputs) BEFORE the projections, so every dot
+    * product is integer arithmetic: no float-summation-order ambiguity
+    * between engines, a tie (dot = 0) is a real integer zero on both.
+    * All of it is a per-row projection — the only shuffle in an SRP
+    * pipeline is the (band, code) candidate join that follows. */
+  def srpBandCodes(vecs: DataFrame): DataFrame = {
+    val signsLit = srpSigns
+      .map(row => row.mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    vecs
+      .withColumn("q", expr(
+        s"transform(embedding, x -> cast(round(cast(x as double) * $SrpQuantScale, 0) as bigint))"))
+      .withColumn("sig", expr(
+        s"""transform($signsLit, s ->
+           |  case when aggregate(zip_with(s, q, (x, y) -> x * y),
+           |                      cast(0 as bigint), (a, x) -> a + x) >= 0
+           |       then cast(1 as bigint) else cast(0 as bigint) end)""".stripMargin))
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${SrpBands - 1}), b ->
+             |  aggregate(transform(sequence(0, ${SrpBandBits - 1}),
+             |              r -> sig[b * $SrpBandBits + r] * shiftleft(cast(1 as bigint), r)),
+             |            cast(0 as bigint), (a, x) -> a + x))""".stripMargin))
+          .as(Seq("band", "code")))
+  }
+
+  /** Approximate top-k by SRP-LSH: candidates = corpus vectors sharing
+    * at least one (band, code) with the query, ranked by exact cosine.
+    * The query side is tiny and broadcast; the corpus side is one
+    * map-side sketch projection — so the whole search is one broadcast
+    * join + a per-query top-k, no corpus self-join, no kmeans fit. */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qCodes = broadcast(srpBandCodes(queries)
+      .select(col("vec_id").as("qid"), col("band"), col("code")))
+    val cand = srpBandCodes(corpus)
+      .join(qCodes, Seq("band", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"))
+      .distinct()
+    val qv = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val cv = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
+    cand.join(cv, "cid").join(qv, "qid")
+      .withColumn("cos_sim", round(cos("qv", "cv"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos_sim"))
+      .orderBy(col("qid"), col("cid"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- Brute-force cosine top-5 for the first 10 vectors (oracle:
@@ -273,5 +354,41 @@ object VectorOps {
       GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
       ivfTopK(s, e, e.filter(col("vec_id") < 10), nCentroids = 8, k = 5)
+    },
+
+    // ---- SRP-LSH approximate top-k: the second ANN family (random
+    //      hyperplanes) next to q40's IVF. The sketch is bit-exact
+    //      across engines (md5-derived ±1 planes over integer-quantized
+    //      vectors), so the oracle replays the IDENTICAL algorithm —
+    //      candidate sets and all — rather than an idealized answer:
+    //      the hash check pins both the sketch math and the banding. ----
+    QueryDef.sql("q70_ann_srp_lsh",
+      s"""WITH s AS (SELECT p.p AS p, d.d AS d,
+         |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1) < '8'
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM range($SrpPlanes) p(p), range(64) d(d)),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |bits AS (SELECT v.vec_id, s.p,
+         |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, s GROUP BY v.vec_id, s.p),
+         |codes AS (SELECT vec_id, p // $SrpBandBits AS band,
+         |    sum(bit << (p % $SrpBandBits)) AS code
+         |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+         |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+         |  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
+         |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT qid, cid,
+         |    round(list_cosine_similarity(qa.emb, qb.emb), 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(list_cosine_similarity(qa.emb, qb.emb), 4) DESC, cid) AS rn
+         |  FROM cand JOIN v qa ON qa.vec_id = cand.qid JOIN v qb ON qb.vec_id = cand.cid)
+         |SELECT qid, cid, cos_sim FROM scored WHERE rn <= 5
+         |ORDER BY qid, cid""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      srpTopK(e, e.filter(col("vec_id") < 10), k = 5)
     })
 }
