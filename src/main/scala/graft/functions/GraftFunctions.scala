@@ -14,6 +14,7 @@ object GraftFunctions {
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "rolling_hash" -> (es => RollingHash(es.head)),
+    "srp_band_codes" -> (es => SrpSketch(es.head)),
     // pg_decode(datum, oid): oid must be a literal so the result type
     // is known at analysis time
     "pg_decode" -> (es => {

@@ -579,5 +579,29 @@ object Relational {
         .select(col("lang"), col("n_docs"), col("total_chars"),
           round(col("total_chars").cast("double") / col("n_docs"), 4).as("avg_chars"))
         .orderBy(col("lang"))
+    },
+
+    // ---- Fixed-width histogram: value binning as a pure projection
+    //      (bin = floor(v/width)) feeding one partial+final aggregate —
+    //      the profile/telemetry shape. Per-bin sums run in decimal so
+    //      the result is independent of aggregation order (double sums
+    //      would hash-diverge under any repartitioning). ----
+    QueryDef.sql("q78_histogram",
+      """SELECT bin, CAST(bin * 50 AS DOUBLE) AS lo,
+        |  CAST((bin + 1) * 50 AS DOUBLE) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(25,10))), 4) AS DOUBLE) AS sum_value
+        |FROM (SELECT CAST(floor(value / 50) AS BIGINT) AS bin, value FROM events)
+        |GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(floor(col("value") / 50).cast("long").as("bin"), col("value"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(25,10)")), 4)
+            .cast("double").as("sum_value"))
+        .select(col("bin"), (col("bin") * 50).cast("double").as("lo"),
+          ((col("bin") + 1) * 50).cast("double").as("hi"),
+          col("n"), col("sum_value"))
+        .orderBy(col("bin"))
     })
 }

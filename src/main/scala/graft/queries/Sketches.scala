@@ -406,16 +406,22 @@ object Sketches {
       val tok = t(s, d, "documents")
         .select(explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
       def bucket(c: Column): Column = hash60(c) % 256
-      val cells = tok
-        .select(explode(sequence(lit(0), lit(3))).as("d"), col("tk"))
-        .groupBy(col("d"),
-          bucket(concat(col("d").cast("string"), lit(":"), col("tk"))).as("bucket"))
-        .agg(count(lit(1)).as("cnt"))
+      // ONE tokenize + one (token) shuffle builds the exact counts;
+      // the vocabulary is materialized (tiny — it is what CMS exists
+      // to avoid shuffling when it DOESN'T fit; here it doubles as the
+      // ground truth) and both the sketch cells and the point lookups
+      // derive from it map-side. A pure-streaming build (cells
+      // aggregated straight off the token stream, no vocab) is the
+      // same groupBy with tk swapped for its bucket.
       val tc = tok.groupBy(col("tk")).agg(count(lit(1)).as("true_cnt"))
-      tc.select(col("tk"), col("true_cnt"), explode(sequence(lit(0), lit(3))).as("d"))
+        .localCheckpoint()
+      val lk = tc.select(col("tk"), col("true_cnt"),
+          explode(sequence(lit(0), lit(3))).as("d"))
         .withColumn("bucket",
           bucket(concat(col("d").cast("string"), lit(":"), col("tk"))))
-        .join(broadcast(cells), Seq("d", "bucket"))
+      val cells = lk.groupBy(col("d"), col("bucket"))
+        .agg(sum(col("true_cnt")).as("cnt"))
+      lk.join(broadcast(cells), Seq("d", "bucket"))
         .groupBy(col("tk").as("token"), col("true_cnt"))
         .agg(min(col("cnt")).as("est"))
         .select(col("token"), col("est"), col("true_cnt"),

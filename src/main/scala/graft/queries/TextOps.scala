@@ -312,5 +312,81 @@ object TextOps {
         .filter(col("rn") <= 10)
         .select(col("term"), col("doc_id"), col("bm25"))
         .orderBy(col("term"), col("doc_id"))
+    },
+
+    // ---- Vocabulary build: (token → contiguous id) with a min-df
+    //      gate, ids assigned by (count desc, token) — the tokenizer-
+    //      training precursor. The corpus-sized work is ONE (token)
+    //      aggregate; the id-assigning window runs over the POST-
+    //      aggregation vocabulary (bounded by |vocab|, not rows — and
+    //      a df-gated vocab is orders smaller than the corpus; a
+    //      lake-scale build shards this window by count range and
+    //      offsets per shard, q63's two-level prefix-sum shape). ----
+    QueryDef.sql("q76_vocabulary",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk FROM documents),
+        |st AS (SELECT tk, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok GROUP BY tk)
+        |SELECT CAST(row_number() OVER (ORDER BY n_total DESC, tk) - 1 AS INTEGER) AS token_id,
+        |  tk AS token, n_total, n_docs
+        |FROM st WHERE n_docs >= 2 ORDER BY token_id""".stripMargin) { (s, d) =>
+      val stats = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+        .groupBy(col("tk"))
+        .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_total").desc, col("tk"))
+      stats
+        .select((row_number().over(w) - 1).as("token_id"), col("tk").as("token"),
+          col("n_total"), col("n_docs"))
+        .orderBy(col("token_id"))
+    },
+
+    // ---- Near-dup REMOVAL, end to end: pairs (q31) → clusters (q69)
+    //      → prune everything but each cluster's min doc → per-lang
+    //      survivor summary. This closes the dedup loop — the pair and
+    //      cluster operators are only useful if the prune composes
+    //      with the rest of the corpus pipeline, and the anti-join is
+    //      the lake-scale prune shape (drop set is cluster members
+    //      minus representatives: far smaller than the corpus). ----
+    QueryDef.sql("q77_dedup_prune",
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |walk(node, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e2.v, w.comp FROM walk w JOIN edges e2 ON e2.u = w.node
+        |  WHERE w.comp < e2.v),
+        |cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+        |drop AS (SELECT node AS doc_id FROM cc WHERE node <> comp)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        |  min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc
+        |FROM documents d ANTI JOIN drop USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = ngramJaccardPairs(Sketches.shingled(docs), 0.3)
+        .select(col("doc1"), col("doc2"))
+      val cc = graft.operators.ConnectedComponents.run(pairs, "doc1", "doc2")
+      val drop = cc.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
     })
 }

@@ -159,5 +159,37 @@ object TrainingOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
           min(col("doc_id")).as("min_doc"))
         .orderBy(col("lang"))
+    },
+
+    // ---- Context-window chunking: slide a fixed token window (16
+    //      tokens, stride 12 → 4-token overlap) over each document —
+    //      the step that turns variable-length documents into training
+    //      contexts. Pure per-row generate (sequence + posexplode):
+    //      no shuffle at all before the output sort, chunk count per
+    //      doc is ⌈n/stride⌉ — bounded fan-out. Each chunk carries a
+    //      cross-engine md5 content hash, so downstream chunk-level
+    //      dedup (q30's path) applies unchanged. ----
+    QueryDef.sql("q75_chunking",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start
+        |  FROM t WHERE len(toks) >= 1)
+        |SELECT doc_id, CAST(start // 12 AS INTEGER) AS chunk_idx,
+        |  CAST(start AS INTEGER) AS start_tok,
+        |  CAST(least(16, len(toks) - start) AS INTEGER) AS n_tok,
+        |  md5(array_to_string(list_slice(toks, start + 1, start + 16), ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr("sequence(0, size(toks) - 1, 12)"))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("start").as("start_tok"),
+          least(lit(16), size(col("toks")) - col("start")).as("n_tok"),
+          md5(concat_ws(" ", expr("slice(toks, start + 1, 16)")).cast("binary"))
+            .as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
 }

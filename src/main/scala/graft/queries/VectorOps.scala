@@ -229,54 +229,33 @@ object VectorOps {
     * is (1 − θ/π)⁸ ≈ 0.29, so 16 bands give ≈ 99.6% recall, while a
     * random pair collides in a given band with probability 2⁻⁸ —
     * candidate volume stays ≈ corpus × 16 / 256 per band. */
-  final val SrpPlanes = 128
-  final val SrpBandBits = 8
-  final val SrpBands = SrpPlanes / SrpBandBits
+  final val SrpPlanes: Int = graft.functions.SrpSketch.Planes
+  final val SrpBandBits: Int = graft.functions.SrpSketch.BandBits
+  final val SrpBands: Int = graft.functions.SrpSketch.Bands
   final val SrpQuantScale = 1000
 
   /** ±1 hyperplane matrix derived from md5("p_j") (first hex digit
     * < '8' → +1): the same bytes ANY engine computes, so the DuckDB
     * oracle rebuilds the identical matrix in SQL and the whole sketch
-    * is bit-exact across engines. Driver-side constant (128×64 ints),
-    * folded into the row expressions — nothing is shuffled or
-    * broadcast for it. */
-  lazy val srpSigns: IndexedSeq[IndexedSeq[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until SrpPlanes).map { p =>
-      (0 until 64).map { j =>
-        val h = md.digest(s"${p}_${j}".getBytes("UTF-8"))
-        if (((h(0) >> 4) & 0xF) < 8) 1 else -1
-      }
-    }
-  }
+    * is bit-exact across engines (see [[graft.functions.SrpSketch]]). */
+  def srpSigns: IndexedSeq[IndexedSeq[Int]] =
+    graft.functions.SrpSketch.signs.map(_.toIndexedSeq).toIndexedSeq
 
   /** (vec_id, band, code) SRP band codes — one row per (vector, band).
     *
-    * The embedding is quantized to integers (round(x·1000), exact in
-    * double for float inputs) BEFORE the projections, so every dot
-    * product is integer arithmetic: no float-summation-order ambiguity
-    * between engines, a tie (dot = 0) is a real integer zero on both.
-    * All of it is a per-row projection — the only shuffle in an SRP
-    * pipeline is the (band, code) candidate join that follows. */
+    * The sketch itself is [[graft.functions.SrpSketch]], a codegen'd
+    * Catalyst expression (one fused quantize→project→pack loop per
+    * row; the earlier higher-order-function formulation paid ~16k
+    * interpreted lambda calls per vector). The embedding is quantized
+    * to integers before the projections, so every dot product is
+    * integer arithmetic: no float-summation-order ambiguity between
+    * engines, a tie (dot = 0) is a real integer zero on both. All of
+    * it is a per-row projection — the only shuffle in an SRP pipeline
+    * is the (band, code) candidate join that follows. */
   def srpBandCodes(vecs: DataFrame): DataFrame = {
-    val signsLit = srpSigns
-      .map(row => row.mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
-    vecs
-      .withColumn("q", expr(
-        s"transform(embedding, x -> cast(round(cast(x as double) * $SrpQuantScale, 0) as bigint))"))
-      .withColumn("sig", expr(
-        s"""transform($signsLit, s ->
-           |  case when aggregate(zip_with(s, q, (x, y) -> x * y),
-           |                      cast(0 as bigint), (a, x) -> a + x) >= 0
-           |       then cast(1 as bigint) else cast(0 as bigint) end)""".stripMargin))
-      .select(col("vec_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${SrpBands - 1}), b ->
-             |  aggregate(transform(sequence(0, ${SrpBandBits - 1}),
-             |              r -> sig[b * $SrpBandBits + r] * shiftleft(cast(1 as bigint), r)),
-             |            cast(0 as bigint), (a, x) -> a + x))""".stripMargin))
-          .as(Seq("band", "code")))
+    GraftFunctions.register(vecs.sparkSession)
+    vecs.select(col("vec_id"),
+      posexplode(expr("srp_band_codes(embedding)")).as(Seq("band", "code")))
   }
 
   /** Approximate top-k by SRP-LSH: candidates = corpus vectors sharing

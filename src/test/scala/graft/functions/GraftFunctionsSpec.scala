@@ -19,6 +19,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
         Literal.create(Seq(1.0f, 0.0f), ArrayType(FloatType)),
         Literal.create(Seq(1.0f, 0.0f), ArrayType(FloatType))),
       "rolling_hash" -> Seq(Literal.create("abc", StringType)),
+      "srp_band_codes" -> Seq(
+        Literal.create(Seq.fill(64)(0.5f), ArrayType(FloatType))),
       "pg_decode" -> Seq(
         Literal.create(graft.codec.PgType.encode(graft.codec.PgType.Int8, 7L),
           BinaryType),
