@@ -603,5 +603,27 @@ object Relational {
           ((col("bin") + 1) * 50).cast("double").as("hi"),
           col("n"), col("sum_value"))
         .orderBy(col("bin"))
+    },
+
+    // ---- Statistical aggregates: stddev / covariance / correlation,
+    //      partial+final co-moment merges (Welford-style) — fully
+    //      distributed, constant state per group. Rounding is scale-
+    //      aware: both engines merge partials in different orders, so
+    //      the shared decimals must sit far above the merge noise —
+    //      corr (≈1e-3, noise ≈1e-12) and stddev (≈14) round at 4 dp,
+    //      covariance (≈3e3) at 2 dp. ----
+    QueryDef.sql("q80_stats_agg",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
     })
 }

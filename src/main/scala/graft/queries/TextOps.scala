@@ -87,6 +87,49 @@ object TextOps {
       .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard join (the PPJoin/AllPairs prefix
+    * principle): same answer as [[ngramJaccardPairs]], but each doc
+    * posts only the |g| − ⌈θ·|g|⌉ + 1 smallest grams under a global
+    * deterministic order (hash60, gram tiebreak). Any pair with
+    * J ≥ θ has |A∩B| ≥ max(⌈θ|A|⌉, ⌈θ|B|⌉), and by the prefix
+    * intersection lemma its two prefixes must share a gram — so
+    * candidate recall is exact while the posting shuffle shrinks by
+    * ≈ θ. The prefix length is computed in integer arithmetic
+    * (⌈(num·n)/den⌉ as (num·n + den − 1) div den): a float ceil of
+    * 0.3·n would round up at representation error and silently
+    * shorten the prefix below the safe bound. Hot prefix grams go
+    * through [[Sketches.elementPairs]]'s lossless two-path expansion;
+    * verification computes exact Jaccard on the full gram arrays of
+    * surviving candidates only.
+    */
+  def prefixJaccardPairs(sh: org.apache.spark.sql.DataFrame,
+      thetaNum: Int, thetaDen: Int): org.apache.spark.sql.DataFrame = {
+    val minJaccard = thetaNum.toDouble / thetaDen
+    val pref = sh.select(col("doc_id"), col("grams"),
+      expr(
+        s"""slice(
+           |  array_sort(transform(grams, g -> named_struct(
+           |    'h', cast(conv(substring(md5(cast(g as binary)), 1, 15), 16, 10) as bigint),
+           |    'g', g))),
+           |  1,
+           |  size(grams) - (($thetaNum * size(grams) + $thetaDen - 1) div $thetaDen) + 1)"""
+          .stripMargin).as("pref"))
+    val buckets = pref
+      .select(col("doc_id"), explode_outer(col("pref")).as("p"))
+      .groupBy(col("p.g").as("bk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cand = Sketches.elementPairs(buckets, Sketches.MaxBucketSize)
+      .select(col("p.x").as("doc1"), col("p.y").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    cand
+      .join(sh.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
+      .withColumn("jaccard", Sketches.exactJaccard)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: hash-groupBy, keep lowest doc_id per content hash.
@@ -388,5 +431,26 @@ object TextOps {
           sum(col("n_chars")).cast("long").as("total_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
+    },
+
+    // ---- Prefix-filtered Jaccard join: q31's exact answer from a
+    //      ~θ-smaller posting shuffle (see [[prefixJaccardPairs]]).
+    //      The oracle is the same uncapped ground truth as q31's —
+    //      the hash check proves the prefix filter loses NO pair. ----
+    QueryDef.sql("q79_prefix_jaccard",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
+        |FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3
+        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      prefixJaccardPairs(Sketches.shingled(t(s, d, "documents")), 3, 10)
+        .orderBy(col("doc1"), col("doc2"))
     })
 }

@@ -41,6 +41,18 @@ class SketchSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must contain near-dup pairs")
   }
 
+  test("prefix-filtered Jaccard == uncapped exact (q79 path)") {
+    val got = asSet(TextOps.prefixJaccardPairs(Sketches.shingled(docs), 3, 10))
+    val want = asSet(exactPairs(0.3))
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("prefix-filtered Jaccard holds at a second threshold (1/2)") {
+    val got = asSet(TextOps.prefixJaccardPairs(Sketches.shingled(docs), 1, 2))
+    val want = asSet(exactPairs(0.5))
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("MinHash LSH pairs == exact pairs at J>=0.8 (q35 recall)") {
     val got = asSet(Sketches.minHashPairs(docs, 0.8))
     val want = asSet(exactPairs(0.8))
