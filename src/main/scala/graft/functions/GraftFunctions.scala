@@ -15,6 +15,7 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "rolling_hash" -> (es => RollingHash(es.head)),
     "srp_band_codes" -> (es => SrpSketch(es.head)),
+    "minhash_sig" -> (es => MinHashSig(es.head)),
     // pg_decode(datum, oid): oid must be a literal so the result type
     // is known at analysis time
     "pg_decode" -> (es => {

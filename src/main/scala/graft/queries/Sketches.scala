@@ -65,16 +65,13 @@ object Sketches {
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("grams"))
 
-  /** Append a `sig` array<long> MinHash signature column. */
+  /** Append a `sig` array<long> MinHash signature column — the
+    * codegen'd [[graft.functions.MinHashSig]] kernel (one fused
+    * md5→fold→minima loop; the SQL HOF formulation it replaced paid 65
+    * interpreted array passes per row and dominated q35's runtime). */
   def withMinHashSignature(sh: DataFrame): DataFrame = {
-    // conv() returns a decimal string — cast to bigint BEFORE the mod or
-    // Spark would coerce through double and lose 60-bit precision
-    val hashed = sh.withColumn("hs",
-      expr("transform(grams, g -> cast(conv(substring(md5(cast(g as binary)),1,15),16,10) as bigint) % 2147483648)"))
-    val mins: Seq[Column] = seeds.map { case (a, b) =>
-      expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))")
-    }
-    hashed.withColumn("sig", array(mins: _*)).drop("hs")
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    sh.withColumn("sig", expr("minhash_sig(grams)"))
   }
 
   /** Exact Jaccard on the distinct-gram arrays of a candidate pair. */

@@ -21,6 +21,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "rolling_hash" -> Seq(Literal.create("abc", StringType)),
       "srp_band_codes" -> Seq(
         Literal.create(Seq.fill(64)(0.5f), ArrayType(FloatType))),
+      "minhash_sig" -> Seq(
+        Literal.create(Seq("a b c", "b c d"), ArrayType(StringType))),
       "pg_decode" -> Seq(
         Literal.create(graft.codec.PgType.encode(graft.codec.PgType.Int8, 7L),
           BinaryType),

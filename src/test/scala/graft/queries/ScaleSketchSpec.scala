@@ -52,6 +52,25 @@ class ScaleSketchSpec extends AnyFunSuite {
     assert(hits.subsetOf(shared), s"non-candidate hits: ${hits -- shared}")
   }
 
+  test("minhash_sig kernel == the SQL HOF formulation, seeds in sync") {
+    import graft.functions.MinHashSig
+    assert(MinHashSig.seeds.toSeq == Sketches.seeds,
+      "expression and query-layer permutation constants must not drift")
+    GraftFunctions.register(spark)
+    val sh = Sketches.shingled(documents)
+    val hof = sh.withColumn("hs", expr(
+        "transform(grams, g -> cast(conv(substring(md5(cast(g as binary)),1,15),16,10) as bigint) % 2147483648)"))
+      .withColumn("sig", array(Sketches.seeds.map { case (a, b) =>
+        expr(s"array_min(transform(hs, h -> ($a * h + $b) % ${Sketches.P}))")
+      }: _*))
+      .select(col("doc_id"), col("sig"))
+    val fused = sh.selectExpr("doc_id", "minhash_sig(grams) AS sig")
+    val a = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("count-min estimate dominates the true count for EVERY token") {
     val tok = documents
       .select(explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
