@@ -104,29 +104,44 @@ object TextOps {
     */
   def prefixJaccardPairs(sh: org.apache.spark.sql.DataFrame,
       thetaNum: Int, thetaDen: Int): org.apache.spark.sql.DataFrame = {
-    val minJaccard = thetaNum.toDouble / thetaDen
-    val pref = sh.select(col("doc_id"), col("grams"),
-      expr(
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    // Lexicographically sorted gram arrays: the prefix is a slice of
+    // the hash-ordered permutation, the verify is a codegen'd merge
+    // count over this sorted form (sorted_overlap).
+    val sorted = sh.select(col("doc_id"),
+      array_sort(col("grams")).as("grams"), size(col("grams")).as("sz"))
+    val pref = sorted.select(
+      struct(col("doc_id").as("d"), col("sz")).as("ds"),
+      explode_outer(expr(
         s"""slice(
            |  array_sort(transform(grams, g -> named_struct(
            |    'h', cast(conv(substring(md5(cast(g as binary)), 1, 15), 16, 10) as bigint),
            |    'g', g))),
            |  1,
            |  size(grams) - (($thetaNum * size(grams) + $thetaDen - 1) div $thetaDen) + 1)"""
-          .stripMargin).as("pref"))
+          .stripMargin)).as("p"))
     val buckets = pref
-      .select(col("doc_id"), explode_outer(col("pref")).as("p"))
       .groupBy(col("p.g").as("bk"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(col("ds"))).as("ds"))
       .filter(size(col("ds")) >= 2)
+    // Length filter (the AllPairs/PPJoin size bound): J = c/(a+b−c)
+    // with c ≤ min(a,b) gives J ≤ min/max, so θ·max > min cannot reach
+    // the threshold — pruned BEFORE the dedup shuffle and the verify
+    // join, in exact integer arithmetic.
     val cand = Sketches.elementPairs(buckets, Sketches.MaxBucketSize)
-      .select(col("p.x").as("doc1"), col("p.y").as("doc2"))
+      .select(col("p.x.d").as("doc1"), col("p.x.sz").as("sz1"),
+        col("p.y.d").as("doc2"), col("p.y.sz").as("sz2"))
+      .filter(lit(thetaDen) * least(col("sz1"), col("sz2"))
+        >= lit(thetaNum) * greatest(col("sz1"), col("sz2")))
       .dropDuplicates("doc1", "doc2")
     cand
-      .join(sh.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
-      .withColumn("jaccard", Sketches.exactJaccard)
-      .filter(col("jaccard") >= minJaccard)
+      .join(sorted.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
+      .join(sorted.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
+      .withColumn("c", expr("sorted_overlap(g1, g2)"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz1") + col("sz2") - col("c")))
+      .filter(lit(thetaDen) * col("c")
+        >= lit(thetaNum) * (col("sz1") + col("sz2") - col("c")))
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
   }
 

@@ -23,6 +23,9 @@ class GraftFunctionsSpec extends AnyFunSuite {
         Literal.create(Seq.fill(64)(0.5f), ArrayType(FloatType))),
       "minhash_sig" -> Seq(
         Literal.create(Seq("a b c", "b c d"), ArrayType(StringType))),
+      "sorted_overlap" -> Seq(
+        Literal.create(Seq("a", "b", "c"), ArrayType(StringType)),
+        Literal.create(Seq("b", "c", "d"), ArrayType(StringType))),
       "pg_decode" -> Seq(
         Literal.create(graft.codec.PgType.encode(graft.codec.PgType.Int8, 7L),
           BinaryType),
