@@ -17,6 +17,7 @@ object GraftFunctions {
     "srp_band_codes" -> (es => SrpSketch(es.head)),
     "minhash_sig" -> (es => MinHashSig(es.head)),
     "sorted_overlap" -> (es => SortedOverlap(es(0), es(1))),
+    "all_pairs" -> (es => AllPairs(es.head)),
     // pg_decode(datum, oid): oid must be a literal so the result type
     // is known at analysis time
     "pg_decode" -> (es => {

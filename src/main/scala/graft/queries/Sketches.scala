@@ -138,12 +138,9 @@ object Sketches {
       .join(sh.select(col("doc_id").as("rep")), "rep")
       .groupBy(col("rep")).agg(sort_array(collect_list(col("m"))).as("ms"))
       .filter(size(col("ms")) >= 2)
-      .select(explode_outer(expr(
-        """flatten(transform(ms,
-          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
-          |            y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc1"), col("p.doc2"), lit(1.0).as("jaccard"))
+      .select(explode_outer(expr("all_pairs(ms)")).as("p"))
+      .select(col("p.x").as("doc1"), col("p.y").as("doc2"),
+        lit(1.0).as("jaccard"))
     cross.unionByName(intra)
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc1"), col("doc2"))
@@ -224,12 +221,9 @@ object Sketches {
     val intra = members
       .groupBy(col("rep")).agg(sort_array(collect_list(col("m"))).as("ms"))
       .filter(size(col("ms")) >= 2)
-      .select(explode_outer(expr(
-        """flatten(transform(ms,
-          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
-          |            y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc1"), col("p.doc2"), lit(0).as("hamming"))
+      .select(explode_outer(expr("all_pairs(ms)")).as("p"))
+      .select(col("p.x").as("doc1"), col("p.y").as("doc2"),
+        lit(0).as("hamming"))
     cross.unionByName(intra)
       .orderBy(col("doc1"), col("doc2"))
   }
@@ -261,16 +255,12 @@ object Sketches {
     * Elements sort/compare lexicographically (doc_id leads), so
     * `x < y` dedups orientation in both paths. */
   private[queries] def elementPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
-    // `ds` arrives SORTED from the bucket builders' aggregate (a bound
-    // attribute after the shuffle), so the lambda never re-sorts —
-    // sorting here via a projection would get re-inlined into every
-    // lambda reference by CollapseProject (the q31 generator pathology)
+    // `ds` arrives SORTED from the bucket builders' aggregate, so the
+    // all_pairs kernel's x < y orientation is deterministic
+    graft.functions.GraftFunctions.register(buckets.sparkSession)
     val small = buckets
       .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode_outer(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x, y))))""".stripMargin)).as("p"))
+      .select(explode_outer(expr("all_pairs(ds)")).as("p"))
     val hot = buckets.filter(size(col("ds")) > maxBucket)
       .select(col("bk"), explode_outer(col("ds")).as("e"))
     val hotPairs = hot.select(col("bk"), col("e").as("x"))

@@ -67,20 +67,16 @@ object TextOps {
     // tokenizer below the repartition exchange (~8s of duplicate regex
     // work at sf0.1); outer explode carries no such constraint and the
     // upstream filters already guarantee non-empty gram arrays
+    graft.functions.GraftFunctions.register(sh.sparkSession)
     val e = sh.select(struct(col("doc_id").as("d"),
       size(col("grams")).as("sz")).as("ds"), explode_outer(col("grams")).as("g"))
     val posting = e.groupBy(col("g"))
-      .agg(collect_list(col("ds")).as("ds"))
+      .agg(sort_array(collect_list(col("ds"))).as("ds"))
       .filter(size(col("ds")).between(2, MaxGramDf))
     posting
-      .select(explode_outer(expr(
-        """flatten(transform(array_sort(ds),
-          |  (x, i) -> transform(slice(array_sort(ds), i + 2, size(ds)),
-          |            y -> struct(x.d AS doc1, x.sz AS sz1,
-          |                        y.d AS doc2, y.sz AS sz2))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"),
-        col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
+      .select(explode_outer(expr("all_pairs(ds)")).as("p"))
+      .groupBy(col("p.x.d").as("doc1"), col("p.y.d").as("doc2"),
+        col("p.x.sz").as("sz1"), col("p.y.sz").as("sz2"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jac", col("c") / (col("sz1") + col("sz2") - col("c")))
       .filter(col("jac") >= minJaccard)

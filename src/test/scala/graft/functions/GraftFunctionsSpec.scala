@@ -26,6 +26,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "sorted_overlap" -> Seq(
         Literal.create(Seq("a", "b", "c"), ArrayType(StringType)),
         Literal.create(Seq("b", "c", "d"), ArrayType(StringType))),
+      "all_pairs" -> Seq(
+        Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType))),
       "pg_decode" -> Seq(
         Literal.create(graft.codec.PgType.encode(graft.codec.PgType.Int8, 7L),
           BinaryType),
