@@ -191,5 +191,88 @@ object TrainingOps {
           md5(concat_ws(" ", expr("slice(toks, start + 1, 16)")).cast("binary"))
             .as("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // ---- Repetition filter (the Gopher/C4 quality-signal family):
+    //      per-document top-token fraction and duplicate-trigram
+    //      fraction, with a keep flag at the corpus-tuned thresholds.
+    //      Scale shape: tokens/trigrams explode to (doc, gram) rows,
+    //      counts come from two-level hash aggregates — partial
+    //      map-side combine, shuffles keyed on (doc_id, gram) then
+    //      doc_id, never a per-doc sort or window. The same shape
+    //      extends to the full Gopher ladder (top 2-4-gram fraction,
+    //      dup 5-10-gram char fraction) by swapping the gram
+    //      generator. ----
+    QueryDef.sql("q81_repetition_filter",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |tc AS (SELECT doc_id, tk, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS tk FROM f) GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok,
+        |    CAST(sum(c) AS BIGINT) AS n_tok FROM tc GROUP BY 1),
+        |gc AS (SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks)-2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+        |    FROM f) GROUP BY 1, 2),
+        |ga AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tri,
+        |    CAST(sum(c) AS BIGINT) AS n_tri FROM gc GROUP BY 1)
+        |SELECT ta.doc_id, ta.n_tok,
+        |  round(max_tok / n_tok, 6) AS top_token_frac,
+        |  round(dup_tri / n_tri, 6) AS dup_trigram_frac,
+        |  (max_tok / n_tok <= 0.15 AND dup_tri / n_tri <= 0.02) AS keep
+        |FROM ta JOIN ga ON ta.doc_id = ga.doc_id
+        |ORDER BY ta.doc_id""".stripMargin) { (s, d) =>
+      val f = Tables.wide(t(s, d, "documents"))
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val ta = f.select(col("doc_id"), explode_outer(col("toks")).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_tok"))
+      val ga = f.select(col("doc_id"), explode_outer(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_tri"),
+          sum(col("c")).as("n_tri"))
+      ta.join(ga, "doc_id")
+        .select(col("doc_id"), col("n_tok"),
+          round(col("max_tok").cast("double") / col("n_tok"), 6).as("top_token_frac"),
+          round(col("dup_tri").cast("double") / col("n_tri"), 6).as("dup_trigram_frac"),
+          (col("max_tok").cast("double") / col("n_tok") <= 0.15
+            && col("dup_tri").cast("double") / col("n_tri") <= 0.02).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Deterministic train/val/test split: the md5 bucket of the
+    //      document id (q62's uniform draw) lands each row in
+    //      train (< 0xcc: 79.7%), val (< 0xe6: 10.2%) or test — a pure
+    //      per-row projection, no shuffle, no RNG, stable under
+    //      reruns, retries, cluster resizes and corpus appends (a
+    //      doc's split never changes when neighbors arrive, unlike
+    //      any rank- or position-based split). ----
+    QueryDef.sql("q82_train_split",
+      """SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (SELECT doc_id, n_chars,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          when(hashBucket(col("doc_id")) < "cc", "train")
+            .when(hashBucket(col("doc_id")) < "e6", "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
     })
 }
