@@ -274,5 +274,70 @@ object TrainingOps {
           sum(col("n_chars")).cast("long").as("total_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("split"))
+    },
+
+    // ---- Benchmark decontamination: drop every document containing a
+    //      banned n-gram (the eval-set leak scan run before training).
+    //      The ban list is a broadcast in-set test inside the gram
+    //      generator's filter — contaminated doc ids come from one
+    //      hash-distinct, the prune is a left-anti join keyed on
+    //      doc_id. No posting-list shuffle of the clean 99.9%: only
+    //      matching (doc, gram) rows leave the scan stage. At real
+    //      scale the literal IN-list becomes a broadcast join against
+    //      the benchmark-gram table — same plan shape. ----
+    QueryDef.sql("q83_decontaminate",
+      """WITH t AS (SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |bad AS (SELECT DISTINCT doc_id FROM g
+        |  WHERE g IN ('stream table hash', 'row column sort', 'window fast query')),
+        |clean AS (SELECT t.doc_id, t.lang FROM t ANTI JOIN bad USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_clean,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM clean GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val banned = Seq("stream table hash", "row column sort", "window fast query")
+      val t0 = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      val bad = t0.filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode_outer(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .as("g"))
+        .filter(col("g").isin(banned: _*))
+        .select(col("doc_id")).distinct()
+      t0.join(bad, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_clean"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- Per-source quota cap (domain balancing): keep at most N
+    //      documents per source, chosen by the deterministic md5-
+    //      bucket order (NOT arrival order — append-stable). The rank
+    //      is a window partitioned by source: each source's rows sort
+    //      within their own partition, so one hot domain never
+    //      serializes the cluster; with per-source top-N at lake
+    //      scale the window swaps for the groupBy/min_by-heap pattern
+    //      if sources are few and huge. ----
+    QueryDef.sql("q84_source_quota",
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |FROM r WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          col("doc_id"))
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("long").as("kept_id_sum"))
+        .orderBy(col("source"))
     })
 }
