@@ -369,5 +369,47 @@ object VectorOps {
       GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
       srpTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    },
+
+    // ---- Semantic dedup, end to end: embedding-cosine near-dup pairs
+    //      (q39's exact cluster-pruned join) → connected components
+    //      (q69's operator) → anti-join prune keeping each cluster's
+    //      min id — the third leg of the dedup family (exact q30,
+    //      lexical q77, semantic here), proving the vector and graph
+    //      operators compose. Output is a one-row corpus summary
+    //      (cluster count, survivors, id checksum) so the oracle
+    //      checks the entire outcome. ----
+    QueryDef.sql("q85_semantic_dedup",
+      """WITH RECURSIVE
+        |pairs AS (SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |walk(node, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+        |  WHERE w.comp < e.v),
+        |cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+        |dropped AS (SELECT node AS vec_id FROM cc WHERE node <> comp)
+        |SELECT
+        |  (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM cc) AS n_clusters,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+        |FROM embeddings ANTI JOIN dropped USING (vec_id)""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val pairs = cosinePairsExact(s, e, 0.45, nClusters = 8)
+        .select(col("id1"), col("id2"))
+      val cc = graft.operators.ConnectedComponents.run(pairs, "id1", "id2")
+      val dropped = cc.filter(col("node") =!= col("component"))
+        .select(col("node").as("vec_id"))
+      val clusters = cc.agg(
+        countDistinct(col("component")).as("n_clusters"))
+      val kept = e.join(dropped, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).cast("long").as("kept_id_sum"))
+      clusters.crossJoin(kept)
     })
 }
