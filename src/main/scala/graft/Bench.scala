@@ -23,6 +23,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(name: String): Double = {
+      // settle the heap between queries: without this, one query's
+      // garbage lands as a multi-second GC pause inside whichever
+      // query runs next — per-query numbers wandered ±3s run to run
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()

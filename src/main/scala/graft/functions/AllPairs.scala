@@ -24,8 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
   * so `x < y` holds element-wise and pair orientation is
   * deterministic. Output order is (i, then j), identical to the HOF
   * formulation. Callers cap bucket sizes (`MaxBucketSize`,
-  * `MaxGramDf`), so n² stays bounded; n beyond 65535 would overflow
-  * the pair count and throws rather than truncates.
+  * `MaxGramDf`); inputs whose Long-computed pair count exceeds 10⁷
+  * (one task materializing >10⁷ pair rows is a pipeline bug, not a
+  * workload) throw rather than truncate.
   */
 case class AllPairs(child: Expression) extends UnaryExpression {
 
@@ -63,7 +64,11 @@ object AllPairs {
     * (public and Java-callable for the generated code). */
   def expand(arr: ArrayData, et: DataType): GenericArrayData = {
     val n = arr.numElements()
-    require(n <= 65535, s"all_pairs input too large: $n")
+    // pair count computed in Long: n*(n-1)/2 overflows Int from
+    // n = 46341, well under the element-count limit
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= 10000000L,
+      s"all_pairs input too large: $n elements -> $nPairs pairs")
     val elems = new Array[Any](n)
     var i = 0
     while (i < n) {

@@ -65,31 +65,35 @@ object MinHashSig {
   }
 
   /** The fused kernel (called from generated code — public and
-    * Java-callable). Empty gram arrays yield all-P sentinels, matching
-    * array_min of an empty transform… which SQL would make NULL; the
-    * pipeline never feeds empty gram sets (shingled() guarantees ≥ 1). */
+    * Java-callable). Null elements are skipped — the SQL formulation
+    * maps them to null hashes, which array_min ignores. Empty gram
+    * arrays yield all-P sentinels, matching array_min of an empty
+    * transform… which SQL would make NULL; the pipeline never feeds
+    * empty gram sets (shingled() guarantees ≥ 1). */
   def sig(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val out = Array.fill(NumHashes)(Long.MaxValue)
     val d = md5.get()
     var i = 0
     while (i < n) {
-      d.reset()
-      val bytes = d.digest(arr.getUTF8String(i).getBytes)
-      // first 15 hex digits = high 60 bits, then the 2^31 fold
-      var v = 0L
-      var k = 0
-      while (k < 15) {
-        val nib = if (k % 2 == 0) (bytes(k / 2) >> 4) & 0xF else bytes(k / 2) & 0xF
-        v = (v << 4) | nib
-        k += 1
-      }
-      val h = v % 2147483648L
-      var s = 0
-      while (s < NumHashes) {
-        val cand = (seedA(s) * h + seedB(s)) % P
-        if (cand < out(s)) out(s) = cand
-        s += 1
+      if (!arr.isNullAt(i)) {
+        d.reset()
+        val bytes = d.digest(arr.getUTF8String(i).getBytes)
+        // first 15 hex digits = high 60 bits, then the 2^31 fold
+        var v = 0L
+        var k = 0
+        while (k < 15) {
+          val nib = if (k % 2 == 0) (bytes(k / 2) >> 4) & 0xF else bytes(k / 2) & 0xF
+          v = (v << 4) | nib
+          k += 1
+        }
+        val h = v % 2147483648L
+        var s = 0
+        while (s < NumHashes) {
+          val cand = (seedA(s) * h + seedB(s)) % P
+          if (cand < out(s)) out(s) = cand
+          s += 1
+        }
       }
       i += 1
     }

@@ -55,12 +55,14 @@ case class SortedOverlap(left: Expression, right: Expression)
 
 object SortedOverlap {
   /** Merge-count of equal elements (public and Java-callable for the
-    * generated code). */
+    * generated code). Null elements terminate the merge: `array_sort`
+    * places nulls LAST, and a null never counts as an intersection
+    * member — so the non-null prefixes are the whole set. */
   def count(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
     val m = b.numElements()
     var i = 0; var j = 0; var c = 0
-    while (i < n && j < m) {
+    while (i < n && j < m && !a.isNullAt(i) && !b.isNullAt(j)) {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1

@@ -58,6 +58,11 @@ object ConnectedComponents {
       edges = next
       round += 1
     }
+    // A non-converged edge set is NOT (member, root) pairs — reading it
+    // as such would silently split clusters. Loud beats wrong.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds; " +
+        "raise maxRounds (the star rounds need O(log² V) on adversarial graphs)")
     // At the fixpoint every edge is (member, root): hi's component is
     // lo, and every lo is itself a root (lo = component min).
     edges.select(col("hi").as("node"), col("lo").as("component"))

@@ -35,17 +35,14 @@ object Sketches {
       s"substring(md5($arg), i+1, 1))::BIGINT - 1) << (4*(14-i))))"
 
   // Deterministic MinHash permutation parameters: h_i(x) = (a_i·x + b_i) mod P
-  // over 31-bit hash values (products stay < 2^62: no overflow).
-  final val P = 2147483647L // 2^31 − 1
-  final val NumHashes = 64
+  // over 31-bit hash values (products stay < 2^62: no overflow). The
+  // constants live with the codegen kernel — one definition, no drift
+  // (the same delegation VectorOps.srpSigns uses for SrpSketch.signs).
+  final val P = graft.functions.MinHashSig.P // 2^31 − 1
+  final val NumHashes = graft.functions.MinHashSig.NumHashes
   final val BandRows = 2 // 32 bands × 2 rows: recall ≥ 1−(1−J²)^32 ≈ 1 at J=0.8
   final val NumBands = NumHashes / BandRows
-  val seeds: Seq[(Long, Long)] = {
-    // LCG-derived constants, fixed seed — stable across runs/clusters.
-    var s = 42L
-    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; s }
-    (0 until NumHashes).map(_ => ((next() % (P - 1)) + 1, next() % P))
-  }
+  val seeds: Seq[(Long, Long)] = graft.functions.MinHashSig.seeds.toSeq
 
   /** (doc_id, grams) where grams are distinct word-3-gram shingles.
     *

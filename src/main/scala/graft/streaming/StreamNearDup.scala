@@ -45,7 +45,8 @@ object StreamNearDup {
 
   final case class Banded(bucket: String, docId: Long,
       eventTime: java.sql.Timestamp, sig: Array[Long])
-  final case class BucketState(docIds: List[Long], sigs: List[Array[Long]])
+  final case class BucketState(docIds: List[Long], sigs: List[Array[Long]],
+      maxTsMs: Long)
   final case class Candidate(doc1: Long, doc2: Long, estJaccard: Double,
       bucket: String)
 
@@ -61,24 +62,28 @@ object StreamNearDup {
       state: GroupState[BucketState]): Iterator[Candidate] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val out = Seq.newBuilder[Candidate]
-    var st = state.getOption.getOrElse(BucketState(Nil, Nil))
-    var maxTs = 0L
+    var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
     // arrival order within a batch follows the iterator; pairs orient
     // (min, max) so the output is a set regardless of order
     rows.toSeq.sortBy(r => (r.eventTime.getTime, r.docId)).foreach { r =>
-      maxTs = math.max(maxTs, r.eventTime.getTime)
       st.docIds.iterator.zip(st.sigs.iterator).foreach { case (id, sig) =>
         if (id != r.docId)
           out += Candidate(math.min(id, r.docId), math.max(id, r.docId),
             estimate(sig, r.sig), bucket)
       }
-      if (!st.docIds.contains(r.docId) && st.docIds.size < maxMembers)
-        st = BucketState(st.docIds :+ r.docId, st.sigs :+ r.sig)
+      val keep = !st.docIds.contains(r.docId) && st.docIds.size < maxMembers
+      st = BucketState(
+        if (keep) st.docIds :+ r.docId else st.docIds,
+        if (keep) st.sigs :+ r.sig else st.sigs,
+        // lifetime max, NOT this batch's max: a late-but-valid row in
+        // a later batch must not pull the eviction earlier than the
+        // horizon beyond the NEWEST member ever stored
+        math.max(st.maxTsMs, r.eventTime.getTime))
     }
     state.update(st)
     // evict once the watermark passes the horizon beyond the newest
     // member — quiet buckets disappear from the store
-    state.setTimeoutTimestamp(maxTs + horizonMs)
+    state.setTimeoutTimestamp(st.maxTsMs + horizonMs)
     out.result().iterator
   }
 
