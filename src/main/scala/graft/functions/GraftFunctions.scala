@@ -18,6 +18,7 @@ object GraftFunctions {
     "minhash_sig" -> (es => MinHashSig(es.head)),
     "sorted_overlap" -> (es => SortedOverlap(es(0), es(1))),
     "all_pairs" -> (es => AllPairs(es.head)),
+    "top_k_min" -> (es => TopKMin(es(0), es(1))),
     // pg_decode(datum, oid): oid must be a literal so the result type
     // is known at analysis time
     "pg_decode" -> (es => {

@@ -339,5 +339,34 @@ object TrainingOps {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("long").as("kept_id_sum"))
         .orderBy(col("source"))
+    },
+
+    // ---- Per-source quota via the bounded-heap aggregate — q84's
+    //      documented monster-source fallback, as a real plan: the
+    //      window formulation shuffles and SORTS every row of every
+    //      source; `top_k_min` keeps a k-element heap per group,
+    //      combined MAP-SIDE, so each partition ships ≤ k rows per
+    //      source through the shuffle and nothing ever sorts a whole
+    //      domain. Same deterministic md5-bucket order; the oracle is
+    //      the independent window formulation — the hash check proves
+    //      the heap path ≡ the sort path. ----
+    QueryDef.sql("q86_quota_heap",
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id FROM r WHERE rk <= 12
+        |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .select(col("source"), struct(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8)
+            .as("bk"),
+          col("doc_id")).as("p"))
+        .groupBy(col("source"))
+        .agg(expr("top_k_min(p, 12)").as("top"))
+        .select(col("source"), explode(col("top")).as("t"))
+        .select(col("source"), col("t.doc_id").as("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
     })
 }

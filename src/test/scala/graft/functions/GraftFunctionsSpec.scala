@@ -28,6 +28,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
         Literal.create(Seq("b", "c", "d"), ArrayType(StringType))),
       "all_pairs" -> Seq(
         Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType))),
+      "top_k_min" -> Seq(
+        Literal.create(7L, LongType), Literal.create(3, IntegerType)),
       "pg_decode" -> Seq(
         Literal.create(graft.codec.PgType.encode(graft.codec.PgType.Int8, 7L),
           BinaryType),
@@ -35,9 +37,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(GraftFunctions.builders.map(_._1).toSet == sample.keySet,
       "builder list and test coverage must stay in sync")
     GraftFunctions.builders.foreach { case (name, b) =>
-      val e = b(sample(name))
-      assert(e.checkInputDataTypes().isSuccess, s"$name type check")
-      assert(e.eval() != null, s"$name must evaluate")
+      b(sample(name)) match {
+        case agg: org.apache.spark.sql.catalyst.expressions.aggregate
+            .TypedImperativeAggregate[_] =>
+          // aggregates evaluate through their buffer API, not eval(row)
+          assert(agg.checkInputDataTypes().isSuccess, s"$name type check")
+          val a = agg.asInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .aggregate.TypedImperativeAggregate[Any]]
+          val buf = a.update(a.createAggregationBuffer(),
+            org.apache.spark.sql.catalyst.InternalRow.empty)
+          assert(a.eval(a.deserialize(a.serialize(buf))) != null,
+            s"$name must evaluate through serialize/deserialize")
+        case e =>
+          assert(e.checkInputDataTypes().isSuccess, s"$name type check")
+          assert(e.eval() != null, s"$name must evaluate")
+      }
     }
   }
 
