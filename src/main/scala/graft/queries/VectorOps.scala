@@ -84,16 +84,30 @@ object VectorOps {
   private def litF(v: Seq[Float]): String =
     s"array(${v.map(x => s"cast($x as float)").mkString(",")})"
 
+  /** Per-query top-k by (`csCol` desc, cid asc) via the bounded-heap
+    * aggregate — map-side combine ships ≤ k rows per (partition, qid)
+    * through the shuffle; the `row_number` window it replaces sorted
+    * every scored candidate of every query. Ordering key is
+    * `1 − cs` ascending (strictly monotone in cs — no −0.0 sign games
+    * from negation); the ORIGINAL cs rides as a struct payload field
+    * so output bits are untouched by the key transform. */
+  private def heapTopK(scored: DataFrame, k: Int,
+      csCol: String = "cos_sim"): DataFrame = {
+    GraftFunctions.register(scored.sparkSession)
+    scored.groupBy(col("qid"))
+      .agg(expr(s"top_k_min(struct(1.0d - $csCol AS dk, cid, $csCol), $k)")
+        .as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.cid").as("cid"), col(s"t.$csCol").as(csCol))
+  }
+
   /** Brute-force top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
-    c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("cos_sim", round(cos("qv", "cv"), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos_sim"))
+    heapTopK(
+      c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("cos_sim", round(cos("qv", "cv"), 4)), k)
       .orderBy(col("qid"), col("cid"))
   }
 
@@ -139,33 +153,32 @@ object VectorOps {
       .withColumn("bounds", boundsExpr(cents, radii, "qv"))
 
     // pass 1: k-th best cosine within the primary cluster (kb = −1
-    // when the cluster holds fewer than k candidates → probe all)
-    val wDesc = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+    // when the cluster holds fewer than k candidates → probe all).
+    // Bounded-heap top-k; element k (ascending 1−cs) IS the k-th best.
+    // The 1−cs key can merge candidates closer than one ulp of 1 — any
+    // resulting k-th-best error is ≤ 2e−16, absorbed by the slack.
+    graft.functions.GraftFunctions.register(spark)
     val kb = q.join(assigned, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cs", cos("qv", "cve"))
-      .withColumn("rn", row_number().over(wDesc))
-      .filter(col("rn") <= k)
       .groupBy(col("qid"))
+      .agg(expr(s"top_k_min(struct(1.0d - cs AS dk, cid, cs), $k)").as("top"))
       // 1e-4 slack: the final ranking rounds to 4 dp, so a boundary
       // candidate within half an ulp of the k-th best must still be probed
-      .agg((when(count(lit(1)) === k, min(col("cs"))).otherwise(lit(-1.0))
-        - lit(0.0001)).as("kb"))
+      .select(col("qid"),
+        (when(size(col("top")) === k, expr(s"element_at(top, $k).cs"))
+          .otherwise(lit(-1.0)) - lit(0.0001)).as("kb"))
 
     // pass 2: probe every cluster whose bound beats kb
     val probes = q.join(broadcast(kb), Seq("qid"))
       .select(col("qid"), col("qv"), col("kb"),
         explode(expr("filter(bounds, x -> x.ub >= kb)")).as("pb"))
       .select(col("qid"), col("qv"), col("pb.bucket").as("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
-    val out = probes.join(assigned, Seq("bucket"))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("cos_sim", round(cos("qv", "cve"), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos_sim"))
+    heapTopK(
+      probes.join(assigned, Seq("bucket"))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cos_sim", round(cos("qv", "cve"), 4)), k)
       .orderBy(col("qid"), col("cid"))
-    out
   }
 
   /** EXACT all-pairs cosine ≥ threshold via cluster-pruned blocking —
@@ -273,12 +286,9 @@ object VectorOps {
       .distinct()
     val qv = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
     val cv = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
-    cand.join(cv, "cid").join(qv, "qid")
-      .withColumn("cos_sim", round(cos("qv", "cv"), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos_sim"))
+    heapTopK(
+      cand.join(cv, "cid").join(qv, "qid")
+        .withColumn("cos_sim", round(cos("qv", "cv"), 4)), k)
       .orderBy(col("qid"), col("cid"))
   }
 
