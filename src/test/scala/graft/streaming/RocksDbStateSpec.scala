@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB state-store configuration, exercised for real: the same
+  * streaming dedup that runs on the default (HDFS-backed, on-heap)
+  * provider runs on RocksDB — keyed state spills off-heap to local
+  * disk, so state size is bounded by disk, not executor heap. This is
+  * the scale posture BASELINE.md's north star names; the suite proves
+  * the operators are provider-agnostic (same results) and that RocksDB
+  * actually engaged (snapshot artifacts in the checkpoint, not the
+  * HDFS provider's .delta files).
+  */
+class RocksDbStateSpec extends AnyFunSuite {
+
+  private def ts(minute: Int) = new Timestamp(3600000L + minute * 60000L)
+
+  private def listRec(p: Path): Seq[Path] = {
+    val s = java.nio.file.Files.walk(p)
+    try {
+      val it = s.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) b += it.next()
+      b.toSeq
+    } finally s.close()
+  }
+
+  test("StreamDedup runs on RocksDBStateStoreProvider with identical semantics") {
+    // newSession: same SparkContext, isolated SQLConf — the provider
+    // switch must not leak into suites sharing SparkTestSession.spark
+    val spark = SparkTestSession.spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val ck = Files.createTempDirectory("rocksck")
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.byContent(in.toDF(), "ts", "10 minutes")
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("rocks_dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def out() = spark.table("rocks_dedup_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    in.addData(Doc(ts(0), 1, "alpha"), Doc(ts(1), 2, "alpha"),
+      Doc(ts(1), 3, "beta"))
+    q.processAllAvailable()
+    assert(out().map(_._2).sorted == Seq("alpha", "beta"))
+    in.addData(Doc(ts(5), 4, "alpha"), Doc(ts(5), 5, "gamma"))
+    q.processAllAvailable()
+    assert(out().count(_._2 == "alpha") == 1, "cross-batch dup must drop")
+
+    // eviction past the horizon behaves identically on RocksDB
+    in.addData(Doc(ts(40), 6, "delta"))
+    q.processAllAvailable()
+    in.addData(Doc(ts(41), 7, "alpha"))
+    q.processAllAvailable()
+    assert(out().count(_._2 == "alpha") == 2,
+      s"watermark TTL must evict RocksDB state too: ${out()}")
+
+    // the state operator reported rows, and the checkpoint holds
+    // RocksDB artifacts (snapshot .zip / .changelog), not the HDFS
+    // provider's .delta files — proof the provider switch took effect
+    val prog = q.lastProgress
+    assert(prog.stateOperators.nonEmpty &&
+      prog.stateOperators.head.numRowsTotal >= 1)
+    q.stop()
+    val names = listRec(ck).map(_.getFileName.toString)
+    assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"expected RocksDB snapshot artifacts in checkpoint, got: $names")
+    assert(!names.exists(_.endsWith(".delta")),
+      "HDFS-provider .delta files imply RocksDB was not engaged")
+  }
+
+  test("Debounce (flatMapGroupsWithState) runs on RocksDB provider") {
+    val spark = SparkTestSession.spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val ck = Files.createTempDirectory("rocksdb_ck")
+    val in = MemoryStream[Debounce.Event]
+    val q = Debounce(in.toDS(), intervalMs = 300)
+      .writeStream.format("memory").queryName("rocks_debounce_out")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+
+    in.addData(
+      Debounce.Event("k1", "UPDATE", 10L, 1, "v1"),
+      Debounce.Event("k1", "UPDATE", 11L, 2, "v2"))
+    // flush fires on the processing-time timer; poll the sink
+    val deadline = System.currentTimeMillis() + 60000
+    def rows() = spark.table("rocks_debounce_out").collect()
+    while (rows().length < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    val got = rows().map(r =>
+      (r.getAs[String]("key"), r.getAs[Long]("lsn"))).toSeq
+    assert(got == Seq(("k1", 11L)),
+      s"newest-wins compaction must hold on RocksDB: ${got.toList}")
+    q.stop()
+    val names = listRec(ck).map(_.getFileName.toString)
+    assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"expected RocksDB artifacts, got: $names")
+  }
+}
