@@ -37,7 +37,10 @@ object Bench {
     // Warmup: JIT/codegen/classloading + OS page cache for lineitem.
     exec("q01_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
+    // Optional args: run only the named queries (iteration aid).
+    val names = if (args.nonEmpty) args.toSeq.sorted
+                else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -101,11 +101,14 @@ object TextOps {
   def prefixJaccardPairs(sh: org.apache.spark.sql.DataFrame,
       thetaNum: Int, thetaDen: Int): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(sh.sparkSession)
-    // Lexicographically sorted gram arrays: the prefix is a slice of
-    // the hash-ordered permutation, the verify is a codegen'd merge
-    // count over this sorted form (sorted_overlap).
+    // The verify side ships 64-bit gram hashes, not the shingle
+    // strings: xxhash64 keeps distinct grams distinct (w.h.p. — see
+    // SortedOverlap's scaladoc), numeric array_sort gives the sorted
+    // form the merge kernel wants, and the per-pair join payload
+    // drops from ~|grams|·|shingle| bytes to 8·|grams|.
     val sorted = sh.select(col("doc_id"),
-      array_sort(col("grams")).as("grams"), size(col("grams")).as("sz"))
+      array_sort(transform(col("grams"), g => xxhash64(g))).as("grams"),
+      size(col("grams")).as("sz"))
     val pref = sorted.select(
       struct(col("doc_id").as("d"), col("sz")).as("ds"),
       explode_outer(expr(

@@ -55,6 +55,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_overlap counts identically on string and hashed-long form") {
+    val spark = SparkTestSession.spark
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  sorted_overlap(array('a','b','c'), array('b','c','d')) AS s,
+        |  sorted_overlap(
+        |    array_sort(transform(array('a','b','c'), g -> xxhash64(g))),
+        |    array_sort(transform(array('b','c','d'), g -> xxhash64(g)))) AS l,
+        |  sorted_overlap(array(1L, 5L, 9L), array(5L, 9L, 11L)) AS raw
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getInt(2) == 2)
+  }
+
   test("GraftExtensions applies its injections without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
