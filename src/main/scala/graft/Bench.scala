@@ -18,9 +18,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Fail fast on a mistyped query name — exec's catch-all would
+    // otherwise report it as -1.0 and silently bench nothing.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
 
     def exec(name: String): Double = {
       // settle the heap between queries: without this, one query's
@@ -30,7 +39,12 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        // -1.0 marks the break in the JSON, but the WHY must not cost
+        // a round to recover (r6: q79's analysis error hid here).
+        System.err.println(s"[bench] $name failed: $e")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -86,7 +86,7 @@ object TextOps {
   /** Prefix-filtered exact Jaccard join (the PPJoin/AllPairs prefix
     * principle): same answer as [[ngramJaccardPairs]], but each doc
     * posts only the |g| − ⌈θ·|g|⌉ + 1 smallest grams under a global
-    * deterministic order (hash60, gram tiebreak). Any pair with
+    * deterministic order (ascending xxhash64 value). Any pair with
     * J ≥ θ has |A∩B| ≥ max(⌈θ|A|⌉, ⌈θ|B|⌉), and by the prefix
     * intersection lemma its two prefixes must share a gram — so
     * candidate recall is exact while the posting shuffle shrinks by
@@ -103,24 +103,28 @@ object TextOps {
     graft.functions.GraftFunctions.register(sh.sparkSession)
     // The verify side ships 64-bit gram hashes, not the shingle
     // strings: xxhash64 keeps distinct grams distinct (w.h.p. — see
-    // SortedOverlap's scaladoc), numeric array_sort gives the sorted
-    // form the merge kernel wants, and the per-pair join payload
-    // drops from ~|grams|·|shingle| bytes to 8·|grams|.
+    // SortedOverlap's scaladoc; array_distinct makes the kernel's
+    // distinct-input contract hold even under a within-doc collision),
+    // numeric array_sort gives the sorted form the merge kernel wants,
+    // and the per-pair join payload drops from ~|grams|·|shingle|
+    // bytes to 8·|grams|.
     val sorted = sh.select(col("doc_id"),
-      array_sort(transform(col("grams"), g => xxhash64(g))).as("grams"),
+      array_sort(array_distinct(transform(col("grams"), g => xxhash64(g))))
+        .as("grams"),
       size(col("grams")).as("sz"))
+    // The global deterministic order the prefix filter needs IS the
+    // xxhash64 value itself — the hashed array is already sorted by
+    // it, so the prefix is a plain slice: no re-hash, no struct sort
+    // (an earlier md5-of-bigint formulation was an ANSI-mode cast
+    // error and pure overhead besides).
     val pref = sorted.select(
       struct(col("doc_id").as("d"), col("sz")).as("ds"),
       explode_outer(expr(
-        s"""slice(
-           |  array_sort(transform(grams, g -> named_struct(
-           |    'h', cast(conv(substring(md5(cast(g as binary)), 1, 15), 16, 10) as bigint),
-           |    'g', g))),
-           |  1,
+        s"""slice(grams, 1,
            |  size(grams) - (($thetaNum * size(grams) + $thetaDen - 1) div $thetaDen) + 1)"""
           .stripMargin)).as("p"))
     val buckets = pref
-      .groupBy(col("p.g").as("bk"))
+      .groupBy(col("p").as("bk"))
       .agg(sort_array(collect_list(col("ds"))).as("ds"))
       .filter(size(col("ds")) >= 2)
     // Length filter (the AllPairs/PPJoin size bound): J = c/(a+b−c)

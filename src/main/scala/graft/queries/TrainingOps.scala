@@ -79,7 +79,7 @@ object TrainingOps {
         |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
         |SELECT CAST(floor(cum / 2048.0) AS BIGINT) AS bin,
-        |  CAST(count(*) AS BIGINT) AS n_docs, sum(n_tokens) AS bin_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val Capacity = 2048
@@ -142,7 +142,7 @@ object TrainingOps {
         |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
         |    CASE lang WHEN 'en' THEN '20' WHEN 'de' THEN '80' WHEN 'fr' THEN '80'
         |              WHEN 'es' THEN '40' WHEN 'zh' THEN '40' ELSE '10' END)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, sum(n_toks) AS tokens,
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens,
         |  min(doc_id) AS min_doc
         |FROM samp GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
