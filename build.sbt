@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench/verify box has 128 GiB and one JVM hosting
+  // 32 executor threads — an 8g heap made the 86-query suite GC-bound
+  // in its tail. 512m code cache: ~90 distinct plans' generated classes
+  // overflow the 240m default and JIT falls back to interpretation.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )
