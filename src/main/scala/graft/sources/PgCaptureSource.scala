@@ -105,12 +105,11 @@ final class PgCaptureTable(path: String, tablesRegex: Option[String],
         // (the applier's total order); analytics over the feed have no
         // such constraint and get full cluster fan-out.
         override def toBatch: org.apache.spark.sql.connector.read.Batch = {
-          require(plugin.equalsIgnoreCase("pgoutput"),
-            "batch read supports the pgoutput plugin (tag-scan planning)")
           new org.apache.spark.sql.connector.read.Batch {
             override def planInputPartitions(): Array[InputPartition] =
-              WalFiles.planBatch(path)
-                .map(sp => PgWalBatchPartition(sp, tablesRegex, startLsn): InputPartition)
+              WalFiles.planBatch(path, plugin)
+                .map(sp => PgWalBatchPartition(sp, tablesRegex, startLsn,
+                  plugin): InputPartition)
                 .toArray
             override def createReaderFactory(): PartitionReaderFactory =
               new PartitionReaderFactory {
@@ -297,7 +296,8 @@ private[sources] object PgWalRows {
   * state and the relation catalog as of the segment start came from
   * the driver's plan (see [[WalFiles.planBatch]]). */
 final case class PgWalBatchPartition(plan: WalFiles.SegPlan,
-    tablesRegex: Option[String], startLsn: Option[Long]) extends InputPartition
+    tablesRegex: Option[String], startLsn: Option[Long],
+    plugin: String = "pgoutput") extends InputPartition
 
 final class PgWalBatchReader(p: PgWalBatchPartition)
     extends PartitionReader[InternalRow] {
@@ -305,7 +305,7 @@ final class PgWalBatchReader(p: PgWalBatchPartition)
   private val pattern = p.tablesRegex.map(_.r.pattern)
   private val startCp = p.startLsn.map(Checkpoint(_, 0))
 
-  private val decoder = new PgOutput.Decoder
+  private val decoder = WalFiles.decoderFor(p.plugin)
   p.plan.relFrames.foreach(decoder.decode)
 
   private val it = WalFiles.replay(

@@ -109,13 +109,17 @@ object WalFiles {
     * segment's boundary plus every Relation frame seen before it, so
     * each executor decodes ONLY its own segment's bytes. The driver
     * derives the states with a tag-level scan — frame tags and Begin
-    * headers only, no tuple decode (pgoutput layout: 'B' + i64
-    * finalLsn + i64 commitTs; seq advances once per I/U/D frame,
-    * exactly as [[replay]] does). */
+    * headers only, no tuple decode. Both wire formats share the tag
+    * alphabet ('B' begin, 'R' relation, I/U/D rows — seq advances once
+    * per row frame, exactly as [[replay]] does); the only layout
+    * difference at plan level is pglogical's flags byte between the
+    * Begin tag and its i64 finalLsn + i64 commitTs header
+    * (reference pkg/decode/pglogical.go:43-75 vs pgoutput.go). */
   final case class SegPlan(path: String, startLsn: Long, startSeq: Int,
       startCommitUs: Long, relFrames: Seq[Array[Byte]])
 
-  def planBatch(dir: String): Seq[SegPlan] = {
+  def planBatch(dir: String, plugin: String = "pgoutput"): Seq[SegPlan] = {
+    val flagsByte = plugin != null && plugin.equalsIgnoreCase("pglogical")
     var lsn = 0L; var seq = 0; var cus = 0L
     val rels = scala.collection.mutable.Buffer.empty[Array[Byte]]
     if (Files.exists(relationsPath(dir)))
@@ -126,7 +130,9 @@ object WalFiles {
         if (f.nonEmpty) f(0).toChar match {
           case 'B' =>
             val r = new BytesReader(f)
-            r.byte(); lsn = r.int64(); cus = r.int64(); seq = 0
+            r.byte()
+            if (flagsByte) r.byte()
+            lsn = r.int64(); cus = r.int64(); seq = 0
           case 'I' | 'U' | 'D' => seq += 1
           case 'R' => rels += f
           case _ => ()

@@ -83,13 +83,70 @@ final class JdbcTxStore(conn: Connection,
     case x: java.time.Instant => ps.setTimestamp(i, java.sql.Timestamp.from(x))
     case x: java.time.LocalDate => ps.setDate(i, java.sql.Date.valueOf(x))
     case x: Array[Byte] => ps.setBytes(i, x)
-    case x: scala.collection.Seq[_] =>
-      // PG arrays need Connection.createArrayOf with a PG type name —
-      // target-specific; the file/parquet legs carry arrays natively
-      throw new UnsupportedOperationException(
-        s"array column bind not supported by JdbcTxStore (got $x)")
+    case x: scala.collection.Seq[_] => bindArray(ps, i, x)
     case x => ps.setObject(i, x)
   }
+
+  /** PG 1-D array bind (reference pkg/sink/postgres.go:426-434 ships
+    * array datums through unchanged, so its sink accepts any array
+    * column the source emits): `Connection.createArrayOf` with the PG
+    * element type name inferred from the decoded element class — the
+    * applier's row maps carry plain JVM values, not OIDs, and the
+    * class→name map below covers every array element type
+    * [[graft.codec.PgType.decode]] can produce.
+    *
+    * Targets whose driver has no SQL ARRAY support (embedded Derby in
+    * the tests throws SQLFeatureNotSupportedException) get the PG
+    * text-literal form (`{"a","b",NULL}` — byte-compatible with PG's
+    * `array_out`) bound as a string; such a target models the column
+    * as VARCHAR, and the literal round-trips through PG's `array_in`
+    * if the data later moves to a real PG target. */
+  private def bindArray(ps: PreparedStatement, i: Int,
+      xs: scala.collection.Seq[_]): Unit = {
+    val converted: Array[AnyRef] = xs.map {
+      case t: java.time.Instant => java.sql.Timestamp.from(t)
+      case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+      case e => e.asInstanceOf[AnyRef]
+    }.toArray
+    try ps.setArray(i, conn.createArrayOf(pgElemTypeName(xs), converted))
+    catch {
+      case _: java.sql.SQLFeatureNotSupportedException =>
+        ps.setString(i, pgArrayLiteral(xs))
+    }
+  }
+
+  /** PG type name of an array's elements, from the first non-null
+    * element's class (empty / all-null arrays bind as text[] — PG
+    * coerces an empty array to any element type). */
+  private def pgElemTypeName(xs: scala.collection.Seq[_]): String =
+    xs.collectFirst {
+      case e if e != null => e match {
+        case _: java.lang.Boolean => "bool"
+        case _: java.lang.Short => "int2"
+        case _: java.lang.Integer => "int4"
+        case _: java.lang.Long => "int8"
+        case _: java.lang.Float => "float4"
+        case _: java.lang.Double => "float8"
+        case _: java.math.BigDecimal => "numeric"
+        case _: java.time.Instant => "timestamp"
+        case _: java.time.LocalDate => "date"
+        case _: Array[Byte] => "bytea"
+        case _ => "text"
+      }
+    }.getOrElse("text")
+
+  /** PG array literal (array_out form): elements double-quoted with
+    * backslash/quote escapes, SQL NULL as unquoted NULL, bytea in
+    * PG hex form. */
+  private def pgArrayLiteral(xs: scala.collection.Seq[_]): String =
+    xs.map {
+      case null => "NULL"
+      case b: Array[Byte] =>
+        "\"\\\\x" + b.map(x => f"$x%02x").mkString + "\""
+      case s: String =>
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case x => x.toString
+    }.mkString("{", ",", "}")
 
   override def begin(): Unit = () // autocommit off: tx is implicitly open
 

@@ -74,11 +74,19 @@ object Debounce {
     out.result().iterator
   }
 
-  /** Wire the debounce over a (streaming or batch) Dataset[Event]. */
-  def apply(ds: Dataset[Event], intervalMs: Long): Dataset[Event] = {
+  /** Wire the debounce over a (streaming or batch) Dataset[Event].
+    *
+    * `keyOf` is the reference's overridable `DebounceKey()`
+    * (pkg/pgcapture/debounce.go:87-139: models may debounce on
+    * schema+table+custom instead of the replica-identity key): events
+    * collapse per `keyOf(event)` group, so a caller can debounce
+    * per-table, per-tenant, or on any payload-derived key. The default
+    * is the envelope's replica-identity key — the dominant use. */
+  def apply(ds: Dataset[Event], intervalMs: Long,
+      keyOf: Event => String = _.key): Dataset[Event] = {
     implicit val ee = Encoders.product[Event]
     implicit val se = Encoders.product[PendingState]
-    ds.groupByKey(_.key)(Encoders.STRING)
+    ds.groupByKey(keyOf)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.ProcessingTimeTimeout())(debounceFn(intervalMs))
   }

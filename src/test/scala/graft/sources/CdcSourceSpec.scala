@@ -219,6 +219,42 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(fromLsn.count() == 2)
   }
 
+  test("batch read with plugin=pglogical: parallel per-segment decode") {
+    import graft.codec.PgLogical
+    val walDir = Files.createTempDirectory("walPL").toString
+    // same shape as the pgoutput case: relation only in segment 1, a
+    // tx split across segments 2-3 — the tag-level planner must skip
+    // pglogical's flags byte when reading the Begin header, or every
+    // boundary stamp is garbage
+    def pltx(lsn: Long, msgs: Array[Byte]*): Seq[Array[Byte]] =
+      PgLogical.Encoder.begin(lsn, lsn * 1000, lsn.toInt) +:
+        msgs.toSeq :+ PgLogical.Encoder.commit(lsn, lsn, lsn * 1000)
+    def plins(id: Long, v: Int): Array[Byte] =
+      PgLogical.Encoder.insert(rel,
+        Seq(PgType.encode(PgType.Int8, id), PgType.encode(PgType.Int4, v)))
+    WalFiles.writeSegment(walDir, 500L,
+      PgLogical.Encoder.relation(rel) +: pltx(500L, plins(1, 10)))
+    val split = pltx(501L, plins(2, 20), plins(3, 30))
+    WalFiles.writeSegment(walDir, 501L, split.take(2))
+    WalFiles.writeSegment(walDir, 502L, split.drop(2))
+
+    val spark = SparkTestSession.spark
+    val df = spark.read.format("pgcapture").option("path", walDir)
+      .option("plugin", "pglogical").load()
+    assert(df.rdd.getNumPartitions == 3, "one partition per segment")
+    val got = df.select("op", "new", "lsn", "seq").collect()
+      .map { r =>
+        val nf = r.getMap[String, Array[Byte]](1)
+        (r.getString(0),
+          PgType.decode(PgType.Int8, nf("id")).asInstanceOf[Long],
+          r.getLong(2), r.getInt(3))
+      }.sortBy(e => (e._3, e._4)).toSeq
+    assert(got == Seq(
+      ("INSERT", 1L, 500L, 1),
+      ("INSERT", 2L, 501L, 1),
+      ("INSERT", 3L, 501L, 2)))
+  }
+
   test("truncation never severs a transaction spanning segments") {
     val walDir = Files.createTempDirectory("walS").toString
     WalFiles.writeSegment(walDir, 300L,

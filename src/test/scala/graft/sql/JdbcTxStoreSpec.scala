@@ -205,6 +205,48 @@ class JdbcTxStoreSpec extends TxStoreContract {
     }
   }
 
+  test("array columns bind (Derby fallback: PG array_out literal into VARCHAR)") {
+    withHarness { h =>
+      val s = h.store
+      s.begin()
+      s.executeDdl("""create table "public"."tagged" (
+        "id" bigint not null primary key, "tags" varchar(400), "ns" varchar(400))""")
+      // reference round-trips text[] through its test table's `tags`
+      // column (pgcapture--0.1.sql:4); Derby has no SQL ARRAY, so the
+      // store degrades to the array_out literal — including quote and
+      // backslash escapes and SQL NULL elements
+      s.insert("public", "tagged", Map[String, Any](
+        "id" -> 1L,
+        "tags" -> Seq("alter table", "a\"quote", "back\\slash", null),
+        "ns" -> Seq(1L, 2L, 3L)), Seq("id"))
+      s.commit()
+      s.begin()
+      s.update("public", "tagged", Map[String, Any]("id" -> 1L),
+        Map[String, Any]("ns" -> Seq(9L)))
+      s.commit()
+      assert(h.rows("public.tagged") == Seq(Map(
+        "id" -> 1L,
+        "tags" -> """{"alter table","a\"quote","back\\slash",NULL}""",
+        "ns" -> "{9}")))
+    }
+  }
+
+  test("empty and numeric arrays bind via the literal fallback") {
+    withHarness { h =>
+      val s = h.store
+      s.begin()
+      s.executeDdl("""create table "public"."arrs" (
+        "id" bigint not null primary key, "xs" varchar(100))""")
+      s.insert("public", "arrs",
+        Map[String, Any]("id" -> 1L, "xs" -> Seq.empty[Any]), Seq("id"))
+      s.insert("public", "arrs",
+        Map[String, Any]("id" -> 2L, "xs" -> Seq(1.5d, 2.5d)), Seq("id"))
+      s.commit()
+      assert(h.rows("public.arrs").sortBy(_("id").asInstanceOf[Long].toInt)
+        .map(_("xs")) == Seq("{}", "{1.5,2.5}"))
+    }
+  }
+
   test("DDL executes inside the apply transaction path") {
     withHarness { h =>
       val s = h.store

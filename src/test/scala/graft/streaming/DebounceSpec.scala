@@ -81,4 +81,37 @@ class DebounceSpec extends AnyFunSuite {
     }
     q.stop()
   }
+
+  test("custom debounce key (DebounceKey override): collapse across row keys") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val in = MemoryStream[Event]
+    // debounce on the payload's tenant prefix, not the replica-identity
+    // key — the reference's model-supplied DebounceKey()
+    // (pkg/pgcapture/debounce.go:87-139)
+    val q = Debounce(in.toDS(), intervalMs = 400,
+        keyOf = e => e.payload.takeWhile(_ != ':'))
+      .writeStream.format("memory").queryName("deb_custom_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("debck2").toString)
+      .start()
+    def out(): Seq[Event] =
+      spark.table("deb_custom_out").as[Event].collect().toSeq
+
+    // distinct row keys, same custom key "t1" → one flushed survivor
+    in.addData(
+      Event("r1", "UPDATE", 30, 1, "t1:a"),
+      Event("r2", "UPDATE", 31, 1, "t1:b"),
+      Event("r3", "UPDATE", 32, 1, "t2:c"))
+    val deadline = System.currentTimeMillis() + 60000
+    while (out().size < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(300)
+    val got = out().map(e => (e.key, e.lsn)).sortBy(_._2)
+    assert(got == Seq(("r2", 31L), ("r3", 32L)),
+      s"per-custom-key newest must survive (t1 collapses r1 into r2): $got")
+    q.stop()
+  }
 }

@@ -31,6 +31,15 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally s.close()
   }
 
+  /** Checkpoint dirs hold RocksDB snapshot artifacts — delete them
+    * after each test instead of leaking a copy per run. */
+  private def withCheckpointDir(f: Path => Unit): Unit = {
+    val ck = Files.createTempDirectory("rocksck")
+    try f(ck)
+    finally listRec(ck).sortBy(-_.getNameCount)
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+  }
+
   test("StreamDedup runs on RocksDBStateStoreProvider with identical semantics") {
     // newSession: same SparkContext, isolated SQLConf — the provider
     // switch must not leak into suites sharing SparkTestSession.spark
@@ -42,7 +51,7 @@ class RocksDbStateSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
 
-    val ck = Files.createTempDirectory("rocksck")
+    withCheckpointDir { ck =>
     val in = MemoryStream[Doc]
     val q = StreamDedup.byContent(in.toDF(), "ts", "10 minutes")
       .select("doc_id", "text")
@@ -82,6 +91,7 @@ class RocksDbStateSpec extends AnyFunSuite {
       s"expected RocksDB snapshot artifacts in checkpoint, got: $names")
     assert(!names.exists(_.endsWith(".delta")),
       "HDFS-provider .delta files imply RocksDB was not engaged")
+    }
   }
 
   test("Debounce (flatMapGroupsWithState) runs on RocksDB provider") {
@@ -93,7 +103,7 @@ class RocksDbStateSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
 
-    val ck = Files.createTempDirectory("rocksdb_ck")
+    withCheckpointDir { ck =>
     val in = MemoryStream[Debounce.Event]
     val q = Debounce(in.toDS(), intervalMs = 300)
       .writeStream.format("memory").queryName("rocks_debounce_out")
@@ -117,5 +127,6 @@ class RocksDbStateSpec extends AnyFunSuite {
     val names = listRec(ck).map(_.getFileName.toString)
     assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
       s"expected RocksDB artifacts, got: $names")
+    }
   }
 }
