@@ -475,5 +475,96 @@ object TextOps {
         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
       prefixJaccardPairs(Sketches.shingled(t(s, d, "documents")), 3, 10)
         .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // ---- Repeated-span dedup (the ExactSubstr principle, at 8-token
+    //      window granularity): a doc whose window positions mostly
+    //      re-occur verbatim elsewhere in the corpus is boilerplate/
+    //      near-copy even when whole-doc similarity stays low. Plan
+    //      shape for 100 TB: window fan-out is a bounded projection
+    //      (positions, not pairs); corpus-frequency is one gram-keyed
+    //      partial+final aggregate; the hit-marking is a keyed join of
+    //      positions against the (small) repeated-gram set — never a
+    //      doc-pair expansion, so cost is linear in corpus tokens. ----
+    QueryDef.sql("q87_span_dedup",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        |w AS (SELECT doc_id, list_transform(range(len(toks)-7),
+        |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+        |                   toks[i+5], toks[i+6], toks[i+7], toks[i+8])) AS grams
+        |  FROM f),
+        |e AS (SELECT doc_id, unnest(grams) AS g FROM w),
+        |rep AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c
+        |                       FROM e GROUP BY g) WHERE c >= 2),
+        |agg AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(count(rep.g) AS BIGINT) AS dup_windows
+        |  FROM e LEFT JOIN rep ON e.g = rep.g GROUP BY e.doc_id)
+        |SELECT doc_id, n_windows, dup_windows,
+        |  round(dup_windows / n_windows, 6) AS dup_frac
+        |FROM agg WHERE dup_windows * 5 >= n_windows
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode_outer(expr(
+          """transform(sequence(0, size(toks)-8),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+            |                  toks[i+4], toks[i+5], toks[i+6], toks[i+7]))"""
+            .stripMargin)).as("g"))
+      val rep = e.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("g"), lit(1).as("hit"))
+      e.join(rep, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          coalesce(sum(col("hit")), lit(0L)).cast("long").as("dup_windows"))
+        .filter(col("dup_windows") * 5 >= col("n_windows"))
+        .withColumn("dup_frac",
+          round(col("dup_windows") / col("n_windows"), 6))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- TF-IDF keyword extraction: top-3 terms per document by
+    //      tf·ln(N/df) — the keyword-tagging step of corpus curation.
+    //      All-distributed: tf is a (doc, tok)-keyed aggregate, df a
+    //      tok-keyed one, N a broadcast scalar; the final rank is a
+    //      window partitioned BY DOC (≤ vocab terms per doc — never a
+    //      global sort). Score rounded before ranking so the oracle's
+    //      libm and the JVM's agree on order; ties break on the term. ----
+    QueryDef.sql("q88_tfidf_keywords",
+      """WITH e AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS tok FROM documents),
+        |e2 AS (SELECT doc_id, tok FROM e WHERE len(tok) > 0),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM e2 GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, tok,
+        |    round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |r AS (SELECT doc_id, tok, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM s)
+        |SELECT doc_id, tok AS keyword, score, CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val e = docs
+        .select(col("doc_id"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = e.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok").as("keyword"), col("score"),
+          col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
     })
 }

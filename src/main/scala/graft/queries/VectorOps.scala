@@ -421,5 +421,48 @@ object VectorOps {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("vec_id")).cast("long").as("kept_id_sum"))
       clusters.crossJoin(kept)
+    },
+
+    // ---- kNN majority-vote classification over the embedding column
+    //      — the similarity-search APPLICATION (label propagation /
+    //      weak supervision in a curation pipeline). Reuses the exact
+    //      brute-force top-k (bounded-heap aggregate, broadcast query
+    //      side: ≤ k rows per (partition, query) cross the shuffle);
+    //      the vote is a tiny (query, label)-keyed aggregate and a
+    //      per-query window over ≤ 10 label rows. Ties break to the
+    //      smaller label; neighbor sets match q38's green tiebreak
+    //      (rounded cosine desc, then id). ----
+    QueryDef.sql("q89_knn_classify",
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv, label
+        |      FROM embeddings),
+        |nn AS (SELECT qid, cid, label FROM (
+        |  SELECT qid, cid, c.label,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC, cid) AS rn
+        |  FROM q JOIN c ON qid <> cid) WHERE rn <= 5),
+        |v AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS votes
+        |      FROM nn GROUP BY 1, 2),
+        |p AS (SELECT qid, label AS pred, votes FROM (
+        |  SELECT qid, label, votes, row_number() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, label) AS rn FROM v) WHERE rn = 1)
+        |SELECT p.qid, p.pred, p.votes, e.label AS actual
+        |FROM p JOIN embeddings e ON e.vec_id = p.qid
+        |ORDER BY p.qid""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val topk = bruteForceTopK(e.filter(col("vec_id") % 20 === 0), e, 5)
+      val votes = topk
+        .join(broadcast(e.select(col("vec_id").as("cid"), col("label"))), "cid")
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("label").as("pred"), col("votes"))
+        .join(broadcast(e.select(col("vec_id").as("qid"),
+          col("label").as("actual"))), "qid")
+        .orderBy(col("qid"))
     })
 }
