@@ -566,5 +566,75 @@ object TextOps {
         .select(col("doc_id"), col("tok").as("keyword"), col("score"),
           col("rank"))
         .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // ---- Unigram LM quality score (the CCNet-style filter): per-doc
+    //      mean negative log-probability under the corpus's own
+    //      unigram model — high = rare-token gibberish, low =
+    //      boilerplate. Two token-keyed aggregates and one broadcast
+    //      scalar; per-doc mean is a doc-keyed aggregate, not a
+    //      window. At lake scale the unigram table is trained once
+    //      and broadcast, making this a pure map-side score. ----
+    QueryDef.sql("q90_unigram_logprob",
+      """WITH e AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS tok FROM documents),
+        |e2 AS (SELECT doc_id, tok FROM e WHERE len(tok) > 0),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM e2),
+        |freq AS (SELECT tok, count(*) AS c FROM e2 GROUP BY 1),
+        |s AS (SELECT e2.doc_id, -ln(freq.c / total.total) AS nll
+        |      FROM e2 JOIN freq USING (tok) CROSS JOIN total)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  round(avg(nll), 6) AS mean_nll
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val total = e.agg(count(lit(1)).cast("double").as("total"))
+      val freq = e.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      e.join(freq, "tok").crossJoin(broadcast(total))
+        .withColumn("nll", -log(col("c") / col("total")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), round(avg(col("nll")), 6).as("mean_nll"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Containment near-dup (asymmetric overlap |A∩B| / min):
+    //      catches subset duplication — a document wrapped in
+    //      boilerplate contains its original almost entirely, yet
+    //      symmetric Jaccard dilutes below any threshold as the
+    //      wrapper grows. Identical plan to q31 (df-capped posting
+    //      lists, in-list pair expansion, partial+final count);
+    //      only the final per-pair filter differs — the operator
+    //      family shares one audited shuffle shape. ----
+    QueryDef.sql("q91_containment_dup",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  round(count(*) / least(a.sz, b.sz), 6) AS containment
+        |FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |HAVING count(*) >= 0.8 * least(a.sz, b.sz)
+        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val sh = Sketches.shingled(t(s, d, "documents"))
+      graft.functions.GraftFunctions.register(s)
+      val e = sh.select(struct(col("doc_id").as("d"),
+        size(col("grams")).as("sz")).as("ds"), explode_outer(col("grams")).as("g"))
+      val posting = e.groupBy(col("g"))
+        .agg(sort_array(collect_list(col("ds"))).as("ds"))
+        .filter(size(col("ds")).between(2, MaxGramDf))
+      posting
+        .select(explode_outer(expr("all_pairs(ds)")).as("p"))
+        .groupBy(col("p.x.d").as("doc1"), col("p.y.d").as("doc2"),
+          col("p.x.sz").as("sz1"), col("p.y.sz").as("sz2"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= lit(0.8) * least(col("sz1"), col("sz2")))
+        .select(col("doc1"), col("doc2"),
+          round(col("c") / least(col("sz1"), col("sz2")), 6).as("containment"))
+        .orderBy(col("doc1"), col("doc2"))
     })
 }
