@@ -46,21 +46,28 @@ object Sketches {
 
   /** (doc_id, grams) where grams are distinct word-3-gram shingles.
     *
-    * The repartition sits BETWEEN tokenize and shingle on purpose: it
-    * both fans the CPU-heavy work out of a single-row-group scan and —
-    * because an exchange materializes its input — pins `toks` as a
-    * bound attribute. Without the barrier, CollapseProject inlines the
-    * regex split into every `toks` reference inside the gram lambda and
-    * the split re-runs per shingle (~8× slower end to end).
+    * The token array is LAMBDA-BOUND (`transform(array(split(…)), t →
+    * …)[0]`): `t` is a bound lambda variable, so the regex split
+    * evaluates exactly once per row no matter how the optimizer
+    * rearranges projections. (An earlier form computed `toks` in a
+    * separate projection and relied on a `repartition` exchange as the
+    * barrier — without it, CollapseProject inlined the split into
+    * every `toks` reference inside the gram lambda and the split
+    * re-ran per shingle, ~8× slower end to end. The structural bind
+    * removes the need for the barrier.) The fan-out is `Tables.wide`
+    * — stats-gated, so a lake-scale scan that already parallelizes
+    * passes through with NO forced full-corpus shuffle, while the
+    * local small-file scan still spreads the regex work across cores.
     */
   def shingled(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .as("grams"))
+    graft.Tables.wide(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), expr(
+        """transform(array(split(lower(trim(text)), '\\s+')), t ->
+          |  case when size(t) < 3 then cast(array() as array<string>)
+          |       else array_distinct(transform(sequence(0, size(t)-3),
+          |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) end)[0]"""
+          .stripMargin).as("grams"))
+      .filter(size(col("grams")) >= 1)
 
   /** Append a `sig` array<long> MinHash signature column — the
     * codegen'd [[graft.functions.MinHashSig]] kernel (one fused
