@@ -72,7 +72,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the complete per-query record in the repo: the
+    // driver's captured stdout tail truncates past ~60 queries, which
+    // cost round 7 a third of its cross-round comparisons. Full runs
+    // only — a named-subset iteration run must not overwrite the
+    // round's record with a partial one.
+    if (args.isEmpty) {
+      val dir = new java.io.File("bench")
+      dir.mkdirs()
+      val pw = new java.io.PrintWriter(new java.io.File(dir, "last_run.json"))
+      try pw.println(json) finally pw.close()
+    }
     spark.stop()
   }
 }

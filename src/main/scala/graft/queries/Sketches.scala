@@ -293,6 +293,41 @@ object Sketches {
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f)""".stripMargin
 
+  /** q92's probe set: corpus-frequent, corpus-rare, and one token no
+    * corpus contains (exercises the zero-cell estimate path). */
+  private val CmsProbes = Seq(
+    "the", "data", "vector", "join", "customer", "zz_unseen_token")
+
+  // one memory-sink table per invocation: Bench's min-of-two re-runs a
+  // query in the same session, and a fixed sink name would collide
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val feedCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write the documents table as an 8-file parquet feed under /tmp
+    * (pid-suffixed so concurrent runs never share; removed on JVM
+    * exit) for the streaming-fold queries to read back one file per
+    * trigger. Written once per (data dir, JVM). */
+  private def docFeed(s: SparkSession, d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
+    val full = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val pid = ProcessHandle.current().pid()
+    val dir = s"/tmp/graft_docfeed_${safe}_${full}_$pid"
+    if (feedCleanup.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val root = new java.io.File(dir)
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete(); ()
+      }))
+    if (!new java.io.File(dir).isDirectory)
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // LSH candidates + exact verify; the oracle is the EXACT pair set at
@@ -419,5 +454,57 @@ object Sketches {
           (col("est") - col("true_cnt")).as("err"))
         .orderBy(col("true_cnt").desc, col("token"))
         .limit(30)
+    },
+
+    // ---- Streaming count-min: q72's sketch folded INCREMENTALLY by
+    //      the Structured Streaming state store over a micro-batched
+    //      document feed (StreamHeavyHitters — the state IS the
+    //      sketch: ≤ Depth·Width rows forever, whatever the
+    //      vocabulary), then point-probed for a fixed token set. The
+    //      feed is the documents table written as an 8-file parquet
+    //      feed and streamed back one file per trigger, so the fold
+    //      genuinely crosses micro-batch boundaries. The cell hash is
+    //      deterministic and order-independent, so the incrementally-
+    //      folded sketch is bit-identical to a batch build — the
+    //      DuckDB oracle rebuilds the sketch from scratch and probes
+    //      the same tokens; the green hash pins streaming ≡ batch ≡
+    //      oracle. One probe is absent from any corpus: the estimate's
+    //      left-join/coalesce path must read it as the zero cell
+    //      (est = 0 unless every one of its cells collides with real
+    //      tokens — which both engines then agree on). ----
+    QueryDef.sql("q92_stream_countmin", {
+      val D = graft.streaming.StreamHeavyHitters.Depth
+      val W = graft.streaming.StreamHeavyHitters.Width
+      val probeList = CmsProbes.map(p => s"'$p'").mkString(", ")
+      s"""WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+         |  FROM documents),
+         |cells AS (SELECT d.d AS d,
+         |    (${hash60Sql("CAST(d.d AS VARCHAR) || ':' || tk")}) % $W AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok, range($D) d(d) GROUP BY 1, 2),
+         |lk AS (SELECT p.token, d.d AS d,
+         |    (${hash60Sql("CAST(d.d AS VARCHAR) || ':' || p.token")}) % $W AS bucket
+         |  FROM (SELECT unnest([$probeList]) AS token) p, range($D) d(d))
+         |SELECT lk.token, min(coalesce(cells.cnt, 0)) AS est
+         |FROM lk LEFT JOIN cells ON lk.d = cells.d AND lk.bucket = cells.bucket
+         |GROUP BY 1 ORDER BY token""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val feed = docFeed(s, d)
+      val sink = s"q92_cms_${streamRuns.incrementAndGet()}"
+      val docs = s.readStream
+        .schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+      val tokens = docs.select(
+        explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+      val q = graft.streaming.StreamHeavyHitters.sketch(tokens)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamHeavyHitters
+        .estimate(s.table(sink), CmsProbes.toDF("tk"))
+        .select(col("tk").as("token"), col("est"))
+        .orderBy(col("token"))
     })
 }

@@ -59,9 +59,25 @@ object TextOps {
     * explicitly not after.
     */
   def ngramJaccardPairs(sh: org.apache.spark.sql.DataFrame,
-      minJaccard: Double): org.apache.spark.sql.DataFrame = {
-    // the posting entries carry (doc_id, set size), so pair instances
-    // already hold both sizes and NO join is needed after the count agg
+      minJaccard: Double): org.apache.spark.sql.DataFrame =
+    gramPairCounts(sh)
+      .withColumn("jac", col("c") / (col("sz1") + col("sz2") - col("c")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
+
+  /** The ONE audited posting-list shuffle shape shared by the
+    * inverted-index similarity family (q31 Jaccard, q91 containment):
+    * one gram-keyed shuffle builds df-capped posting lists, in-list
+    * combinatorics expand pair instances (NO inverted-index self-join
+    * in the plan), and a partial+final count turns them into per-pair
+    * co-occurrence counts. The posting entries carry (doc_id, set
+    * size), so pair instances already hold both sizes and no join is
+    * needed after the count agg. Output: (doc1, doc2, sz1, sz2, c) —
+    * callers apply their own similarity filter on top
+    * (J = c/(sz1+sz2−c), containment = c/min(sz1,sz2)).
+    */
+  def gramPairCounts(sh: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // explode_outer: the plain explode makes InferFiltersFromGenerate
     // add a size(grams)>0 filter whose pushdown re-inlines the whole
     // tokenizer below the repartition exchange (~8s of duplicate regex
@@ -78,9 +94,6 @@ object TextOps {
       .groupBy(col("p.x.d").as("doc1"), col("p.y.d").as("doc2"),
         col("p.x.sz").as("sz1"), col("p.y.sz").as("sz2"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jac", col("c") / (col("sz1") + col("sz2") - col("c")))
-      .filter(col("jac") >= minJaccard)
-      .select(col("doc1"), col("doc2"), round(col("jac"), 6).as("jaccard"))
   }
 
   /** Prefix-filtered exact Jaccard join (the PPJoin/AllPairs prefix
@@ -191,7 +204,8 @@ object TextOps {
         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
         |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3
         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      // shingled() repartitions between tokenize and shingle itself
+      // shingled() handles scan fan-out itself (stats-gated wide()
+      // before a lambda-bound tokenize — see Sketches.shingled)
       ngramJaccardPairs(Sketches.shingled(t(s, d, "documents")), 0.3)
         .orderBy(col("doc1"), col("doc2"))
     },
@@ -485,7 +499,15 @@ object TextOps {
     //      (positions, not pairs); corpus-frequency is one gram-keyed
     //      partial+final aggregate; the hit-marking is a keyed join of
     //      positions against the (small) repeated-gram set — never a
-    //      doc-pair expansion, so cost is linear in corpus tokens. ----
+    //      doc-pair expansion, so cost is linear in corpus tokens.
+    //      The Spark side keys both the frequency aggregate and the
+    //      hit join on xxhash64 of the window, not the raw 8-token
+    //      string (~10× fewer shuffle bytes on the corpus-sized leg);
+    //      a 64-bit collision can only OVER-count dup windows —
+    //      conservative for a dedup flag, and vanishing at any
+    //      realistic window count (n²/2⁶⁵). The oracle groups the
+    //      exact strings, so the green hash asserts the hashed plan
+    //      returns the identical doc set. ----
     QueryDef.sql("q87_span_dedup",
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
@@ -509,8 +531,8 @@ object TextOps {
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode_outer(expr(
           """transform(sequence(0, size(toks)-8),
-            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
-            |                  toks[i+4], toks[i+5], toks[i+6], toks[i+7]))"""
+            |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+            |    toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7])))"""
             .stripMargin)).as("g"))
       val rep = e.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("c"))
@@ -603,10 +625,18 @@ object TextOps {
     //      catches subset duplication — a document wrapped in
     //      boilerplate contains its original almost entirely, yet
     //      symmetric Jaccard dilutes below any threshold as the
-    //      wrapper grows. Identical plan to q31 (df-capped posting
-    //      lists, in-list pair expansion, partial+final count);
-    //      only the final per-pair filter differs — the operator
-    //      family shares one audited shuffle shape. ----
+    //      wrapper grows. Same plan as q31 — literally the same code
+    //      ([[gramPairCounts]]); only the final per-pair filter
+    //      differs, so the operator family shares one audited shuffle
+    //      shape. Cap caveat: like q31, grams with df > MaxGramDf are
+    //      excluded from candidate generation AND from the overlap
+    //      count c, so c is a lower bound — a pair contained in each
+    //      other ONLY via super-hot boilerplate grams can fall below
+    //      the threshold (for containment that matters more than for
+    //      Jaccard, since shared boilerplate is exactly what wraps
+    //      subsets). SketchSpec asserts capped ≡ uncapped on a fixture
+    //      with a hot wrapper gram; the oracle stays uncapped ground
+    //      truth, so the green hash proves no pair is lost here. ----
     QueryDef.sql("q91_containment_dup",
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
@@ -620,18 +650,7 @@ object TextOps {
         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
         |HAVING count(*) >= 0.8 * least(a.sz, b.sz)
         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      val sh = Sketches.shingled(t(s, d, "documents"))
-      graft.functions.GraftFunctions.register(s)
-      val e = sh.select(struct(col("doc_id").as("d"),
-        size(col("grams")).as("sz")).as("ds"), explode_outer(col("grams")).as("g"))
-      val posting = e.groupBy(col("g"))
-        .agg(sort_array(collect_list(col("ds"))).as("ds"))
-        .filter(size(col("ds")).between(2, MaxGramDf))
-      posting
-        .select(explode_outer(expr("all_pairs(ds)")).as("p"))
-        .groupBy(col("p.x.d").as("doc1"), col("p.y.d").as("doc2"),
-          col("p.x.sz").as("sz1"), col("p.y.sz").as("sz2"))
-        .agg(count(lit(1)).as("c"))
+      gramPairCounts(Sketches.shingled(t(s, d, "documents")))
         .filter(col("c") >= lit(0.8) * least(col("sz1"), col("sz2")))
         .select(col("doc1"), col("doc2"),
           round(col("c") / least(col("sz1"), col("sz2")), 6).as("containment"))

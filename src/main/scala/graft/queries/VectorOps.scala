@@ -169,8 +169,11 @@ object VectorOps {
         (when(size(col("top")) === k, expr(s"element_at(top, $k).cs"))
           .otherwise(lit(-1.0)) - lit(0.0001)).as("kb"))
 
-    // pass 2: probe every cluster whose bound beats kb
-    val probes = q.join(broadcast(kb), Seq("qid"))
+    // pass 2: probe every cluster whose bound beats kb. kb is one row
+    // per QUERY — tiny for point lookups, corpus-scaled for batch
+    // classification (q89) — so no forced broadcast: AQE picks
+    // broadcast when kb actually fits, shuffle-hash otherwise.
+    val probes = q.join(kb, Seq("qid"))
       .select(col("qid"), col("qv"), col("kb"),
         explode(expr("filter(bounds, x -> x.ub >= kb)")).as("pb"))
       .select(col("qid"), col("qv"), col("pb.bucket").as("bucket"))
@@ -425,13 +428,17 @@ object VectorOps {
 
     // ---- kNN majority-vote classification over the embedding column
     //      — the similarity-search APPLICATION (label propagation /
-    //      weak supervision in a curation pipeline). Reuses the exact
-    //      brute-force top-k (bounded-heap aggregate, broadcast query
-    //      side: ≤ k rows per (partition, query) cross the shuffle);
-    //      the vote is a tiny (query, label)-keyed aggregate and a
-    //      per-query window over ≤ 10 label rows. Ties break to the
-    //      smaller label; neighbor sets match q38's green tiebreak
-    //      (rounded cosine desc, then id). ----
+    //      weak supervision in a curation pipeline). The neighbor
+    //      search is the EXACT bound-pruned IVF path (q40 proves it ≡
+    //      brute force): the query side here is O(N/20) — corpus-sized,
+    //      not a handful — so the brute-force broadcast-the-queries
+    //      shape would be an O(Q·N) all-compare with an O(N) broadcast,
+    //      a scale-killer at 100×. IVF keeps every stage bucket-keyed
+    //      and shuffle-bounded. Label attach is a plain shuffle join —
+    //      AQE broadcasts it when it actually fits. The vote is a tiny
+    //      (query, label)-keyed aggregate and a per-query window over
+    //      ≤ 10 label rows. Ties break to the smaller label; neighbor
+    //      sets match q38's green tiebreak (rounded cosine desc, id). ----
     QueryDef.sql("q89_knn_classify",
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 20 = 0),
@@ -452,17 +459,18 @@ object VectorOps {
         |ORDER BY p.qid""".stripMargin) { (s, d) =>
       GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
-      val topk = bruteForceTopK(e.filter(col("vec_id") % 20 === 0), e, 5)
+      val topk = ivfTopK(s, e, e.filter(col("vec_id") % 20 === 0),
+        nCentroids = 8, k = 5)
       val votes = topk
-        .join(broadcast(e.select(col("vec_id").as("cid"), col("label"))), "cid")
+        .join(e.select(col("vec_id").as("cid"), col("label")), "cid")
         .groupBy(col("qid"), col("label"))
         .agg(count(lit(1)).as("votes"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
       votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("qid"), col("label").as("pred"), col("votes"))
-        .join(broadcast(e.select(col("vec_id").as("qid"),
-          col("label").as("actual"))), "qid")
+        .join(e.select(col("vec_id").as("qid"), col("label").as("actual")),
+          "qid")
         .orderBy(col("qid"))
     })
 }

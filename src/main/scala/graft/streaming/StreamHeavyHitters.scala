@@ -53,14 +53,18 @@ object StreamHeavyHitters {
   /** Point estimates for `probes` (a small batch DataFrame with a
     * `tk` column) against a materialized sketch (the streaming
     * query's in-progress or final state): min over depths of the
-    * probed cells. */
+    * probed cells. LEFT join + coalesce(0): a sketch only stores
+    * touched cells, so an untouched cell reads as the zero cell a
+    * dense CMS would hold — an unseen token estimates 0 (and a token
+    * with SOME untouched cells takes the honest min over all Depth
+    * cells, not an inflated min over the touched subset). */
   def estimate(sketchCells: DataFrame, probes: DataFrame,
       tokenCol: String = "tk"): DataFrame =
     probes
       .select(col(tokenCol).as("tk"),
         explode(sequence(lit(0), lit(Depth - 1))).as("d"))
       .withColumn("bucket", bucketOf(col("d"), col("tk")))
-      .join(sketchCells, Seq("d", "bucket"))
+      .join(sketchCells, Seq("d", "bucket"), "left")
       .groupBy(col("tk"))
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }
