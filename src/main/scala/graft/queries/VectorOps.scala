@@ -129,7 +129,13 @@ object VectorOps {
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       nCentroids: Int, k: Int): DataFrame = {
-    val cents = kmeans(spark, corpus, nCentroids, iters = 3)
+    // iters=2: the bound-pruned search is EXACT for ANY codebook (the
+    // triangle-inequality bound holds whatever the centroids), so
+    // iteration count trades fit cost against pruning quality only —
+    // 2 rounds already separate the test corpus's clusters, and each
+    // extra round is a full scan + a fresh centroid-literal codegen
+    // compile in every downstream assignment.
+    val cents = kmeans(spark, corpus, nCentroids, iters = 2)
     // NOT persisted, deliberately (the r3/r4 leaked-persist fix): the
     // two probe passes recompute this scan + codegen'd argmax — cheap,
     // shuffle-free map-side work — whereas a persist inside a

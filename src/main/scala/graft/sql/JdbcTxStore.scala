@@ -97,10 +97,11 @@ final class JdbcTxStore(conn: Connection,
     *
     * Targets whose driver has no SQL ARRAY support (embedded Derby in
     * the tests throws SQLFeatureNotSupportedException) get the PG
-    * text-literal form (`{"a","b",NULL}` — byte-compatible with PG's
-    * `array_out`) bound as a string; such a target models the column
-    * as VARCHAR, and the literal round-trips through PG's `array_in`
-    * if the data later moves to a real PG target. */
+    * text-literal form (`{"a","b",NULL}`) bound as a string; such a
+    * target models the column as VARCHAR, and the literal round-trips
+    * through PG's `array_in` if the data later moves to a real PG
+    * target (round-trip compatible; not byte-identical to `array_out`
+    * for every element type — e.g. timestamps render in ISO form). */
   private def bindArray(ps: PreparedStatement, i: Int,
       xs: scala.collection.Seq[_]): Unit = {
     val converted: Array[AnyRef] = xs.map {
@@ -135,18 +136,23 @@ final class JdbcTxStore(conn: Connection,
       }
     }.getOrElse("text")
 
-  /** PG array literal (array_out form): elements double-quoted with
-    * backslash/quote escapes, SQL NULL as unquoted NULL, bytea in
-    * PG hex form. */
-  private def pgArrayLiteral(xs: scala.collection.Seq[_]): String =
+  /** PG array literal (`array_in`-compatible): numbers bare, bools as
+    * t/f, SQL NULL as unquoted NULL, bytea in PG hex form, and EVERY
+    * other element type double-quoted with backslash/quote escapes —
+    * a temporal's rendering (java.time.Instant's 'T', Timestamp's
+    * internal space) is only safe inside quotes. */
+  private def pgArrayLiteral(xs: scala.collection.Seq[_]): String = {
+    def quote(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     xs.map {
       case null => "NULL"
       case b: Array[Byte] =>
         "\"\\\\x" + b.map(x => f"$x%02x").mkString + "\""
-      case s: String =>
-        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      case x => x.toString
+      case b: java.lang.Boolean => if (b) "t" else "f"
+      case n: java.lang.Number => n.toString
+      case x => quote(x.toString)
     }.mkString("{", ",", "}")
+  }
 
   override def begin(): Unit = () // autocommit off: tx is implicitly open
 

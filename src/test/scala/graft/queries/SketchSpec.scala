@@ -53,6 +53,45 @@ class SketchSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("containment pair set survives the df cap under a hot wrapper gram (q91 path)") {
+    // Fixture where the cap actually FIRES (the sf0.001 corpus max df
+    // ≈ 25 never trips MaxGramDf = 64): 73 filler docs all share one
+    // boilerplate gram, and the one true containment pair (base ⊂
+    // wrapper) ALSO carries it. The capped plan must drop that gram
+    // from candidate generation and the overlap count — the pair has
+    // to survive on its sub-hot grams alone, which is exactly the
+    // documented recall bound (a pair similar ONLY via super-hot
+    // boilerplate is out of scope by design).
+    val s = spark
+    import s.implicits._
+    val hot = "visit our website"
+    val base = "alpha beta gamma delta epsilon zeta " + hot
+    val wrapper = base + " extra words here"
+    val fillers = (100 to 172).map(i => (i.toLong, s"unique$i distinct$i $hot"))
+    val fixture = (Seq((1L, base), (2L, wrapper)) ++ fillers).toDF("doc_id", "text")
+    val sh = Sketches.shingled(fixture)
+
+    // the hot gram must exceed the cap, or this test exercises nothing
+    val hotDf = sh.filter(array_contains(col("grams"), hot)).count()
+    assert(hotDf > TextOps.MaxGramDf,
+      s"fixture hot-gram df $hotDf must exceed cap ${TextOps.MaxGramDf}")
+
+    // uncapped ground truth: full-array intersect containment
+    val a = sh.select(col("doc_id").as("doc1"), col("grams").as("g1"))
+    val b = sh.select(col("doc_id").as("doc2"), col("grams").as("g2"))
+    val want = a.crossJoin(b).filter(col("doc1") < col("doc2"))
+      .withColumn("c", size(array_intersect(col("g1"), col("g2"))))
+      .filter(col("c") >= lit(0.8) * least(size(col("g1")), size(col("g2"))))
+      .select(col("doc1"), col("doc2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TextOps.gramPairCounts(sh)
+      .filter(col("c") >= lit(0.8) * least(col("sz1"), col("sz2")))
+      .select(col("doc1"), col("doc2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want == Set((1L, 2L)), s"fixture must contain exactly the base⊂wrapper pair, got $want")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("MinHash LSH pairs == exact pairs at J>=0.8 (q35 recall)") {
     val got = asSet(Sketches.minHashPairs(docs, 0.8))
     val want = asSet(exactPairs(0.8))

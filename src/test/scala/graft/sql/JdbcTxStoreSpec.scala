@@ -247,6 +247,30 @@ class JdbcTxStoreSpec extends TxStoreContract {
     }
   }
 
+  test("temporal and bool arrays quote literal elements array_in can parse") {
+    withHarness { h =>
+      val s = h.store
+      s.begin()
+      s.executeDdl("""create table "public"."tarrs" (
+        "id" bigint not null primary key, "xs" varchar(200))""")
+      // an Instant's ISO 'T' and a date are only array_in-safe inside
+      // quotes; bools take PG's t/f output form
+      s.insert("public", "tarrs", Map[String, Any](
+        "id" -> 1L,
+        "xs" -> Seq(java.time.Instant.parse("2024-01-02T03:04:05Z"),
+          java.time.LocalDate.parse("2024-01-02"), null)), Seq("id"))
+      s.insert("public", "tarrs",
+        Map[String, Any]("id" -> 2L,
+          "xs" -> Seq(java.lang.Boolean.TRUE, java.lang.Boolean.FALSE)),
+        Seq("id"))
+      s.commit()
+      assert(h.rows("public.tarrs").sortBy(_("id").asInstanceOf[Long].toInt)
+        .map(_("xs")) == Seq(
+          """{"2024-01-02T03:04:05Z","2024-01-02",NULL}""",
+          "{t,f}"))
+    }
+  }
+
   test("DDL executes inside the apply transaction path") {
     withHarness { h =>
       val s = h.store
