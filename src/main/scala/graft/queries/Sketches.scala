@@ -106,48 +106,70 @@ object Sketches {
     * representative pair, never per band. */
   def minHashPairs(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = MaxBucketSize): DataFrame = {
-    // ---- stage 0: exact-dup pre-collapse -------------------------------
-    val groups = docs
-      .select(md5(col("text").cast("binary")).as("k"), col("doc_id"), col("text"))
-      .groupBy(col("k"))
-      .agg(min(struct(col("doc_id"), col("text"))).as("r"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-    val repDocs = groups.select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
-    // (rep, member) — includes the representative itself
-    val members = groups.select(col("r.doc_id").as("rep"),
-      explode_outer(col("members")).as("m"))
+    val (repDocs, members) = dupCollapse(docs)
 
     // ---- stages 1-2: LSH + exact verify over representatives ----------
     val sh = shingled(repDocs)
     val cand = elementPairs(minHashBuckets(sh), maxBucket)
       .select(col("p.x").as("doc1"), col("p.y").as("doc2"))
       .dropDuplicates("doc1", "doc2")
-    val repPairs = cand
+    val repPairs = jaccardVerify(cand, sh, minJaccard)
+    expandMemberPairs(repPairs, members, Some(sh), "jaccard", lit(1.0))
+      .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Stage 0 of the sketch-dedup family: collapse exact duplicates
+    * (md5 key, the q30 path) to one representative per distinct text —
+    * identical docs always have Jaccard 1 and would otherwise fill LSH
+    * buckets with quadratic pair noise. Returns (repDocs, members)
+    * where members is (rep, m) including the representative itself. */
+  private[queries] def dupCollapse(docs: DataFrame): (DataFrame, DataFrame) = {
+    val groups = docs
+      .select(md5(col("text").cast("binary")).as("k"), col("doc_id"), col("text"))
+      .groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    (groups.select(col("r.doc_id").as("doc_id"), col("r.text").as("text")),
+      groups.select(col("r.doc_id").as("rep"),
+        explode_outer(col("members")).as("m")))
+  }
+
+  /** Exact-Jaccard verification of candidate (doc1, doc2) pairs: gram
+    * arrays join back once per candidate (never per band), keep pairs
+    * at/above the threshold. */
+  private[queries] def jaccardVerify(cand: DataFrame, sh: DataFrame,
+      minJaccard: Double): DataFrame =
+    cand
       .join(sh.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
       .join(sh.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
       .withColumn("jaccard", exactJaccard)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc1"), col("doc2"), col("jaccard"))
 
-    // ---- stage 3: expand duplicate groups back to member pairs --------
-    // cross-group: every (member of rep1) × (member of rep2)
+  /** Stage 3 of the sketch-dedup family: expand representative pairs
+    * back to member pairs. Cross-group pairs inherit the rep pair's
+    * score (identical text ⇒ identical sketch/grams); intra-group
+    * pairs (identical docs) carry `intraScore`. `shingledReps` gates
+    * intra expansion to docs the sketch stage could actually see
+    * (e.g. ≥ 3 tokens for gram sketches); None = no gate. */
+  private[queries] def expandMemberPairs(repPairs: DataFrame,
+      members: DataFrame, shingledReps: Option[DataFrame],
+      scoreCol: String, intraScore: Column): DataFrame = {
     val cross = repPairs
       .join(members.select(col("rep").as("doc1"), col("m").as("m1")), "doc1")
       .join(members.select(col("rep").as("doc2"), col("m").as("m2")), "doc2")
       .select(least(col("m1"), col("m2")).as("doc1"),
-        greatest(col("m1"), col("m2")).as("doc2"), col("jaccard"))
-    // intra-group: all pairs of identical docs (Jaccard exactly 1),
-    // counted only when the text actually shingles (≥3 tokens)
-    val intra = members
-      .join(sh.select(col("doc_id").as("rep")), "rep")
+        greatest(col("m1"), col("m2")).as("doc2"), col(scoreCol))
+    val gated = shingledReps.fold(members)(sh =>
+      members.join(sh.select(col("doc_id").as("rep")), "rep"))
+    val intra = gated
       .groupBy(col("rep")).agg(sort_array(collect_list(col("m"))).as("ms"))
       .filter(size(col("ms")) >= 2)
       .select(explode_outer(expr("all_pairs(ms)")).as("p"))
       .select(col("p.x").as("doc1"), col("p.y").as("doc2"),
-        lit(1.0).as("jaccard"))
+        intraScore.as(scoreCol))
     cross.unionByName(intra)
-      .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("doc1"), col("doc2"))
   }
 
   /** MinHash LSH posting lists `(bk, ds: array<doc_id>)`, one row per
@@ -198,17 +220,11 @@ object Sketches {
     * member pair's hamming, and intra-group pairs are hamming 0. */
   def simHashPairs(docs: DataFrame, maxHamming: Int,
       maxBucket: Int = MaxBucketSize): DataFrame = {
-    // ---- stage 0: exact-dup pre-collapse (the q35 path) ---------------
-    val groups = docs
-      .select(md5(col("text").cast("binary")).as("k"), col("doc_id"), col("text"))
-      .groupBy(col("k"))
-      .agg(min(struct(col("doc_id"), col("text"))).as("r"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-    val repDocs = groups.select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
-    val members = groups.select(col("r.doc_id").as("rep"),
-      explode_outer(col("members")).as("m"))
+    val (repDocs, members) = dupCollapse(docs)
 
     // ---- stages 1-2: banded LSH + Hamming verify over representatives -
+    // (the sketch rides inside the posting list as one i64, so
+    // verification needs no join back — unlike the gram sketches)
     val repPairs = elementPairs(simHashBuckets(simHash(repDocs)), maxBucket)
       .select(col("p.x.doc_id").as("doc1"), col("p.y.doc_id").as("doc2"),
         col("p.x.simhash").as("h1"), col("p.y.simhash").as("h2"))
@@ -216,19 +232,8 @@ object Sketches {
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxHamming)
 
-    // ---- stage 3: expand duplicate groups back to member pairs --------
-    val cross = repPairs
-      .join(members.select(col("rep").as("doc1"), col("m").as("m1")), "doc1")
-      .join(members.select(col("rep").as("doc2"), col("m").as("m2")), "doc2")
-      .select(least(col("m1"), col("m2")).as("doc1"),
-        greatest(col("m1"), col("m2")).as("doc2"), col("hamming"))
-    val intra = members
-      .groupBy(col("rep")).agg(sort_array(collect_list(col("m"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .select(explode_outer(expr("all_pairs(ms)")).as("p"))
-      .select(col("p.x").as("doc1"), col("p.y").as("doc2"),
-        lit(0).as("hamming"))
-    cross.unionByName(intra)
+    // no shingle gate: simhash is a token sketch, every doc has one
+    expandMemberPairs(repPairs, members, None, "hamming", lit(0))
       .orderBy(col("doc1"), col("doc2"))
   }
 
@@ -305,16 +310,18 @@ object Sketches {
   private val feedCleanup =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Write the documents table as an 8-file parquet feed under /tmp
-    * (pid-suffixed so concurrent runs never share; removed on JVM
-    * exit) for the streaming-fold queries to read back one file per
-    * trigger. Written once per (data dir, JVM). */
-  private def docFeed(s: SparkSession, d: String): String = {
+  /** Write `df` as an 8-file doc_id-range-partitioned parquet feed
+    * under /tmp (pid-suffixed so concurrent runs never share; removed
+    * on JVM exit) for the streaming queries to read back a few files
+    * per trigger. Written once per (tag, data dir, JVM); `df` is
+    * by-name so a cached feed skips building the frame. */
+  private def feed(s: SparkSession, d: String, tag: String)(
+      df: => DataFrame): String = {
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
     val full = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val pid = ProcessHandle.current().pid()
-    val dir = s"/tmp/graft_docfeed_${safe}_${full}_$pid"
+    val dir = s"/tmp/graft_${tag}_${safe}_${full}_$pid"
     if (feedCleanup.add(dir))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         val root = new java.io.File(dir)
@@ -322,11 +329,14 @@ object Sketches {
         root.delete(); ()
       }))
     if (!new java.io.File(dir).isDirectory)
-      t(s, d, "documents").select(col("doc_id"), col("text"))
-        .repartitionByRange(8, col("doc_id"))
+      df.repartitionByRange(8, col("doc_id"))
         .write.mode("overwrite").parquet(dir)
     dir
   }
+
+  private def docFeed(s: SparkSession, d: String): String =
+    feed(s, d, "docfeed")(
+      t(s, d, "documents").select(col("doc_id"), col("text")))
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -494,7 +504,10 @@ object Sketches {
       val sink = s"q92_cms_${streamRuns.incrementAndGet()}"
       val docs = s.readStream
         .schema(s.read.parquet(feed).schema)
-        .option("maxFilesPerTrigger", 1)
+        // 2 files/trigger → 4 micro-batches: still a genuine multi-
+        // batch fold, at half the per-trigger fixed cost (state-store
+        // commit + complete-mode sink rewrite dominate this query)
+        .option("maxFilesPerTrigger", 2)
         .parquet(feed)
       val tokens = docs.select(
         explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
@@ -506,5 +519,55 @@ object Sketches {
         .estimate(s.table(sink), CmsProbes.toDF("tk"))
         .select(col("tk").as("token"), col("est"))
         .orderBy(col("token"))
+    },
+
+    // ---- Streaming near-dup: q35's MinHash-LSH candidate generation
+    //      running as an INGESTION-TIME stream (StreamNearDup: keyed
+    //      flatMapGroupsWithState on the band-bucket key, state = the
+    //      bucket's membership, event-time TTL), then batch-verified
+    //      with exact Jaccard and expanded through the shared dup-
+    //      group stages. Exact duplicates collapse BEFORE the stream —
+    //      the operator's documented contract (StreamDedup's job at
+    //      ingestion, proven separately on RocksDB) — so only
+    //      representatives hit the LSH state. Event time is
+    //      synthesized from doc_id (deterministic feed) and the
+    //      horizon spans the corpus, so nothing evicts mid-run. The
+    //      oracle is the same EXACT pair set q35 answers to: the green
+    //      hash asserts streaming candidate generation loses no pair
+    //      the batch LSH finds. ----
+    QueryDef.sql("q93_stream_neardup",
+      s"""WITH $gramsCte,
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
+         |FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.8
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val (repDocs, members) = dupCollapse(t(s, d, "documents"))
+      val feedDir = feed(s, d, "repfeed")(repDocs)
+      val sink = s"q93_nd_${streamRuns.incrementAndGet()}"
+      val stream = s.readStream
+        .schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feedDir)
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+      val q = graft.streaming.StreamNearDup
+        .candidates(stream, "ts", "30 days")
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // consumer-side pair dedup (a true pair collides in several
+      // bands), then the SAME verify + group expansion the batch pass
+      // uses — streaming and batch share their tail end to end
+      val cand = s.table(sink)
+        .select(col("doc1"), col("doc2")).dropDuplicates("doc1", "doc2")
+      val sh = shingled(repDocs)
+      val repPairs = jaccardVerify(cand, sh, 0.8)
+      expandMemberPairs(repPairs, members, Some(sh), "jaccard", lit(1.0))
+        .select(col("doc1"), col("doc2"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
     })
 }
