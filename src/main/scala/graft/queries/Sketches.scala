@@ -551,7 +551,7 @@ object Sketches {
         .schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(feedDir)
-        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        .withColumn("ts", timestamp_seconds(col("doc_id") + 86400))
       val q = graft.streaming.StreamNearDup
         .candidates(stream, "ts", "30 days")
         .toDF()
@@ -569,5 +569,47 @@ object Sketches {
         .select(col("doc1"), col("doc2"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // ---- Streaming exact dedup: q30's content dedup running at
+    //      ingest (StreamDedup.byContent = watermarked
+    //      dropDuplicatesWithinWatermark on the md5 content key; one
+    //      state row per distinct content, watermark-TTL'd). The
+    //      check is survivor-INDEPENDENT by design: within a
+    //      micro-batch the engine keeps an arbitrary first sighting
+    //      of a duplicated content (shuffle task order — honest
+    //      nondeterminism), so the query asserts what the operator
+    //      actually guarantees — exactly ONE survivor per distinct
+    //      content — via the survivor count and a content-derived
+    //      hash sum, both identical whichever copy won. Completes the
+    //      oracle-checked streaming trio (dedup / near-dup / heavy
+    //      hitters) next to their batch twins (q30 / q35 / q72). ----
+    QueryDef.sql("q94_stream_dedup",
+      s"""WITH u AS (SELECT DISTINCT text FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_unique,
+         |  CAST(sum((${hash60Sql("text")}) % 1000000000) AS BIGINT)
+         |    AS content_hash_sum
+         |FROM u""".stripMargin) { (s, d) =>
+      val feedDir = docFeed(s, d)
+      val sink = s"q94_dd_${streamRuns.incrementAndGet()}"
+      val stream = s.readStream
+        .schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feedDir)
+        .withColumn("ts", timestamp_seconds(col("doc_id") + 86400))
+      val q = graft.streaming.StreamDedup
+        .byContent(stream, "ts", "30 days")
+        // (ts sits a day above epoch — see the feed comment: a row AT
+        // the initial watermark of 0 would be pre-filtered as late)
+        .select(col("doc_id"), col("text"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // % 1e9 keeps the 500+-term checksum inside a long (a raw
+      // 60-bit-hash sum overflows int64 under ANSI mode)
+      s.table(sink).agg(
+        count(lit(1)).as("n_unique"),
+        sum(hash60(col("text")) % 1000000000L).cast("long")
+          .as("content_hash_sum"))
     })
 }
