@@ -200,7 +200,11 @@ object VectorOps {
     */
   def cosinePairsExact(spark: SparkSession, vecs: DataFrame, minCos: Double,
       nClusters: Int): DataFrame = {
-    val cents = kmeans(spark, vecs, nClusters, iters = 3)
+    // iters=2 for the same reason as ivfTopK: the radius bound makes
+    // the blocking lossless for ANY codebook, so iterations only buy
+    // pruning quality — and each costs a scan + a fresh
+    // centroid-literal codegen compile downstream.
+    val cents = kmeans(spark, vecs, nClusters, iters = 2)
     val dCap = math.sqrt(2.0 - 2.0 * minCos)
     def dist(c: Column): Column = sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * c))
 
