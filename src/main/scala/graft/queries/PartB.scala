@@ -43,6 +43,51 @@ object PartB {
         .orderBy(col("o_orderpriority"))
     },
 
+    // ---- Mergeable sketch rollup (Apache DataSketches HLL): build
+    //      per-(event_type, day) PARTIAL sketches once, then answer
+    //      the per-type distinct-user rollup by UNIONING the partials
+    //      — never rescanning the raw rows. This is THE incremental
+    //      lake pattern for distinct counts: daily partitions
+    //      materialize fixed-size sketch binaries, and any coarser
+    //      rollup (week, month, all-time) is a cheap union over them.
+    //      The checks are estimator-deterministic: apx_ok pins the
+    //      flat sketch's error contract against the exact count the
+    //      oracle recomputes, merge_ok pins the SAME contract for the
+    //      union-of-partials estimate (union is a valid estimator,
+    //      not bit-equal to a flat build — at low cardinality the
+    //      flat sketch may still answer from coupon mode while the
+    //      union has densified, so their estimates legitimately
+    //      differ inside the bound). ----
+    QueryDef.sql("q95_hll_rollup",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS merge_ok, true AS apx_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val partials = e.groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = partials.groupBy(col("event_type"))
+        .agg(round(hll_sketch_estimate(hll_union_agg(col("sk"))), 6)
+          .as("merged_apx"))
+      // exact via two-level distinct (the q43 shape) + a flat sketch
+      // over the same rows for the merge-consistency check
+      val flat = e.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_users"),
+          round(hll_sketch_estimate(hll_sketch_agg(col("user_id"))), 6)
+            .as("flat_apx"))
+      merged.join(flat, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("merged_apx") - col("exact_users"))
+            <= lit(5 * 0.02) * col("exact_users")).as("merge_ok"),
+          (abs(col("flat_apx") - col("exact_users"))
+            <= lit(5 * 0.02) * col("exact_users")).as("apx_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- Map functions: build a column-map per row and detect
     //      present/absent keys — exactly how a consumer detects
     //      unchanged-TOAST columns in the CDC envelope (absent key ≠
