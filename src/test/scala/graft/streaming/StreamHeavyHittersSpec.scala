@@ -61,5 +61,16 @@ class StreamHeavyHittersSpec extends AnyFunSuite {
     }
     val top = joined.maxBy(_._2)._1
     assert(top == "hot", s"heavy hitter must rank first, got $top")
+
+    // unseen-token point lookup: the sketch stores only touched cells,
+    // so the estimate must read untouched cells as the zero cell a
+    // dense CMS would hold (left join + coalesce) — est = 0 unless
+    // every one of its 4 cells collides with stored tokens (it doesn't
+    // here: vocabulary is ~77 tokens over 1024 cells, and the probe's
+    // cells were checked untouched when this fixture was pinned)
+    val unseen = StreamHeavyHitters.estimate(
+      streamCells, Seq("never_streamed_token").toDF("tk")).collect()
+    assert(unseen.length == 1 && unseen.head.getLong(1) == 0L,
+      s"unseen token must estimate 0, got ${unseen.toSeq}")
   }
 }
