@@ -338,6 +338,22 @@ object Sketches {
     feed(s, d, "docfeed")(
       t(s, d, "documents").select(col("doc_id"), col("text")))
 
+  /** Run `body` (a streaming start → processAllAvailable → stop) with
+    * spark.sql.shuffle.partitions temporarily lowered: a streaming
+    * query's STATE-STORE partition count is fixed at the session's
+    * batch shuffle width otherwise, and sketch-/corpus-sized state
+    * spread over 32 partitions pays 32 store commits per trigger for
+    * rows that would fit in a handful. Size state partitioning to the
+    * state, not the batch shuffle — each run starts a fresh temp
+    * checkpoint, so the narrower layout binds only that run. The
+    * batch tail plans AFTER the conf is restored. */
+  private def withStreamingShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // LSH candidates + exact verify; the oracle is the EXACT pair set at
@@ -511,10 +527,12 @@ object Sketches {
         .parquet(feed)
       val tokens = docs.select(
         explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
-      val q = graft.streaming.StreamHeavyHitters.sketch(tokens)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamingShuffle(s, 8) {
+        val q = graft.streaming.StreamHeavyHitters.sketch(tokens)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       graft.streaming.StreamHeavyHitters
         .estimate(s.table(sink), CmsProbes.toDF("tk"))
         .select(col("tk").as("token"), col("est"))
@@ -552,12 +570,14 @@ object Sketches {
         .option("maxFilesPerTrigger", 2)
         .parquet(feedDir)
         .withColumn("ts", timestamp_seconds(col("doc_id") + 86400))
-      val q = graft.streaming.StreamNearDup
-        .candidates(stream, "ts", "30 days")
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamingShuffle(s, 8) {
+        val q = graft.streaming.StreamNearDup
+          .candidates(stream, "ts", "30 days")
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       // consumer-side pair dedup (a true pair collides in several
       // bands), then the SAME verify + group expansion the batch pass
       // uses — streaming and batch share their tail end to end
@@ -597,14 +617,16 @@ object Sketches {
         .option("maxFilesPerTrigger", 2)
         .parquet(feedDir)
         .withColumn("ts", timestamp_seconds(col("doc_id") + 86400))
-      val q = graft.streaming.StreamDedup
-        .byContent(stream, "ts", "30 days")
-        // (ts sits a day above epoch — see the feed comment: a row AT
-        // the initial watermark of 0 would be pre-filtered as late)
-        .select(col("doc_id"), col("text"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamingShuffle(s, 8) {
+        val q = graft.streaming.StreamDedup
+          .byContent(stream, "ts", "30 days")
+          // (ts sits a day above epoch — see the feed comment: a row
+          // AT the initial watermark of 0 would be pre-filtered late)
+          .select(col("doc_id"), col("text"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       // % 1e9 keeps the 500+-term checksum inside a long (a raw
       // 60-bit-hash sum overflows int64 under ANSI mode)
       s.table(sink).agg(
