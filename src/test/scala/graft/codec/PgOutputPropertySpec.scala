@@ -138,6 +138,42 @@ class PgOutputPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("fuzz: truncation and bit-flips fail loudly or parse — never crash") {
+    // the decoder's robustness contract: any corruption of a valid
+    // message either still parses to SOME Message (e.g. a flipped
+    // identifier byte) or throws CodecException (underflow, corrupt
+    // length, unknown relation) — never an out-of-bounds / NPE /
+    // infinite loop. This is what lets the source treat a torn WAL
+    // segment as a detectable error instead of silent garbage.
+    def outcomeOk(d: Decoder, bytes: Array[Byte]): Boolean =
+      try { d.decode(bytes); true }
+      catch { case _: CodecException => true; case _: Throwable => false }
+    val gen = for {
+      rel <- relGen
+      nd <- datums(rel)
+      cut <- Gen.chooseNum(0, 100)
+      flipAt <- Gen.chooseNum(0, 10000)
+      flipBit <- Gen.chooseNum(0, 7)
+    } yield (rel, nd, cut, flipAt, flipBit)
+    check("fuzz", Prop.forAll(gen) { case (rel, nd, cut, flipAt, flipBit) =>
+      val relMsg = Encoder.relation(rel)
+      val ins = Encoder.insert(rel, nd)
+      // truncation of both message kinds
+      val d1 = new Decoder(); d1.decode(relMsg)
+      val truncOk = outcomeOk(new Decoder(), relMsg.take(cut % relMsg.length)) &&
+        outcomeOk(d1, ins.take(cut % ins.length))
+      // single-bit flip of both message kinds
+      def flipped(m: Array[Byte]): Array[Byte] = {
+        val c = m.clone(); val i = flipAt % m.length
+        c(i) = (c(i) ^ (1 << flipBit)).toByte; c
+      }
+      val d2 = new Decoder(); d2.decode(relMsg)
+      val flipOk = outcomeOk(new Decoder(), flipped(relMsg)) &&
+        outcomeOk(d2, flipped(ins))
+      truncOk && flipOk
+    })
+  }
+
   test("delete image: null columns dropped entirely") {
     val gen = for {
       rel <- relGen
