@@ -170,7 +170,21 @@ class PgOutputPropertySpec extends AnyFunSuite {
       val d2 = new Decoder(); d2.decode(relMsg)
       val flipOk = outcomeOk(new Decoder(), flipped(relMsg)) &&
         outcomeOk(d2, flipped(ins))
-      truncOk && flipOk
+      // same contract for the pglogical wire format (shared
+      // BytesReader underflow discipline, independent framing)
+      def plOk(d: PgLogical.Decoder, bytes: Array[Byte]): Boolean =
+        try { d.decode(bytes); true }
+        catch { case _: CodecException => true; case _: Throwable => false }
+      val plRel = PgLogical.Encoder.relation(rel)
+      val plIns = PgLogical.Encoder.insert(rel, nd)
+      val p1 = new PgLogical.Decoder(); p1.decode(plRel)
+      val p2 = new PgLogical.Decoder(); p2.decode(plRel)
+      val plFuzzOk =
+        plOk(new PgLogical.Decoder(), plRel.take(cut % plRel.length)) &&
+        plOk(p1, plIns.take(cut % plIns.length)) &&
+        plOk(new PgLogical.Decoder(), flipped(plRel)) &&
+        plOk(p2, flipped(plIns))
+      truncOk && flipOk && plFuzzOk
     })
   }
 
