@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.codec.{PgOutput, PgType}
+import graft.codec.PgOutput.{Column => C, Relation => R}
+import graft.streaming.{CdcPipeline, InMemoryTxStore}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The product's whole story in one test: a PostgreSQL logical-
+  * replication feed of a documents table is captured through the DSv2
+  * source and applied exactly-once (INSERT/UPDATE/DELETE), the live
+  * table state flows into the dedup operators (exact-dup collapse +
+  * MinHash-LSH near-dup pairs → connected components → keep-min-id
+  * prune), and the curated corpus lands as hive-partitioned parquet
+  * through CorpusSink. Every stage is asserted: applied state, the
+  * pruned survivor set, and the exported layout/content. */
+class EndToEndSpec extends AnyFunSuite {
+
+  private val docRel = R(7, "public", "docs", 'd', Seq(
+    C("doc_id", PgType.Int8, isKey = true),
+    C("lang", PgType.Text, isKey = false),
+    C("text", PgType.Text, isKey = false)))
+
+  private def tx(lsn: Long, msgs: Array[Byte]*): Seq[Array[Byte]] =
+    PgOutput.Encoder.begin(lsn, lsn * 1000, lsn.toInt) +:
+      msgs.toSeq :+ PgOutput.Encoder.commit(lsn, lsn, lsn * 1000)
+  private def ins(id: Long, lang: String, text: String) =
+    PgOutput.Encoder.insert(docRel, Seq(PgType.encode(PgType.Int8, id),
+      PgType.encode(PgType.Text, lang), PgType.encode(PgType.Text, text)))
+  private def upd(id: Long, lang: String, text: String) =
+    PgOutput.Encoder.update(docRel, None, Seq(PgType.encode(PgType.Int8, id),
+      PgType.encode(PgType.Text, lang), PgType.encode(PgType.Text, text)))
+  private def del(id: Long) =
+    PgOutput.Encoder.delete(docRel, Seq(PgType.encode(PgType.Int8, id),
+      null, null))
+
+  test("CDC feed → exactly-once apply → near-dup prune → partitioned export") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val walDir = Files.createTempDirectory("e2ewal").toString
+    val ckDir = Files.createTempDirectory("e2eck").toString
+    val outDir = Files.createTempDirectory("e2eout").toString
+    val store = new InMemoryTxStore
+
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // doc 1/2: near-dups (2 appends one token → 3-gram Jaccard 10/11),
+    // doc 3/4: exact dups, doc 5: unique, doc 6: inserted then deleted,
+    // doc 2: first inserted with junk text, then UPDATEd to the near-dup
+    graft.sources.WalFiles.writeSegment(walDir, 100L,
+      PgOutput.Encoder.relation(docRel) +: (
+        tx(100L,
+          ins(1, "en", base),
+          ins(2, "en", "placeholder junk row to be updated"),
+          ins(3, "de", "der schnelle braune fuchs springt hier"),
+          ins(4, "de", "der schnelle braune fuchs springt hier"),
+          ins(5, "fr", "texte unique sans aucun doublon nulle part"),
+          ins(6, "en", "short lived row")) ++
+        tx(101L, upd(2, "en", base + " tail")) ++
+        tx(102L, del(6))))
+
+    // ---- stage 1: capture + exactly-once apply --------------------------
+    CdcPipeline.start(spark, walDir, ckDir, store, "e2e")
+      .awaitTermination(60000)
+    val live = store.rows("public.docs")
+      .map(m => (m("doc_id").asInstanceOf[Long],
+        m("lang").toString, m("text").toString))
+    assert(live.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L),
+      s"applied state wrong: $live")
+    assert(live.find(_._1 == 2L).exists(_._3 == base + " tail"),
+      "UPDATE must have replaced doc 2's text")
+
+    // ---- stage 2: dedup (pairs → components → keep-min prune) -----------
+    val docs = live.toSeq.toDF("doc_id", "lang", "text")
+    val pairs = graft.queries.Sketches.minHashPairs(docs, 0.8)
+      .select(col("doc1"), col("doc2"))
+    val cc = graft.operators.ConnectedComponents.run(pairs, "doc1", "doc2")
+    val drop = cc.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val curated = docs.join(drop, Seq("doc_id"), "left_anti")
+    // clusters: {1,2} near-dup, {3,4} exact dup → survivors 1, 3, 5
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L), "prune must keep each cluster's min id + uniques")
+
+    // ---- stage 3: partitioned export ------------------------------------
+    graft.sources.CorpusSink.write(curated, outDir,
+      partitionCols = Seq("lang"), maxRecordsPerFile = 10,
+      sortCols = Seq("doc_id"))
+    val back = spark.read.parquet(outDir)
+    assert(new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq == Seq("lang=de", "lang=en", "lang=fr"))
+    assert(back.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      live.filter(d => Set(1L, 3L, 5L)(d._1)).toSet,
+      "export must round-trip exactly the curated survivors")
+
+    // cleanup the export dir (wal/ck temp dirs are tiny)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(outDir))
+  }
+}
