@@ -69,7 +69,11 @@ object CdcApply {
       tableCol: String = "table"): DataFrame =
     changes.filter(col(tableCol).rlike(regex))
 
-  /** Checkpoint total-order as a sortable column for `orderBy` use. */
+  /** Checkpoint total-order as sortable columns for `orderBy` use —
+    * the SAME unsigned-lsn order as [[Checkpoint.compare]] and
+    * [[afterCheckpoint]] (XOR with Long.MinValue maps unsigned onto
+    * signed); a plain signed `col(lsn)` would invert the order for
+    * LSNs past 2⁶³. */
   def checkpointOrder(lsnCol: String = "lsn", seqCol: String = "seq"): Seq[Column] =
-    Seq(col(lsnCol), col(seqCol))
+    Seq(col(lsnCol).bitwiseXOR(lit(Long.MinValue)), col(seqCol))
 }
