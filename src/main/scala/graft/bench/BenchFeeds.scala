@@ -1,0 +1,80 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench/oracle fixture IO for the STREAMING queries (q92-q94): the
+  * correctness harness needs a genuine multi-micro-batch feed, so the
+  * corpus is written once per JVM as a small parquet directory under
+  * /tmp and streamed back a few files per trigger. This is fixture
+  * plumbing, not an operator — it lives in the bench layer so the
+  * query surface (`graft.queries`) contains only operators; feed-build
+  * cost showing up inside a streaming query's bench number is the one
+  * distortion this file can't remove (documented at the call sites).
+  */
+object BenchFeeds {
+
+  /** Event-time horizon the streaming queries pass as watermark delay;
+    * [[feed]] asserts every feed's doc_id span stays inside it (event
+    * time is synthesized as `timestamp_seconds(doc_id + 86400)`, and
+    * `maxFilesPerTrigger` gives NO doc_id ordering across batches — a
+    * high-doc_id file arriving first would advance the watermark past
+    * later files' rows and silently evict state / drop rows mid-run
+    * unless the whole span fits inside the delay). */
+  final val StreamHorizon = "30 days"
+  final val StreamHorizonSec: Long = 30L * 86400L
+
+  // one memory-sink table per invocation: Bench's min-of-two re-runs a
+  // query in the same session, and a fixed sink name would collide
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** A fresh memory-sink name, e.g. `sinkName("q92_cms")`. */
+  def sinkName(prefix: String): String =
+    s"${prefix}_${streamRuns.incrementAndGet()}"
+
+  private val feedCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write `df` as an 8-file doc_id-range-partitioned parquet feed
+    * under /tmp (pid-suffixed so concurrent runs never share; removed
+    * on JVM exit) for the streaming queries to read back a few files
+    * per trigger. Written once per (tag, data dir, JVM); `df` is
+    * by-name so a cached feed skips building the frame. The cache is
+    * gated on parquet's `_SUCCESS` marker, not the bare directory — a
+    * write that died partway leaves no marker and is redone (mode
+    * overwrite), never silently half-read. */
+  def feed(s: SparkSession, d: String, tag: String)(
+      df: => DataFrame): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
+    val full = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val pid = ProcessHandle.current().pid()
+    val dir = s"/tmp/graft_${tag}_${safe}_${full}_$pid"
+    if (feedCleanup.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val root = new java.io.File(dir)
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete(); ()
+      }))
+    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      val data = df
+      data.repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+      // guard the watermark math ONCE per feed build (pid-suffixed dir
+      // ⟹ a cached feed was built — and checked — by this JVM)
+      val Array(span) = data
+        .agg((max(col("doc_id")) - min(col("doc_id"))).cast("long")).collect()
+        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+      require(span < StreamHorizonSec,
+        s"feed $tag doc_id span $span s does not fit inside the " +
+          s"$StreamHorizon watermark delay — late-file arrival could " +
+          "evict streaming state mid-run")
+    }
+    dir
+  }
+
+  /** The `documents(doc_id, text)` table as a feed. */
+  def docFeed(s: SparkSession, d: String): String =
+    feed(s, d, "docfeed")(
+      graft.Tables.load(s, d, "documents").select(col("doc_id"), col("text")))
+}

@@ -303,56 +303,10 @@ object Sketches {
   private val CmsProbes = Seq(
     "the", "data", "vector", "join", "customer", "zz_unseen_token")
 
-  // one memory-sink table per invocation: Bench's min-of-two re-runs a
-  // query in the same session, and a fixed sink name would collide
-  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  private val feedCleanup =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Write `df` as an 8-file doc_id-range-partitioned parquet feed
-    * under /tmp (pid-suffixed so concurrent runs never share; removed
-    * on JVM exit) for the streaming queries to read back a few files
-    * per trigger. Written once per (tag, data dir, JVM); `df` is
-    * by-name so a cached feed skips building the frame. */
-  private def feed(s: SparkSession, d: String, tag: String)(
-      df: => DataFrame): String = {
-    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
-    val full = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val pid = ProcessHandle.current().pid()
-    val dir = s"/tmp/graft_${tag}_${safe}_${full}_$pid"
-    if (feedCleanup.add(dir))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val root = new java.io.File(dir)
-        Option(root.listFiles()).foreach(_.foreach(_.delete()))
-        root.delete(); ()
-      }))
-    if (!new java.io.File(dir).isDirectory)
-      df.repartitionByRange(8, col("doc_id"))
-        .write.mode("overwrite").parquet(dir)
-    dir
-  }
-
+  // feed building + sink naming live in the bench layer (fixture IO,
+  // not operators); state-partition sizing is the public StreamRun API
   private def docFeed(s: SparkSession, d: String): String =
-    feed(s, d, "docfeed")(
-      t(s, d, "documents").select(col("doc_id"), col("text")))
-
-  /** Run `body` (a streaming start → processAllAvailable → stop) with
-    * spark.sql.shuffle.partitions temporarily lowered: a streaming
-    * query's STATE-STORE partition count is fixed at the session's
-    * batch shuffle width otherwise, and sketch-/corpus-sized state
-    * spread over 32 partitions pays 32 store commits per trigger for
-    * rows that would fit in a handful. Size state partitioning to the
-    * state, not the batch shuffle — each run starts a fresh temp
-    * checkpoint, so the narrower layout binds only that run. The
-    * batch tail plans AFTER the conf is restored. */
-  private def withStreamingShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+    graft.bench.BenchFeeds.docFeed(s, d)
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -517,7 +471,7 @@ object Sketches {
     }) { (s, d) =>
       import s.implicits._
       val feed = docFeed(s, d)
-      val sink = s"q92_cms_${streamRuns.incrementAndGet()}"
+      val sink = graft.bench.BenchFeeds.sinkName("q92_cms")
       val docs = s.readStream
         .schema(s.read.parquet(feed).schema)
         // 2 files/trigger → 4 micro-batches: still a genuine multi-
@@ -527,7 +481,7 @@ object Sketches {
         .parquet(feed)
       val tokens = docs.select(
         explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
-      withStreamingShuffle(s, 8) {
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
         val q = graft.streaming.StreamHeavyHitters.sketch(tokens)
           .writeStream.format("memory").queryName(sink)
           .outputMode("complete").start()
@@ -563,16 +517,16 @@ object Sketches {
          |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.8
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
       val (repDocs, members) = dupCollapse(t(s, d, "documents"))
-      val feedDir = feed(s, d, "repfeed")(repDocs)
-      val sink = s"q93_nd_${streamRuns.incrementAndGet()}"
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "repfeed")(repDocs)
+      val sink = graft.bench.BenchFeeds.sinkName("q93_nd")
       val stream = s.readStream
         .schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(feedDir)
         .withColumn("ts", timestamp_seconds(col("doc_id") + 86400))
-      withStreamingShuffle(s, 8) {
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
         val q = graft.streaming.StreamNearDup
-          .candidates(stream, "ts", "30 days")
+          .candidates(stream, "ts", graft.bench.BenchFeeds.StreamHorizon)
           .toDF()
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
@@ -611,15 +565,15 @@ object Sketches {
          |    AS content_hash_sum
          |FROM u""".stripMargin) { (s, d) =>
       val feedDir = docFeed(s, d)
-      val sink = s"q94_dd_${streamRuns.incrementAndGet()}"
+      val sink = graft.bench.BenchFeeds.sinkName("q94_dd")
       val stream = s.readStream
         .schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(feedDir)
         .withColumn("ts", timestamp_seconds(col("doc_id") + 86400))
-      withStreamingShuffle(s, 8) {
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
         val q = graft.streaming.StreamDedup
-          .byContent(stream, "ts", "30 days")
+          .byContent(stream, "ts", graft.bench.BenchFeeds.StreamHorizon)
           // (ts sits a day above epoch — see the feed comment: a row
           // AT the initial watermark of 0 would be pre-filtered late)
           .select(col("doc_id"), col("text"))

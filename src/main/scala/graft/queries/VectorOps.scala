@@ -55,34 +55,26 @@ object VectorOps {
     centroids
   }
 
+  /** One centroid as ONE array literal node. The earlier SQL-string
+    * form (`array(cast(.. as float) × 64)`) put 64 Cast(Literal) nodes
+    * into every centroid reference; with 8 centroids referenced from
+    * half a dozen plans per query, parse+analyze+codegen of those
+    * trees dominated the IVF fit (q40's 2 s floor on 10 queries). */
+  private def centLit(v: Seq[Float]): Column = typedLit(v)
+
+  private def centCos(vecCol: String, v: Seq[Float]): Column =
+    call_function("cosine_sim", col(vecCol), centLit(v))
+
   /** Map-side nearest-centroid argmax: array_max over
     * struct(cos, −centroid_id) — ties break to the lower id. Pure
     * projection, stays in whole-stage codegen, no shuffle. */
   def assignExpr(centroids: Seq[(Int, Seq[Float])],
       vecCol: String = "embedding"): Column = {
     val scored = array(centroids.map { case (id, v) =>
-      struct(expr(s"cosine_sim($vecCol, ${litF(v)})").as("cs"),
-        lit(-id).as("nid"))
+      struct(centCos(vecCol, v).as("cs"), lit(-id).as("nid"))
     }: _*)
     (array_max(scored).getField("nid") * -1).as("bucket")
   }
-
-  /** Per-row array of struct(bucket, ub): the best cosine any member of
-    * that cluster could reach, from the triangle inequality on unit
-    * vectors — ub = 1 − max(0, ‖v̂−ĉ‖ − r)²/2. Map-side (k structs per
-    * row), used to prune probe clusters without losing exactness. */
-  private def boundsExpr(centroids: Seq[(Int, Seq[Float])],
-      radii: Map[Int, Double], vecCol: String): Column =
-    array(centroids.map { case (id, v) =>
-      val cs = expr(s"cosine_sim($vecCol, ${litF(v)})")
-      val d = sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cs))
-      val gap = greatest(lit(0.0), d - lit(radii.getOrElse(id, 0.0)))
-      struct(lit(id).as("bucket"),
-        (lit(1.0) - gap * gap / 2).as("ub"))
-    }: _*)
-
-  private def litF(v: Seq[Float]): String =
-    s"array(${v.map(x => s"cast($x as float)").mkString(",")})"
 
   /** Per-query top-k by (`csCol` desc, cid asc) via the bounded-heap
     * aggregate — map-side combine ships ≤ k rows per (partition, qid)
@@ -123,12 +115,27 @@ object VectorOps {
     * Any true neighbor outside the probed clusters would contradict its
     * cluster's bound, so the result always equals brute force — while
     * the scan volume per query is the primary cluster plus only the
-    * boundary clusters that could matter. Bucket assignment and bound
-    * computation are map-side expressions; the shuffles are the two
-    * bucket-keyed candidate joins.
+    * boundary clusters that could matter. Bucket assignment is a
+    * map-side expression; radii and probe bounds ride the main DAG as
+    * k-row broadcast joins (no extra driver action — the r9 fit-cost
+    * cut); the shuffles are the two bucket-keyed candidate joins.
+    *
+    * `persistAssignment`: the per-vector cluster assignment is read by
+    * THREE downstream consumers (the radii aggregate, the primary-probe
+    * pass, the bound-probe pass). Passing `true` persists it for the
+    * duration of this call only and materializes the result
+    * (`localCheckpoint`) before the cache is dropped, so nothing leaks
+    * past the return (the r3/r4 lesson forbids persists with no
+    * unpersist point, not scoped ones). Measured A/B at sf0.1 (r9):
+    * the persist LOSES locally even for q89's corpus-sized query side
+    * (steady 2.2 s vs 1.9 s without — the extra materialization action
+    * costs more than three shuffle-free scan+argmax recomputes save),
+    * so every built-in query leaves it off; the knob remains for
+    * deployments where the corpus scan is genuinely expensive (cold
+    * object store) and recompute dominates cache traffic.
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      nCentroids: Int, k: Int): DataFrame = {
+      nCentroids: Int, k: Int, persistAssignment: Boolean = false): DataFrame = {
     // iters=2: the bound-pruned search is EXACT for ANY codebook (the
     // triangle-inequality bound holds whatever the centroids), so
     // iteration count trades fit cost against pruning quality only —
@@ -136,27 +143,30 @@ object VectorOps {
     // extra round is a full scan + a fresh centroid-literal codegen
     // compile in every downstream assignment.
     val cents = kmeans(spark, corpus, nCentroids, iters = 2)
-    // NOT persisted, deliberately (the r3/r4 leaked-persist fix): the
-    // two probe passes recompute this scan + codegen'd argmax — cheap,
-    // shuffle-free map-side work — whereas a persist inside a
-    // composable operator that returns a LAZY DataFrame has no safe
-    // unpersist point and pins executor memory for the session. A
-    // deployment running many queries over one corpus should persist
-    // the assignment OUTSIDE and pass it in pre-bucketed.
-    val assigned = corpus
-      .select(col("vec_id").as("cid"), col("embedding").as("cve"))
-      .withColumn("bucket", assignExpr(cents, "cve"))
-    val radii = assigned
+    val assigned = {
+      val a = corpus
+        .select(col("vec_id").as("cid"), col("embedding").as("cve"))
+        .withColumn("bucket", assignExpr(cents, "cve"))
+      if (persistAssignment)
+        a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else a
+    }
+    try {
+    import spark.implicits._
+    // the codebook as DATA (k rows), not literals: radii and probe
+    // bounds then stay inside the one main DAG as broadcast joins —
+    // the earlier driver-side radii collect() was a whole extra Spark
+    // action per call, and the per-centroid bound array it fed was a
+    // k-struct codegen'd expression rebuilt per query plan
+    val centsDf = cents.toDF("pbucket", "cvec")
+    val radii = assigned.join(broadcast(centsDf),
+        col("bucket") === col("pbucket"))
       .withColumn("cdist", sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) *
-        array_max(array(cents.map { case (id, v) =>
-          when(col("bucket") === id, expr(s"cosine_sim(cve, ${litF(v)})"))
-        }: _*)))))
-      .groupBy(col("bucket")).agg(max(col("cdist")).as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        cos("cve", "cvec"))))
+      .groupBy(col("pbucket")).agg(max(col("cdist")).as("r"))
 
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("bucket", assignExpr(cents, "qv"))
-      .withColumn("bounds", boundsExpr(cents, radii, "qv"))
 
     // pass 1: k-th best cosine within the primary cluster (kb = −1
     // when the cluster holds fewer than k candidates → probe all).
@@ -175,19 +185,31 @@ object VectorOps {
         (when(size(col("top")) === k, expr(s"element_at(top, $k).cs"))
           .otherwise(lit(-1.0)) - lit(0.0001)).as("kb"))
 
-    // pass 2: probe every cluster whose bound beats kb. kb is one row
-    // per QUERY — tiny for point lookups, corpus-scaled for batch
-    // classification (q89) — so no forced broadcast: AQE picks
-    // broadcast when kb actually fits, shuffle-hash otherwise.
-    val probes = q.join(kb, Seq("qid"))
-      .select(col("qid"), col("qv"), col("kb"),
-        explode(expr("filter(bounds, x -> x.ub >= kb)")).as("pb"))
-      .select(col("qid"), col("qv"), col("pb.bucket").as("bucket"))
-    heapTopK(
+    // pass 2: probe every cluster whose upper bound — from the query's
+    // centroid distance minus that cluster's radius, triangle
+    // inequality — still beats kb. The (centroid, radius) side is k
+    // rows, broadcast; kb is one row per QUERY — tiny for point
+    // lookups, corpus-scaled for batch classification (q89) — so no
+    // forced broadcast there: AQE picks broadcast when kb actually
+    // fits, shuffle-hash otherwise.
+    val probes = q.select(col("qid"), col("qv")).join(kb, Seq("qid"))
+      .crossJoin(broadcast(centsDf.join(radii, Seq("pbucket"))))
+      .withColumn("gap", greatest(lit(0.0),
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cos("qv", "cvec")))
+          - col("r")))
+      .filter(lit(1.0) - col("gap") * col("gap") / 2 >= col("kb"))
+      .select(col("qid"), col("qv"), col("pbucket").as("bucket"))
+    val top = heapTopK(
       probes.join(assigned, Seq("bucket"))
         .filter(col("qid") =!= col("cid"))
         .withColumn("cos_sim", round(cos("qv", "cve"), 4)), k)
-      .orderBy(col("qid"), col("cid"))
+    // materialize BEFORE the finally drops the cache, so the returned
+    // (lazy) frame never recomputes against an unpersisted assignment;
+    // the checkpointed result is top-k-sized, and its blocks are freed
+    // by the context cleaner when the caller drops the reference
+    val out = if (persistAssignment) top.localCheckpoint(true) else top
+    out.orderBy(col("qid"), col("cid"))
+    } finally if (persistAssignment) { assigned.unpersist(false); () }
   }
 
   /** EXACT all-pairs cosine ≥ threshold via cluster-pruned blocking —
@@ -213,7 +235,7 @@ object VectorOps {
       .withColumn("bucket", assignExpr(cents))
       .withColumn("cdist", dist(
         array_max(array(cents.map { case (id, v) =>
-          when(col("bucket") === id, expr(s"cosine_sim(embedding, ${litF(v)})"))
+          when(col("bucket") === id, centCos("embedding", v))
         }: _*))))
 
     // per-cluster radius (tiny aggregate) + centroid pair distances on

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * was evicted). Exactness over an unbounded horizon requires either an
   * unbounded store (`dropDuplicates`, viable when keys are few) or the
   * batch q30 pass downstream.
+  *
+  * State-store sizing: wrap the query START in
+  * [[StreamRun.withStatePartitions]] when the expected state is much
+  * smaller than the session's batch shuffle width (see that object's
+  * scaladoc for why this cannot be a parameter here).
   */
 object StreamDedup {
 

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * bit-identical to the batch-built sketch over the same data —
   * StreamHeavyHittersSpec asserts cell-level equality, the same
   * streaming ≡ batch contract StreamNearDup pins for MinHash.
+  *
+  * State-store sizing: ≤ Depth·Width state rows never need the
+  * session's batch shuffle width — wrap the query START in
+  * [[StreamRun.withStatePartitions]] (see that object's scaladoc for
+  * why this cannot be a parameter here).
   */
 object StreamHeavyHitters {
 

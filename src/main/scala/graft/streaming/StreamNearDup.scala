@@ -35,7 +35,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    emits once per colliding band; dedup is a
   *    `dropDuplicates(doc1, doc2)` in the consumer (per micro-batch
   *    via foreachBatch, or windowed) — done here it would cost a
-  *    second stateful shuffle on every candidate.
+  *    second stateful shuffle on every candidate;
+  *  - state-store sizing: wrap the query START in
+  *    [[StreamRun.withStatePartitions]] when the bucket population is
+  *    much smaller than the session's batch shuffle width (see that
+  *    object's scaladoc for why this cannot be a parameter here).
   */
 object StreamNearDup {
 

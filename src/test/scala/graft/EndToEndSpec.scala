@@ -61,8 +61,8 @@ class EndToEndSpec extends AnyFunSuite {
         tx(102L, del(6))))
 
     // ---- stage 1: capture + exactly-once apply --------------------------
-    CdcPipeline.start(spark, walDir, ckDir, store, "e2e")
-      .awaitTermination(60000)
+    assert(CdcPipeline.start(spark, walDir, ckDir, store, "e2e")
+      .awaitTermination(60000), "CDC pipeline did not finish within 60s")
     val live = store.rows("public.docs")
       .map(m => (m("doc_id").asInstanceOf[Long],
         m("lang").toString, m("text").toString))

@@ -86,8 +86,9 @@ class SqlBuilderPropertySpec extends AnyFunSuite {
     } yield (ns, t, keys)
     check("delete", Prop.forAll(gen) { case (ns, t, keys) =>
       val sql = SqlBuilder.deleteQuery(ns, t, keys)
-      params(sql) == (1 to keys.size) &&
-        sql.split(" and ").length == keys.size
+      // conjunct count = placeholder count (a hostile identifier can
+      // itself contain " and ", so splitting on the text would lie)
+      params(sql) == (1 to keys.size)
     })
   }
 }
