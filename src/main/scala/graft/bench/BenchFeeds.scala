@@ -3,14 +3,15 @@ package graft.bench
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Bench/oracle fixture IO for the STREAMING queries (q92-q94): the
-  * correctness harness needs a genuine multi-micro-batch feed, so the
-  * corpus is written once per JVM as a small parquet directory under
-  * /tmp and streamed back a few files per trigger. This is fixture
-  * plumbing, not an operator — it lives in the bench layer so the
-  * query surface (`graft.queries`) contains only operators; feed-build
-  * cost showing up inside a streaming query's bench number is the one
-  * distortion this file can't remove (documented at the call sites).
+/** Bench/oracle fixture IO for the STREAMING queries (q92-q94) and the
+  * persisted-sketch query (q96): the correctness harness needs a
+  * genuine multi-micro-batch feed (or a genuine storage round-trip),
+  * so data is written once per JVM as a small parquet directory under
+  * /tmp and read back. This is fixture plumbing, not an operator — it
+  * lives in the bench layer so the query surface (`graft.queries`)
+  * contains only operators; feed-build cost showing up inside a
+  * streaming query's bench number is the one distortion this file
+  * can't remove (documented at the call sites).
   */
 object BenchFeeds {
 
@@ -35,16 +36,13 @@ object BenchFeeds {
   private val feedCleanup =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Write `df` as an 8-file doc_id-range-partitioned parquet feed
-    * under /tmp (pid-suffixed so concurrent runs never share; removed
-    * on JVM exit) for the streaming queries to read back a few files
-    * per trigger. Written once per (tag, data dir, JVM); `df` is
-    * by-name so a cached feed skips building the frame. The cache is
-    * gated on parquet's `_SUCCESS` marker, not the bare directory — a
-    * write that died partway leaves no marker and is redone (mode
-    * overwrite), never silently half-read. */
-  def feed(s: SparkSession, d: String, tag: String)(
-      df: => DataFrame): String = {
+  /** One /tmp parquet dir per (tag, data dir, JVM): pid-suffixed so
+    * concurrent runs never share, removed on JVM exit, rebuilt by
+    * `write` unless parquet's `_SUCCESS` marker is present (a write
+    * that died partway leaves no marker and is redone in overwrite
+    * mode — never silently half-read). */
+  private def cachedDir(d: String, tag: String)(
+      write: String => Unit): String = {
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
     val full = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
@@ -56,7 +54,17 @@ object BenchFeeds {
         Option(root.listFiles()).foreach(_.foreach(_.delete()))
         root.delete(); ()
       }))
-    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+    if (!new java.io.File(dir, "_SUCCESS").isFile) write(dir)
+    dir
+  }
+
+  /** Write `df` as an 8-file doc_id-range-partitioned parquet feed for
+    * the streaming queries to read back a few files per trigger.
+    * Written once per (tag, data dir, JVM); `df` is by-name so a
+    * cached feed skips building the frame. */
+  def feed(s: SparkSession, d: String, tag: String)(
+      df: => DataFrame): String =
+    cachedDir(d, tag) { dir =>
       val data = df
       data.repartitionByRange(8, col("doc_id"))
         .write.mode("overwrite").parquet(dir)
@@ -70,11 +78,17 @@ object BenchFeeds {
           s"$StreamHorizon watermark delay — late-file arrival could " +
           "evict streaming state mid-run")
     }
-    dir
-  }
 
   /** The `documents(doc_id, text)` table as a feed. */
   def docFeed(s: SparkSession, d: String): String =
     feed(s, d, "docfeed")(
       graft.Tables.load(s, d, "documents").select(col("doc_id"), col("text")))
+
+  /** Write `df` once per (tag, data dir, JVM) as plain parquet and
+    * return the directory — the storage leg for queries whose PATTERN
+    * is write-then-read-back (q96's persisted sketch partials). No
+    * feed-specific partitioning or span checks. */
+  def materialize(s: SparkSession, d: String, tag: String)(
+      df: => DataFrame): String =
+    cachedDir(d, tag)(dir => df.write.mode("overwrite").parquet(dir))
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted-sketch lake pattern for distinct counts: daily
+  * partitions materialize fixed-size HLL sketch binaries (Apache
+  * DataSketches, Spark's `hll_sketch_agg` family), and every coarser
+  * rollup — week, month, all-time, any key subset — is a cheap union
+  * over the stored partials. The raw rows are scanned ONCE, when the
+  * partials are built; incremental days append new partials without
+  * touching history.
+  *
+  * 100 TB posture: a partial is ≤ a few KB regardless of row count, so
+  * the partials table is O(keys × days) — queryable on a laptop even
+  * when the fact table is not. The sketches are byte-stable through
+  * parquet (SketchLakeSpec pins estimate equality before/after a
+  * storage round-trip), which is what makes the pattern safe: a rollup
+  * over re-read partials answers exactly what the in-plan union would.
+  *
+  * In-plan flavor (no storage leg) is q95; the persisted leg is q96.
+  */
+object SketchLake {
+
+  /** Per-(keyCols…, day) HLL partial sketches over `valueCol`. `tsCol`
+    * is truncated to a date — the standard daily-partition grain. */
+  def partials(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(keyCols.map(col) :+ to_date(col(tsCol)).as("day"): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+
+  /** Distinct-count rollup to `keyCols` by unioning stored partials —
+    * no raw-row rescan. `partials` may be freshly built or read back
+    * from parquet; the estimate is identical either way. */
+  def rollup(partials: DataFrame, keyCols: Seq[String]): DataFrame =
+    partials.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("apx_users")) // hll_sketch_estimate returns a LONG estimate
+}

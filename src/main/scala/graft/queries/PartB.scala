@@ -88,6 +88,43 @@ object PartB {
         .orderBy(col("event_type"))
     },
 
+    // ---- q95's point is that partials PERSIST: here the per-(type,
+    //      day) sketch binaries go through parquet and the rollup runs
+    //      over the re-read partials ([[graft.operators.SketchLake]]).
+    //      roundtrip_ok pins byte-stability — the union over persisted
+    //      partials estimates EXACTLY what the in-plan union does (the
+    //      stored sketch is the same bytes) — and merge_ok re-pins the
+    //      estimator's error contract against the exact count the
+    //      oracle recomputes from raw rows. ----
+    QueryDef.sql("q96_hll_persisted",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS roundtrip_ok, true AS merge_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.operators.SketchLake
+      val e = t(s, d, "events")
+        .select(col("event_type"), col("ts"), col("user_id"))
+      val dir = graft.bench.BenchFeeds.materialize(s, d, "hllparts")(
+        SketchLake.partials(e, Seq("event_type"), "ts", "user_id"))
+      val persisted = SketchLake.rollup(s.read.parquet(dir), Seq("event_type"))
+        .withColumnRenamed("apx_users", "disk_apx")
+      val inPlan = SketchLake.rollup(
+        SketchLake.partials(e, Seq("event_type"), "ts", "user_id"),
+        Seq("event_type"))
+        .withColumnRenamed("apx_users", "mem_apx")
+      val exact = e.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_users"))
+      persisted.join(inPlan, "event_type").join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (col("disk_apx") === col("mem_apx")).as("roundtrip_ok"),
+          (abs(col("disk_apx") - col("exact_users"))
+            <= lit(5 * 0.02) * col("exact_users")).as("merge_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- Map functions: build a column-map per row and detect
     //      present/absent keys — exactly how a consumer detects
     //      unchanged-TOAST columns in the CDC envelope (absent key ≠

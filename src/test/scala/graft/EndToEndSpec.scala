@@ -8,14 +8,22 @@ import graft.streaming.{CdcPipeline, InMemoryTxStore}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Ingest-stage row for the streaming dedup leg. */
+case class E2eDoc(ts: java.sql.Timestamp, doc_id: Long, lang: String,
+  text: String)
+
 /** The product's whole story in one test: a PostgreSQL logical-
   * replication feed of a documents table is captured through the DSv2
   * source and applied exactly-once (INSERT/UPDATE/DELETE), the live
-  * table state flows into the dedup operators (exact-dup collapse +
-  * MinHash-LSH near-dup pairs → connected components → keep-min-id
-  * prune), and the curated corpus lands as hive-partitioned parquet
-  * through CorpusSink. Every stage is asserted: applied state, the
-  * pruned survivor set, and the exported layout/content. */
+  * table state is re-ingested through the STREAMING exact dedup
+  * (StreamDedup.byContent — the way a real pipeline screens appends on
+  * the way in; the exact-dup copy arrives in a later micro-batch so
+  * the drop proves cross-batch state), the surviving corpus flows into
+  * the batch near-dup operators (MinHash-LSH pairs → connected
+  * components → keep-min-id prune), and the curated corpus lands as
+  * hive-partitioned parquet through CorpusSink. Every stage is
+  * asserted: applied state, the ingest-dedup survivor set, the pruned
+  * survivor set, and the exported layout/content. */
 class EndToEndSpec extends AnyFunSuite {
 
   private val docRel = R(7, "public", "docs", 'd', Seq(
@@ -71,19 +79,45 @@ class EndToEndSpec extends AnyFunSuite {
     assert(live.find(_._1 == 2L).exists(_._3 == base + " tail"),
       "UPDATE must have replaced doc 2's text")
 
-    // ---- stage 2: dedup (pairs → components → keep-min prune) -----------
-    val docs = live.toSeq.toDF("doc_id", "lang", "text")
+    // ---- stage 2: ingest-time exact dedup (streaming) -------------------
+    // the applied rows re-enter as an append stream; doc 4 (doc 3's
+    // exact copy) arrives in a LATER micro-batch, so its drop proves
+    // the dedup state carries across batches
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[E2eDoc]
+    val dq = graft.streaming.StreamRun.withStatePartitions(spark, 2) {
+      graft.streaming.StreamDedup.byContent(in.toDF(), "ts", "10 minutes")
+        .select("doc_id", "lang", "text")
+        .writeStream.format("memory").queryName("e2e_ingest_dedup")
+        .outputMode("append").start()
+    }
+    def t0(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+    val (b1, b2) = live.toSeq.sortBy(_._1).partition(_._1 <= 3)
+    in.addData(b1.map { case (id, lang, tx) => E2eDoc(t0(id.toInt), id, lang, tx) })
+    dq.processAllAvailable()
+    in.addData(b2.map { case (id, lang, tx) => E2eDoc(t0(id.toInt), id, lang, tx) })
+    dq.processAllAvailable()
+    val ingested = spark.table("e2e_ingest_dedup")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    dq.stop()
+    assert(ingested.map(_._1).toSet == Set(1L, 2L, 3L, 5L),
+      s"ingest dedup must drop exactly the cross-batch copy (doc 4): " +
+        s"${ingested.toSeq}")
+
+    // ---- stage 3: near-dup prune (pairs → components → keep-min) --------
+    val docs = ingested.toSeq.toDF("doc_id", "lang", "text")
     val pairs = graft.queries.Sketches.minHashPairs(docs, 0.8)
       .select(col("doc1"), col("doc2"))
     val cc = graft.operators.ConnectedComponents.run(pairs, "doc1", "doc2")
     val drop = cc.filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     val curated = docs.join(drop, Seq("doc_id"), "left_anti")
-    // clusters: {1,2} near-dup, {3,4} exact dup → survivors 1, 3, 5
+    // cluster {1,2} is a near-dup pair → survivors 1, 3, 5
     assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L, 5L), "prune must keep each cluster's min id + uniques")
 
-    // ---- stage 3: partitioned export ------------------------------------
+    // ---- stage 4: partitioned export ------------------------------------
     graft.sources.CorpusSink.write(curated, outDir,
       partitionCols = Seq("lang"), maxRecordsPerFile = 10,
       sortCols = Seq("doc_id"))

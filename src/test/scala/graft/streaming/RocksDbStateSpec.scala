@@ -94,6 +94,79 @@ class RocksDbStateSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark eviction SHRINKS RocksDB state (numRowsTotal drops)") {
+    // The 100 TB claim for the streaming operators is bounded state —
+    // which holds only if rows actually LEAVE the store once the
+    // watermark passes the horizon. Drive both TTL'd operators on the
+    // RocksDB provider and read the engine's own state metrics: the
+    // peak row count must drop after event time jumps past the horizon.
+    val spark = SparkTestSession.spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+      val p = q.lastProgress
+      assert(p != null && p.stateOperators.nonEmpty, "no state metrics yet")
+      p.stateOperators.map(_.numRowsTotal).sum
+    }
+
+    // ---- StreamDedup: one state row per distinct content ----------------
+    withCheckpointDir { ck =>
+      val in = MemoryStream[Doc]
+      val q = StreamDedup.byContent(in.toDF(), "ts", "10 minutes")
+        .select("doc_id", "text")
+        .writeStream.format("memory").queryName("rocks_evict_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      in.addData((1 to 20).map(i => Doc(ts(0), i.toLong, s"text $i body")): _*)
+      q.processAllAvailable()
+      val peak = stateRows(q)
+      assert(peak >= 20, s"expected >=20 dedup state rows, got $peak")
+      // jump event time far past the horizon; the next batches run with
+      // an advanced watermark and must expire every old content key
+      in.addData(Doc(ts(60), 100L, "far future a"))
+      q.processAllAvailable()
+      in.addData(Doc(ts(61), 101L, "far future b"))
+      q.processAllAvailable()
+      val after = stateRows(q)
+      assert(after < peak && after <= 3,
+        s"dedup state must shrink after the horizon: peak=$peak after=$after")
+      q.stop()
+    }
+
+    // ---- StreamNearDup: 32 band-bucket state rows per distinct doc ------
+    withCheckpointDir { ck =>
+      val in = MemoryStream[Doc]
+      val q = StreamNearDup.candidates(in.toDF(), "ts", "10 minutes")
+        .toDF()
+        .writeStream.format("memory").queryName("rocks_evict_neardup")
+        .outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      val mk = (seed: Char) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+      in.addData(Doc(ts(0), 1, mk('a')), Doc(ts(0), 2, mk('b')),
+        Doc(ts(1), 3, mk('c')))
+      q.processAllAvailable()
+      val peak = stateRows(q)
+      assert(peak >= 32, s"expected >=32 LSH bucket rows, got $peak")
+      in.addData(Doc(ts(60), 4, mk('d')))
+      q.processAllAvailable()
+      in.addData(Doc(ts(61), 5, mk('e')))
+      q.processAllAvailable()
+      val after = stateRows(q)
+      assert(after < peak && after <= 64,
+        s"LSH bucket state must shrink after the horizon: peak=$peak after=$after")
+      q.stop()
+    }
+  }
+
   test("Debounce (flatMapGroupsWithState) runs on RocksDB provider") {
     val spark = SparkTestSession.spark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
