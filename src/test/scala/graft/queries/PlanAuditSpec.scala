@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural audit of the scale-critical physical plans — the shapes
+  * past verdicts had to check by hand, pinned as tests so a regression
+  * fails loudly:
+  *
+  *  - q89/q40 (IVF): no FORCED broadcast of un-aggregated scan data.
+  *    The r7 scale-killer was an explicit `broadcast()` hint on an
+  *    O(N) query side — a hint overrides size statistics, so it stays
+  *    a broadcast at any scale. Every broadcast HINT in the plan must
+  *    sit on driver-local data (the k-row codebook) or above an
+  *    aggregation (radii / the per-query kb bound). Stats-driven
+  *    broadcasts are NOT flagged: the optimizer choosing to broadcast
+  *    a side that happens to be small at this sf is exactly the
+  *    size-adaptive behavior we want, and it disappears at scale.
+  *  - q39/q85 (embedding near-dup): no cartesian product node; the
+  *    pair join must go through the cluster-pair blocking.
+  *  - q04 (star join): the dimension legs actually broadcast.
+  *  - q02 (scan): predicates reach the parquet scan (PushedFilters).
+  *
+  * AQE is disabled for the audit session so the STATIC plan is
+  * inspected — runtime re-planning can only narrow these choices
+  * (e.g. swap a shuffle join to broadcast when a side is small).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  /** A broadcast-HINTED side is scale-safe when nothing corpus-sized
+    * can flow into it: either it reads no stored relation at all
+    * (driver-local codebook), or an aggregation sits between the scan
+    * and the join (k-row radii, one-row-per-query bounds). */
+  private def hintedSideSafe(
+      side: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val scans = side.collect { case l: LogicalRelation => l }
+    val aggs = side.collect { case a: Aggregate => a }
+    scans.isEmpty || aggs.nonEmpty
+  }
+
+  test("q89/q40 IVF plans force no broadcast of un-aggregated scan data") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    for (q <- Seq("q89_knn_classify", "q40_ann_ivf")) {
+      val lp = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val hintedJoins = lp.collect { case j: Join => j }
+      val bad = hintedJoins.flatMap { j =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+          case (Some(h), side)
+              if h.strategy.contains(BROADCAST) && !hintedSideSafe(side) =>
+            side
+        }
+      }
+      assert(bad.isEmpty,
+        s"$q: forced broadcast of un-aggregated scan data:\n${bad.mkString("\n")}")
+      // and the hints we DO rely on are present (codebook + radii legs)
+      assert(hintedJoins.exists(j =>
+        j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+          j.hint.rightHint.exists(_.strategy.contains(BROADCAST))),
+        s"$q: expected the codebook broadcast hints in the plan")
+    }
+  }
+
+  test("q39/q85 embedding near-dup plans contain no cartesian product") {
+    for (q <- Seq("q39_embed_neardup", "q85_semantic_dedup")) {
+      // q85's final one-row summary legitimately cross-joins two
+      // single-row aggregates; a cartesian is only a scale bug when a
+      // FILE SCAN feeds it un-aggregated
+      val bad = plan(q).collect {
+        case c: CartesianProductExec
+            if c.collect { case f: FileSourceScanExec => f }.nonEmpty &&
+              c.collect { case a: BaseAggregateExec => a }.isEmpty => c
+      }
+      assert(bad.isEmpty, s"$q: raw cartesian product in plan")
+    }
+  }
+
+  test("q04 star join broadcasts its dimension legs") {
+    val joins = plan("q04_region_revenue").collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.size >= 3,
+      s"expected the region/nation/customer/orders star to broadcast, " +
+        s"got ${joins.size} broadcast hash joins")
+  }
+
+  test("q02 predicates reach the parquet scan") {
+    val scans = plan("q02_filter_project").collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]"))
+    assert(pushed.exists(s => s.contains("GreaterThan") ||
+      s.contains("LessThan") || s.contains("IsNotNull")),
+      s"no predicates pushed to the scan: $pushed")
+    // column pruning: the scan must not read the full 16-column row
+    val readSchema = scans.head.schema.fieldNames.toSet
+    assert(readSchema.size <= 6,
+      s"scan reads more columns than the query needs: $readSchema")
+  }
+}
