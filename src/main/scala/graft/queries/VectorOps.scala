@@ -497,10 +497,13 @@ object VectorOps {
         .join(e.select(col("vec_id").as("cid"), col("label")), "cid")
         .groupBy(col("qid"), col("label"))
         .agg(count(lit(1)).as("votes"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
-      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("qid"), col("label").as("pred"), col("votes"))
+      // winner via one min_by aggregate instead of a window: the order
+      // key struct(−votes, label) is lexicographic, so its minimum IS
+      // "votes DESC, label ASC" — same tie-break, one less sort stage
+      votes.groupBy(col("qid"))
+        .agg(min_by(struct(col("label"), col("votes")),
+          struct(-col("votes"), col("label"))).as("m"))
+        .select(col("qid"), col("m.label").as("pred"), col("m.votes").as("votes"))
         .join(e.select(col("vec_id").as("qid"), col("label").as("actual")),
           "qid")
         .orderBy(col("qid"))
