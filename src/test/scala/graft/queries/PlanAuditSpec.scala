@@ -101,6 +101,33 @@ class PlanAuditSpec extends AnyFunSuite {
         s"got ${joins.size} broadcast hash joins")
   }
 
+  test("shuffle budgets: headline plans grow no extra exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // ceilings measured from the r9 plans (AQE off). Every groupBy /
+    // join / distinct / orderBy is an exchange; if a restructure adds
+    // one, this fails and the diff must justify the new shuffle. The
+    // single-digit numbers ARE the scale story: e.g. q01 is exactly
+    // partial-agg exchange + result sort; q35's 10 span the whole
+    // composed pipeline (dup-collapse, ONE bucket-keyed LSH posting
+    // shuffle, gram join-back verify, member expansion, result sort).
+    val budgets = Map(
+      "q01_pricing_summary" -> 2,
+      "q04_region_revenue" -> 2,
+      "q30_dedup_exact" -> 2,
+      "q31_ngram_jaccard" -> 4,
+      "q35_minhash_lsh" -> 10,
+      "q63_sequence_packing" -> 5,
+      "q77_dedup_prune" -> 5,
+      "q79_prefix_jaccard" -> 6,
+      "q87_span_dedup" -> 4,
+      "q91_containment_dup" -> 4)
+    for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
+      val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
+      assert(n <= budget,
+        s"$q: $n shuffle exchanges, budget $budget — a new shuffle crept in")
+    }
+  }
+
   test("q02 predicates reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: FileSourceScanExec => f
