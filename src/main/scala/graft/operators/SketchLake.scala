@@ -36,4 +36,29 @@ object SketchLake {
     partials.groupBy(keyCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
         .as("apx_users")) // hll_sketch_estimate returns a LONG estimate
+
+  /** Streaming leg: each micro-batch APPENDS its partial sketches to
+    * `dir`; [[rollup]] over the directory at any time answers running
+    * distinct counts without ever scanning the raw stream history.
+    *
+    * Delivery semantics make this safe with plain at-least-once
+    * appends: an HLL union is IDEMPOTENT over its inputs (unioning the
+    * same sketch twice is a no-op), so a micro-batch replayed after a
+    * failure appends duplicate partial rows that cannot move any
+    * rollup estimate — at-least-once storage yields exactly-correct
+    * counts, no transactional sink required (SketchLakeSpec pins
+    * this). The `batch_id` column exists for housekeeping/compaction,
+    * not correctness.
+    *
+    * Returns a `DataStreamWriter`; the caller sets its checkpoint and
+    * calls `start()`. */
+  def streamPartials(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        partials(batch, keyCols, tsCol, valueCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(dir)
+    }
 }

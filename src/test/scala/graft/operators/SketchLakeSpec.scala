@@ -6,6 +6,8 @@ import graft.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+case class SLEvent(ts: java.sql.Timestamp, event_type: String, user_id: Long)
+
 /** Pins the claims q96 rides on: HLL partials survive a parquet
   * round-trip byte-stably (union over re-read partials estimates
   * EXACTLY what the in-plan union does), the rollup genuinely scans
@@ -78,6 +80,53 @@ class SketchLakeSpec extends AnyFunSuite {
       val root = new java.io.File(dir)
       Option(root.listFiles()).foreach(_.foreach(_.delete()))
       root.delete(); ()
+    }
+  }
+
+  test("streaming partials: per-batch append; replayed batches cannot inflate") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("sketchstream").toString
+    val ck = Files.createTempDirectory("sketchstreamck").toString
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[SLEvent]
+      val q = SketchLake.streamPartials(in.toDF(), Seq("event_type"), "ts",
+          "user_id", dir)
+        .option("checkpointLocation", ck)
+        .start()
+      in.addData((0 until 40).map(u => SLEvent(ts(1), "click", u.toLong)))
+      q.processAllAvailable()
+      in.addData((20 until 60).map(u => SLEvent(ts(2), "click", u.toLong)))
+      q.processAllAvailable()
+      q.stop()
+
+      val stored = spark.read.parquet(dir)
+      assert(stored.select("batch_id").distinct().count() == 2,
+        "each micro-batch must have appended its own partials")
+      val est = SketchLake.rollup(stored, Seq("event_type"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 60 distinct users across the two (overlapping) batches
+      assert(math.abs(est("click") - 60) <= 6, s"estimate off: $est")
+
+      // at-least-once replay: append batch 0's partials AGAIN — the
+      // HLL union is idempotent, so the rollup must not move
+      stored.filter(col("batch_id") === 0)
+        .write.mode("append").parquet(dir)
+      val replayed = SketchLake.rollup(spark.read.parquet(dir),
+        Seq("event_type"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(replayed == est,
+        s"replayed partials must not change any estimate: $replayed vs $est")
+    } finally {
+      for (d <- Seq(dir, ck)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
     }
   }
 }
