@@ -58,26 +58,47 @@ object BenchFeeds {
     dir
   }
 
-  /** Write `df` as an 8-file doc_id-range-partitioned parquet feed for
-    * the streaming queries to read back a few files per trigger.
+  /** Write `df` as an 8-file `idCol`-range-partitioned parquet feed
+    * for the streaming queries to read back a few files per trigger.
     * Written once per (tag, data dir, JVM); `df` is by-name so a
-    * cached feed skips building the frame. */
-  def feed(s: SparkSession, d: String, tag: String)(
+    * cached feed skips building the frame. `checkSpan` guards the
+    * doc_id-synthesized-event-time queries (q93/q94) — pass false for
+    * feeds consumed without a watermark. */
+  def feed(s: SparkSession, d: String, tag: String,
+      idCol: String = "doc_id", checkSpan: Boolean = true)(
       df: => DataFrame): String =
     cachedDir(d, tag) { dir =>
       val data = df
-      data.repartitionByRange(8, col("doc_id"))
+      data.repartitionByRange(8, col(idCol))
         .write.mode("overwrite").parquet(dir)
       // guard the watermark math ONCE per feed build (pid-suffixed dir
       // ⟹ a cached feed was built — and checked — by this JVM)
-      val Array(span) = data
-        .agg((max(col("doc_id")) - min(col("doc_id"))).cast("long")).collect()
-        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
-      require(span < StreamHorizonSec,
-        s"feed $tag doc_id span $span s does not fit inside the " +
-          s"$StreamHorizon watermark delay — late-file arrival could " +
-          "evict streaming state mid-run")
+      if (checkSpan) {
+        val Array(span) = data
+          .agg((max(col(idCol)) - min(col(idCol))).cast("long")).collect()
+          .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+        require(span < StreamHorizonSec,
+          s"feed $tag $idCol span $span s does not fit inside the " +
+            s"$StreamHorizon watermark delay — late-file arrival could " +
+            "evict streaming state mid-run")
+      }
     }
+
+  /** A fresh, empty per-invocation scratch directory (pid + counter
+    * suffixed, removed on JVM exit) — for queries that APPEND during
+    * the run (q97's streaming partials) and must not see a previous
+    * invocation's output. */
+  def scratchDir(tag: String): String = {
+    val dir = s"/tmp/graft_${tag}_${ProcessHandle.current().pid()}" +
+      s"_${streamRuns.incrementAndGet()}"
+    if (feedCleanup.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val root = new java.io.File(dir)
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete(); ()
+      }))
+    dir
+  }
 
   /** The `documents(doc_id, text)` table as a feed. */
   def docFeed(s: SparkSession, d: String): String =

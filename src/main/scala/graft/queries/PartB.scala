@@ -125,6 +125,52 @@ object PartB {
         .orderBy(col("event_type"))
     },
 
+    // ---- The STREAMING leg of the sketch lake: the events table
+    //      replayed as a micro-batched stream, each batch APPENDING
+    //      its partial sketches to the partials directory
+    //      (SketchLake.streamPartials via foreachBatch), then one
+    //      rollup over the persisted partials answers per-type
+    //      distinct users. The estimate rides only through a bound
+    //      check (the estimator value is partial-granularity-specific;
+    //      the CONTRACT is what both engines agree on), so the
+    //      oracle-checked claim is: incrementally folded, persisted,
+    //      union-rolled-up counts land within the error bound of the
+    //      exact answer the oracle recomputes from raw rows. ----
+    QueryDef.sql("q97_stream_hll_lake",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS apx_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.operators.SketchLake
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "eventfeed",
+        idCol = "event_id", checkSpan = false)(
+        t(s, d, "events").select(col("event_id"), col("ts"),
+          col("event_type"), col("user_id")))
+      val partsDir = graft.bench.BenchFeeds.scratchDir("q97_parts")
+      val ckDir = graft.bench.BenchFeeds.scratchDir("q97_ck")
+      val stream = s.readStream
+        .schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feedDir)
+      val q = SketchLake.streamPartials(stream, Seq("event_type"), "ts",
+          "user_id", partsDir)
+        .option("checkpointLocation", ckDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val rolled = SketchLake.rollup(s.read.parquet(partsDir),
+        Seq("event_type"))
+      val exact = t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_users"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("apx_users") - col("exact_users"))
+            <= lit(5 * 0.02) * col("exact_users")).as("apx_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- Map functions: build a column-map per row and detect
     //      present/absent keys — exactly how a consumer detects
     //      unchanged-TOAST columns in the CDC envelope (absent key ≠
