@@ -24,7 +24,23 @@ object GraftFunctions {
     "pg_decode" -> (es => {
       require(es(1).foldable, "pg_decode oid must be a literal")
       PgDecode(es(0), es(1).eval().asInstanceOf[Number].intValue())
-    }))
+    }),
+    // Spark ships its bloom-filter pair only for internal runtime
+    // filters — surface both sides so a benchmark set can fold into a
+    // fixed-size filter and a collected filter can be embedded as a
+    // binary literal and probed map-side (q98's decontamination
+    // shape). Codegen'd like the rest of this file.
+    "bloom_filter_agg" -> (es => es.size match {
+      case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0))
+      case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1))
+      case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1), es(2))
+    }),
+    "might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

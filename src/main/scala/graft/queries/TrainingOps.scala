@@ -313,6 +313,56 @@ object TrainingOps {
         .orderBy(col("lang"))
     },
 
+    // ---- Bloom-filter decontamination — the 100 TB shape of q83's
+    //      exact pass. The benchmark set folds into a FIXED-SIZE bloom
+    //      filter (`bloom_filter_agg`, 8 KB here; ~12 MB for a 10M-item
+    //      benchmark) that probes the corpus MAP-SIDE via the
+    //      registered `might_contain` — no corpus-wide shuffle or join
+    //      against the benchmark table at all, the classic join-prune.
+    //      Bloom semantics make the contract checkable across engines
+    //      even though the bit array is engine-specific: NO FALSE
+    //      NEGATIVES (every truly contaminated doc is dropped —
+    //      all_contaminated_dropped) and a bounded false-positive
+    //      over-drop (fp_ok). The oracle recomputes the exact clean
+    //      count; the booleans are what both engines must agree on. ----
+    QueryDef.sql("q98_bloom_decontam",
+      """WITH bench AS (SELECT DISTINCT lower(trim(text)) AS bt
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |clean AS (SELECT doc_id FROM documents
+        |  WHERE lower(trim(text)) NOT IN (SELECT bt FROM bench))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 40 = 0) AS n_bench,
+        |  CAST(count(*) AS BIGINT) AS n_exact_clean,
+        |  true AS all_contaminated_dropped, true AS fp_ok
+        |FROM clean""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+      val norm = lower(trim(col("text")))
+      val bench = docs.filter(col("doc_id") % 40 === 0)
+      // driver state = the serialized filter (bounded by numBits, not
+      // by corpus size) — the same collect-tiny-state-then-embed
+      // pattern as the IVF codebook
+      val bloom = bench
+        .agg(expr("bloom_filter_agg(xxhash64(lower(trim(text))), 4096L, 65536L)"))
+        .head.getAs[Array[Byte]](0)
+      val kept = docs.filter(
+        !call_function("might_contain", lit(bloom), xxhash64(norm)))
+      val benchTexts = bench.select(norm.as("bt")).distinct()
+      val nBench = bench.agg(count(lit(1)).as("n_bench"))
+      val nExactClean = docs.join(benchTexts, norm === col("bt"), "left_anti")
+        .agg(count(lit(1)).as("n_exact_clean"))
+      val contamKept = kept.join(benchTexts, norm === col("bt"), "left_semi")
+        .agg(count(lit(1)).as("contam_kept"))
+      val nKept = kept.agg(count(lit(1)).as("n_bloom_kept"))
+      nBench.crossJoin(nExactClean).crossJoin(contamKept).crossJoin(nKept)
+        .select(col("n_bench"), col("n_exact_clean"),
+          (col("contam_kept") === 0).as("all_contaminated_dropped"),
+          (col("n_exact_clean") - col("n_bloom_kept")
+            <= greatest(lit(1), col("n_exact_clean") * lit(0.02)))
+            .as("fp_ok"))
+    },
+
     // ---- Per-source quota cap (domain balancing): keep at most N
     //      documents per source, chosen by the deterministic md5-
     //      bucket order (NOT arrival order — append-stable). The rank

@@ -33,7 +33,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "pg_decode" -> Seq(
         Literal.create(graft.codec.PgType.encode(graft.codec.PgType.Int8, 7L),
           BinaryType),
-        Literal.create(graft.codec.PgType.Int8, IntegerType)))
+        Literal.create(graft.codec.PgType.Int8, IntegerType)),
+      "bloom_filter_agg" -> Seq(Literal.create(7L, LongType)),
+      "might_contain" -> {
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(100)
+        bf.putLong(7L)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Seq(Literal.create(bos.toByteArray, BinaryType),
+          Literal.create(7L, LongType))
+      })
     assert(GraftFunctions.builders.map(_._1).toSet == sample.keySet,
       "builder list and test coverage must stay in sync")
     GraftFunctions.builders.foreach { case (name, b) =>
