@@ -587,5 +587,33 @@ object Sketches {
         count(lit(1)).as("n_unique"),
         sum(hash60(col("text")) % 1000000000L).cast("long")
           .as("content_hash_sum"))
+    },
+
+    // ---- Persisted-LSH-index screening (LshIndex): the corpus minus
+    //      every 10th doc is indexed as bucketed posting tables, then
+    //      the held-out batch is screened against the index — the
+    //      incremental "does this batch duplicate anything already
+    //      landed" primitive, no all-pairs over history. The oracle is
+    //      the EXACT cross-split Jaccard pair set at the same
+    //      threshold, so the green hash asserts the persisted index
+    //      loses no pair the exact join finds (banding recall + the
+    //      bucketed storage round-trip, both pinned at once). ----
+    QueryDef.sql("q99_lsh_index_screen",
+      s"""WITH $gramsCte,
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
+         |FROM e a JOIN e b ON a.g = b.g
+         |  AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.8
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val full = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val name = s"lshidx_$full" // per-data-dir name: reruns overwrite
+      LshIndex.build(docs.filter(col("doc_id") % 10 =!= 0), name)
+      LshIndex.screen(docs.filter(col("doc_id") % 10 === 0), name, 0.8)
+        .orderBy(col("doc1"), col("doc2"))
     })
 }
