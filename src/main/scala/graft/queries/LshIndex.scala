@@ -51,8 +51,20 @@ object LshIndex {
   }
 
   /** Build/overwrite the persisted index `name`: `<name>_postings`
-    * bucketed on the band key, `<name>_grams` bucketed on doc_id. */
+    * bucketed on the band key, `<name>_grams` bucketed on doc_id.
+    * Drops any prior table AND its warehouse location first — the
+    * session catalog is in-memory, so a location left by a previous
+    * JVM would otherwise block the managed-table create. */
   def build(corpus: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val s = corpus.sparkSession
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    for (t <- Seq(s"${name}_postings", s"${name}_grams")) {
+      s.sql(s"drop table if exists $t")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh, t))
+    }
     graft.Tables.bucketize(postings(corpus), s"${name}_postings", buckets,
       "band", "h1", "h2")
     graft.Tables.bucketize(Sketches.shingled(corpus), s"${name}_grams",

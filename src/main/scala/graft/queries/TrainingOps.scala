@@ -363,6 +363,45 @@ object TrainingOps {
             .as("fp_ok"))
     },
 
+    // ---- Deterministic training shuffle: every epoch/restart must
+    //      see the SAME seeded permutation (reproducible runs, stable
+    //      resume mid-epoch), so the order is md5(seed:doc_id) — no
+    //      RNG state, any engine recomputes it. The naive plan is one
+    //      global row_number = a single-partition sort, dead at scale;
+    //      the md5 key is UNIFORM, so its leading hex byte is a
+    //      deterministic, order-preserving range bucketing (hex string
+    //      order == bucket int order) and the global position is q63's
+    //      two-level prefix sum: within-bucket rank (partitioned
+    //      window) + prefix-summed bucket counts (≤256 rows)
+    //      broadcast back. Batch id then falls out arithmetically. ----
+    QueryDef.sql("q100_train_shuffle",
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST((pos - 1) // 32 AS BIGINT) AS batch
+        |FROM r ORDER BY pos""".stripMargin) { (s, d) =>
+      val BatchSize = 32
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("42:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("pid",
+          conv(substring(col("k"), 1, 2), 16, 10).cast("int"))
+      val wIn = Window.partitionBy(col("pid")).orderBy(col("k"), col("doc_id"))
+      val within = keyed.withColumn("rn", row_number().over(wIn).cast("long"))
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy(col("pid"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+        .select(col("pid"), col("offset"))
+      within.join(broadcast(offsets), "pid")
+        .select(col("doc_id"), (col("offset") + col("rn")).as("pos"))
+        .withColumn("batch", expr(s"(pos - 1) div $BatchSize"))
+        .orderBy(col("pos"))
+    },
+
     // ---- Per-source quota cap (domain balancing): keep at most N
     //      documents per source, chosen by the deterministic md5-
     //      bucket order (NOT arrival order — append-stable). The rank
