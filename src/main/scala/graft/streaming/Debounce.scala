@@ -19,7 +19,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * timeouts: state per key is the single pending UPDATE, flushed when
   * the interval elapses. State size is O(live keys), partitioned by
   * the shuffle on the key — the 100 TB shape for keyed state (RocksDB
-  * state store on a real cluster).
+  * state store on a real cluster). When live keys are far fewer than
+  * the session's batch shuffle width, size the state store by wrapping
+  * the query START in [[StreamRun.withStatePartitions]].
   */
 object Debounce {
 
