@@ -171,6 +171,29 @@ object PartB {
         .orderBy(col("event_type"))
     },
 
+    // ---- One-scan column profiling (operators/Profile): the ingest
+    //      data-quality gate. Every column's null count, exact
+    //      distinct count, min/max and an order-independent DECIMAL
+    //      sum come out of ONE aggregate over the table (the
+    //      count-distincts share a single Expand), then unpivot to a
+    //      row per column — profiling cost is the scan, output is
+    //      O(columns). ----
+    QueryDef.sql("q101_profile", {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  min($c) AS vmin, max($c) AS vmax,
+           |  CAST(sum(CAST($c AS DECIMAL(28,4))) AS DOUBLE) AS vsum
+           |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, d) =>
+      graft.operators.Profile.numeric(t(s, d, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .orderBy(col("col_name"))
+    },
+
     // ---- Map functions: build a column-map per row and detect
     //      present/absent keys — exactly how a consumer detects
     //      unchanged-TOAST columns in the CDC envelope (absent key ≠
