@@ -194,6 +194,69 @@ object PartB {
         .orderBy(col("col_name"))
     },
 
+    // ---- Quantile sketch lake ([[graft.operators.QuantileLake]]):
+    //      SketchLake's sibling for p50/p95 drift monitoring. Per-
+    //      (returnflag, ship-day) bottom-k-by-hash partials go through
+    //      parquet; the rollup merges the RE-READ partials. The sample
+    //      is a deterministic semilattice (bottom-k of a union ==
+    //      bottom-k of partial bottom-k's, any merge order), so
+    //      roundtrip_ok pins the disk rollup EXACTLY equal to the
+    //      in-plan one — the byte-stability KLL/t-digest could not
+    //      give. Estimates ride through rank checks: each estimated
+    //      quantile's exact straddle rank in the raw data must sit
+    //      within DKW ε of its probe (ok_* flags; deterministic, so
+    //      green once is green forever). The oracle recomputes the
+    //      exact group counts and expects every flag true. ----
+    QueryDef.sql("q102_quantile_lake",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  true AS roundtrip_ok,
+        |  true AS ok_p25, true AS ok_p50, true AS ok_p75, true AS ok_p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import graft.operators.QuantileLake
+      val probes = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+        "p95" -> 0.95)
+      val eps = 0.06 // DKW bound at k=1024 (see QuantileLake scaladoc)
+      val li = t(s, d, "lineitem")
+      val dir = graft.bench.BenchFeeds.materialize(s, d, "qlakeparts")(
+        QuantileLake.partials(li, Seq("l_returnflag"), "l_shipdate",
+          "l_extendedprice", Seq("l_orderkey", "l_linenumber")))
+      val disk = QuantileLake.rollup(s.read.parquet(dir),
+        Seq("l_returnflag"), probes)
+      val mem = QuantileLake.rollup(
+        QuantileLake.partials(li, Seq("l_returnflag"), "l_shipdate",
+          "l_extendedprice", Seq("l_orderkey", "l_linenumber")),
+        Seq("l_returnflag"), probes)
+        .select(col("l_returnflag") +:
+          probes.map { case (p, _) => col(p).as(s"mem_$p") }: _*)
+      // exact straddle ranks of the 4 estimates per flag, one raw scan:
+      // the 3×(1+4)-col estimate row broadcasts onto the scan, flags
+      // computed as conditional aggregates
+      val est = disk.join(mem, "l_returnflag")
+      val ranked = li.select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("v"))
+        .join(broadcast(est), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n_sample"))
+        .agg(count(lit(1)).as("n"), probes.flatMap { case (p, _) => Seq(
+          (sum(when(col("v") < col(p), 1L).otherwise(0L)) /
+            count(lit(1))).as(s"lo_$p"),
+          (sum(when(col("v") <= col(p), 1L).otherwise(0L)) /
+            count(lit(1))).as(s"hi_$p"),
+          first(col(p) === col(s"mem_$p")).as(s"rt_$p"))
+        }: _*)
+      // ok: the estimate's value straddles the probe rank within ε —
+      // count(v < est)/n ≤ q+ε and count(v ≤ est)/n ≥ q−ε (two-sided
+      // so ties, e.g. a discrete value mass at the quantile, pass
+      // exactly when a correct estimator should)
+      ranked.select(col("l_returnflag") +: col("n") +:
+          probes.map { case (p, _) => col(s"rt_$p") }
+            .reduce(_ && _).as("roundtrip_ok") +:
+          probes.map { case (p, q) =>
+            ((col(s"lo_$p") <= lit(q + eps)) &&
+              (col(s"hi_$p") >= lit(q - eps))).as(s"ok_$p") }: _*)
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- Map functions: build a column-map per row and detect
     //      present/absent keys — exactly how a consumer detects
     //      unchanged-TOAST columns in the CDC envelope (absent key ≠
