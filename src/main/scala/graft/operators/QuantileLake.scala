@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * those compact with randomized offsets and are merge-order-
   * sensitive, so a persisted rollup could not be pinned byte-stable
   * against an in-plan one (the property q102 checks). Merging also
-  * dedups on `(h, v)`, so at-least-once partial appends (a replayed
-  * micro-batch) cannot bias the sample — the same idempotence
+  * drops bit-identical partial rows first, so at-least-once partial
+  * appends (a replayed micro-batch re-writing the same deterministic
+  * sample) cannot bias the rollup — the same idempotence
   * [[SketchLake]] gets from HLL union.
   *
   * Error contract: a sample quantile from a uniform sample of size s
@@ -66,13 +67,18 @@ object QuantileLake {
     require(probes.nonEmpty && probes.forall { case (_, q) => q > 0 && q <= 1 },
       "probes must be (name, q] with 0 < q <= 1")
     graft.functions.GraftFunctions.register(partials.sparkSession)
-    // partials are ≤ k pairs each: the exploded set is O(partials × k),
-    // already sample-sized. dropDuplicates makes replayed appends a
-    // no-op; the re-aggregation is the semilattice merge.
-    val merged = partials
+    // Replay dedup happens at PARTIAL-ROW granularity: a replayed
+    // at-least-once append re-writes bit-identical rows (the sample is
+    // deterministic), so whole-row dropDuplicates on the partials
+    // table removes them — and distinct appends touching the same day
+    // cover disjoint ids, so surviving samples never share an (h, v).
+    // Deduping here instead of on the exploded pairs keeps the merge's
+    // shuffle bounded: after explode, top_k_min's map-side combine
+    // ships at most k pairs per key per partition, where a pair-level
+    // distinct would exchange every element at full width first.
+    val merged = partials.dropDuplicates()
       .select(keyCols.map(col) :+ explode(col("sample")).as("hv"): _*)
       .select(keyCols.map(col) :+ col("hv.h").as("h") :+ col("hv.v").as("v"): _*)
-      .dropDuplicates(keyCols ++ Seq("h", "v"))
       .groupBy(keyCols.map(col): _*)
       .agg(expr(s"top_k_min(struct(h, v), $k)").as("sample"))
     val vals = array_sort(expr("transform(sample, x -> x.v)"))
