@@ -90,4 +90,30 @@ object QuantileLake {
     }
     merged.select(keyCols.map(col) ++ Seq(s.as("n_sample")) ++ qCols: _*)
   }
+
+  /** Streaming leg, mirroring [[SketchLake.streamPartials]]: each
+    * micro-batch APPENDS its bottom-k partials to `dir`; [[rollup]]
+    * over the directory at any time answers running quantiles without
+    * rescanning stream history.
+    *
+    * At-least-once safety: a replayed micro-batch re-runs with the
+    * same batch id over the same rows, and the sample is a
+    * deterministic function of them — the replay appends bit-identical
+    * partial rows, which [[rollup]]'s whole-row dedup discards. Two
+    * DIFFERENT batches landing partials for the same day merge through
+    * the semilattice exactly as daily partials do (their ids are
+    * disjoint, so the union sample is unbiased).
+    *
+    * Returns a `DataStreamWriter`; the caller sets its checkpoint and
+    * calls `start()`. */
+  def streamPartials(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, idCols: Seq[String], dir: String,
+      k: Int = DefaultK)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        partials(batch, keyCols, tsCol, valueCol, idCols, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(dir)
+    }
 }

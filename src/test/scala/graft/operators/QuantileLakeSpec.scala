@@ -60,6 +60,56 @@ class QuantileLakeSpec extends AnyFunSuite {
     assert(once.sameElements(replayed))
   }
 
+  test("streaming partials: batches merge exactly; replayed batch is a no-op") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("qlakestream").toString
+    val ck = java.nio.file.Files.createTempDirectory("qlakestreamck").toString
+    def rmAll(): Unit = for (d <- Seq(dir, ck)) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+      val q = QuantileLake.streamPartials(
+          in.toDF().toDF("key", "ts", "id", "v"),
+          Seq("key"), "ts", "v", Seq("id"), dir, k = 128)
+        .option("checkpointLocation", ck)
+        .start()
+      // two batches, overlapping DAYS but disjoint ids (the streaming
+      // append shape); 600 rows > k so sampling is real
+      val all = (0 until 600).map(i =>
+        ("g", java.sql.Timestamp.valueOf(day(i)), i.toLong, (i * 31 % 503).toDouble))
+      in.addData(all.take(300)); q.processAllAvailable()
+      in.addData(all.drop(300)); q.processAllAvailable()
+      q.stop()
+
+      val stored = spark.read.parquet(dir)
+      assert(stored.select("batch_id").distinct().count() == 2)
+      val streamed = QuantileLake.rollup(stored, Seq("key"), probes,
+        k = 128).collect()
+      // semilattice: streamed partials == one flat batch build, exactly
+      val flat = QuantileLake.rollup(
+        QuantileLake.partials(all.toDF("key", "ts", "id", "v"),
+          Seq("key"), "ts", "v", Seq("id"), k = 128),
+        Seq("key"), probes, k = 128).collect()
+      assert(streamed.sameElements(flat),
+        s"streamed rollup must equal flat build: ${streamed.toSeq} vs ${flat.toSeq}")
+
+      // at-least-once replay: re-append batch 0's (bit-identical)
+      // partials — the whole-row dedup must make it a no-op
+      stored.filter(col("batch_id") === 0).write.mode("append").parquet(dir)
+      val replayed = QuantileLake.rollup(spark.read.parquet(dir),
+        Seq("key"), probes, k = 128).collect()
+      assert(replayed.sameElements(streamed))
+    } finally rmAll()
+  }
+
   test("group within k is sampled whole: exact order statistics") {
     val spark = SparkTestSession.spark
     import spark.implicits._
