@@ -142,4 +142,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(readSchema.size <= 6,
       s"scan reads more columns than the query needs: $readSchema")
   }
+
+  test("quantile-lake rollup: every exchange ships pre-combined data") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.QuantileLake
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val p = QuantileLake.rollup(
+      QuantileLake.partials(li, Seq("l_returnflag"), "l_shipdate",
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber")),
+      Seq("l_returnflag"), Seq("p50" -> 0.5, "p95" -> 0.95))
+      .queryExecution.executedPlan
+    val exchanges = p.collect { case s: ShuffleExchangeExec => s }
+    // partials agg + whole-row partial dedup + merge agg — the r9
+    // restructure's point was that the MERGE exchange carries at most
+    // k pairs per key per partition (top_k_min partial), not the full
+    // exploded pair stream; a pair-level distinct would add a fourth,
+    // full-width exchange
+    assert(exchanges.size <= 3,
+      s"rollup grew to ${exchanges.size} exchanges — a full-width " +
+        "pair shuffle crept back in")
+    for (ex <- exchanges) {
+      val combined = ex.child.collect { case a: BaseAggregateExec => a }
+      assert(combined.nonEmpty,
+        s"exchange ships un-combined rows:\n${ex.child.treeString}")
+    }
+  }
 }
