@@ -257,6 +257,70 @@ object PartB {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- The STREAMING leg of the quantile lake (q97's analog for
+    //      q102): events replayed as a micro-batched stream, each
+    //      batch APPENDING its bottom-k partials
+    //      (QuantileLake.streamPartials via foreachBatch), then one
+    //      rollup over the persisted partials answers per-type value
+    //      quantiles. Because the sample is a deterministic
+    //      semilattice, the oracle-checked claim is STRONGER than
+    //      q97's error bound: stream_eq_batch pins the streamed rollup
+    //      EXACTLY equal to a flat batch build over raw rows (batches
+    //      cover disjoint ids, so the merged sample is bit-identical),
+    //      and the ok_* flags re-pin the DKW rank contract against
+    //      exact straddle ranks. ----
+    QueryDef.sql("q103_stream_quantile_lake",
+      """SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+        |  true AS stream_eq_batch, true AS ok_p50, true AS ok_p95
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.operators.QuantileLake
+      val probes = Seq("p50" -> 0.5, "p95" -> 0.95)
+      val eps = 0.06 // DKW bound at k=1024 (see QuantileLake scaladoc)
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "eventvfeed",
+        idCol = "event_id", checkSpan = false)(ev)
+      val partsDir = graft.bench.BenchFeeds.scratchDir("q103_parts")
+      val ckDir = graft.bench.BenchFeeds.scratchDir("q103_ck")
+      val stream = s.readStream
+        .schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feedDir)
+      val q = QuantileLake.streamPartials(stream, Seq("event_type"), "ts",
+          "value", Seq("event_id"), partsDir)
+        .option("checkpointLocation", ckDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = QuantileLake.rollup(s.read.parquet(partsDir),
+        Seq("event_type"), probes)
+      val batch = QuantileLake.rollup(
+        QuantileLake.partials(ev, Seq("event_type"), "ts", "value",
+          Seq("event_id")),
+        Seq("event_type"), probes)
+        .select(col("event_type") +:
+          probes.map { case (p, _) => col(p).as(s"b_$p") }: _*)
+      val est = streamed.join(batch, "event_type")
+      val ranked = ev.filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").as("v"))
+        .join(broadcast(est), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), probes.flatMap { case (p, _) => Seq(
+          (sum(when(col("v") < col(p), 1L).otherwise(0L)) /
+            count(lit(1))).as(s"lo_$p"),
+          (sum(when(col("v") <= col(p), 1L).otherwise(0L)) /
+            count(lit(1))).as(s"hi_$p"),
+          first(col(p) === col(s"b_$p")).as(s"eq_$p"))
+        }: _*)
+      ranked.select(col("event_type") +: col("n") +:
+          probes.map { case (p, _) => col(s"eq_$p") }
+            .reduce(_ && _).as("stream_eq_batch") +:
+          probes.map { case (p, q0) =>
+            ((col(s"lo_$p") <= lit(q0 + eps)) &&
+              (col(s"hi_$p") >= lit(q0 - eps))).as(s"ok_$p") }: _*)
+        .orderBy(col("event_type"))
+    },
+
     // ---- Map functions: build a column-map per row and detect
     //      present/absent keys — exactly how a consumer detects
     //      unchanged-TOAST columns in the CDC envelope (absent key ≠
