@@ -9,6 +9,23 @@ import org.apache.spark.sql.SparkSession
   * JVM/codegen startup so per-query numbers are comparable across rounds.
   */
 object Bench {
+  /** Aggregate (busy, steal) jiffies from `/proc/stat`'s first line —
+    * busy = user+system across all CPUs, steal = time the hypervisor
+    * ran somebody else's VM while ours was runnable. A run-level steal
+    * delta makes host contention visible inside the bench record
+    * itself: rounds 6-9 each saw 1.3-2.5x drift on identical code, and
+    * proving it was co-tenant load (not a regression) took a
+    * same-HEAD A/B every time. None on non-Linux / unreadable.
+    */
+  private def cpuTicks(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (f(0) + f(2), if (f.length > 7) f(7) else 0L)
+      } finally src.close()
+    } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,6 +68,8 @@ object Bench {
     // Warmup: JIT/codegen/classloading + OS page cache for lineitem.
     exec("q01_pricing_summary")
 
+    val ticks0 = cpuTicks()
+
     // Optional args: run only the named queries (iteration aid).
     val names = if (args.nonEmpty) args.toSeq.sorted
                 else SparkEntry.queries.keys.toSeq.sorted
@@ -82,8 +101,17 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // steal share of the machine's busy time over the measured window;
+    // >2-3% means the numbers are contaminated by co-tenant VMs and a
+    // slowdown vs a prior record is suspect before any code is blamed
+    val host = (for ((b0, s0) <- ticks0; (b1, s1) <- cpuTicks()) yield {
+      val (busy, steal) = (b1 - b0, s1 - s0)
+      val pct = if (busy + steal > 0)
+        math.round(10000.0 * steal / (busy + steal)) / 100.0 else 0.0
+      s""","host":{"busy_ticks":$busy,"steal_ticks":$steal,"steal_pct":$pct}"""
+    }).getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$host}"""
     println(json)
     // Also persist the complete per-query record in the repo: the
     // driver's captured stdout tail truncates past ~60 queries, which
