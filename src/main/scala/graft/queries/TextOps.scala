@@ -655,5 +655,92 @@ object TextOps {
         .select(col("doc1"), col("doc2"),
           round(col("c") / least(col("sz1"), col("sz2")), 6).as("containment"))
         .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // ---- PII scrub: the C4/CCNet-style redaction stage every
+    //      training-data pipeline runs before release. Detection and
+    //      masking are row-local codegen'd regexp built-ins — zero
+    //      shuffles, perfect column pruning, linear at 100 TB (the
+    //      plan is Scan -> Project, nothing else). Patterns stay in
+    //      the RE2-compatible subset so the DuckDB oracle checks the
+    //      exact masked strings, not just counts. The synthetic
+    //      tables carry no PII-shaped tokens, so the fixture leg
+    //      derives deterministic phone/email strings from c_custkey
+    //      arithmetic (same construction on both sides — what the
+    //      oracle verifies is the detect/mask semantics), with
+    //      key-varied optional segments exercising the zero-match
+    //      and multi-match paths. ----
+    QueryDef.sql("q104_pii_redact",
+      """WITH tk AS (SELECT c_custkey AS custkey,
+        |  'Account ' || c_name || ' (' || c_mktsegment || ')'
+        |   || CASE WHEN c_custkey % 3 = 0 THEN ' Reach me: '
+        |        || lower(replace(c_name, '#', '.')) || '@corp.example.com'
+        |      ELSE ' no direct mail' END
+        |   || CASE WHEN c_custkey % 2 = 0 THEN ' or call '
+        |        || CAST(10 + c_custkey % 80 AS VARCHAR) || '-'
+        |        || CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-'
+        |        || CAST(100 + (c_custkey * 13) % 900 AS VARCHAR) || '-'
+        |        || CAST(1000 + (c_custkey * 31) % 9000 AS VARCHAR)
+        |      ELSE '' END
+        |   || CASE WHEN c_custkey % 10 = 0 THEN ' backup '
+        |        || CAST(10 + c_custkey % 73 AS VARCHAR) || '-'
+        |        || CAST(100 + (c_custkey * 11) % 900 AS VARCHAR) || '-'
+        |        || CAST(100 + (c_custkey * 17) % 900 AS VARCHAR) || '-'
+        |        || CAST(1000 + (c_custkey * 37) % 9000 AS VARCHAR)
+        |      ELSE '' END AS txt FROM customer)
+        |SELECT custkey,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM tk ORDER BY custkey""".stripMargin) { (s, d) =>
+      val k = col("c_custkey")
+      def phone(m1: Int, m2: Int, m3: Int, m4: Int) = concat(
+        (lit(10) + k % m1).cast("string"), lit("-"),
+        (lit(100) + (k * m2) % 900).cast("string"), lit("-"),
+        (lit(100) + (k * m3) % 900).cast("string"), lit("-"),
+        (lit(1000) + (k * m4) % 9000).cast("string"))
+      val txt = concat(
+        lit("Account "), col("c_name"),
+        lit(" ("), col("c_mktsegment"), lit(")"),
+        when(k % 3 === 0,
+          concat(lit(" Reach me: "),
+            lower(replace(col("c_name"), lit("#"), lit("."))),
+            lit("@corp.example.com"))).otherwise(lit(" no direct mail")),
+        when(k % 2 === 0,
+          concat(lit(" or call "), phone(80, 7, 13, 31))).otherwise(lit("")),
+        when(k % 10 === 0,
+          concat(lit(" backup "), phone(73, 11, 17, 37))).otherwise(lit("")))
+      piiScrub(
+        t(s, d, "customer")
+          .select(col("c_custkey").as("custkey"), txt.as("txt")), "txt")
+        .select(col("custkey"), col("n_emails"), col("n_phones"),
+          col("redacted"))
+        .orderBy(col("custkey"))
     })
+
+  /** RE2-compatible subset (works identically under Java regex and
+    * RE2-style engines): email addresses and NANP-style dashed phone
+    * numbers as emitted by the TPC-H generator (`dd-ddd-ddd-dddd`).
+    */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PhoneRe = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII detect + mask over `textCol`: appends match counts per
+    * pattern family and the masked text. Row-local projection only —
+    * no shuffle, codegen'd `regexp_count`/`regexp_replace` — so it
+    * composes into any pipeline stage at full scan speed.
+    */
+  def piiScrub(df: org.apache.spark.sql.DataFrame,
+               textCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
 }
