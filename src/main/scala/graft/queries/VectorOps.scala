@@ -14,12 +14,13 @@ import org.apache.spark.sql.expressions.Window
   * The per-pair kernel is [[graft.functions.CosineSimilarity]], a
   * codegen'd Catalyst expression — no UDF serialization.
   *
-  * 100 TB design: centroids are a k-means codebook computed with a few
-  * distributed agg rounds (tiny driver state: k×dim floats), then
-  * broadcast INTO the row expressions — bucket assignment and probe
-  * selection are pure map-side projections (zero shuffle; the r2
-  * verdict's q40 fix), so the only wide exchanges are the bucket-keyed
-  * candidate joins whose fan-in the codebook bounds.
+  * 100 TB design: centroids are a k-means codebook fit on a bounded
+  * 256·k hash sample (one distributed top-k action; tiny driver
+  * state: k×dim floats), then broadcast INTO the row expressions —
+  * bucket assignment and probe selection are pure map-side
+  * projections (zero shuffle; the r2 verdict's q40 fix), so the only
+  * wide exchanges are the bucket-keyed candidate joins whose fan-in
+  * the codebook bounds.
   */
 object VectorOps {
 
@@ -29,30 +30,66 @@ object VectorOps {
 
   // ------------------------------------------------------------- k-means
 
-  /** Deterministic k-means codebook: init = the k lowest vec_ids,
-    * fixed iteration count, mean-update via a (bucket, dim) partial+
-    * final aggregate. Driver state is k×dim — broadcastable at any
-    * corpus size. */
+  /** Deterministic k-means codebook fit on a BOUNDED sample — the
+    * standard IVF practice (FAISS trains codebooks on ~256·k vectors
+    * regardless of corpus size): ONE distributed action pulls the
+    * bottom-256·k rows by `xxhash64(vec_id)` (TakeOrderedAndProject —
+    * per-partition top-k, no global sort), then Lloyd iterations run
+    * driver-side on the sample (k·dim state, ≤ 256·k·dim·iters flops —
+    * microseconds). Replaces the earlier full-corpus distributed fit,
+    * whose cost per iteration was a 64× `posexplode` + (bucket, dim)
+    * shuffle + collect over the WHOLE corpus — the wrong shape at
+    * 100 TB and the dominant fixed cost of every IVF query locally
+    * (q89's r8 bench miss). Losslessness is unchanged: the
+    * bound-pruned search ([[ivfTopK]], [[cosinePairsExact]]) is EXACT
+    * for ANY codebook, so sampling trades pruning quality only, and a
+    * 256·k hash-spread sample pins cluster shape as well as the full
+    * corpus does. Deterministic end to end: hash sample + fixed init
+    * (k lowest vec_ids in the sample) + fixed iteration order in
+    * IEEE-754 double. */
   def kmeans(spark: SparkSession, corpus: DataFrame, k: Int,
       iters: Int): Seq[(Int, Seq[Float])] = {
-    var centroids: Seq[(Int, Seq[Float])] = corpus
-      .orderBy(col("vec_id")).limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](r.fieldIndex("embedding")) }
-      .toSeq
+    val sample: Array[(Long, Array[Double])] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(256 * k)
+      .collect()
+      .map { r =>
+        (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(_.toDouble))
+      }
+      .sortBy(_._1)
+    val dim = sample.head._2.length
+    var centroids: Array[Array[Double]] = sample.take(k).map(_._2.clone())
     for (_ <- 0 until iters) {
-      val assigned = corpus.withColumn("bucket", assignExpr(centroids))
-      val means = assigned
-        .select(col("bucket"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("bucket"), col("dim"))
-        .agg(avg(col("v")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .view.mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq)
-        .toMap
-      centroids = centroids.map { case (i, old) => i -> means.getOrElse(i, old) }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      val cn = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+      for ((_, v) <- sample) {
+        val vn = math.sqrt(v.map(x => x * x).sum)
+        var best = 0
+        var bestCs = Double.NegativeInfinity
+        var i = 0
+        while (i < centroids.length) {
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += v(d) * centroids(i)(d); d += 1 }
+          val cs = if (vn == 0.0 || cn(i) == 0.0) 0.0 else dot / (vn * cn(i))
+          if (cs > bestCs) { bestCs = cs; best = i } // ties → lower id
+          i += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(centroids.length) { i =>
+        if (counts(i) == 0) centroids(i) // empty cluster keeps its seat
+        else sums(i).map(_ / counts(i))
+      }
     }
-    centroids
+    centroids.toSeq.zipWithIndex.map { case (c, i) =>
+      i -> c.map(_.toFloat).toSeq
+    }
   }
 
   /** One centroid as ONE array literal node. The earlier SQL-string
@@ -138,10 +175,9 @@ object VectorOps {
       nCentroids: Int, k: Int, persistAssignment: Boolean = false): DataFrame = {
     // iters=2: the bound-pruned search is EXACT for ANY codebook (the
     // triangle-inequality bound holds whatever the centroids), so
-    // iteration count trades fit cost against pruning quality only —
-    // 2 rounds already separate the test corpus's clusters, and each
-    // extra round is a full scan + a fresh centroid-literal codegen
-    // compile in every downstream assignment.
+    // iteration count trades pruning quality only — 2 driver-side
+    // rounds on the kmeans sample already separate the test corpus's
+    // clusters.
     val cents = kmeans(spark, corpus, nCentroids, iters = 2)
     val assigned = {
       val a = corpus
@@ -224,8 +260,7 @@ object VectorOps {
       nClusters: Int): DataFrame = {
     // iters=2 for the same reason as ivfTopK: the radius bound makes
     // the blocking lossless for ANY codebook, so iterations only buy
-    // pruning quality — and each costs a scan + a fresh
-    // centroid-literal codegen compile downstream.
+    // pruning quality.
     val cents = kmeans(spark, vecs, nClusters, iters = 2)
     val dCap = math.sqrt(2.0 - 2.0 * minCos)
     def dist(c: Column): Column = sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * c))
