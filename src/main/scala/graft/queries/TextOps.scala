@@ -38,6 +38,30 @@ object TextOps {
     * generation (bounded join fan-out at any corpus size). */
   final val MaxGramDf = 64
 
+  /** q33's quality columns — factored so q105's survivor pick scores
+    * with the IDENTICAL formula (any drift would break both oracles).
+    * The weighted sum is an exact 5-dp value, so .xxxx5 HALF_UP ties
+    * at 4 dp must be decided in decimal on both engines (double
+    * rounding diverges); decimal(18,6) recovers the exact value. */
+  private def qualityScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = graft.Tables.wide(docs)
+      .select(col("doc_id"), col("text"), col("n_chars"), toks.as("toks"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          / greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"),
+        hitsExpr(enWords).as("stop_hits"))
+    m.withColumn("stop_ratio",
+        round(col("stop_hits") / greatest(col("n_tokens"), lit(1)), 4))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("alpha_ratio"),
+        col("stop_ratio"),
+        round((lit(0.5) * col("alpha_ratio") + lit(0.3) * (lit(1) - col("stop_ratio"))
+          + lit(0.2) * least(col("n_tokens") / lit(200.0), lit(1.0)))
+          .cast("decimal(18,6)"), 4).cast("double")
+          .as("quality_score"))
+  }
+
   /** Inverted-index Jaccard join via per-gram posting lists.
     *
     * One shuffle keyed on the gram builds posting lists; pair
@@ -265,25 +289,7 @@ object TextOps {
          |  CAST(round(CAST(0.5 * alpha_ratio + 0.3 * (1 - stop_ratio)
          |    + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4) AS DOUBLE) AS quality_score
          |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val m = graft.Tables.wide(t(s, d, "documents"))
-        .select(col("doc_id"), col("text"), col("n_chars"), toks.as("toks"))
-        .select(col("doc_id"), col("n_chars"),
-          size(col("toks")).as("n_tokens"),
-          round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-            / greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"),
-          hitsExpr(enWords).as("stop_hits"))
-      m.withColumn("stop_ratio",
-          round(col("stop_hits") / greatest(col("n_tokens"), lit(1)), 4))
-        // The weighted sum is an exact 5-dp value, so .xxxx5 HALF_UP ties
-        // at 4 dp must be decided in decimal on both engines (double
-        // rounding diverges); decimal(18,6) recovers the exact value.
-        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("alpha_ratio"),
-          col("stop_ratio"),
-          round((lit(0.5) * col("alpha_ratio") + lit(0.3) * (lit(1) - col("stop_ratio"))
-            + lit(0.2) * least(col("n_tokens") / lit(200.0), lit(1.0)))
-            .cast("decimal(18,6)"), 4).cast("double")
-            .as("quality_score"))
-        .orderBy(col("doc_id"))
+      qualityScored(t(s, d, "documents")).orderBy(col("doc_id"))
     },
 
     // ---- Token counting: whitespace + BPE-ish regex pieces. ----
@@ -721,6 +727,72 @@ object TextOps {
         .select(col("custkey"), col("n_emails"), col("n_phones"),
           col("redacted"))
         .orderBy(col("custkey"))
+    },
+
+    // ---- Quality-aware near-dup survivor selection: q77 keeps each
+    //      cluster's min doc_id; production corpus builds keep the
+    //      BEST copy (highest q33 quality score, doc_id tie-break).
+    //      Same lake shape as q77 — prefix-join pairs, large-star/
+    //      small-star clusters — plus one join of the (tiny) cluster
+    //      membership against per-doc quality, and a per-cluster
+    //      max(struct) argmax with map-side combine: no window sort,
+    //      no extra corpus-wide shuffle. Oracle recomputes clusters by
+    //      recursive transitive closure and picks survivors with a
+    //      quality-ranked row_number — an independent formulation of
+    //      both halves. ----
+    QueryDef.sql("q105_quality_dedup",
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, text, n_chars,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |walk(node, comp) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e2.v, w.comp FROM walk w JOIN edges e2 ON e2.u = w.node
+         |  WHERE w.comp < e2.v),
+         |cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+         |m AS (SELECT doc_id, n_chars,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      / greatest(length(text), 1), 4) AS alpha_ratio,
+         |    ${hitsSqlDuck(enWords)} AS stop_hits
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |    CAST(round(CAST(0.5 * alpha_ratio
+         |      + 0.3 * (1 - round(stop_hits / greatest(n_tokens, 1), 4))
+         |      + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4)
+         |      AS DOUBLE) AS quality_score
+         |  FROM m),
+         |r AS (SELECT cc.comp AS cluster, cc.node, q.quality_score,
+         |    row_number() OVER (PARTITION BY cc.comp
+         |      ORDER BY q.quality_score DESC, cc.node ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cc.comp) AS n_members
+         |  FROM cc JOIN q ON cc.node = q.doc_id)
+         |SELECT cluster, node AS survivor,
+         |  CAST(n_members AS BIGINT) AS n_members, quality_score AS quality
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = prefixJaccardPairs(Sketches.shingled(docs), 3, 10)
+        .select(col("doc1"), col("doc2"))
+      val cc = graft.operators.ConnectedComponents.run(pairs, "doc1", "doc2")
+      val q = qualityScored(docs)
+        .select(col("doc_id").as("node"), col("quality_score"))
+      cc.join(q, Seq("node"))
+        .groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality_score").as("q"),
+            (-col("node")).as("negid"))).as("win"))
+        .select(col("cluster"), (-col("win.negid")).cast("long").as("survivor"),
+          col("n_members"), col("win.q").as("quality"))
+        .orderBy(col("cluster"))
     })
 
   /** RE2-compatible subset (works identically under Java regex and
