@@ -542,5 +542,67 @@ object VectorOps {
         .join(e.select(col("vec_id").as("qid"), col("label").as("actual")),
           "qid")
         .orderBy(col("qid"))
+    },
+
+    // ---- Per-class embedding diversity WITHOUT the pair join: for
+    //      unit vectors, ‖Σx̂‖² = n + 2·Σ_{i<j} cos(x̂ᵢ,x̂ⱼ), so the
+    //      mean pairwise cosine of a class is (‖Σx̂‖² − n)/(n(n−1))
+    //      and the centroid norm ‖Σx̂‖/n — both from ONE vector sum.
+    //      The naive formulation is an O(N²) self-join; this is a
+    //      linear scan + a (label, dim)-keyed partial aggregate whose
+    //      post-combine width is labels×dim rows, flat at any corpus
+    //      size. The oracle IS the naive O(N²) pair join — the green
+    //      hash proves the identity-based rewrite exact (to the 4-dp
+    //      round) against the formulation it replaces. Training-data
+    //      use: a class/source whose mean pairwise cosine spikes is
+    //      collapsing to near-duplicates; one whose centroid norm ≈ 0
+    //      is isotropic noise. ----
+    QueryDef.sql("q106_embed_diversity",
+      """WITH v AS (SELECT label, vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x / sqrt(list_sum(list_transform(
+        |        CAST(embedding AS DOUBLE[]), y -> y * y)))) AS xh
+        |  FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    y -> y * y)) > 0),
+        |p AS (SELECT a.label, list_cosine_similarity(a.xh, b.xh) AS cs
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM v GROUP BY label),
+        |s AS (SELECT label, sum(cs) AS sumcos,
+        |    CAST(count(*) AS BIGINT) AS npairs FROM p GROUP BY label)
+        |SELECT n.label, n.n_vecs,
+        |  round(s.sumcos / s.npairs, 4) + 0 AS mean_pair_cos,
+        |  round(sqrt(n.n_vecs + 2 * s.sumcos) / n.n_vecs, 4) + 0 AS centroid_norm
+        |FROM n JOIN s USING (label) ORDER BY label""".stripMargin) { (s, d) =>
+      val xh = t(s, d, "embeddings")
+        .select(col("label"), col("embedding"))
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (a, x) => a + x * x)))
+        .filter(col("nrm") > 0)
+        .select(col("label"),
+          transform(col("embedding"), x => x.cast("double") / col("nrm"))
+            .as("xh"))
+      val n = xh.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+        .filter(col("n_vecs") >= 2)
+      val s2 = xh
+        .select(col("label"), posexplode(col("xh")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(sum(col("m") * col("m")).as("s2"))
+      // `+ 0` on both engines: a class whose true mean cosine is a
+      // hair below zero rounds to IEEE −0.0 under DuckDB's round but
+      // +0.0 under Spark's HALF_UP — adding +0.0 canonicalizes the
+      // zero sign (x + 0.0 is the identity for every other value)
+      n.join(s2, Seq("label"))
+        .select(col("label"), col("n_vecs"),
+          (round((col("s2") - col("n_vecs"))
+            / (col("n_vecs") * (col("n_vecs") - 1)), 4) + lit(0))
+            .as("mean_pair_cos"),
+          (round(sqrt(col("s2")) / col("n_vecs"), 4) + lit(0))
+            .as("centroid_norm"))
+        .orderBy(col("label"))
     })
 }
