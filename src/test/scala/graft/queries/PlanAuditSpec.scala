@@ -110,6 +110,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // partial-agg exchange + result sort; q35's 10 span the whole
     // composed pipeline (dup-collapse, ONE bucket-keyed LSH posting
     // shuffle, gram join-back verify, member expansion, result sort).
+    // q104's single exchange is the result sort (the scrub itself is
+    // shuffle-free, PiiScrubSpec); q105 = cluster∘quality join + argmax
+    // agg + sort on top of the checkpointed CC labels; q106 = the
+    // (label, dim) partial-sum pair + per-label count + result sort.
     val budgets = Map(
       "q01_pricing_summary" -> 2,
       "q04_region_revenue" -> 2,
@@ -120,7 +124,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q77_dedup_prune" -> 5,
       "q79_prefix_jaccard" -> 6,
       "q87_span_dedup" -> 4,
-      "q91_containment_dup" -> 4)
+      "q91_containment_dup" -> 4,
+      "q104_pii_redact" -> 1,
+      "q105_quality_dedup" -> 4,
+      "q106_embed_diversity" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
