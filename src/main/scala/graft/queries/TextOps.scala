@@ -793,6 +793,53 @@ object TextOps {
         .select(col("cluster"), (-col("win.negid")).cast("long").as("survivor"),
           col("n_members"), col("win.q").as("quality"))
         .orderBy(col("cluster"))
+    },
+
+    // ---- Cross-source duplication matrix: which sources copy which —
+    //      the curation report that decides what to drop or down-weight
+    //      when corpora overlap (e.g. two crawls of the same sites).
+    //      The pair set is the audited exact prefix join; attaching
+    //      sources is two doc_id-keyed joins of the (tiny) pair set
+    //      against the corpus, and the matrix aggregate is
+    //      sources²-bounded. sum_jaccard is summed as DECIMAL(18,6) of
+    //      the already-6-dp pair values — exact on both engines, so
+    //      the hash compare is bit-deterministic with no
+    //      rounding-boundary coin flips (a mean would divide and
+    //      re-round). ----
+    QueryDef.sql("q107_source_dup_matrix",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |    round(count(*) / (a.sz + b.sz - count(*)), 6) AS j
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3),
+        |s AS (SELECT p.j,
+        |    least(d1.source, d2.source) AS src1,
+        |    greatest(d1.source, d2.source) AS src2
+        |  FROM pairs p
+        |  JOIN documents d1 ON d1.doc_id = p.doc1
+        |  JOIN documents d2 ON d2.doc_id = p.doc2)
+        |SELECT src1, src2, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CAST(j AS DECIMAL(18,6))) AS DOUBLE) AS sum_jaccard
+        |FROM s GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val srcs = docs.select(col("doc_id"), col("source"))
+      prefixJaccardPairs(Sketches.shingled(docs), 3, 10)
+        .join(srcs.select(col("doc_id").as("doc1"), col("source").as("sa")),
+          Seq("doc1"))
+        .join(srcs.select(col("doc_id").as("doc2"), col("source").as("sb")),
+          Seq("doc2"))
+        .groupBy(least(col("sa"), col("sb")).as("src1"),
+          greatest(col("sa"), col("sb")).as("src2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jaccard").cast("decimal(18,6)")).cast("double")
+            .as("sum_jaccard"))
+        .orderBy(col("src1"), col("src2"))
     })
 
   /** RE2-compatible subset (works identically under Java regex and
