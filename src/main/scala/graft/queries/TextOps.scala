@@ -840,7 +840,67 @@ object TextOps {
           sum(col("jaccard").cast("decimal(18,6)")).cast("double")
             .as("sum_jaccard"))
         .orderBy(col("src1"), col("src2"))
+    },
+
+    // ---- Normalization-based dedup: exact dedup is brittle to
+    //      case / whitespace / trailing-punctuation noise, so corpus
+    //      builds canonicalize first (C4 normalizes before its
+    //      three-sentence dedup). normalizeText is a row-local
+    //      codegen'd projection; the dedup itself is q30's hash
+    //      groupBy on the canonical key. The synthetic corpus is
+    //      already clean, so the fixture leg injects noisy variants
+    //      (uppercase, doubled spaces, trailing bangs — same
+    //      key-derived construction on both sides) for every fourth
+    //      doc; the oracle then verifies the canonicalization
+    //      semantics: each noisy variant must land in its original's
+    //      group, nothing else merges. ----
+    QueryDef.sql("q108_norm_dedup",
+      """WITH noisy AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    upper(replace(text, ' ', '  ')) || '!!!'
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(trim(text)), '[!.,;:?]+$', ''),
+        |      '\s+', ' ', 'g') AS norm FROM noisy),
+        |g AS (SELECT norm, min(doc_id) AS survivor,
+        |    CAST(count(*) AS BIGINT) AS n_variants,
+        |    CAST(max(doc_id) AS BIGINT) AS max_variant
+        |  FROM n GROUP BY norm)
+        |SELECT survivor, n_variants, max_variant
+        |FROM g WHERE n_variants >= 2 ORDER BY survivor""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val noisy = docs.unionAll(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(upper(replace(col("text"), lit(" "), lit("  "))),
+              lit("!!!")).as("text")))
+      normDedupGroups(noisy)
+        .filter(col("n_variants") >= 2)
+        .select(col("survivor"), col("n_variants"), col("max_variant"))
+        .orderBy(col("survivor"))
     })
+
+  /** Canonical text form for normalization-based dedup: lowercase,
+    * trim, strip trailing sentence punctuation, collapse whitespace
+    * runs. Row-local codegen'd regexp built-ins — composes into any
+    * scan at full speed. */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(lower(trim(c)), "[!.,;:?]+$", ""),
+      "\\s+", " ")
+
+  /** Dedup groups on the canonical key: one row per distinct
+    * normalized text with the surviving (min) doc_id and the variant
+    * count — q30's hash-groupBy shape, keyed on [[normalizeText]]. */
+  def normDedupGroups(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), normalizeText(col("text")).as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("survivor"),
+        count(lit(1)).as("n_variants"),
+        max(col("doc_id")).cast("long").as("max_variant"))
 
   /** RE2-compatible subset (works identically under Java regex and
     * RE2-style engines): email addresses and NANP-style dashed phone
