@@ -880,7 +880,67 @@ object TextOps {
         .filter(col("n_variants") >= 2)
         .select(col("survivor"), col("n_variants"), col("max_variant"))
         .orderBy(col("survivor"))
+    },
+
+    // ---- Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the
+    //      MOSS scheme): per document, hash every 3-gram shingle in
+    //      POSITION ORDER, slide a window of W=4 consecutive hashes,
+    //      and keep the minimum of each window — the guarantee the
+    //      position-oblivious sketches (q35-q37) can't give is that
+    //      any shared run of ≥ K+W-1 tokens contributes at least one
+    //      IDENTICAL selected fingerprint on both sides, with only
+    //      ~2/(W+1) of positions retained. Fingerprint extraction is
+    //      one row-local nested-HOF projection (structural bind, same
+    //      trick as [[Sketches.shingled]] — zero shuffles, codegen'd);
+    //      pair generation is literally [[gramPairCounts]], so the
+    //      similarity family keeps its ONE audited posting-list
+    //      shuffle. md5 (not xxhash64) because the window MINIMUM
+    //      depends on hash order — the oracle must rank identically,
+    //      and md5 hex is the deterministic order both engines share.
+    //      df cap lossless here: max fingerprint df is 24 at sf0.1,
+    //      well under MaxGramDf=64. ----
+    QueryDef.sql("q109_winnow_dup",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 6),
+        |h AS (SELECT doc_id, list_transform(range(len(toks)-2),
+        |    i -> md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS hs FROM f),
+        |fp AS (SELECT doc_id, list_distinct(list_transform(range(len(hs)-3),
+        |    j -> list_aggregate(hs[j+1:j+4], 'min'))) AS fps FROM h),
+        |e AS (SELECT doc_id, len(fps) AS sz, unnest(fps) AS g FROM fp)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  round(count(*) / least(a.sz, b.sz), 6) AS overlap
+        |FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |HAVING count(*) >= 0.5 * least(a.sz, b.sz)
+        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      gramPairCounts(winnowedFingerprints(t(s, d, "documents")))
+        .filter(col("c") >= lit(0.5) * least(col("sz1"), col("sz2")))
+        .select(col("doc1"), col("doc2"),
+          round(col("c") / least(col("sz1"), col("sz2")), 6).as("overlap"))
+        .orderBy(col("doc1"), col("doc2"))
     })
+
+  /** Per-doc winnowing fingerprint sets, shaped (doc_id, grams) so
+    * [[gramPairCounts]] consumes them directly. K=3 token shingles,
+    * window W=4, min-by-md5-hex selection; docs under K+W-1 = 6 tokens
+    * have no complete window and are dropped on both engines. The
+    * nested `transform(array(x), v -> ...)[0]` binds are structural
+    * (evaluate the token split and the hash array ONCE per row — the
+    * [[Sketches.shingled]] lesson; an unbound formulation re-runs the
+    * split per shingle). */
+  def winnowedFingerprints(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.Tables.wide(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), expr(
+        """transform(array(split(lower(trim(text)), '\\s+')), t ->
+          |  case when size(t) < 6 then cast(array() as array<string>)
+          |  else transform(array(transform(sequence(0, size(t)-3),
+          |         i -> md5(cast(concat_ws(' ', t[i], t[i+1], t[i+2]) as binary)))), h ->
+          |       array_distinct(transform(sequence(0, size(h)-4),
+          |         j -> array_min(slice(h, j+1, 4)))))[0]
+          |  end)[0]""".stripMargin).as("grams"))
+      .filter(size(col("grams")) >= 1)
 
   /** Canonical text form for normalization-based dedup: lowercase,
     * trim, strip trailing sentence punctuation, collapse whitespace

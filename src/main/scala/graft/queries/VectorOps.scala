@@ -604,5 +604,59 @@ object VectorOps {
           (round(sqrt(col("s2")) / col("n_vecs"), 4) + lit(0))
             .as("centroid_norm"))
         .orderBy(col("label"))
+    },
+
+    // ---- Int8 embedding quantization audit: a 100 TB embedding lake
+    //      is stored quantized (4× smaller scans, SIMD-friendly int8
+    //      kernels) — this is the acceptance gate for that storage
+    //      decision: per-vector symmetric scalar quantization
+    //      (scale = max|x|/127, q = round-half-up(x/scale) clamped to
+    //      [-127,127]), reporting per-class reconstruction error
+    //      against the theoretical bound (max_err ≤ scale/2). Pure
+    //      row-local HOF projection + one label-keyed partial+final
+    //      aggregate — zero joins, zero extra shuffles, linear at any
+    //      corpus size. Cross-engine determinism: floor(x/s + 0.5)
+    //      instead of round() (double round-half-even vs half-up
+    //      diverges at exact .5), and per-class means go through the
+    //      round→decimal→sum trick (q107's pattern) so double
+    //      summation order can't flip the last digit. The structural
+    //      `transform(array(scale), s -> …)[0]` bind evaluates the
+    //      scale ONCE per row, not once per element. ----
+    QueryDef.sql("q110_embed_quantize",
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x)), 'max')/127.0 AS scale
+        |  FROM embeddings),
+        |q AS (SELECT label, scale, CASE WHEN scale = 0 THEN 0.0 ELSE
+        |    list_aggregate(list_transform(emb, x ->
+        |      abs(x - greatest(-127.0, least(127.0,
+        |        floor(x/scale + 0.5)))*scale)), 'max') END AS qerr
+        |  FROM v)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(CAST(round(qerr, 8) AS DECIMAL(18,8))) AS DOUBLE)
+        |    / count(*), 8) AS mean_err,
+        |  round(max(qerr), 8) AS max_err,
+        |  round(CAST(sum(CAST(round(scale, 8) AS DECIMAL(18,8))) AS DOUBLE)
+        |    / count(*), 8) AS mean_scale
+        |FROM q GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), expr(
+          """transform(array(array_max(transform(embedding,
+            |    x -> abs(cast(x as double))))/127.0), s ->
+            |  struct(s as scale,
+            |    case when s = 0.0 then 0.0 else
+            |      array_max(transform(embedding, x ->
+            |        abs(cast(x as double) - greatest(-127.0d, least(127.0d,
+            |          floor(cast(x as double)/s + 0.5d))) * s))) end as qerr))[0]"""
+            .stripMargin).as("m"))
+        .select(col("label"), col("m.scale").as("scale"), col("m.qerr").as("qerr"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(round(col("qerr"), 8).cast("decimal(18,8)")).cast("double")
+            / count(lit(1)), 8).as("mean_err"),
+          round(max(col("qerr")), 8).as("max_err"),
+          round(sum(round(col("scale"), 8).cast("decimal(18,8)")).cast("double")
+            / count(lit(1)), 8).as("mean_scale"))
+        .orderBy(col("label"))
     })
 }

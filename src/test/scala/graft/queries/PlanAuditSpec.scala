@@ -127,7 +127,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q91_containment_dup" -> 4,
       "q104_pii_redact" -> 1,
       "q105_quality_dedup" -> 4,
-      "q106_embed_diversity" -> 4)
+      "q106_embed_diversity" -> 4,
+      // q109 = the q31 posting shape exactly (fingerprinting itself is
+      // row-local): wide fan-out + posting agg + pair agg + result
+      // sort; q110 = one label-keyed partial+final agg + result sort —
+      // the quantization math never shuffles.
+      "q109_winnow_dup" -> 4,
+      "q110_embed_quantize" -> 2)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
