@@ -457,5 +457,77 @@ object TrainingOps {
         .select(col("source"), explode(col("top")).as("t"))
         .select(col("source"), col("t.doc_id").as("doc_id"))
         .orderBy(col("source"), col("doc_id"))
+    },
+
+    // ---- Vocabulary growth curve (Heaps' law): cumulative distinct
+    //      vocabulary vs cumulative token count in doc_id ingest
+    //      order — the corpus-analysis curve that says when a source
+    //      stops contributing new types (flattening curve = diminishing
+    //      data value; a jump = a new domain arrived). "Cumulative
+    //      distinct" is NOT computed by any running distinct-count:
+    //      each token's contribution collapses to its FIRST document
+    //      (one token-keyed min aggregate — q76's vocabulary shuffle),
+    //      so the curve is just two prefix sums over per-doc counts
+    //      (total tokens, first-seen tokens), each via q63's two-level
+    //      scheme: partitioned within-bucket window + prefix-summed
+    //      per-bucket totals broadcast back. No single-partition
+    //      window, no state; output one row per doc. ----
+    QueryDef.sql("q111_vocab_growth",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |fd AS (SELECT tok, min(doc_id) AS fdoc FROM e GROUP BY tok),
+        |nn AS (SELECT fdoc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM fd GROUP BY fdoc),
+        |j AS (SELECT pd.doc_id, pd.n_toks, COALESCE(nn.n_new, 0) AS n_new
+        |      FROM pd LEFT JOIN nn USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS vocab
+        |FROM j ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val Buckets = 32
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      val perDoc = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"))
+      // each distinct token contributes to exactly its first doc
+      val firstSeen = toks
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+      val joined = perDoc.join(firstSeen, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+      val bounds = joined.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi")).head()
+      if (bounds.isNullAt(0)) {
+        joined.filter(lit(false)).select(col("doc_id"),
+          lit(0L).as("cum_tokens"), lit(0L).as("vocab"))
+      } else {
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val width = math.max(1L, (hi - lo) / Buckets + 1)
+        val staged = joined.withColumn("pid",
+          ((col("doc_id") - lit(lo)) / lit(width)).cast("int"))
+        // INCLUSIVE within-bucket running sums (the curve includes the
+        // current doc); one window spec feeds both measures
+        val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val within = staged
+          .withColumn("ct_in", sum(col("n_toks")).over(wIn))
+          .withColumn("cv_in", sum(col("n_new")).over(wIn))
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = staged.groupBy(col("pid"))
+          .agg(sum(col("n_toks")).as("tt"), sum(col("n_new")).as("tv"))
+          .withColumn("t_off", coalesce(sum(col("tt")).over(wOff), lit(0L)))
+          .withColumn("v_off", coalesce(sum(col("tv")).over(wOff), lit(0L)))
+          .select(col("pid"), col("t_off"), col("v_off"))
+        within.join(broadcast(offsets), "pid")
+          .select(col("doc_id"),
+            (col("t_off") + col("ct_in")).as("cum_tokens"),
+            (col("v_off") + col("cv_in")).as("vocab"))
+          .orderBy(col("doc_id"))
+      }
     })
 }

@@ -658,5 +658,74 @@ object VectorOps {
           round(sum(round(col("scale"), 8).cast("decimal(18,8)")).cast("double")
             / count(lit(1)), 8).as("mean_scale"))
         .orderBy(col("label"))
+    },
+
+    // ---- Recall@5 of retrieval over int8-quantized embeddings vs the
+    //      full-precision ranking — q110 told you the reconstruction
+    //      error; this is the decision-grade number: does the 4×-
+    //      smaller lake still retrieve the same neighbors? Key
+    //      identity: cosine is scale-invariant per vector, so the
+    //      quantized ranking is the cosine of the RAW INT8 ARRAYS
+    //      (the per-vector dequant scale cancels) — dot and norms are
+    //      exact small integers accumulated in doubles, so both
+    //      engines rank bit-identically with no float-rounding seam
+    //      (int8 values are exact floats; the codegen kernel's
+    //      float-input accumulation is exact integer arithmetic).
+    //      Both rankings are q38's brute-force shape (10-row query
+    //      side broadcast, heapTopK map-side combine — no O(N)
+    //      broadcast, no window sort); recall joins two 50-row sets.
+    //      ----
+    QueryDef.sql("q112_quantized_recall",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x)), 'max')/127.0 AS s
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id, list_transform(emb,
+        |    x -> greatest(-127.0, least(127.0, floor(x/s + 0.5)))) AS qv
+        |  FROM v),
+        |exr AS (SELECT qid, cid FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4) DESC,
+        |        b.vec_id) AS rn
+        |  FROM v a JOIN v b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+        |  WHERE rn <= 5),
+        |qxr AS (SELECT qid, cid FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.qv, b.qv), 4) DESC,
+        |        b.vec_id) AS rn
+        |  FROM qz a JOIN qz b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+        |  WHERE rn <= 5),
+        |h AS (SELECT exr.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM exr JOIN qxr ON exr.qid = qxr.qid AND exr.cid = qxr.cid
+        |  GROUP BY exr.qid)
+        |SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall
+        |FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN h USING (qid)
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      // raw int8 codes as array<float>: values in [-127,127] are exact
+      // floats, so the cosine kernel's double accumulation is exact
+      // integer arithmetic — bit-identical to the oracle's DOUBLE[] path
+      val eq = e.select(col("vec_id"), expr(
+        """transform(array(array_max(transform(embedding,
+          |    x -> abs(cast(x as double))))/127.0), s ->
+          |  transform(embedding, x -> cast(greatest(-127.0d, least(127.0d,
+          |    floor(cast(x as double)/s + 0.5d))) as float)))[0]"""
+          .stripMargin).as("embedding"))
+      val exact = bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+        .select(col("qid"), col("cid"))
+      val quant = bruteForceTopK(eq.filter(col("vec_id") < 10), eq, 5)
+        .select(col("qid"), col("cid"))
+      val hits = exact.join(quant, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 5.0, 4).as("recall"))
+        .orderBy(col("qid"))
     })
 }
