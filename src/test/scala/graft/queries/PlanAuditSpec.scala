@@ -133,7 +133,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // sort; q110 = one label-keyed partial+final agg + result sort —
       // the quantization math never shuffles.
       "q109_winnow_dup" -> 4,
-      "q110_embed_quantize" -> 2)
+      "q110_embed_quantize" -> 2,
+      // q111 = token first-seen agg pair + doc join + the two-level
+      // prefix-sum (bucket window + 32-row offset window) + result
+      // sort — NO single-partition pass over the docs; q112 = two
+      // heap-combine top-k aggs (exact + quantized legs) + the 50-row
+      // recall join/agg + result sort.
+      "q111_vocab_growth" -> 6,
+      "q112_quantized_recall" -> 6)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
