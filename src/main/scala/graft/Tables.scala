@@ -18,13 +18,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
-    // a long (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench
-    // sessions). The values are µs-precision, so ns→µs is lossless and
-    // matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    // Normalize events.ts to session-TZ TIMESTAMP whatever parquet
+    // form the generator used. Earlier corpora wrote TIMESTAMP(NANOS),
+    // which Spark only reads as a long (spark.sql.legacy.parquet
+    // .nanosAsLong, set in Verify/Bench sessions) — values are
+    // µs-precision, so ns→µs is lossless. Newer corpora write
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as
+    // TIMESTAMP_NTZ; the session TZ is UTC everywhere, so the NTZ→LTZ
+    // cast denotes the same instant DuckDB reads.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 

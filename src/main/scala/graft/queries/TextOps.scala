@@ -120,6 +120,36 @@ object TextOps {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** IDF-weighted Jaccard pairs ≥ `minWj` over (doc_id, grams) input —
+    * see the q113 entry for the weighting scheme and why every sum is
+    * an exact BIGINT. One gram-keyed posting shuffle yields df (the
+    * posting length), weights, the df-capped pair expansion AND (via a
+    * posting re-explode) the per-doc weight totals; the final step is
+    * the pair-sum joined against the two totals, doc-keyed. */
+  def weightedJaccardPairs(sh: org.apache.spark.sql.DataFrame,
+      minWj: Double): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    val e = sh.select(col("doc_id"), explode_outer(col("grams")).as("g"))
+    val posting = e.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .withColumn("w", expr("1000000L div size(ds)"))
+    val wd = posting.select(explode_outer(col("ds")).as("doc_id"), col("w"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
+    val inter = posting
+      .filter(size(col("ds")).between(2, MaxGramDf))
+      .select(col("w"), explode_outer(expr("all_pairs(ds)")).as("p"))
+      .groupBy(col("p.x").as("doc1"), col("p.y").as("doc2"))
+      .agg(sum(col("w")).as("iw"))
+    inter
+      .join(wd.select(col("doc_id").as("doc1"), col("wsum").as("w1")), "doc1")
+      .join(wd.select(col("doc_id").as("doc2"), col("wsum").as("w2")), "doc2")
+      .withColumn("wjaccard",
+        col("iw").cast("double") / (col("w1") + col("w2") - col("iw")))
+      .filter(col("wjaccard") >= minWj)
+      .select(col("doc1"), col("doc2"),
+        round(col("wjaccard"), 6).as("wjaccard"))
+  }
+
   /** Prefix-filtered exact Jaccard join (the PPJoin/AllPairs prefix
     * principle): same answer as [[ngramJaccardPairs]], but each doc
     * posts only the |g| − ⌈θ·|g|⌉ + 1 smallest grams under a global
@@ -918,6 +948,49 @@ object TextOps {
         .filter(col("c") >= lit(0.5) * least(col("sz1"), col("sz2")))
         .select(col("doc1"), col("doc2"),
           round(col("c") / least(col("sz1"), col("sz2")), 6).as("overlap"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // ---- IDF-weighted Jaccard near-dup: plain Jaccard counts every
+    //      shared shingle equally, so boilerplate (headers, license
+    //      blurbs, navigation chrome) inflates similarity between
+    //      unrelated docs; the curation-grade variant weights each
+    //      shingle by its rarity and lets RARE shared content decide.
+    //      J_w(A,B) = Σ_{g∈A∩B} w(g) / Σ_{g∈A∪B} w(g) with
+    //      w(g) = ⌊1e6 / df(g)⌋ — integer inverse document frequency,
+    //      so every weight, per-doc total, and intersection sum is an
+    //      EXACT BIGINT on both engines (no float-accumulation-order
+    //      seam; the only float op is the final ratio of exact
+    //      integers, identical IEEE division both sides). Plan shape
+    //      is the audited posting-list family: df and weights fall out
+    //      of the SAME gram-keyed posting shuffle that generates the
+    //      candidate pairs (no separate df pass over the corpus),
+    //      per-doc totals re-explode the postings (doc-keyed agg), and
+    //      the pair sum joins the two totals doc-keyed — the q107
+    //      join shape. Pair expansion stays df-capped (MaxGramDf);
+    //      lossless here (max df 25 at sf0.1 ≪ 64), and at production
+    //      scale the cap drops exactly the near-zero-weight boilerplate
+    //      grams this operator exists to discount. ----
+    QueryDef.sql("q113_weighted_jaccard",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |w AS (SELECT g, 1000000 // count(*) AS w FROM e GROUP BY g),
+        |wd AS (SELECT e.doc_id, CAST(sum(w.w) AS BIGINT) AS wsum
+        |       FROM e JOIN w USING (g) GROUP BY e.doc_id),
+        |iw AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |         CAST(sum(w.w) AS BIGINT) AS iw
+        |       FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       JOIN w ON w.g = a.g GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        |  round(CAST(iw AS DOUBLE) / (wa.wsum + wb.wsum - iw), 6) AS wjaccard
+        |FROM iw JOIN wd wa ON wa.doc_id = doc1 JOIN wd wb ON wb.doc_id = doc2
+        |WHERE CAST(iw AS DOUBLE) / (wa.wsum + wb.wsum - iw) >= 0.5
+        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      weightedJaccardPairs(Sketches.shingled(t(s, d, "documents")), 0.5)
         .orderBy(col("doc1"), col("doc2"))
     })
 

@@ -140,7 +140,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // heap-combine top-k aggs (exact + quantized legs) + the 50-row
       // recall join/agg + result sort.
       "q111_vocab_growth" -> 6,
-      "q112_quantized_recall" -> 6)
+      "q112_quantized_recall" -> 6,
+      // q113 = the posting shuffle + per-doc weight-total agg + pair
+      // agg + the doc-keyed totals join + result sort — df, weights,
+      // and candidates all fall out of ONE gram-keyed exchange.
+      "q113_weighted_jaccard" -> 5)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
