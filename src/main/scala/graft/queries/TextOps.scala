@@ -150,6 +150,37 @@ object TextOps {
         round(col("wjaccard"), 6).as("wjaccard"))
   }
 
+  /** Corpus docs whose gram set reaches Jaccard ≥ `minJ` against ANY
+    * benchmark doc, reported as (doc_id, bench_id, jaccard) with the
+    * worst match kept per doc (max J, ties to the lowest bench id).
+    * Both inputs are (doc_id, grams) with distinct grams.
+    *
+    * The benchmark side is broadcast BY HINT: a benchmark is a bounded
+    * artifact (contract, not statistics — an optimizer estimating an
+    * exploded filtered scan can't know that), so the corpus leg never
+    * shuffles on grams; every exchange after the map-side probe is
+    * candidate-sized. Exact Jaccard needs no df cap here because the
+    * fan-out per corpus gram is bounded by the benchmark's postings,
+    * not the corpus's. */
+  def fuzzyContaminated(corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      minJ: Double): org.apache.spark.sql.DataFrame = {
+    val be = bench.select(col("doc_id").as("bid"),
+      size(col("grams")).as("szb"), explode_outer(col("grams")).as("g"))
+    val ce = corpus.select(col("doc_id"),
+      size(col("grams")).as("szc"), explode_outer(col("grams")).as("g"))
+    val cand = ce.join(broadcast(be), "g")
+      .groupBy(col("doc_id"), col("bid"), col("szc"), col("szb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("szc") + col("szb") - col("c")))
+      .filter(col("jac") >= minJ)
+    cand.groupBy(col("doc_id"))
+      .agg(max(struct(col("jac"), (-col("bid")).as("nb"))).as("m"))
+      .select(col("doc_id"), (-col("m.nb")).as("bench_id"),
+        round(col("m.jac"), 6).as("jaccard"))
+  }
+
   /** Prefix-filtered exact Jaccard join (the PPJoin/AllPairs prefix
     * principle): same answer as [[ngramJaccardPairs]], but each doc
     * posts only the |g| − ⌈θ·|g|⌉ + 1 smallest grams under a global
@@ -992,6 +1023,44 @@ object TextOps {
         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
       weightedJaccardPairs(Sketches.shingled(t(s, d, "documents")), 0.5)
         .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // ---- Fuzzy benchmark decontamination: q83/q98 drop docs that
+    //      contain an exact banned n-gram, but evaluation sets leak
+    //      into training corpora as PARAPHRASED/reformatted copies too
+    //      — the standard release gate (GPT-3 appendix C, PaLM §C)
+    //      is a near-dup join of corpus vs benchmark at Jaccard ≥ θ.
+    //      The benchmark side is bounded by contract (a benchmark is a
+    //      fixed artifact, not corpus-sized), so the scale shape is a
+    //      BROADCAST probe: the corpus leg never shuffles on grams —
+    //      candidates fall out of a map-side broadcast-hash join, and
+    //      the only exchanges are candidate-sized (pair agg + per-doc
+    //      argmax). Here the "benchmark" is the deterministic
+    //      doc_id%31 slice so both engines derive identical sets; the
+    //      per-doc report keeps the worst (max-J, tie → lowest bench
+    //      id) match as decontamination evidence. ----
+    QueryDef.sql("q114_fuzzy_decontam",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+        |b AS (SELECT * FROM e WHERE doc_id % 31 = 0),
+        |c AS (SELECT * FROM e WHERE doc_id % 31 <> 0),
+        |p AS (SELECT c.doc_id AS did, b.doc_id AS bid, c.sz AS szc, b.sz AS szb,
+        |        count(*) AS cnt
+        |      FROM c JOIN b ON c.g = b.g GROUP BY 1, 2, 3, 4),
+        |j AS (SELECT did, bid, cnt / (szc + szb - cnt) AS jac FROM p
+        |      WHERE cnt / (szc + szb - cnt) >= 0.8),
+        |r AS (SELECT did, bid, jac, row_number() OVER (PARTITION BY did
+        |        ORDER BY jac DESC, bid) AS rn FROM j)
+        |SELECT did AS doc_id, bid AS bench_id, round(jac, 6) AS jaccard
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = Sketches.shingled(t(s, d, "documents"))
+      fuzzyContaminated(sh.filter(col("doc_id") % 31 =!= 0),
+          sh.filter(col("doc_id") % 31 === 0), 0.8)
+        .orderBy(col("doc_id"))
     })
 
   /** Per-doc winnowing fingerprint sets, shaped (doc_id, grams) so

@@ -144,7 +144,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // q113 = the posting shuffle + per-doc weight-total agg + pair
       // agg + the doc-keyed totals join + result sort — df, weights,
       // and candidates all fall out of ONE gram-keyed exchange.
-      "q113_weighted_jaccard" -> 5)
+      "q113_weighted_jaccard" -> 5,
+      // q114 = candidate pair agg + per-doc argmax + result sort,
+      // plus the two stats-gated wide() fan-outs (corpus and bench
+      // legs; no-ops on a lake-scale scan) — the benchmark probe
+      // itself is a broadcast join, exchange-free on the corpus leg.
+      "q114_fuzzy_decontam" -> 5)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
