@@ -472,6 +472,59 @@ object TrainingOps {
     //      scheme: partitioned within-bucket window + prefix-summed
     //      per-bucket totals broadcast back. No single-partition
     //      window, no state; output one row per doc. ----
+    // ---- Temperature-rebalanced language mixture (the mT5/XLM-R
+    //      sampling scheme, τ = 0.5): sample each language ∝ n^τ
+    //      instead of ∝ n, flattening the head language's dominance
+    //      while keeping ordering. Unlike q62's FIXED per-lang rates,
+    //      the quotas here are DERIVED from the corpus counts —
+    //      τ-scaled weights w = round(√n · 1e6) as exact BIGINTs, so
+    //      quota = (⌊N/2⌋ · w) div Σw is pure integer arithmetic (no
+    //      float-summation-order seam; the lone float op, √n, is one
+    //      correctly-rounded IEEE call on identical inputs in both
+    //      engines). Selection inside each language is the q84
+    //      deterministic-hash rank (append-stable, engine-agnostic).
+    //      Scale shape: the per-lang count agg is O(langs) rows, the
+    //      quota table broadcasts back, and the rank is a per-lang
+    //      window — the one per-row sort, keyed on the mixture key,
+    //      same as q84 (monster-group fallback: q86's bounded heap).
+    //      ----
+    QueryDef.sql("q115_temperature_mix",
+      """WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_s,
+        |    CAST(round(sqrt(n_s) * 1000000) AS BIGINT) AS w FROM n),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+        |    CAST(sum(w) AS BIGINT) AS wsum FROM w),
+        |q AS (SELECT lang, n_s, ((SELECT n FROM tot) // 2 * w)
+        |      // (SELECT wsum FROM tot) AS quota FROM w),
+        |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.lang, q.n_s AS n_total, q.quota,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(r.doc_id) AS BIGINT) AS kept_id_sum
+        |FROM r JOIN q ON r.lang = q.lang AND r.rk <= q.quota
+        |GROUP BY 1, 2, 3 ORDER BY r.lang""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+        .withColumn("w", expr("cast(round(sqrt(n_s) * 1000000) as bigint)"))
+      val tots = n.agg(sum(col("n_s")).cast("long").as("n"),
+        sum(col("w")).cast("long").as("wsum"))
+      // one-row scalar broadcast (the repo's 1-row crossJoin pattern)
+      val quotas = n.crossJoin(broadcast(tots))
+        .withColumn("quota", expr("((n div 2) * w) div wsum"))
+        .select(col("lang"), col("n_s").as("n_total"), col("quota"))
+      val rk = Window.partitionBy(col("lang"))
+        .orderBy(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          col("doc_id"))
+      docs.select(col("lang"), col("doc_id"), row_number().over(rk).as("rk"))
+        .join(broadcast(quotas), Seq("lang"))
+        .filter(col("rk") <= col("quota"))
+        .groupBy(col("lang"), col("n_total"), col("quota"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("kept_id_sum"))
+        .orderBy(col("lang"))
+    },
+
     QueryDef.sql("q111_vocab_growth",
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -149,7 +149,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // plus the two stats-gated wide() fan-outs (corpus and bench
       // legs; no-ops on a lake-scale scan) — the benchmark probe
       // itself is a broadcast join, exchange-free on the corpus leg.
-      "q114_fuzzy_decontam" -> 5)
+      "q114_fuzzy_decontam" -> 5,
+      // q115 = lang-count agg pair (partial+final feeding quotas) +
+      // the per-lang rank window + final agg + result sort; the quota
+      // table rides back on broadcasts.
+      "q115_temperature_mix" -> 5)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
