@@ -675,6 +675,79 @@ object VectorOps {
     //      side broadcast, heapTopK map-side combine — no O(N)
     //      broadcast, no window sort); recall joins two 50-row sets.
     //      ----
+    // ---- Per-class hardest-example + label-confusion audit: for each
+    //      class, the 5 vectors FARTHEST from their own centroid
+    //      (curation review queue), each with its margin — the ratio
+    //      of the nearest OTHER class centroid's distance² to its
+    //      own (margin < 1 ⟹ the vector sits closer to another class:
+    //      a label-noise candidate). Exactness scheme: components and
+    //      centroids round to 6-dp DECIMALs, so every squared-distance
+    //      term, per-vector sum, and the ranking key are EXACT decimal
+    //      values — identical on both engines in ANY summation order
+    //      (the q106/q110 decimal discipline, extended to a full
+    //      distance matrix). Scale shape: one (label, dim)-keyed
+    //      partial agg builds the centroid table (labels×dim rows),
+    //      which broadcasts back as per-class ARRAYS; all
+    //      labels-per-vector distances are then a row-local decimal
+    //      fold (zip_with+aggregate) — no exploded distance shuffle —
+    //      and only the per-vec argmin-other agg, the per-class top-5
+    //      window, and the result sort exchange. ----
+    QueryDef.sql("q116_embed_outliers",
+      """WITH e AS (SELECT vec_id, label,
+        |    unnest(range(len(embedding))) AS pos,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)))) AS x6
+        |  FROM embeddings),
+        |c AS (SELECT label AS clabel, pos,
+        |    CAST(round(CAST(sum(x6) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS c6
+        |  FROM e GROUP BY 1, 2),
+        |d AS (SELECT e.vec_id, e.label, c.clabel,
+        |    sum(CAST((e.x6 - c.c6) * (e.x6 - c.c6) AS DECIMAL(38,12))) AS dist2
+        |  FROM e JOIN c ON e.pos = c.pos GROUP BY 1, 2, 3),
+        |own AS (SELECT vec_id, label, dist2 FROM d WHERE label = clabel),
+        |oth AS (SELECT vec_id, min(dist2) AS odist2 FROM d
+        |  WHERE label <> clabel GROUP BY 1),
+        |r AS (SELECT own.label, own.vec_id, own.dist2, oth.odist2,
+        |    row_number() OVER (PARTITION BY own.label
+        |      ORDER BY own.dist2 DESC, own.vec_id) AS rk
+        |  FROM own JOIN oth ON own.vec_id = oth.vec_id)
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
+        |  round(sqrt(CAST(dist2 AS DOUBLE)), 6) AS dist,
+        |  round(CAST(odist2 AS DOUBLE) / CAST(dist2 AS DOUBLE), 6) AS margin
+        |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double), 6) as decimal(18,6)))")
+          .as("x6"))
+      val exploded = e.select(col("vec_id"), col("label"),
+        posexplode(col("x6")).as(Seq("pos", "x")))
+      val cent = exploded.groupBy(col("label").as("clabel"), col("pos"))
+        .agg((sum(col("x")).cast("double") / count(lit(1))).as("cd"))
+        .withColumn("c6", round(col("cd"), 6).cast("decimal(18,6)"))
+        .groupBy(col("clabel"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c6))), s -> s.c6)")
+          .as("carr"))
+      val dists = e.crossJoin(broadcast(cent))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(x6, carr, (x, c) -> cast((x - c) * (x - c) as decimal(38,12))),
+            |  cast(0 as decimal(38,12)), (acc, v) -> cast(acc + v as decimal(38,12)))"""
+            .stripMargin))
+      val own = dists.filter(col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"), col("dist2"))
+      val oth = dists.filter(col("label") =!= col("clabel"))
+        .groupBy(col("vec_id")).agg(min(col("dist2")).as("odist2"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("dist2").desc, col("vec_id"))
+      own.join(oth, "vec_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("label"), col("rk").cast("long").as("rk"), col("vec_id"),
+          round(sqrt(col("dist2").cast("double")), 6).as("dist"),
+          round(col("odist2").cast("double") / col("dist2").cast("double"), 6)
+            .as("margin"))
+        .orderBy(col("label"), col("rk"))
+    },
+
     QueryDef.sql("q112_quantized_recall",
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),

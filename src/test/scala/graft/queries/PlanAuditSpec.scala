@@ -153,7 +153,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // q115 = lang-count agg pair (partial+final feeding quotas) +
       // the per-lang rank window + final agg + result sort; the quota
       // table rides back on broadcasts.
-      "q115_temperature_mix" -> 5)
+      "q115_temperature_mix" -> 5,
+      // q116 = (label,dim) centroid agg + per-class array collect +
+      // per-vec argmin-other agg + own/other join + top-5 window +
+      // result sort; the full distance matrix itself is a row-local
+      // decimal fold against broadcast centroid arrays (no exploded
+      // distance shuffle).
+      "q116_embed_outliers" -> 6)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
