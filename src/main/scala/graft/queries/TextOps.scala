@@ -1061,6 +1061,55 @@ object TextOps {
       fuzzyContaminated(sh.filter(col("doc_id") % 31 =!= 0),
           sh.filter(col("doc_id") % 31 === 0), 0.8)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Corpus drift report: which tokens moved most between two
+    //      corpus snapshots (two crawls, pre/post a pipeline change) —
+    //      the distribution-shift monitor a continuously-ingested
+    //      training lake runs per refresh. Per-token contribution to
+    //      total-variation distance, NOT KL: TVD's terms are
+    //      |c₁/N₁ − c₂/N₂| = |c₁N₂ − c₂N₁| / (N₁N₂) — EXACT integer
+    //      numerators, so the ranking and every reported value are
+    //      bit-deterministic on both engines with no transcendental
+    //      (ln) last-ulp seam. The snapshots here are the doc_id
+    //      parity halves (deterministic, engine-agnostic). Shape: one
+    //      token-keyed count agg (both snapshot counts in one pass via
+    //      conditional sums), totals as a 1-row broadcast scalar, then
+    //      a global top-20 — ORDER BY an exact BIGINT, so the limit
+    //      is a TakeOrdered (per-partition heap + driver merge), not a
+    //      global sort. Numerators reach c·N; past ~10¹⁸ tokens widen
+    //      to DECIMAL(38,0). ----
+    QueryDef.sql("q117_token_drift",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |e AS (SELECT doc_id % 2 AS half, unnest(toks) AS tok FROM t),
+        |c AS (SELECT tok, count(*) FILTER (half = 0) AS c_old,
+        |    count(*) FILTER (half = 1) AS c_new FROM e GROUP BY tok),
+        |n AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+        |    CAST(sum(c_new) AS BIGINT) AS n_new FROM c),
+        |d AS (SELECT tok, c_old, c_new,
+        |    abs(c_old * (SELECT n_new FROM n)
+        |      - c_new * (SELECT n_old FROM n)) AS dnum FROM c)
+        |SELECT tok, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
+        |  round(CAST(dnum AS DOUBLE)
+        |    / ((SELECT n_old FROM n) * (SELECT n_new FROM n)), 8) AS drift
+        |FROM d ORDER BY dnum DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+      val e = graft.Tables.wide(t(s, d, "documents"))
+        .select((col("doc_id") % 2).as("half"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val counts = e.groupBy(col("tok"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c_old"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c_new"))
+      val totals = counts.agg(sum(col("c_old")).cast("long").as("n_old"),
+        sum(col("c_new")).cast("long").as("n_new"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("dnum",
+          abs(col("c_old") * col("n_new") - col("c_new") * col("n_old")))
+        .orderBy(col("dnum").desc, col("tok"))
+        .limit(20)
+        .select(col("tok"), col("c_old"), col("c_new"),
+          round(col("dnum").cast("double") / (col("n_old") * col("n_new")), 8)
+            .as("drift"))
     })
 
   /** Per-doc winnowing fingerprint sets, shaped (doc_id, grams) so

@@ -159,7 +159,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // result sort; the full distance matrix itself is a row-local
       // decimal fold against broadcast centroid arrays (no exploded
       // distance shuffle).
-      "q116_embed_outliers" -> 6)
+      "q116_embed_outliers" -> 6,
+      // q117 = wide() fan-out + token count agg + the top-20
+      // TakeOrdered (per-partition heap, no global sort); totals ride
+      // a 1-row broadcast.
+      "q117_token_drift" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
