@@ -748,6 +748,44 @@ object VectorOps {
         .orderBy(col("label"), col("rk"))
     },
 
+    // ---- 1-NN cosine calibration histogram: the distribution of each
+    //      vector's nearest-neighbor cosine across the WHOLE corpus —
+    //      the report that DECIDES an embedding near-dup threshold
+    //      (set it where the right tail separates from the bulk)
+    //      instead of guessing one. All-vectors 1-NN is the q89 cost
+    //      shape: the exact bound-pruned IVF with a corpus-sized query
+    //      side (assignment persisted for the two probe passes), so
+    //      no O(N²) pair materialization and no forced broadcast of
+    //      scan data; the oracle IS the brute-force N² ranking, so the
+    //      green hash proves the pruned search exact. Ranking on
+    //      round-4 cosine with cid tie-break (the q38/q112
+    //      convention); buckets are 0.05-wide floors of that 4-dp
+    //      value — edge assignment is deterministic on both engines
+    //      because the bucketed value is already exactly 4-dp. ----
+    QueryDef.sql("q118_nn_cosine_hist",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, cos, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, cid) AS rn FROM p),
+        |nn AS (SELECT qid, cos FROM r WHERE rn = 1)
+        |SELECT floor(cos * 20) / 20 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos
+        |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      ivfTopK(s, e, e, nCentroids = 8, k = 1, persistAssignment = true)
+        .withColumn("bucket", floor(col("cos_sim") * 20) / 20.0)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min(col("cos_sim")), 4).as("min_cos"),
+          round(max(col("cos_sim")), 4).as("max_cos"))
+        .orderBy(col("bucket"))
+    },
+
     QueryDef.sql("q112_quantized_recall",
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),

@@ -163,7 +163,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // q117 = wide() fan-out + token count agg + the top-20
       // TakeOrdered (per-partition heap, no global sort); totals ride
       // a 1-row broadcast.
-      "q117_token_drift" -> 3)
+      "q117_token_drift" -> 3,
+      // q118 = bucket agg + result sort above the localCheckpointed
+      // IVF result (the checkpoint truncates the probe-pass exchanges
+      // from the static plan; those are audited via q89/q40, same
+      // ivfTopK path).
+      "q118_nn_cosine_hist" -> 2)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
