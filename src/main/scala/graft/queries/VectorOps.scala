@@ -748,26 +748,34 @@ object VectorOps {
         .orderBy(col("label"), col("rk"))
     },
 
-    // ---- 1-NN cosine calibration histogram: the distribution of each
-    //      vector's nearest-neighbor cosine across the WHOLE corpus —
-    //      the report that DECIDES an embedding near-dup threshold
-    //      (set it where the right tail separates from the bulk)
-    //      instead of guessing one. All-vectors 1-NN is the q89 cost
-    //      shape: the exact bound-pruned IVF with a corpus-sized query
-    //      side (assignment persisted for the two probe passes), so
-    //      no O(N²) pair materialization and no forced broadcast of
-    //      scan data; the oracle IS the brute-force N² ranking, so the
-    //      green hash proves the pruned search exact. Ranking on
-    //      round-4 cosine with cid tie-break (the q38/q112
+    // ---- 1-NN cosine calibration histogram: the distribution of
+    //      nearest-neighbor cosines — the report that DECIDES an
+    //      embedding near-dup threshold (set it where the right tail
+    //      separates from the bulk) instead of guessing one. The
+    //      queries are a FIXED-SIZE deterministic hash sample (bottom
+    //      500 by md5, the q84/q100 selection convention) searched
+    //      against the FULL corpus: the histogram is a distribution
+    //      estimate, so a bounded sample answers it and the cost stays
+    //      LINEAR in the corpus at any scale (an all-vectors exact
+    //      1-NN is inherently Ω(N²/pruning), and on data whose NN
+    //      cosine sits at inter-cluster level — this corpus: NN ≈ 0.35
+    //      vs inter-cluster ≈ 0.3 — no codebook can prune it; measured
+    //      8 vs 16 centroids identical). Search is the exact
+    //      bound-pruned IVF; the oracle is the brute-force sample×N
+    //      ranking, so the green hash proves the pruned search exact.
+    //      Ranking on round-4 cosine with cid tie-break (the q38/q112
     //      convention); buckets are 0.05-wide floors of that 4-dp
     //      value — edge assignment is deterministic on both engines
     //      because the bucketed value is already exactly 4-dp. ----
     QueryDef.sql("q118_nn_cosine_hist",
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),
-        |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-        |    round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
-        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |s AS (SELECT vec_id, emb FROM (SELECT vec_id, emb,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |      AS rn FROM v) WHERE rn <= 500),
+        |p AS (SELECT s.vec_id AS qid, b.vec_id AS cid,
+        |    round(list_cosine_similarity(s.emb, b.emb), 4) AS cos
+        |  FROM s JOIN v b ON s.vec_id <> b.vec_id),
         |r AS (SELECT qid, cos, row_number() OVER (PARTITION BY qid
         |    ORDER BY cos DESC, cid) AS rn FROM p),
         |nn AS (SELECT qid, cos FROM r WHERE rn = 1)
@@ -777,7 +785,12 @@ object VectorOps {
         |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
-      ivfTopK(s, e, e, nCentroids = 8, k = 1, persistAssignment = true)
+      // TakeOrdered (bounded heap per partition + driver merge), not a
+      // global sort: the sample is K rows whatever the corpus size
+      val sample = e
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+        .limit(500)
+      ivfTopK(s, e, sample, nCentroids = 8, k = 1)
         .withColumn("bucket", floor(col("cos_sim") * 20) / 20.0)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"),

@@ -164,11 +164,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // TakeOrdered (per-partition heap, no global sort); totals ride
       // a 1-row broadcast.
       "q117_token_drift" -> 3,
-      // q118 = bucket agg + result sort above the localCheckpointed
-      // IVF result (the checkpoint truncates the probe-pass exchanges
-      // from the static plan; those are audited via q89/q40, same
-      // ivfTopK path).
-      "q118_nn_cosine_hist" -> 2)
+      // q118 = the sample TakeOrdered + kb/probe top-k aggs + bucket
+      // agg + result sort over the shared ivfTopK path (whose
+      // no-forced-broadcast shape is audited via q89/q40).
+      "q118_nn_cosine_hist" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
