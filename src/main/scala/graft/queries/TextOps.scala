@@ -1110,6 +1110,69 @@ object TextOps {
         .select(col("tok"), col("c_old"), col("c_new"),
           round(col("dnum").cast("double") / (col("n_old") * col("n_new")), 8)
             .as("drift"))
+    },
+
+    // ---- Interpolated bigram LM quality score (the CCNet/KenLM-style
+    //      perplexity filter, one order up from q90's unigram): per-doc
+    //      mean NLL under p(w₂|w₁) = 0.7·c(w₁w₂)/c(w₁·) + 0.3·c(w₂)/N
+    //      — the Jelinek-Mercer interpolation that keeps unseen-pair
+    //      mass finite without needing held-out smoothing state.
+    //      Corpus-trained like q90: the bigram/context/unigram tables
+    //      come from token-keyed count aggs over the same scan; at
+    //      lake scale the LM tables are trained once and broadcast,
+    //      making scoring a pure map-side pass. Bigrams are built
+    //      ROW-LOCALLY (one lambda-bound projection per doc — no
+    //      positional self-join); the float path follows the q90
+    //      precedent (identical double expression trees both engines;
+    //      the 6-dp round on the mean absorbs ln's last-ulp seam). ----
+    QueryDef.sql("q119_bigram_logprob",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |uf AS (SELECT tok, count(*) AS cu FROM u GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        |    unnest(list_slice(toks, 2, len(toks))) AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |bf AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |cf AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY w1),
+        |s AS (SELECT bg.doc_id,
+        |    -ln(0.7 * bf.cb / cf.cw1 + 0.3 * uf.cu / (SELECT n FROM tot)) AS nll
+        |  FROM bg JOIN bf ON bg.w1 = bf.w1 AND bg.w2 = bf.w2
+        |  JOIN cf ON bg.w1 = cf.w1 JOIN uf ON uf.tok = bg.w2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(nll), 6) AS mean_nll
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toksDf = graft.Tables.wide(t(s, d, "documents"))
+        .select(col("doc_id"), expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("toks"))
+      val u = toksDf.select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      val uf = u.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      val total = u.agg(count(lit(1)).cast("double").as("n"))
+      val bg = toksDf.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode_outer(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] as w1, toks[i+1] as w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bf = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val cf = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw1"))
+      // consolidate the LM into ONE bigram-TYPE-sized scoring table
+      // first (types ≪ instances), so the corpus-sized bigram stream
+      // crosses exactly one join — and each type's nll is computed
+      // once, not once per instance
+      val lm = bf.join(cf, Seq("w1"))
+        .join(uf.select(col("tok").as("w2"), col("cu")), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"),
+          (-log(lit(0.7) * col("cb") / col("cw1")
+            + lit(0.3) * col("cu") / col("n"))).as("nll"))
+      bg.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("nll")), 6).as("mean_nll"))
+        .orderBy(col("doc_id"))
     })
 
   /** Per-doc winnowing fingerprint sets, shaped (doc_id, grams) so

@@ -167,7 +167,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // q118 = the sample TakeOrdered + kb/probe top-k aggs + bucket
       // agg + result sort over the shared ivfTopK path (whose
       // no-forced-broadcast shape is audited via q89/q40).
-      "q118_nn_cosine_hist" -> 4)
+      "q118_nn_cosine_hist" -> 4,
+      // q119 = two wide() fan-outs (unigram + bigram legs) + the
+      // uf/bf/cf count aggs + the TYPE-sized LM-consolidation join
+      // exchanges + ONE instance-sized bigram join + doc agg + sort.
+      // Only that one exchange is corpus-scaled; the rest carry LM
+      // tables (types ≪ instances, broadcast at lake scale).
+      "q119_bigram_logprob" -> 9)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
