@@ -1173,6 +1173,75 @@ object TextOps {
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(col("nll")), 6).as("mean_nll"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Dedup × quality interaction report: survival rate per
+    //      quality bucket after the near-dup prune — the release-note
+    //      table that shows whether dedup silently biases the corpus
+    //      toward (or away from) high-quality content. Composes the
+    //      audited operators end to end: q33's factored quality score,
+    //      the q79 prefix join's exact pair set, q69's connected
+    //      components, and q77's min-id survivor rule — then one
+    //      row-local bucket projection (floor of the 4-dp score × 10;
+    //      both engines floor the IDENTICAL double product, so edge
+    //      assignment is deterministic) and an O(buckets) aggregate.
+    //      ----
+    QueryDef.sql("q120_dedup_quality_report",
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, text, n_chars,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |walk(node, comp) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e2.v, w.comp FROM walk w JOIN edges e2 ON e2.u = w.node
+         |  WHERE w.comp < e2.v),
+         |cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+         |drp AS (SELECT node AS doc_id FROM cc WHERE node <> comp),
+         |m AS (SELECT doc_id, n_chars,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      / greatest(length(text), 1), 4) AS alpha_ratio,
+         |    ${hitsSqlDuck(enWords)} AS stop_hits
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |    CAST(round(CAST(0.5 * alpha_ratio
+         |      + 0.3 * (1 - round(stop_hits / greatest(n_tokens, 1), 4))
+         |      + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4)
+         |      AS DOUBLE) AS quality_score
+         |  FROM m),
+         |b AS (SELECT q.doc_id,
+         |    CAST(floor(q.quality_score * 10) AS BIGINT) AS bucket,
+         |    CASE WHEN drp.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+         |  FROM q LEFT JOIN drp ON q.doc_id = drp.doc_id)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  round(sum(kept) / count(*), 4) AS survival
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val prs = prefixJaccardPairs(Sketches.shingled(docs), 3, 10)
+        .select(col("doc1"), col("doc2"))
+      val cc = graft.operators.ConnectedComponents.run(prs, "doc1", "doc2")
+      val drp = cc.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"), lit(0).as("kept0"))
+      qualityScored(docs)
+        .select(col("doc_id"),
+          floor(col("quality_score") * 10).as("bucket"))
+        .join(drp, Seq("doc_id"), "left")
+        .withColumn("kept", coalesce(col("kept0"), lit(1)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).cast("long").as("n_kept"),
+          round(sum(col("kept")) / count(lit(1)), 4).as("survival"))
+        .orderBy(col("bucket"))
     })
 
   /** Per-doc winnowing fingerprint sets, shaped (doc_id, grams) so

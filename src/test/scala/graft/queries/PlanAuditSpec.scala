@@ -173,7 +173,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // exchanges + ONE instance-sized bigram join + doc agg + sort.
       // Only that one exchange is corpus-scaled; the rest carry LM
       // tables (types ≪ instances, broadcast at lake scale).
-      "q119_bigram_logprob" -> 9)
+      "q119_bigram_logprob" -> 9,
+      // q120 = the q77 prune pipeline (prefix postings + verify +
+      // checkpoint-truncated CC) feeding a doc-keyed drop join +
+      // O(buckets) agg + result sort; quality/bucket are row-local.
+      "q120_dedup_quality_report" -> 6)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
