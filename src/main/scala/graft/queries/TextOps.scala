@@ -1242,6 +1242,38 @@ object TextOps {
           sum(col("kept")).cast("long").as("n_kept"),
           round(sum(col("kept")) / count(lit(1)), 4).as("survival"))
         .orderBy(col("bucket"))
+    },
+
+    // ---- Boilerplate shingle report: the top document-frequency
+    //      shingles with their corpus penetration — the operational
+    //      list behind every df-based decision in this engine (the
+    //      MaxGramDf candidate cap, stop-gram cleaning lists, the
+    //      weighted-Jaccard discount). One gram-keyed count agg, the
+    //      doc total as a 1-row broadcast scalar, and a top-20 by
+    //      exact BIGINT df (TakeOrdered heap, no global sort);
+    //      `over_cap` marks the grams the posting cap would skip. ----
+    QueryDef.sql("q121_boilerplate_grams",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh),
+        |d AS (SELECT g AS gram, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY g)
+        |SELECT gram, df, round(df / (SELECT n FROM nd), 6) AS df_ratio,
+        |  df > 64 AS over_cap
+        |FROM d ORDER BY df DESC, gram LIMIT 20""".stripMargin) { (s, d) =>
+      val sh = Sketches.shingled(t(s, d, "documents"))
+      val nd = sh.agg(count(lit(1)).cast("long").as("n"))
+      sh.select(explode_outer(col("grams")).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .orderBy(col("df").desc, col("gram"))
+        .limit(20)
+        .select(col("gram"), col("df"),
+          round(col("df") / col("n"), 6).as("df_ratio"),
+          (col("df") > TextOps.MaxGramDf).as("over_cap"))
     })
 
   /** Per-doc winnowing fingerprint sets, shaped (doc_id, grams) so

@@ -177,7 +177,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q120 = the q77 prune pipeline (prefix postings + verify +
       // checkpoint-truncated CC) feeding a doc-keyed drop join +
       // O(buckets) agg + result sort; quality/bucket are row-local.
-      "q120_dedup_quality_report" -> 6)
+      "q120_dedup_quality_report" -> 6,
+      // q121 = two wide() fan-outs (count leg + gram leg over the
+      // shared shingle scan) + the gram count agg + the top-20
+      // TakeOrdered heap; the doc total rides a 1-row broadcast.
+      "q121_boilerplate_grams" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
