@@ -51,4 +51,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     val enKept = q(spark, dir).filter(col("lang") === "en").count()
     assert(enKept.toDouble / en < 0.5, s"en must be downsampled (kept $enKept/$en)")
   }
+
+  test("temperature mixture: budget respected, head language flattened") {
+    val spark = SparkTestSession.spark
+    val rows = graft.SparkEntry.queries("q115_temperature_mix")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    // quotas are floors of exact shares of ⌊N/2⌋ — they can never
+    // overshoot the budget in aggregate
+    assert(rows.map(_._3).sum <= n / 2,
+      s"quota sum ${rows.map(_._3).sum} exceeds budget ${n / 2}")
+    // every language fills its quota (all corpus langs are larger
+    // than their τ-scaled quota on this fixture)
+    rows.foreach { case (lang, _, quota, kept) =>
+      assert(kept == quota, s"$lang kept $kept of quota $quota") }
+    // ∝ √n flattening: sampling RATE must be non-increasing in corpus
+    // share — the head language keeps the smallest fraction
+    val byN = rows.sortBy(_._2)
+    byN.sliding(2).foreach {
+      case Array((_, n1, q1, _), (_, n2, q2, _)) =>
+        assert(q2.toDouble / n2 <= q1.toDouble / n1 + 1e-9,
+          s"rate must fall as corpus share grows: $byN")
+      case _ => ()
+    }
+    val head = byN.last
+    val tail = byN.head
+    assert(head._3.toDouble / head._2 < tail._3.toDouble / tail._2,
+      "the head language must be strictly flattened vs the smallest")
+  }
 }
