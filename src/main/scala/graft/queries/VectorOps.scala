@@ -799,6 +799,59 @@ object VectorOps {
         .orderBy(col("bucket"))
     },
 
+    // ---- Johnson-Lindenstrauss random projection (64 → 16 dims, ±1
+    //      signs): the embedding-lake REDUCTION step — SemDeDup-style
+    //      pipelines shrink vectors before clustering/ANN, and this is
+    //      the deterministic, engine-agnostic variant: sign(i,j) =
+    //      +1 iff the first hex char of md5("i_j") < '8' (an unbiased
+    //      coin both engines flip identically), components round to
+    //      6-dp DECIMALs, so every projected coordinate is an EXACT
+    //      decimal sum — bit-identical across engines and summation
+    //      orders (the q116 discipline). The Spark side computes the
+    //      projection ROW-LOCALLY: the 64×16 sign matrix is a driver-
+    //      computed literal folded over the component array with a
+    //      nested HOF — no per-component explode, no join, ZERO
+    //      data-sized shuffles before the result sort (the oracle's
+    //      explode+join formulation is the same math, exact either
+    //      way). The oracle slice projects vec_id < 50 (pushed to the
+    //      scan); being row-local, the identical projection composes
+    //      corpus-wide at full scan speed. ----
+    QueryDef.sql("q122_jl_projection",
+      """WITH e AS (SELECT vec_id,
+        |    unnest(range(len(embedding))) AS i,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)))) AS x6
+        |  FROM embeddings WHERE vec_id < 50),
+        |sg AS (SELECT i.range AS i, j.range AS j,
+        |    CASE WHEN substr(md5(i.range || '_' || j.range), 1, 1) < '8'
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM range(64) i, range(16) j),
+        |p AS (SELECT e.vec_id, sg.j AS dim,
+        |    CAST(sum(sg.sgn * e.x6) AS DECIMAL(24,6)) AS yd
+        |  FROM e JOIN sg ON e.i = sg.i GROUP BY 1, 2)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim, CAST(yd AS DOUBLE) AS y
+        |FROM p ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sgns = (for (i <- 0 until 64; j <- 0 until 16) yield {
+        val h = md.digest(s"${i}_$j".getBytes("UTF-8"))
+        // first hex char < '8' ⟺ top nibble < 8
+        if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+      }).mkString("array(", ",", ")")
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"), expr(
+          s"""transform(array(transform(embedding,
+             |    x -> cast(round(cast(x as double), 6) as decimal(18,6)))), x6 ->
+             |  transform(sequence(0, 15), j ->
+             |    aggregate(sequence(0, 63), cast(0 as decimal(24,6)), (acc, i) ->
+             |      cast(acc + element_at($sgns, i * 16 + j + 1) * x6[i]
+             |        as decimal(24,6)))))[0]""".stripMargin).as("ys"))
+        .select(col("vec_id"), posexplode(col("ys")).as(Seq("dim", "yd")))
+        .select(col("vec_id"), col("dim").cast("int").as("dim"),
+          col("yd").cast("double").as("y"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+
     QueryDef.sql("q112_quantized_recall",
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),

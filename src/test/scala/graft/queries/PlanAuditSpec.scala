@@ -181,7 +181,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // q121 = two wide() fan-outs (count leg + gram leg over the
       // shared shingle scan) + the gram count agg + the top-20
       // TakeOrdered heap; the doc total rides a 1-row broadcast.
-      "q121_boilerplate_grams" -> 4)
+      "q121_boilerplate_grams" -> 4,
+      // q122 = the result sort ONLY — the projection is one row-local
+      // nested decimal fold, no joins, no aggregates.
+      "q122_jl_projection" -> 1)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
