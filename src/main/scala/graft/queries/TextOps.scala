@@ -1274,7 +1274,113 @@ object TextOps {
         .select(col("gram"), col("df"),
           round(col("df") / col("n"), 6).as("df_ratio"),
           (col("df") > TextOps.MaxGramDf).as("over_cap"))
+    },
+
+    // ---- Distributed BPE merge learning (3 iterations) — the
+    //      tokenizer-training step a training-data pipeline runs over
+    //      the whole corpus. The standard trainer shape: aggregate the
+    //      instance-sized token stream into WORD-TYPE frequencies once
+    //      (the only corpus-sized shuffle), then every merge iteration
+    //      operates on the type-sized (seq, freq) relation — pair
+    //      counts are a type-sized agg, the argmax is a 1-row
+    //      TakeOrdered broadcast, and the merge application is a
+    //      row-local `replace` (left-to-right non-overlapping in both
+    //      engines — the greedy-BPE convention). Symbols never contain
+    //      spaces, so `replace(seq, 'x y', 'xy')` is exactly one merge
+    //      step. Ties on count break lexicographically (deterministic).
+    //      At 100 TB the word-type table is vocabulary-sized (millions
+    //      of rows, not billions), so iterations cost nothing vs the
+    //      single corpus scan. ----
+    QueryDef.sql("q123_bpe_merges", bpeOracleSql(3)) { (s, d) =>
+      val wordFreqs = graft.Tables.wide(t(s, d, "documents"))
+        .select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      bpeMerges(wordFreqs, 3).orderBy(col("merge_rank"))
     })
+
+  /** Sentinels for the BPE symbol encoding: every symbol is stored as
+    * S1+sym+S2, so a literal `replace` of S1+x+S2+S1+y+S2 with
+    * S1+xy+S2 is EXACTLY one symbol-level greedy left-to-right merge —
+    * no false matches across symbol boundaries ("ab","c" never matches
+    * pair ("b","c")) and no under-merge on adjacent occurrences
+    * ([x,y,x,y] merges both pairs, [a,a,a] merges only the first two —
+    * the canonical BPE convention). Input words containing a sentinel
+    * are dropped (hostile-input guard; none exist in a text corpus). */
+  private final val BpeS1 = "\u001f"
+  private final val BpeS2 = "\u001e"
+
+  /** `k` BPE merge-learning iterations over a (w, freq) word-type
+    * relation: returns (merge_rank, pair, freq) — the learned merge
+    * table. Every iteration is type-sized (pair agg + 1-row
+    * TakeOrdered broadcast + row-local `replace`); see q123's scaladoc
+    * for the scale argument. */
+  def bpeMerges(wordFreqs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var seqs = wordFreqs
+      .filter(!col("w").contains(BpeS1) && !col("w").contains(BpeS2))
+      .select(concat(lit(BpeS1),
+        concat_ws(BpeS2 + BpeS1, filter(split(col("w"), ""), x => x =!= "")),
+        lit(BpeS2)).as("seq"), col("freq"))
+    (1 to k).map { r =>
+      val pairs = seqs
+        .select(col("freq"),
+          split(expr("substring(seq, 2, length(seq)-2)"), BpeS2 + BpeS1)
+            .as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> concat(syms[i], ' ', syms[i+1]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("freq"))
+      val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
+      seqs = seqs.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .select(replace(col("seq"),
+          concat(lit(BpeS1),
+            replace(col("bp"), lit(" "), lit(BpeS2 + BpeS1)), lit(BpeS2)),
+          concat(lit(BpeS1),
+            replace(col("bp"), lit(" "), lit("")), lit(BpeS2))).as("seq"),
+          col("freq"))
+      best.select(lit(r).as("merge_rank"), col("pair"),
+        col("freq").cast("long").as("freq"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB oracle for [[q123]]: the `k`-iteration BPE merge loop
+    * unrolled into chained CTEs (s0 → p1/c1/b1/s1 → … ). Each
+    * iteration mirrors the Spark plan exactly: pair counts weighted by
+    * word-type freq, argmax with lexicographic tie-break, literal
+    * `replace` application. */
+  private def bpeOracleSql(k: Int): String = {
+    // the sentinel encoding (see [[BpeS1]]) spelled with chr() so the
+    // SQL text stays printable: S1 = chr(31), S2 = chr(30)
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (SELECT unnest(list_transform(range(len(l)-1),
+         |    j -> l[j+1] || ' ' || l[j+2])) AS pair, freq
+         |  FROM (SELECT string_split(substr(seq, 2, len(seq)-2),
+         |      chr(30) || chr(31)) AS l, freq FROM s${i - 1})),
+         |c$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS freq
+         |  FROM p$i GROUP BY pair),
+         |b$i AS (SELECT pair, freq FROM c$i ORDER BY freq DESC, pair LIMIT 1),
+         |s$i AS (SELECT replace(seq,
+         |    chr(31) || replace((SELECT pair FROM b$i), ' ',
+         |      chr(30) || chr(31)) || chr(30),
+         |    chr(31) || replace((SELECT pair FROM b$i), ' ', '') || chr(30))
+         |    AS seq, freq
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS merge_rank, pair, freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE NOT contains(w, chr(31)) AND NOT contains(w, chr(30))
+       |  GROUP BY w),
+       |s0 AS (SELECT chr(31) || array_to_string(string_split(w, ''),
+       |    chr(30) || chr(31)) || chr(30) AS seq, freq FROM w0),
+       |$iters
+       |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, pair, freq FROM (
+       |$out) ORDER BY merge_rank""".stripMargin
+  }
 
   /** Per-doc winnowing fingerprint sets, shaped (doc_id, grams) so
     * [[gramPairCounts]] consumes them directly. K=3 token shingles,

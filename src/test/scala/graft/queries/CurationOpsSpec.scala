@@ -109,4 +109,56 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == 62L, s"equal-J tie must break low, got $got")
     assert(got(2L)._2 == 0.714286)
   }
+
+  /** Independent symbol-level greedy BPE reference: k iterations of
+    * (count pairs weighted by word freq → argmax with lexicographic
+    * tie-break → greedy left-to-right non-overlapping merge). */
+  private def bpeRef(words: Seq[(String, Long)], k: Int): Seq[(Int, String, Long)] = {
+    var seqs = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    (1 to k).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- seqs; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((x, y), c) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, s"$a $b") }
+      seqs = seqs.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == x && syms(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (r, s"$x $y", c)
+    }
+  }
+
+  test("BPE merges match a symbol-level reference on boundary-heavy words") {
+    val s = spark
+    import s.implicits._
+    // aaaaa: adjacent-occurrence runs ([a,a,a,a,a] → [aa,aa,a], NOT
+    //   [aa,a,aa]); abc after "ab" merge: ("b","c") must NOT fire
+    //   inside the merged "ab" symbol; ties forced by equal counts
+    val words = Seq(
+      ("aaaaa", 7L), ("abab", 5L), ("abc", 6L), ("cab", 4L),
+      ("x", 9L), ("", 2L), ("tie1", 3L), ("tie2", 3L))
+    val got = TextOps.bpeMerges(
+      words.toDF("w", "freq"), 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val want = bpeRef(words, 4)
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+  }
+
+  test("BPE merges match the reference on the corpus word-type table") {
+    val wf = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val local = wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = TextOps.bpeMerges(wf, 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == bpeRef(local, 5))
+  }
 }
