@@ -539,6 +539,84 @@ object Relational {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // ---- Streaming sessionization: the native session_window
+    //      micro-batch fold answering to the BATCH q28 oracle — the
+    //      stream-equals-batch proof for gap sessions (the q93/q94
+    //      discipline). The feed is a fresh 8-file copy of events read
+    //      2 files per trigger (genuinely cross-batch session merges:
+    //      range-partitioned by event_id, a user's session spans
+    //      files); the watermark delay is derived from the feed's real
+    //      span so NO file arrival order can drop rows late, and a
+    //      driver-written sentinel file after the drain pushes the
+    //      watermark past every session end so append mode flushes all
+    //      closed sessions (the standard flush trick — late high-ts
+    //      event). Session numbering (the oracle's running count) is a
+    //      per-user row_number over closed sessions in the batch tail.
+    //      ----
+    QueryDef.sql("q124_stream_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val gapUs = 1800000000L
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      // O(1) driver pull: the feed's event-time span sizes the
+      // watermark delay (no arrival order may late-drop) and the
+      // sentinel ts (must flush every session end)
+      val Array(spanRow) = ev
+        .agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).collect()
+      val (loUs, hiUs) = (spanRow.getLong(0), spanRow.getLong(1))
+      val delayUs = (hiUs - loUs) + 3600000000L
+      val sentinelUs = hiUs + gapUs + delayUs + 3600000000L
+      val inDir = graft.bench.BenchFeeds.scratchDir("q124_in")
+      ev.repartitionByRange(8, col("event_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val sink = graft.bench.BenchFeeds.sinkName("q124_sess")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val stream = s.readStream
+          .schema(s.read.parquet(inDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(inDir)
+        val q = graft.streaming.StreamSessionize
+          .sessions(stream, "user_id", "ts", gapUs,
+            s"$delayUs microseconds")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          // flush: one sentinel row, written AFTER the drain so it is
+          // discovered strictly last — its event time advances the
+          // watermark past every real session end
+          s.range(1).select(lit(-1L).as("event_id"),
+            timestamp_micros(lit(sentinelUs)).as("ts"),
+            lit(-1L).as("user_id"))
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val wSess = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      s.table(sink).filter(col("user_id") =!= -1L)
+        .withColumn("session_id", row_number().over(wSess).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
     // ---- Debounce compaction, batch analog of A34: within each
     //      (key, interval) window keep only the newest change ----
     QueryDef.sql("q29_debounce",
