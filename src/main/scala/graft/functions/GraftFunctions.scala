@@ -19,6 +19,7 @@ object GraftFunctions {
     "sorted_overlap" -> (es => SortedOverlap(es(0), es(1))),
     "all_pairs" -> (es => AllPairs(es.head)),
     "top_k_min" -> (es => TopKMin(es(0), es(1))),
+    "z_interleave16" -> (es => ZInterleave16(es(0), es(1))),
     // pg_decode(datum, oid): oid must be a literal so the result type
     // is known at analysis time
     "pg_decode" -> (es => {

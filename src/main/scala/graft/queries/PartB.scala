@@ -16,6 +16,67 @@ object PartB {
 
   val queries: Seq[QueryDef] = Seq(
 
+    // ---- Z-order data layout (Delta/Iceberg OPTIMIZE ZORDER
+    //      semantics): min-max-scale two dimensions to 16-bit codes,
+    //      interleave them with the native codegen z_interleave16
+    //      kernel, and radix-bucket rows by the TOP 4 bits of the
+    //      curve — static tiling, fully parallel, NO global sort (a
+    //      real layout write is repartitionByRange(z) + sortWithin-
+    //      Partitions, whose range sampling this radix report
+    //      approximates deterministically). The per-tile min/max
+    //      report IS the point of z-order: every tile bounds BOTH
+    //      dimensions, which is what makes multi-column file skipping
+    //      work. All-integer arithmetic (scaling uses `div`), so the
+    //      oracle — the same bit ladder spelled as shift/mask SQL —
+    //      matches bit-exactly. Bounds come from one O(1) broadcast
+    //      agg, never a driver collect. ----
+    QueryDef.sql("q125_zorder_layout",
+      """WITH dims AS (SELECT o_orderkey, o_custkey AS ck,
+        |    epoch_us(o_orderdate) // 86400000000 AS dy FROM orders),
+        |b AS (SELECT min(ck) AS ck0, max(ck) AS ck1,
+        |    min(dy) AS dy0, max(dy) AS dy1 FROM dims),
+        |sc AS (SELECT o_orderkey, ck, dy,
+        |    ((ck - b.ck0) * 65535) // (b.ck1 - b.ck0) AS x,
+        |    ((dy - b.dy0) * 65535) // (b.dy1 - b.dy0) AS y FROM dims, b),
+        |a1 AS (SELECT *, (x|(x<<8))&16711935 AS x1,
+        |    (y|(y<<8))&16711935 AS y1 FROM sc),
+        |a2 AS (SELECT *, (x1|(x1<<4))&252645135 AS x2,
+        |    (y1|(y1<<4))&252645135 AS y2 FROM a1),
+        |a3 AS (SELECT *, (x2|(x2<<2))&858993459 AS x3,
+        |    (y2|(y2<<2))&858993459 AS y3 FROM a2),
+        |a4 AS (SELECT *, (x3|(x3<<1))&1431655765 AS x4,
+        |    (y3|(y3<<1))&1431655765 AS y4 FROM a3),
+        |zz AS (SELECT o_orderkey, ck, dy, x4 | (y4 << 1) AS z FROM a4)
+        |SELECT CAST(z >> 28 AS INTEGER) AS tile,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(ck) AS min_cust, max(ck) AS max_cust,
+        |  min(dy) AS min_day, max(dy) AS max_day,
+        |  max(ck) - min(ck) AS cust_width, max(dy) - min(dy) AS day_width
+        |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val dims = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("ck"),
+          // NTZ → TS is identity under the UTC session TZ
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("dy"))
+      val bounds = dims.agg(min(col("ck")).as("ck0"), max(col("ck")).as("ck1"),
+        min(col("dy")).as("dy0"), max(col("dy")).as("dy1"))
+      dims.crossJoin(broadcast(bounds))
+        .select(col("ck"), col("dy"), expr(
+          """z_interleave16(((ck - ck0) * 65535) div (ck1 - ck0),
+            |               ((dy - dy0) * 65535) div (dy1 - dy0))"""
+            .stripMargin).as("z"))
+        .groupBy(shiftright(col("z"), 28).cast("int").as("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ck")).as("min_cust"), max(col("ck")).as("max_cust"),
+          min(col("dy")).as("min_day"), max(col("dy")).as("max_day"))
+        .select(col("tile"), col("n_rows"), col("min_cust"), col("max_cust"),
+          col("min_day"), col("max_day"),
+          (col("max_cust") - col("min_cust")).as("cust_width"),
+          (col("max_day") - col("min_day")).as("day_width"))
+        .orderBy(col("tile"))
+    },
+
     // ---- approx_count_distinct (HLL++). The sketch is estimator-
     //      specific, so the oracle pins the exact count plus the
     //      estimator's error contract (|apx−exact| ≤ 5·rsd·exact — the

@@ -170,4 +170,27 @@ class KernelPropertySpec extends AnyFunSuite {
       SrpSketch.codes(floatArray(x)).toSeq == ref(x).toSeq
     })
   }
+
+  test("z_interleave16 == bit-by-bit reference; locality order law") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val dim = Gen.chooseNum(0L, 65535L)
+    check("z-ref", Prop.forAll(dim, dim) { (x, y) =>
+      ZInterleave16.interleave(x, y) == ref(x, y)
+    })
+    // the property file-skipping relies on: within one top-4-bit tile,
+    // both dims stay inside the tile's quadrant bounds
+    check("z-tile", Prop.forAll(dim, dim) { (x, y) =>
+      val tile = ZInterleave16.interleave(x, y) >> 28
+      // tile bits are [y15, x15, y14, x14] — each tile is a quadrant
+      // bounding BOTH dims' top bits
+      val expTile = (((y >> 15) & 1) << 3) | (((x >> 15) & 1) << 2) |
+        (((y >> 14) & 1) << 1) | ((x >> 14) & 1)
+      tile == expTile
+    })
+    intercept[IllegalArgumentException](ZInterleave16.interleave(65536L, 0L))
+    intercept[IllegalArgumentException](ZInterleave16.interleave(0L, -1L))
+  }
 }
