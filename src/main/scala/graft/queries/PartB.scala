@@ -77,6 +77,52 @@ object PartB {
         .orderBy(col("tile"))
     },
 
+    // ---- Triangle counting on the user co-occurrence graph —
+    //      graph analytics over the activity feed (who shares
+    //      (event_type, 10-min window) buckets with whom). Edges come
+    //      from per-bucket sorted user sets through the all_pairs
+    //      kernel (in-list combinatorics, no bucket self-join); the
+    //      count is the degree-ORDERED forward algorithm
+    //      ([[graft.operators.Triangles]]) whose wedge fan-out is
+    //      O(m^1.5) by arboricity instead of Σ deg² — the difference
+    //      between finishing and not on power-law co-occurrence
+    //      graphs. The oracle is an INDEPENDENT formulation (3-way
+    //      a<b<c edge self-join), so the green hash proves the
+    //      oriented algorithm exact, not just self-consistent. ----
+    QueryDef.sql("q126_triangle_count",
+      """WITH ev AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 600000000 AS b, user_id AS u FROM events),
+        |bu AS (SELECT DISTINCT et, b, u FROM ev),
+        |e AS (SELECT DISTINCT l.u AS x, r.u AS y FROM bu l
+        |  JOIN bu r ON l.et = r.et AND l.b = r.b AND l.u < r.u),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
+        |    SELECT x AS u FROM e UNION ALL SELECT y AS u FROM e)
+        |  GROUP BY u),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e e1
+        |  JOIN e e2 ON e2.x = e1.y
+        |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |wed AS (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS w
+        |  FROM deg)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT w FROM wed) AS n_wedges,
+        |  (SELECT t FROM tri) AS n_triangles,
+        |  round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6)
+        |    AS global_cc""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val edges = t(s, d, "events")
+        .select(col("event_type").as("et"),
+          expr("unix_micros(ts) div 600000000").as("b"),
+          col("user_id").as("u"))
+        .distinct()
+        .groupBy(col("et"), col("b"))
+        .agg(sort_array(collect_set(col("u"))).as("us"))
+        .filter(size(col("us")) >= 2)
+        .select(explode(expr("all_pairs(us)")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .distinct()
+      graft.operators.Triangles.stats(edges)
+    },
+
     // ---- approx_count_distinct (HLL++). The sketch is estimator-
     //      specific, so the oracle pins the exact count plus the
     //      estimator's error contract (|apx−exact| ≤ 5·rsd·exact — the
