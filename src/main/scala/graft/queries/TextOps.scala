@@ -688,6 +688,61 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- CCNet-style per-language perplexity tertiles: bucket every
+    //      language's docs into head/middle/tail by LM score — the
+    //      published recipe trains per-lang LMs and keeps the head as
+    //      high-quality training data. Reuses q90's unigram NLL
+    //      formula verbatim (identical expression tree both engines;
+    //      the 6-dp round is the pinned seam), then a per-lang
+    //      ntile(3) with (mean_nll, doc_id) tie-break so bucket edges
+    //      are deterministic. The per-lang window is a report-shape
+    //      window (lang-partitioned, like q88's per-doc rank); at lake
+    //      scale the same report computes per-lang CUTOFFS once
+    //      (approx_percentile, q65's machinery) and buckets row-
+    //      locally — the tertile semantics here are the oracle for
+    //      that path. ----
+    QueryDef.sql("q128_ccnet_buckets",
+      """WITH e AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS tok FROM documents),
+        |e2 AS (SELECT doc_id, tok FROM e WHERE len(tok) > 0),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM e2),
+        |freq AS (SELECT tok, count(*) AS c FROM e2 GROUP BY 1),
+        |s AS (SELECT e2.doc_id, -ln(freq.c / total.total) AS nll
+        |      FROM e2 JOIN freq USING (tok) CROSS JOIN total),
+        |dm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    round(avg(nll), 6) AS mean_nll FROM s GROUP BY doc_id),
+        |j AS (SELECT d.lang, dm.doc_id, dm.n_toks, dm.mean_nll
+        |  FROM dm JOIN documents d USING (doc_id)),
+        |b AS (SELECT lang, n_toks, mean_nll, CAST(ntile(3) OVER (
+        |    PARTITION BY lang ORDER BY mean_nll, doc_id) AS INTEGER)
+        |    AS bucket FROM j)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(min(mean_nll), 6) AS lo_nll, round(max(mean_nll), 6) AS hi_nll,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_toks
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val e = docs
+        .select(col("doc_id"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val total = e.agg(count(lit(1)).cast("double").as("total"))
+      val freq = e.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val dm = e.join(freq, "tok").crossJoin(broadcast(total))
+        .withColumn("nll", -log(col("c") / col("total")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), round(avg(col("nll")), 6).as("mean_nll"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("mean_nll"), col("doc_id"))
+      dm.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("mean_nll")), 6).as("lo_nll"),
+          round(max(col("mean_nll")), 6).as("hi_nll"),
+          sum(col("n_toks")).as("n_toks"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
     // ---- Containment near-dup (asymmetric overlap |A∩B| / min):
     //      catches subset duplication — a document wrapped in
     //      boilerplate contains its original almost entirely, yet
@@ -1296,6 +1351,61 @@ object TextOps {
         .select(explode(toks).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       bpeMerges(wordFreqs, 3).orderBy(col("merge_rank"))
+    },
+
+    // ---- Positional phrase search through an inverted index: the
+    //      index-seek shape every corpus-search tool needs — postings
+    //      (term, doc_id, pos) filtered to the phrase's terms (two
+    //      slim legs, term dictionary pruning at scale), then the
+    //      adjacency join ON (doc, pos+1) merges position lists
+    //      exactly like a positional index engine. Counts OVERLAPPING
+    //      occurrences (position semantics, not replace-count
+    //      semantics — they differ on self-overlapping phrases). The
+    //      probe phrase is data-derived (the corpus's top bigram,
+    //      lexicographic tie-break) so the query is self-contained at
+    //      any SF; it rides a 1-row broadcast, never a collect. ----
+    QueryDef.sql("q127_phrase_search",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        |    unnest(list_slice(toks, 2, len(toks))) AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |top AS (SELECT w1 || ' ' || w2 AS phrase, w1 AS p1, w2 AS p2
+        |  FROM bg GROUP BY w1, w2
+        |  ORDER BY count(*) DESC, phrase LIMIT 1),
+        |occ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM bg, top WHERE bg.w1 = top.p1 AND bg.w2 = top.p2
+        |  GROUP BY doc_id)
+        |SELECT doc_id, (SELECT phrase FROM top) AS phrase, n_occ
+        |FROM occ ORDER BY n_occ DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val toksDf = graft.Tables.wide(t(s, d, "documents"))
+        .select(col("doc_id"), expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("toks"))
+      // top bigram: row-local bigram projection + one type-sized agg
+      val top = toksDf.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] as p1, toks[i+1] as p2))"))
+          .as("b"))
+        .groupBy(col("b.p1").as("p1"), col("b.p2").as("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("phrase", concat_ws(" ", col("p1"), col("p2")))
+        .orderBy(col("cnt").desc, col("phrase")).limit(1)
+        .select(col("p1"), col("p2"), col("phrase"))
+      // positional postings, then the index-seek legs + adjacency join
+      val postings = toksDf
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      val withPhrase = postings.crossJoin(broadcast(top))
+      val leg1 = withPhrase.filter(col("term") === col("p1"))
+        .select(col("doc_id"), col("pos"), col("phrase"))
+      val leg2 = withPhrase.filter(col("term") === col("p2"))
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      leg1.join(leg2, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id"), col("phrase"))
+        .agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("phrase"), col("n_occ"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as
