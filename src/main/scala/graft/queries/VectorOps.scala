@@ -852,6 +852,120 @@ object VectorOps {
         .orderBy(col("vec_id"), col("dim"))
     },
 
+    // ---- Product quantization recall audit (the IVF-PQ compression
+    //      leg of a 100 TB ANN stack, companion to q110/q112): 8
+    //      subspaces × 16 codewords, codebook = a bounded
+    //      deterministic hash sample (the a678b17 IVF-fit discipline —
+    //      bottom-16 by md5, so both engines pick identical
+    //      codewords), encode = ROW-LOCAL argmin over the broadcast
+    //      codebook (map-side at any corpus size, zero shuffles), and
+    //      search = asymmetric distance (ADC): per-query subvector→
+    //      codeword tables summed by code lookup. Every distance is an
+    //      exact DECIMAL sum of 6-dp components (the q116 discipline)
+    //      so argmin/tie-breaks/rankings are bit-deterministic in both
+    //      engines; ground truth is exact L2 over the same decimals.
+    //      Recall@5 per query is the audit number that decides whether
+    //      8×4-bit codes are enough before anyone compresses a lake.
+    //      ----
+    QueryDef.sql("q129_pq_recall",
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))) AS x6
+        |  FROM embeddings),
+        |cb AS (SELECT j, x6 FROM (SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, x6
+        |    FROM v) WHERE j < 16),
+        |cd AS (SELECT v.vec_id, m.range AS m, cb.j,
+        |    sum(CAST((v.x6[m.range*8 + i.range + 1] - cb.x6[m.range*8 + i.range + 1])
+        |      * (v.x6[m.range*8 + i.range + 1] - cb.x6[m.range*8 + i.range + 1])
+        |      AS DECIMAL(38,12))) AS dist
+        |  FROM v, range(8) m, range(8) i, cb
+        |  GROUP BY 1, 2, 3),
+        |co AS (SELECT vec_id, m, j AS code FROM (SELECT vec_id, m, j,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        |  FROM cd) WHERE rk = 1),
+        |ad AS (SELECT dt.vec_id AS qid, co.vec_id AS cid,
+        |    sum(dt.dist) AS adist
+        |  FROM co JOIN cd dt ON dt.vec_id < 10 AND dt.m = co.m
+        |    AND dt.j = co.code AND co.vec_id <> dt.vec_id
+        |  GROUP BY 1, 2),
+        |pqr AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist, cid) AS rk FROM ad) WHERE rk <= 5),
+        |ex AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    sum(CAST((a.x6[p.range + 1] - b.x6[p.range + 1])
+        |      * (a.x6[p.range + 1] - b.x6[p.range + 1]) AS DECIMAL(38,12))) AS d2
+        |  FROM v a, v b, range(64) p
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+        |exr AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d2, cid) AS rk FROM ex) WHERE rk <= 5),
+        |h AS (SELECT exr.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM exr JOIN pqr ON exr.qid = pqr.qid AND exr.cid = pqr.cid
+        |  GROUP BY exr.qid)
+        |SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall
+        |FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN h USING (qid)
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double), 6) as decimal(18,6)))")
+          .as("x6"))
+      // bounded deterministic codebook: 16 sample vectors, carried in
+      // hash order as a 16×64 broadcast array (TakeOrdered, O(k))
+      val cbook = e
+        .withColumn("hk", md5(col("vec_id").cast("string").cast("binary")))
+        .orderBy(col("hk"), col("vec_id")).limit(16)
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(hk, vec_id, x6))), s -> s.x6)")
+          .as("cb"))
+      // per-(vector, subspace, codeword) decimal distance — bound once
+      // per row via the nested-transform trick, then argmin = first
+      // position of the min (ties break to the smaller codeword)
+      val subDists =
+        """transform(sequence(0, 7), m ->
+          |  transform(sequence(0, 15), j ->
+          |    aggregate(sequence(0, 7), cast(0 as decimal(38,12)), (acc, i) ->
+          |      cast(acc + cast((x6[m*8+i] - cb[j][m*8+i])
+          |        * (x6[m*8+i] - cb[j][m*8+i]) as decimal(38,12))
+          |        as decimal(38,12)))))""".stripMargin
+      val coded = e.crossJoin(broadcast(cbook))
+        .withColumn("dts", expr(subDists))
+        .withColumn("codes", expr(
+          "transform(dts, ds -> cast(array_position(ds, array_min(ds)) - 1 as int))"))
+      val queries = coded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("dts").as("qdts"),
+          col("x6").as("qx6"))
+      // ADC: code lookup into the query's distance tables — a 10-row
+      // broadcast against the corpus codes, exact decimal sums
+      val ad = coded.select(col("vec_id").as("cid"), col("codes"))
+        .crossJoin(broadcast(queries.select(col("qid"), col("qdts"))))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("adist", expr(
+          """aggregate(sequence(0, 7), cast(0 as decimal(38,12)), (acc, m) ->
+            |  cast(acc + qdts[m][codes[m]] as decimal(38,12)))""".stripMargin))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+      val pqTop = ad.withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 5).select(col("qid"), col("cid"))
+      // exact ground truth: full-width decimal L2, same broadcast shape
+      val ex = e.select(col("vec_id").as("cid"), col("x6"))
+        .crossJoin(broadcast(queries.select(col("qid"), col("qx6"))))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("d2", expr(
+          """aggregate(zip_with(x6, qx6, (x, q) ->
+            |    cast((x - q) * (x - q) as decimal(38,12))),
+            |  cast(0 as decimal(38,12)), (acc, v) ->
+            |    cast(acc + v as decimal(38,12)))""".stripMargin))
+      val wx = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+      val exTop = ex.withColumn("rk", row_number().over(wx))
+        .filter(col("rk") <= 5).select(col("qid"), col("cid"))
+      val hits = exTop.join(pqTop, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exTop.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 5.0, 4).as("recall"))
+        .orderBy(col("qid"))
+    },
+
     QueryDef.sql("q112_quantized_recall",
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
