@@ -525,6 +525,72 @@ object TrainingOps {
         .orderBy(col("lang"))
     },
 
+    // ---- Epoch upsampling with replication — the other half of the
+    //      mixture story (q62/q115 SUB-sample big sources; training
+    //      runs UP-sample high-value small ones by repeating docs
+    //      across epochs). Factors derive from the same sqrt-
+    //      temperature rebalance as q115, normalized so the smallest
+    //      factor is exactly 1.0 (pure upsampling), all in exact
+    //      integer micro-units — no float seam anywhere. Each doc gets
+    //      ⌊f⌋ copies plus one more iff a Knuth-multiplicative hash of
+    //      doc_id falls under f's fractional part — deterministic,
+    //      append-stable, and the expansion is a row-local
+    //      explode(sequence(...)) (zero shuffles before the report
+    //      agg). Arithmetic fits a long at corpus scale; a lake-scale
+    //      run lifts the micro-unit products into DECIMAL(38,0) —
+    //      same plan. ----
+    QueryDef.sql("q130_epoch_upsample",
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_s,
+        |    CAST(round(sqrt(n_s) * 1000000) AS BIGINT) AS w FROM n),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn,
+        |    CAST(sum(w) AS BIGINT) AS wsum FROM w),
+        |f AS (SELECT lang, n_s,
+        |    (w * (SELECT nn FROM tot) * 1000000)
+        |      // ((SELECT wsum FROM tot) * n_s) AS fm FROM w),
+        |g AS (SELECT lang, n_s,
+        |    (fm * 1000000) // (SELECT min(fm) FROM f) AS gm FROM f),
+        |c AS (SELECT d.doc_id, d.lang, g.gm,
+        |    (g.gm // 1000000)
+        |      + CASE WHEN (d.doc_id * 2654435761) % 1000000
+        |             < (g.gm % 1000000) THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN g USING (lang)),
+        |o AS (SELECT doc_id, lang, gm, unnest(range(copies)) AS copy
+        |  FROM c)
+        |SELECT lang, (SELECT n_s FROM g WHERE g.lang = o.lang)
+        |    AS n_docs, gm AS factor_micro,
+        |  CAST(count(*) AS BIGINT) AS n_out,
+        |  (CAST(count(*) AS BIGINT) * 1000000)
+        |    // (SELECT n_s FROM g WHERE g.lang = o.lang)
+        |    AS achieved_micro
+        |FROM o GROUP BY lang, gm ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+        .withColumn("w", expr("cast(round(sqrt(n_s) * 1000000) as bigint)"))
+      val tots = n.agg(sum(col("n_s")).cast("long").as("nn"),
+        sum(col("w")).cast("long").as("wsum"))
+      val f = n.crossJoin(broadcast(tots))
+        .withColumn("fm", expr("(w * nn * 1000000) div (wsum * n_s)"))
+      val fmin = f.agg(min(col("fm")).as("fmin"))
+      val g = f.crossJoin(broadcast(fmin))
+        .select(col("lang"), col("n_s"),
+          expr("(fm * 1000000) div fmin").as("gm"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(broadcast(g), Seq("lang"))
+        .withColumn("copies", expr(
+          """(gm div 1000000) + (case when (doc_id * 2654435761) % 1000000
+            |  < (gm % 1000000) then 1 else 0 end)""".stripMargin))
+        .select(col("doc_id"), col("lang"), col("n_s"), col("gm"),
+          explode(expr("sequence(0, copies - 1)")).as("copy"))
+        .groupBy(col("lang"), col("n_s"), col("gm"))
+        .agg(count(lit(1)).as("n_out"))
+        .select(col("lang"), col("n_s").as("n_docs"),
+          col("gm").as("factor_micro"), col("n_out"),
+          expr("(n_out * 1000000) div n_docs").as("achieved_micro"))
+        .orderBy(col("lang"))
+    },
+
     QueryDef.sql("q111_vocab_growth",
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
