@@ -77,6 +77,114 @@ object PartB {
         .orderBy(col("tile"))
     },
 
+    // ---- Stream-stream interval join (view → purchase attribution
+    //      within 30 minutes per user): Spark's watermarked two-stream
+    //      join — each side's state is retained only inside the
+    //      watermark horizon and the TIME-RANGE predicate is what lets
+    //      the engine evict it (an unbounded-condition stream join
+    //      would grow state forever; this is the documented contract).
+    //      Inner joins emit matches as they arrive, so no sentinel
+    //      flush is needed; the span-derived delay guarantees no
+    //      arrival order can late-drop. Two file-source streams over
+    //      the same feed (2 files/trigger ⇒ genuinely cross-batch
+    //      matches); the oracle is the equivalent BATCH interval join
+    //      — the q124 stream-equals-batch discipline applied to the
+    //      q66 operator family. ----
+    QueryDef.sql("q132_stream_stream_join",
+      """WITH v AS (SELECT user_id, event_id AS vid, epoch_us(ts) AS vus
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT v.user_id, vid, pid FROM v JOIN p
+        |  ON v.user_id = p.user_id AND pus >= vus
+        |    AND pus <= vus + 1800000000)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(vid + pid) AS BIGINT) AS id_sum
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "eventssjfeed",
+        idCol = "event_id", checkSpan = false)(ev)
+      // span-derived watermark delay (the q124 discipline): no file
+      // arrival order may drop rows; inner-join emission never waits
+      val Array(spanRow) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()
+      val delayUs = (spanRow.getLong(1) - spanRow.getLong(0)) + 3600000000L
+      def side(tpe: String, idAs: String, tsAs: String) = s.readStream
+        .schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feedDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${idAs}_u"), col("event_id").as(idAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, s"$delayUs microseconds")
+      val sink = graft.bench.BenchFeeds.sinkName("q132_ssj")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = side("view", "vid", "vts")
+          .join(side("purchase", "pid", "pts"),
+            expr("""vid_u = pid_u AND pts >= vts
+                   |AND pts <= vts + interval 30 minutes""".stripMargin))
+          .select(col("vid_u").as("user_id"), col("vid"), col("pid"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("vid") + col("pid")).cast("long").as("id_sum"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- Corpus snapshot diff — the release-over-release audit every
+    //      managed lake runs before publishing: full outer join of two
+    //      snapshots on the stable key, rows classified added /
+    //      removed / changed / unchanged by comparing CONTENT HASHES
+    //      (never the text itself across the wire — the md5 rides the
+    //      shuffle, not the payload; at 100 TB that is the difference
+    //      between a metadata-sized diff and re-shipping the corpus).
+    //      Snapshots are simulated deterministically from the corpus:
+    //      A = doc_id % 7 != 0, B = everything, with every doc_id % 5
+    //      == 0 "revised" in B. One join + one O(status×source) agg.
+    //      ----
+    QueryDef.sql("q131_snapshot_diff",
+      """WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |b AS (SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+        |        ELSE text END) AS h FROM documents),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    COALESCE(a.source, b.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.h <> b.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val a = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("h"))
+      val b = docs.select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).cast("binary")).as("h"))
+      a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"),
+          "full_outer")
+        .select(
+          coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+          coalesce(col("a.source"), col("b.source")).as("source"),
+          when(col("a.doc_id").isNull, "added")
+            .when(col("b.doc_id").isNull, "removed")
+            .when(col("a.h") =!= col("b.h"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("source"), col("status"))
+    },
+
     // ---- Triangle counting on the user co-occurrence graph —
     //      graph analytics over the activity feed (who shares
     //      (event_type, 10-min window) buckets with whom). Edges come

@@ -30,6 +30,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
         Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType))),
       "top_k_min" -> Seq(
         Literal.create(7L, LongType), Literal.create(3, IntegerType)),
+      "z_interleave16" -> Seq(
+        Literal.create(43690L, LongType), Literal.create(21845L, LongType)),
       "pg_decode" -> Seq(
         Literal.create(graft.codec.PgType.encode(graft.codec.PgType.Int8, 7L),
           BinaryType),
