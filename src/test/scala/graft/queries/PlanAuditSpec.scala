@@ -184,7 +184,37 @@ class PlanAuditSpec extends AnyFunSuite {
       "q121_boilerplate_grams" -> 4,
       // q122 = the result sort ONLY — the projection is one row-local
       // nested decimal fold, no joins, no aggregates.
-      "q122_jl_projection" -> 1)
+      "q122_jl_projection" -> 1,
+      // q123 = wide() fan-out + the ONE instance-sized word-freq agg +
+      // three type-sized pair aggs (one per merge iteration; the
+      // argmaxes are 1-row TakeOrdered broadcasts) + result sort.
+      "q123_bpe_merges" -> 6,
+      // q125 = the 1-row bounds agg + tile agg + result sort; the
+      // interleave itself is a row-local codegen kernel.
+      "q125_zorder_layout" -> 3,
+      // q126 = bucket-user distinct + per-bucket set agg + edge
+      // distinct + degree agg + the wedge/closure equi-join exchanges;
+      // the three count legs ride 1-row broadcasts.
+      "q126_triangle_count" -> 6,
+      // q127 = the type-sized bigram agg (top phrase, 1-row broadcast)
+      // + the two index-seek legs' adjacency join + per-doc agg +
+      // top-20 TakeOrdered.
+      "q127_phrase_search" -> 4,
+      // q128 = q90's freq/total aggs + doc-NLL agg + the lang join +
+      // per-lang ntile window + final agg/sort.
+      "q128_ccnet_buckets" -> 5,
+      // q129 = the 16-row codebook TakeOrdered + the two top-5 window
+      // legs (ADC + exact, each over a 10-row broadcast against the
+      // corpus) + recall join/agg + result sort; encode and both
+      // distance computations are row-local decimal folds.
+      "q129_pq_recall" -> 6,
+      // q130 = lang-count agg + the two 1-row scalar aggs (totals,
+      // min-factor) + the broadcast factor join + post-explode report
+      // agg + result sort; the expansion itself is row-local.
+      "q130_epoch_upsample" -> 6,
+      // q131 = the full-outer join's two sides + status agg + result
+      // sort; only md5 hashes cross the exchanges, never text.
+      "q131_snapshot_diff" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
