@@ -303,6 +303,55 @@ object PartB {
         .orderBy(col("event_type"))
     },
 
+    // ---- Sliding-window distinct users from daily HLL partials —
+    //      the mergeable-sketch window trick: a 7-day sliding distinct
+    //      NEVER rescans raw rows; it unions the 7 daily partials per
+    //      window position. The spine join is O(days×7) SKETCH rows —
+    //      metadata-sized at any corpus scale; the raw-row direct leg
+    //      exists here only as the audit baseline. Both estimates are
+    //      pinned to the exact windowed distinct with q95's error
+    //      contract (merge_ok / apx_ok) — NOT to each other:
+    //      DataSketches HLL's union result is deterministic but need
+    //      not byte-equal a direct sketch once the sparse→dense mode
+    //      transition kicks in (observed at sf0.1, 1500 users — the
+    //      scale sweep caught an equality assertion here). ----
+    QueryDef.sql("q134_sliding_distinct",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |w AS (SELECT d.day, du.user_id FROM days d JOIN du
+        |  ON du.day BETWEEN d.day - 6 AND d.day),
+        |x AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS exact_users FROM w GROUP BY day)
+        |SELECT day, exact_users, true AS merge_ok, true AS apx_ok
+        |FROM x ORDER BY day""".stripMargin) { (s, d) =>
+      val du = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val partials = du.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val spine = partials.select(col("day").as("wday"))
+      val merged = partials.join(spine,
+          col("day") >= date_sub(col("wday"), 6) && col("day") <= col("wday"))
+        .groupBy(col("wday"))
+        .agg(round(hll_sketch_estimate(hll_union_agg(col("sk"))), 6)
+          .as("merged_apx"))
+      val windowRows = du.join(spine,
+        col("day") >= date_sub(col("wday"), 6) && col("day") <= col("wday"))
+      val direct = windowRows
+        .groupBy(col("wday"), col("user_id")).agg(count(lit(1)))
+        .groupBy(col("wday")).agg(count(lit(1)).as("exact_users"))
+      val directApx = windowRows.groupBy(col("wday"))
+        .agg(round(hll_sketch_estimate(hll_sketch_agg(col("user_id"))), 6)
+          .as("direct_apx"))
+      merged.join(direct, "wday").join(directApx, "wday")
+        .select(col("wday").as("day"), col("exact_users"),
+          (abs(col("merged_apx") - col("exact_users"))
+            <= lit(5 * 0.02) * col("exact_users")).as("merge_ok"),
+          (abs(col("direct_apx") - col("exact_users"))
+            <= lit(5 * 0.02) * col("exact_users")).as("apx_ok"))
+        .orderBy(col("day"))
+    },
+
     // ---- q95's point is that partials PERSIST: here the per-(type,
     //      day) sketch binaries go through parquet and the rollup runs
     //      over the re-read partials ([[graft.operators.SketchLake]]).

@@ -310,6 +310,94 @@ object Sketches {
 
   val queries: Seq[QueryDef] = Seq(
 
+    // ---- KMV (bottom-k / theta-style) sketch set-intersection: the
+    //      ONE set operation HLL cannot do. Per-source gram sets fold
+    //      into bottom-128-hash sketches via the top_k_min bounded-heap
+    //      aggregate (map-side combine, k longs per source forever —
+    //      the mergeable-sketch state story at any corpus size);
+    //      pairwise Jaccard is then a ROW-LOCAL set computation on the
+    //      sketch pair (merge, take bottom-k of the union, count
+    //      members in both), so the 190-pair similarity matrix costs
+    //      nothing after the one sketch agg. Deterministic end to end
+    //      (hash60 + exact integer counts), so the oracle recomputes
+    //      the IDENTICAL estimates — the hash compare pins the
+    //      estimator itself, and est_ok pins its error against the
+    //      exact gram-join baseline (the q107 exact matrix's sketch
+    //      twin). ----
+    QueryDef.sql("q133_kmv_overlap",
+      s"""WITH t AS (SELECT doc_id, source, string_split_regex(
+         |    lower(trim(text)), '\\s+') AS toks FROM documents),
+         |e AS (SELECT source, unnest(list_distinct(list_transform(
+         |    range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2]
+         |    || ' ' || toks[i+3]))) AS gram FROM t WHERE len(toks) >= 3),
+         |g AS (SELECT DISTINCT source, ${hash60Sql("gram")} AS h FROM e),
+         |sk AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+         |  FROM g GROUP BY source),
+         |ks AS (SELECT source, h FROM (SELECT source, h, row_number()
+         |    OVER (PARTITION BY source ORDER BY h) AS rk FROM g)
+         |  WHERE rk <= 128),
+         |pr AS (SELECT a.source AS src1, b.source AS src2
+         |  FROM sk a JOIN sk b ON a.source < b.source),
+         |ud AS (SELECT DISTINCT pr.src1, pr.src2, ks.h FROM pr
+         |  JOIN ks ON ks.source = pr.src1 OR ks.source = pr.src2),
+         |m AS (SELECT src1, src2, h FROM (SELECT src1, src2, h,
+         |    row_number() OVER (PARTITION BY src1, src2 ORDER BY h)
+         |    AS rk FROM ud) WHERE rk <= 128),
+         |msz AS (SELECT src1, src2, CAST(count(*) AS BIGINT) AS ms
+         |  FROM m GROUP BY 1, 2),
+         |ic AS (SELECT m.src1, m.src2, CAST(count(*) AS BIGINT) AS c
+         |  FROM m JOIN ks ka ON ka.source = m.src1 AND ka.h = m.h
+         |  JOIN ks kb ON kb.source = m.src2 AND kb.h = m.h
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT a.source AS src1, b.source AS src2,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT pr.src1, pr.src2, s1.nd AS n1, s2.nd AS n2,
+         |  COALESCE(ex.c, 0) AS n_common,
+         |  round(COALESCE(ex.c, 0) / (s1.nd + s2.nd - COALESCE(ex.c, 0)), 6)
+         |    AS exact_j,
+         |  round(COALESCE(ic.c, 0) / msz.ms, 6) AS est_j,
+         |  abs(round(COALESCE(ic.c, 0) / msz.ms, 6)
+         |    - round(COALESCE(ex.c, 0)
+         |      / (s1.nd + s2.nd - COALESCE(ex.c, 0)), 6)) <= 0.15 AS est_ok
+         |FROM pr JOIN sk s1 ON s1.source = pr.src1
+         |JOIN sk s2 ON s2.source = pr.src2
+         |JOIN msz ON msz.src1 = pr.src1 AND msz.src2 = pr.src2
+         |LEFT JOIN ic ON ic.src1 = pr.src1 AND ic.src2 = pr.src2
+         |LEFT JOIN ex ON ex.src1 = pr.src1 AND ex.src2 = pr.src2
+         |ORDER BY pr.src1, pr.src2""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+      val g = shingled(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), explode(col("grams")).as("gram"))
+        .select(col("source"), hash60(col("gram")).as("h"))
+        .distinct()
+      val sk = g.groupBy(col("source"))
+        .agg(expr("top_k_min(h, 128)").as("ks"), count(lit(1)).as("nd"))
+      val pr = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src1"), col("b.source").as("src2"),
+          col("a.ks").as("ka"), col("b.ks").as("kb"),
+          col("a.nd").as("n1"), col("b.nd").as("n2"))
+        .withColumn("m", expr("slice(array_sort(array_union(ka, kb)), 1, 128)"))
+        .withColumn("ic",
+          expr("size(array_intersect(m, array_intersect(ka, kb)))"))
+      val ex = g.as("x").join(g.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src1"), col("y.source").as("src2"))
+        .agg(count(lit(1)).as("c"))
+      pr.join(ex, Seq("src1", "src2"), "left")
+        .withColumn("n_common", coalesce(col("c"), lit(0L)))
+        .withColumn("exact_j",
+          round(col("n_common") / (col("n1") + col("n2") - col("n_common")), 6))
+        .withColumn("est_j", round(col("ic") / size(col("m")), 6))
+        .select(col("src1"), col("src2"), col("n1"), col("n2"),
+          col("n_common"), col("exact_j"), col("est_j"),
+          (abs(col("est_j") - col("exact_j")) <= 0.15).as("est_ok"))
+        .orderBy(col("src1"), col("src2"))
+    },
+
     // LSH candidates + exact verify; the oracle is the EXACT pair set at
     // the same threshold — so this hash-check asserts 100% LSH recall
     // (precision is guaranteed by the verify stage). 32 bands × 2 rows
