@@ -214,7 +214,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "q130_epoch_upsample" -> 6,
       // q131 = the full-outer join's two sides + status agg + result
       // sort; only md5 hashes cross the exchanges, never text.
-      "q131_snapshot_diff" -> 4)
+      "q131_snapshot_diff" -> 4,
+      // q133 = the (source, hash) distinct + the ONE bounded-heap
+      // sketch agg + the exact-baseline gram join/agg legs + result
+      // sort; the 190-pair estimate matrix itself is row-local on the
+      // tiny sketch relation.
+      "q133_kmv_overlap" -> 8,
+      // q134 = the (day, user) distinct + daily partial agg + the two
+      // spine-join legs' aggs (merged union, direct exact+apx) +
+      // result sort — every exchange after the distinct carries
+      // day-sized or sketch-sized rows.
+      "q134_sliding_distinct" -> 8)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
