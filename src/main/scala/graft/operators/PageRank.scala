@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in EXACT INTEGER arithmetic: ranks live in
+  * [[Scale]]-unit fixed point, per-edge contributions are `r div deg`,
+  * and the damping step is `(15·S) div 100 + (85·Σ) div 100`. Integer
+  * sums are associative, so any shuffle order, partitioning, or engine
+  * computes IDENTICAL ranks — float PageRank cannot be cross-engine
+  * oracle-checked; this can, bit for bit (q137's green hash).
+  *
+  * Each iteration is one edge-keyed join + one dst-keyed aggregate —
+  * the Pregel shape; plan depth grows linearly in the fixed round
+  * count (an open-ended solver would `localCheckpoint` per round the
+  * way [[ConnectedComponents]] does).
+  */
+object PageRank {
+
+  final val Scale = 1000000000000L
+
+  /** `iters` rounds over undirected `edges` (columns x, y; distinct).
+    * Returns (u, r) — every node's fixed-point rank. No dangling-mass
+    * term: every node of an undirected edge list has outdegree ≥ 1. */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    val dirE = edges.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(edges.select(col("y").as("src"), col("x").as("dst")))
+    val deg = dirE.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = dirE.join(deg, "src")
+    var r = deg.select(col("src").as("u"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      r = withDeg.join(r, col("src") === col("u"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("u"),
+          expr(s"(15 * ${Scale}L) div 100 + (85 * sc) div 100").as("r"))
+    }
+    r
+  }
+}

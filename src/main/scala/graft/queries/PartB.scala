@@ -14,6 +14,58 @@ object PartB {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Undirected user co-occurrence edges (x < y, distinct) from shared
+    * (event_type, 10-minute) buckets — the graph q126/q137 analyze.
+    * Pairs come from the all_pairs kernel over per-bucket sorted user
+    * sets (in-list combinatorics, no bucket self-join). */
+  private def coocEdges(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, d, "events")
+      .select(col("event_type").as("et"),
+        expr("unix_micros(ts) div 600000000").as("b"),
+        col("user_id").as("u"))
+      .distinct()
+      .groupBy(col("et"), col("b"))
+      .agg(sort_array(collect_set(col("u"))).as("us"))
+      .filter(size(col("us")) >= 2)
+      .select(explode(expr("all_pairs(us)")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .distinct()
+  }
+
+  /** DuckDB CTE text for [[coocEdges]] — shared by the q126/q137
+    * oracles so the two graphs can never drift apart. Defines `e(x,y)`.
+    */
+  private val coocEdgesCte: String =
+    """ev AS (SELECT event_type AS et,
+      |    epoch_us(ts) // 600000000 AS b, user_id AS u FROM events),
+      |bu AS (SELECT DISTINCT et, b, u FROM ev),
+      |e AS (SELECT DISTINCT l.u AS x, r.u AS y FROM bu l
+      |  JOIN bu r ON l.et = r.et AND l.b = r.b AND l.u < r.u)""".stripMargin
+
+  /** DuckDB oracle for q137: the 5-iteration integer PageRank loop
+    * unrolled into chained CTEs over [[coocEdgesCte]]'s graph. */
+  private def pageRankOracleSql(k: Int): String = {
+    val S = 1000000000000L
+    val iters = (1 to k).map { i =>
+      s"""r$i AS (SELECT d.dst AS u,
+         |    CAST((15 * ${S}) // 100
+         |      + (85 * sum(r.r // dg.deg)) // 100 AS BIGINT) AS r
+         |  FROM dir d JOIN r${i - 1} r ON r.u = d.src
+         |  JOIN deg dg ON dg.u = d.src
+         |  GROUP BY d.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coocEdgesCte,
+       |dir AS (SELECT x AS src, y AS dst FROM e
+       |  UNION ALL SELECT y AS src, x AS dst FROM e),
+       |deg AS (SELECT src AS u, CAST(count(*) AS BIGINT) AS deg
+       |  FROM dir GROUP BY src),
+       |r0 AS (SELECT u, CAST($S AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT u, r AS rank FROM r$k
+       |ORDER BY r DESC, u LIMIT 20""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- Z-order data layout (Delta/Iceberg OPTIMIZE ZORDER
@@ -75,6 +127,92 @@ object PartB {
           (col("max_cust") - col("min_cust")).as("cust_width"),
           (col("max_day") - col("min_day")).as("day_width"))
         .orderBy(col("tile"))
+    },
+
+    // ---- Ordered funnel analysis (view → click → purchase): the
+    //      event-sequence-matching family (MATCH_RECOGNIZE's most
+    //      common instance) computed the scalable way — earliest-
+    //      completion semantics as a chain of per-user min-aggs and
+    //      user-keyed joins (agg → join ts-after → agg → join), never
+    //      a per-user ordered scan. Strictly-after steps (ts >); all
+    //      timestamps exact integer µs. Output is the 3-row funnel
+    //      report: users reaching each stage and the total time-to-
+    //      stage mass. ----
+    QueryDef.sql("q135_funnel",
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(ts)) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(ts)) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+        |  GROUP BY e.user_id)
+        |SELECT stage, n_users, lag_us_sum FROM (
+        |  SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(0 AS BIGINT) AS lag_us_sum FROM v
+        |  UNION ALL
+        |  SELECT 2, CAST(count(*) AS BIGINT),
+        |    CAST(sum(c.t2 - v.t1) AS BIGINT)
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |  UNION ALL
+        |  SELECT 3, CAST(count(*) AS BIGINT),
+        |    CAST(sum(p.t3 - v.t1) AS BIGINT)
+        |  FROM p JOIN v ON p.user_id = v.user_id)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      def stageMin(tpe: String, after: DataFrame, tCol: String, outCol: String) =
+        ev.filter(col("event_type") === tpe)
+          .join(after, "user_id")
+          .filter(col("us") > col(tCol))
+          .groupBy(col("user_id")).agg(min(col("us")).as(outCol))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val c = stageMin("click", v, "t1", "t2")
+      val p = stageMin("purchase", c.select(col("user_id"), col("t2")), "t2", "t3")
+      val s1 = v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("stage"), col("n_users"),
+          lit(0L).as("lag_us_sum"))
+      val s2 = c.join(v, "user_id")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("t2") - col("t1")).cast("long").as("lag_us_sum"))
+        .select(lit(2).as("stage"), col("n_users"), col("lag_us_sum"))
+      val s3 = p.join(v, "user_id")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("t3") - col("t1")).cast("long").as("lag_us_sum"))
+        .select(lit(3).as("stage"), col("n_users"), col("lag_us_sum"))
+      s1.unionAll(s2).unionAll(s3).orderBy(col("stage"))
+    },
+
+    // ---- Cohort retention matrix: users grouped by first-seen day,
+    //      activity counted at each day offset — the longitudinal
+    //      engagement report. Two aggs and one join, all user-keyed:
+    //      cohort = min-day agg; activity = the (day, user) distinct;
+    //      the matrix agg is O(cohorts × offsets) rows. n_active at
+    //      offset 0 equals the cohort size by construction. ----
+    QueryDef.sql("q136_cohort_retention",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort FROM du GROUP BY user_id),
+        |m AS (SELECT ch.cohort, CAST(du.day - ch.cohort AS BIGINT)
+        |    AS offset_days, du.user_id
+        |  FROM du JOIN ch ON du.user_id = ch.user_id)
+        |SELECT cohort, offset_days, CAST(count(*) AS BIGINT) AS n_active
+        |FROM m GROUP BY cohort, offset_days
+        |ORDER BY cohort, offset_days""".stripMargin) { (s, d) =>
+      val du = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val ch = du.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      du.join(ch, "user_id")
+        .select(col("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("offset_days"),
+          col("user_id"))
+        .groupBy(col("cohort"), col("offset_days"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort"), col("offset_days"))
     },
 
     // ---- Stream-stream interval join (view → purchase attribution
@@ -198,11 +336,7 @@ object PartB {
     //      a<b<c edge self-join), so the green hash proves the
     //      oriented algorithm exact, not just self-consistent. ----
     QueryDef.sql("q126_triangle_count",
-      """WITH ev AS (SELECT event_type AS et,
-        |    epoch_us(ts) // 600000000 AS b, user_id AS u FROM events),
-        |bu AS (SELECT DISTINCT et, b, u FROM ev),
-        |e AS (SELECT DISTINCT l.u AS x, r.u AS y FROM bu l
-        |  JOIN bu r ON l.et = r.et AND l.b = r.b AND l.u < r.u),
+      s"""WITH $coocEdgesCte,
         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
         |    SELECT x AS u FROM e UNION ALL SELECT y AS u FROM e)
         |  GROUP BY u),
@@ -216,19 +350,26 @@ object PartB {
         |  (SELECT t FROM tri) AS n_triangles,
         |  round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6)
         |    AS global_cc""".stripMargin) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val edges = t(s, d, "events")
-        .select(col("event_type").as("et"),
-          expr("unix_micros(ts) div 600000000").as("b"),
-          col("user_id").as("u"))
-        .distinct()
-        .groupBy(col("et"), col("b"))
-        .agg(sort_array(collect_set(col("u"))).as("us"))
-        .filter(size(col("us")) >= 2)
-        .select(explode(expr("all_pairs(us)")).as("p"))
-        .select(col("p.x").as("x"), col("p.y").as("y"))
-        .distinct()
-      graft.operators.Triangles.stats(edges)
+      graft.operators.Triangles.stats(coocEdges(s, d))
+    },
+
+    // ---- PageRank over the co-occurrence graph, 5 fixed iterations
+    //      in EXACT INTEGER arithmetic: ranks live in 1e12-unit fixed
+    //      point, per-edge contributions are `r div deg` and the damp
+    //      is `(15·S) div 100 + (85·Σ) div 100` — integer sums are
+    //      associative, so any shuffle order, partitioning, or engine
+    //      computes the IDENTICAL ranks (float PageRank cannot be
+    //      oracle-checked across engines; this can, bit for bit). The
+    //      undirected graph has no dangling nodes (every node has an
+    //      edge), so no dangling-mass term. Each iteration is one
+    //      edge-keyed join + one dst-keyed agg — the Pregel shape;
+    //      plan depth grows linearly over the 5 fixed rounds (an
+    //      open-ended solver would checkpoint per round like q69's
+    //      CC). ----
+    QueryDef.sql("q137_pagerank", pageRankOracleSql(5)) { (s, d) =>
+      graft.operators.PageRank.ranks(coocEdges(s, d), 5)
+        .orderBy(col("r").desc, col("u")).limit(20)
+        .select(col("u"), col("r").as("rank"))
     },
 
     // ---- approx_count_distinct (HLL++). The sketch is estimator-

@@ -224,7 +224,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // spine-join legs' aggs (merged union, direct exact+apx) +
       // result sort — every exchange after the distinct carries
       // day-sized or sketch-sized rows.
-      "q134_sliding_distinct" -> 8)
+      "q134_sliding_distinct" -> 8,
+      // q135 = three stage min-aggs + the two user-keyed stage joins +
+      // result sort — the sequence match is agg→join chained, never a
+      // per-user ordered scan.
+      "q135_funnel" -> 6,
+      // q136 = (day, user) distinct + cohort min-agg + the user join +
+      // matrix agg/sort — all user- or cohort-keyed.
+      "q136_cohort_retention" -> 4,
+      // q137 = bucket distinct/set-agg/edge distinct + degree agg +
+      // the per-iteration dst-keyed rank aggs (edge joins ride the
+      // same keys) + TakeOrdered — the Pregel shape at 5 rounds.
+      "q137_pagerank" -> 9)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
