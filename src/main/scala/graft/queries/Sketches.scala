@@ -703,5 +703,59 @@ object Sketches {
       LshIndex.build(docs.filter(col("doc_id") % 10 =!= 0), name)
       LshIndex.screen(docs.filter(col("doc_id") % 10 === 0), name, 0.8)
         .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // ---- The INDEX-MAINTENANCE loop, streamed end to end: every
+    //      micro-batch screens against the persisted bucketed index
+    //      (cross-batch pairs), finds its own within-batch pairs
+    //      (q35's path), appends itself into the index, and the
+    //      accumulated pair set answers to q35's EXACT all-pairs
+    //      oracle. The detected set is ARRIVAL-ORDER-INDEPENDENT:
+    //      batches are disjoint, so every near-dup pair is found
+    //      exactly once — in the within-batch leg if both docs share a
+    //      batch, else in the screen leg when the later doc lands.
+    //      This is the operational twin of q93's in-memory streaming
+    //      near-dup: state here is the ON-DISK index (survives
+    //      restarts, shared by other jobs), and the screen only
+    //      shuffles the batch side (the q99 bucketed-join contract).
+    //      ----
+    QueryDef.sql("q138_stream_index_loop",
+      s"""WITH $gramsCte,
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
+         |FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.8
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val feedDir = graft.bench.BenchFeeds.docFeed(s, d)
+      val outDir = graft.bench.BenchFeeds.scratchDir("q138_pairs")
+      val full = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val name = s"slshidx_${full}_${graft.bench.BenchFeeds.sinkName("n")}"
+      val empty = s.read.parquet(feedDir).filter(lit(false))
+      LshIndex.build(empty, name) // fresh empty index per invocation
+      val stream = s.readStream
+        .schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feedDir)
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          graft.bench.BenchFeeds.scratchDir("q138_ck"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cross = LshIndex.screen(batch, name, 0.8)
+            .select(least(col("doc1"), col("doc2")).as("doc1"),
+              greatest(col("doc1"), col("doc2")).as("doc2"), col("jaccard"))
+          val within = minHashPairs(batch, 0.8)
+          cross.unionByName(within)
+            .write.mode("append").parquet(outDir)
+          LshIndex.append(batch, name)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .dropDuplicates("doc1", "doc2")
+        .orderBy(col("doc1"), col("doc2"))
     })
 }
