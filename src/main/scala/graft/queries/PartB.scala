@@ -129,6 +129,61 @@ object PartB {
         .orderBy(col("tile"))
     },
 
+    // ---- 3σ anomaly detection in EXACT integer arithmetic: the
+    //      monitoring gate every ingest pipeline runs, made oracle-
+    //      checkable by clearing the float seam — values floor to
+    //      micro-units, and the outlier test (v−μ)² > 9σ² is cross-
+    //      multiplied to (v·n − S)² > 9·(n·Q − S²) over DECIMAL(38,0):
+    //      no division, no float variance, bit-identical verdicts on
+    //      any engine or summation order. One scan-wide agg per group
+    //      + a broadcast join back — two passes, the standard shape
+    //      (a streaming variant folds S/Q/n as running state). ----
+    QueryDef.sql("q139_value_outliers",
+      """WITH v AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(vm AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |    CAST(sum(CAST(vm AS DECIMAL(38,0)) * vm) AS DECIMAL(38,0)) AS q
+        |  FROM v GROUP BY event_type),
+        |o AS (SELECT v.event_type, v.event_id, v.vm, st.n, st.s
+        |  FROM v JOIN st ON v.event_type = st.event_type
+        |  WHERE CAST((v.vm * st.n - st.s) AS DECIMAL(38,0))
+        |      * CAST((v.vm * st.n - st.s) AS DECIMAL(38,0))
+        |    > 9 * (st.n * st.q - st.s * st.s))
+        |SELECT st.event_type, st.n,
+        |  CAST(CAST(st.s AS HUGEINT) // CAST(st.n AS HUGEINT) AS BIGINT)
+        |    AS mean_micro,
+        |  CAST(COALESCE(oc.n_out, 0) AS BIGINT) AS n_outliers,
+        |  COALESCE(oc.out_id_sum, 0) AS out_id_sum
+        |FROM st LEFT JOIN (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_out,
+        |    CAST(sum(event_id) AS BIGINT) AS out_id_sum
+        |  FROM o GROUP BY event_type) oc
+        |  ON oc.event_type = st.event_type
+        |ORDER BY st.event_type""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 1000000).cast("long").as("vm"))
+      val st = v.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("vm").cast("decimal(38,0)")).cast("decimal(38,0)").as("s"),
+          sum(col("vm").cast("decimal(38,0)") * col("vm"))
+            .cast("decimal(38,0)").as("q"))
+      val o = v.join(broadcast(st), "event_type")
+        .filter(expr(
+          """cast(vm * n - s as decimal(38,0)) * cast(vm * n - s as decimal(38,0))
+            |  > 9 * (n * q - s * s)""".stripMargin))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_out"),
+          sum(col("event_id")).cast("long").as("out_id_sum"))
+      st.join(o, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"),
+          expr("cast(s div n as bigint)").as("mean_micro"),
+          coalesce(col("n_out"), lit(0L)).as("n_outliers"),
+          coalesce(col("out_id_sum"), lit(0L)).as("out_id_sum"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- Ordered funnel analysis (view → click → purchase): the
     //      event-sequence-matching family (MATCH_RECOGNIZE's most
     //      common instance) computed the scalable way — earliest-
