@@ -129,6 +129,77 @@ object PartB {
         .orderBy(col("tile"))
     },
 
+    // ---- Declarative data-quality gate (the Deequ-style contract
+    //      check a lake runs before promoting a load): five rule
+    //      families — null check, domain membership, range, key
+    //      uniqueness, referential integrity — evaluated in the
+    //      CHEAPEST plan each admits: the row-local rules fold into
+    //      ONE conditional-sum scan pass (no per-rule scans), the
+    //      uniqueness rule is one key agg, and the FK rule is one
+    //      broadcast-able anti-join. Violation counts are exact
+    //      BIGINTs. error-severity rules hold 0 on this clean corpus;
+    //      the two warn-severity rules FIRE (≈20% each), so the
+    //      counting path is non-vacuous by construction. ----
+    QueryDef.sql("q140_dq_rules",
+      """WITH rowr AS (SELECT
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r_null,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS r_domain,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r_range,
+        |    CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS w_price,
+        |    CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS w_prio
+        |  FROM orders),
+        |uq AS (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) AS r_unique
+        |  FROM (SELECT o_orderkey, count(*) AS c FROM orders
+        |    GROUP BY o_orderkey) WHERE c > 1),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS r_fk FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey))
+        |SELECT rule, severity, n_violations FROM (
+        |  SELECT 'null_custkey' AS rule, 'error' AS severity,
+        |    r_null AS n_violations FROM rowr
+        |  UNION ALL SELECT 'domain_status', 'error', r_domain FROM rowr
+        |  UNION ALL SELECT 'range_totalprice', 'error', r_range FROM rowr
+        |  UNION ALL SELECT 'unique_orderkey', 'error', r_unique FROM uq
+        |  UNION ALL SELECT 'fk_custkey', 'error', r_fk FROM fk
+        |  UNION ALL SELECT 'price_over_400k', 'warn', w_price FROM rowr
+        |  UNION ALL SELECT 'priority_unspecified', 'warn', w_prio FROM rowr)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+      val rowr = orders.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("r_null"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("r_domain"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("r_range"),
+        sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L))
+          .as("w_price"),
+        sum(when(col("o_orderpriority") === "4-NOT SPECIFIED", 1L)
+          .otherwise(0L)).as("w_prio"))
+      val uq = orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("r_unique"))
+      val fk = orders.join(t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("r_fk"))
+      val r = rowr.crossJoin(broadcast(uq)).crossJoin(broadcast(fk))
+      Seq(("null_custkey", "error", "r_null"),
+        ("domain_status", "error", "r_domain"),
+        ("range_totalprice", "error", "r_range"),
+        ("unique_orderkey", "error", "r_unique"),
+        ("fk_custkey", "error", "r_fk"),
+        ("price_over_400k", "warn", "w_price"),
+        ("priority_unspecified", "warn", "w_prio"))
+        .map { case (name, sev, c) => r.select(lit(name).as("rule"),
+          lit(sev).as("severity"), col(c).cast("long").as("n_violations")) }
+        .reduce(_ unionAll _)
+        .orderBy(col("rule"))
+    },
+
     // ---- 3σ anomaly detection in EXACT integer arithmetic: the
     //      monitoring gate every ingest pipeline runs, made oracle-
     //      checkable by clearing the float seam — values floor to
