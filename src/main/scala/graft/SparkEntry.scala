@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CodecQueries, PartB, QueryDef, Relational, Sketches, TextOps, TrainingOps, VectorOps}
+import graft.queries.{CodecQueries, LakeOps, PartB, QueryDef, Relational, Sketches, TextOps, TrainingOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   val allQueries: Seq[QueryDef] =
     Relational.queries ++ TextOps.queries ++ Sketches.queries ++
       VectorOps.queries ++ CodecQueries.queries ++ PartB.queries ++
-      TrainingOps.queries
+      TrainingOps.queries ++ LakeOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,323 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lake-lifecycle operators layered on the CDC/curation engine: SCD
+  * Type 2 dimension builds, snapshot→delta inversion (the reverse of
+  * the q131 diff audit — generate a CDC feed FROM two snapshots and
+  * prove applying it reconstructs the target), session transition
+  * matrices, RefinedWeb-style line-level boilerplate removal, the
+  * streaming twin of the q139 anomaly gate, and robust per-dimension
+  * embedding statistics (median/MAD) for feature-scaling audits.
+  *
+  * Reference scope: the reference's apply pipeline materializes
+  * current-state tables (pkg/sink/postgres.go); SCD2 and the
+  * delta-inversion round trip are the two lake-side derivations of
+  * that same change history. Everything here follows the repo's exact
+  * arithmetic discipline — integer µs, micro-units, decimal sums — so
+  * every oracle is a bit-exact hash match, never a tolerance.
+  */
+object LakeOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- SCD Type 2 dimension build from the event stream: collapse
+    //      each user's event-type sequence into validity intervals
+    //      [valid_from, valid_to) with an is_current flag — the
+    //      standard dimension-table derivation of a CDC change
+    //      history. Two window passes over ONE user-keyed shuffle
+    //      (lag to detect state changes, lead over the survivors to
+    //      close intervals); timestamps are exact integer µs and ties
+    //      break on event_id, so the intervals are deterministic on
+    //      any engine. State rows ≈ change count — never wider than
+    //      the input. ----
+    QueryDef.sql("q141_scd2_intervals",
+      """WITH v AS (SELECT user_id, event_type AS st, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |o AS (SELECT user_id, st, us, event_id,
+        |    lag(st) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS pst FROM v),
+        |c AS (SELECT user_id, st, us, event_id FROM o
+        |  WHERE pst IS NULL OR pst <> st),
+        |iv AS (SELECT user_id, st, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS vto FROM c)
+        |SELECT user_id, st AS state, us AS valid_from_us,
+        |  vto AS valid_to_us,
+        |  CAST(CASE WHEN vto IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM iv ORDER BY user_id, valid_from_us, state""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val v = t(s, d, "events")
+          .select(col("user_id"), col("event_type").as("st"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val c = v.withColumn("pst", lag(col("st"), 1).over(w))
+          .filter(col("pst").isNull || col("pst") =!= col("st"))
+        c.withColumn("vto", lead(col("us"), 1).over(w))
+          .select(col("user_id"), col("st").as("state"),
+            col("us").as("valid_from_us"), col("vto").as("valid_to_us"),
+            when(col("vto").isNull, 1L).otherwise(0L).as("is_current"))
+          .orderBy(col("user_id"), col("valid_from_us"), col("state"))
+    },
+
+    // ---- CDC delta INVERSION round trip: diff two snapshots into an
+    //      I/U/D event feed (comparing content HASHES — the md5 rides
+    //      the shuffle, never the text), then APPLY that feed back to
+    //      the old snapshot. The oracle computes the target snapshot
+    //      DIRECTLY, so the green hash proves diff∘apply = identity —
+    //      the invariant a lake's change-data-feed export rests on.
+    //      Snapshots are simulated deterministically: A drops
+    //      doc_id%7==0, B drops doc_id%3==0 and revises doc_id%5==0,
+    //      so the feed genuinely contains all three op kinds. One
+    //      full-outer join + one anti-join + one union, all
+    //      doc_id-keyed. ----
+    QueryDef.sql("q142_cdc_invert",
+      """SELECT doc_id, source,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+        |      ELSE text END) AS h
+        |FROM documents WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      def h(c: Column) = md5(c.cast("binary"))
+      val a = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"), h(col("text")).as("h"))
+      val b = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("source"),
+          h(when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("h"))
+      // diff → the delta feed (op, key, new image for I/U)
+      val ev = a.as("a").join(b.as("b"),
+          col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(
+          when(col("a.doc_id").isNull, "insert")
+            .when(col("b.doc_id").isNull, "delete")
+            .when(col("a.h") =!= col("b.h"), "update").as("op"),
+          coalesce(col("b.doc_id"), col("a.doc_id")).as("doc_id"),
+          col("b.source").as("source"), col("b.h").as("h"))
+        .filter(col("op").isNotNull)
+      // apply the feed to A: drop deleted/updated keys, add new images
+      a.join(ev.filter(col("op").isin("delete", "update"))
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(ev.filter(col("op").isin("insert", "update"))
+          .select(col("doc_id"), col("source"), col("h")))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Markov transition matrix over sessionized activity: within
+    //      each 30-minute-gap session, count event-type bigrams and
+    //      report exact transition probabilities in integer
+    //      micro-units (n·10⁶ div total — no float seam). The
+    //      gaps-and-islands session id is the lag+cumsum pattern;
+    //      everything runs in ONE user-keyed shuffle (three window
+    //      passes share the partitioning) + an O(types²) agg. ----
+    QueryDef.sql("q143_markov_transitions",
+      """WITH v AS (SELECT user_id, event_type AS et, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |b AS (SELECT user_id, et, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, et, us, event_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+        |tr AS (SELECT lag(et) OVER (PARTITION BY user_id, sid
+        |      ORDER BY us, event_id) AS prev_et, et AS next_et FROM g),
+        |c AS (SELECT prev_et, next_et, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr WHERE prev_et IS NOT NULL GROUP BY prev_et, next_et),
+        |tot AS (SELECT prev_et, CAST(sum(n) AS BIGINT) AS t FROM c
+        |  GROUP BY prev_et)
+        |SELECT c.prev_et, c.next_et, c.n,
+        |  CAST(c.n * 1000000 // tot.t AS BIGINT) AS p_micro
+        |FROM c JOIN tot ON c.prev_et = tot.prev_et
+        |ORDER BY c.prev_et, c.next_et""".stripMargin) { (s, d) =>
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val v = t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("et"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val g = v
+        .withColumn("brk",
+          when(lag(col("us"), 1).over(wu).isNull ||
+            col("us") - lag(col("us"), 1).over(wu) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tr = g.withColumn("prev_et",
+          lag(col("et"), 1).over(Window
+            .partitionBy(col("user_id"), col("sid"))
+            .orderBy(col("us"), col("event_id"))))
+        .filter(col("prev_et").isNotNull)
+      val c = tr.groupBy(col("prev_et"), col("et").as("next_et"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("prev_et")).agg(sum(col("n")).as("t"))
+      c.join(broadcast(tot), "prev_et")
+        .select(col("prev_et"), col("next_et"), col("n"),
+          expr("n * 1000000L div t").as("p_micro"))
+        .orderBy(col("prev_et"), col("next_et"))
+    },
+
+    // ---- Line-level boilerplate removal (the RefinedWeb/C4 line
+    //      dedup stage): split each doc into fixed 4-word lines, drop
+    //      every line whose document frequency ≥ 3 from EVERY doc, and
+    //      reassemble the survivors in order. Exactly two shuffles at
+    //      any scale: the line-keyed df agg (same shape as the q121
+    //      gram report) and the doc-keyed reassembly — the boilerplate
+    //      list itself is corpus-small and BROADCAST back, so flagging
+    //      costs no third shuffle. Output proves the reconstruction
+    //      (md5 of the reassembled text), not just the counts. ----
+    QueryDef.sql("q144_line_dedup",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |li AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(len(ws)/4.0) AS BIGINT) - 1)) AS pos FROM w),
+        |l AS (SELECT doc_id, pos,
+        |    array_to_string(ws[(pos*4+1):(pos*4+4)], ' ') AS line FROM li),
+        |d AS (SELECT line FROM l GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |f AS (SELECT l.doc_id, l.pos, l.line,
+        |    CASE WHEN d.line IS NULL THEN 0 ELSE 1 END AS dropf
+        |  FROM l LEFT JOIN d ON l.line = d.line),
+        |r AS (SELECT doc_id,
+        |    CAST(sum(1 - dropf) AS BIGINT) AS n_kept,
+        |    CAST(sum(dropf) AS BIGINT) AS n_dropped,
+        |    string_agg(CASE WHEN dropf = 0 THEN line END, ' '
+        |      ORDER BY pos) AS txt
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_kept, n_dropped,
+        |  CASE WHEN n_kept = 0 THEN NULL ELSE md5(txt) END AS h
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val lines = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          """CASE WHEN size(ws) = 0 THEN array()
+            |ELSE transform(sequence(0, cast(ceil(size(ws)/4.0) as int) - 1),
+            |  i -> array_join(slice(ws, i*4+1, 4), ' ')) END"""
+            .stripMargin)).as(Seq("pos", "line")))
+      val boiler = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("line"), lit(1L).as("dropf"))
+      lines.join(broadcast(boiler), Seq("line"), "left")
+        .withColumn("dropf", coalesce(col("dropf"), lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(sum(lit(1L) - col("dropf")).as("n_kept"),
+          sum(col("dropf")).as("n_dropped"),
+          array_sort(collect_list(when(col("dropf") === 0L,
+            struct(col("pos"), col("line"))))).as("kept"))
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          when(col("n_kept") === 0L, lit(null))
+            .otherwise(md5(array_join(
+              expr("transform(kept, p -> p.line)"), " ").cast("binary")))
+            .as("h"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Streaming twin of the q139 anomaly gate: the per-type
+    //      moments (n, Σv, Σv²) fold INCREMENTALLY as a streaming
+    //      aggregation over the event feed — state is O(event types)
+    //      rows forever, the complete-mode sink republishes the tiny
+    //      moment table each trigger — and the verdict pass then joins
+    //      the folded moments back exactly as the batch gate does.
+    //      Same exact cross-multiplied integer test, same output, SAME
+    //      oracle as q139 — the stream-equals-batch discipline applied
+    //      to the monitoring gate. ----
+    QueryDef.sql("q145_stream_anomaly",
+      PartB.queries.find(_.name == "q139_value_outliers").get.oracle.get) {
+      (s, d) =>
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val feedDir = graft.bench.BenchFeeds.feed(s, d, "evvalfeed",
+          idCol = "event_id", checkSpan = false)(ev)
+        val sink = graft.bench.BenchFeeds.sinkName("q145_anom")
+        graft.streaming.StreamRun.withStatePartitions(s, 8) {
+          val q = s.readStream
+            .schema(s.read.parquet(feedDir).schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(feedDir)
+            .select(col("event_type"),
+              floor(col("value") * 1000000).cast("long").as("vm"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("vm").cast("decimal(38,0)")).cast("decimal(38,0)")
+                .as("s"),
+              sum(col("vm").cast("decimal(38,0)") * col("vm"))
+                .cast("decimal(38,0)").as("q"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val st = s.table(sink)
+        val v = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 1000000).cast("long").as("vm"))
+        val o = v.join(broadcast(st), "event_type")
+          .filter(expr(
+            """cast(vm * n - s as decimal(38,0))
+              |  * cast(vm * n - s as decimal(38,0))
+              |  > 9 * (n * q - s * s)""".stripMargin))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_out"),
+            sum(col("event_id")).cast("long").as("out_id_sum"))
+        st.join(o, Seq("event_type"), "left")
+          .select(col("event_type"), col("n"),
+            expr("cast(s div n as bigint)").as("mean_micro"),
+            coalesce(col("n_out"), lit(0L)).as("n_outliers"),
+            coalesce(col("out_id_sum"), lit(0L)).as("out_id_sum"))
+          .orderBy(col("event_type"))
+    },
+
+    // ---- Robust per-dimension embedding statistics (median + MAD in
+    //      micro-units): the feature-scaling audit run before
+    //      whitening/normalizing an embedding column. Exact-percentile
+    //      medians interpolate halves of integers — exactly
+    //      representable doubles, so the cross-engine hash is exact.
+    //      Two dim-keyed aggs over the exploded (dim, value) pairs;
+    //      the 64-row median table broadcasts back for the deviation
+    //      pass. ----
+    QueryDef.sql("q146_dim_robust_stats",
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |x AS (SELECT unnest(emb) AS v,
+        |    generate_subscripts(emb, 1) AS dim FROM e),
+        |m AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |    CAST(floor(v * 1000000) AS BIGINT) AS vm FROM x),
+        |md AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    min(vm) AS min_micro, max(vm) AS max_micro,
+        |    quantile_cont(vm, 0.5) AS med_micro FROM m GROUP BY dim),
+        |ad AS (SELECT m.dim, abs(m.vm - md.med_micro) AS dev
+        |  FROM m JOIN md ON m.dim = md.dim),
+        |mad AS (SELECT dim, quantile_cont(dev, 0.5) AS mad_micro
+        |  FROM ad GROUP BY dim)
+        |SELECT md.dim, md.n, md.min_micro, md.max_micro, md.med_micro,
+        |  mad.mad_micro
+        |FROM md JOIN mad ON md.dim = mad.dim
+        |ORDER BY md.dim""".stripMargin) { (s, d) =>
+      val m = t(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("p", "v")))
+        .select((col("p") + 1).cast("long").as("dim"),
+          floor(col("v").cast("double") * 1000000).cast("long").as("vm"))
+      val md = m.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), min(col("vm")).as("min_micro"),
+          max(col("vm")).as("max_micro"),
+          expr("percentile(vm, 0.5D)").as("med_micro"))
+      val mad = m.join(broadcast(md.select(col("dim"), col("med_micro"))),
+          "dim")
+        .select(col("dim"), abs(col("vm") - col("med_micro")).as("dev"))
+        .groupBy(col("dim"))
+        .agg(expr("percentile(dev, 0.5D)").as("mad_micro"))
+      md.join(mad, "dim")
+        .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
+          col("med_micro"), col("mad_micro"))
+        .orderBy(col("dim"))
+    }
+  )
+}

@@ -235,7 +235,27 @@ class PlanAuditSpec extends AnyFunSuite {
       // q137 = bucket distinct/set-agg/edge distinct + degree agg +
       // the per-iteration dst-keyed rank aggs (edge joins ride the
       // same keys) + TakeOrdered — the Pregel shape at 5 rounds.
-      "q137_pagerank" -> 9)
+      "q137_pagerank" -> 9,
+      // q141 = ONE user-keyed exchange shared by both window passes
+      // (lag change-detect + lead interval-close keep the same
+      // partitioning) + the result range sort.
+      "q141_scd2_intervals" -> 2,
+      // q142 = the full-outer diff join's two sides + the anti-join /
+      // union legs + result sort — every exchange doc_id-keyed and
+      // hash-width (the text never ships).
+      "q142_cdc_invert" -> 6,
+      // q143 = the ONE user-keyed exchange shared by all three window
+      // passes + the transition agg + the O(types) totals agg +
+      // result sort; totals ride back on a broadcast.
+      "q143_markov_transitions" -> 4,
+      // q144 = the line-keyed df agg (distinct-doc Expand pair) + the
+      // doc-keyed reassembly agg + result sort; the boilerplate list
+      // is BROADCAST back, so flagging adds no exchange.
+      "q144_line_dedup" -> 4,
+      // q146 = the two dim-keyed aggs (median pass + MAD pass, the
+      // 64-row median table broadcast back) + the 64-row final join +
+      // result sort.
+      "q146_dim_robust_stats" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
