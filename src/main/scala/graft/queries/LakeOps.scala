@@ -318,6 +318,118 @@ object LakeOps {
         .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
           col("med_micro"), col("mad_micro"))
         .orderBy(col("dim"))
+    },
+
+    // ---- CUSUM drift detection via the prefix-min identity: the
+    //      sequential recurrence C_t = max(0, C_{t-1} + dev_t) looks
+    //      unparallelizable, but C_t = S_t − min(0, min_{j≤t} S_j)
+    //      (S = running sum of deviations) turns it into two window
+    //      scans — running sum + running min — over ONE type-keyed
+    //      exchange. All arithmetic exact integer micro-units: the
+    //      reference mean is the integer div of the decimal sum, the
+    //      alarm threshold is 3× the integer mean absolute deviation,
+    //      and no division ever sees a negative operand (trunc-vs-
+    //      floor div is the one cross-engine seam this family has).
+    //      Output: per-type peak drift and alarm count. ----
+    QueryDef.sql("q149_cusum_drift",
+      """WITH v AS (SELECT event_type AS et, epoch_us(ts) AS us, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |st AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(CAST(vm AS DECIMAL(38,0))) AS HUGEINT)
+        |      // count(*) AS BIGINT) AS mu FROM v GROUP BY et),
+        |dv AS (SELECT v.et, v.us, v.event_id, v.vm - st.mu AS dev
+        |  FROM v JOIN st ON v.et = st.et),
+        |th AS (SELECT et, CAST(3 * (CAST(sum(abs(dev)) AS HUGEINT)
+        |      // count(*)) AS BIGINT) AS thr FROM dv GROUP BY et),
+        |cs AS (SELECT et, us, event_id, sum(dev) OVER (PARTITION BY et
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS srun
+        |  FROM dv),
+        |cm AS (SELECT et, srun, min(srun) OVER (PARTITION BY et
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS smin
+        |  FROM cs),
+        |cu AS (SELECT et, srun - least(0, smin) AS cusum FROM cm)
+        |SELECT st.et AS event_type, st.n, st.mu AS mean_micro, th.thr,
+        |  CAST(max(cu.cusum) AS BIGINT) AS peak_cusum,
+        |  CAST(sum(CASE WHEN cu.cusum > th.thr THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_alarms
+        |FROM cu JOIN st ON cu.et = st.et JOIN th ON cu.et = th.et
+        |GROUP BY st.et, st.n, st.mu, th.thr
+        |ORDER BY st.et""".stripMargin) { (s, d) =>
+      val v = t(s, d, "events")
+        .select(col("event_type").as("et"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("vm"))
+      val st = v.groupBy(col("et"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(vm as decimal(38,0))) div count(1) as bigint)")
+            .as("mu"))
+      val dv = v.join(broadcast(st), "et")
+        .select(col("et"), col("us"), col("event_id"),
+          (col("vm") - col("mu")).as("dev"))
+      val th = dv.groupBy(col("et"))
+        .agg(expr("cast(3 * (sum(abs(dev)) div count(1)) as bigint)")
+          .as("thr"))
+      val w = Window.partitionBy(col("et"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cu = dv.withColumn("srun", sum(col("dev")).over(w))
+        .withColumn("smin", min(col("srun")).over(w))
+        .select(col("et"), (col("srun") - least(lit(0L), col("smin")))
+          .as("cusum"))
+      cu.join(broadcast(st), "et").join(broadcast(th), "et")
+        .groupBy(col("et").as("event_type"), col("n"),
+          col("mu").as("mean_micro"), col("thr"))
+        .agg(max(col("cusum")).cast("long").as("peak_cusum"),
+          sum(when(col("cusum") > col("thr"), 1L).otherwise(0L))
+            .cast("long").as("n_alarms"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- Deterministic negative sampling for contrastive training
+    //      sets: each anchor draws 4 pseudo-random corpus rows via
+    //      md5-derived indexes — exactly reproducible on any engine,
+    //      append-stable, no RNG state. The sampled ids resolve
+    //      through ONE vec_id-keyed join (at lake scale the probe side
+    //      is |corpus|·k rows of two longs — shuffle-light), and the
+    //      report audits the two things a sampler must bound: label
+    //      collisions (the "negative" shares the anchor's label) and
+    //      self-draws. ----
+    QueryDef.sql("q150_negative_sampling",
+      """WITH e AS (SELECT vec_id, label FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM e),
+        |s AS (SELECT a.vec_id AS anchor, a.label AS a_label,
+        |    CAST(('0x' || substring(md5(CAST(a.vec_id AS VARCHAR) || '#'
+        |      || CAST(gs.j AS VARCHAR)), 1, 12))::BIGINT % nn.cnt
+        |      AS BIGINT) AS neg_id
+        |  FROM e a CROSS JOIN nn
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) gs),
+        |j AS (SELECT s.anchor, s.a_label, s.neg_id, b.label AS n_label
+        |  FROM s JOIN e b ON s.neg_id = b.vec_id)
+        |SELECT a_label, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN n_label = a_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_label_collisions,
+        |  CAST(sum(CASE WHEN neg_id = anchor THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_self
+        |FROM j GROUP BY a_label ORDER BY a_label""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val nn = e.agg(count(lit(1)).as("cnt"))
+      val samples = e.crossJoin(broadcast(nn))
+        .select(col("vec_id").as("anchor"), col("label").as("a_label"),
+          col("cnt"))
+        .select(col("anchor"), col("a_label"), explode(expr(
+          """transform(sequence(0, 3), j ->
+            |  cast(conv(substring(md5(cast(concat(cast(anchor as string),
+            |    '#', cast(j as string)) as binary)), 1, 12), 16, 10)
+            |    as bigint) % cnt)""".stripMargin)).as("neg_id"))
+      samples.join(e.select(col("vec_id").as("neg_id"),
+          col("label").as("n_label")), "neg_id")
+        .groupBy(col("a_label"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col("n_label") === col("a_label"), 1L).otherwise(0L))
+            .cast("long").as("n_label_collisions"),
+          sum(when(col("neg_id") === col("anchor"), 1L).otherwise(0L))
+            .cast("long").as("n_self"))
+        .orderBy(col("a_label"))
     }
   )
 }

@@ -1406,6 +1406,76 @@ object TextOps {
         .agg(count(lit(1)).as("n_occ"))
         .orderBy(col("n_occ").desc, col("doc_id")).limit(20)
         .select(col("doc_id"), col("phrase"), col("n_occ"))
+    },
+
+    // ---- PMI collocation extraction: the association-scored bigram
+    //      report (which adjacent word pairs co-occur MORE than their
+    //      unigram frequencies predict — the classic collocation
+    //      detector behind phrase-vocabulary induction). The PMI ratio
+    //      p(xy)/(p(x)p(y)) is computed as EXACT integer micro-units —
+    //      (n_xy · T · 10⁶) div (n_x · n_y) over DECIMAL(38,0), no log,
+    //      no float — so ranking and ties are bit-deterministic. Two
+    //      type-sized aggs (bigrams, unigrams) off row-local
+    //      projections of one scan; the totals ride a 1-row broadcast;
+    //      min-support 5 gates the tail. ----
+    QueryDef.sql("q147_pmi_collocations",
+      """WITH t AS (SELECT list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_slice(toks, 1, len(toks)-1)) AS w1,
+        |    unnest(list_slice(toks, 2, len(toks))) AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM bg
+        |  GROUP BY w1, w2),
+        |u AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bg)
+        |SELECT c.w1, c.w2, c.n_xy,
+        |  CAST(CAST(c.n_xy AS HUGEINT) * tot.tb * 1000000
+        |    // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS pmi_micro
+        |FROM c JOIN u u1 ON c.w1 = u1.w JOIN u u2 ON c.w2 = u2.w
+        |CROSS JOIN tot
+        |WHERE c.n_xy >= 5
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val toksDf = graft.Tables.wide(t(s, d, "documents"))
+        .select(expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("toks"))
+      val bg = toksDf.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] as w1, toks[i+1] as w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+      val u = toksDf.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val tot = bg.agg(count(lit(1)).as("tb"))
+      c.filter(col("n_xy") >= 5)
+        .crossJoin(broadcast(tot))
+        .join(broadcast(u.select(col("w").as("w1"), col("n").as("n1"))), "w1")
+        .join(broadcast(u.select(col("w").as("w2"), col("n").as("n2"))), "w2")
+        .select(col("w1"), col("w2"), col("n_xy"), expr(
+          """cast((cast(n_xy as decimal(38,0)) * tb * 1000000)
+            |  div (cast(n1 as decimal(38,0)) * n2) as bigint)"""
+            .stripMargin).as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2")).limit(20)
+    },
+
+    // ---- Tokenizer APPLICATION (the missing half of q123's merge
+    //      learning): run the 3 learned merges over the word-type
+    //      table — the same row-local sentinel `replace` chain the
+    //      LEARNER used, so learn∘apply can never drift — and report
+    //      the top-15 resulting subword tokens with exact corpus
+    //      occurrence counts. At 100 TB the apply step stays
+    //      type-sized (vocabulary rows, not corpus rows); per-doc
+    //      encoding is the same replace chain composed into the scan.
+    //      ----
+    QueryDef.sql("q148_bpe_tokenize", bpeTokensOracleSql(3, 15)) { (s, d) =>
+      val wordFreqs = graft.Tables.wide(t(s, d, "documents"))
+        .select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      bpeTokens(wordFreqs, 3)
+        .orderBy(col("n").desc, col("token")).limit(15)
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as
@@ -1425,13 +1495,21 @@ object TextOps {
     * TakeOrdered broadcast + row-local `replace`); see q123's scaladoc
     * for the scale argument. */
   def bpeMerges(wordFreqs: org.apache.spark.sql.DataFrame, k: Int)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    bpeLoop(wordFreqs, k)._2.reduce(_ unionAll _)
+
+  /** The `k`-iteration BPE loop shared by the merge-LEARNING report
+    * (q123) and the tokenizer-APPLICATION report (q148): returns the
+    * final merged word-type sequences AND the per-rank merge tables.
+    */
+  private def bpeLoop(wordFreqs: org.apache.spark.sql.DataFrame, k: Int)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     var seqs = wordFreqs
       .filter(!col("w").contains(BpeS1) && !col("w").contains(BpeS2))
       .select(concat(lit(BpeS1),
         concat_ws(BpeS2 + BpeS1, filter(split(col("w"), ""), x => x =!= "")),
         lit(BpeS2)).as("seq"), col("freq"))
-    (1 to k).map { r =>
+    val merges = (1 to k).map { r =>
       val pairs = seqs
         .select(col("freq"),
           split(expr("substring(seq, 2, length(seq)-2)"), BpeS2 + BpeS1)
@@ -1451,7 +1529,23 @@ object TextOps {
           col("freq"))
       best.select(lit(r).as("merge_rank"), col("pair"),
         col("freq").cast("long").as("freq"))
-    }.reduce(_ unionAll _)
+    }
+    (seqs, merges)
+  }
+
+  /** Tokenizer APPLICATION: the corpus vocabulary after `k` learned
+    * merges — (token, n) with n = exact corpus occurrence count. The
+    * apply step is the same row-local sentinel `replace` chain the
+    * learner used, so learn∘apply can never drift; the report is one
+    * type-sized agg on top. */
+  def bpeTokens(wordFreqs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val (seqs, _) = bpeLoop(wordFreqs, k)
+    seqs
+      .select(col("freq"), explode(
+        split(expr("substring(seq, 2, length(seq)-2)"), BpeS2 + BpeS1))
+        .as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).cast("long").as("n"))
   }
 
   /** DuckDB oracle for [[q123]]: the `k`-iteration BPE merge loop
@@ -1459,7 +1553,7 @@ object TextOps {
     * iteration mirrors the Spark plan exactly: pair counts weighted by
     * word-type freq, argmax with lexicographic tie-break, literal
     * `replace` application. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleCtes(k: Int): String = {
     // the sentinel encoding (see [[BpeS1]]) spelled with chr() so the
     // SQL text stays printable: S1 = chr(31), S2 = chr(30)
     val iters = (1 to k).map { i =>
@@ -1477,9 +1571,6 @@ object TextOps {
          |    AS seq, freq
          |  FROM s${i - 1})""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k)
-      .map(i => s"SELECT $i AS merge_rank, pair, freq FROM b$i")
-      .mkString("\nUNION ALL ")
     s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
        |    FROM documents)
@@ -1487,10 +1578,26 @@ object TextOps {
        |  GROUP BY w),
        |s0 AS (SELECT chr(31) || array_to_string(string_split(w, ''),
        |    chr(30) || chr(31)) || chr(30) AS seq, freq FROM w0),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS merge_rank, pair, freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""${bpeOracleCtes(k)}
        |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, pair, freq FROM (
        |$out) ORDER BY merge_rank""".stripMargin
   }
+
+  /** DuckDB oracle for [[q148]]: the same unrolled merge chain, then
+    * the tokenize-and-count tail over the FINAL sequences. */
+  private def bpeTokensOracleSql(k: Int, topN: Int): String =
+    s"""${bpeOracleCtes(k)},
+       |tk AS (SELECT unnest(string_split(substr(seq, 2, len(seq)-2),
+       |    chr(30) || chr(31))) AS token, freq FROM s$k)
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM tk
+       |GROUP BY token ORDER BY n DESC, token LIMIT $topN""".stripMargin
 
   /** Per-doc winnowing fingerprint sets, shaped (doc_id, grams) so
     * [[gramPairCounts]] consumes them directly. K=3 token shingles,

@@ -255,7 +255,25 @@ class PlanAuditSpec extends AnyFunSuite {
       // q146 = the two dim-keyed aggs (median pass + MAD pass, the
       // 64-row median table broadcast back) + the 64-row final join +
       // result sort.
-      "q146_dim_robust_stats" -> 4)
+      "q146_dim_robust_stats" -> 4,
+      // q147 = the two type-sized aggs (bigram, unigram) + the
+      // TakeOrdered tail; the totals ride a 1-row broadcast and the
+      // unigram table broadcasts into both legs. The 5th exchange is
+      // the wide() fan-out pair (no-op at lake scale).
+      "q147_pmi_collocations" -> 5,
+      // q148 = wide() fan-out + the ONE instance-sized word-freq agg +
+      // three type-sized pair aggs (q123's learner, shared loop) + the
+      // token-count agg + TakeOrdered — everything after the word agg
+      // is vocabulary-sized.
+      "q148_bpe_tokenize" -> 7,
+      // q149 = the mean agg + MAD agg (both broadcast back) + the ONE
+      // type-keyed window exchange (running sum + running min share
+      // it) + final agg + result sort.
+      "q149_cusum_drift" -> 5,
+      // q150 = the vec_id-keyed resolve join's two sides + the
+      // O(labels) report agg; the corpus count rides a 1-row
+      // broadcast and sampling is row-local.
+      "q150_negative_sampling" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
