@@ -24,6 +24,23 @@ object LakeOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** CUSUM via the prefix-min identity: adds a `cusum` column equal to
+    * the sequential fold C_t = max(0, C_{t-1} + dev_t) over each
+    * `part`-partition ordered by `ord` — computed as
+    * C_t = S_t − min(0, min_{j≤t} S_j) with two window scans (running
+    * sum, running min) sharing one exchange. Exact over integral
+    * `dev`; see q149 for the drift-gate application. */
+  def cusum(df: DataFrame, part: Seq[String], ord: Seq[String],
+      dev: String): DataFrame = {
+    val w = Window.partitionBy(part.map(col): _*)
+      .orderBy(ord.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("srun", sum(col(dev)).over(w))
+      .withColumn("smin", min(col("srun")).over(w))
+      .withColumn("cusum", col("srun") - least(lit(0L), col("smin")))
+      .drop("srun", "smin")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- SCD Type 2 dimension build from the event stream: collapse
@@ -369,13 +386,8 @@ object LakeOps {
       val th = dv.groupBy(col("et"))
         .agg(expr("cast(3 * (sum(abs(dev)) div count(1)) as bigint)")
           .as("thr"))
-      val w = Window.partitionBy(col("et"))
-        .orderBy(col("us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cu = dv.withColumn("srun", sum(col("dev")).over(w))
-        .withColumn("smin", min(col("srun")).over(w))
-        .select(col("et"), (col("srun") - least(lit(0L), col("smin")))
-          .as("cusum"))
+      val cu = cusum(dv, Seq("et"), Seq("us", "event_id"), "dev")
+        .select(col("et"), col("cusum"))
       cu.join(broadcast(st), "et").join(broadcast(th), "et")
         .groupBy(col("et").as("event_type"), col("n"),
           col("mu").as("mean_micro"), col("thr"))

@@ -161,4 +161,52 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(got.toSeq == bpeRef(local, 5))
   }
+
+  /** Token counts after `k` reference merges — the apply-side twin of
+    * [[bpeRef]] (same greedy left-to-right merge loop, then count the
+    * surviving symbols weighted by word freq). */
+  private def bpeTokensRef(words: Seq[(String, Long)], k: Int)
+      : Map[String, Long] = {
+    var seqs = words.filter(_._1.nonEmpty)
+      .map { case (w, f) => (w.map(_.toString).toVector, f) }
+    for (r <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- seqs; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((x, y), _) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, s"$a $b") }
+      seqs = seqs.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == x && syms(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+    }
+    seqs.flatMap { case (syms, f) => syms.map(_ -> f) }
+      .groupBy(_._1).map { case (t, occ) => t -> occ.map(_._2).sum }
+  }
+
+  test("BPE tokenizer application matches the reference token counts") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(
+      ("aaaaa", 7L), ("abab", 5L), ("abc", 6L), ("cab", 4L),
+      ("x", 9L), ("tie1", 3L), ("tie2", 3L))
+    val got = TextOps.bpeTokens(words.toDF("w", "freq"), 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == bpeTokensRef(words, 4), s"got=$got")
+
+    val wf = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val local = wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val gotCorpus = TextOps.bpeTokens(wf, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCorpus == bpeTokensRef(local, 3))
+  }
 }
