@@ -24,6 +24,38 @@ object LakeOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** SCD2 validity intervals from the event stream (the q141/q153
+    * shape): per user, consecutive identical event-type states
+    * collapse and the survivors close each other's intervals —
+    * (user_id, state, valid_from_us, valid_to_us[null=open]). Both
+    * window passes share one user-keyed exchange. */
+  private def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val v = events.select(col("user_id"), col("event_type").as("st"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    v.withColumn("pst", lag(col("st"), 1).over(w))
+      .filter(col("pst").isNull || col("pst") =!= col("st"))
+      .withColumn("vto", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("st").as("state"),
+        col("us").as("valid_from_us"), col("vto").as("valid_to_us"))
+  }
+
+  /** The q141 interval-build CTE chain as DuckDB SQL — shared by the
+    * q141 and q153 oracles so the two derivations can never drift.
+    * Defines `iv(user_id, st, us, vto)`. */
+  private val scd2Cte: String =
+    """v AS (SELECT user_id, event_type AS st, epoch_us(ts) AS us,
+      |    event_id FROM events),
+      |o AS (SELECT user_id, st, us, event_id,
+      |    lag(st) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS pst FROM v),
+      |c AS (SELECT user_id, st, us, event_id FROM o
+      |  WHERE pst IS NULL OR pst <> st),
+      |iv AS (SELECT user_id, st, us,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS vto FROM c)""".stripMargin
+
   /** CUSUM via the prefix-min identity: adds a `cusum` column equal to
     * the sequential fold C_t = max(0, C_{t-1} + dev_t) over each
     * `part`-partition ordered by `ord` — computed as
@@ -54,33 +86,16 @@ object LakeOps {
     //      any engine. State rows ≈ change count — never wider than
     //      the input. ----
     QueryDef.sql("q141_scd2_intervals",
-      """WITH v AS (SELECT user_id, event_type AS st, epoch_us(ts) AS us,
-        |    event_id FROM events),
-        |o AS (SELECT user_id, st, us, event_id,
-        |    lag(st) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |      AS pst FROM v),
-        |c AS (SELECT user_id, st, us, event_id FROM o
-        |  WHERE pst IS NULL OR pst <> st),
-        |iv AS (SELECT user_id, st, us,
-        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |      AS vto FROM c)
+      s"""WITH $scd2Cte
         |SELECT user_id, st AS state, us AS valid_from_us,
         |  vto AS valid_to_us,
         |  CAST(CASE WHEN vto IS NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_current
         |FROM iv ORDER BY user_id, valid_from_us, state""".stripMargin) {
       (s, d) =>
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("us"), col("event_id"))
-        val v = t(s, d, "events")
-          .select(col("user_id"), col("event_type").as("st"),
-            unix_micros(col("ts")).as("us"), col("event_id"))
-        val c = v.withColumn("pst", lag(col("st"), 1).over(w))
-          .filter(col("pst").isNull || col("pst") =!= col("st"))
-        c.withColumn("vto", lead(col("us"), 1).over(w))
-          .select(col("user_id"), col("st").as("state"),
-            col("us").as("valid_from_us"), col("vto").as("valid_to_us"),
-            when(col("vto").isNull, 1L).otherwise(0L).as("is_current"))
+        scd2Intervals(t(s, d, "events"))
+          .withColumn("is_current",
+            when(col("valid_to_us").isNull, 1L).otherwise(0L))
           .orderBy(col("user_id"), col("valid_from_us"), col("state"))
     },
 
@@ -442,6 +457,177 @@ object LakeOps {
           sum(when(col("neg_id") === col("anchor"), 1L).otherwise(0L))
             .cast("long").as("n_self"))
         .orderBy(col("a_label"))
+    },
+
+    // ---- Last-touch attribution THROUGH the AsOfJoin operator: each
+    //      purchase finds its user's latest preceding view with
+    //      [[graft.operators.AsOfJoin.lastAtOrBefore]] (one key-keyed
+    //      shuffle, constant running state — never a range-predicate
+    //      pair explosion), then a 7-day tolerance filter makes it
+    //      windowed attribution. Views are pre-deduped to one row per
+    //      (user, instant) with max(event_id), which makes BOTH
+    //      engines' tie choice identical by construction. Revenue in
+    //      exact micro-units. ----
+    QueryDef.sql("q151_last_touch_attribution",
+      """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS rev FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS vus,
+        |    CAST(max(event_id) AS BIGINT) AS vid FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)),
+        |a AS (SELECT p.user_id, p.pus, p.rev, v.vus
+        |  FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.pus >= v.vus)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN vus IS NOT NULL
+        |      AND pus - vus <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attributed,
+        |  CAST(sum(CASE WHEN vus IS NOT NULL
+        |      AND pus - vus <= 604800000000 THEN pus - vus ELSE 0 END)
+        |    AS BIGINT) AS lag_us_sum,
+        |  CAST(sum(CASE WHEN vus IS NOT NULL
+        |      AND pus - vus <= 604800000000 THEN rev ELSE 0 END)
+        |    AS BIGINT) AS rev_micro_sum
+        |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          floor(col("value") * 1000000).cast("long").as("rev"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("k"), unix_micros(col("ts")).as("t"))
+        .agg(max(col("event_id")).cast("long").as("vid"))
+        .withColumn("vt", col("t"))
+      val attributed = graft.operators.AsOfJoin
+        .lastAtOrBefore(p, v, keyCol = "k", timeCol = "t",
+          valueCols = Seq("vid", "vt"))
+        .withColumn("hit", col("vt").isNotNull &&
+          col("t") - col("vt") <= 604800000000L)
+      attributed.groupBy(col("k").as("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("hit"), 1L).otherwise(0L)).cast("long")
+            .as("n_attributed"),
+          sum(when(col("hit"), col("t") - col("vt")).otherwise(0L))
+            .cast("long").as("lag_us_sum"),
+          sum(when(col("hit"), col("rev")).otherwise(0L)).cast("long")
+            .as("rev_micro_sum"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- Join-key skew audit: the pre-shuffle diagnosis a 100 TB
+    //      pipeline runs before deciding to salt (q73's operator is
+    //      the cure; this report is the diagnosis). Per-key counts,
+    //      the top-20 heaviest keys, and each key's load factor vs
+    //      the mean in exact micro-units ((n·n_keys·10⁶) div n_rows
+    //      over DECIMAL — overflow-proof at any corpus size). One
+    //      key agg + a 1-row broadcast + a TakeOrdered heap. ----
+    QueryDef.sql("q152_key_skew_audit",
+      """WITH k AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT)
+        |    AS n FROM orders GROUP BY o_custkey),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows FROM k)
+        |SELECT k.key, k.n,
+        |  CAST(CAST(k.n AS HUGEINT) * st.n_keys * 1000000 // st.n_rows
+        |    AS BIGINT) AS load_micro
+        |FROM k CROSS JOIN st
+        |ORDER BY k.n DESC, k.key LIMIT 20""".stripMargin) { (s, d) =>
+      val k = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n"))
+      val st = k.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+      k.crossJoin(broadcast(st))
+        .select(col("key"), col("n"), expr(
+          """cast((cast(n as decimal(38,0)) * n_keys * 1000000)
+            |  div n_rows as bigint)""".stripMargin).as("load_micro"))
+        .orderBy(col("n").desc, col("key")).limit(20)
+    },
+
+    // ---- Time-in-state (dwell) report over the SCD2 intervals —
+    //      the ops-analytics consumer of q141's dimension build,
+    //      sharing the interval builder (and its oracle CTE) so the
+    //      two derivations cannot drift. Closed intervals contribute
+    //      exact µs dwell; the open interval per user is counted, not
+    //      extrapolated. One O(states) agg over the interval rows. ----
+    QueryDef.sql("q153_state_dwell",
+      s"""WITH $scd2Cte
+        |SELECT st AS state, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(CASE WHEN vto IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_open,
+        |  CAST(sum(CASE WHEN vto IS NOT NULL THEN vto - us ELSE 0 END)
+        |    AS BIGINT) AS dwell_us_sum,
+        |  CAST(CAST(sum(CASE WHEN vto IS NOT NULL THEN vto - us ELSE 0
+        |      END) AS HUGEINT)
+        |    // greatest(1, sum(CASE WHEN vto IS NOT NULL THEN 1 ELSE 0
+        |      END)) AS BIGINT) AS mean_dwell_us
+        |FROM iv GROUP BY st ORDER BY st""".stripMargin) { (s, d) =>
+      scd2Intervals(t(s, d, "events"))
+        .groupBy(col("state"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("valid_to_us").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_open"),
+          sum(when(col("valid_to_us").isNotNull,
+            col("valid_to_us") - col("valid_from_us")).otherwise(0L))
+            .cast("long").as("dwell_us_sum"),
+          expr("""cast(sum(case when valid_to_us is not null
+                |  then valid_to_us - valid_from_us else 0 end)
+                |div greatest(1L, sum(case when valid_to_us is not null
+                |  then 1L else 0L end)) as bigint)""".stripMargin)
+            .as("mean_dwell_us"))
+        .orderBy(col("state"))
+    },
+
+    // ---- Late-data audit: how late do events arrive relative to
+    //      each user-partition's ingest high-water mark — the
+    //      measurement that SIZES a watermark delay before anyone
+    //      picks one (too short and these counts are your dropped
+    //      rows; q93/q124 derive delays from spans for exactly this
+    //      reason). The corpus's event_ids are assigned in timestamp
+    //      order, so arrival disorder is simulated with a
+    //      DETERMINISTIC md5-derived network delay (0-1 h per event —
+    //      same on any engine, append-stable); lateness =
+    //      high-water-mark-before-me − my event time, exact µs, via
+    //      ONE user-keyed running-max window. O(types) report. ----
+    QueryDef.sql("q154_late_data_audit",
+      """WITH v AS (SELECT user_id, event_type AS et, event_id,
+        |    epoch_us(ts) AS us, epoch_us(ts)
+        |      + ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |        ::BIGINT % 3600000000 AS arr
+        |  FROM events),
+        |r AS (SELECT et, us, max(us) OVER (PARTITION BY user_id
+        |    ORDER BY arr, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+        |  FROM v),
+        |l AS (SELECT et, CASE WHEN hw IS NULL OR hw <= us THEN 0
+        |    ELSE hw - us END AS late_us FROM r)
+        |SELECT et AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS late_5m,
+        |  CAST(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS late_15m,
+        |  CAST(sum(CASE WHEN late_us > 2700000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS late_45m,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM l GROUP BY et ORDER BY et""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("et"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("arr", col("us") +
+          conv(substring(md5(col("event_id").cast("string")
+            .cast("binary")), 1, 8), 16, 10).cast("long") % 3600000000L)
+        .withColumn("hw", max(col("us")).over(w))
+        .select(col("et"), when(col("hw").isNull || col("hw") <= col("us"),
+          0L).otherwise(col("hw") - col("us")).as("late_us"))
+        .groupBy(col("et").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late_us") > 300000000L, 1L).otherwise(0L))
+            .cast("long").as("late_5m"),
+          sum(when(col("late_us") > 900000000L, 1L).otherwise(0L))
+            .cast("long").as("late_15m"),
+          sum(when(col("late_us") > 2700000000L, 1L).otherwise(0L))
+            .cast("long").as("late_45m"),
+          max(col("late_us")).as("max_late_us"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -273,7 +273,21 @@ class PlanAuditSpec extends AnyFunSuite {
       // q150 = the vec_id-keyed resolve join's two sides + the
       // O(labels) report agg; the corpus count rides a 1-row
       // broadcast and sampling is row-local.
-      "q150_negative_sampling" -> 3)
+      "q150_negative_sampling" -> 3,
+      // q151 = the view pre-dedup agg + the ONE AsOfJoin key-keyed
+      // exchange (union rides inside it) + the per-user report agg;
+      // no range-predicate pair join anywhere.
+      "q151_last_touch_attribution" -> 3,
+      // q152 = the key agg + TakeOrdered; the 1-row stats ride a
+      // broadcast.
+      "q152_key_skew_audit" -> 2,
+      // q153 = q141's shared user-keyed interval exchange + the
+      // O(states) dwell agg + result sort.
+      "q153_state_dwell" -> 3,
+      // q154 = the user-keyed running-max window exchange + the
+      // O(types) report agg + result sort; the arrival jitter is
+      // row-local.
+      "q154_late_data_audit" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
