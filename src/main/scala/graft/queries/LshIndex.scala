@@ -37,8 +37,14 @@ object LshIndex {
   /** One posting row per (doc, band): (doc_id, band, h1, h2). Pure
     * map-side projection (shingle → codegen'd minhash_sig → band
     * slices). */
-  def postings(docs: DataFrame): DataFrame = {
-    val sig = Sketches.withMinHashSignature(Sketches.shingled(docs))
+  def postings(docs: DataFrame): DataFrame =
+    postingsFromShingled(Sketches.shingled(docs))
+
+  /** [[postings]] from an already-shingled (doc_id, grams) frame — so
+    * the ingest loop can compute the shingles ONCE per batch and feed
+    * screen and append from the same (scoped-persisted) frame. */
+  private[queries] def postingsFromShingled(sh: DataFrame): DataFrame = {
+    val sig = Sketches.withMinHashSignature(sh)
       .select(col("doc_id"), col("sig"))
     val bands = (0 until Sketches.NumBands).map { j =>
       struct(lit(j).as("band"),
@@ -74,10 +80,19 @@ object LshIndex {
   /** Append a landed batch into the index, preserving the bucket
     * layout (Spark validates the writer spec against the table's). */
   def append(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
-    postings(docs).write.mode("append")
+    val sh = Sketches.shingled(docs)
+    appendPrepared(postingsFromShingled(sh), sh, name, buckets)
+  }
+
+  /** [[append]] from pre-computed postings + shingles (the ingest-loop
+    * path: both frames are scoped-persisted by the caller, so the two
+    * table writes don't recompute the minhash kernels). */
+  private[queries] def appendPrepared(post: DataFrame, sh: DataFrame,
+      name: String, buckets: Int = 8): Unit = {
+    post.write.mode("append")
       .bucketBy(buckets, "band", "h1", "h2").sortBy("band", "h1", "h2")
       .format("parquet").saveAsTable(s"${name}_postings")
-    Sketches.shingled(docs).write.mode("append")
+    sh.write.mode("append")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${name}_grams")
   }
@@ -86,13 +101,21 @@ object LshIndex {
     * `minJaccard`) between an incoming batch and the landed index. */
   def screen(newDocs: DataFrame, name: String,
       minJaccard: Double): DataFrame = {
-    val s = newDocs.sparkSession
-    val cand = postings(newDocs)
+    val sh = Sketches.shingled(newDocs)
+    screenPrepared(postingsFromShingled(sh), sh, name, minJaccard)
+  }
+
+  /** [[screen]] from pre-computed postings + shingles (see
+    * [[appendPrepared]]). */
+  private[queries] def screenPrepared(post: DataFrame, sh: DataFrame,
+      name: String, minJaccard: Double): DataFrame = {
+    val s = post.sparkSession
+    val cand = post
       .join(s.table(s"${name}_postings").withColumnRenamed("doc_id", "doc2"),
         Seq("band", "h1", "h2"))
       .filter(col("doc_id") =!= col("doc2"))
       .select(col("doc_id").as("doc1"), col("doc2")).distinct()
-    val g1 = Sketches.shingled(newDocs)
+    val g1 = sh
       .select(col("doc_id").as("doc1"), col("grams").as("g1"))
     val g2 = s.table(s"${name}_grams")
       .select(col("doc_id").as("doc2"), col("grams").as("g2"))

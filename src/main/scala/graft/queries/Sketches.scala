@@ -740,20 +740,59 @@ object Sketches {
         .schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(feedDir)
-      val q = stream.writeStream
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = stream.writeStream
         .option("checkpointLocation",
           graft.bench.BenchFeeds.scratchDir("q138_ck"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val cross = LshIndex.screen(batch, name, 0.8)
-            .select(least(col("doc1"), col("doc2")).as("doc1"),
-              greatest(col("doc1"), col("doc2")).as("doc2"), col("jaccard"))
-          val within = minHashPairs(batch, 0.8)
-          cross.unionByName(within)
-            .write.mode("append").parquet(outDir)
-          LshIndex.append(batch, name)
+          // the batch's shingles and band postings feed FOUR consumers
+          // (screen candidates, screen verify sidecar, both append
+          // writes) — compute each ONCE per batch under a scoped
+          // persist (released before the trigger ends; the r3/r4 rule
+          // forbids LEAKED persists, not scoped ones). The per-batch
+          // jobs also run at 8 shuffle partitions (the q92-q94 state-
+          // sizing lesson applied to foreachBatch: a quarter-corpus
+          // batch over the session's 32-wide shuffles pays 4x the
+          // task overhead for no parallelism gain).
+          val bp = batch.persist()
+          val sh = shingled(bp).persist()
+          val post = LshIndex.postingsFromShingled(sh).persist()
+          try {
+            val cross = LshIndex.screenPrepared(post, sh, name, 0.8)
+              .select(least(col("doc1"), col("doc2")).as("doc1"),
+                greatest(col("doc1"), col("doc2")).as("doc2"),
+                col("jaccard"))
+            // within-batch pairs from the SAME cached postings: the
+            // posting rows ARE the band buckets (group → sorted doc
+            // list → lossless pair expansion → exact verify against
+            // the cached shingles). Equivalent to minHashPairs minus
+            // the dup-collapse stage — exact either way, because
+            // elementPairs is lossless at any bucket size and
+            // identical docs verify at J = 1 ≥ θ; skipping it here
+            // trades its md5 agg + re-shingle for clique-sized
+            // buckets, the right trade at batch granularity.
+            val buckets = post
+              .groupBy(struct(col("band"), col("h1"), col("h2")).as("bk"))
+              .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+            val within = jaccardVerify(
+              elementPairs(buckets, MaxBucketSize)
+                .select(col("p.x").as("doc1"), col("p.y").as("doc2"))
+                .dropDuplicates("doc1", "doc2"),
+              sh, 0.8)
+              .select(col("doc1"), col("doc2"),
+                round(col("jaccard"), 6).as("jaccard"))
+            cross.unionByName(within)
+              .write.mode("append").parquet(outDir)
+            LshIndex.appendPrepared(post, sh, name)
+          } finally {
+            post.unpersist(); sh.unpersist(); bp.unpersist(); ()
+          }
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+        // drain INSIDE the narrowed-shuffle scope: foreachBatch plans
+        // its jobs per trigger, against the conf as of each batch
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(outDir)
         .dropDuplicates("doc1", "doc2")
         .orderBy(col("doc1"), col("doc2"))
