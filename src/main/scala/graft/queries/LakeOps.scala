@@ -628,6 +628,211 @@ object LakeOps {
             .cast("long").as("late_45m"),
           max(col("late_us")).as("max_late_us"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- Stream-STATIC enrichment join: the canonical streaming
+    //      dimension lookup — the event stream joins a broadcast
+    //      static dimension INSIDE the streaming plan (no state for
+    //      the static side; each micro-batch joins map-side), then
+    //      folds a per-(nation, type) aggregate whose state is
+    //      O(nations × types) rows forever. The q124/q132 discipline:
+    //      the oracle is the equivalent BATCH join+agg. ----
+    QueryDef.sql("q155_stream_enrich",
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |j AS (SELECT n.n_name, e.event_type, e.vm FROM e
+        |  JOIN customer c ON c.c_custkey = e.user_id + 1
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey)
+        |SELECT n_name, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vm) AS BIGINT) AS vm_sum
+        |FROM j GROUP BY n_name, event_type
+        |ORDER BY n_name, event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "evenrichfeed",
+        idCol = "event_id", checkSpan = false)(ev)
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(t(s, d, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+          "c_nationkey")
+        .select(col("c_custkey"), col("n_name"))
+      val sink = graft.bench.BenchFeeds.sinkName("q155_enrich")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(col("user_id"), col("event_type"),
+            floor(col("value") * 1000000).cast("long").as("vm"))
+          .join(broadcast(dim), col("c_custkey") === col("user_id") + 1)
+          .groupBy(col("n_name"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).cast("long")
+            .as("vm_sum"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink).orderBy(col("n_name"), col("event_type"))
+    },
+
+    // ---- k-core peel profile on the user co-occurrence graph: three
+    //      unrolled rounds of "drop every node with degree < k, then
+    //      every edge touching a dropped node" at k = ¾ of the mean
+    //      degree (data-derived — the report self-scales with the
+    //      graph). The per-round (nodes, edges) profile is the
+    //      community-degeneracy audit (bot/spam subgraph detection
+    //      runs exactly this peel); each round is a degree agg + two
+    //      semi-joins, all node-keyed. A production solver iterates
+    //      to fixpoint with per-round localCheckpoint (the q69 CC
+    //      pattern); the 3-round unroll keeps the oracle expressible.
+    //      ----
+    QueryDef.sql("q156_kcore_profile",
+      """WITH ev AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 600000000 AS b, user_id AS u FROM events),
+        |bu AS (SELECT DISTINCT et, b, u FROM ev),
+        |e0 AS (SELECT DISTINCT l.u AS x, r.u AS y FROM bu l
+        |  JOIN bu r ON l.et = r.et AND l.b = r.b AND l.u < r.u),
+        |kk AS (SELECT CAST(3 * ((2 * (SELECT count(*) FROM e0))
+        |    // (SELECT count(DISTINCT u) FROM (SELECT x AS u FROM e0
+        |        UNION ALL SELECT y FROM e0))) // 4 AS BIGINT) AS k),
+        |d0 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
+        |    SELECT x AS u FROM e0 UNION ALL SELECT y FROM e0) GROUP BY u),
+        |k0 AS (SELECT u FROM d0 WHERE dg >= (SELECT k FROM kk)),
+        |e1 AS (SELECT x, y FROM e0 WHERE x IN (SELECT u FROM k0)
+        |  AND y IN (SELECT u FROM k0)),
+        |d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
+        |    SELECT x AS u FROM e1 UNION ALL SELECT y FROM e1) GROUP BY u),
+        |k1 AS (SELECT u FROM d1 WHERE dg >= (SELECT k FROM kk)),
+        |e2 AS (SELECT x, y FROM e1 WHERE x IN (SELECT u FROM k1)
+        |  AND y IN (SELECT u FROM k1)),
+        |d2 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
+        |    SELECT x AS u FROM e2 UNION ALL SELECT y FROM e2) GROUP BY u),
+        |k2 AS (SELECT u FROM d2 WHERE dg >= (SELECT k FROM kk)),
+        |e3 AS (SELECT x, y FROM e2 WHERE x IN (SELECT u FROM k2)
+        |  AND y IN (SELECT u FROM k2))
+        |SELECT round, k, n_nodes, n_edges FROM (
+        |  SELECT 0 AS round, (SELECT k FROM kk) AS k,
+        |    (SELECT count(*) FROM d0) AS n_nodes,
+        |    (SELECT count(*) FROM e0) AS n_edges
+        |  UNION ALL SELECT 1, (SELECT k FROM kk),
+        |    (SELECT count(*) FROM d1), (SELECT count(*) FROM e1)
+        |  UNION ALL SELECT 2, (SELECT k FROM kk),
+        |    (SELECT count(*) FROM d2), (SELECT count(*) FROM e2)
+        |  UNION ALL SELECT 3, (SELECT k FROM kk),
+        |    (SELECT count(DISTINCT u) FROM (SELECT x AS u FROM e3
+        |      UNION ALL SELECT y FROM e3)),
+        |    (SELECT count(*) FROM e3))
+        |ORDER BY round""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e0 = t(s, d, "events")
+        .select(col("event_type").as("et"),
+          expr("unix_micros(ts) div 600000000").as("b"),
+          col("user_id").as("u"))
+        .distinct()
+        .groupBy(col("et"), col("b"))
+        .agg(sort_array(collect_set(col("u"))).as("us"))
+        .filter(size(col("us")) >= 2)
+        .select(explode(expr("all_pairs(us)")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .distinct()
+        // the peel re-reads each round's edge relation several times
+        // (degree agg, two semi-joins, the profile counts) — pin each
+        // round once (the q69 CC localCheckpoint pattern)
+        .localCheckpoint()
+      def degrees(e: DataFrame): DataFrame = e.select(col("x").as("u"))
+        .unionAll(e.select(col("y").as("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      val e0n = degrees(e0).count()
+      val e0e = e0.count()
+      val k = 3L * ((2L * e0e) / math.max(1L, e0n)) / 4L
+      var rounds = Vector((0, e0n, e0e))
+      var e = e0
+      for (r <- 1 to 3) {
+        val keep = degrees(e).filter(col("dg") >= k).select(col("u"))
+        e = e.join(keep.withColumnRenamed("u", "x"), Seq("x"), "left_semi")
+          .join(keep.withColumnRenamed("u", "y"), Seq("y"), "left_semi")
+          .select(col("x"), col("y"))
+          .localCheckpoint()
+        val nn = degrees(e).count()
+        rounds = rounds :+ ((r, nn, e.count()))
+      }
+      import s.implicits._
+      rounds.map { case (r, nn, ne) => (r, k, nn, ne) }
+        .toDF("round", "k", "n_nodes", "n_edges")
+        .orderBy(col("round"))
+    },
+
+    // ---- Peak-concurrency sweep line: sessions (30-min gap, per
+    //      (user, type)) become ±1 boundary events; a running sum
+    //      over each type's time-ordered boundaries is the live
+    //      session count, and its max is the capacity answer. The
+    //      non-associative-looking "concurrent at time t" is two
+    //      window scans over ONE type-keyed exchange (the q149
+    //      prefix trick's sibling); the tie order (t, delta DESC,
+    //      user) is total, so the running values are bit-identical
+    //      cross-engine. At 100 TB the sweep shards per (type, day)
+    //      with boundary merge — same operator, finer partition key.
+    //      ----
+    QueryDef.sql("q157_peak_concurrency",
+      """WITH v AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_us(ts) AS us, event_id FROM events),
+        |b AS (SELECT u, et, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM v WINDOW w AS (PARTITION BY u, et ORDER BY us, event_id)),
+        |g AS (SELECT u, et, us,
+        |    sum(brk) OVER (PARTITION BY u, et ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+        |iv AS (SELECT u, et, sid, min(us) AS t0, max(us) AS t1
+        |  FROM g GROUP BY u, et, sid),
+        |dl AS (SELECT et, t0 AS t, CAST(1 AS BIGINT) AS delta, u, sid
+        |    FROM iv
+        |  UNION ALL SELECT et, t1 + 1, CAST(-1 AS BIGINT), u, sid FROM iv),
+        |rn AS (SELECT et, t, sum(delta) OVER (PARTITION BY et
+        |    ORDER BY t, delta DESC, u, sid
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM dl),
+        |pk AS (SELECT et, CAST(max(run) AS BIGINT) AS peak FROM rn
+        |  GROUP BY et),
+        |ns AS (SELECT et, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM iv GROUP BY et)
+        |SELECT ns.et AS event_type, ns.n_sessions, pk.peak,
+        |  CAST((SELECT min(t) FROM rn WHERE rn.et = pk.et
+        |    AND rn.run = pk.peak) AS BIGINT) AS peak_first_us
+        |FROM ns JOIN pk ON ns.et = pk.et ORDER BY ns.et""".stripMargin) {
+      (s, d) =>
+        val wu = Window.partitionBy(col("u"), col("et"))
+          .orderBy(col("us"), col("event_id"))
+        val v = t(s, d, "events")
+          .select(col("user_id").as("u"), col("event_type").as("et"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val iv = v
+          .withColumn("brk",
+            when(lag(col("us"), 1).over(wu).isNull ||
+              col("us") - lag(col("us"), 1).over(wu) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("u"), col("et"), col("sid"))
+          .agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+        val dl = iv.select(col("et"), col("t0").as("t"),
+            lit(1L).as("delta"), col("u"), col("sid"))
+          .unionAll(iv.select(col("et"), (col("t1") + 1).as("t"),
+            lit(-1L).as("delta"), col("u"), col("sid")))
+        val rn = dl.withColumn("run", sum(col("delta")).over(
+          Window.partitionBy(col("et"))
+            .orderBy(col("t"), col("delta").desc, col("u"), col("sid"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val pk = rn.groupBy(col("et")).agg(max(col("run")).as("peak"))
+        val ns = iv.groupBy(col("et")).agg(count(lit(1)).as("n_sessions"))
+        val first = rn.join(broadcast(pk), "et")
+          .filter(col("run") === col("peak"))
+          .groupBy(col("et")).agg(min(col("t")).as("peak_first_us"))
+        ns.join(broadcast(pk), "et").join(broadcast(first), "et")
+          .select(col("et").as("event_type"), col("n_sessions"),
+            col("peak"), col("peak_first_us"))
+          .orderBy(col("event_type"))
     }
   )
 }

@@ -287,7 +287,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q154 = the user-keyed running-max window exchange + the
       // O(types) report agg + result sort; the arrival jitter is
       // row-local.
-      "q154_late_data_audit" -> 3)
+      "q154_late_data_audit" -> 3,
+      // q157 = the (user, type)-keyed session windows + interval agg
+      // exchange + the type-keyed sweep window + the peak/first aggs
+      // (5-row broadcasts) + result sort.
+      "q157_peak_concurrency" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
