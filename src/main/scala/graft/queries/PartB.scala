@@ -33,6 +33,29 @@ object PartB {
       .distinct()
   }
 
+  /** DuckDB CTE chain for the z-order bit ladder — shared by the
+    * q125 (layout) and q158 (skip-payoff) oracles. Defines
+    * `dims(o_orderkey, ck, dy)`, `b(ck0, ck1, dy0, dy1)` and
+    * `zz(o_orderkey, ck, dy, z)`. */
+  private val zorderZzCte: String =
+    """dims AS (SELECT o_orderkey, o_custkey AS ck,
+      |    epoch_us(o_orderdate) // 86400000000 AS dy FROM orders),
+      |b AS (SELECT min(ck) AS ck0, max(ck) AS ck1,
+      |    min(dy) AS dy0, max(dy) AS dy1 FROM dims),
+      |sc AS (SELECT o_orderkey, ck, dy,
+      |    ((ck - b.ck0) * 65535) // (b.ck1 - b.ck0) AS x,
+      |    ((dy - b.dy0) * 65535) // (b.dy1 - b.dy0) AS y FROM dims, b),
+      |a1 AS (SELECT *, (x|(x<<8))&16711935 AS x1,
+      |    (y|(y<<8))&16711935 AS y1 FROM sc),
+      |a2 AS (SELECT *, (x1|(x1<<4))&252645135 AS x2,
+      |    (y1|(y1<<4))&252645135 AS y2 FROM a1),
+      |a3 AS (SELECT *, (x2|(x2<<2))&858993459 AS x3,
+      |    (y2|(y2<<2))&858993459 AS y3 FROM a2),
+      |a4 AS (SELECT *, (x3|(x3<<1))&1431655765 AS x4,
+      |    (y3|(y3<<1))&1431655765 AS y4 FROM a3),
+      |zz AS (SELECT o_orderkey, ck, dy, x4 | (y4 << 1) AS z FROM a4)"""
+      .stripMargin
+
   /** DuckDB CTE text for [[coocEdges]] — shared by the q126/q137
     * oracles so the two graphs can never drift apart. Defines `e(x,y)`.
     */
@@ -83,22 +106,7 @@ object PartB {
     //      matches bit-exactly. Bounds come from one O(1) broadcast
     //      agg, never a driver collect. ----
     QueryDef.sql("q125_zorder_layout",
-      """WITH dims AS (SELECT o_orderkey, o_custkey AS ck,
-        |    epoch_us(o_orderdate) // 86400000000 AS dy FROM orders),
-        |b AS (SELECT min(ck) AS ck0, max(ck) AS ck1,
-        |    min(dy) AS dy0, max(dy) AS dy1 FROM dims),
-        |sc AS (SELECT o_orderkey, ck, dy,
-        |    ((ck - b.ck0) * 65535) // (b.ck1 - b.ck0) AS x,
-        |    ((dy - b.dy0) * 65535) // (b.dy1 - b.dy0) AS y FROM dims, b),
-        |a1 AS (SELECT *, (x|(x<<8))&16711935 AS x1,
-        |    (y|(y<<8))&16711935 AS y1 FROM sc),
-        |a2 AS (SELECT *, (x1|(x1<<4))&252645135 AS x2,
-        |    (y1|(y1<<4))&252645135 AS y2 FROM a1),
-        |a3 AS (SELECT *, (x2|(x2<<2))&858993459 AS x3,
-        |    (y2|(y2<<2))&858993459 AS y3 FROM a2),
-        |a4 AS (SELECT *, (x3|(x3<<1))&1431655765 AS x4,
-        |    (y3|(y3<<1))&1431655765 AS y4 FROM a3),
-        |zz AS (SELECT o_orderkey, ck, dy, x4 | (y4 << 1) AS z FROM a4)
+      s"""WITH $zorderZzCte
         |SELECT CAST(z >> 28 AS INTEGER) AS tile,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  min(ck) AS min_cust, max(ck) AS max_cust,
@@ -127,6 +135,126 @@ object PartB {
           (col("max_cust") - col("min_cust")).as("cust_width"),
           (col("max_day") - col("min_day")).as("day_width"))
         .orderBy(col("tile"))
+    },
+
+    // ---- Z-order skip-payoff audit — the question q125's layout
+    //      exists to answer: for a 2-D range predicate, how many
+    //      tiles does min-max pruning actually skip, and what read
+    //      amplification remains? The probe is the data-derived
+    //      middle quartile of each dimension; tiles touch when their
+    //      (min,max) box overlaps it. rows_scanned comes from the
+    //      tile stats (NO second corpus scan — exactly how a lake
+    //      prunes from footer metadata); rows_matching is the exact
+    //      predicate count; read_amp is their exact micro ratio. All
+    //      integer arithmetic on positives. ----
+    QueryDef.sql("q158_zorder_skip_audit",
+      s"""WITH $zorderZzCte,
+        |tl AS (SELECT z >> 28 AS tile, CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(ck) AS c0, max(ck) AS c1, min(dy) AS d0, max(dy) AS d1
+        |  FROM zz GROUP BY 1),
+        |pr AS (SELECT b.ck0 + (b.ck1 - b.ck0) // 4 AS clo,
+        |    b.ck0 + 3 * (b.ck1 - b.ck0) // 4 AS chi,
+        |    b.dy0 + (b.dy1 - b.dy0) // 4 AS dlo,
+        |    b.dy0 + 3 * (b.dy1 - b.dy0) // 4 AS dhi FROM b),
+        |tt AS (SELECT tl.*, CASE WHEN c1 < pr.clo OR c0 > pr.chi
+        |    OR d1 < pr.dlo OR d0 > pr.dhi THEN 0 ELSE 1 END AS touched
+        |  FROM tl, pr),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS rows_matching
+        |  FROM dims, pr WHERE ck BETWEEN pr.clo AND pr.chi
+        |    AND dy BETWEEN pr.dlo AND pr.dhi)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tiles,
+        |  CAST(sum(touched) AS BIGINT) AS n_touched,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(touched * n_rows) AS BIGINT) AS rows_scanned,
+        |  (SELECT rows_matching FROM mt) AS rows_matching,
+        |  CAST(sum(touched * n_rows) * 1000000
+        |    // greatest(1, (SELECT rows_matching FROM mt)) AS BIGINT)
+        |    AS read_amp_micro
+        |FROM tt""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val dims = t(s, d, "orders")
+        .select(col("o_custkey").as("ck"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("dy"))
+      val bounds = dims.agg(min(col("ck")).as("ck0"), max(col("ck")).as("ck1"),
+        min(col("dy")).as("dy0"), max(col("dy")).as("dy1"))
+      val tiles = dims.crossJoin(broadcast(bounds))
+        .select(col("ck"), col("dy"), expr(
+          """z_interleave16(((ck - ck0) * 65535) div (ck1 - ck0),
+            |               ((dy - dy0) * 65535) div (dy1 - dy0))"""
+            .stripMargin).as("z"))
+        .groupBy(shiftright(col("z"), 28).as("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ck")).as("c0"), max(col("ck")).as("c1"),
+          min(col("dy")).as("d0"), max(col("dy")).as("d1"))
+      val probe = bounds.select(
+        expr("ck0 + (ck1 - ck0) div 4").as("clo"),
+        expr("ck0 + 3 * (ck1 - ck0) div 4").as("chi"),
+        expr("dy0 + (dy1 - dy0) div 4").as("dlo"),
+        expr("dy0 + 3 * (dy1 - dy0) div 4").as("dhi"))
+      val mt = dims.crossJoin(broadcast(probe))
+        .filter(col("ck").between(col("clo"), col("chi")) &&
+          col("dy").between(col("dlo"), col("dhi")))
+        .agg(count(lit(1)).as("rows_matching"))
+      tiles.crossJoin(broadcast(probe))
+        .select(col("n_rows"),
+          when(col("c1") < col("clo") || col("c0") > col("chi") ||
+            col("d1") < col("dlo") || col("d0") > col("dhi"), 0L)
+            .otherwise(1L).as("touched"))
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(col("touched")).cast("long").as("n_touched"),
+          sum(col("n_rows")).cast("long").as("rows_total"),
+          sum(col("touched") * col("n_rows")).cast("long")
+            .as("rows_scanned"))
+        .crossJoin(broadcast(mt))
+        .select(col("n_tiles"), col("n_touched"), col("rows_total"),
+          col("rows_scanned"), col("rows_matching"),
+          expr("""cast(rows_scanned * 1000000
+                |div greatest(1L, rows_matching) as bigint)""".stripMargin)
+            .as("read_amp_micro"))
+    },
+
+    // ---- k-anonymity audit over quasi-identifiers (nation ×
+    //      order-month-of-year × priority) — the privacy gate that
+    //      complements q104's PII redaction: any quasi-id group
+    //      smaller than k = 10 re-identifies its members and must be
+    //      suppressed or generalized before release. Exact counting:
+    //      one quasi-id agg + one per-nation rollup. At sf0.01 ≈ 40%
+    //      of rows sit in small groups (the counting path is
+    //      non-vacuous); at sf0.1 risk goes to ~zero — that contrast
+    //      IS the generalization-granularity lesson the audit exists
+    //      to teach. ----
+    QueryDef.sql("q159_k_anonymity",
+      """WITH q AS (SELECT c.c_nationkey AS nat,
+        |    CAST(month(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS mo,
+        |    o.o_orderpriority AS pri
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |g AS (SELECT nat, mo, pri, CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY nat, mo, pri)
+        |SELECT nat, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM g GROUP BY nat ORDER BY nat""".stripMargin) { (s, d) =>
+      val q = t(s, d, "orders")
+        .join(t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+          "o_custkey")
+        .select(col("c_nationkey").as("nat"),
+          month(to_date(col("o_orderdate"))).cast("long").as("mo"),
+          col("o_orderpriority").as("pri"))
+      q.groupBy(col("nat"), col("mo"), col("pri"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 10, 1L).otherwise(0L)).cast("long")
+            .as("n_small_groups"),
+          sum(when(col("n") < 10, col("n")).otherwise(0L)).cast("long")
+            .as("rows_at_risk"),
+          sum(col("n")).cast("long").as("n_rows"))
+        .orderBy(col("nat"))
     },
 
     // ---- Declarative data-quality gate (the Deequ-style contract

@@ -291,7 +291,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // q157 = the (user, type)-keyed session windows + interval agg
       // exchange + the type-keyed sweep window + the peak/first aggs
       // (5-row broadcasts) + result sort.
-      "q157_peak_concurrency" -> 4)
+      "q157_peak_concurrency" -> 4,
+      // q158 = the 1-row bounds agg + the 16-row tile agg + the exact
+      // predicate-count agg + the 1-row report agg; probe and tile
+      // stats ride broadcasts — the pruning decision itself scans no
+      // corpus rows.
+      "q158_zorder_skip_audit" -> 4,
+      // q159 = the orders⋈customer key join (one side may broadcast
+      // by stats) + quasi-id agg + per-nation rollup + result sort.
+      "q159_k_anonymity" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
