@@ -56,6 +56,34 @@ object LakeOps {
       |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
       |      AS vto FROM c)""".stripMargin
 
+  /** Sweep-line peak concurrency over closed intervals
+    * `(et, u, sid, t0, t1)`: per `et`, the maximum number of intervals
+    * alive at one instant (inclusive at both ends) and the earliest
+    * instant it is reached — ±1 boundary deltas, a running sum over
+    * the total order (t, delta ASC, u, sid), then max. Exercised by
+    * q157; pinned against a brute-force reference in LakeOpsSpec. */
+  private[queries] def peakConcurrency(iv: DataFrame): DataFrame = {
+    val dl = iv.select(col("et"), col("t0").as("t"),
+        lit(1L).as("delta"), col("u"), col("sid"))
+      .unionAll(iv.select(col("et"), (col("t1") + 1).as("t"),
+        lit(-1L).as("delta"), col("u"), col("sid")))
+    // delta ASC at equal t: a shifted −1 at tick t belongs to an
+    // interval that ended at t−1 and must leave the count BEFORE a
+    // +1 starting at t joins it — processing +1 first would let the
+    // running sum transiently overcount exactly when one interval
+    // starts one tick after another ends (LakeOpsSpec's brute-force
+    // collisions catch the inverted order)
+    val rn = dl.withColumn("run", sum(col("delta")).over(
+      Window.partitionBy(col("et"))
+        .orderBy(col("t"), col("delta"), col("u"), col("sid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pk = rn.groupBy(col("et")).agg(max(col("run")).as("peak"))
+    val first = rn.join(broadcast(pk), "et")
+      .filter(col("run") === col("peak"))
+      .groupBy(col("et")).agg(min(col("t")).as("peak_first_us"))
+    pk.join(first, "et")
+  }
+
   /** CUSUM via the prefix-min identity: adds a `cusum` column equal to
     * the sequential fold C_t = max(0, C_{t-1} + dev_t) over each
     * `part`-partition ordered by `ord` — computed as
@@ -770,7 +798,7 @@ object LakeOps {
     //      session count, and its max is the capacity answer. The
     //      non-associative-looking "concurrent at time t" is two
     //      window scans over ONE type-keyed exchange (the q149
-    //      prefix trick's sibling); the tie order (t, delta DESC,
+    //      prefix trick's sibling); the tie order (t, delta ASC,
     //      user) is total, so the running values are bit-identical
     //      cross-engine. At 100 TB the sweep shards per (type, day)
     //      with boundary merge — same operator, finer partition key.
@@ -791,7 +819,7 @@ object LakeOps {
         |    FROM iv
         |  UNION ALL SELECT et, t1 + 1, CAST(-1 AS BIGINT), u, sid FROM iv),
         |rn AS (SELECT et, t, sum(delta) OVER (PARTITION BY et
-        |    ORDER BY t, delta DESC, u, sid
+        |    ORDER BY t, delta, u, sid
         |    ROWS UNBOUNDED PRECEDING) AS run FROM dl),
         |pk AS (SELECT et, CAST(max(run) AS BIGINT) AS peak FROM rn
         |  GROUP BY et),
@@ -816,20 +844,8 @@ object LakeOps {
             wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("u"), col("et"), col("sid"))
           .agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
-        val dl = iv.select(col("et"), col("t0").as("t"),
-            lit(1L).as("delta"), col("u"), col("sid"))
-          .unionAll(iv.select(col("et"), (col("t1") + 1).as("t"),
-            lit(-1L).as("delta"), col("u"), col("sid")))
-        val rn = dl.withColumn("run", sum(col("delta")).over(
-          Window.partitionBy(col("et"))
-            .orderBy(col("t"), col("delta").desc, col("u"), col("sid"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val pk = rn.groupBy(col("et")).agg(max(col("run")).as("peak"))
         val ns = iv.groupBy(col("et")).agg(count(lit(1)).as("n_sessions"))
-        val first = rn.join(broadcast(pk), "et")
-          .filter(col("run") === col("peak"))
-          .groupBy(col("et")).agg(min(col("t")).as("peak_first_us"))
-        ns.join(broadcast(pk), "et").join(broadcast(first), "et")
+        ns.join(broadcast(peakConcurrency(iv)), "et")
           .select(col("et").as("event_type"), col("n_sessions"),
             col("peak"), col("peak_first_us"))
           .orderBy(col("event_type"))

@@ -71,6 +71,36 @@ class LakeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sweep-line peak equals brute force over random interval sets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(157157L)
+    // random closed intervals per group, with deliberate boundary
+    // collisions: ends meeting starts at the same instant, duplicate
+    // intervals, point intervals (t0 == t1)
+    val groups = (0 until 6).map { g =>
+      val ivs = (0 until (5 + rnd.nextInt(40))).map { i =>
+        val t0 = rnd.nextInt(50).toLong
+        val t1 = t0 + rnd.nextInt(10).toLong
+        (s"g$g", i.toLong, i.toLong, t0, t1)
+      }
+      s"g$g" -> ivs
+    }
+    val df = groups.flatMap(_._2).toDF("et", "u", "sid", "t0", "t1")
+    val got = LakeOps.peakConcurrency(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((g, ivs) <- groups) {
+      // brute force: inclusive coverage count at every boundary instant
+      val instants = ivs.flatMap(iv => Seq(iv._4, iv._5)).distinct.sorted
+      val cover = instants.map(t =>
+        t -> ivs.count(iv => iv._4 <= t && t <= iv._5).toLong)
+      val peak = cover.map(_._2).max
+      val firstAt = cover.filter(_._2 == peak).map(_._1).min
+      assert(got(g) == ((peak, firstAt)),
+        s"group $g: got ${got(g)}, brute force ($peak, $firstAt)")
+    }
+  }
+
   test("line dedup: counts tile the doc and clean docs reconstruct") {
     val docs = Tables.load(spark, dir, "documents")
     val q = graft.SparkEntry.queries("q144_line_dedup")(spark, dir)
