@@ -214,6 +214,61 @@ object PartB {
             .as("read_amp_micro"))
     },
 
+    // ---- Relational → corpus document assembly: the denormalized
+    //      export that turns OLTP tables into training documents —
+    //      each order's lineitems collect into ONE canonical string
+    //      (sorted by line number with the full line string as the
+    //      tie-break — the synthetic lineitem has duplicate
+    //      l_linenumber within an order, so number alone is
+    //      nondeterministic; every field exact-integer or verbatim),
+    //      and the md5 proves byte-identical assembly
+    //      cross-engine. One order-keyed agg + one key join; the
+    //      document string is built row-locally and only its hash
+    //      and length ship in the report. The CorpusSink export of
+    //      these docs is the partitioned-write leg (CorpusSinkSpec).
+    //      ----
+    QueryDef.sql("q160_doc_assembly",
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    'L' || l_linenumber || ':p' || l_partkey
+        |      || ':q' || CAST(floor(l_quantity) AS BIGINT)
+        |      || ':' || l_returnflag || l_linestatus AS line FROM lineitem),
+        |ag AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |    string_agg(line, '|' ORDER BY l_linenumber, line) AS body
+        |  FROM li GROUP BY l_orderkey),
+        |dc AS (SELECT o.o_orderkey, ag.n_items,
+        |    'O' || o.o_orderkey || ':'
+        |      || strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d')
+        |      || ':' || o.o_orderpriority || '#' || ag.body AS doc
+        |  FROM orders o JOIN ag ON ag.l_orderkey = o.o_orderkey)
+        |SELECT o_orderkey, n_items, CAST(length(doc) AS BIGINT)
+        |  AS doc_len, md5(doc) AS h
+        |FROM dc ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          concat(lit("L"), col("l_linenumber").cast("string"),
+            lit(":p"), col("l_partkey").cast("string"),
+            lit(":q"), floor(col("l_quantity")).cast("long").cast("string"),
+            lit(":"), col("l_returnflag"), col("l_linestatus")).as("line"))
+      val ag = li.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(l_linenumber, line))), p -> p.line)"),
+            "|").as("body"))
+      t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .join(ag, "l_orderkey")
+        .select(col("l_orderkey").as("o_orderkey"), col("n_items"),
+          concat(lit("O"), col("l_orderkey").cast("string"), lit(":"),
+            date_format(to_date(col("o_orderdate")), "yyyy-MM-dd"),
+            lit(":"), col("o_orderpriority"), lit("#"), col("body"))
+            .as("doc"))
+        .select(col("o_orderkey"), col("n_items"),
+          length(col("doc")).cast("long").as("doc_len"),
+          md5(col("doc").cast("binary")).as("h"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- k-anonymity audit over quasi-identifiers (nation ×
     //      order-month-of-year × priority) — the privacy gate that
     //      complements q104's PII redaction: any quasi-id group

@@ -299,7 +299,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q158_zorder_skip_audit" -> 4,
       // q159 = the orders⋈customer key join (one side may broadcast
       // by stats) + quasi-id agg + per-nation rollup + result sort.
-      "q159_k_anonymity" -> 3)
+      "q159_k_anonymity" -> 3,
+      // q160 = the order-keyed line agg exchange + result sort; the
+      // orders⋈ag join rides the same order key (broadcast by stats
+      // at this sf, key-keyed co-partitioned exchange at scale —
+      // budget leaves room for the flip).
+      "q160_doc_assembly" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
