@@ -849,6 +849,70 @@ object LakeOps {
           .select(col("et").as("event_type"), col("n_sessions"),
             col("peak"), col("peak_first_us"))
           .orderBy(col("event_type"))
+    },
+
+    // ---- Compaction planner: the lake-maintenance stage that turns a
+    //      small-file manifest into target-size output groups READING
+    //      ONLY FILE METADATA. The manifest here is the hourly ingest
+    //      shape (one "file" per (event_type, day, hour), size = byte
+    //      estimate from the rows it carries — exactly what a
+    //      per-trigger streaming sink produces); the planner packs
+    //      files in hour order into 512-byte bins by exclusive-prefix-
+    //      sum division — the same deterministic packing Spark's own
+    //      file-coalescing (maxPartitionBytes) uses, expressible as
+    //      one window scan, no sequential driver loop. Per-partition
+    //      report: file counts before/after, small-file counts
+    //      before/after (< half target), bytes, fattest output. At
+    //      100 TB the planner's input is O(files) manifest rows —
+    //      corpus bytes are never read; the one exchange is the
+    //      (etype, day) manifest window, and the actual rewrite is
+    //      CorpusSink's pre-shuffled partitioned write. ----
+    QueryDef.sql("q161_compaction_plan",
+      """WITH f AS (
+        |  SELECT event_type AS etype,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+        |    CAST(sum(length(props)) + 16*count(*) AS BIGINT) AS bytes
+        |  FROM events GROUP BY 1,2,3),
+        |b AS (
+        |  SELECT etype, day, bytes,
+        |    (sum(bytes) OVER (PARTITION BY etype, day ORDER BY hr
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - bytes) // 512 AS bin
+        |  FROM f),
+        |g AS (SELECT etype, day, bin, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |    CAST(count(*) AS BIGINT) AS nf,
+        |    CAST(sum(CASE WHEN bytes < 256 THEN 1 ELSE 0 END) AS BIGINT) AS sm
+        |  FROM b GROUP BY 1,2,3)
+        |SELECT etype, day, CAST(sum(nf) AS BIGINT) AS in_files,
+        |  CAST(count(*) AS BIGINT) AS out_files,
+        |  CAST(sum(sm) AS BIGINT) AS small_in,
+        |  CAST(sum(CASE WHEN bin_bytes < 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS small_out,
+        |  CAST(sum(bin_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(max(bin_bytes) AS BIGINT) AS max_out_bytes
+        |FROM g GROUP BY 1,2 ORDER BY etype, day""".stripMargin) { (s, d) =>
+      val f = t(s, d, "events")
+        .groupBy(col("event_type").as("etype"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"))
+        .agg((sum(length(col("props"))) + lit(16L) * count(lit(1)))
+          .cast("long").as("bytes"))
+      val w = Window.partitionBy(col("etype"), col("day")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = f
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr("(cum - bytes) div 512"))
+        .groupBy(col("etype"), col("day"), col("bin"))
+        .agg(sum(col("bytes")).as("bin_bytes"), count(lit(1)).as("nf"),
+          sum(when(col("bytes") < 256L, 1L).otherwise(0L)).as("sm"))
+      g.groupBy(col("etype"), col("day"))
+        .agg(sum(col("nf")).as("in_files"), count(lit(1)).as("out_files"),
+          sum(col("sm")).as("small_in"),
+          sum(when(col("bin_bytes") < 256L, 1L).otherwise(0L)).as("small_out"),
+          sum(col("bin_bytes")).as("total_bytes"),
+          max(col("bin_bytes")).as("max_out_bytes"))
+        .orderBy(col("etype"), col("day"))
     }
   )
 }

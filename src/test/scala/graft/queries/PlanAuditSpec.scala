@@ -304,7 +304,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // orders⋈ag join rides the same order key (broadcast by stats
       // at this sf, key-keyed co-partitioned exchange at scale —
       // budget leaves room for the flip).
-      "q160_doc_assembly" -> 3)
+      "q160_doc_assembly" -> 3,
+      // q161 = the (etype,day,hr) manifest agg + the (etype,day)
+      // window exchange + result sort; both downstream groupBys reuse
+      // the window's (etype,day) partitioning (subset key).
+      "q161_compaction_plan" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
