@@ -703,5 +703,47 @@ object Relational {
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- Skew-safe SALTED JOIN (the join-side twin of q73's salted
+    //      agg): the heavy-hitter keys — data-derived top-10 by fact
+    //      count, the explicit heavy list production skew joins carry
+    //      — get their fact rows salted across 16 sub-keys and their
+    //      dim rows REPLICATED onto all 16, so one hot key spreads
+    //      over 16 reducers instead of stalling one. Cold keys keep
+    //      salt 0 (no replication cost). The heavy list rides a
+    //      broadcast above an aggregation (≤10 rows at any scale);
+    //      sums are decimal so the plain-join oracle must match
+    //      bit-for-bit — salting changes the plan, never the answer.
+    //      AQE's skew-join split is the runtime analog; this is the
+    //      declarative form that also covers aggregation-after-join. ----
+    QueryDef.sql("q162_salted_join",
+      """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(25,10))), 4) AS DOUBLE)
+        |    AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin) { (s, d) =>
+      val S = 16
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val heavy = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id")).limit(10)
+        .select(col("user_id"), lit(true).as("hv"))
+      val fact = ev.join(broadcast(heavy), Seq("user_id"), "left")
+        .withColumn("salt",
+          when(col("hv").isNotNull, pmod(xxhash64(col("event_id")), lit(S)))
+            .otherwise(lit(0L)))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        .join(broadcast(heavy), Seq("user_id"), "left")
+        .withColumn("salt", explode(
+          when(col("hv").isNotNull,
+            sequence(lit(0L), lit(S - 1L))).otherwise(array(lit(0L)))))
+      fact.join(dim, Seq("user_id", "salt"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(25,10)")), 4)
+            .cast("double").as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
     })
 }

@@ -308,7 +308,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // q161 = the (etype,day,hr) manifest agg + the (etype,day)
       // window exchange + result sort; both downstream groupBys reuse
       // the window's (etype,day) partitioning (subset key).
-      "q161_compaction_plan" -> 3)
+      "q161_compaction_plan" -> 3,
+      // q162 = the heavy-count agg + final agg + result sort (3 at
+      // this sf: the dim side broadcasts by stats); at scale the main
+      // join shuffles both sides on (key, salt) — budget covers that
+      // flip (+2). The heavy list's broadcast HINT sits above an
+      // aggregation, so the hint audit already proves it scale-safe.
+      "q162_salted_join" -> 5)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
@@ -329,6 +335,20 @@ class PlanAuditSpec extends AnyFunSuite {
     val readSchema = scans.head.schema.fieldNames.toSet
     assert(readSchema.size <= 6,
       s"scan reads more columns than the query needs: $readSchema")
+  }
+
+  test("q162 salted join keeps both salting legs in-plan (non-vacuous)") {
+    // The dim-replication leg is an explode over the salt sequence —
+    // a Generate node; if a refactor ever simplifies it away, the
+    // "salted" join silently degenerates to a plain one.
+    val p = plan("q162_salted_join")
+    val gens = p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "dim-side salt explode disappeared from the plan")
+    // and the heavy list is derived from an aggregation (top-k over
+    // counts), not a collected literal: a TakeOrdered node feeds it.
+    val topk = p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(topk.nonEmpty, "heavy-key top-k disappeared from the plan")
   }
 
   test("quantile-lake rollup: every exchange ships pre-combined data") {
