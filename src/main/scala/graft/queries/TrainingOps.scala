@@ -648,5 +648,80 @@ object TrainingOps {
             (col("v_off") + col("cv_in")).as("vocab"))
           .orderBy(col("doc_id"))
       }
+    },
+
+    // ---- Point-in-time feature assembly (the feature-store PIT
+    //      join): every training label (purchase events) picks up,
+    //      for each feature series, the value AS OF the label instant
+    //      — never after it, the leakage a naive join-on-key invites.
+    //      Two feature legs (running view count, running click spend
+    //      in exact micros) chain through AsOfJoin.lastAtOrBefore:
+    //      each leg is ONE user-keyed exchange with constant running
+    //      state, never a time-range pair join. Feature series are
+    //      made unique per (user, instant) via max_by(event_id) so
+    //      both engines' tie choice is identical by construction; the
+    //      *_age_us columns put the leak audit IN the output — any
+    //      negative age would be future leakage, and the oracle hash
+    //      pins every age exactly. ----
+    QueryDef.sql("q163_pit_features",
+      """WITH p AS (SELECT event_id AS lid, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |va0 AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    count(*) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS cum
+        |  FROM events WHERE event_type = 'view'),
+        |va AS (SELECT user_id, t, CAST(max_by(cum, event_id) AS BIGINT)
+        |    AS va_cnt FROM va0 GROUP BY user_id, t),
+        |vb0 AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    sum(CAST(floor(value * 1000000) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS cum
+        |  FROM events WHERE event_type = 'click'),
+        |vb AS (SELECT user_id, t, CAST(max_by(cum, event_id) AS BIGINT)
+        |    AS vb_micro FROM vb0 GROUP BY user_id, t),
+        |j1 AS (SELECT p.lid, p.user_id, p.t, va.va_cnt, va.t AS va_t
+        |  FROM p ASOF LEFT JOIN va
+        |  ON p.user_id = va.user_id AND p.t >= va.t),
+        |j2 AS (SELECT j1.*, vb.vb_micro, vb.t AS vb_t
+        |  FROM j1 ASOF LEFT JOIN vb
+        |  ON j1.user_id = vb.user_id AND j1.t >= vb.t)
+        |SELECT lid, user_id, t,
+        |  CAST(coalesce(va_cnt, 0) AS BIGINT) AS views_so_far,
+        |  CAST(coalesce(t - va_t, -1) AS BIGINT) AS views_age_us,
+        |  CAST(coalesce(vb_micro, 0) AS BIGINT) AS clicks_micro_so_far,
+        |  CAST(coalesce(t - vb_t, -1) AS BIGINT) AS clicks_age_us
+        |FROM j2 ORDER BY lid""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("lid"), col("user_id").as("k"),
+          unix_micros(col("ts")).as("t"))
+      val wv = Window.partitionBy(col("k")).orderBy(col("t"), col("event_id"))
+      val va = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          col("event_id"))
+        .withColumn("cum", count(lit(1)).over(wv))
+        .groupBy(col("k"), col("t"))
+        .agg(max_by(col("cum"), col("event_id")).cast("long").as("va_cnt"))
+        .withColumn("va_t", col("t"))
+      val vb = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("micros"))
+        .withColumn("cum", sum(col("micros")).over(wv))
+        .groupBy(col("k"), col("t"))
+        .agg(max_by(col("cum"), col("event_id")).cast("long").as("vb_micro"))
+        .withColumn("vb_t", col("t"))
+      val j1 = graft.operators.AsOfJoin.lastAtOrBefore(
+        p, va, keyCol = "k", timeCol = "t", valueCols = Seq("va_cnt", "va_t"))
+      val j2 = graft.operators.AsOfJoin.lastAtOrBefore(
+        j1, vb, keyCol = "k", timeCol = "t", valueCols = Seq("vb_micro", "vb_t"))
+      j2.select(col("lid"), col("k").as("user_id"), col("t"),
+          coalesce(col("va_cnt"), lit(0L)).cast("long").as("views_so_far"),
+          coalesce(col("t") - col("va_t"), lit(-1L)).cast("long")
+            .as("views_age_us"),
+          coalesce(col("vb_micro"), lit(0L)).cast("long")
+            .as("clicks_micro_so_far"),
+          coalesce(col("t") - col("vb_t"), lit(-1L)).cast("long")
+            .as("clicks_age_us"))
+        .orderBy(col("lid"))
     })
 }

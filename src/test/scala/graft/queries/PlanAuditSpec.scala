@@ -314,7 +314,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // join shuffles both sides on (key, salt) — budget covers that
       // flip (+2). The heavy list's broadcast HINT sits above an
       // aggregation, so the hint audit already proves it scale-safe.
-      "q162_salted_join" -> 5)
+      "q162_salted_join" -> 5,
+      // q163 = the two feature-series window exchanges (each leg's
+      // running cum over its own filtered scan) + the shared user-
+      // keyed as-of exchange the two chained AsOfJoins and their
+      // (k,t) dedup aggs all reuse + result sort. Never a time-range
+      // pair join.
+      "q163_pit_features" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
