@@ -15,14 +15,17 @@ object PartB {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** Undirected user co-occurrence edges (x < y, distinct) from shared
-    * (event_type, 10-minute) buckets — the graph q126/q137 analyze.
-    * Pairs come from the all_pairs kernel over per-bucket sorted user
-    * sets (in-list combinatorics, no bucket self-join). */
-  private def coocEdges(s: SparkSession, d: String): DataFrame = {
+    * (event_type, `bucketUs`) buckets — 10-minute buckets give the
+    * dense graph q126/q137 analyze; q164's BFS uses 1-minute buckets
+    * (a sparse graph with real multi-hop structure). Pairs come from
+    * the all_pairs kernel over per-bucket sorted user sets (in-list
+    * combinatorics, no bucket self-join). */
+  private def coocEdges(s: SparkSession, d: String,
+      bucketUs: Long = 600000000L): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     t(s, d, "events")
       .select(col("event_type").as("et"),
-        expr("unix_micros(ts) div 600000000").as("b"),
+        expr(s"unix_micros(ts) div $bucketUs").as("b"),
         col("user_id").as("u"))
       .distinct()
       .groupBy(col("et"), col("b"))
@@ -56,12 +59,12 @@ object PartB {
       |zz AS (SELECT o_orderkey, ck, dy, x4 | (y4 << 1) AS z FROM a4)"""
       .stripMargin
 
-  /** DuckDB CTE text for [[coocEdges]] — shared by the q126/q137
-    * oracles so the two graphs can never drift apart. Defines `e(x,y)`.
+  /** DuckDB CTE text for [[coocEdges]] — shared by the q126/q137/q164
+    * oracles so the graphs can never drift apart. Defines `e(x,y)`.
     */
-  private val coocEdgesCte: String =
-    """ev AS (SELECT event_type AS et,
-      |    epoch_us(ts) // 600000000 AS b, user_id AS u FROM events),
+  private def coocEdgesCte(bucketUs: Long = 600000000L): String =
+    s"""ev AS (SELECT event_type AS et,
+      |    epoch_us(ts) // $bucketUs AS b, user_id AS u FROM events),
       |bu AS (SELECT DISTINCT et, b, u FROM ev),
       |e AS (SELECT DISTINCT l.u AS x, r.u AS y FROM bu l
       |  JOIN bu r ON l.et = r.et AND l.b = r.b AND l.u < r.u)""".stripMargin
@@ -78,7 +81,7 @@ object PartB {
          |  JOIN deg dg ON dg.u = d.src
          |  GROUP BY d.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $coocEdgesCte,
+    s"""WITH ${coocEdgesCte()},
        |dir AS (SELECT x AS src, y AS dst FROM e
        |  UNION ALL SELECT y AS src, x AS dst FROM e),
        |deg AS (SELECT src AS u, CAST(count(*) AS BIGINT) AS deg
@@ -645,7 +648,7 @@ object PartB {
     //      a<b<c edge self-join), so the green hash proves the
     //      oriented algorithm exact, not just self-consistent. ----
     QueryDef.sql("q126_triangle_count",
-      s"""WITH $coocEdgesCte,
+      s"""WITH ${coocEdgesCte()},
         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
         |    SELECT x AS u FROM e UNION ALL SELECT y AS u FROM e)
         |  GROUP BY u),
@@ -1565,5 +1568,61 @@ object PartB {
       ex.unionByName(ia)
         .select(col("op"), col("k"), col("c"))
         .orderBy(col("op"), col("k"))
+    },
+
+    // ---- Multi-source BFS reach (hop-distance labeling) — the graph
+    //      primitive the CC / PageRank / triangle / k-core suite was
+    //      missing: from the 5 heaviest users, label every user with
+    //      its first-discovery hop count over the SPARSE 1-minute
+    //      co-occurrence graph (the 10-minute graph is near-complete —
+    //      1 hop reaches ~everything — so BFS is only meaningful at
+    //      the tighter bucket). Three unrolled frontier rounds, each =
+    //      one edge join + one min-agg, ONLY the newest layer expands
+    //      (the frontier trick — re-expanding settled nodes is the
+    //      naive O(V·E) mistake); per-round localCheckpoint bounds
+    //      lineage exactly like q69's CC. Report = per-hop histogram
+    //      with exact sum_u; unreached users (-1) stay in the report
+    //      — reachability coverage IS the audit. ----
+    QueryDef.sql("q164_bfs_reach", {
+      val rounds = (1 to 3).map { i =>
+        s"""f$i AS (SELECT DISTINCT ed.y AS u FROM l${i - 1}
+           |  JOIN ed ON ed.x = l${i - 1}.u WHERE l${i - 1}.d = ${i - 1}),
+           |l$i AS (SELECT u, min(d) AS d FROM (SELECT u, d FROM l${i - 1}
+           |  UNION ALL SELECT u, $i FROM f$i) GROUP BY u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${coocEdgesCte(60000000L)},
+         |ed AS (SELECT x, y FROM e UNION SELECT y AS x, x AS y FROM e),
+         |pop AS (SELECT DISTINCT user_id AS u FROM events),
+         |l0 AS (SELECT u, 0 AS d FROM (SELECT user_id AS u, count(*) AS c
+         |  FROM events GROUP BY 1 ORDER BY c DESC, u LIMIT 5)),
+         |$rounds
+         |SELECT d, CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(u) AS BIGINT) AS sum_u
+         |FROM (SELECT pop.u, coalesce(l3.d, -1) AS d
+         |  FROM pop LEFT JOIN l3 ON l3.u = pop.u)
+         |GROUP BY d ORDER BY d""".stripMargin
+    }) { (s, d) =>
+      val e = coocEdges(s, d, 60000000L)
+      val ed = e.select(col("x"), col("y"))
+        .union(e.select(col("y").as("x"), col("x").as("y")))
+        .localCheckpoint()
+      val pop = t(s, d, "events").select(col("user_id").as("u")).distinct()
+      var dist = t(s, d, "events").groupBy(col("user_id").as("u"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("u")).limit(5)
+        .select(col("u"), lit(0L).as("d"))
+        .localCheckpoint()
+      for (i <- 1 to 3) {
+        val frontier = dist.filter(col("d") === (i - 1).toLong)
+        val nbrs = frontier.join(ed, frontier("u") === ed("x"))
+          .select(ed("y").as("u"), lit(i.toLong).as("d"))
+        dist = dist.union(nbrs).groupBy(col("u"))
+          .agg(min(col("d")).as("d")).localCheckpoint()
+      }
+      pop.join(dist, Seq("u"), "left")
+        .withColumn("d", coalesce(col("d"), lit(-1L)))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_users"), sum(col("u")).cast("long").as("sum_u"))
+        .orderBy(col("d"))
     })
 }

@@ -320,7 +320,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // keyed as-of exchange the two chained AsOfJoins and their
       // (k,t) dedup aggs all reuse + result sort. Never a time-range
       // pair join.
-      "q163_pit_features" -> 4)
+      "q163_pit_features" -> 4,
+      // q164 = the visible tail past the per-round localCheckpoints:
+      // pop distinct + the pop⋈dist key join + the O(hops) report agg
+      // / sort. Each checkpointed BFS round paid one edge join + one
+      // min-agg exchange of frontier size (bounded lineage, q69's
+      // pattern).
+      "q164_bfs_reach" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
