@@ -723,5 +723,73 @@ object TrainingOps {
           coalesce(col("t") - col("vb_t"), lit(-1L)).cast("long")
             .as("clicks_age_us"))
         .orderBy(col("lid"))
+    },
+
+    // ---- A/B experiment read-out: deterministic 50/50 arm assignment
+    //      by user-id hash (the q82 md5-bucket idiom — stable under
+    //      re-runs, append-only data, and either engine), then per-
+    //      event-type arm metrics and a Welch t statistic. All moment
+    //      sums run EXACT (micros in DECIMAL(38,0); the variance
+    //      numerator n·Σx² − (Σx)² stays decimal — no catastrophic
+    //      float cancellation), and doubles appear only in the final
+    //      identical-op-order division/sqrt, so the 4-dp round is
+    //      bit-stable cross-engine. One (arm × type) agg + an O(types)
+    //      pivot-style final agg — the whole read-out is two exchanges
+    //      at any corpus size. ----
+    QueryDef.sql("q165_abtest",
+      """WITH a AS (SELECT event_type AS etype,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+        |g AS (SELECT etype, arm, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(v AS DECIMAL(38,0)) * v) AS s2
+        |  FROM a GROUP BY etype, arm),
+        |w AS (SELECT etype,
+        |    max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 'A' THEN s1 END) AS s1a,
+        |    max(CASE WHEN arm = 'B' THEN s1 END) AS s1b,
+        |    max(CASE WHEN arm = 'A' THEN s2 END) AS s2a,
+        |    max(CASE WHEN arm = 'B' THEN s2 END) AS s2b
+        |  FROM g GROUP BY etype)
+        |SELECT etype, n_a, n_b,
+        |  CAST(s1a AS BIGINT) AS sum_a_micro, CAST(s1b AS BIGINT) AS sum_b_micro,
+        |  round(CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b, 4)
+        |    AS mean_diff_micro,
+        |  round((CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)
+        |    / sqrt(CAST(n_a * s2a - s1a * s1a AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+        |      + CAST(n_b * s2b - s1b * s1b AS DOUBLE)
+        |        / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b), 4) AS t_stat
+        |FROM w ORDER BY etype""".stripMargin) { (s, d) =>
+      val a = t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          when(hashBucket(col("user_id")) < "80", "A").otherwise("B").as("arm"),
+          floor(col("value") * 1000000).cast("long").as("v"))
+      val g = a.groupBy(col("etype"), col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).as("s1"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("s2"))
+      val w = g.groupBy(col("etype"))
+        .agg(max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "A", col("s1"))).as("s1a"),
+          max(when(col("arm") === "B", col("s1"))).as("s1b"),
+          max(when(col("arm") === "A", col("s2"))).as("s2a"),
+          max(when(col("arm") === "B", col("s2"))).as("s2b"))
+      val meanDiff = col("s1a").cast("double") / col("n_a") -
+        col("s1b").cast("double") / col("n_b")
+      val varA = (col("n_a") * col("s2a") - col("s1a") * col("s1a"))
+        .cast("double") / (col("n_a").cast("double") * (col("n_a") - 1))
+      val varB = (col("n_b") * col("s2b") - col("s1b") * col("s1b"))
+        .cast("double") / (col("n_b").cast("double") * (col("n_b") - 1))
+      w.select(col("etype"), col("n_a"), col("n_b"),
+          col("s1a").cast("long").as("sum_a_micro"),
+          col("s1b").cast("long").as("sum_b_micro"),
+          round(meanDiff, 4).as("mean_diff_micro"),
+          round(meanDiff / sqrt(varA / col("n_a") + varB / col("n_b")), 4)
+            .as("t_stat"))
+        .orderBy(col("etype"))
     })
 }

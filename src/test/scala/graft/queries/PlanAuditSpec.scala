@@ -326,7 +326,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // / sort. Each checkpointed BFS round paid one edge join + one
       // min-agg exchange of frontier size (bounded lineage, q69's
       // pattern).
-      "q164_bfs_reach" -> 3)
+      "q164_bfs_reach" -> 3,
+      // q165 = the (etype, arm) moment agg + the O(types) pivot agg +
+      // result sort; everything after the first agg is ≤ 2·types rows.
+      "q165_abtest" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
