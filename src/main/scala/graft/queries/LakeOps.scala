@@ -913,6 +913,54 @@ object LakeOps {
           sum(col("bin_bytes")).as("total_bytes"),
           max(col("bin_bytes")).as("max_out_bytes"))
         .orderBy(col("etype"), col("day"))
+    },
+
+    // ---- Time-weighted average over an irregular series (the IoT /
+    //      finance resample): each event's value holds until the next
+    //      observation (LOCF), so the day's mean weighs every value by
+    //      its µs holding duration — an event-count mean would let
+    //      burst periods dominate. Only observed inter-event segments
+    //      count (no synthetic midnight extension — the contract is
+    //      "time the value was provably held"). All weights are exact:
+    //      micro-value × µs-duration in DECIMAL(38,0), summed across
+    //      users BEFORE one final double division (identical op order
+    //      both engines → 4-dp round is bit-stable). ONE (user, day)
+    //      window exchange + an O(days) agg; the (ts, event_id) order
+    //      is total, so same-instant ties carry forward
+    //      deterministically. ----
+    QueryDef.sql("q167_time_weighted_avg",
+      """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |    AS day, epoch_us(ts) AS t, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+        |seg AS (SELECT user_id, day, v, t,
+        |    lead(t) OVER (PARTITION BY user_id, day ORDER BY t, event_id)
+        |      AS tn FROM e),
+        |c AS (SELECT day, user_id,
+        |    CAST(v AS DECIMAL(38,0)) * (tn - t) AS num, tn - t AS dur
+        |  FROM seg WHERE tn IS NOT NULL)
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(dur) AS BIGINT) AS total_dur_us,
+        |  round(CAST(sum(num) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 4)
+        |    AS twa_micro
+        |FROM c GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("t"), col("event_id"))
+      val seg = t(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("v"))
+        .withColumn("tn", lead(col("t"), 1).over(w))
+        .filter(col("tn").isNotNull)
+      seg.select(col("day"), col("user_id"),
+          (col("v").cast("decimal(38,0)") * (col("tn") - col("t"))).as("num"),
+          (col("tn") - col("t")).as("dur"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("dur")).cast("long").as("total_dur_us"),
+          round(sum(col("num")).cast("double") /
+            sum(col("dur")).cast("double"), 4).as("twa_micro"))
+        .orderBy(col("day"))
     }
   )
 }

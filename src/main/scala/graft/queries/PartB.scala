@@ -1624,5 +1624,55 @@ object PartB {
         .groupBy(col("d"))
         .agg(count(lit(1)).as("n_users"), sum(col("u")).cast("long").as("sum_u"))
         .orderBy(col("d"))
+    },
+
+    // ---- RFM segmentation (recency / frequency / monetary): the
+    //      product-analytics read-out that buckets each purchasing
+    //      user into quintiles per dimension and rolls the (r, f)
+    //      matrix up into named segments. Every ntile rides a total
+    //      order ((metric DESC, user_id) — ties can never straddle a
+    //      bucket edge differently across engines), and monetary sums
+    //      are exact micros. SCALE: the per-user agg reduces the
+    //      corpus to O(users) rows BEFORE any global window — the
+    //      ntile sorts users, never events; at the 1e8-user mark the
+    //      exact ntile swaps for QuantileLake cutoffs broadcast as a
+    //      bucket map, same downstream plan. ----
+    QueryDef.sql("q166_rfm_segments",
+      """WITH u AS (SELECT user_id, max(epoch_us(ts)) AS r,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |q AS (SELECT user_id, m,
+        |    CAST(ntile(5) OVER (ORDER BY r DESC, user_id) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS BIGINT) AS f_q
+        |  FROM u),
+        |lab AS (SELECT r_q, f_q, m, CASE
+        |    WHEN r_q <= 2 AND f_q <= 2 THEN 'champion'
+        |    WHEN r_q >= 4 AND f_q <= 2 THEN 'at_risk'
+        |    WHEN r_q <= 2 AND f_q >= 4 THEN 'fresh'
+        |    ELSE 'other' END AS segment FROM q)
+        |SELECT segment, r_q, f_q, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(m) AS BIGINT) AS m_micro_sum
+        |FROM lab GROUP BY 1, 2, 3 ORDER BY segment, r_q, f_q""".stripMargin) {
+      (s, d) =>
+      val u = t(s, d, "events").filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("r"),
+          count(lit(1)).as("f"),
+          sum(floor(col("value") * 1000000).cast("long")).cast("long").as("m"))
+      val q = u.select(col("user_id"), col("m"),
+        ntile(5).over(Window.orderBy(col("r").desc, col("user_id")))
+          .cast("long").as("r_q"),
+        ntile(5).over(Window.orderBy(col("f").desc, col("user_id")))
+          .cast("long").as("f_q"))
+      q.withColumn("segment",
+          when(col("r_q") <= 2 && col("f_q") <= 2, "champion")
+            .when(col("r_q") >= 4 && col("f_q") <= 2, "at_risk")
+            .when(col("r_q") <= 2 && col("f_q") >= 4, "fresh")
+            .otherwise("other"))
+        .groupBy(col("segment"), col("r_q"), col("f_q"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m")).cast("long").as("m_micro_sum"))
+        .orderBy(col("segment"), col("r_q"), col("f_q"))
     })
 }

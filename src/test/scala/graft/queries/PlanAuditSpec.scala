@@ -329,7 +329,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q164_bfs_reach" -> 3,
       // q165 = the (etype, arm) moment agg + the O(types) pivot agg +
       // result sort; everything after the first agg is ≤ 2·types rows.
-      "q165_abtest" -> 3)
+      "q165_abtest" -> 3,
+      // q166 = the per-user RFM agg + ONE SinglePartition exchange
+      // both quintile windows and everything after share (input is
+      // O(users) post-agg rows; at 1e8 users the exact ntile swaps for
+      // broadcast QuantileLake cutoffs, same downstream plan).
+      "q166_rfm_segments" -> 2,
+      // q167 = the (user, day) LOCF window exchange + the day agg
+      // (countDistinct adds its partial leg) + result sort.
+      "q167_time_weighted_avg" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
