@@ -1674,5 +1674,53 @@ object PartB {
         .agg(count(lit(1)).as("n_users"),
           sum(col("m")).cast("long").as("m_micro_sum"))
         .orderBy(col("segment"), col("r_q"), col("f_q"))
+    },
+
+    // ---- Gaps-and-islands streaks: consecutive purchase-day runs per
+    //      user via the classic day-number − row-number grouping key
+    //      (constant within a consecutive run, jumps across a gap) —
+    //      pure window arithmetic, no self-join, no recursion. The
+    //      report is the longest-streak histogram with exact streak /
+    //      active-day mass per bin. Purchase days (not any-event days)
+    //      because every user is active nearly every day at this
+    //      density — streaks over the full feed are degenerate
+    //      (measured: all-30s). One user-keyed window exchange; the
+    //      day dedup and both rollups reuse its partitioning. ----
+    QueryDef.sql("q168_streaks",
+      """WITH ad AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |nr AS (SELECT user_id, day,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dn,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS BIGINT) AS rn FROM ad),
+        |st AS (SELECT user_id, dn - rn AS grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM nr GROUP BY user_id, dn - rn),
+        |pu AS (SELECT user_id, max(len) AS longest,
+        |    CAST(count(*) AS BIGINT) AS n_streaks,
+        |    CAST(sum(len) AS BIGINT) AS n_days FROM st GROUP BY user_id)
+        |SELECT longest AS longest_streak, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_streaks) AS BIGINT) AS sum_streaks,
+        |  CAST(sum(n_days) AS BIGINT) AS sum_active_days
+        |FROM pu GROUP BY longest ORDER BY longest""".stripMargin) { (s, d) =>
+      val ad = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val nr = ad.select(col("user_id"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("long").as("dn"),
+          row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("day")))
+            .cast("long").as("rn"))
+      nr.groupBy(col("user_id"), (col("dn") - col("rn")).as("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest"), count(lit(1)).as("n_streaks"),
+          sum(col("len")).cast("long").as("n_days"))
+        .groupBy(col("longest").as("longest_streak"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_streaks")).cast("long").as("sum_streaks"),
+          sum(col("n_days")).cast("long").as("sum_active_days"))
+        .orderBy(col("longest_streak"))
     })
 }

@@ -337,7 +337,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q166_rfm_segments" -> 2,
       // q167 = the (user, day) LOCF window exchange + the day agg
       // (countDistinct adds its partial leg) + result sort.
-      "q167_time_weighted_avg" -> 3)
+      "q167_time_weighted_avg" -> 3,
+      // q168 = the (user, day) dedup agg + the user window exchange
+      // (streak grouping and the per-user rollup reuse it) + the
+      // O(bins) histogram agg + result sort.
+      "q168_streaks" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
