@@ -791,5 +791,74 @@ object TrainingOps {
           round(meanDiff / sqrt(varA / col("n_a") + varB / col("n_b")), 4)
             .as("t_stat"))
         .orderBy(col("etype"))
+    },
+
+    // ---- Max-min fair budget allocation (progressive waterfilling):
+    //      an 80%-of-corpus token budget splits across languages so
+    //      that small languages keep their FULL demand and the
+    //      surplus-hungry ones share the waterline equally — the fair
+    //      alternative to q115's temperature mixture when the contract
+    //      is "never downsample a language that fits". Closed-form,
+    //      no iteration: sort demands ascending, one prefix-sum
+    //      window gives each rank its hypothetical equal share of the
+    //      remaining budget; the FIRST rank whose demand exceeds its
+    //      share is the waterline, integer remainder spread +1 over
+    //      the first capped ranks so Σalloc == budget EXACTLY. All
+    //      integer math — both engines derive the identical
+    //      allocation. The sort runs over O(groups) post-agg rows;
+    //      the only corpus-sized exchange is the demand agg. ----
+    QueryDef.sql("q169_fair_share",
+      """WITH dem AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS d
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST((8 * sum(d)) // 10 AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS n FROM dem),
+        |srt AS (SELECT lang, d,
+        |    CAST(row_number() OVER (ORDER BY d, lang) AS BIGINT) AS i,
+        |    CAST(sum(d) OVER (ORDER BY d, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS p FROM dem),
+        |sh AS (SELECT srt.*, tot.b, tot.n,
+        |    (tot.b - (srt.p - srt.d)) // (tot.n - srt.i + 1) AS share,
+        |    (tot.b - (srt.p - srt.d)) AS rem FROM srt, tot),
+        |cr AS (SELECT min(i) AS crit FROM sh WHERE share < d),
+        |cv AS (SELECT sh.share AS lam,
+        |    sh.rem - sh.share * (sh.n - sh.i + 1) AS r, sh.i AS ci
+        |  FROM sh, cr WHERE sh.i = cr.crit)
+        |SELECT sh.lang, sh.d AS demand,
+        |  CAST(CASE WHEN cv.ci IS NULL OR sh.i < cv.ci THEN sh.d
+        |    ELSE cv.lam + CASE WHEN sh.i - cv.ci < cv.r THEN 1 ELSE 0 END
+        |    END AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN cv.ci IS NULL OR sh.i < cv.ci THEN 0 ELSE 1 END
+        |    AS BIGINT) AS capped
+        |FROM sh LEFT JOIN cv ON true ORDER BY sh.lang""".stripMargin) { (s, d) =>
+      val dem = t(s, d, "documents").groupBy(col("lang"))
+        .agg(sum(col("n_chars")).cast("long").as("d"))
+      val tot = dem.agg(
+        expr("(8 * sum(d)) div 10").cast("long").as("b"),
+        count(lit(1)).as("n"))
+      val wOrd = Window.orderBy(col("d"), col("lang"))
+      val sh = dem
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("p", sum(col("d")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .crossJoin(broadcast(tot))
+        .withColumn("rem", col("b") - (col("p") - col("d")))
+        .withColumn("share", expr("rem div (n - i + 1)"))
+      val cv = sh.filter(col("share") < col("d"))
+        .agg(min(col("i")).as("crit"))
+        .join(sh, col("crit") === col("i"))
+        .select(col("share").as("lam"),
+          (col("rem") - col("share") * (col("n") - col("i") + 1)).as("r"),
+          col("i").as("ci"))
+      sh.join(broadcast(cv), lit(true), "left")
+        .select(col("lang"), col("d").as("demand"),
+          when(col("ci").isNull || col("i") < col("ci"), col("d"))
+            .otherwise(col("lam") +
+              when(col("i") - col("ci") < col("r"), 1L).otherwise(0L))
+            .cast("long").as("alloc"),
+          when(col("ci").isNull || col("i") < col("ci"), 0L).otherwise(1L)
+            .cast("long").as("capped"))
+        .orderBy(col("lang"))
     })
 }

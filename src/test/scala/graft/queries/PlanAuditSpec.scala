@@ -341,7 +341,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q168 = the (user, day) dedup agg + the user window exchange
       // (streak grouping and the per-user rollup reuse it) + the
       // O(bins) histogram agg + result sort.
-      "q168_streaks" -> 4)
+      "q168_streaks" -> 4,
+      // q169 = the lang demand agg (the ONLY corpus-sized exchange) +
+      // the O(groups) SinglePartition window + the waterline-row join
+      // legs + result sort; tot/cv ride broadcasts above aggregations.
+      "q169_fair_share" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,

@@ -81,4 +81,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(head._3.toDouble / head._2 < tail._3.toDouble / tail._2,
       "the head language must be strictly flattened vs the smallest")
   }
+
+  test("fair share: budget exhausted exactly, demands respected, waterline flat") {
+    val spark = SparkTestSession.spark
+    val rows = graft.SparkEntry.queries("q169_fair_share")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val totalDemand = rows.map(_._2).sum
+    val budget = 8L * totalDemand / 10L
+    assert(rows.map(_._3).sum == budget,
+      s"allocations must sum to the budget EXACTLY ($budget)")
+    rows.foreach { case (lang, d, a, _) =>
+      assert(a <= d, s"$lang allocated above its demand") }
+    // non-vacuity: the fixture must exercise BOTH branches
+    assert(rows.exists(_._4 == 1L) && rows.exists(_._4 == 0L),
+      "fixture must produce capped AND uncapped languages")
+    // max-min fairness: capped allocations differ by at most 1 (the
+    // integer remainder), and every uncapped demand sits at or below
+    // the waterline
+    val capped = rows.filter(_._4 == 1L).map(_._3)
+    assert(capped.max - capped.min <= 1, "waterline must be flat")
+    val uncapped = rows.filter(_._4 == 0L).map(_._2)
+    if (uncapped.nonEmpty)
+      assert(uncapped.max <= capped.min,
+        "an uncapped demand above the waterline contradicts max-min fairness")
+  }
 }
