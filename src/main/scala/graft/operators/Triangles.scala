@@ -39,12 +39,23 @@ object Triangles {
         when(col("kx") < col("ky"), col("x")).otherwise(col("y")).as("src"),
         when(col("kx") < col("ky"), col("y")).otherwise(col("x")).as("dst"),
         greatest(col("kx"), col("ky")).as("kd"))
-    val wedges = o.as("e1").join(o.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.kd") < col("e2.kd"))
-      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val nTri = wedges
-      .join(o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Adjacency-intersection count: each triangle {u<v<w in key
+    // order} is found ONCE, at its base edge (u,v), as w ∈
+    // N⁺(u) ∩ N⁺(v) — via the sorted_overlap merge kernel over the
+    // per-node sorted out-neighbor arrays. This replaces the wedge
+    // materialization (Σ d⁺(d⁺−1)/2 rows shuffled into a pair join —
+    // an order of magnitude more exchange volume than the edge list
+    // on a dense graph); here the only shuffled payloads are the
+    // oriented edges and one adjacency array per node, and the
+    // intersection itself is row-local codegen.
+    graft.functions.GraftFunctions.register(edges.sparkSession)
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+    val nTri = o.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("ns").as("nsu")), "src")
+      .join(adj.select(col("src").as("dst"), col("ns").as("nsv")), "dst")
+      .agg(coalesce(sum(expr("sorted_overlap(nsu, nsv)")), lit(0L))
+        .cast("long").as("n_triangles"))
     val nWedge = deg.agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
     val nEdge = edges.agg(count(lit(1)).as("n_edges"))
     nEdge.crossJoin(broadcast(nWedge)).crossJoin(broadcast(nTri))
