@@ -33,6 +33,48 @@ object TextOps {
   private def hitsSqlDuck(words: Seq[String]) =
     s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER)"
 
+  /** The q32 language-ID scorer (stopword-hit argmax with fixed
+    * tie-break order) — shared by the q171 confusion audit so
+    * classifier and evaluation can never drift. */
+  private def langidPred(docs: org.apache.spark.sql.DataFrame) = {
+    val h = graft.Tables.wide(docs)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        hitsExpr(enWords).as("en_hits"), hitsExpr(deWords).as("de_hits"),
+        hitsExpr(frWords).as("fr_hits"), hitsExpr(esWords).as("es_hits"))
+    h.select(col("doc_id"),
+      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
+        && col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+        .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits")
+          && col("de_hits") > 0, "de")
+        .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
+        .when(col("es_hits") > 0, "es")
+        .otherwise("und").as("pred_lang"),
+      col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits"))
+  }
+
+  /** DuckDB CTE twin of [[langidPred]]: defines `t(doc_id, toks)` off
+    * `documents` and `pr(doc_id, pred_lang, *_hits)`. */
+  private def langidPredCte: String =
+    s"""t AS (SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |    ${hitsSqlDuck(enWords)} AS en_hits,
+       |    ${hitsSqlDuck(deWords)} AS de_hits,
+       |    ${hitsSqlDuck(frWords)} AS fr_hits,
+       |    ${hitsSqlDuck(esWords)} AS es_hits
+       |  FROM t),
+       |pr AS (SELECT doc_id,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+       |         AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits
+       |         AND de_hits > 0 THEN 'de'
+       |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+       |       WHEN es_hits > 0 THEN 'es'
+       |       ELSE 'und' END AS pred_lang,
+       |  en_hits, de_hits, fr_hits, es_hits
+       |FROM h)""".stripMargin
+
   /** Document-frequency cap for the q31 candidate index: grams shared
     * by more docs than this are boilerplate and skipped for candidate
     * generation (bounded join fan-out at any corpus size). */
@@ -298,39 +340,42 @@ object TextOps {
     // ---- Language ID: n-gram/stopword heuristic, argmax with fixed
     //      tie-break order. ----
     QueryDef.sql("q32_langid",
-      s"""WITH t AS (SELECT doc_id,
-         |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
-         |h AS (SELECT doc_id,
-         |    ${hitsSqlDuck(enWords)} AS en_hits,
-         |    ${hitsSqlDuck(deWords)} AS de_hits,
-         |    ${hitsSqlDuck(frWords)} AS fr_hits,
-         |    ${hitsSqlDuck(esWords)} AS es_hits
-         |  FROM t)
-         |SELECT doc_id,
-         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
-         |         AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
-         |       WHEN de_hits >= fr_hits AND de_hits >= es_hits
-         |         AND de_hits > 0 THEN 'de'
-         |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
-         |       WHEN es_hits > 0 THEN 'es'
-         |       ELSE 'und' END AS pred_lang,
-         |  en_hits, de_hits, fr_hits, es_hits
-         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val h = graft.Tables.wide(t(s, d, "documents"))
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"),
-          hitsExpr(enWords).as("en_hits"), hitsExpr(deWords).as("de_hits"),
-          hitsExpr(frWords).as("fr_hits"), hitsExpr(esWords).as("es_hits"))
-      h.select(col("doc_id"),
-        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
-          && col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
-          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits")
-            && col("de_hits") > 0, "de")
-          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
-          .when(col("es_hits") > 0, "es")
-          .otherwise("und").as("pred_lang"),
-        col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits"))
-        .orderBy(col("doc_id"))
+      s"""WITH $langidPredCte
+         |SELECT doc_id, pred_lang, en_hits, de_hits, fr_hits, es_hits
+         |FROM pr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      langidPred(t(s, d, "documents")).orderBy(col("doc_id"))
+    },
+
+    // ---- Language-ID confusion matrix: the model-eval read-out over
+    //      q32's classifier vs the labeled lang column — per (label,
+    //      prediction) cell counts plus row-normalized recall. The
+    //      scorer is the SHARED langidPred helper (one definition for
+    //      classifier and audit), counts are exact, and recall is one
+    //      double division of identical integers rounded 4 dp. On this
+    //      synthetic corpus the matrix shows every label predicting
+    //      en/und at ~90/10 — the text is English-word soup with
+    //      labels assigned independently, and surfacing exactly that
+    //      label/content mismatch is what a confusion audit is FOR.
+    //      One label join + one (label, pred) agg; the per-label total
+    //      rides a (label)-partitioned window. ----
+    QueryDef.sql("q171_langid_confusion",
+      s"""WITH $langidPredCte
+         |SELECT d.lang, pr.pred_lang, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*))
+         |    OVER (PARTITION BY d.lang) AS DOUBLE), 4) AS recall
+         |FROM documents d JOIN pr ON pr.doc_id = d.doc_id
+         |GROUP BY d.lang, pr.pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin) { (s, d) =>
+      val m = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(langidPred(t(s, d, "documents"))
+          .select(col("doc_id"), col("pred_lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      m.withColumn("recall",
+          round(col("n").cast("double") /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("lang")))
+              .cast("double"), 4))
+        .orderBy(col("lang"), col("pred_lang"))
     },
 
     // ---- Quality scoring: length / character-class / stopword ratios. ----

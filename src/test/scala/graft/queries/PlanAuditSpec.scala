@@ -353,7 +353,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q170 = the checkpointed (lang, source) contingency agg + the
       // two margin aggs + the grid⋈counts join + the countDistinct
       // final agg — everything past the first agg is O(r·c) rows.
-      "q170_chi2_independence" -> 5)
+      "q170_chi2_independence" -> 5,
+      // q171 = the doc_id label⋈prediction join + the (label, pred)
+      // agg + the per-label window + result sort — everything past
+      // the join is O(langs²) rows.
+      "q171_langid_confusion" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
