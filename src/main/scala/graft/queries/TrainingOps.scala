@@ -831,34 +831,9 @@ object TrainingOps {
         |  CAST(CASE WHEN cv.ci IS NULL OR sh.i < cv.ci THEN 0 ELSE 1 END
         |    AS BIGINT) AS capped
         |FROM sh LEFT JOIN cv ON true ORDER BY sh.lang""".stripMargin) { (s, d) =>
-      val dem = t(s, d, "documents").groupBy(col("lang"))
+      val dem = t(s, d, "documents").groupBy(col("lang").as("key"))
         .agg(sum(col("n_chars")).cast("long").as("d"))
-      val tot = dem.agg(
-        expr("(8 * sum(d)) div 10").cast("long").as("b"),
-        count(lit(1)).as("n"))
-      val wOrd = Window.orderBy(col("d"), col("lang"))
-      val sh = dem
-        .withColumn("i", row_number().over(wOrd).cast("long"))
-        .withColumn("p", sum(col("d")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
-        .crossJoin(broadcast(tot))
-        .withColumn("rem", col("b") - (col("p") - col("d")))
-        .withColumn("share", expr("rem div (n - i + 1)"))
-      val cv = sh.filter(col("share") < col("d"))
-        .agg(min(col("i")).as("crit"))
-        .join(sh, col("crit") === col("i"))
-        .select(col("share").as("lam"),
-          (col("rem") - col("share") * (col("n") - col("i") + 1)).as("r"),
-          col("i").as("ci"))
-      sh.join(broadcast(cv), lit(true), "left")
-        .select(col("lang"), col("d").as("demand"),
-          when(col("ci").isNull || col("i") < col("ci"), col("d"))
-            .otherwise(col("lam") +
-              when(col("i") - col("ci") < col("r"), 1L).otherwise(0L))
-            .cast("long").as("alloc"),
-          when(col("ci").isNull || col("i") < col("ci"), 0L).otherwise(1L)
-            .cast("long").as("capped"))
-        .orderBy(col("lang"))
+      graft.operators.FairShare.allocate(dem, 8L, 10L)
+        .withColumnRenamed("key", "lang")
     })
 }
