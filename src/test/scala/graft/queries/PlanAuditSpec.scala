@@ -357,7 +357,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // q171 = the doc_id label⋈prediction join + the (label, pred)
       // agg + the per-label window + result sort — everything past
       // the join is O(langs²) rows.
-      "q171_langid_confusion" -> 4)
+      "q171_langid_confusion" -> 4,
+      // q172 = ONE checkpointed per-key agg; the stats legs (1-row
+      // aggs, 2-row MCV heap) are metadata-sized and exchange-free.
+      "q172_cbo_estimate_audit" -> 1)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
