@@ -1840,5 +1840,42 @@ object PartB {
           expr("(e2 * 1000000) div exact").as("err_mcv_micro"))
         .select(col("exact_rows"), col("est_ndv"), col("est_mcv"),
           col("err_ndv_micro"), col("err_mcv_micro"))
+    },
+
+    // ---- Session-path mining: top event-type TRIGRAMS along each
+    //      user-day journey — the sequence extension of q143's 1-step
+    //      Markov transitions (a transition matrix cannot distinguish
+    //      view>click>purchase from view>click>error; the trigram
+    //      table can). Paths come from two lead() calls over ONE
+    //      (user, day)-keyed window ordered by the total (us,
+    //      event_id) order; counts are exact, top-20 tie-broken by
+    //      path. User-day journeys (not 30-min sessions) because this
+    //      corpus's inter-event gaps make gap-sessions ~singletons —
+    //      every trigram count would be 1 (measured). ----
+    QueryDef.sql("q173_path_mining",
+      """WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |tri AS (SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER w2 || '>' ||
+        |    lead(event_type, 2) OVER w2 AS path,
+        |    lead(event_type, 2) OVER w2 AS e3
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, day
+        |    ORDER BY us, event_id))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM tri
+        |WHERE e3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      val w2 = Window
+        .partitionBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("date"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w2).as("e2"),
+          lead(col("event_type"), 2).over(w2).as("e3"))
+        .filter(col("e3").isNotNull)
+        .select(concat(col("event_type"), lit(">"), col("e2"),
+          lit(">"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
     })
 }

@@ -360,7 +360,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q171_langid_confusion" -> 4,
       // q172 = ONE checkpointed per-key agg; the stats legs (1-row
       // aggs, 2-row MCV heap) are metadata-sized and exchange-free.
-      "q172_cbo_estimate_audit" -> 1)
+      "q172_cbo_estimate_audit" -> 1,
+      // q173 = the (user, day) journey window + the path agg feeding
+      // the TakeOrdered top-20 heap — no result sort exchange.
+      "q173_path_mining" -> 2)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
