@@ -51,9 +51,12 @@ object FairShare {
         when(col("ci").isNull || col("i") < col("ci"), col("d"))
           .otherwise(col("lam") +
             when(col("i") - col("ci") < col("r"), 1L).otherwise(0L))
-          .cast("long").as("alloc"),
-        when(col("ci").isNull || col("i") < col("ci"), 0L).otherwise(1L)
-          .cast("long").as("capped"))
+          .cast("long").as("alloc"))
+      // capped means the key actually LOST something (alloc < demand)
+      // — a waterline-rank key whose +1 remainder restores its full
+      // demand was not downsampled and must not be reported as such
+      .withColumn("capped",
+        when(col("alloc") < col("demand"), 1L).otherwise(0L))
       .orderBy(col("key"))
   }
 }

@@ -1588,17 +1588,18 @@ object PartB {
         s"""f$i AS (SELECT DISTINCT ed.y AS u FROM l${i - 1}
            |  JOIN ed ON ed.x = l${i - 1}.u WHERE l${i - 1}.d = ${i - 1}),
            |l$i AS (SELECT u, min(d) AS d FROM (SELECT u, d FROM l${i - 1}
-           |  UNION ALL SELECT u, $i FROM f$i) GROUP BY u)""".stripMargin
+           |  UNION ALL SELECT u, CAST($i AS BIGINT) FROM f$i) GROUP BY u)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${coocEdgesCte(60000000L)},
          |ed AS (SELECT x, y FROM e UNION SELECT y AS x, x AS y FROM e),
          |pop AS (SELECT DISTINCT user_id AS u FROM events),
-         |l0 AS (SELECT u, 0 AS d FROM (SELECT user_id AS u, count(*) AS c
+         |l0 AS (SELECT u, CAST(0 AS BIGINT) AS d
+         |  FROM (SELECT user_id AS u, count(*) AS c
          |  FROM events GROUP BY 1 ORDER BY c DESC, u LIMIT 5)),
          |$rounds
          |SELECT d, CAST(count(*) AS BIGINT) AS n_users,
          |  CAST(sum(u) AS BIGINT) AS sum_u
-         |FROM (SELECT pop.u, coalesce(l3.d, -1) AS d
+         |FROM (SELECT pop.u, CAST(coalesce(l3.d, -1) AS BIGINT) AS d
          |  FROM pop LEFT JOIN l3 ON l3.u = pop.u)
          |GROUP BY d ORDER BY d""".stripMargin
     }) { (s, d) =>
@@ -1640,7 +1641,8 @@ object PartB {
     QueryDef.sql("q166_rfm_segments",
       """WITH u AS (SELECT user_id, max(epoch_us(ts)) AS r,
         |    CAST(count(*) AS BIGINT) AS f,
-        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS m
+        |    sum(CAST(CAST(floor(value * 1000000) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS m
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         |q AS (SELECT user_id, m,
         |    CAST(ntile(5) OVER (ORDER BY r DESC, user_id) AS BIGINT) AS r_q,
@@ -1659,7 +1661,8 @@ object PartB {
         .groupBy(col("user_id"))
         .agg(max(unix_micros(col("ts"))).as("r"),
           count(lit(1)).as("f"),
-          sum(floor(col("value") * 1000000).cast("long")).cast("long").as("m"))
+          sum(floor(col("value") * 1000000).cast("long")
+            .cast("decimal(38,0)")).as("m"))
       val q = u.select(col("user_id"), col("m"),
         ntile(5).over(Window.orderBy(col("r").desc, col("user_id")))
           .cast("long").as("r_q"),
@@ -1672,7 +1675,7 @@ object PartB {
             .otherwise("other"))
         .groupBy(col("segment"), col("r_q"), col("f_q"))
         .agg(count(lit(1)).as("n_users"),
-          sum(col("m")).cast("long").as("m_micro_sum"))
+          sum(col("m")).cast("long").as("m_micro_sum"))  // decimal Σ, long at the edge
         .orderBy(col("segment"), col("r_q"), col("f_q"))
     },
 
@@ -1807,17 +1810,18 @@ object PartB {
         |m AS (SELECT CAST(sum(n) AS BIGINT) AS mtot,
         |    CAST(sum(n * n) AS BIGINT) AS msq,
         |    CAST(count(*) AS BIGINT) AS k
-        |  FROM (SELECT n FROM c ORDER BY n DESC, lang LIMIT 2))
-        |SELECT s.exact AS exact_rows,
-        |  (s.tot * s.tot) // s.d AS est_ndv,
-        |  m.msq + CASE WHEN s.d > m.k
-        |    THEN ((s.tot - m.mtot) * (s.tot - m.mtot)) // (s.d - m.k)
-        |    ELSE 0 END AS est_mcv,
-        |  ((s.tot * s.tot) // s.d) * 1000000 // s.exact AS err_ndv_micro,
-        |  (m.msq + CASE WHEN s.d > m.k
-        |    THEN ((s.tot - m.mtot) * (s.tot - m.mtot)) // (s.d - m.k)
-        |    ELSE 0 END) * 1000000 // s.exact AS err_mcv_micro
-        |FROM s, m""".stripMargin) { (s, d) =>
+        |  FROM (SELECT n FROM c ORDER BY n DESC, lang LIMIT 2)),
+        |est AS (SELECT s.exact, (s.tot * s.tot) // s.d AS est_ndv,
+        |    m.msq + CASE WHEN s.d > m.k
+        |      THEN ((s.tot - m.mtot) * (s.tot - m.mtot)) // (s.d - m.k)
+        |      ELSE 0 END AS est_mcv
+        |  FROM s, m)
+        |SELECT exact AS exact_rows, est_ndv, est_mcv,
+        |  CAST(CAST(est_ndv AS HUGEINT) * 1000000 // exact AS BIGINT)
+        |    AS err_ndv_micro,
+        |  CAST(CAST(est_mcv AS HUGEINT) * 1000000 // exact AS BIGINT)
+        |    AS err_mcv_micro
+        |FROM est""".stripMargin) { (s, d) =>
       val c = t(s, d, "documents").groupBy(col("lang"))
         .agg(count(lit(1)).as("n")).localCheckpoint()
       val st = c.agg(sum(col("n")).cast("long").as("tot"),
@@ -1831,15 +1835,15 @@ object PartB {
       val estMcv = col("msq") + when(col("d") > col("k"),
         expr("((tot - mtot) * (tot - mtot)) div (d - k)")).otherwise(0L)
       st.crossJoin(broadcast(m))
-        .select(col("exact").as("exact_rows"),
-          estNdv.as("est_ndv"), estMcv.as("est_mcv"),
-          expr("((tot * tot) div d) * 1000000").cast("long")
-            .as("e1"), estMcv.as("e2"), col("exact"))
-        .select(col("exact_rows"), col("est_ndv"), col("est_mcv"),
-          expr("e1 div exact").as("err_ndv_micro"),
-          expr("(e2 * 1000000) div exact").as("err_mcv_micro"))
-        .select(col("exact_rows"), col("est_ndv"), col("est_mcv"),
-          col("err_ndv_micro"), col("err_mcv_micro"))
+        .select(col("exact"), estNdv.as("est_ndv"), estMcv.as("est_mcv"))
+        // err in decimal-widened integer division: est·10⁶ can pass
+        // 2⁶³ on a lake-sized corpus before the divide brings it back
+        .select(col("exact").as("exact_rows"), col("est_ndv"),
+          col("est_mcv"),
+          expr("CAST((CAST(est_ndv AS DECIMAL(38,0)) * 1000000)" +
+            " div exact AS BIGINT)").as("err_ndv_micro"),
+          expr("CAST((CAST(est_mcv AS DECIMAL(38,0)) * 1000000)" +
+            " div exact AS BIGINT)").as("err_mcv_micro"))
     },
 
     // ---- Session-path mining: top event-type TRIGRAMS along each

@@ -823,14 +823,16 @@ object TrainingOps {
         |cr AS (SELECT min(i) AS crit FROM sh WHERE share < d),
         |cv AS (SELECT sh.share AS lam,
         |    sh.rem - sh.share * (sh.n - sh.i + 1) AS r, sh.i AS ci
-        |  FROM sh, cr WHERE sh.i = cr.crit)
-        |SELECT sh.lang, sh.d AS demand,
+        |  FROM sh, cr WHERE sh.i = cr.crit),
+        |al AS (SELECT sh.lang, sh.d AS demand,
         |  CAST(CASE WHEN cv.ci IS NULL OR sh.i < cv.ci THEN sh.d
         |    ELSE cv.lam + CASE WHEN sh.i - cv.ci < cv.r THEN 1 ELSE 0 END
-        |    END AS BIGINT) AS alloc,
-        |  CAST(CASE WHEN cv.ci IS NULL OR sh.i < cv.ci THEN 0 ELSE 1 END
-        |    AS BIGINT) AS capped
-        |FROM sh LEFT JOIN cv ON true ORDER BY sh.lang""".stripMargin) { (s, d) =>
+        |    END AS BIGINT) AS alloc
+        |  FROM sh LEFT JOIN cv ON true)
+        |SELECT lang, demand, alloc,
+        |  CAST(CASE WHEN alloc < demand THEN 1 ELSE 0 END AS BIGINT)
+        |    AS capped
+        |FROM al ORDER BY lang""".stripMargin) { (s, d) =>
       val dem = t(s, d, "documents").groupBy(col("lang").as("key"))
         .agg(sum(col("n_chars")).cast("long").as("d"))
       graft.operators.FairShare.allocate(dem, 8L, 10L)

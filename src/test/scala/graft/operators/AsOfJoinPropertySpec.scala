@@ -35,9 +35,12 @@ class AsOfJoinPropertySpec extends AnyFunSuite {
       val rightDf = right.toDF("k", "t", "v")
         .withColumn("vt", org.apache.spark.sql.functions.col("t"))
       val leftDf = left.toDF("id", "k", "t")
-      val got = AsOfJoin.lastAtOrBefore(leftDf, rightDf,
+      val rows = AsOfJoin.lastAtOrBefore(leftDf, rightDf,
           keyCol = "k", timeCol = "t", valueCols = Seq("v", "vt"))
         .collect()
+      assert(rows.length == left.size,
+        s"round $round: expected exactly one output row per left row")
+      val got = rows
         .map(r => r.getLong(0) -> (
           if (r.isNullAt(3)) None else Some(r.getLong(3)),
           if (r.isNullAt(4)) None else Some(r.getLong(4))))

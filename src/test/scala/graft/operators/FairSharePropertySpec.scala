@@ -56,8 +56,8 @@ class FairSharePropertySpec extends AnyFunSuite {
     got.foreach { case (k, (d, a, capped)) =>
       assert(a == ref(k), s"$k: operator=$a reference=${ref(k)} in $demands")
       assert(a <= d, s"$k allocated over demand")
-      assert((capped == 1L) == (a < d) || d == a && capped == 1L,
-        s"$k: capped flag inconsistent (d=$d a=$a capped=$capped)")
+      assert((capped == 1L) == (a < d),
+        s"$k: capped must mean alloc < demand (d=$d a=$a capped=$capped)")
     }
     val sumA = got.values.map(_._2).sum
     if (budget <= total) assert(sumA == budget,

@@ -102,8 +102,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     val capped = rows.filter(_._4 == 1L).map(_._3)
     assert(capped.max - capped.min <= 1, "waterline must be flat")
     val uncapped = rows.filter(_._4 == 0L).map(_._2)
+    // capped now means alloc < demand, so a waterline-rank key whose
+    // +1 remainder restores full demand counts as uncapped — its
+    // demand may sit one above the flat waterline
     if (uncapped.nonEmpty)
-      assert(uncapped.max <= capped.min,
+      assert(uncapped.max <= capped.min + 1,
         "an uncapped demand above the waterline contradicts max-min fairness")
   }
 }
