@@ -957,9 +957,13 @@ object LakeOps {
           (col("tn") - col("t")).as("dur"))
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("n_users"),
-          sum(col("dur")).cast("long").as("total_dur_us"),
+          // µs durations sum in decimal (a lake-sized day crosses 2⁶³
+          // under ANSI long sums; DuckDB's HUGEINT sum never does)
+          sum(col("dur").cast("decimal(38,0)")).cast("long")
+            .as("total_dur_us"),
           round(sum(col("num")).cast("double") /
-            sum(col("dur")).cast("double"), 4).as("twa_micro"))
+            sum(col("dur").cast("decimal(38,0)")).cast("double"), 4)
+            .as("twa_micro"))
         .orderBy(col("day"))
     }
   )
