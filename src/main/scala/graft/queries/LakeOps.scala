@@ -696,8 +696,9 @@ object LakeOps {
             floor(col("value") * 1000000).cast("long").as("vm"))
           .join(broadcast(dim), col("c_custkey") === col("user_id") + 1)
           .groupBy(col("n_name"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("vm")).cast("long")
-            .as("vm_sum"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("vm").cast("decimal(38,0)")).cast("long")
+              .as("vm_sum"))
           .writeStream.format("memory").queryName(sink)
           .outputMode("complete").start()
         try q.processAllAvailable() finally q.stop()
