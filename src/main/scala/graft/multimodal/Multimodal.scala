@@ -72,9 +72,12 @@ object Multimodal {
     * is the real part. */
   def sampleFrames(df: DataFrame, payloadCol: String, nFrames: Int): DataFrame =
     df.withColumn("frame_no", explode(sequence(lit(0), lit(nFrames - 1))))
+      // widen before the multiply: frame_no · len overflows Int32 on a
+      // half-GB video payload
       .withColumn("frame_off",
-        (col("frame_no") * greatest(octet_length(col(payloadCol)), lit(1))
-          / nFrames).cast("int"))
+        (col("frame_no").cast("long") *
+          greatest(octet_length(col(payloadCol)), lit(1)).cast("long")
+          / nFrames).cast("long"))
       .withColumn("frame",
         expr(s"substring($payloadCol, frame_off + 1, 16)"))
 }

@@ -1173,6 +1173,57 @@ object PartB {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Multimodal frame sampling (the ONE-TO-MANY media transform
+    //      q48's per-row decode doesn't exercise): every payload emits
+    //      4 stride-sampled 16-byte frames through the REAL
+    //      Multimodal.sampleFrames operator — the explode-per-sample
+    //      plumbing a video pipeline runs, with the frame content
+    //      itself pinned (hex digests, so the oracle checks the BYTES
+    //      extracted, not just the counts). DuckDB cannot slice BLOBs,
+    //      so the oracle slices the hex expansion at 2·offset — the
+    //      same bytes by construction. Frames near the payload tail
+    //      run short; frame_bytes counts what was actually read. ----
+    QueryDef.sql("q174_frame_sample",
+      """WITH p AS (SELECT doc_id,
+        |    (CASE CAST(doc_id % 4 AS INTEGER)
+        |       WHEN 0 THEN '\x89PNG'::BLOB WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
+        |       WHEN 2 THEN 'RIFF'::BLOB ELSE '\x1A\x45\xDF\xA3'::BLOB END)
+        |      || encode(text) AS payload,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |      WHEN 2 THEN 'audio/wav' ELSE 'video/webm' END AS mime
+        |  FROM documents),
+        |f AS (SELECT doc_id, mime,
+        |    CAST(floor(fn * greatest(octet_length(payload), 1) / 4)
+        |      AS BIGINT) AS off, payload
+        |  FROM p, (SELECT unnest(range(4)) AS fn)),
+        |fr AS (SELECT mime,
+        |    substring(hex(payload), CAST(2 * off + 1 AS INTEGER), 32) AS fh
+        |  FROM f)
+        |SELECT mime, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT fh) AS BIGINT) AS n_distinct_frames,
+        |  CAST(sum(length(fh) // 2) AS BIGINT) AS frame_bytes
+        |FROM fr GROUP BY mime ORDER BY mime""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      def magic(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+      val media = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0, magic(0x89, 'P', 'N', 'G'))
+            .when(col("doc_id") % 4 === 1, magic(0xFF, 0xD8, 0xFF))
+            .when(col("doc_id") % 4 === 2, magic('R', 'I', 'F', 'F'))
+            .otherwise(magic(0x1A, 0x45, 0xDF, 0xA3)),
+          col("text").cast("binary")).as("payload"))
+      Multimodal.sampleFrames(media, "payload", nFrames = 4)
+        .select(Multimodal.sniffMime(col("payload")).as("mime"),
+          hex(col("frame")).as("fh"))
+        .groupBy(col("mime"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("fh")).as("n_distinct_frames"),
+          sum(length(col("fh")).cast("long") / 2).cast("long")
+            .as("frame_bytes"))
+        .orderBy(col("mime"))
+    },
+
     // ---- DBLog stream∪dump merge (A25/A27): a full dump of the
     //      customer table rides in as op=UPDATE rows with lsn=0, the
     //      live events feed carries real checkpoints; latest-wins per

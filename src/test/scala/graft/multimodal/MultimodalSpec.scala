@@ -48,7 +48,7 @@ class MultimodalSpec extends AnyFunSuite {
       .select("doc_id", "frame_no", "frame_off", "frame").collect()
     assert(out.length == 16, "4 docs × 4 frames")
     out.foreach { r =>
-      val off = r.getInt(2)
+      val off = r.getLong(2)
       assert(off >= 0 && off < math.max(1,
         df().filter(col("doc_id") === r.getLong(0)).head.getAs[Array[Byte]](1).length))
       assert(r.getAs[Array[Byte]](3) != null)

@@ -363,7 +363,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q172_cbo_estimate_audit" -> 1,
       // q173 = the (user, day) journey window + the path agg feeding
       // the TakeOrdered top-20 heap — no result sort exchange.
-      "q173_path_mining" -> 2)
+      "q173_path_mining" -> 2,
+      // q174 = the (mime) agg with countDistinct's expand leg + result
+      // sort; frame explosion and hex digests are row-local.
+      "q174_frame_sample" -> 3)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
