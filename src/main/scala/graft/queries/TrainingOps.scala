@@ -793,6 +793,73 @@ object TrainingOps {
         .orderBy(col("etype"))
     },
 
+    // ---- Two-sample Kolmogorov–Smirnov distance between the A/B
+    //      arms' VALUE DISTRIBUTIONS — the distribution-free
+    //      complement to q165's mean test (equal means can hide a
+    //      variance or shape shift; KS sees any CDF divergence). The
+    //      statistic is EXACT: at every distinct micro-value the CDF
+    //      gap |cumA·n_b − cumB·n_a| is an integer (cross-multiplied —
+    //      no CDF division ever happens), the max is taken over the
+    //      merged support inside one (etype)-keyed window pass, and
+    //      only the final micro-ratio divides (decimal-widened integer
+    //      division, lake-safe). One (etype, v) agg + one window +
+    //      O(types) rollup. ----
+    QueryDef.sql("q175_ks_test",
+      """WITH a AS (SELECT event_type AS etype,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+        |pts AS (SELECT etype, v,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM a GROUP BY etype, v),
+        |cum AS (SELECT etype, v,
+        |    sum(ca) OVER (PARTITION BY etype ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+        |    sum(cb) OVER (PARTITION BY etype ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB
+        |  FROM pts),
+        |n AS (SELECT etype, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM pts GROUP BY etype)
+        |SELECT cum.etype, n.na AS n_a, n.nb AS n_b,
+        |  CAST(max(abs(CAST(cumA AS HUGEINT) * n.nb
+        |    - CAST(cumB AS HUGEINT) * n.na)) AS BIGINT) AS ks_num,
+        |  CAST(CAST(max(abs(CAST(cumA AS HUGEINT) * n.nb
+        |    - CAST(cumB AS HUGEINT) * n.na)) AS HUGEINT) * 1000000
+        |    // (CAST(n.na AS HUGEINT) * n.nb) AS BIGINT) AS ks_micro
+        |FROM cum JOIN n ON n.etype = cum.etype
+        |GROUP BY cum.etype, n.na, n.nb ORDER BY cum.etype""".stripMargin) {
+      (s, d) =>
+      val a = t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          when(hashBucket(col("user_id")) < "80", "A").otherwise("B")
+            .as("arm"),
+          floor(col("value") * 1000000).cast("long").as("v"))
+      val pts = a.groupBy(col("etype"), col("v"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("cb"))
+      val w = Window.partitionBy(col("etype")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pts
+        .withColumn("cumA", sum(col("ca")).over(w))
+        .withColumn("cumB", sum(col("cb")).over(w))
+      val n = pts.groupBy(col("etype"))
+        .agg(sum(col("ca")).cast("long").as("na"),
+          sum(col("cb")).cast("long").as("nb"))
+      cum.join(n, "etype")
+        .withColumn("gap",
+          abs(col("cumA").cast("decimal(38,0)") * col("nb") -
+            col("cumB").cast("decimal(38,0)") * col("na")))
+        .groupBy(col("etype"), col("na"), col("nb"))
+        .agg(max(col("gap")).cast("long").as("ks_num"),
+          expr("CAST((CAST(max(gap) AS DECIMAL(38,0)) * 1000000)" +
+            " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)")
+            .as("ks_micro"))
+        .select(col("etype"), col("na").as("n_a"), col("nb").as("n_b"),
+          col("ks_num"), col("ks_micro"))
+        .orderBy(col("etype"))
+    },
+
     // ---- Max-min fair budget allocation (progressive waterfilling):
     //      an 80%-of-corpus token budget splits across languages so
     //      that small languages keep their FULL demand and the

@@ -366,7 +366,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q173_path_mining" -> 2,
       // q174 = the (mime) agg with countDistinct's expand leg + result
       // sort; frame explosion and hex digests are row-local.
-      "q174_frame_sample" -> 3)
+      "q174_frame_sample" -> 3,
+      // q175 = the (etype, v) support agg + the etype window (margin
+      // agg reuses its partitioning via the join) + the O(types)
+      // rollup + result sort — the CDF itself never divides.
+      "q175_ks_test" -> 4)
     for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       assert(n <= budget,
