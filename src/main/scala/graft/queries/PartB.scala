@@ -59,6 +59,34 @@ object PartB {
       |zz AS (SELECT o_orderkey, ck, dy, x4 | (y4 << 1) AS z FROM a4)"""
       .stripMargin
 
+  /** Synthetic media payloads over `documents` (magic-byte prefix by
+    * doc_id%4 + the text bytes) — shared by q48 (per-row decode) and
+    * q174 (frame sampling) so the two multimodal queries exercise the
+    * same binary column. Columns: (doc_id, payload). */
+  private def mediaPayloads(docs: DataFrame): DataFrame = {
+    def magic(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    docs.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0, magic(0x89, 'P', 'N', 'G'))
+          .when(col("doc_id") % 4 === 1, magic(0xFF, 0xD8, 0xFF))
+          .when(col("doc_id") % 4 === 2, magic('R', 'I', 'F', 'F'))
+          .otherwise(magic(0x1A, 0x45, 0xDF, 0xA3)),
+        col("text").cast("binary")).as("payload"))
+  }
+
+  /** DuckDB CTE twin of [[mediaPayloads]] (+ the mime each magic
+    * class sniffs to): defines `p(doc_id, payload, mime)`. */
+  private val mediaCte: String =
+    """p AS (SELECT doc_id,
+      |    (CASE CAST(doc_id % 4 AS INTEGER)
+      |       WHEN 0 THEN '\x89PNG'::BLOB WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
+      |       WHEN 2 THEN 'RIFF'::BLOB ELSE '\x1A\x45\xDF\xA3'::BLOB
+      |       END) || encode(text) AS payload,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      |      WHEN 2 THEN 'audio/wav' ELSE 'video/webm' END AS mime
+      |  FROM documents)""".stripMargin
+
   /** DuckDB CTE text for [[coocEdges]] — shared by the q126/q137/q164
     * oracles so the graphs can never drift apart. Defines `e(x,y)`.
     */
@@ -1135,15 +1163,8 @@ object PartB {
     //      through the batched mapPartitions path — the oracle pins the
     //      whole pipeline end to end. ----
     QueryDef.sql("q48_multimodal",
-      """WITH p AS (SELECT doc_id,
-        |    (CASE CAST(doc_id % 4 AS INTEGER)
-        |       WHEN 0 THEN '\x89PNG'::BLOB WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
-        |       WHEN 2 THEN 'RIFF'::BLOB ELSE '\x1A\x45\xDF\xA3'::BLOB END)
-        |      || encode(text) AS payload FROM documents)
-        |SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INTEGER)
-        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-        |    WHEN 2 THEN 'audio/wav' ELSE 'video/webm' END AS mime,
+      s"""WITH $mediaCte
+        |SELECT doc_id, mime,
         |  CAST(octet_length(payload) AS INTEGER) AS n_bytes,
         |  CAST(16 + octet_length(payload) % 64 AS INTEGER) AS width,
         |  CAST(16 + (octet_length(payload) // 64) % 64 AS INTEGER) AS height,
@@ -1153,14 +1174,7 @@ object PartB {
         |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       import graft.multimodal.Multimodal
-      def magic(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
-      val media = t(s, d, "documents").select(col("doc_id"),
-        concat(
-          when(col("doc_id") % 4 === 0, magic(0x89, 'P', 'N', 'G'))
-            .when(col("doc_id") % 4 === 1, magic(0xFF, 0xD8, 0xFF))
-            .when(col("doc_id") % 4 === 2, magic('R', 'I', 'F', 'F'))
-            .otherwise(magic(0x1A, 0x45, 0xDF, 0xA3)),
-          col("text").cast("binary")).as("payload"))
+      val media = mediaPayloads(t(s, d, "documents"))
       val meta = media.select(col("doc_id"),
         Multimodal.sniffMime(col("payload")).as("mime"),
         octet_length(col("payload")).as("n_bytes"))
@@ -1184,15 +1198,7 @@ object PartB {
     //      same bytes by construction. Frames near the payload tail
     //      run short; frame_bytes counts what was actually read. ----
     QueryDef.sql("q174_frame_sample",
-      """WITH p AS (SELECT doc_id,
-        |    (CASE CAST(doc_id % 4 AS INTEGER)
-        |       WHEN 0 THEN '\x89PNG'::BLOB WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
-        |       WHEN 2 THEN 'RIFF'::BLOB ELSE '\x1A\x45\xDF\xA3'::BLOB END)
-        |      || encode(text) AS payload,
-        |    CASE CAST(doc_id % 4 AS INTEGER)
-        |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-        |      WHEN 2 THEN 'audio/wav' ELSE 'video/webm' END AS mime
-        |  FROM documents),
+      s"""WITH $mediaCte,
         |f AS (SELECT doc_id, mime,
         |    CAST(floor(fn * greatest(octet_length(payload), 1) / 4)
         |      AS BIGINT) AS off, payload
@@ -1205,15 +1211,8 @@ object PartB {
         |  CAST(sum(length(fh) // 2) AS BIGINT) AS frame_bytes
         |FROM fr GROUP BY mime ORDER BY mime""".stripMargin) { (s, d) =>
       import graft.multimodal.Multimodal
-      def magic(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
-      val media = t(s, d, "documents").select(col("doc_id"),
-        concat(
-          when(col("doc_id") % 4 === 0, magic(0x89, 'P', 'N', 'G'))
-            .when(col("doc_id") % 4 === 1, magic(0xFF, 0xD8, 0xFF))
-            .when(col("doc_id") % 4 === 2, magic('R', 'I', 'F', 'F'))
-            .otherwise(magic(0x1A, 0x45, 0xDF, 0xA3)),
-          col("text").cast("binary")).as("payload"))
-      Multimodal.sampleFrames(media, "payload", nFrames = 4)
+      Multimodal.sampleFrames(mediaPayloads(t(s, d, "documents")),
+          "payload", nFrames = 4)
         .select(Multimodal.sniffMime(col("payload")).as("mime"),
           hex(col("frame")).as("fh"))
         .groupBy(col("mime"))

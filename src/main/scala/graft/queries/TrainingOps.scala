@@ -24,6 +24,23 @@ object TrainingOps {
   private def hashBucket(c: org.apache.spark.sql.Column) =
     substring(md5(c.cast("string").cast("binary")), 1, 2)
 
+  /** Deterministic 50/50 A/B arm assignment over events (md5 bucket of
+    * user_id, the q82 idiom) with micro-unit values — shared by q165
+    * (Welch t) and q175 (KS) so the experiment population can never
+    * drift between the two read-outs. Columns: (etype, arm, v). */
+  private def armedEvents(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("etype"),
+      when(hashBucket(col("user_id")) < "80", "A").otherwise("B").as("arm"),
+      floor(col("value") * 1000000).cast("long").as("v"))
+
+  /** DuckDB CTE twin of [[armedEvents]]: defines `a(etype, arm, v)`. */
+  private val armedCte: String =
+    """a AS (SELECT event_type AS etype,
+      |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+      |      THEN 'A' ELSE 'B' END AS arm,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events)"""
+      .stripMargin
+
   /** Per-language keep-rate thresholds in 256ths, as 2-hex-char upper
     * bounds for [[hashBucket]]: en 32 (down to 12.5%), de/fr 128,
     * es/zh 64, everything else 16. Shared by q62 and q68 — one table,
@@ -695,21 +712,21 @@ object TrainingOps {
         .select(col("event_id").as("lid"), col("user_id").as("k"),
           unix_micros(col("ts")).as("t"))
       val wv = Window.partitionBy(col("k")).orderBy(col("t"), col("event_id"))
-      val va = ev.filter(col("event_type") === "view")
-        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
-          col("event_id"))
-        .withColumn("cum", count(lit(1)).over(wv))
-        .groupBy(col("k"), col("t"))
-        .agg(max_by(col("cum"), col("event_id")).cast("long").as("va_cnt"))
-        .withColumn("va_t", col("t"))
-      val vb = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
-          col("event_id"),
-          floor(col("value") * 1000000).cast("long").as("micros"))
-        .withColumn("cum", sum(col("micros")).over(wv))
-        .groupBy(col("k"), col("t"))
-        .agg(max_by(col("cum"), col("event_id")).cast("long").as("vb_micro"))
-        .withColumn("vb_t", col("t"))
+      // one shape for every feature leg: filter → running cum → dedup
+      // per (user, instant) by latest event_id (Catalyst prunes the
+      // micros column where the cum doesn't use it)
+      def series(et: String, cum: org.apache.spark.sql.Column,
+          vName: String, tName: String) =
+        ev.filter(col("event_type") === et)
+          .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+            col("event_id"),
+            floor(col("value") * 1000000).cast("long").as("micros"))
+          .withColumn("cum", cum)
+          .groupBy(col("k"), col("t"))
+          .agg(max_by(col("cum"), col("event_id")).cast("long").as(vName))
+          .withColumn(tName, col("t"))
+      val va = series("view", count(lit(1)).over(wv), "va_cnt", "va_t")
+      val vb = series("click", sum(col("micros")).over(wv), "vb_micro", "vb_t")
       val j1 = graft.operators.AsOfJoin.lastAtOrBefore(
         p, va, keyCol = "k", timeCol = "t", valueCols = Seq("va_cnt", "va_t"))
       val j2 = graft.operators.AsOfJoin.lastAtOrBefore(
@@ -737,10 +754,7 @@ object TrainingOps {
     //      pivot-style final agg — the whole read-out is two exchanges
     //      at any corpus size. ----
     QueryDef.sql("q165_abtest",
-      """WITH a AS (SELECT event_type AS etype,
-        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
-        |      THEN 'A' ELSE 'B' END AS arm,
-        |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+      s"""WITH $armedCte,
         |g AS (SELECT etype, arm, CAST(count(*) AS BIGINT) AS n,
         |    sum(CAST(v AS DECIMAL(38,0))) AS s1,
         |    sum(CAST(v AS DECIMAL(38,0)) * v) AS s2
@@ -763,11 +777,7 @@ object TrainingOps {
         |      + CAST(n_b * s2b - s1b * s1b AS DOUBLE)
         |        / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b), 4) AS t_stat
         |FROM w ORDER BY etype""".stripMargin) { (s, d) =>
-      val a = t(s, d, "events")
-        .select(col("event_type").as("etype"),
-          when(hashBucket(col("user_id")) < "80", "A").otherwise("B").as("arm"),
-          floor(col("value") * 1000000).cast("long").as("v"))
-      val g = a.groupBy(col("etype"), col("arm"))
+      val g = armedEvents(t(s, d, "events")).groupBy(col("etype"), col("arm"))
         .agg(count(lit(1)).as("n"),
           sum(col("v").cast("decimal(38,0)")).as("s1"),
           sum(col("v").cast("decimal(38,0)") * col("v")).as("s2"))
@@ -805,10 +815,7 @@ object TrainingOps {
     //      division, lake-safe). One (etype, v) agg + one window +
     //      O(types) rollup. ----
     QueryDef.sql("q175_ks_test",
-      """WITH a AS (SELECT event_type AS etype,
-        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
-        |      THEN 'A' ELSE 'B' END AS arm,
-        |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+      s"""WITH $armedCte,
         |pts AS (SELECT etype, v,
         |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
         |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
@@ -830,14 +837,14 @@ object TrainingOps {
         |FROM cum JOIN n ON n.etype = cum.etype
         |GROUP BY cum.etype, n.na, n.nb ORDER BY cum.etype""".stripMargin) {
       (s, d) =>
-      val a = t(s, d, "events")
-        .select(col("event_type").as("etype"),
-          when(hashBucket(col("user_id")) < "80", "A").otherwise("B")
-            .as("arm"),
-          floor(col("value") * 1000000).cast("long").as("v"))
-      val pts = a.groupBy(col("etype"), col("v"))
+      // checkpointed: the support table is O(types · distinct v) and
+      // feeds both the CDF window and the margin agg — without it each
+      // consumer rescans the corpus (the q170/q172 discipline)
+      val pts = armedEvents(t(s, d, "events"))
+        .groupBy(col("etype"), col("v"))
         .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ca"),
           sum(when(col("arm") === "B", 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint()
       val w = Window.partitionBy(col("etype")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = pts
