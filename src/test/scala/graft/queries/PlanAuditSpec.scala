@@ -370,12 +370,30 @@ class PlanAuditSpec extends AnyFunSuite {
       // q175 = the (etype, v) support agg + the etype window (margin
       // agg reuses its partitioning via the join) + the O(types)
       // rollup + result sort — the CDF itself never divides.
-      "q175_ks_test" -> 4)
-    for ((q, budget) <- budgets.toSeq.sortBy(_._1)) {
+      "q175_ks_test" -> 4,
+      // Late additions pinning the rest of the scale-critical set
+      // (measured from the r9 plans, AQE off): q36 = sketch agg +
+      // band-posting agg + sort; q39 = the visible tail past the
+      // IVF checkpoints (cluster-pair blocking lives before them);
+      // q50 = the full simhash near-dup composition; q69 = the
+      // visible tail past the per-round CC localCheckpoints; q85 =
+      // blocked pair join + verify + summary; q99 = the BATCH side of
+      // the bucketed index screen (history side pre-bucketed — only
+      // the batch shuffles) + verify; q107 = posting + pair aggs +
+      // the per-source matrix rollup chain.
+      "q36_simhash" -> 3,
+      "q39_embed_neardup" -> 1,
+      "q50_simhash_neardup" -> 9,
+      "q69_dup_clusters" -> 2,
+      "q85_semantic_dedup" -> 6,
+      "q99_lsh_index_screen" -> 3,
+      "q107_source_dup_matrix" -> 7)
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
-      assert(n <= budget,
-        s"$q: $n shuffle exchanges, budget $budget — a new shuffle crept in")
+      if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
     }
+    assert(over.isEmpty,
+      s"new shuffles crept in:\n${over.mkString("\n")}")
   }
 
   test("q02 predicates reach the parquet scan") {
