@@ -966,6 +966,44 @@ object LakeOps {
             sum(col("dur").cast("decimal(38,0)")).cast("double"), 4)
             .as("twa_micro"))
         .orderBy(col("day"))
+    },
+
+    // ---- Incremental JOIN-view maintenance (the delta rule a lake's
+    //      materialized views live by): the revenue-by-segment view
+    //      over orders⋈customer is NOT recomputed when new orders
+    //      land — the delta joins the dimension alone and its partial
+    //      aggregate MERGES into the standing view state
+    //      (V(A∪ΔA ⋈ B) = merge(V(A⋈B), V(ΔA⋈B)) — sums and counts
+    //      are commutative monoids, so the merge is exact). The
+    //      oracle computes the full join DIRECTLY, so the green hash
+    //      proves the delta rule, not just self-consistency. Base =
+    //      orders with o_orderkey%10 ≠ 0, delta = the held-out 10% —
+    //      both legs genuinely non-empty at any SF. Money rides
+    //      micro-DECIMAL (lake-safe); at 100 TB the delta leg touches
+    //      only new files and the merge is O(|view|). ----
+    QueryDef.sql("q176_incremental_join",
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT))
+        |    AS BIGINT) AS price_micro_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def leg(f: Column): DataFrame =
+        t(s, d, "orders").filter(f)
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 1000000).cast("long")
+              .cast("decimal(38,0)").as("pm"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("pm")).as("sp"))
+      val base = leg(col("o_orderkey") % 10 =!= 0)
+      val delta = leg(col("o_orderkey") % 10 === 0)
+      base.unionByName(delta)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("n")).cast("long").as("n_orders"),
+          sum(col("sp")).cast("long").as("price_micro_sum"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 }

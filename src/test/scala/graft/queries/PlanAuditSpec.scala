@@ -387,7 +387,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q69_dup_clusters" -> 2,
       "q85_semantic_dedup" -> 6,
       "q99_lsh_index_screen" -> 3,
-      "q107_source_dup_matrix" -> 7)
+      "q107_source_dup_matrix" -> 7,
+      // q176 = the base-leg and delta-leg segment aggs (dimension
+      // broadcasts by stats; co-partitioned key join at scale) + the
+      // O(segments) merge agg / sort; the merge itself never touches
+      // fact rows.
+      "q176_incremental_join" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
