@@ -724,8 +724,8 @@ object LakeOps {
         |e0 AS (SELECT DISTINCT l.u AS x, r.u AS y FROM bu l
         |  JOIN bu r ON l.et = r.et AND l.b = r.b AND l.u < r.u),
         |kk AS (SELECT CAST(3 * ((2 * (SELECT count(*) FROM e0))
-        |    // (SELECT count(DISTINCT u) FROM (SELECT x AS u FROM e0
-        |        UNION ALL SELECT y FROM e0))) // 4 AS BIGINT) AS k),
+        |    // greatest(1, (SELECT count(DISTINCT u) FROM (SELECT x AS u
+        |        FROM e0 UNION ALL SELECT y FROM e0)))) // 4 AS BIGINT) AS k),
         |d0 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
         |    SELECT x AS u FROM e0 UNION ALL SELECT y FROM e0) GROUP BY u),
         |k0 AS (SELECT u FROM d0 WHERE dg >= (SELECT k FROM kk)),

@@ -1495,10 +1495,15 @@ object TextOps {
       val u = toksDf.select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
       val tot = bg.agg(count(lit(1)).as("tb"))
+      // NO broadcast hint on the unigram legs: the vocabulary grows
+      // with the corpus (Heaps' law), so a forced broadcast is
+      // unbounded at lake scale. The min-support survivors and the
+      // unigram table are both type-sized; let AQE pick broadcast at
+      // runtime when (and only when) the measured sizes allow it.
       c.filter(col("n_xy") >= 5)
         .crossJoin(broadcast(tot))
-        .join(broadcast(u.select(col("w").as("w1"), col("n").as("n1"))), "w1")
-        .join(broadcast(u.select(col("w").as("w2"), col("n").as("n2"))), "w2")
+        .join(u.select(col("w").as("w1"), col("n").as("n1")), "w1")
+        .join(u.select(col("w").as("w2"), col("n").as("n2")), "w2")
         .select(col("w1"), col("w2"), col("n_xy"), expr(
           """cast((cast(n_xy as decimal(38,0)) * tb * 1000000)
             |  div (cast(n1 as decimal(38,0)) * n2) as bigint)"""

@@ -771,11 +771,14 @@ object TrainingOps {
         |  CAST(s1a AS BIGINT) AS sum_a_micro, CAST(s1b AS BIGINT) AS sum_b_micro,
         |  round(CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b, 4)
         |    AS mean_diff_micro,
-        |  round((CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)
-        |    / sqrt(CAST(n_a * s2a - s1a * s1a AS DOUBLE)
-        |        / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
-        |      + CAST(n_b * s2b - s1b * s1b AS DOUBLE)
-        |        / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b), 4) AS t_stat
+        |  CASE WHEN n_a <= 1 OR n_b <= 1
+        |      OR (n_a * s2a - s1a * s1a = 0 AND n_b * s2b - s1b * s1b = 0)
+        |    THEN NULL
+        |    ELSE round((CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)
+        |      / sqrt(CAST(n_a * s2a - s1a * s1a AS DOUBLE)
+        |          / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+        |        + CAST(n_b * s2b - s1b * s1b AS DOUBLE)
+        |          / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b), 4) END AS t_stat
         |FROM w ORDER BY etype""".stripMargin) { (s, d) =>
       val g = armedEvents(t(s, d, "events")).groupBy(col("etype"), col("arm"))
         .agg(count(lit(1)).as("n"),
@@ -794,11 +797,20 @@ object TrainingOps {
         .cast("double") / (col("n_a").cast("double") * (col("n_a") - 1))
       val varB = (col("n_b") * col("s2b") - col("s1b") * col("s1b"))
         .cast("double") / (col("n_b").cast("double") * (col("n_b") - 1))
+      // degenerate-arm guard (mirrored in the oracle): an arm with
+      // n<=1 or both variance numerators 0 would divide by zero —
+      // doubles then go NaN/Inf, whose textual forms differ cross-
+      // engine. The guard tests are exact integer/decimal compares.
+      val degenerate = col("n_a") <= 1 || col("n_b") <= 1 ||
+        ((col("n_a") * col("s2a") - col("s1a") * col("s1a")) === 0 &&
+          (col("n_b") * col("s2b") - col("s1b") * col("s1b")) === 0)
       w.select(col("etype"), col("n_a"), col("n_b"),
           col("s1a").cast("long").as("sum_a_micro"),
           col("s1b").cast("long").as("sum_b_micro"),
           round(meanDiff, 4).as("mean_diff_micro"),
-          round(meanDiff / sqrt(varA / col("n_a") + varB / col("n_b")), 4)
+          when(degenerate, lit(null).cast("double"))
+            .otherwise(
+              round(meanDiff / sqrt(varA / col("n_a") + varB / col("n_b")), 4))
             .as("t_stat"))
         .orderBy(col("etype"))
     },

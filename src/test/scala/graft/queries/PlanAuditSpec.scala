@@ -262,8 +262,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q146_dim_robust_stats" -> 4,
       // q147 = the two type-sized aggs (bigram, unigram) + the
       // TakeOrdered tail; the totals ride a 1-row broadcast and the
-      // unigram table broadcasts into both legs. The 5th exchange is
-      // the wide() fan-out pair (no-op at lake scale).
+      // unigram legs carry NO broadcast hint (vocabulary grows with
+      // the corpus) — at this sf the optimizer still picks broadcast
+      // from size stats, which is exactly the adaptive behavior we
+      // want. The 5th exchange is the wide() fan-out pair.
       "q147_pmi_collocations" -> 5,
       // q148 = wide() fan-out + the ONE instance-sized word-freq agg +
       // three type-sized pair aggs (q123's learner, shared loop) + the
