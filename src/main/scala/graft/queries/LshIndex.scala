@@ -56,45 +56,132 @@ object LshIndex {
         col("b.h1").as("h1"), col("b.h2").as("h2"))
   }
 
+  /** Drop table `t` AND its warehouse location — the session catalog
+    * is in-memory, so a location left by a previous JVM would
+    * otherwise block the managed-table create. */
+  private def dropTableAndDir(s: org.apache.spark.sql.SparkSession,
+      t: String): Unit = {
+    s.sql(s"drop table if exists $t")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(wh, t))
+  }
+
   /** Build/overwrite the persisted index `name`: `<name>_postings`
     * bucketed on the band key, `<name>_grams` bucketed on doc_id.
-    * Drops any prior table AND its warehouse location first — the
-    * session catalog is in-memory, so a location left by a previous
-    * JVM would otherwise block the managed-table create. */
+    * Every row carries a `batch_id` provenance column (−1 for the
+    * initial build) — the replay-idempotence key for streaming
+    * appends (see [[appendPrepared]]). */
   def build(corpus: DataFrame, name: String, buckets: Int = 8): Unit = {
     val s = corpus.sparkSession
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    for (t <- Seq(s"${name}_postings", s"${name}_grams")) {
-      s.sql(s"drop table if exists $t")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(wh, t))
-    }
-    graft.Tables.bucketize(postings(corpus), s"${name}_postings", buckets,
-      "band", "h1", "h2")
-    graft.Tables.bucketize(Sketches.shingled(corpus), s"${name}_grams",
-      buckets, "doc_id")
+    for (t <- Seq(s"${name}_postings", s"${name}_grams"))
+      dropTableAndDir(s, t)
+    graft.Tables.bucketize(
+      postings(corpus).withColumn("batch_id", lit(-1L)),
+      s"${name}_postings", buckets, "band", "h1", "h2")
+    graft.Tables.bucketize(
+      Sketches.shingled(corpus).withColumn("batch_id", lit(-1L)),
+      s"${name}_grams", buckets, "doc_id")
   }
 
   /** Append a landed batch into the index, preserving the bucket
-    * layout (Spark validates the writer spec against the table's). */
-  def append(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+    * layout (Spark validates the writer spec against the table's).
+    * Pass the micro-batch id as `batchId` from at-least-once callers
+    * (foreachBatch): an id that ALREADY landed in a table is skipped,
+    * so a batch replayed after a crash cannot double-append — and the
+    * per-table gate also heals a crash BETWEEN the two table writes
+    * (the replay re-appends only the table that missed). The default
+    * −1 marks ungated manual appends (batch API, not replayed). */
+  def append(docs: DataFrame, name: String, buckets: Int = 8,
+      batchId: Long = -1L): Unit = {
     val sh = Sketches.shingled(docs)
-    appendPrepared(postingsFromShingled(sh), sh, name, buckets)
+    appendPrepared(postingsFromShingled(sh), sh, name, buckets, batchId)
   }
+
+  /** True iff `batchId`'s rows already landed in `table`. A parquet
+    * append is job-committed (files appear only at commit), so a
+    * table holds either all of a batch's rows or none — one probe
+    * row decides. The probe is a column-pruned scan of the stamp
+    * column with the equality pushed to parquet row-group stats. */
+  private def batchApplied(s: org.apache.spark.sql.SparkSession,
+      table: String, batchId: Long): Boolean =
+    batchId >= 0L &&
+      !s.table(table).where(col("batch_id") === batchId).isEmpty
 
   /** [[append]] from pre-computed postings + shingles (the ingest-loop
     * path: both frames are scoped-persisted by the caller, so the two
-    * table writes don't recompute the minhash kernels). */
+    * table writes don't recompute the minhash kernels). Each write is
+    * repartitioned ONTO the bucket function first — `repartition(n,
+    * keys)` hashes exactly like the bucket-id expression, so every
+    * task holds one whole bucket and each append lands `buckets`
+    * files, not tasks×buckets (the small-file bound that keeps
+    * [[maybeCompact]] a rare event rather than a treadmill). */
   private[queries] def appendPrepared(post: DataFrame, sh: DataFrame,
-      name: String, buckets: Int = 8): Unit = {
-    post.write.mode("append")
-      .bucketBy(buckets, "band", "h1", "h2").sortBy("band", "h1", "h2")
-      .format("parquet").saveAsTable(s"${name}_postings")
-    sh.write.mode("append")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(s"${name}_grams")
+      name: String, buckets: Int = 8, batchId: Long = -1L): Unit = {
+    val s = post.sparkSession
+    if (!batchApplied(s, s"${name}_postings", batchId))
+      post.withColumn("batch_id", lit(batchId))
+        .repartition(buckets, col("band"), col("h1"), col("h2"))
+        .write.mode("append")
+        .bucketBy(buckets, "band", "h1", "h2").sortBy("band", "h1", "h2")
+        .format("parquet").saveAsTable(s"${name}_postings")
+    if (!batchApplied(s, s"${name}_grams", batchId))
+      sh.withColumn("batch_id", lit(batchId))
+        .repartition(buckets, col("doc_id"))
+        .write.mode("append")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(s"${name}_grams")
+  }
+
+  /** Rewrite both index tables down to one file per bucket, keeping
+    * the bucket spec (and the `batch_id` provenance values, so the
+    * replay gate stays correct across compactions). The rewrite goes
+    * to a side table first and swaps in by rename — a crash mid-
+    * compaction leaves the original intact. */
+  def compact(name: String, buckets: Int = 8): Unit = {
+    compactTable(s"${name}_postings", buckets, Seq("band", "h1", "h2"))
+    compactTable(s"${name}_grams", buckets, Seq("doc_id"))
+  }
+
+  /** [[compact]] only when the postings table has grown past
+    * `maxFilesPerBucket` files per bucket — the append-loop wiring:
+    * call after every append and compaction runs only when the
+    * small-file debt justifies a rewrite (q161's planner policy
+    * applied to the index's own storage). */
+  def maybeCompact(name: String, buckets: Int = 8,
+      maxFilesPerBucket: Int = 6): Unit = {
+    val s = org.apache.spark.sql.SparkSession.active
+    if (s.table(s"${name}_postings").inputFiles.length >
+        buckets * maxFilesPerBucket)
+      compact(name, buckets)
+  }
+
+  private def compactTable(tbl: String, buckets: Int,
+      keys: Seq[String]): Unit = {
+    val s = org.apache.spark.sql.SparkSession.active
+    val tmp = s"${tbl}__c"
+    dropTableAndDir(s, tmp)
+    // Force the BUCKETED scan for the rewrite: one read partition per
+    // bucket (merging all that bucket's small files), so each task
+    // writes exactly one output file for its own bucket — a
+    // shuffle-free compaction. Without the pin the planner, seeing no
+    // join that wants the distribution, falls back to file-grouped
+    // read tasks (and elides an explicit repartition as redundant
+    // against the table's bucket partitioning), scattering every
+    // bucket across every task — tasks×buckets files, the opposite
+    // of compaction.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try s.table(tbl)
+      .write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(tmp)
+    finally s.conf.set(key, prev)
+    s.sql(s"drop table $tbl")
+    s.sql(s"alter table $tmp rename to $tbl")
   }
 
   /** Verified near-dup pairs (batch `doc1`, indexed `doc2`, jaccard ≥

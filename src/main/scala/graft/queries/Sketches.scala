@@ -744,7 +744,7 @@ object Sketches {
         val q = stream.writeStream
         .option("checkpointLocation",
           graft.bench.BenchFeeds.scratchDir("q138_ck"))
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // the batch's shingles and band postings feed FOUR consumers
           // (screen candidates, screen verify sidecar, both append
           // writes) — compute each ONCE per batch under a scoped
@@ -781,9 +781,17 @@ object Sketches {
               sh, 0.8)
               .select(col("doc1"), col("doc2"),
                 round(col("jaccard"), 6).as("jaccard"))
+            // foreachBatch is at-least-once, so every side effect is
+            // replay-idempotent: the pair leg OVERWRITES its own
+            // batch=<id> partition (a replayed batch rewrites the same
+            // deterministic content), and the index appends are gated
+            // per table on the stamped batch_id (LshIndex). Compaction
+            // is wired in behind a files-per-bucket threshold — a
+            // no-op on short runs, a bounded rewrite on long ones.
             cross.unionByName(within)
-              .write.mode("append").parquet(outDir)
-            LshIndex.appendPrepared(post, sh, name)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            LshIndex.appendPrepared(post, sh, name, batchId = batchId)
+            LshIndex.maybeCompact(name)
           } finally {
             post.unpersist(); sh.unpersist(); bp.unpersist(); ()
           }
@@ -794,6 +802,7 @@ object Sketches {
         try q.processAllAvailable() finally q.stop()
       }
       s.read.parquet(outDir)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
         .dropDuplicates("doc1", "doc2")
         .orderBy(col("doc1"), col("doc2"))
     })

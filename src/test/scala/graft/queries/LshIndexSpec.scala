@@ -35,40 +35,49 @@ class LshIndexSpec extends AnyFunSuite {
     } yield (i1, i2)).toSet
   }
 
+  /** Runs `body` with forced shuffle joins and static plans, then
+    * asserts `screened`'s plan joins the `<name>_postings` scan
+    * bucket-aligned: some shuffle-join side holds the postings scan
+    * with NO exchange in between. */
+  private def assertScreenInPlace(name: String)(
+      screened: => org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long)] = {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE wraps the tree in AdaptiveSparkPlanExec (a leaf to
+    // collect()); the static plan is what the assertion reads
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = screened
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plan = df.queryExecution.executedPlan
+      val joinChildren = plan.collect {
+        case j: SortMergeJoinExec => Seq(j.left, j.right)
+        case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+      }.flatten
+      val inPlace = joinChildren.exists(side =>
+        side.collect { case s: ShuffleExchangeExec => s }.isEmpty &&
+          side.collect { case f: FileSourceScanExec => f }.exists(
+            _.tableIdentifier.exists(_.table == s"${name}_postings")))
+      assert(inPlace,
+        s"postings must join bucket-aligned, not re-shuffled:\n$plan")
+      got
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("screen == exact cross pairs; index side joins without a shuffle") {
     val corpus = Seq(1L -> base, 2L -> uniq('a'), 3L -> uniq('b'))
     val batch = Seq(10L -> nearDup, 11L -> uniq('c'), 12L -> base)
     try {
       LshIndex.build(corpus.toDF("doc_id", "text"), "lshspec", buckets = 4)
-      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // AQE wraps the tree in AdaptiveSparkPlanExec (a leaf to
-      // collect()); the static plan is what the assertion reads
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        val screened = LshIndex.screen(batch.toDF("doc_id", "text"),
-          "lshspec", 0.8)
-        val got = screened.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        assert(got == exactPairs(batch, corpus, 0.8),
-          s"screen must equal the exact cross-pair set: $got")
-        // the bucketed posting table joins IN PLACE: some shuffle-join
-        // has the postings scan beneath it with no exchange in between
-        val plan = screened.queryExecution.executedPlan
-        val joinChildren = plan.collect {
-          case j: SortMergeJoinExec => Seq(j.left, j.right)
-          case j: ShuffledHashJoinExec => Seq(j.left, j.right)
-        }.flatten
-        val inPlace = joinChildren.exists(side =>
-          side.collect { case s: ShuffleExchangeExec => s }.isEmpty &&
-            side.collect { case f: FileSourceScanExec => f }.exists(
-              _.tableIdentifier.exists(_.table == "lshspec_postings")))
-        assert(inPlace,
-          s"postings must join bucket-aligned, not re-shuffled:\n$plan")
-      } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-      }
+      val got = assertScreenInPlace("lshspec")(
+        LshIndex.screen(batch.toDF("doc_id", "text"), "lshspec", 0.8))
+      assert(got == exactPairs(batch, corpus, 0.8),
+        s"screen must equal the exact cross-pair set: $got")
 
       // incremental append: land the batch, screen a second batch that
       // near-dups one of the APPENDED docs
@@ -83,6 +92,151 @@ class LshIndexSpec extends AnyFunSuite {
     } finally {
       spark.sql("drop table if exists lshspec_postings")
       spark.sql("drop table if exists lshspec_grams")
+    }
+  }
+
+  /** The q138 ingest loop's crash story: foreachBatch is
+    * at-least-once, so a batch whose side effects LANDED but whose
+    * checkpoint commit didn't is re-run on restart. The injected
+    * crash throws AFTER the pair write and the index appends of
+    * batch 1 — the worst case — and the restart must (a) replay
+    * batch 1 (observed), (b) not double-append it (batch_id gate),
+    * (c) still produce exactly the brute-force near-dup pair set. */
+  test("ingest loop: a replayed batch cannot double-append the index") {
+    import scala.jdk.CollectionConverters._
+    val docs = Seq(
+      1L -> base, 2L -> uniq('a'),
+      3L -> nearDup, 4L -> uniq('b'),
+      5L -> base, 6L -> base,
+      7L -> uniq('c'), 8L -> uniq('d'))
+    val tmp = java.nio.file.Files.createTempDirectory("lshrestart").toFile
+    val feedDir = new java.io.File(tmp, "feed").getAbsolutePath
+    val ckDir = new java.io.File(tmp, "ck").getAbsolutePath
+    val outDir = new java.io.File(tmp, "pairs").getAbsolutePath
+    val name = "lshrestart"
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var crashed = false
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .writeStream.option("checkpointLocation", ckDir)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            seen.add(batchId)
+            val sh = Sketches.shingled(batch).persist()
+            val post = LshIndex.postingsFromShingled(sh).persist()
+            try {
+              val cross = LshIndex.screenPrepared(post, sh, name, 0.8)
+                .select(least(col("doc1"), col("doc2")).as("doc1"),
+                  greatest(col("doc1"), col("doc2")).as("doc2"),
+                  col("jaccard"))
+              val buckets = post
+                .groupBy(struct(col("band"), col("h1"), col("h2")).as("bk"))
+                .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+              val within = Sketches.jaccardVerify(
+                Sketches.elementPairs(buckets, Sketches.MaxBucketSize)
+                  .select(col("p.x").as("doc1"), col("p.y").as("doc2"))
+                  .dropDuplicates("doc1", "doc2"),
+                sh, 0.8)
+                .select(col("doc1"), col("doc2"),
+                  round(col("jaccard"), 6).as("jaccard"))
+              cross.unionByName(within)
+                .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+              LshIndex.appendPrepared(post, sh, name, buckets = 4,
+                batchId = batchId)
+              if (batchId == 1 && !crashed) {
+                crashed = true
+                sys.error("injected crash AFTER batch 1's side effects")
+              }
+            } finally { post.unpersist(); sh.unpersist(); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      docs.toDF("doc_id", "text").repartitionByRange(4, col("doc_id"))
+        .write.parquet(feedDir)
+      LshIndex.build(spark.read.parquet(feedDir).filter(lit(false)),
+        name, buckets = 4)
+      graft.streaming.StreamRun.withStatePartitions(spark, 4) {
+        intercept[Exception](run()) // dies on the injected crash
+        run()                       // resumes from the checkpoint
+      }
+      assert(seen.asScala.count(_ == 1L) >= 2, s"batch 1 must replay: $seen")
+      val postings = spark.table(s"${name}_postings")
+      val dupPostings = postings
+        .groupBy(col("doc_id"), col("band")).count()
+        .filter(col("count") > 1)
+      assert(dupPostings.isEmpty,
+        s"replay double-appended postings: ${dupPostings.collect().toSeq}")
+      val dupGrams = spark.table(s"${name}_grams")
+        .groupBy(col("doc_id")).count().filter(col("count") > 1)
+      assert(dupGrams.isEmpty,
+        s"replay double-appended grams: ${dupGrams.collect().toSeq}")
+      assert(postings.select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L),
+        "every batch must land exactly once")
+      val got = spark.read.parquet(outDir)
+        .select(col("doc1"), col("doc2")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = exactPairs(docs, docs, 0.8).filter(p => p._1 < p._2)
+      assert(got == expected,
+        s"pairs after crash+replay must equal brute force: $got != $expected")
+    } finally {
+      spark.sql(s"drop table if exists ${name}_postings")
+      spark.sql(s"drop table if exists ${name}_grams")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
+  /** Small-file lifecycle: repeated appends accumulate files;
+    * [[LshIndex.maybeCompact]] rewrites both tables down to one file
+    * per bucket without losing rows, the replay gate (batch_id
+    * values) survives the rewrite, and the screen join stays
+    * bucket-aligned against the COMPACTED table. */
+  test("compaction bounds index files and preserves the replay gate") {
+    val name = "lshcompact"
+    val corpus = Seq(1L -> base)
+    try {
+      LshIndex.build(corpus.toDF("doc_id", "text"), name, buckets = 4)
+      val batches = (0 until 8).map(i =>
+        i.toLong -> Seq((100L + i) -> uniq(('e' + i).toChar)))
+      for ((id, docs) <- batches)
+        LshIndex.append(docs.toDF("doc_id", "text"), name, buckets = 4,
+          batchId = id)
+      val before = spark.table(s"${name}_postings").inputFiles.length
+      assert(before > 8, s"appends should accumulate files, got $before")
+      val rows = spark.table(s"${name}_postings").count()
+      val gramRows = spark.table(s"${name}_grams").count()
+      LshIndex.maybeCompact(name, buckets = 4, maxFilesPerBucket = 1)
+      assert(spark.table(s"${name}_postings").inputFiles.length <= 4,
+        "compaction must leave at most one file per bucket")
+      assert(spark.table(s"${name}_grams").inputFiles.length <= 4)
+      assert(spark.table(s"${name}_postings").count() == rows,
+        "compaction must not lose or duplicate posting rows")
+      assert(spark.table(s"${name}_grams").count() == gramRows)
+      // the replay gate reads batch_id from the COMPACTED files: a
+      // replay of an already-landed batch must still be a no-op
+      LshIndex.append(batches(3)._2.toDF("doc_id", "text"), name,
+        buckets = 4, batchId = 3L)
+      assert(spark.table(s"${name}_postings").count() == rows,
+        "an already-applied batch must not re-append after compaction")
+      // and the screen contract holds against the compacted table
+      val probe = Seq(200L -> nearDup)
+      val got = assertScreenInPlace(name)(
+        LshIndex.screen(probe.toDF("doc_id", "text"), name, 0.8))
+      val landed = corpus ++ batches.flatMap(_._2)
+      assert(got == exactPairs(probe, landed, 0.8),
+        s"screen after compaction must equal the exact cross-pair set: $got")
+    } finally {
+      spark.sql(s"drop table if exists ${name}_postings")
+      spark.sql(s"drop table if exists ${name}_grams")
+      spark.sql(s"drop table if exists ${name}_postings__c")
+      spark.sql(s"drop table if exists ${name}_grams__c")
     }
   }
 }
