@@ -79,6 +79,52 @@ class EndToEndSpec extends AnyFunSuite {
     assert(live.find(_._1 == 2L).exists(_._3 == base + " tail"),
       "UPDATE must have replaced doc 2's text")
 
+    // ---- stage 1b: DDL mid-stream (schema drift + checkpoint resume) ----
+    // a later WAL segment carries an ALTER through pgcapture.ddl_logs,
+    // then re-sends the docs Relation WITH the new column and inserts a
+    // row using it; the pipeline restarts from its checkpoint, replays
+    // the DDL through the sink, refreshes the wire-schema registry from
+    // the new Relation message, and applies the widened row
+    val ddlRel = R(8, "pgcapture", "ddl_logs", 'd', Seq(
+      C("query", PgType.Text, isKey = false)))
+    val docRel2 = R(7, "public", "docs", 'd', Seq(
+      C("doc_id", PgType.Int8, isKey = true),
+      C("lang", PgType.Text, isKey = false),
+      C("text", PgType.Text, isKey = false),
+      C("score", PgType.Int4, isKey = false)))
+    val alterSql = "ALTER TABLE docs ADD COLUMN score int4"
+    graft.sources.WalFiles.writeSegment(walDir, 103L,
+      (PgOutput.Encoder.relation(ddlRel) +:
+        tx(103L, PgOutput.Encoder.insert(ddlRel,
+          Seq(PgType.encode(PgType.Text, alterSql))))) ++
+      (PgOutput.Encoder.relation(docRel2) +:
+        tx(104L, PgOutput.Encoder.insert(docRel2,
+          Seq(PgType.encode(PgType.Int8, 7L),
+            PgType.encode(PgType.Text, "en"),
+            PgType.encode(PgType.Text,
+              "a freshly scored document unlike any other"),
+            PgType.encode(PgType.Int4, 42))))))
+    assert(CdcPipeline.start(spark, walDir, ckDir, store, "e2e")
+      .awaitTermination(60000), "resumed CDC pipeline did not finish in 60s")
+    assert(store.ddlLog == Seq(alterSql),
+      s"the applier must replay the mid-stream DDL: ${store.ddlLog}")
+    val live2 = store.rows("public.docs")
+    assert(live2.map(_("doc_id")).toSet == Set(1L, 2L, 3L, 4L, 5L, 7L),
+      s"post-DDL insert must apply: $live2")
+    assert(live2.find(_("doc_id") == 7L)
+      .exists(_.get("score").contains(42)),
+      s"the widened row must carry the NEW column's value: $live2")
+    // and a typed projection (batch backfill over the same WAL) carries
+    // the new column end to end through the codegen decode path
+    val typed = graft.cdc.TypedProjection.project(
+      spark.read.format("pgcapture").option("path", walDir).load()
+        .filter(col("table") === "docs" && col("lsn") >= 104L),
+      docRel2)
+    val typedRows = typed.select("doc_id", "lang", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(typedRows.toSeq == Seq((7L, "en", 42)),
+      s"typed projection must surface the post-DDL column: ${typedRows.toSeq}")
+
     // ---- stage 2: ingest-time exact dedup (streaming) -------------------
     // the applied rows re-enter as an append stream; doc 4 (doc 3's
     // exact copy) arrives in a LATER micro-batch, so its drop proves
@@ -93,7 +139,10 @@ class EndToEndSpec extends AnyFunSuite {
         .outputMode("append").start()
     }
     def t0(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
-    val (b1, b2) = live.toSeq.sortBy(_._1).partition(_._1 <= 3)
+    val liveAll = live2
+      .map(m => (m("doc_id").asInstanceOf[Long],
+        m("lang").toString, m("text").toString))
+    val (b1, b2) = liveAll.toSeq.sortBy(_._1).partition(_._1 <= 3)
     in.addData(b1.map { case (id, lang, tx) => E2eDoc(t0(id.toInt), id, lang, tx) })
     dq.processAllAvailable()
     in.addData(b2.map { case (id, lang, tx) => E2eDoc(t0(id.toInt), id, lang, tx) })
@@ -101,7 +150,7 @@ class EndToEndSpec extends AnyFunSuite {
     val ingested = spark.table("e2e_ingest_dedup")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     dq.stop()
-    assert(ingested.map(_._1).toSet == Set(1L, 2L, 3L, 5L),
+    assert(ingested.map(_._1).toSet == Set(1L, 2L, 3L, 5L, 7L),
       s"ingest dedup must drop exactly the cross-batch copy (doc 4): " +
         s"${ingested.toSeq}")
 
@@ -113,9 +162,9 @@ class EndToEndSpec extends AnyFunSuite {
     val drop = cc.filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     val curated = docs.join(drop, Seq("doc_id"), "left_anti")
-    // cluster {1,2} is a near-dup pair → survivors 1, 3, 5
+    // cluster {1,2} is a near-dup pair → survivors 1, 3, 5, 7
     assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet ==
-      Set(1L, 3L, 5L), "prune must keep each cluster's min id + uniques")
+      Set(1L, 3L, 5L, 7L), "prune must keep each cluster's min id + uniques")
 
     // ---- stage 4: partitioned export ------------------------------------
     graft.sources.CorpusSink.write(curated, outDir,
@@ -126,7 +175,7 @@ class EndToEndSpec extends AnyFunSuite {
       .map(_.getName).sorted.toSeq == Seq("lang=de", "lang=en", "lang=fr"))
     assert(back.select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
-      live.filter(d => Set(1L, 3L, 5L)(d._1)).toSet,
+      liveAll.filter(d => Set(1L, 3L, 5L, 7L)(d._1)).toSet,
       "export must round-trip exactly the curated survivors")
 
     // cleanup the export dir (wal/ck temp dirs are tiny)

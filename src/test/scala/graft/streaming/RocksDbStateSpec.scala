@@ -17,6 +17,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * actually engaged (snapshot artifacts in the checkpoint, not the
   * HDFS provider's .delta files).
   */
+case class SsjEv(ts: Timestamp, user_id: Long, event_id: Long)
+
 class RocksDbStateSpec extends AnyFunSuite {
 
   private def ts(minute: Int) = new Timestamp(3600000L + minute * 60000L)
@@ -163,6 +165,83 @@ class RocksDbStateSpec extends AnyFunSuite {
       val after = stateRows(q)
       assert(after < peak && after <= 64,
         s"LSH bucket state must shrink after the horizon: peak=$peak after=$after")
+      q.stop()
+    }
+  }
+
+  test("stream-stream join evicts mid-run on RocksDB; on-time pairs match batch") {
+    // q132's oracle run deliberately uses a span-derived watermark so
+    // eviction never fires during the compare (determinism); this is
+    // the complementary proof with a SHORT real delay: join state
+    // numRowsTotal drops once event time passes the horizon, on-time
+    // pairs still equal the batch interval join restricted to on-time
+    // rows, and a late row whose partner was evicted produces nothing.
+    val spark = SparkTestSession.spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    withCheckpointDir { ck =>
+      val vin = MemoryStream[SsjEv]
+      val pin = MemoryStream[SsjEv]
+      val views = vin.toDF()
+        .select(col("user_id").as("v_u"), col("event_id").as("vid"),
+          col("ts").as("vts"))
+        .withWatermark("vts", "10 minutes")
+      val purchases = pin.toDF()
+        .select(col("user_id").as("p_u"), col("event_id").as("pid"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "10 minutes")
+      val q = views
+        .join(purchases,
+          expr("""v_u = p_u AND pts >= vts
+                 |AND pts <= vts + interval 30 minutes""".stripMargin))
+        .select(col("v_u").as("user_id"), col("vid"), col("pid"))
+        .writeStream.format("memory").queryName("rocks_ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      def pairs() = spark.table("rocks_ssj_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def stateRows(): Long = {
+        val p = q.lastProgress
+        assert(p != null && p.stateOperators.nonEmpty, "no state metrics yet")
+        p.stateOperators.map(_.numRowsTotal).sum
+      }
+
+      // 10 views, 5 matching purchases inside the 30-minute window
+      vin.addData((1 to 10).map(u => SsjEv(ts(0), u.toLong, u.toLong)): _*)
+      pin.addData((1 to 5).map(u => SsjEv(ts(5), u.toLong, 100L + u)): _*)
+      q.processAllAvailable()
+      val expectedOnTime =
+        (1 to 5).map(u => (u.toLong, u.toLong, 100L + u)).toSet
+      assert(pairs() == expectedOnTime,
+        s"on-time pairs must match the batch interval join: ${pairs()}")
+      val peak = stateRows()
+      assert(peak >= 15, s"expected >=15 join state rows, got $peak")
+
+      // jump event time far past horizon + window: old rows must leave
+      vin.addData(SsjEv(ts(120), 100L, 1000L))
+      pin.addData(SsjEv(ts(121), 100L, 2000L))
+      q.processAllAvailable()
+      vin.addData(SsjEv(ts(125), 101L, 1001L))
+      pin.addData(SsjEv(ts(126), 101L, 2001L))
+      q.processAllAvailable()
+      val after = stateRows()
+      assert(after < peak && after <= 8,
+        s"join state must shrink past the horizon: peak=$peak after=$after")
+
+      // a late purchase whose matching view was evicted emits nothing
+      pin.addData(SsjEv(ts(10), 6L, 106L))
+      q.processAllAvailable()
+      assert(pairs() == expectedOnTime +
+        ((100L, 1000L, 2000L)) + ((101L, 1001L, 2001L)),
+        s"late row past the watermark must be dropped: ${pairs()}")
       q.stop()
     }
   }
