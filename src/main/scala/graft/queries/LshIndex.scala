@@ -110,6 +110,42 @@ object LshIndex {
     batchId >= 0L &&
       !s.table(table).where(col("batch_id") === batchId).isEmpty
 
+  /** Highest batch id THIS JVM successfully appended, per table — the
+    * O(1) fast path for the replay gate. Batch ids from a streaming
+    * checkpoint are monotone and the index is single-writer (the A22
+    * discipline), so within one JVM: an id ≤ the recorded high-water
+    * mark certainly landed (we wrote it — a same-JVM restart replay
+    * skips without any table read), the successor id certainly did
+    * not (append without probing), and anything else — a fresh JVM,
+    * an id gap — falls back to the one-probe-row table check. */
+  private val appendedHwm =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def shouldAppend(s: org.apache.spark.sql.SparkSession,
+      table: String, batchId: Long): Boolean =
+    if (batchId < 0L) true
+    else Option(appendedHwm.get(table)) match {
+      case Some(hwm) if batchId <= hwm => false
+      case Some(hwm) if batchId == hwm + 1L => true
+      case _ => !batchApplied(s, table, batchId)
+    }
+
+  private def recordAppended(table: String, batchId: Long): Unit =
+    if (batchId >= 0L) {
+      appendedHwm.merge(table, batchId,
+        (a, b) => if (a >= b) a else b)
+      ()
+    }
+
+  /** Test hook: drop the in-JVM high-water marks for `name`'s tables,
+    * simulating a process death — a subsequent replayed append must
+    * go through the durable table probe, not JVM memory. */
+  private[queries] def forgetJvmState(name: String): Unit = {
+    appendedHwm.remove(s"${name}_postings")
+    appendedHwm.remove(s"${name}_grams")
+    ()
+  }
+
   /** [[append]] from pre-computed postings + shingles (the ingest-loop
     * path: both frames are scoped-persisted by the caller, so the two
     * table writes don't recompute the minhash kernels). Each write is
@@ -121,18 +157,22 @@ object LshIndex {
   private[queries] def appendPrepared(post: DataFrame, sh: DataFrame,
       name: String, buckets: Int = 8, batchId: Long = -1L): Unit = {
     val s = post.sparkSession
-    if (!batchApplied(s, s"${name}_postings", batchId))
+    if (shouldAppend(s, s"${name}_postings", batchId)) {
       post.withColumn("batch_id", lit(batchId))
         .repartition(buckets, col("band"), col("h1"), col("h2"))
         .write.mode("append")
         .bucketBy(buckets, "band", "h1", "h2").sortBy("band", "h1", "h2")
         .format("parquet").saveAsTable(s"${name}_postings")
-    if (!batchApplied(s, s"${name}_grams", batchId))
+      recordAppended(s"${name}_postings", batchId)
+    }
+    if (shouldAppend(s, s"${name}_grams", batchId)) {
       sh.withColumn("batch_id", lit(batchId))
         .repartition(buckets, col("doc_id"))
         .write.mode("append")
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(s"${name}_grams")
+      recordAppended(s"${name}_grams", batchId)
+    }
   }
 
   /** Rewrite both index tables down to one file per bucket, keeping

@@ -791,7 +791,11 @@ object Sketches {
             cross.unionByName(within)
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
             LshIndex.appendPrepared(post, sh, name, batchId = batchId)
-            LshIndex.maybeCompact(name)
+            // the compaction PROBE is itself a file listing — run it
+            // every 8th trigger, not every trigger (a real compactor's
+            // cadence); the threshold inside maybeCompact still
+            // decides whether a rewrite is due
+            if (batchId % 8 == 7) LshIndex.maybeCompact(name)
           } finally {
             post.unpersist(); sh.unpersist(); bp.unpersist(); ()
           }

@@ -161,6 +161,10 @@ class LshIndexSpec extends AnyFunSuite {
         name, buckets = 4)
       graft.streaming.StreamRun.withStatePartitions(spark, 4) {
         intercept[Exception](run()) // dies on the injected crash
+        // simulate a REAL process death: without this the replay gate
+        // would be answered from the JVM high-water mark; dropping it
+        // forces the durable table-probe path
+        LshIndex.forgetJvmState(name)
         run()                       // resumes from the checkpoint
       }
       assert(seen.asScala.count(_ == 1L) >= 2, s"batch 1 must replay: $seen")
@@ -220,7 +224,9 @@ class LshIndexSpec extends AnyFunSuite {
         "compaction must not lose or duplicate posting rows")
       assert(spark.table(s"${name}_grams").count() == gramRows)
       // the replay gate reads batch_id from the COMPACTED files: a
-      // replay of an already-landed batch must still be a no-op
+      // replay of an already-landed batch must still be a no-op even
+      // from a fresh JVM (high-water marks dropped → durable probe)
+      LshIndex.forgetJvmState(name)
       LshIndex.append(batches(3)._2.toDF("doc_id", "text"), name,
         buckets = 4, batchId = 3L)
       assert(spark.table(s"${name}_postings").count() == rows,

@@ -103,6 +103,57 @@ class StreamRestartSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream join: buffered side survives a mid-feed restart") {
+    val tmp = Files.createTempDirectory("restartssj").toFile
+    val vDir = new java.io.File(tmp, "views").getAbsolutePath
+    val pDir = new java.io.File(tmp, "purch").getAbsolutePath
+    val ckDir = new java.io.File(tmp, "ck").getAbsolutePath
+    val outDir = new java.io.File(tmp, "out").getAbsolutePath
+    def drainJoin(): Unit = {
+      def side(dir: String, u: String, id: String, ts: String) =
+        spark.readStream
+          .schema(spark.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+          .select(col("user_id").as(u), col("event_id").as(id),
+            col("ts").as(ts))
+          .withWatermark(ts, "60 minutes")
+      val q = side(vDir, "v_u", "vid", "vts")
+        .join(side(pDir, "p_u", "pid", "pts"),
+          expr("""v_u = p_u AND pts >= vts
+                 |AND pts <= vts + interval 30 minutes""".stripMargin))
+        .select(col("v_u").as("user_id"), col("vid"), col("pid"))
+        .writeStream.option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      StreamRun.withStatePartitions(spark, 2) {
+        writeFeed(vDir, Seq((1L, 1L, us(0)), (2L, 2L, us(1))))
+        writeFeed(pDir, Seq((102L, 2L, us(2))))
+        drainJoin()  // emits user 2's pair; user 1's view stays buffered
+        // user 1's matching purchase lands only AFTER the restart: the
+        // pair can emit iff the view's join state was restored
+        writeFeed(pDir, Seq((101L, 1L, us(10)), (103L, 3L, us(5))))
+        drainJoin()
+      }
+      val got = spark.read.parquet(outDir)
+        .select(col("user_id"), col("vid"), col("pid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 1L, 101L), (2L, 2L, 102L)),
+        s"the buffered view must join across the restart: $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("streaming dedup: seen-content state survives a mid-feed restart") {
     val tmp = Files.createTempDirectory("restartdedup").toFile
     val feedDir = new java.io.File(tmp, "feed").getAbsolutePath
