@@ -154,6 +154,92 @@ class StreamRestartSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup: bucket members survive a mid-feed restart") {
+    val tmp = Files.createTempDirectory("restartndup").toFile
+    val feedDir = new java.io.File(tmp, "feed").getAbsolutePath
+    val ckDir = new java.io.File(tmp, "ck").getAbsolutePath
+    val outDir = new java.io.File(tmp, "out").getAbsolutePath
+    def writeDocs(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("doc_id", "ts_us", "text")
+        .select(col("doc_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("text"))
+        .coalesce(1).write.mode("append").parquet(feedDir)
+    val dup = "the quick brown fox jumps over the lazy dog again"
+    try {
+      StreamRun.withStatePartitions(spark, 2) {
+        writeDocs(Seq((1L, us(0), dup),
+          (2L, us(1), "entirely different words about streaming state")))
+        drain(feedDir, ckDir, outDir)(
+          StreamNearDup.candidates(_, "ts", "60 minutes").toDF())
+        // doc 3 near-duplicates doc 1 ACROSS the restart: the pair can
+        // only emit if doc 1's minhash signature was restored into the
+        // band-bucket state from the checkpoint
+        writeDocs(Seq((3L, us(2), dup),
+          (4L, us(3), "yet another unrelated document body here")))
+        drain(feedDir, ckDir, outDir)(
+          StreamNearDup.candidates(_, "ts", "60 minutes").toDF())
+      }
+      val got = spark.read.parquet(outDir)
+        .filter(col("estJaccard") >= 0.9)
+        .select(col("doc1"), col("doc2")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 3L)),
+        s"the cross-restart near-dup pair (1,3) must emit: $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("sketch lake: partial appends resume from the checkpoint") {
+    val tmp = Files.createTempDirectory("restartsketch").toFile
+    val feedDir = new java.io.File(tmp, "feed").getAbsolutePath
+    val ckDir = new java.io.File(tmp, "ck").getAbsolutePath
+    val lakeDir = new java.io.File(tmp, "lake").getAbsolutePath
+    import graft.operators.SketchLake
+    def drainPartials(): Unit = {
+      val q = SketchLake.streamPartials(
+        spark.readStream
+          .schema(spark.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir),
+        Seq("user_id"), "ts", "event_id", lakeDir)
+        .option("checkpointLocation", ckDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      StreamRun.withStatePartitions(spark, 2) {
+        writeFeed(feedDir, Seq((1L, 1L, us(0)), (2L, 1L, us(1)),
+          (3L, 2L, us(2))))
+        drainPartials()  // stop mid-feed
+        writeFeed(feedDir, Seq((2L, 1L, us(5)), (4L, 1L, us(6)),
+          (5L, 2L, us(7))))
+        drainPartials()  // resume from checkpoint
+      }
+      // rollup over the resumed lake == rollup over one-shot batch
+      // partials of the whole feed (same estimator both sides); the
+      // restart must neither lose a micro-batch nor let a replayed
+      // append move the estimate (HLL union is idempotent)
+      def roll(p: DataFrame): Set[(Long, Long)] =
+        SketchLake.rollup(p, Seq("user_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = roll(spark.read.parquet(lakeDir))
+      val oracle = roll(SketchLake.partials(
+        spark.read.parquet(feedDir), Seq("user_id"), "ts", "event_id"))
+      assert(got == oracle,
+        s"resumed lake rollup must equal batch partials: $got != $oracle")
+      assert(got == Set((1L, 3L), (2L, 2L)),
+        s"distinct events per user must be exact at this scale: $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("streaming dedup: seen-content state survives a mid-feed restart") {
     val tmp = Files.createTempDirectory("restartdedup").toFile
     val feedDir = new java.io.File(tmp, "feed").getAbsolutePath
