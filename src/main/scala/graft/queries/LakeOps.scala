@@ -941,8 +941,9 @@ object LakeOps {
         |  FROM seg WHERE tn IS NOT NULL)
         |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(dur) AS BIGINT) AS total_dur_us,
-        |  round(CAST(sum(num) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 4)
-        |    AS twa_micro
+        |  CASE WHEN sum(dur) = 0 THEN NULL
+        |    ELSE round(CAST(sum(num) AS DOUBLE)
+        |      / CAST(sum(dur) AS DOUBLE), 4) END AS twa_micro
         |FROM c GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id"), col("day"))
         .orderBy(col("t"), col("event_id"))
@@ -962,8 +963,12 @@ object LakeOps {
           // under ANSI long sums; DuckDB's HUGEINT sum never does)
           sum(col("dur").cast("decimal(38,0)")).cast("long")
             .as("total_dur_us"),
-          round(sum(col("num")).cast("double") /
-            sum(col("dur").cast("decimal(38,0)")).cast("double"), 4)
+          // all-zero gaps (every event of a day at one timestamp)
+          // would be 0/0 → IEEE NaN here vs the oracle's NULL — an
+          // undefined average has no value in either engine
+          when(sum(col("dur").cast("decimal(38,0)")) > 0,
+            round(sum(col("num")).cast("double") /
+              sum(col("dur").cast("decimal(38,0)")).cast("double"), 4))
             .as("twa_micro"))
         .orderBy(col("day"))
     },

@@ -46,8 +46,9 @@ object PartB {
       |b AS (SELECT min(ck) AS ck0, max(ck) AS ck1,
       |    min(dy) AS dy0, max(dy) AS dy1 FROM dims),
       |sc AS (SELECT o_orderkey, ck, dy,
-      |    ((ck - b.ck0) * 65535) // (b.ck1 - b.ck0) AS x,
-      |    ((dy - b.dy0) * 65535) // (b.dy1 - b.dy0) AS y FROM dims, b),
+      |    ((ck - b.ck0) * 65535) // greatest(1, b.ck1 - b.ck0) AS x,
+      |    ((dy - b.dy0) * 65535) // greatest(1, b.dy1 - b.dy0) AS y
+      |  FROM dims, b),
       |a1 AS (SELECT *, (x|(x<<8))&16711935 AS x1,
       |    (y|(y<<8))&16711935 AS y1 FROM sc),
       |a2 AS (SELECT *, (x1|(x1<<4))&252645135 AS x2,
@@ -154,8 +155,11 @@ object PartB {
         min(col("dy")).as("dy0"), max(col("dy")).as("dy1"))
       dims.crossJoin(broadcast(bounds))
         .select(col("ck"), col("dy"), expr(
-          """z_interleave16(((ck - ck0) * 65535) div (ck1 - ck0),
-            |               ((dy - dy0) * 65535) div (dy1 - dy0))"""
+          // greatest(1,…): a constant dimension (degenerate input)
+          // maps every row to coordinate 0 instead of ANSI-erroring
+          """z_interleave16(
+            |  ((ck - ck0) * 65535) div greatest(1L, ck1 - ck0),
+            |  ((dy - dy0) * 65535) div greatest(1L, dy1 - dy0))"""
             .stripMargin).as("z"))
         .groupBy(shiftright(col("z"), 28).cast("int").as("tile"))
         .agg(count(lit(1)).as("n_rows"),
@@ -211,8 +215,9 @@ object PartB {
         min(col("dy")).as("dy0"), max(col("dy")).as("dy1"))
       val tiles = dims.crossJoin(broadcast(bounds))
         .select(col("ck"), col("dy"), expr(
-          """z_interleave16(((ck - ck0) * 65535) div (ck1 - ck0),
-            |               ((dy - dy0) * 65535) div (dy1 - dy0))"""
+          """z_interleave16(
+            |  ((ck - ck0) * 65535) div greatest(1L, ck1 - ck0),
+            |  ((dy - dy0) * 65535) div greatest(1L, dy1 - dy0))"""
             .stripMargin).as("z"))
         .groupBy(shiftright(col("z"), 28).as("tile"))
         .agg(count(lit(1)).as("n_rows"),

@@ -1191,8 +1191,11 @@ object TextOps {
         |    abs(c_old * (SELECT n_new FROM n)
         |      - c_new * (SELECT n_old FROM n)) AS dnum FROM c)
         |SELECT tok, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
-        |  round(CAST(dnum AS DOUBLE)
-        |    / ((SELECT n_old FROM n) * (SELECT n_new FROM n)), 8) AS drift
+        |  CASE WHEN (SELECT n_old FROM n) = 0 OR (SELECT n_new FROM n) = 0
+        |    THEN NULL
+        |    ELSE round(CAST(dnum AS DOUBLE)
+        |      / ((SELECT n_old FROM n) * (SELECT n_new FROM n)), 8) END
+        |    AS drift
         |FROM d ORDER BY dnum DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
       val e = graft.Tables.wide(t(s, d, "documents"))
         .select((col("doc_id") % 2).as("half"),
@@ -1208,7 +1211,11 @@ object TextOps {
         .orderBy(col("dnum").desc, col("tok"))
         .limit(20)
         .select(col("tok"), col("c_old"), col("c_new"),
-          round(col("dnum").cast("double") / (col("n_old") * col("n_new")), 8)
+          // an all-even or all-odd doc_id universe empties one half:
+          // 0/0 → IEEE NaN here vs the oracle's NULL — guard to NULL
+          when(col("n_old") > 0 && col("n_new") > 0,
+            round(col("dnum").cast("double")
+              / (col("n_old") * col("n_new")), 8))
             .as("drift"))
     },
 

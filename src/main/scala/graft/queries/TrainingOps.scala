@@ -843,9 +843,10 @@ object TrainingOps {
         |SELECT cum.etype, n.na AS n_a, n.nb AS n_b,
         |  CAST(max(abs(CAST(cumA AS HUGEINT) * n.nb
         |    - CAST(cumB AS HUGEINT) * n.na)) AS BIGINT) AS ks_num,
-        |  CAST(CAST(max(abs(CAST(cumA AS HUGEINT) * n.nb
-        |    - CAST(cumB AS HUGEINT) * n.na)) AS HUGEINT) * 1000000
-        |    // (CAST(n.na AS HUGEINT) * n.nb) AS BIGINT) AS ks_micro
+        |  CASE WHEN n.na = 0 OR n.nb = 0 THEN NULL
+        |    ELSE CAST(CAST(max(abs(CAST(cumA AS HUGEINT) * n.nb
+        |      - CAST(cumB AS HUGEINT) * n.na)) AS HUGEINT) * 1000000
+        |      // (CAST(n.na AS HUGEINT) * n.nb) AS BIGINT) END AS ks_micro
         |FROM cum JOIN n ON n.etype = cum.etype
         |GROUP BY cum.etype, n.na, n.nb ORDER BY cum.etype""".stripMargin) {
       (s, d) =>
@@ -871,8 +872,12 @@ object TrainingOps {
             col("cumB").cast("decimal(38,0)") * col("na")))
         .groupBy(col("etype"), col("na"), col("nb"))
         .agg(max(col("gap")).cast("long").as("ks_num"),
-          expr("CAST((CAST(max(gap) AS DECIMAL(38,0)) * 1000000)" +
-            " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)")
+          // an empty arm leaves the statistic undefined (na·nb = 0
+          // would ANSI-error): NULL in both engines, like q165's
+          // degenerate-arm guard
+          expr("CASE WHEN na = 0 OR nb = 0 THEN NULL" +
+            " ELSE CAST((CAST(max(gap) AS DECIMAL(38,0)) * 1000000)" +
+            " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT) END")
             .as("ks_micro"))
         .select(col("etype"), col("na").as("n_a"), col("nb").as("n_b"),
           col("ks_num"), col("ks_micro"))

@@ -1,0 +1,119 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.{SparkEntry, SparkTestSession}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input guard rails: queries whose denominators are
+  * data-derived must stay DEFINED (NULL, not NaN / ANSI error) when
+  * the data collapses — a constant Z-order dimension, a day whose
+  * events all share one timestamp, an A/B population that hashes
+  * entirely into one arm, a corpus whose doc ids are all odd. The
+  * fixtures are the real sf0.001 tables with one column collapsed, so
+  * schemas and everything else stay production-shaped. The DuckDB
+  * oracles carry the same guards (div-by-zero is NULL there; here it
+  * is an ANSI error or an IEEE NaN — either would diverge).
+  */
+class DegenerateInputSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val dir: String = {
+    val tmp = Files.createTempDirectory("degen").toFile
+    tmp.deleteOnExit()
+    val d = tmp.getAbsolutePath
+    // every order from ONE customer on ONE day: both Z-order ranges 0
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders
+      .withColumn("o_custkey",
+        lit(42L).cast(orders.schema("o_custkey").dataType))
+      .withColumn("o_orderdate",
+        lit("1995-06-15").cast(orders.schema("o_orderdate").dataType))
+      .write.parquet(s"$d/orders.parquet")
+    // one user, one instant: zero total duration; md5('1') starts
+    // 'c4' >= '80' so the whole population hashes into arm B
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    events
+      .withColumn("user_id",
+        lit(1L).cast(events.schema("user_id").dataType))
+      .withColumn("ts",
+        lit("2024-03-01 12:00:00").cast(events.schema("ts").dataType))
+      .write.parquet(s"$d/events.parquet")
+    // all doc ids odd: the doc_id%2=0 half of the corpus is empty
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs
+      .withColumn("doc_id",
+        (col("doc_id") * 2 + 1).cast(docs.schema("doc_id").dataType))
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("q125: constant Z-order dimensions map to tile 0, no error") {
+    val rows = run("q125_zorder_layout")
+    assert(rows.length == 1 && rows(0).getInt(0) == 0,
+      s"all rows must land in tile 0: ${rows.toSeq}")
+    assert(rows(0).getLong(rows(0).fieldIndex("cust_width")) == 0L)
+  }
+
+  test("q158: degenerate layout scans everything, read_amp defined") {
+    val r = run("q158_zorder_skip_audit")(0)
+    assert(r.getLong(r.fieldIndex("rows_scanned")) ==
+      r.getLong(r.fieldIndex("rows_total")))
+    assert(!r.isNullAt(r.fieldIndex("read_amp_micro")))
+  }
+
+  test("q167: zero total duration yields NULL average, not NaN") {
+    val rows = run("q167_time_weighted_avg")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("total_dur_us")) == 0L)
+      assert(r.isNullAt(r.fieldIndex("twa_micro")),
+        s"undefined TWA must be NULL: $r")
+    }
+  }
+
+  test("q175: an empty arm yields NULL KS statistic, not an error") {
+    val rows = run("q175_ks_test")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_a")) == 0L,
+        s"the fixture must empty arm A: $r")
+      assert(r.isNullAt(r.fieldIndex("ks_micro")),
+        s"undefined KS must be NULL: $r")
+    }
+  }
+
+  test("q165: an empty arm yields NULL t statistic, not an error") {
+    val rows = run("q165_abtest")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("n_a")),
+        s"the fixture must empty arm A: $r")
+      assert(r.isNullAt(r.fieldIndex("t_stat")),
+        s"undefined t must be NULL: $r")
+    }
+  }
+
+  test("q117: an empty corpus half yields NULL drift, not NaN") {
+    val rows = run("q117_token_drift")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("c_old")) == 0L)
+      assert(r.isNullAt(r.fieldIndex("drift")),
+        s"undefined drift must be NULL: $r")
+    }
+  }
+
+  test("q126: an edgeless graph yields NULL clustering coefficient") {
+    val r = run("q126_triangle_count")(0)
+    assert(r.getLong(r.fieldIndex("n_edges")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("global_cc")))
+  }
+}
