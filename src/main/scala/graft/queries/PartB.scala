@@ -1814,9 +1814,11 @@ object PartB {
         |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
         |    AS BIGINT) AS dof,
         |  CAST(sum(term) AS DOUBLE) AS chi2,
-        |  round(sqrt(CAST(sum(term) AS DOUBLE) / (max(n)
-        |    * least(count(DISTINCT lang) - 1, count(DISTINCT source) - 1))), 4)
-        |    AS cramers_v
+        |  CASE WHEN least(count(DISTINCT lang) - 1,
+        |      count(DISTINCT source) - 1) = 0 THEN NULL
+        |    ELSE round(sqrt(CAST(sum(term) AS DOUBLE) / (max(n)
+        |      * least(count(DISTINCT lang) - 1,
+        |        count(DISTINCT source) - 1))), 4) END AS cramers_v
         |FROM cells""".stripMargin) { (s, d) =>
       // localCheckpoint: the contingency table is O(r·c) rows; without
       // it the four margin/grid consumers would each rescan the corpus
@@ -1840,9 +1842,14 @@ object PartB {
           ((countDistinct(col("lang")) - 1) *
             (countDistinct(col("source")) - 1)).cast("long").as("dof"),
           sum(col("term")).cast("double").as("chi2"),
-          round(sqrt(sum(col("term")).cast("double") /
-            (max(col("n")) * least(countDistinct(col("lang")) - 1,
-              countDistinct(col("source")) - 1))), 4).as("cramers_v"))
+          // a 1×c or r×1 table has no Cramér's V (min dof 0): 0/0
+          // would be IEEE NaN here vs the oracle's NULL
+          when(least(countDistinct(col("lang")) - 1,
+            countDistinct(col("source")) - 1) > 0,
+            round(sqrt(sum(col("term")).cast("double") /
+              (max(col("n")) * least(countDistinct(col("lang")) - 1,
+                countDistinct(col("source")) - 1))), 4))
+            .as("cramers_v"))
     },
 
     // ---- CBO cardinality-estimation audit: what the optimizer's

@@ -573,7 +573,8 @@ object VectorOps {
         |    CAST(count(*) AS BIGINT) AS npairs FROM p GROUP BY label)
         |SELECT n.label, n.n_vecs,
         |  round(s.sumcos / s.npairs, 4) + 0 AS mean_pair_cos,
-        |  round(sqrt(n.n_vecs + 2 * s.sumcos) / n.n_vecs, 4) + 0 AS centroid_norm
+        |  round(sqrt(greatest(0, n.n_vecs + 2 * s.sumcos)) / n.n_vecs, 4)
+        |    + 0 AS centroid_norm
         |FROM n JOIN s USING (label) ORDER BY label""".stripMargin) { (s, d) =>
       val xh = t(s, d, "embeddings")
         .select(col("label"), col("embedding"))
@@ -713,7 +714,9 @@ object VectorOps {
         |  FROM own JOIN oth ON own.vec_id = oth.vec_id)
         |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
         |  round(sqrt(CAST(dist2 AS DOUBLE)), 6) AS dist,
-        |  round(CAST(odist2 AS DOUBLE) / CAST(dist2 AS DOUBLE), 6) AS margin
+        |  CASE WHEN dist2 = 0 THEN NULL
+        |    ELSE round(CAST(odist2 AS DOUBLE) / CAST(dist2 AS DOUBLE), 6)
+        |    END AS margin
         |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin) { (s, d) =>
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"), expr(
@@ -743,7 +746,12 @@ object VectorOps {
         .filter(col("rk") <= 5)
         .select(col("label"), col("rk").cast("long").as("rk"), col("vec_id"),
           round(sqrt(col("dist2").cast("double")), 6).as("dist"),
-          round(col("odist2").cast("double") / col("dist2").cast("double"), 6)
+          // a vector sitting exactly ON its centroid (singleton or
+          // fully-collapsed cluster) has no defined margin: 0/0 would
+          // be IEEE NaN here vs the oracle's NULL
+          when(col("dist2") =!= 0,
+            round(col("odist2").cast("double")
+              / col("dist2").cast("double"), 6))
             .as("margin"))
         .orderBy(col("label"), col("rk"))
     },

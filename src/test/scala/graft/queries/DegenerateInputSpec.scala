@@ -43,12 +43,23 @@ class DegenerateInputSpec extends AnyFunSuite {
       .withColumn("ts",
         lit("2024-03-01 12:00:00").cast(events.schema("ts").dataType))
       .write.parquet(s"$d/events.parquet")
-    // all doc ids odd: the doc_id%2=0 half of the corpus is empty
+    // all doc ids odd (the doc_id%2=0 half of the corpus is empty)
+    // and ONE source (the lang×source table collapses to one column)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     docs
       .withColumn("doc_id",
         (col("doc_id") * 2 + 1).cast(docs.schema("doc_id").dataType))
+      .withColumn("source",
+        lit("web").cast(docs.schema("source").dataType))
       .write.parquet(s"$d/documents.parquet")
+    // vector 0 moved to its own label: a SINGLETON cluster whose only
+    // member IS its centroid (own-distance exactly 0)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb
+      .withColumn("label",
+        when(col("vec_id") === 0L, lit(999))
+          .otherwise(col("label")).cast(emb.schema("label").dataType))
+      .write.parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -109,6 +120,24 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(r.isNullAt(r.fieldIndex("drift")),
         s"undefined drift must be NULL: $r")
     }
+  }
+
+  test("q170: a single-source corpus yields NULL Cramér's V") {
+    val r = run("q170_chi2_independence")(0)
+    assert(r.getLong(r.fieldIndex("dof")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")),
+      s"V over a 1-column table must be NULL: $r")
+  }
+
+  test("q116: a singleton cluster yields NULL margin, not Infinity") {
+    val rows = run("q116_embed_outliers")
+    val solo = rows.filter(_.getInt(0) == 999)
+    assert(solo.length == 1, s"label 999 must report its one vector")
+    val r = solo(0)
+    assert(r.isNullAt(r.fieldIndex("margin")),
+      s"margin of a zero-own-distance vector must be NULL: $r")
+    assert(rows.exists(r2 => !r2.isNullAt(r2.fieldIndex("margin"))),
+      "non-degenerate clusters must keep a defined margin")
   }
 
   test("q126: an edgeless graph yields NULL clustering coefficient") {
