@@ -928,5 +928,83 @@ object TrainingOps {
         .agg(sum(col("n_chars")).cast("long").as("d"))
       graft.operators.FairShare.allocate(dem, 8L, 10L)
         .withColumnRenamed("key", "lang")
+    },
+
+    // ---- DSIR importance weights (Xie et al., "Data Selection via
+    //      Importance Resampling"): score every raw document by how
+    //      much its hashed-bigram profile looks like a TARGET
+    //      distribution (here: the corpus' English slice) vs the raw
+    //      corpus — log p̂(doc)/q̂(doc) under two bag-of-hashed-ngrams
+    //      multinomials with add-one smoothing. The feature space is
+    //      hashed to 256 buckets (md5 first byte — both engines hash
+    //      identically), so the two fitted distributions are
+    //      FIXED-SIZE tables whatever the corpus size: fitting is one
+    //      corpus-keyed agg, λ_f = ln((cp_f+1)(Cq+256) /
+    //      ((cq_f+1)(Cp+256))) lives on 256 rows, and scoring is a
+    //      broadcast join + per-doc weighted sum — the whole selector
+    //      is two corpus passes and O(1) model state at 100 TB. The
+    //      per-doc feature table feeds both the fit and the scoring,
+    //      so it is localCheckpointed once (the q170/q172 support-
+    //      table discipline). Float path: one ln per feature computed
+    //      in an IDENTICAL expression tree on 256 rows, weighted
+    //      integer counts, 6-dp round on the sum (q90's precedent
+    //      absorbs summation-order ulps). ----
+    QueryDef.sql("q177_dsir_weights",
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |    substring(md5(unnest(list_transform(range(len(toks)-1),
+        |      i -> toks[i+1] || ' ' || toks[i+2]))), 1, 2) AS f
+        |  FROM t WHERE len(toks) >= 2),
+        |dfc AS (SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY 1, 2, 3),
+        |fs AS (SELECT f, CAST(sum(n) AS BIGINT) AS cq,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT)
+        |      AS cp
+        |  FROM dfc GROUP BY f),
+        |tot AS (SELECT CAST(sum(cq) AS BIGINT) AS tq,
+        |    CAST(sum(cp) AS BIGINT) AS tp FROM fs),
+        |lam AS (SELECT fs.f,
+        |    ln(((fs.cp + 1.0) * (tot.tq + 256))
+        |      / ((fs.cq + 1.0) * (tot.tp + 256))) AS l
+        |  FROM fs CROSS JOIN tot),
+        |sc AS (SELECT dfc.doc_id, CAST(sum(dfc.n) AS BIGINT) AS n_bigrams,
+        |    round(sum(dfc.n * lam.l), 6) AS dsir_weight
+        |  FROM dfc JOIN lam ON lam.f = dfc.f GROUP BY dfc.doc_id)
+        |SELECT doc_id, n_bigrams, dsir_weight FROM sc
+        |ORDER BY dsir_weight DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+      val toksDf = Tables.wide(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val dfc = toksDf
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(0, size(toks)-2),
+            |  i -> substring(md5(concat(toks[i], ' ', toks[i+1])), 1, 2))"""
+            .stripMargin)).as("f"))
+        .groupBy(col("doc_id"), col("lang"), col("f"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val fs = dfc.groupBy(col("f"))
+        .agg(sum(col("n")).cast("long").as("cq"),
+          sum(when(col("lang") === "en", col("n")).otherwise(0L))
+            .cast("long").as("cp"))
+      val tot = fs.agg(sum(col("cq")).cast("long").as("tq"),
+        sum(col("cp")).cast("long").as("tp"))
+      val lam = fs.crossJoin(broadcast(tot))
+        .select(col("f"),
+          log(((col("cp") + lit(1.0)) * (col("tq") + lit(256)))
+            / ((col("cq") + lit(1.0)) * (col("tp") + lit(256)))).as("l"))
+      dfc.join(broadcast(lam), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("long").as("n_bigrams"),
+          round(sum(col("n") * col("l")), 6).as("dsir_weight"))
+        .orderBy(col("dsir_weight").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_bigrams"), col("dsir_weight"))
     })
 }

@@ -1026,5 +1026,88 @@ object VectorOps {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)) / 5.0, 4).as("recall"))
         .orderBy(col("qid"))
+    },
+
+    // ---- Embedding-lake drift monitor: per-class centroid movement
+    //      between two snapshots (here: the deterministic even/odd
+    //      vec_id split standing in for epoch N vs N+1) — the q117
+    //      token-drift report's dense-vector sibling, the check a
+    //      100 TB embedding lake runs before trusting ANN indexes or
+    //      dedup thresholds built on last epoch's geometry. Exactness
+    //      discipline is q116's: coordinates round to 6-dp DECIMAL,
+    //      per-(label, epoch, dim) centroids re-round to 6-dp DECIMAL,
+    //      and dot/norm/shift accumulate in DECIMAL(38,12) — so the
+    //      only float ops are one final divide/sqrt per label, the
+    //      same single-op tree both engines. The corpus-sized work is
+    //      ONE explode + agg; everything after lives on
+    //      O(labels · dims) rows. Degenerate guard: an all-zero
+    //      centroid has no cosine (NULL), the shift stays defined. ----
+    QueryDef.sql("q178_embed_epoch_drift",
+      """WITH e AS (SELECT vec_id, label, vec_id % 2 AS ep,
+        |    unnest(range(len(embedding))) AS pos,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)))) AS x6
+        |  FROM embeddings),
+        |c AS (SELECT label, ep, pos,
+        |    CAST(round(CAST(sum(x6) AS DOUBLE) / count(*), 6)
+        |      AS DECIMAL(18,6)) AS c6
+        |  FROM e GROUP BY 1, 2, 3),
+        |j AS (SELECT a.label, a.pos, a.c6 AS c0, b.c6 AS c1
+        |  FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+        |  WHERE a.ep = 0 AND b.ep = 1),
+        |s AS (SELECT label,
+        |    sum(CAST(c0 * c1 AS DECIMAL(38,12))) AS dot,
+        |    sum(CAST(c0 * c0 AS DECIMAL(38,12))) AS n0,
+        |    sum(CAST(c1 * c1 AS DECIMAL(38,12))) AS n1,
+        |    sum(CAST((c0 - c1) * (c0 - c1) AS DECIMAL(38,12))) AS d2
+        |  FROM j GROUP BY label),
+        |cn AS (SELECT label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_even,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_odd
+        |  FROM embeddings GROUP BY label)
+        |SELECT cn.label, cn.n_even, cn.n_odd,
+        |  CASE WHEN s.n0 = 0 OR s.n1 = 0 THEN NULL
+        |    ELSE round(CAST(s.dot AS DOUBLE)
+        |      / sqrt(CAST(s.n0 AS DOUBLE) * CAST(s.n1 AS DOUBLE)), 4) END
+        |    AS centroid_cos,
+        |  round(sqrt(CAST(s.d2 AS DOUBLE)), 6) AS centroid_shift
+        |FROM cn JOIN s ON s.label = cn.label ORDER BY cn.label"""
+        .stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val e = emb
+        .select(col("label"), (col("vec_id") % 2).as("ep"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double), 6) as decimal(18,6)))")
+          .as("x6"))
+        .select(col("label"), col("ep"),
+          posexplode(col("x6")).as(Seq("pos", "x")))
+      val cent = e.groupBy(col("label"), col("ep"), col("pos"))
+        .agg(round(sum(col("x")).cast("double") / count(lit(1)), 6)
+          .cast("decimal(18,6)").as("c6"))
+      val j = cent.filter(col("ep") === 0)
+        .select(col("label"), col("pos"), col("c6").as("c0"))
+        .join(cent.filter(col("ep") === 1)
+          .select(col("label"), col("pos"), col("c6").as("c1")),
+          Seq("label", "pos"))
+      val stats = j.groupBy(col("label")).agg(
+        sum((col("c0") * col("c1")).cast("decimal(38,12)")).as("dot"),
+        sum((col("c0") * col("c0")).cast("decimal(38,12)")).as("n0"),
+        sum((col("c1") * col("c1")).cast("decimal(38,12)")).as("n1"),
+        sum(((col("c0") - col("c1")) * (col("c0") - col("c1")))
+          .cast("decimal(38,12)")).as("d2"))
+      val cn = emb.groupBy(col("label")).agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+          .cast("long").as("n_even"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))
+          .cast("long").as("n_odd"))
+      cn.join(stats, Seq("label"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          when(col("n0") =!= 0 && col("n1") =!= 0,
+            round(col("dot").cast("double")
+              / sqrt(col("n0").cast("double") * col("n1").cast("double")),
+              4)).as("centroid_cos"),
+          round(sqrt(col("d2").cast("double")), 6).as("centroid_shift"))
+        .orderBy(col("label"))
     })
 }

@@ -394,7 +394,16 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcasts by stats; co-partitioned key join at scale) + the
       // O(segments) merge agg / sort; the merge itself never touches
       // fact rows.
-      "q176_incremental_join" -> 3)
+      "q176_incremental_join" -> 3,
+      // q177 = the 256-row feature-stats agg + its 1-row totals agg +
+      // the per-doc score agg + the top-k sort, all downstream of the
+      // ONE checkpointed doc×bucket support table; the λ table rides
+      // a broadcast into the corpus-sized scoring join.
+      "q177_dsir_weights" -> 4,
+      // q178 = the one corpus-sized (label, epoch, dim) centroid agg;
+      // the other four exchanges (epoch self-join pair, per-label
+      // stats, counts, sort) all live on O(labels·dims) rows.
+      "q178_embed_epoch_drift" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
