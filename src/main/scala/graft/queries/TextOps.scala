@@ -1533,6 +1533,110 @@ object TextOps {
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       bpeTokens(wordFreqs, 3)
         .orderBy(col("n").desc, col("token")).limit(15)
+    },
+
+    // ---- Curation retention funnel: the per-stage release report a
+    //      100 TB curation run prints — raw → language gate → length
+    //      gate → exact dedup → near-dup prune → decontamination,
+    //      each row carrying the surviving count and the exact
+    //      integer retention ratio vs the previous stage. Composes
+    //      the already-audited operators (q77's prefix-Jaccard pairs
+    //      + CC survivor rule, q83's benchmark-gram decontam) on the
+    //      FILTERED survivor set, which is the operational order (a
+    //      real pipeline never near-dups what the language gate
+    //      dropped). Scale shape: the gates are metadata predicates
+    //      on the scan; the expensive legs reuse the audited
+    //      shapes — θ-prefix posting join, checkpoint-truncated CC
+    //      (computed ONCE and shared by stages 4 and 5), benchmark
+    //      grams an O(benchmark)-size isin; the funnel arithmetic
+    //      itself is six 1-row aggregates and a 6-row window. ----
+    QueryDef.sql("q179_curation_funnel",
+      """WITH RECURSIVE
+        |s1 AS (SELECT doc_id, text, n_chars FROM documents
+        |  WHERE lang IN ('en', 'de', 'fr', 'es')),
+        |s2 AS (SELECT doc_id, text FROM s1 WHERE n_chars >= 100),
+        |ex AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM s2 GROUP BY 1),
+        |s3 AS (SELECT s2.doc_id, s2.text FROM s2
+        |  JOIN ex ON md5(s2.text) = ex.h AND s2.doc_id = ex.keep),
+        |t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM s3),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |walk(node, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e2.v, w.comp FROM walk w JOIN edges e2 ON e2.u = w.node
+        |  WHERE w.comp < e2.v),
+        |cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+        |drp AS (SELECT node AS doc_id FROM cc WHERE node <> comp),
+        |s4 AS (SELECT s3.doc_id FROM s3 ANTI JOIN drp USING (doc_id)),
+        |bad AS (SELECT DISTINCT e.doc_id FROM e
+        |  WHERE e.g IN ('stream table hash', 'row column sort',
+        |    'window fast query')),
+        |s5 AS (SELECT s4.doc_id FROM s4 ANTI JOIN bad USING (doc_id)),
+        |st AS (
+        |  SELECT 0 AS stage_id, 'raw' AS stage,
+        |    (SELECT count(*) FROM documents) AS n
+        |  UNION ALL SELECT 1, 'lang_filter', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'length_filter', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM s4)
+        |  UNION ALL SELECT 5, 'decontam', (SELECT count(*) FROM s5))
+        |SELECT stage_id, stage, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(n * 1000000
+        |    // greatest(1, lag(n, 1, n) OVER (ORDER BY stage_id))
+        |    AS BIGINT) AS retained_micro
+        |FROM st ORDER BY stage_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val st1 = docs.filter(col("lang").isin("en", "de", "fr", "es"))
+      val st2 = st1.filter(col("n_chars") >= 100)
+        .select(col("doc_id"), col("text"))
+      val ex = st2.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep"))
+      val st3 = st2
+        .join(ex, md5(col("text")) === col("h")
+          && col("doc_id") === col("keep"))
+        .select(col("doc_id"), col("text"))
+      val sh = Sketches.shingled(st3)
+      val pairs = prefixJaccardPairs(sh, 3, 10)
+        .select(col("doc1"), col("doc2"))
+      // CC localCheckpoints internally, so the pair join runs once
+      // and stages 4/5 both read the materialized survivor set
+      val cc = graft.operators.ConnectedComponents.run(pairs, "doc1", "doc2")
+      val drop = cc.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val st4 = st3.select(col("doc_id"))
+        .join(drop, Seq("doc_id"), "left_anti")
+      val bad = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+        .filter(col("g").isin("stream table hash", "row column sort",
+          "window fast query"))
+        .select(col("doc_id")).distinct()
+      val st5 = st4.join(bad, Seq("doc_id"), "left_anti")
+      def stage(id: Int, name: String,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"), col("n"))
+      val st = stage(0, "raw", docs)
+        .unionByName(stage(1, "lang_filter", st1))
+        .unionByName(stage(2, "length_filter", st2))
+        .unionByName(stage(3, "exact_dedup", st3))
+        .unionByName(stage(4, "near_dedup", st4))
+        .unionByName(stage(5, "decontam", st5))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_id"))
+      st.withColumn("prev", lag(col("n"), 1).over(w))
+        .select(col("stage_id"), col("stage"),
+          col("n").cast("long").as("n_docs"),
+          expr("""cast((n * 1000000)
+                |div greatest(1L, coalesce(prev, n)) as bigint)"""
+            .stripMargin).as("retained_micro"))
+        .orderBy(col("stage_id"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

@@ -403,7 +403,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // q178 = the one corpus-sized (label, epoch, dim) centroid agg;
       // the other four exchanges (epoch self-join pair, per-label
       // stats, counts, sort) all live on O(labels·dims) rows.
-      "q178_embed_epoch_drift" -> 5)
+      "q178_embed_epoch_drift" -> 5,
+      // q179 = six stages each ending in a 1-row count agg (6 tiny
+      // single-partition exchanges) + the exact-dedup hash agg and
+      // its key join + the decontam gram distinct + the anti-join
+      // pair + the 6-row funnel window; the near-dup pair join and CC
+      // live behind their localCheckpoints (counted in q77/q105).
+      "q179_curation_funnel" -> 14)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
