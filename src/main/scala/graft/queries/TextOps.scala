@@ -1637,6 +1637,78 @@ object TextOps {
                 |div greatest(1L, coalesce(prev, n)) as bigint)"""
             .stripMargin).as("retained_micro"))
         .orderBy(col("stage_id"))
+    },
+
+    // ---- Per-source quality trend: exact integer least-squares slope
+    //      of the q33/q120 quality score over ingest order within each
+    //      source — the monitoring query that catches a feed going bad
+    //      BEFORE its documents reach training mixes. The score rides
+    //      q120's proven cross-engine derivation, floored to exact
+    //      micro units, so the regression moments (Σx, Σy, Σx², Σxy)
+    //      are BIGINT/DECIMAL sums — associative, partial-aggregable,
+    //      identical under any shuffle order — and the slope is one
+    //      decimal-widened integer division (both engines truncate
+    //      toward zero, verified for the negative slopes). Plan: one
+    //      corpus-sized score projection, a per-source rank window,
+    //      one O(sources) aggregate. Single-doc sources have no slope
+    //      (NULL — the degenerate-guard convention). ----
+    QueryDef.sql("q180_quality_trend",
+      """WITH t AS (SELECT doc_id, source, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |      / greatest(length(text), 1), 4) AS alpha_ratio,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS INTEGER)
+        |      AS stop_hits
+        |  FROM t),
+        |q AS (SELECT doc_id, source,
+        |    CAST(floor(CAST(round(CAST(0.5 * alpha_ratio
+        |        + 0.3 * (1 - round(stop_hits / greatest(n_tokens, 1), 4))
+        |        + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4)
+        |      AS DOUBLE) * 1000000) AS BIGINT) AS y
+        |  FROM m),
+        |x AS (SELECT source, y,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS x FROM q),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM x GROUP BY source)
+        |SELECT source, n, sy // n AS mean_q_micro,
+        |  CASE WHEN n <= 1 THEN NULL
+        |    ELSE CAST((CAST(n AS HUGEINT) * sxy
+        |        - CAST(sx AS HUGEINT) * sy) * 1000
+        |      // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |      AS BIGINT) END AS slope_milli_per_doc
+        |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val scored = qualityScored(docs)
+        .select(col("doc_id"),
+          floor(col("quality_score") * 1000000).cast("long").as("y"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val st = scored.withColumn("x", row_number().over(w).cast("long"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      st.select(col("source"), col("n"),
+          expr("sy div n").as("mean_q_micro"),
+          expr("""CASE WHEN n <= 1 THEN NULL
+                |  ELSE CAST((CAST(n AS DECIMAL(38,0)) * sxy
+                |      - CAST(sx AS DECIMAL(38,0)) * sy) * 1000
+                |    div (CAST(n AS DECIMAL(38,0)) * sxx
+                |      - CAST(sx AS DECIMAL(38,0)) * sx)
+                |    AS BIGINT) END""".stripMargin)
+            .as("slope_milli_per_doc"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

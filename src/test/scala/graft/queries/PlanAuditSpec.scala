@@ -409,7 +409,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // its key join + the decontam gram distinct + the anti-join
       // pair + the 6-row funnel window; the near-dup pair join and CC
       // live behind their localCheckpoints (counted in q77/q105).
-      "q179_curation_funnel" -> 14)
+      "q179_curation_funnel" -> 14,
+      // q180 = the doc_id score⋈source join + the per-source rank
+      // window partitioning + the O(sources) moments agg / sort.
+      "q180_quality_trend" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
