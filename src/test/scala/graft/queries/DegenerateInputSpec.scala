@@ -140,6 +140,26 @@ class DegenerateInputSpec extends AnyFunSuite {
       "non-degenerate clusters must keep a defined margin")
   }
 
+  test("q180: single-doc sources yield NULL slopes, not an error") {
+    // separate fixture dir: every source is a singleton (source =
+    // the doc id), so NO source has the 2 points a slope needs
+    val tmp = Files.createTempDirectory("degen180").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs
+      .withColumn("source",
+        col("doc_id").cast("string").cast(docs.schema("source").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q180_quality_trend")(spark, d2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n")) == 1L)
+      assert(r.isNullAt(r.fieldIndex("slope_milli_per_doc")),
+        s"a 1-point regression must have NULL slope: $r")
+    }
+  }
+
   test("q126: an edgeless graph yields NULL clustering coefficient") {
     val r = run("q126_triangle_count")(0)
     assert(r.getLong(r.fieldIndex("n_edges")) == 0L)
