@@ -1709,6 +1709,99 @@ object TextOps {
                 |    AS BIGINT) END""".stripMargin)
             .as("slope_milli_per_doc"))
         .orderBy(col("source"))
+    },
+
+    // ---- Streaming twin of the q180 feed-health monitor (the q145
+    //      discipline applied to quality): the per-source regression
+    //      moments (n, Σx, Σy, Σx², Σxy) fold INCREMENTALLY as a
+    //      streaming aggregation over the document feed — state is
+    //      O(sources) rows forever — and the slope is computed from
+    //      the folded table afterwards, exactly as the batch monitor
+    //      would. The x variable is doc_id (the ingest sequence id),
+    //      known AT ARRIVAL, which is what makes the fold a plain
+    //      associative aggregation — q180's within-source rank would
+    //      need total order and can't stream; the two slopes answer
+    //      the same "is this feed degrading" question in different
+    //      units. Oracle = the identical closed form computed directly
+    //      over the table, so the green hash proves stream ≡ batch.
+    //      ----
+    QueryDef.sql("q181_stream_quality_trend",
+      """WITH t AS (SELECT doc_id, source, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |      / greatest(length(text), 1), 4) AS alpha_ratio,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS INTEGER)
+        |      AS stop_hits
+        |  FROM t),
+        |q AS (SELECT doc_id, source,
+        |    CAST(floor(CAST(round(CAST(0.5 * alpha_ratio
+        |        + 0.3 * (1 - round(stop_hits / greatest(n_tokens, 1), 4))
+        |        + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4)
+        |      AS DOUBLE) * 1000000) AS BIGINT) AS y
+        |  FROM m),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(doc_id) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(doc_id AS HUGEINT) * doc_id) AS sxx,
+        |    sum(CAST(doc_id AS HUGEINT) * y) AS sxy
+        |  FROM q GROUP BY source)
+        |SELECT source, n, sy // n AS mean_q_micro,
+        |  CASE WHEN n <= 1 THEN NULL
+        |    ELSE CAST((CAST(n AS HUGEINT) * sxy
+        |        - CAST(sx AS HUGEINT) * sy) * 1000
+        |      // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |      AS BIGINT) END AS slope_milli_per_id
+        |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "docqfeed",
+        idCol = "doc_id", checkSpan = false)(docs)
+      val sink = graft.bench.BenchFeeds.sinkName("q181_qtrend")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .withColumn("toks", toks)
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).as("n_tokens"),
+            round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+              / greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"),
+            hitsExpr(enWords).as("stop_hits"))
+          .withColumn("stop_ratio",
+            round(col("stop_hits") / greatest(col("n_tokens"), lit(1)), 4))
+          // the IDENTICAL score tree as qualityScored/q180, floored
+          // to exact micro units before it enters the fold
+          .withColumn("y", floor(round((lit(0.5) * col("alpha_ratio")
+              + lit(0.3) * (lit(1) - col("stop_ratio"))
+              + lit(0.2) * least(col("n_tokens") / lit(200.0), lit(1.0)))
+              .cast("decimal(18,6)"), 4).cast("double") * 1000000)
+            .cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("decimal(38,0)").as("sx"),
+            sum(col("y")).cast("decimal(38,0)").as("sy"),
+            sum(col("doc_id").cast("decimal(38,0)") * col("doc_id"))
+              .cast("decimal(38,0)").as("sxx"),
+            sum(col("doc_id").cast("decimal(38,0)") * col("y"))
+              .cast("decimal(38,0)").as("sxy"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select(col("source"), col("n").cast("long").as("n"),
+          expr("cast(sy div n as bigint)").as("mean_q_micro"),
+          expr("""CASE WHEN n <= 1 THEN NULL
+                |  ELSE CAST((CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)
+                |      * 1000
+                |    div (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)
+                |    AS BIGINT) END""".stripMargin)
+            .as("slope_milli_per_id"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as
