@@ -240,6 +240,51 @@ class StreamRestartSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming aggregation: complete-mode fold survives a restart") {
+    // the q181 monitor shape: a plain groupBy aggregation whose
+    // complete-mode state (per-key moments) must be restored from the
+    // checkpoint so post-restart batches EXTEND the fold rather than
+    // restart it from zero
+    val tmp = Files.createTempDirectory("restartagg").toFile
+    val feedDir = new java.io.File(tmp, "feed").getAbsolutePath
+    val ckDir = new java.io.File(tmp, "ck").getAbsolutePath
+    val outDir = new java.io.File(tmp, "out").getAbsolutePath
+    def drainAgg(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sx"))
+        .writeStream.option("checkpointLocation", ckDir)
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      StreamRun.withStatePartitions(spark, 2) {
+        writeFeed(feedDir, Seq((1L, 1L, us(0)), (2L, 2L, us(1))))
+        drainAgg()  // stop mid-feed
+        writeFeed(feedDir, Seq((3L, 1L, us(2)), (4L, 3L, us(3))))
+        drainAgg()  // resume from checkpoint
+      }
+      val got = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // user 1's fold must span the restart: n=2, sx=1+3
+      assert(got == Set((1L, 2L, 4L), (2L, 1L, 2L), (3L, 1L, 4L)),
+        s"the restored fold must extend, not restart: $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("streaming dedup: seen-content state survives a mid-feed restart") {
     val tmp = Files.createTempDirectory("restartdedup").toFile
     val feedDir = new java.io.File(tmp, "feed").getAbsolutePath
