@@ -35,4 +35,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val pairs = Seq((3L, 9L), (9L, 4L), (20L, 21L), (1L, 2L), (2L, 3L))
     assert(cc(pairs) == cc(pairs))
   }
+
+  test("random graphs match an independent union-find") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 8).foreach { _ =>
+      val n = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min node id per component, matching run()'s
+      // min-id contract
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.groupBy(find).flatMap { case (_, ns) =>
+        ns.map(v => (v, ns.min))
+      }.toSet
+      assert(cc(edges) == expect, s"seeded graph with ${edges.size} edges")
+    }
+  }
 }
