@@ -1943,5 +1943,101 @@ object PartB {
           lit(">"), col("e3")).as("path"))
         .groupBy(col("path")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path")).limit(20)
+    },
+
+    // ---- Cohort retention matrix: users cohort on the DAY of their
+    //      first high-value action (value ≥ 90 — the qualifying-event
+    //      idiom; day granularity because the synthetic stream spans
+    //      30 days), then each (cohort, weeks-since) cell counts the
+    //      distinct users still producing high-value actions — the
+    //      classic triangular retention report every growth/curation
+    //      dashboard runs. All integer: day cohorts are DATE-exact,
+    //      week offsets are datediff-div-7 on Monday-aligned day
+    //      arithmetic, and the retention ratio is the decimal-widened
+    //      micro division (q175's discipline). The qualifying stream
+    //      and the first-seen table are localCheckpointed: each feeds
+    //      two consumers, and without the cut both re-scan events.
+    //      Scale: hv is one pushed-filter scan, f is O(users), every
+    //      later stage is keyed on (cohort[, wk]) — O(days·weeks)
+    //      output rows at any corpus size. ----
+    QueryDef.sql("q183_cohort_retention",
+      """WITH hv AS (SELECT user_id, CAST(ts AS DATE) AS dd
+        |  FROM events WHERE value >= 90.0),
+        |f AS (SELECT user_id, min(dd) AS cohort FROM hv GROUP BY user_id),
+        |act AS (SELECT DISTINCT hv.user_id, f.cohort,
+        |    CAST(datediff('day', f.cohort, hv.dd) // 7 AS BIGINT) AS wk
+        |  FROM hv JOIN f ON f.user_id = hv.user_id),
+        |siz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n
+        |  FROM f GROUP BY cohort),
+        |m AS (SELECT cohort, wk, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM act GROUP BY cohort, wk)
+        |SELECT m.cohort, m.wk, siz.cohort_n, m.n_active,
+        |  CAST(CAST(m.n_active AS HUGEINT) * 1000000 // siz.cohort_n
+        |    AS BIGINT) AS retention_micro
+        |FROM m JOIN siz ON siz.cohort = m.cohort
+        |ORDER BY m.cohort, m.wk""".stripMargin) { (s, d) =>
+      val hv = t(s, d, "events").filter(col("value") >= 90.0)
+        .select(col("user_id"), col("ts").cast("date").as("dd"))
+        .localCheckpoint()
+      val f = hv.groupBy(col("user_id")).agg(min(col("dd")).as("cohort"))
+        .localCheckpoint()
+      val act = hv.join(f, "user_id")
+        .select(col("user_id"), col("cohort"),
+          expr("datediff(dd, cohort) div 7").cast("long").as("wk"))
+        .distinct()
+      val siz = f.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_n"))
+      val m = act.groupBy(col("cohort"), col("wk"))
+        .agg(count(lit(1)).as("n_active"))
+      m.join(siz, "cohort")
+        .select(col("cohort"), col("wk"), col("cohort_n"), col("n_active"),
+          expr("CAST(CAST(n_active AS DECIMAL(38,0)) * 1000000" +
+            " div cohort_n AS BIGINT)").as("retention_micro"))
+        .orderBy(col("cohort"), col("wk"))
+    },
+
+    // ---- Blocked record linkage (entity resolution): candidate pairs
+    //      form ONLY inside a blocking key — (nation, segment,
+    //      name-length band) here; real deployments add name-prefix /
+    //      phonetic keys to the same slot — and each in-block pair is
+    //      scored with edit distance; pairs at lev ≤ 2 are duplicate
+    //      candidates. This is THE scalable linkage shape: the
+    //      all-pairs explosion is confined to Σ|block|² with the block
+    //      key chosen to keep blocks bounded (a skewed block would get
+    //      a salted sub-key, q73's discipline); nothing global ever
+    //      materializes. levenshtein is the same classic DP edit
+    //      distance in both engines, so the per-block match counts
+    //      hash-compare exactly. One block-keyed self-join + one
+    //      block-keyed agg — two exchanges at any scale. ----
+    QueryDef.sql("q184_record_linkage",
+      """WITH b AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nk,
+        |    c_mktsegment AS seg, CAST(length(c_name) // 4 AS BIGINT) AS lb
+        |  FROM customer),
+        |p AS (SELECT a.nk, a.seg, CAST(levenshtein(a.nm, b2.nm) AS BIGINT) AS lev
+        |  FROM b a JOIN b b2 ON a.nk = b2.nk AND a.seg = b2.seg
+        |    AND a.lb = b2.lb AND a.k < b2.k)
+        |SELECT nk AS nation, seg AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  CAST(min(lev) AS BIGINT) AS min_lev,
+        |  CAST(sum(CASE WHEN lev <= 2 THEN lev ELSE 0 END) AS BIGINT)
+        |    AS sum_match_lev
+        |FROM p GROUP BY nk, seg ORDER BY nation, segment""".stripMargin) {
+      (s, d) =>
+      val b = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          expr("CAST(length(c_name) div 4 AS BIGINT)").as("lb"))
+      val p = b.as("a").join(b.as("b2"),
+          col("a.nk") === col("b2.nk") && col("a.seg") === col("b2.seg") &&
+            col("a.lb") === col("b2.lb") && col("a.k") < col("b2.k"))
+        .select(col("a.nk").as("nation"), col("a.seg").as("segment"),
+          levenshtein(col("a.nm"), col("b2.nm")).cast("long").as("lev"))
+      p.groupBy(col("nation"), col("segment"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("lev") <= 2, 1L).otherwise(0L)).as("n_match"),
+          min(col("lev")).as("min_lev"),
+          sum(when(col("lev") <= 2, col("lev")).otherwise(0L))
+            .as("sum_match_lev"))
+        .orderBy(col("nation"), col("segment"))
     })
 }

@@ -1006,5 +1006,87 @@ object TrainingOps {
         .orderBy(col("dsir_weight").desc, col("doc_id"))
         .limit(20)
         .select(col("doc_id"), col("n_bigrams"), col("dsir_weight"))
+    },
+
+    // ---- Mann–Whitney U (Wilcoxon rank-sum) between the A/B arms —
+    //      the nonparametric complement to q165's Welch t (robust to
+    //      outliers / non-normal value distributions, the usual state
+    //      of engagement metrics). The rank algebra is EXACT: for a
+    //      tied value group of size c starting after cb4 earlier rows,
+    //      2·avg_rank = 2·cb4 + c + 1 is an INTEGER, so arm A's
+    //      doubled rank-sum Σ ca·(2·cb4+c+1) and the doubled statistic
+    //      U2 = 2R_A − 2·n_a(n_a+1)/2 are integers both engines
+    //      reproduce bit-for-bit (float average ranks could not be
+    //      hash-compared). The tie-corrected normal z divides only at
+    //      the very end, identical-op-order, 4-dp rounded; an empty
+    //      arm or an all-tied support (σ = 0) yields NULL in both
+    //      engines. Same shape as q175: one (etype, v) support agg +
+    //      one O(support) window + an O(types) rollup — nothing past
+    //      the first agg is corpus-sized. ----
+    QueryDef.sql("q182_mannwhitney",
+      s"""WITH $armedCte,
+        |pts AS (SELECT etype, v,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM a GROUP BY etype, v),
+        |cum AS (SELECT etype, v, ca, c,
+        |    sum(c) OVER (PARTITION BY etype ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb4
+        |  FROM pts),
+        |agg AS (SELECT etype,
+        |    sum(CAST(ca AS HUGEINT) * (2*cb4 + c + 1)) AS r2a,
+        |    CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(c) - sum(ca) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(c AS HUGEINT)*c*c - c) AS BIGINT) AS tie3
+        |  FROM cum GROUP BY etype)
+        |SELECT etype, na AS n_a, nb AS n_b,
+        |  CAST(r2a - CAST(na AS HUGEINT)*(na+1) AS BIGINT) AS u2_a,
+        |  CASE WHEN na = 0 OR nb = 0 OR (na + nb) < 2
+        |      OR (na + nb + 1) - CAST(tie3 AS DOUBLE)
+        |        / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)) <= 0
+        |    THEN NULL
+        |    ELSE round(
+        |      (CAST(r2a - CAST(na AS HUGEINT)*(na+1) AS DOUBLE) / 2
+        |        - CAST(na AS DOUBLE) * nb / 2)
+        |      / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+        |        * ((na + nb + 1) - CAST(tie3 AS DOUBLE)
+        |          / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))), 4)
+        |  END AS z_stat
+        |FROM agg ORDER BY etype""".stripMargin) { (s, d) =>
+      val pts = armedEvents(t(s, d, "events"))
+        .groupBy(col("etype"), col("v"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ca"),
+          count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("etype")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pts.withColumn("cb4", sum(col("c")).over(w) - col("c"))
+      // doubled rank-sum and tie cube run in DECIMAL(38,0): cb4 and c
+      // are corpus-sized counts, so the products overflow long at the
+      // 100 TB row counts the q175 cross-products already widen for
+      val agg = cum.groupBy(col("etype"))
+        .agg(sum(col("ca").cast("decimal(38,0)")
+            * (lit(2) * col("cb4") + col("c") + 1)).as("r2a"),
+          sum(col("ca")).cast("long").as("na"),
+          (sum(col("c")) - sum(col("ca"))).cast("long").as("nb"),
+          sum(col("c").cast("decimal(38,0)") * col("c") * col("c")
+            - col("c")).cast("long").as("tie3"))
+      val u2 = col("r2a") - col("na").cast("decimal(38,0)") * (col("na") + 1)
+      val nD = (col("na") + col("nb")).cast("double")
+      val tieTerm = (col("na") + col("nb") + 1).cast("double") -
+        col("tie3").cast("double") / (nD * (nD - 1.0))
+      // degenerate guard mirrored in the oracle: an empty arm or an
+      // all-tied support leaves σ = 0 — NULL, never NaN/Inf (whose
+      // textual forms differ cross-engine)
+      val degenerate = col("na") === 0 || col("nb") === 0 ||
+        (col("na") + col("nb")) < 2 || tieTerm <= 0
+      agg.select(col("etype"), col("na").as("n_a"), col("nb").as("n_b"),
+          u2.cast("long").as("u2_a"),
+          when(degenerate, lit(null).cast("double"))
+            .otherwise(round(
+              (u2.cast("double") / 2 - col("na").cast("double") * col("nb") / 2)
+                / sqrt(col("na").cast("double") * col("nb") / lit(12.0) * tieTerm),
+              4))
+            .as("z_stat"))
+        .orderBy(col("etype"))
     })
 }

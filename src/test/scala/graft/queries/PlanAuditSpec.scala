@@ -412,7 +412,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "q179_curation_funnel" -> 14,
       // q180 = the doc_id score⋈source join + the per-source rank
       // window partitioning + the O(sources) moments agg / sort.
-      "q180_quality_trend" -> 3)
+      "q180_quality_trend" -> 3,
+      // q182 = q175's shape: the (etype, v) support agg + the etype
+      // rank window exchange + the O(types) rollup agg + result sort.
+      "q182_mannwhitney" -> 4,
+      // q183 = past the two localCheckpoints (hv scan, f first-seen):
+      // the (user, cohort, wk) distinct agg + the (cohort, wk) cell
+      // agg + the O(days) cohort-size agg + the m⋈siz join legs +
+      // result sort — everything after `act` is O(days·weeks) rows.
+      "q183_cohort_retention" -> 5,
+      // q184 = the block-keyed self-join (both legs shuffle on the
+      // blocking key at scale; broadcast by stats at this sf) + the
+      // per-block agg + result sort.
+      "q184_record_linkage" -> 4)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
