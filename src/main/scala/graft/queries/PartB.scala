@@ -98,6 +98,38 @@ object PartB {
       |e AS (SELECT DISTINCT l.u AS x, r.u AS y FROM bu l
       |  JOIN bu r ON l.et = r.et AND l.b = r.b AND l.u < r.u)""".stripMargin
 
+  /** DuckDB oracle for q186: the k-iteration integer HITS loop
+    * unrolled into chained CTEs over the high-volume supplier→part
+    * supply graph ([[graft.operators.Hits]]'s max-rescaled fixed-point
+    * update, spelled in SQL). */
+  private def hitsOracleSql(k: Int): String = {
+    val S = graft.operators.PageRank.Scale
+    val iters = (1 to k).map { i =>
+      s"""a${i}r AS (SELECT e.p, sum(CAST(h.h AS HUGEINT)) AS a
+         |  FROM e JOIN h${i - 1} h ON h.s = e.s GROUP BY e.p),
+         |a${i}m AS (SELECT max(a) AS m FROM a${i}r),
+         |a$i AS (SELECT r.p, CAST((r.a * ${S}) // m.m AS BIGINT) AS a
+         |  FROM a${i}r r, a${i}m m),
+         |h${i}r AS (SELECT e.s, sum(CAST(a.a AS HUGEINT)) AS h
+         |  FROM e JOIN a$i a ON a.p = e.p GROUP BY e.s),
+         |h${i}m AS (SELECT max(h) AS m FROM h${i}r),
+         |h$i AS (SELECT r.s, CAST((r.h * ${S}) // m.m AS BIGINT) AS h
+         |  FROM h${i}r r, h${i}m m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+       |  FROM lineitem WHERE l_quantity >= 45),
+       |h0 AS (SELECT DISTINCT s, CAST($S AS BIGINT) AS h FROM e),
+       |$iters
+       |SELECT * FROM (
+       |  SELECT 'hub' AS side, s AS node, h AS score FROM h$k
+       |  ORDER BY h DESC, s LIMIT 10)
+       |UNION ALL
+       |SELECT * FROM (
+       |  SELECT 'auth' AS side, p AS node, a AS score FROM a$k
+       |  ORDER BY a DESC, p LIMIT 10)
+       |ORDER BY side, score DESC, node""".stripMargin
+  }
+
   /** DuckDB oracle for q137: the 5-iteration integer PageRank loop
     * unrolled into chained CTEs over [[coocEdgesCte]]'s graph. */
   private def pageRankOracleSql(k: Int): String = {
@@ -2039,5 +2071,73 @@ object PartB {
           sum(when(col("lev") <= 2, col("lev")).otherwise(0L))
             .as("sum_match_lev"))
         .orderBy(col("nation"), col("segment"))
+    },
+
+    // ---- HITS hubs & authorities over the high-volume supplier→part
+    //      supply graph (a supplier is a hub when it supplies many
+    //      strong parts; a part is an authority when strong suppliers
+    //      carry it) — the directed/bipartite complement to q137's
+    //      PageRank, 3 fixed iterations in EXACT INTEGER arithmetic:
+    //      scores in 1e12 fixed point, each half-iteration max-
+    //      rescaled by integer division (float HITS L2-normalizes,
+    //      which no cross-engine hash could check; this is bit-exact).
+    //      The quantity gate thins the edge list at the SCAN (pushed
+    //      filter); the distinct edge agg is the only corpus-sized
+    //      exchange and is localCheckpointed because 6 half-iteration
+    //      joins consume it. Per-round cost = one edge join + one
+    //      node agg + a 1-row broadcast max — the Pregel shape. ----
+    QueryDef.sql("q186_hits", hitsOracleSql(3)) { (s, d) =>
+      val e = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint()
+      val (h, a) = graft.operators.Hits.scores(e, 3)
+      val hubs = h.orderBy(col("h").desc, col("s")).limit(10)
+        .select(lit("hub").as("side"), col("s").as("node"),
+          col("h").as("score"))
+      val auths = a.orderBy(col("a").desc, col("p")).limit(10)
+        .select(lit("auth").as("side"), col("p").as("node"),
+          col("a").as("score"))
+      hubs.unionAll(auths)
+        .orderBy(col("side"), col("score").desc, col("node"))
+    },
+
+    // ---- Exponentially time-decayed engagement score: each event
+    //      contributes value·2^(−age_weeks) against the stream's
+    //      horizon — the recency weighting every feed-ranking /
+    //      user-scoring pipeline applies. The decay is EXACT integer
+    //      arithmetic: age buckets to whole weeks (capped at 40 so
+    //      the shift stays in range), the per-event contribution is
+    //      vm div 2^k — a row-local integer shift both engines
+    //      reproduce — and the per-user score is a plain integer sum
+    //      (float pow/sums would be aggregation-order-dependent).
+    //      The horizon is a 1-row agg riding a broadcast, never a
+    //      driver collect. One corpus-sized user agg — at 100 TB the
+    //      natural incremental form keeps per-(user, week) partial
+    //      sums and decays them at read, the q95 sketch-lake shape.
+    //      ----
+    QueryDef.sql("q187_decayed_engagement",
+      """WITH h AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+        |e AS (SELECT user_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm,
+        |    least(CAST(datediff('day', CAST(ts AS DATE), (SELECT hz FROM h))
+        |      AS BIGINT) // 7, 40) AS k
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(vm // (CAST(1 AS BIGINT) << k)) AS BIGINT) AS score_micro,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val hz = ev.agg(max(col("ts").cast("date")).as("hz"))
+      ev.crossJoin(broadcast(hz))
+        .select(col("user_id"),
+          floor(col("value") * 1000000).cast("long").as("vm"),
+          least(expr("datediff(hz, cast(ts as date)) div 7").cast("long"),
+            lit(40L)).as("k"))
+        .groupBy(col("user_id"))
+        .agg(sum(expr("vm div shiftleft(cast(1 as bigint), cast(k as int))"))
+            .cast("long").as("score_micro"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
     })
 }

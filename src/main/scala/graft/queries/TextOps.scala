@@ -1802,6 +1802,74 @@ object TextOps {
                 |    AS BIGINT) END""".stripMargin)
             .as("slope_milli_per_id"))
         .orderBy(col("source"))
+    },
+
+    // ---- Zipf-slope fit: per-source log-log least squares over the
+    //      token rank/frequency curve — natural-language text obeys
+    //      Zipf's law with slope ≈ −1, so a source whose slope drifts
+    //      toward 0 (uniform junk) or −∞ (boilerplate) is machine-
+    //      generated or degenerate; a standard corpus-forensics gate.
+    //      The float seam is fenced the q90/q177 way: ln appears ONLY
+    //      per-row (ln of small integer rank/count — identical in
+    //      both engines), immediately floored to 1e6 fixed point, and
+    //      every regression moment is then a DECIMAL(38,0) sum —
+    //      associative under any shuffle order. The final slope is one
+    //      identical-op-order double division, 4-dp rounded; n<2 or a
+    //      constant-rank support (denominator 0 — exact decimal
+    //      compare) yields NULL. Tokenization is q76's exact idiom
+    //      (the vocabulary build this curve ranks). One corpus-sized
+    //      (source, token) agg; the rank window and moment agg see
+    //      O(vocab) rows. ----
+    QueryDef.sql("q185_zipf_slope",
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |  FROM documents),
+        |freq AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, tk),
+        |rk AS (SELECT source, c, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY c DESC, tk) AS BIGINT) AS r
+        |  FROM freq),
+        |fx AS (SELECT source,
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS lr,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS lf
+        |  FROM rk),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(lr AS HUGEINT)) AS sr, sum(CAST(lf AS HUGEINT)) AS sf,
+        |    sum(CAST(lr AS HUGEINT) * lf) AS srf,
+        |    sum(CAST(lr AS HUGEINT) * lr) AS srr
+        |  FROM fx GROUP BY source)
+        |SELECT source, n AS n_types,
+        |  CASE WHEN n < 2 OR n * srr - sr * sr = 0 THEN NULL
+        |    ELSE round(CAST(n * srf - sr * sf AS DOUBLE)
+        |      / CAST(n * srr - sr * sr AS DOUBLE), 4)
+        |  END AS zipf_slope
+        |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
+      val freq = t(s, d, "documents")
+        .select(col("source"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+        .groupBy(col("source"), col("tk"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("tk"))
+      val fx = freq
+        .withColumn("r", row_number().over(w).cast("long"))
+        .select(col("source"),
+          round(log(col("r").cast("double")) * 1000000).cast("long").as("lr"),
+          round(log(col("c").cast("double")) * 1000000).cast("long").as("lf"))
+      val agg = fx.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lr").cast("decimal(38,0)")).as("sr"),
+          sum(col("lf").cast("decimal(38,0)")).as("sf"),
+          sum(col("lr").cast("decimal(38,0)") * col("lf")).as("srf"),
+          sum(col("lr").cast("decimal(38,0)") * col("lr")).as("srr"))
+      val den = col("n") * col("srr") - col("sr") * col("sr")
+      agg.select(col("source"), col("n").as("n_types"),
+          when(col("n") < 2 || den === 0, lit(null).cast("double"))
+            .otherwise(round(
+              (col("n") * col("srf") - col("sr") * col("sf")).cast("double")
+                / den.cast("double"), 4))
+            .as("zipf_slope"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

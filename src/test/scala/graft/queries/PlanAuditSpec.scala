@@ -424,7 +424,21 @@ class PlanAuditSpec extends AnyFunSuite {
       // q184 = the block-keyed self-join (both legs shuffle on the
       // blocking key at scale; broadcast by stats at this sf) + the
       // per-block agg + result sort.
-      "q184_record_linkage" -> 4)
+      "q184_record_linkage" -> 4,
+      // q185 = the (source, token) frequency agg + the per-source rank
+      // window exchange + the O(vocab) moment agg; slope math is
+      // row-local on O(sources) rows.
+      "q185_zipf_slope" -> 3,
+      // q186 = the visible tail past the per-half-iteration
+      // localCheckpoints (which are load-bearing: an unchecked HITS
+      // lineage doubles per rescale branch — 378 exchanges measured):
+      // the final max agg + the two top-k legs. Each checkpointed
+      // round paid one edge join + one node agg exchange (bounded
+      // lineage, q69/q164's pattern).
+      "q186_hits" -> 3,
+      // q187 = the per-user score agg + result sort; the horizon is a
+      // 1-row broadcast agg and the decay shift is row-local.
+      "q187_decayed_engagement" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
