@@ -2139,5 +2139,64 @@ object PartB {
             .cast("long").as("score_micro"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- STREAMING twin of the recency scoring — the exact
+    //      incremental form q187's scale note prescribes: the decay
+    //      reference (the stream horizon) is unknowable at arrival,
+    //      so the stream folds (user, day) PARTIAL sums — a plain
+    //      associative aggregation, O(users · active-days) state rows
+    //      (a lake deployment compacts closed days into the partials
+    //      table, q97's shape) — and the decay is applied AT READ
+    //      against the horizon the folded table itself yields. The
+    //      day-level semantics (decay the day's sum, not each event)
+    //      is the natural partial-sum contract; the oracle computes
+    //      the identical day-partial form directly over the table, so
+    //      the green hash proves stream ≡ batch. All integer: the
+    //      fold sums micro values, the read is a row-local shift and
+    //      an integer sum. ----
+    QueryDef.sql("q188_stream_decayed_engagement",
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS dd,
+        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS vm,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |h AS (SELECT max(dd) AS hz FROM p),
+        |e AS (SELECT user_id, vm, cnt,
+        |    least(CAST(datediff('day', dd, (SELECT hz FROM h)) AS BIGINT) // 7,
+        |      40) AS k
+        |  FROM p)
+        |SELECT user_id,
+        |  CAST(sum(vm // (CAST(1 AS BIGINT) << k)) AS BIGINT) AS score_micro,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "evuserfeed",
+        idCol = "event_id", checkSpan = false)(
+        t(s, d, "events").select(col("event_id"), col("ts"),
+          col("user_id"), col("value")))
+      val sink = graft.bench.BenchFeeds.sinkName("q188_decay")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .groupBy(col("user_id"), col("ts").cast("date").as("dd"))
+          .agg(sum(floor(col("value") * 1000000).cast("long"))
+              .cast("long").as("vm"),
+            count(lit(1)).as("cnt"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val p = s.table(sink)
+      val hz = p.agg(max(col("dd")).as("hz"))
+      p.crossJoin(broadcast(hz))
+        .select(col("user_id"), col("vm"), col("cnt"),
+          least(expr("datediff(hz, dd) div 7").cast("long"), lit(40L))
+            .as("k"))
+        .groupBy(col("user_id"))
+        .agg(sum(expr("vm div shiftleft(cast(1 as bigint), cast(k as int))"))
+            .cast("long").as("score_micro"),
+          sum(col("cnt")).cast("long").as("n_events"))
+        .orderBy(col("user_id"))
     })
 }

@@ -1870,6 +1870,121 @@ object TextOps {
                 / den.cast("double"), 4))
             .as("zipf_slope"))
         .orderBy(col("source"))
+    },
+
+    // ---- Source-level vocabulary similarity matrix: Jaccard overlap
+    //      of the DISTINCT token sets of every source pair — the
+    //      corpus-composition audit that flags two feeds scraping the
+    //      same site (near-identical vocabularies) before doc-level
+    //      dedup ever runs. Exact set algebra: per-source vocabulary
+    //      sizes and pairwise intersections are integer counts off
+    //      one token-keyed self-join of the deduped (source, token)
+    //      relation — the posting-list shape; a token in k sources
+    //      contributes k·(k−1)/2 pairs, bounded by sources² per
+    //      token (a stop-token df-cap would bound it further, q31's
+    //      discipline). Union size arrives by inclusion–exclusion —
+    //      never materialized. Output is O(sources²) rows. ----
+    QueryDef.sql("q189_source_similarity",
+      """WITH v AS (SELECT DISTINCT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |  FROM documents),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+        |  FROM v GROUP BY source),
+        |inter AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(count(*) AS BIGINT) AS ni
+        |  FROM v a JOIN v b ON a.tk = b.tk AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT inter.sa AS source_a, inter.sb AS source_b,
+        |  za.nv AS n_vocab_a, zb.nv AS n_vocab_b, inter.ni AS n_common,
+        |  CAST(CAST(inter.ni AS HUGEINT) * 1000000
+        |    // (za.nv + zb.nv - inter.ni) AS BIGINT) AS jaccard_micro
+        |FROM inter JOIN sz za ON za.source = inter.sa
+        |JOIN sz zb ON zb.source = inter.sb
+        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val v = t(s, d, "documents")
+        .select(col("source"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+        .distinct()
+        .localCheckpoint() // feeds the size agg AND both join legs
+      val sz = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val inter = v.as("a")
+        .join(v.as("b"),
+          col("a.tk") === col("b.tk") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("ni"))
+      inter
+        .join(sz.select(col("source").as("sa"), col("nv").as("n_vocab_a")), "sa")
+        .join(sz.select(col("source").as("sb"), col("nv").as("n_vocab_b")), "sb")
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_vocab_a"), col("n_vocab_b"), col("ni").as("n_common"),
+          expr("""CAST(CAST(ni AS DECIMAL(38,0)) * 1000000
+                |  div (n_vocab_a + n_vocab_b - ni) AS BIGINT)"""
+            .stripMargin).as("jaccard_micro"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // ---- Per-source unigram KL divergence from the corpus
+    //      distribution — D(p_src ‖ p_corpus) = Σ p·ln(p/q), the
+    //      domain-skew read-out that ranks which feeds look least
+    //      like the corpus they're mixed into (q177 scores DOCUMENTS
+    //      by a target/raw log-ratio; this scores SOURCES by their
+    //      full-distribution divergence). Float algebra fenced the
+    //      q185 way: the log-ratio ln((c_s·n)/(n_s·c)) is computed
+    //      ONCE per (source, token) row in an identical operation
+    //      order — every operand an exact integer count — floored to
+    //      1e6 fixed point, and the p-weighted sum Σ c_s·lterm runs
+    //      in DECIMAL(38,0); the single division by n_s (and the
+    //      1e6 unscale) happens on the O(sources) result rows, 6-dp
+    //      rounded. No smoothing needed: a source's tokens are a
+    //      subset of the corpus's, so q > 0 wherever p > 0. One
+    //      corpus-sized (source, token) agg; the per-token corpus
+    //      table is O(vocab) and joins on the token key. ----
+    QueryDef.sql("q190_unigram_kl",
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |  FROM documents),
+        |cs AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c_s
+        |  FROM tok GROUP BY source, tk),
+        |ct AS (SELECT tk, CAST(sum(c_s) AS BIGINT) AS c FROM cs GROUP BY tk),
+        |ns AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s
+        |  FROM cs GROUP BY source),
+        |nt AS (SELECT CAST(sum(c_s) AS BIGINT) AS n FROM cs),
+        |term AS (SELECT cs.source, cs.c_s,
+        |    CAST(round(ln((CAST(cs.c_s AS DOUBLE) * nt.n)
+        |      / (CAST(ns.n_s AS DOUBLE) * ct.c)) * 1000000) AS BIGINT) AS lt
+        |  FROM cs JOIN ct ON ct.tk = cs.tk
+        |  JOIN ns ON ns.source = cs.source, nt)
+        |SELECT term.source, ns.n_s AS n_tokens,
+        |  round(CAST(sum(CAST(term.c_s AS HUGEINT) * term.lt) AS DOUBLE)
+        |    / ns.n_s / 1000000, 6) AS kl_nats
+        |FROM term JOIN ns ON ns.source = term.source
+        |GROUP BY term.source, ns.n_s ORDER BY term.source""".stripMargin) {
+      (s, d) =>
+      // the (source, token) support table feeds four consumers (corpus
+      // marginals, source marginals, the total, and the term join) —
+      // checkpointed so the corpus tokenization runs ONCE
+      val cs = t(s, d, "documents")
+        .select(col("source"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+        .groupBy(col("source"), col("tk"))
+        .agg(count(lit(1)).as("c_s"))
+        .localCheckpoint()
+      val ct = cs.groupBy(col("tk")).agg(sum(col("c_s")).cast("long").as("c"))
+      val ns = cs.groupBy(col("source"))
+        .agg(sum(col("c_s")).cast("long").as("n_s"))
+      val nt = cs.agg(sum(col("c_s")).cast("long").as("n"))
+      val term = cs.join(ct, "tk").join(broadcast(ns), "source")
+        .crossJoin(broadcast(nt))
+        .select(col("source"), col("c_s"),
+          round(log((col("c_s").cast("double") * col("n"))
+            / (col("n_s").cast("double") * col("c"))) * 1000000)
+            .cast("long").as("lt"))
+      term.join(broadcast(ns), "source")
+        .groupBy(col("source"), col("n_s"))
+        .agg(round(sum(col("c_s").cast("decimal(38,0)") * col("lt"))
+            .cast("double") / col("n_s") / lit(1000000), 6).as("kl_nats"))
+        .select(col("source"), col("n_s").as("n_tokens"), col("kl_nats"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

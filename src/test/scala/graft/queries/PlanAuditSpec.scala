@@ -438,7 +438,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "q186_hits" -> 3,
       // q187 = the per-user score agg + result sort; the horizon is a
       // 1-row broadcast agg and the decay shift is row-local.
-      "q187_decayed_engagement" -> 3)
+      "q187_decayed_engagement" -> 3,
+      // q189 = past the checkpointed (source, token) vocabulary: the
+      // token-keyed self-join legs + the (sa, sb) pair agg + the
+      // O(sources) size agg; the size join rides broadcasts at any
+      // scale (post-agg O(sources) rows).
+      "q189_source_similarity" -> 4,
+      // q190 = past the checkpointed (source, token) support: the
+      // O(vocab) corpus-marginal agg + its token-keyed join legs +
+      // the source marginal/total aggs (broadcast above aggregation)
+      // + the O(sources) KL rollup.
+      "q190_unigram_kl" -> 6)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
