@@ -1985,6 +1985,72 @@ object TextOps {
             .cast("double") / col("n_s") / lit(1000000), 6).as("kl_nats"))
         .select(col("source"), col("n_s").as("n_tokens"), col("kl_nats"))
         .orderBy(col("source"))
+    },
+
+    // ---- Quantile normalization across sources: each document's
+    //      length score maps to the POOLED distribution's value at
+    //      the equivalent rank — the calibration step that makes
+    //      heterogeneous feeds comparable before a global quality
+    //      cutoff (a per-source z-score assumes gaussian shape;
+    //      quantile matching assumes nothing). All integer and EXACT:
+    //      the per-source rank is a (source)-partitioned window, the
+    //      pooled target rank is ((2r−1)·N) div (2n_s) + 1 (midpoint
+    //      rank, decimal-widened), and the pooled value lookup goes
+    //      through the cum-count SUPPORT table — O(distinct values)
+    //      rows (the q175 discipline), NOT a global sort of N rows;
+    //      its single-partition window and the broadcast range join
+    //      both sit above aggregation, so the shape survives any
+    //      corpus size with per-row work only in the scan and the
+    //      source window. ----
+    QueryDef.sql("q193_quantile_normalize",
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM d GROUP BY source),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |rs AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS r FROM d),
+        |tgt AS (SELECT rs.doc_id, rs.source, rs.n_chars,
+        |    CAST(((2*rs.r - 1) * CAST(nt.n AS HUGEINT)) // (2*ns.n_s) + 1
+        |      AS BIGINT) AS t
+        |  FROM rs JOIN ns ON ns.source = rs.source, nt),
+        |sup AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY n_chars),
+        |cum AS (SELECT v,
+        |    sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+        |    sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS lo
+        |  FROM sup)
+        |SELECT tgt.doc_id, tgt.source, tgt.n_chars, cum.v AS norm_chars
+        |FROM tgt JOIN cum ON tgt.t BETWEEN cum.lo AND cum.hi
+        |ORDER BY tgt.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .localCheckpoint() // feeds the rank window, sizes, and support
+      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val nt = docs.agg(count(lit(1)).as("n"))
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val tgt = docs
+        .withColumn("r", row_number().over(wSrc).cast("long"))
+        .join(broadcast(ns), "source").crossJoin(broadcast(nt))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("""CAST(((2*r - 1) * CAST(n AS DECIMAL(38,0)))
+                |  div (2*n_s) + 1 AS BIGINT)""".stripMargin).as("t"))
+      // pooled support: O(distinct values) post-agg rows; the single-
+      // partition cum window and the broadcast both sit above this agg
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("hi", sum(col("c")).over(wCum))
+        .withColumn("lo", sum(col("c")).over(wCum) - col("c") + 1)
+      tgt.join(broadcast(cum),
+          col("t") >= col("lo") && col("t") <= col("hi"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("v").as("norm_chars"))
+        .orderBy(col("doc_id"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

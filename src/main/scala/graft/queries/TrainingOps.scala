@@ -1088,5 +1088,236 @@ object TrainingOps {
               4))
             .as("z_stat"))
         .orderBy(col("etype"))
+    },
+
+    // ---- Deterministic Poisson bootstrap: the standard error of each
+    //      event-type's mean value from B = 32 resample replicates,
+    //      where event e's multiplicity in replicate b is Poisson(1)
+    //      drawn via md5(event_id # b) against fixed cumulative
+    //      thresholds (6-hex-char string compares — the hashBucket
+    //      idiom at 24-bit depth). This is the production-shape
+    //      bootstrap: no RNG state, no sampling coordination — any
+    //      cluster size, any retry, and the oracle reproduce the
+    //      EXACT resamples. Replicate means are integer micro values
+    //      (decimal sums, integer division), the spread is the exact
+    //      integer variance numerator B·Σm²−(Σm)², and the only float
+    //      is the final sqrt — so the SE hash-compares at 4 dp. The
+    //      32× row expansion combines map-side into O(types·B) rows;
+    //      an empty replicate yields NULL mean (excluded), B<2 yields
+    //      NULL SE. ----
+    QueryDef.sql("q191_bootstrap_se",
+      """WITH bs AS (SELECT unnest(range(32)) AS bi),
+        |e AS (SELECT event_type AS etype,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm,
+        |    CAST(event_id AS VARCHAR) AS eid FROM events),
+        |w AS (SELECT e.etype, e.vm, bs.bi,
+        |    substring(md5(e.eid || '#' || CAST(bs.bi AS VARCHAR)), 1, 6) AS h
+        |  FROM e, bs),
+        |k AS (SELECT etype, bi, vm,
+        |    CASE WHEN h < '5e2d58' THEN 0 WHEN h < 'bc5ab1' THEN 1
+        |      WHEN h < 'eb715e' THEN 2 WHEN h < 'fb2397' THEN 3
+        |      WHEN h < 'ff1025' THEN 4 WHEN h < 'ffd90f' THEN 5
+        |      ELSE 6 END AS wt FROM w),
+        |r AS (SELECT etype, bi, sum(CAST(wt AS HUGEINT) * vm) AS s,
+        |    CAST(sum(wt) AS BIGINT) AS n FROM k GROUP BY etype, bi),
+        |m AS (SELECT etype, bi,
+        |    CASE WHEN n = 0 THEN NULL ELSE CAST(s // n AS BIGINT) END
+        |      AS mean_micro FROM r),
+        |agg AS (SELECT etype, CAST(count(mean_micro) AS BIGINT) AS b,
+        |    sum(CAST(mean_micro AS HUGEINT)) AS sm,
+        |    sum(CAST(mean_micro AS HUGEINT) * mean_micro) AS smm
+        |  FROM m GROUP BY etype),
+        |f AS (SELECT event_type AS etype,
+        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS HUGEINT)
+        |      // count(*) AS est, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY event_type)
+        |SELECT f.etype, f.n_events, CAST(f.est AS BIGINT) AS est_micro,
+        |  a.b AS n_boot,
+        |  CASE WHEN a.b < 2 THEN NULL
+        |    ELSE round(sqrt(CAST(a.b * a.smm - a.sm * a.sm AS DOUBLE)
+        |      / (CAST(a.b AS DOUBLE) * (a.b - 1.0))), 4) END AS se_micro
+        |FROM f JOIN agg a ON a.etype = f.etype
+        |ORDER BY f.etype""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events").select(col("event_type").as("etype"),
+        floor(col("value") * 1000000).cast("long").as("vm"),
+        col("event_id").cast("string").as("eid"))
+      val r = e
+        .withColumn("bi", explode(sequence(lit(0), lit(31))))
+        .withColumn("h", substring(md5(concat(col("eid"), lit("#"),
+          col("bi").cast("string")).cast("binary")), 1, 6))
+        .withColumn("wt",
+          when(col("h") < "5e2d58", 0L).when(col("h") < "bc5ab1", 1L)
+            .when(col("h") < "eb715e", 2L).when(col("h") < "fb2397", 3L)
+            .when(col("h") < "ff1025", 4L).when(col("h") < "ffd90f", 5L)
+            .otherwise(6L))
+        .groupBy(col("etype"), col("bi"))
+        .agg(sum(col("wt").cast("decimal(38,0)") * col("vm")).as("s"),
+          sum(col("wt")).cast("long").as("n"))
+      val m = r.select(col("etype"),
+        when(col("n") === 0, lit(null))
+          .otherwise(expr("CAST(s div n AS BIGINT)")).as("mean_micro"))
+      val agg = m.groupBy(col("etype"))
+        .agg(count(col("mean_micro")).as("b"),
+          sum(col("mean_micro").cast("decimal(38,0)")).as("sm"),
+          sum(col("mean_micro").cast("decimal(38,0)") * col("mean_micro"))
+            .as("smm"))
+      val f = t(s, d, "events").groupBy(col("event_type").as("etype"))
+        .agg(expr("""CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+              |  AS DECIMAL(38,0)) div count(*)""".stripMargin).as("est"),
+          count(lit(1)).as("n_events"))
+      f.join(agg, "etype")
+        .select(col("etype"), col("n_events"),
+          col("est").cast("long").as("est_micro"), col("b").as("n_boot"),
+          when(col("b") < 2, lit(null).cast("double"))
+            .otherwise(round(sqrt(
+              (col("b") * col("smm") - col("sm") * col("sm")).cast("double")
+                / (col("b").cast("double") * (col("b") - lit(1.0)))), 4))
+            .as("se_micro"))
+        .orderBy(col("etype"))
+    },
+
+    // ---- Benjamini–Hochberg FDR control over a FAMILY of A/B tests —
+    //      one Welch t per (event_type, hour-of-day) cell, 120
+    //      simultaneous hypotheses where q165 ran one: the multiple-
+    //      testing read-out every experimentation platform needs (at
+    //      α=0.05, 6 of 120 null tests "discover" uncorrected; BH
+    //      caps the false-discovery RATE instead). The t statistics
+    //      follow q165's exact-moment discipline; the normal tail
+    //      pseudo-p comes from the Zelen–Severo polynomial computed
+    //      per-row in an identical operation order (multiplication
+    //      chains, no pow — libm pow is not cross-engine stable; exp
+    //      is the one shared libm call, the q90 ln exposure) and is
+    //      immediately floored to integer nano units. The BH step-up
+    //      itself is EXACT integer arithmetic: significant ⇔ rank ≤
+    //      k* where k* = max{i : 20·p_nano·m ≤ i·1e9} (α = 1/20) —
+    //      no float compare at the decision boundary. The ranking
+    //      window runs over O(m)=tests rows, never corpus rows; the
+    //      adjusted q-value is the classic suffix-min. Degenerate
+    //      cells (n≤1 / zero variance) are excluded from the family
+    //      before m is counted. ----
+    QueryDef.sql("q192_fdr_bh",
+      s"""WITH ah AS (SELECT event_type AS etype,
+        |    CAST(hour(ts) AS INTEGER) AS hr,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+        |g AS (SELECT etype, hr, arm, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s1, sum(CAST(v AS HUGEINT) * v) AS s2
+        |  FROM ah GROUP BY etype, hr, arm),
+        |w AS (SELECT etype, hr,
+        |    max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 'A' THEN s1 END) AS s1a,
+        |    max(CASE WHEN arm = 'B' THEN s1 END) AS s1b,
+        |    max(CASE WHEN arm = 'A' THEN s2 END) AS s2a,
+        |    max(CASE WHEN arm = 'B' THEN s2 END) AS s2b
+        |  FROM g GROUP BY etype, hr),
+        |tt AS (SELECT etype, hr, n_a, n_b,
+        |    (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)
+        |      / sqrt(CAST(n_a * s2a - s1a * s1a AS DOUBLE)
+        |          / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+        |        + CAST(n_b * s2b - s1b * s1b AS DOUBLE)
+        |          / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b) AS t
+        |  FROM w
+        |  WHERE n_a > 1 AND n_b > 1
+        |    AND NOT (n_a * s2a - s1a * s1a = 0
+        |      AND n_b * s2b - s1b * s1b = 0)),
+        |pp AS (SELECT etype, hr, n_a, n_b, round(t, 4) AS t_stat,
+        |    CAST(round(2 * ((exp(-abs(t) * abs(t) / 2) / 2.5066282746310002)
+        |      * (0.319381530 * (1 / (1 + 0.2316419 * abs(t)))
+        |        - 0.356563782 * ((1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t))))
+        |        + 1.781477937 * ((1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t))))
+        |        - 1.821255978 * ((1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t))))
+        |        + 1.330274429 * ((1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t)))
+        |          * (1 / (1 + 0.2316419 * abs(t)))))) * 1000000000)
+        |      AS BIGINT) AS p_nano
+        |  FROM tt),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_nano, etype, hr)
+        |      AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM pp),
+        |qv AS (SELECT *,
+        |    round(min(CAST(p_nano AS DOUBLE) * m / rank / 1000000000)
+        |      OVER (ORDER BY rank DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |      AS q_value,
+        |    max(CASE WHEN 20 * CAST(p_nano AS HUGEINT) * m
+        |        <= CAST(rank AS HUGEINT) * 1000000000
+        |      THEN rank ELSE 0 END) OVER () AS kstar
+        |  FROM rk)
+        |SELECT etype, hr, n_a, n_b, t_stat, p_nano, rank, q_value,
+        |  rank <= kstar AS significant
+        |FROM qv ORDER BY rank""".stripMargin) { (s, d) =>
+      val g = t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          hour(col("ts")).cast("int").as("hr"),
+          when(hashBucket(col("user_id")) < "80", "A").otherwise("B")
+            .as("arm"),
+          floor(col("value") * 1000000).cast("long").as("v"))
+        .groupBy(col("etype"), col("hr"), col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).as("s1"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("s2"))
+      val w = g.groupBy(col("etype"), col("hr"))
+        .agg(max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "A", col("s1"))).as("s1a"),
+          max(when(col("arm") === "B", col("s1"))).as("s1b"),
+          max(when(col("arm") === "A", col("s2"))).as("s2a"),
+          max(when(col("arm") === "B", col("s2"))).as("s2b"))
+      val tcol = (col("s1a").cast("double") / col("n_a") -
+        col("s1b").cast("double") / col("n_b")) /
+        sqrt((col("n_a") * col("s2a") - col("s1a") * col("s1a"))
+            .cast("double")
+            / (col("n_a").cast("double") * (col("n_a") - 1)) / col("n_a")
+          + (col("n_b") * col("s2b") - col("s1b") * col("s1b"))
+            .cast("double")
+            / (col("n_b").cast("double") * (col("n_b") - 1)) / col("n_b"))
+      val tt = w
+        .filter(col("n_a") > 1 && col("n_b") > 1 &&
+          !((col("n_a") * col("s2a") - col("s1a") * col("s1a")) === 0 &&
+            (col("n_b") * col("s2b") - col("s1b") * col("s1b")) === 0))
+        .select(col("etype"), col("hr"), col("n_a"), col("n_b"),
+          tcol.as("t"))
+      val t1 = lit(1) / (lit(1) + lit(0.2316419) * abs(col("t")))
+      val pdf = exp(-abs(col("t")) * abs(col("t")) / 2) /
+        lit(2.5066282746310002)
+      val poly = lit(0.319381530) * t1 -
+        lit(0.356563782) * (t1 * t1) +
+        lit(1.781477937) * (t1 * t1 * t1) -
+        lit(1.821255978) * (t1 * t1 * t1 * t1) +
+        lit(1.330274429) * (t1 * t1 * t1 * t1 * t1)
+      val pp = tt.select(col("etype"), col("hr"), col("n_a"), col("n_b"),
+        round(col("t"), 4).as("t_stat"),
+        round(lit(2) * (pdf * poly) * 1000000000).cast("long").as("p_nano"))
+      // the family is O(tests) rows — the global rank window and the
+      // suffix-min both run post-agg, never on corpus rows
+      val wRank = Window.orderBy(col("p_nano"), col("etype"), col("hr"))
+      val rk = pp.withColumn("rank", row_number().over(wRank).cast("long"))
+        .localCheckpoint() // feeds m/kstar aggs AND the final projection
+      val mAgg = rk.agg(count(lit(1)).as("m"))
+      val mk = rk.crossJoin(broadcast(mAgg))
+        .agg(max(col("m")).as("m"),
+          max(when(lit(20) * col("p_nano").cast("decimal(38,0)") * col("m")
+              <= col("rank").cast("decimal(38,0)") * 1000000000L,
+            col("rank")).otherwise(0L)).as("kstar"))
+      val wSuf = Window.orderBy(col("rank").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rk.crossJoin(broadcast(mk))
+        .withColumn("q_value",
+          round(min(col("p_nano").cast("double") * col("m") / col("rank")
+            / 1000000000L).over(wSuf), 6))
+        .select(col("etype"), col("hr"), col("n_a"), col("n_b"),
+          col("t_stat"), col("p_nano"), col("rank"), col("q_value"),
+          (col("rank") <= col("kstar")).as("significant"))
+        .orderBy(col("rank"))
     })
 }

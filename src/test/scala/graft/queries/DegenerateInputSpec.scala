@@ -165,4 +165,59 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_edges")) == 0L)
     assert(r.isNullAt(r.fieldIndex("global_cc")))
   }
+
+  test("q182: an empty arm yields NULL rank-sum z, not an error") {
+    // the shared fixture hashes the whole population into arm B
+    val rows = run("q182_mannwhitney")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_a")) == 0L)
+      assert(r.isNullAt(r.fieldIndex("z_stat")),
+        s"σ is undefined with an empty arm — z must be NULL: $r")
+    }
+  }
+
+  test("q192: a one-arm population leaves an EMPTY test family") {
+    // every (etype, hour) cell is missing arm A, so the n>1 family
+    // filter drops all of them — the output is empty, never a
+    // NULL-propagating t or a division error
+    val rows = run("q192_fdr_bh")
+    assert(rows.isEmpty, s"degenerate cells must leave the family: " +
+      s"${rows.toSeq}")
+  }
+
+  test("q185: a single-token corpus yields NULL Zipf slope") {
+    // separate fixture: every document is the SAME one-token text, so
+    // each source's vocabulary is a single rank point (n_types = 1 —
+    // and lr is constant 0, the denominator's other zero path)
+    val tmp = Files.createTempDirectory("degen185").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("text", lit("x").cast(docs.schema("text").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q185_zipf_slope")(spark, d2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_types")) == 1L)
+      assert(r.isNullAt(r.fieldIndex("zipf_slope")),
+        s"a 1-point log-log fit must have NULL slope: $r")
+    }
+  }
+
+  test("q186: an edgeless supply graph yields an empty scoreboard") {
+    // separate fixture: no line item passes the quantity gate, so the
+    // edge list is empty — every iteration's max-rescale runs over an
+    // empty aggregate and must produce no rows, never a div-by-NULL
+    val tmp = Files.createTempDirectory("degen186").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    li.withColumn("l_quantity",
+        lit(1.0).cast(li.schema("l_quantity").dataType))
+      .write.parquet(s"$d2/lineitem.parquet")
+    val rows = SparkEntry.queries("q186_hits")(spark, d2).collect()
+    assert(rows.isEmpty, s"an edgeless graph must score nothing: " +
+      s"${rows.toSeq}")
+  }
 }

@@ -448,7 +448,22 @@ class PlanAuditSpec extends AnyFunSuite {
       // O(vocab) corpus-marginal agg + its token-keyed join legs +
       // the source marginal/total aggs (broadcast above aggregation)
       // + the O(sources) KL rollup.
-      "q190_unigram_kl" -> 6)
+      "q190_unigram_kl" -> 6,
+      // q191 = the (etype, replicate) resample agg (map-side combined
+      // out of the 32× expansion) + the O(types) spread agg + the
+      // full-sample agg + result sort; the replicate join is O(types).
+      "q191_bootstrap_se" -> 4,
+      // q192 = the visible tail past the checkpointed O(tests) ranked
+      // family: the suffix-min window + result sort (the corpus-sized
+      // (etype, hr, arm) moment agg and the family rank window paid
+      // before the checkpoint; 0 measured, headroom for a scale flip).
+      "q192_fdr_bh" -> 2,
+      // q193 = past the checkpointed (doc_id, source, n_chars)
+      // projection: the per-source rank window exchange + the
+      // O(distinct) support agg + its single-partition cum window
+      // (post-agg, the q166 note) + the O(sources)/1-row size aggs;
+      // the pooled lookup rides a broadcast above aggregation.
+      "q193_quantile_normalize" -> 6)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
