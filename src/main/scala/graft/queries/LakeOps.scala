@@ -1009,6 +1009,88 @@ object LakeOps {
         .agg(sum(col("n")).cast("long").as("n_orders"),
           sum(col("sp")).cast("long").as("price_micro_sum"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- Hourly autocorrelation function (seasonality audit): ACF at
+    //      lags 1..24 over each event type's hourly arrival counts —
+    //      the readout that says whether a feed has a daily cycle
+    //      (acf peaks at lag 24) BEFORE anyone fits a forecast to it.
+    //      The series lives on a dense integer hour spine (missing
+    //      hours are real zeros, not absent rows — an ACF over the
+    //      occupied hours only would alias the gaps into the signal).
+    //      Exact everywhere but the last division: centering is done
+    //      n-scaled (c_t = n·x_t − Σx, integers — no float mean), both
+    //      Σ c_t·c_{t+k} and Σ c_t² are DECIMAL(38,0) sums, and the
+    //      one float op is the final ratio, rounded 6 dp. Every stage
+    //      past the (etype, hour) count is O(types·hours) — the lag
+    //      self-join expands 24× over SPINE rows, never corpus rows;
+    //      a year of hourly series is 8 760 rows per type. Constant
+    //      series ⇒ Σc² = 0 ⇒ NULL (guarded both engines). ----
+    QueryDef.sql("q194_hourly_acf",
+      """WITH h AS (SELECT event_type AS etype,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hidx FROM events),
+        |cnt AS (SELECT etype, hidx, CAST(count(*) AS BIGINT) AS x
+        |  FROM h GROUP BY etype, hidx),
+        |bounds AS (SELECT etype, min(hidx) AS h0, max(hidx) AS h1
+        |  FROM cnt GROUP BY etype),
+        |spine AS (SELECT etype, unnest(range(h0, h1 + 1)) AS hidx
+        |  FROM bounds),
+        |ser AS (SELECT s.etype, s.hidx, COALESCE(c.x, 0) AS x
+        |  FROM spine s LEFT JOIN cnt c
+        |    ON c.etype = s.etype AND c.hidx = s.hidx),
+        |st AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM ser GROUP BY etype),
+        |cen AS (SELECT ser.etype, ser.hidx,
+        |    CAST(st.n AS HUGEINT) * ser.x - st.sx AS c
+        |  FROM ser JOIN st ON st.etype = ser.etype),
+        |den AS (SELECT etype, sum(c * c) AS d2 FROM cen GROUP BY etype),
+        |lags AS (SELECT unnest(range(1, 25)) AS lag),
+        |num AS (SELECT a.etype, l.lag, sum(a.c * b.c) AS nk
+        |  FROM cen a JOIN lags l ON true
+        |  JOIN cen b ON b.etype = a.etype AND b.hidx = a.hidx + l.lag
+        |  GROUP BY a.etype, l.lag)
+        |SELECT n.etype, CAST(n.lag AS INTEGER) AS lag, st.n AS n_hours,
+        |  CASE WHEN den.d2 = 0 THEN NULL
+        |    ELSE round(CAST(n.nk AS DOUBLE) / CAST(den.d2 AS DOUBLE), 6)
+        |  END AS acf
+        |FROM num n JOIN den ON den.etype = n.etype
+        |JOIN st ON st.etype = n.etype
+        |ORDER BY n.etype, lag""".stripMargin) { (s, d) =>
+      val h = t(s, d, "events").select(col("event_type").as("etype"),
+        expr("CAST(ts AS BIGINT) div 3600").as("hidx"))
+      val cnt = h.groupBy(col("etype"), col("hidx"))
+        .agg(count(lit(1)).as("x"))
+      val bounds = cnt.groupBy(col("etype"))
+        .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+      val ser = bounds
+        .select(col("etype"),
+          explode(sequence(col("h0"), col("h1"))).as("hidx"))
+        .join(cnt, Seq("etype", "hidx"), "left")
+        .select(col("etype"), col("hidx"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val st = ser.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sx"))
+      // the centered series is O(types·hours) — checkpointed once, it
+      // feeds the denominator agg and BOTH legs of the lag self-join
+      val cen = ser.join(broadcast(st), "etype")
+        .select(col("etype"), col("hidx"),
+          (col("n").cast("decimal(38,0)") * col("x") - col("sx")).as("c"))
+        .localCheckpoint()
+      val den = cen.groupBy(col("etype")).agg(sum(col("c") * col("c")).as("d2"))
+      val num = cen
+        .withColumn("lag", explode(sequence(lit(1L), lit(24L)))).as("a")
+        .join(cen.as("b"),
+          col("b.etype") === col("a.etype")
+            && col("b.hidx") === col("a.hidx") + col("a.lag"))
+        .groupBy(col("a.etype").as("etype"), col("a.lag").as("lag"))
+        .agg(sum(col("a.c") * col("b.c")).as("nk"))
+      num.join(broadcast(den), "etype").join(broadcast(st), "etype")
+        .select(col("etype"), col("lag").cast("int").as("lag"),
+          col("n").as("n_hours"),
+          when(col("d2") === 0, lit(null).cast("double"))
+            .otherwise(round(col("nk").cast("double")
+              / col("d2").cast("double"), 6)).as("acf"))
+        .orderBy(col("etype"), col("lag"))
     }
   )
 }

@@ -2051,6 +2051,134 @@ object TextOps {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("v").as("norm_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Cohen's kappa between the declared lang label and the q32
+    //      lang-ID prediction — the chance-corrected agreement number
+    //      q171's confusion matrix begs for (raw accuracy flatters a
+    //      skewed label mix; kappa subtracts what two marginals would
+    //      agree on by luck). Reuses the SHARED langidPred scorer, so
+    //      classifier and evaluation can never drift. Everything up to
+    //      the last divisions is exact integers: po's numerator is the
+    //      diagonal count, pe's is Σ_c rowMarg_c·colMarg_c over the
+    //      O(classes) marginal join (classes absent from one side
+    //      contribute 0 — the inner join drops them; an EMPTY
+    //      intersection coalesces to 0, both engines), and
+    //      kappa = (N·agree − penum) / (N² − penum) in DECIMAL(38,0)
+    //      — N² overflows BIGINT at lake scale. Both raters constant
+    //      on the same class ⇒ pe = 1 ⇒ NULL (guarded both engines).
+    //      Past the (lang, pred) cell count the whole query is
+    //      O(classes²) rows. ----
+    QueryDef.sql("q195_langid_kappa",
+      s"""WITH $langidPredCte,
+        |cell AS (SELECT d.lang, pr.pred_lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM pr JOIN documents d ON d.doc_id = pr.doc_id
+        |  GROUP BY d.lang, pr.pred_lang),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = pred_lang THEN c ELSE 0 END)
+        |      AS BIGINT) AS agree FROM cell),
+        |rm AS (SELECT lang AS cls, CAST(sum(c) AS BIGINT) AS m
+        |  FROM cell GROUP BY lang),
+        |cm AS (SELECT pred_lang AS cls, CAST(sum(c) AS BIGINT) AS m
+        |  FROM cell GROUP BY pred_lang),
+        |pe AS (SELECT COALESCE(sum(CAST(rm.m AS HUGEINT) * cm.m), 0)
+        |    AS penum FROM rm JOIN cm ON cm.cls = rm.cls)
+        |SELECT tot.n AS n_docs, tot.agree AS n_agree,
+        |  round(CAST(tot.agree AS DOUBLE) / tot.n, 6) AS po,
+        |  round(CAST(pe.penum AS DOUBLE)
+        |    / (CAST(tot.n AS DOUBLE) * tot.n), 6) AS pe,
+        |  CASE WHEN CAST(tot.n AS HUGEINT) * tot.n - pe.penum = 0 THEN NULL
+        |    ELSE round(
+        |      CAST(CAST(tot.n AS HUGEINT) * tot.agree - pe.penum AS DOUBLE)
+        |      / CAST(CAST(tot.n AS HUGEINT) * tot.n - pe.penum AS DOUBLE), 6)
+        |  END AS kappa
+        |FROM tot, pe""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val cell = langidPred(docs).select(col("doc_id"), col("pred_lang"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // O(classes²) rows feed tot, rm, and cm
+      val tot = cell.agg(sum(col("c")).cast("long").as("n"),
+        sum(when(col("lang") === col("pred_lang"), col("c"))
+          .otherwise(0L)).cast("long").as("agree"))
+      val rm = cell.groupBy(col("lang").as("cls"))
+        .agg(sum(col("c")).cast("long").as("rmm"))
+      val cm = cell.groupBy(col("pred_lang").as("cls"))
+        .agg(sum(col("c")).cast("long").as("cmm"))
+      val pe = rm.join(cm, "cls")
+        .agg(coalesce(sum(col("rmm").cast("decimal(38,0)") * col("cmm")),
+          lit(0).cast("decimal(38,0)")).as("penum"))
+      val nD = col("n").cast("decimal(38,0)")
+      tot.crossJoin(broadcast(pe))
+        .select(col("n").as("n_docs"), col("agree").as("n_agree"),
+          round(col("agree").cast("double") / col("n"), 6).as("po"),
+          round(col("penum").cast("double")
+            / (col("n").cast("double") * col("n")), 6).as("pe"),
+          when(nD * col("n") - col("penum") === 0,
+            lit(null).cast("double"))
+            .otherwise(round(
+              (nD * col("agree") - col("penum")).cast("double")
+                / (nD * col("n") - col("penum")).cast("double"), 6))
+            .as("kappa"))
+    },
+
+    // ---- Gini + Herfindahl concentration of source contribution —
+    //      the corpus-composition audit that says whether a language's
+    //      character mass is spread across feeds or dominated by one
+    //      (a training mix inherits the biases of whatever dominates).
+    //      Gini comes exactly off the Lorenz identity
+    //      G = (2·Σ i·w_i − (n+1)·Σw) / (n·Σw) with w ascending —
+    //      integer numerator in DECIMAL(38,0) (rank·chars overflows
+    //      BIGINT at lake scale), invariant to tie order (equal w
+    //      commute), ties broken (chars, source) anyway so the rank is
+    //      total. HHI = Σw² / (Σw)² off the same aggregate. The rank
+    //      window partitions by lang over O(langs·sources) POST-AGG
+    //      rows — corpus rows are touched once by the (lang, source)
+    //      character sum. All-zero mass ⇒ NULL (guarded both
+    //      engines). ----
+    QueryDef.sql("q196_source_concentration",
+      """WITH w AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, source, chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY chars, source) AS BIGINT) AS i FROM w),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(chars) AS BIGINT) AS total_chars,
+        |    sum(CAST(i AS HUGEINT) * chars) AS iw,
+        |    sum(CAST(chars AS HUGEINT) * chars) AS w2
+        |  FROM r GROUP BY lang)
+        |SELECT lang, n_sources, total_chars,
+        |  CASE WHEN total_chars = 0 THEN NULL
+        |    ELSE round(CAST(2 * iw - (n_sources + 1)
+        |        * CAST(total_chars AS HUGEINT) AS DOUBLE)
+        |      / (CAST(n_sources AS DOUBLE) * total_chars), 6) END AS gini,
+        |  CASE WHEN total_chars = 0 THEN NULL
+        |    ELSE round(CAST(w2 AS DOUBLE)
+        |      / (CAST(total_chars AS DOUBLE) * total_chars), 6) END AS hhi
+        |FROM g ORDER BY lang""".stripMargin) { (s, d) =>
+      val w = t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).cast("long").as("chars"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("chars"), col("source"))
+      val g = w.withColumn("i", row_number().over(wRank).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("chars")).cast("long").as("total_chars"),
+          sum(col("i").cast("decimal(38,0)") * col("chars")).as("iw"),
+          sum(col("chars").cast("decimal(38,0)") * col("chars")).as("w2"))
+      g.select(col("lang"), col("n_sources"), col("total_chars"),
+          when(col("total_chars") === 0, lit(null).cast("double"))
+            .otherwise(round(
+              (lit(2) * col("iw") - (col("n_sources") + 1)
+                * col("total_chars").cast("decimal(38,0)")).cast("double")
+                / (col("n_sources").cast("double") * col("total_chars")), 6))
+            .as("gini"),
+          when(col("total_chars") === 0, lit(null).cast("double"))
+            .otherwise(round(col("w2").cast("double")
+              / (col("total_chars").cast("double") * col("total_chars")), 6))
+            .as("hhi"))
+        .orderBy(col("lang"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

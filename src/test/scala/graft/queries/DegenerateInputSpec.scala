@@ -220,4 +220,44 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(rows.isEmpty, s"an edgeless graph must score nothing: " +
       s"${rows.toSeq}")
   }
+
+  test("q194: a single-hour series yields an empty ACF table") {
+    // the shared fixture pins every event to one instant, so the hour
+    // spine is one point — no (t, t+lag) pair exists and the output is
+    // empty, never a div-by-zero on the all-zero-centered denominator
+    val rows = run("q194_hourly_acf")
+    assert(rows.isEmpty, s"one hour has no lagged pairs: ${rows.toSeq}")
+  }
+
+  test("q195: both raters constant on the same class yields NULL kappa") {
+    // separate fixture: lang='en' everywhere AND text = pure English
+    // stopwords, so pred='en' everywhere too — pe = 1 and the kappa
+    // denominator N²−penum is exactly 0
+    val tmp = Files.createTempDirectory("degen195").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("lang", lit("en").cast(docs.schema("lang").dataType))
+      .withColumn("text",
+        lit("the of and").cast(docs.schema("text").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("q195_langid_kappa")(spark, d2).collect()(0)
+    assert(r.getDouble(r.fieldIndex("po")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("pe")) == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")),
+      s"pe=1 leaves kappa undefined — must be NULL: $r")
+  }
+
+  test("q196: a single-source corpus has gini 0 and hhi 1") {
+    // the shared fixture collapses source to one feed: the Lorenz
+    // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —
+    // both defined, no guard fires
+    val rows = run("q196_source_concentration")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_sources")) == 1L)
+      assert(r.getDouble(r.fieldIndex("gini")) == 0.0, s"gini: $r")
+      assert(r.getDouble(r.fieldIndex("hhi")) == 1.0, s"hhi: $r")
+    }
+  }
 }

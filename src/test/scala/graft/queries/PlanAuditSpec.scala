@@ -463,7 +463,21 @@ class PlanAuditSpec extends AnyFunSuite {
       // O(distinct) support agg + its single-partition cum window
       // (post-agg, the q166 note) + the O(sources)/1-row size aggs;
       // the pooled lookup rides a broadcast above aggregation.
-      "q193_quantile_normalize" -> 6)
+      "q193_quantile_normalize" -> 6,
+      // q194 = the visible tail past the checkpointed O(types·hours)
+      // centered series: the lag-join num agg + result sort (the
+      // corpus-sized (etype, hour) count, the spine join, and the
+      // bounds/sum aggs are paid before the checkpoint; den and both
+      // self-join legs ride broadcasts above it).
+      "q194_hourly_acf" -> 2,
+      // q195 = the corpus-sized (lang, pred) cell agg feeding the
+      // checkpoint + the O(classes) rm/cm marginal aggs + their join;
+      // everything downstream is 1-row crossJoin broadcasts.
+      "q195_langid_kappa" -> 4,
+      // q196 = the corpus-sized (lang, source) char sum + the lang-
+      // partitioned rank window exchange + the O(langs) Lorenz agg;
+      // all post-agg rows from the first exchange on.
+      "q196_source_concentration" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
