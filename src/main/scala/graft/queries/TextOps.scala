@@ -2179,6 +2179,55 @@ object TextOps {
               / (col("total_chars").cast("double") * col("total_chars")), 6))
             .as("hhi"))
         .orderBy(col("lang"))
+    },
+
+    // ---- Chao1 vocabulary-richness estimate per source: how many
+    //      token TYPES a feed would show with infinite sampling —
+    //      V_obs + F1(F1−1)/(2(F2+1)) off the singleton/doubleton
+    //      counts (the bias-corrected form, defined even at F2 = 0).
+    //      The companion Good–Turing unseen-mass share F1/N says what
+    //      fraction of the feed's next tokens will be NEW types —
+    //      the "is this source exhausted?" crawl-scheduling signal.
+    //      ALL integer: the estimator's division is an exact integer
+    //      div computed in DECIMAL(38,0) (F1² overflows BIGINT at a
+    //      realistic 1e9-type vocabulary), the unseen share is
+    //      integer micro. One corpus-sized (source, token) exchange;
+    //      everything after is O(sources). ----
+    QueryDef.sql("q199_chao1_richness",
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |  FROM documents),
+        |tc AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, tk),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS v_obs,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tc GROUP BY source)
+        |SELECT source, n_tokens, v_obs, f1, f2,
+        |  CAST(v_obs + CAST(f1 AS HUGEINT) * (f1 - 1) // (2 * (f2 + 1))
+        |    AS BIGINT) AS chao1_est,
+        |  CAST(CAST(f1 AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+        |    AS p_unseen_micro
+        |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+      val tc = t(s, d, "documents")
+        .select(col("source"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+        .groupBy(col("source"), col("tk"))
+        .agg(count(lit(1)).as("c"))
+      val g = tc.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("v_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long").as("f2"))
+      g.select(col("source"), col("n_tokens"), col("v_obs"), col("f1"),
+          col("f2"),
+          (col("v_obs") + expr("""CAST((CAST(f1 AS DECIMAL(38,0)) * (f1 - 1))
+            |  div (2 * (f2 + 1)) AS BIGINT)""".stripMargin))
+            .cast("long").as("chao1_est"),
+          expr("""CAST((CAST(f1 AS DECIMAL(38,0)) * 1000000) div n_tokens
+            |  AS BIGINT)""".stripMargin).as("p_unseen_micro"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

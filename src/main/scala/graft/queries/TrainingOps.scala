@@ -1319,5 +1319,198 @@ object TrainingOps {
           col("t_stat"), col("p_nano"), col("rank"), col("q_value"),
           (col("rank") <= col("kstar")).as("significant"))
         .orderBy(col("rank"))
+    },
+
+    // ---- Deterministic permutation test: the assumption-free twin of
+    //      q192's parametric p (a Welch t trusts the normal tail; a
+    //      permutation test asks the DATA how often a label shuffle
+    //      beats the observed split). 64 user-level re-labelings drawn
+    //      via md5(user#p) — the q191 discipline: no RNG state, any
+    //      cluster size / retry / the oracle reproduce the EXACT
+    //      permutations, and re-labeling the USER (not the event)
+    //      preserves the within-user correlation the real assignment
+    //      has. The statistic is the absolute difference of integer-
+    //      micro means (decimal sums, integer div — NO float anywhere,
+    //      so the ≥ comparisons at the p-value boundary are exact);
+    //      p = (1 + #{perm ≥ obs}) / 65, the add-one form that never
+    //      returns 0. The 64× expansion combines map-side into
+    //      O(types·64) rows; an empty arm yields NULL stat (a NULL
+    //      comparison counts 0; a NULL observed stat yields NULL p —
+    //      DegenerateInputSpec). ----
+    QueryDef.sql("q197_permutation_test",
+      """WITH e AS (SELECT event_type AS etype, user_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |obs AS (SELECT etype,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |      THEN 'A' ELSE 'B' END AS arm, vm FROM e),
+        |og AS (SELECT etype,
+        |    CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN arm = 'A' THEN CAST(vm AS HUGEINT) ELSE 0 END)
+        |      AS sa,
+        |    sum(CASE WHEN arm = 'B' THEN CAST(vm AS HUGEINT) ELSE 0 END)
+        |      AS sb
+        |  FROM obs GROUP BY etype),
+        |ostat AS (SELECT etype, n_a, n_b,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |      ELSE abs(CAST(sa // n_a - sb // n_b AS BIGINT)) END
+        |      AS obs_stat FROM og),
+        |perms AS (SELECT unnest(range(64)) AS p),
+        |pa AS (SELECT e.etype, perms.p,
+        |    CAST(count(CASE WHEN substring(md5(CAST(e.user_id AS VARCHAR)
+        |        || '#' || CAST(perms.p AS VARCHAR)), 1, 2) < '80'
+        |      THEN 1 END) AS BIGINT) AS na,
+        |    CAST(count(CASE WHEN substring(md5(CAST(e.user_id AS VARCHAR)
+        |        || '#' || CAST(perms.p AS VARCHAR)), 1, 2) >= '80'
+        |      THEN 1 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN substring(md5(CAST(e.user_id AS VARCHAR)
+        |        || '#' || CAST(perms.p AS VARCHAR)), 1, 2) < '80'
+        |      THEN CAST(e.vm AS HUGEINT) ELSE 0 END) AS sa,
+        |    sum(CASE WHEN substring(md5(CAST(e.user_id AS VARCHAR)
+        |        || '#' || CAST(perms.p AS VARCHAR)), 1, 2) >= '80'
+        |      THEN CAST(e.vm AS HUGEINT) ELSE 0 END) AS sb
+        |  FROM e, perms GROUP BY e.etype, perms.p),
+        |ps AS (SELECT etype, p,
+        |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |      ELSE abs(CAST(sa // na - sb // nb AS BIGINT)) END AS stat
+        |  FROM pa),
+        |cnt AS (SELECT ps.etype,
+        |    CAST(sum(CASE WHEN ps.stat >= o.obs_stat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ge
+        |  FROM ps JOIN ostat o ON o.etype = ps.etype GROUP BY ps.etype)
+        |SELECT o.etype, o.n_a, o.n_b, o.obs_stat,
+        |  CASE WHEN o.obs_stat IS NULL THEN NULL
+        |    ELSE round((1.0 + cnt.ge) / 65.0, 6) END AS p_value
+        |FROM ostat o JOIN cnt ON cnt.etype = o.etype
+        |ORDER BY o.etype""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events").select(col("event_type").as("etype"),
+        col("user_id"), floor(col("value") * 1000000).cast("long").as("vm"))
+      val og = e
+        .withColumn("isA", hashBucket(col("user_id")) < "80")
+        .groupBy(col("etype"))
+        .agg(count(when(col("isA"), 1)).as("n_a"),
+          count(when(!col("isA"), 1)).as("n_b"),
+          sum(when(col("isA"), col("vm").cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("sa"),
+          sum(when(!col("isA"), col("vm").cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("sb"))
+      val ostat = og.select(col("etype"), col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
+          .otherwise(abs((expr("sa div n_a") - expr("sb div n_b"))
+            .cast("long"))).as("obs_stat"))
+      val pa = e
+        .withColumn("p", explode(sequence(lit(0), lit(63))))
+        .withColumn("isA",
+          substring(md5(concat(col("user_id").cast("string"), lit("#"),
+            col("p").cast("string")).cast("binary")), 1, 2) < "80")
+        .groupBy(col("etype"), col("p"))
+        .agg(count(when(col("isA"), 1)).as("na"),
+          count(when(!col("isA"), 1)).as("nb"),
+          sum(when(col("isA"), col("vm").cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("sa"),
+          sum(when(!col("isA"), col("vm").cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("sb"))
+      val ps = pa.select(col("etype"),
+        when(col("na") === 0 || col("nb") === 0, lit(null).cast("long"))
+          .otherwise(abs((expr("sa div na") - expr("sb div nb"))
+            .cast("long"))).as("stat"))
+      val cnt = ps.join(broadcast(ostat.select(col("etype"),
+          col("obs_stat"))), "etype")
+        .groupBy(col("etype"))
+        .agg(sum(when(col("stat") >= col("obs_stat"), 1L).otherwise(0L))
+          .cast("long").as("ge"))
+      ostat.join(broadcast(cnt), "etype")
+        .select(col("etype"), col("n_a"), col("n_b"), col("obs_stat"),
+          when(col("obs_stat").isNull, lit(null).cast("double"))
+            .otherwise(round((lit(1.0) + col("ge")) / 65.0, 6))
+            .as("p_value"))
+        .orderBy(col("etype"))
+    },
+
+    // ---- Kaplan–Meier retention curve: the product-limit estimate of
+    //      "a user is still active after t hours", with users whose
+    //      last event sits inside the final 24 h CENSORED (they are
+    //      not churned — we just stopped looking; dropping them would
+    //      bias retention down, counting them as churned would bias
+    //      it up; KM is the estimator that gets this right). A user's
+    //      lifetime is last−first event in whole hours (exact integer
+    //      micros div). At-risk counts come from the duration SUPPORT
+    //      table (O(distinct durations) post-agg rows, the q175/q193
+    //      discipline) via a cumulative window: n_risk(t) = N − #{dur
+    //      < t}. The survival product runs in LOG space with each
+    //      factor QUANTIZED to integer nanos first — ln is per-row
+    //      (the q90 libm exposure), but the running SUM is integer,
+    //      so no float-accumulation order can diverge across engines
+    //      (a windowed double sum may associate differently; an
+    //      integer sum cannot). A step where everyone at risk dies
+    //      yields survival exactly 0 (it is necessarily the last
+    //      step). No deaths ⇒ empty curve (DegenerateInputSpec). ----
+    QueryDef.sql("q198_kaplan_meier",
+      """WITH u AS (SELECT user_id,
+        |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000
+        |      AS BIGINT) AS dur,
+        |    epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id),
+        |hz AS (SELECT max(last_us) AS h FROM u),
+        |lab AS (SELECT u.dur,
+        |    CASE WHEN u.last_us < hz.h - 86400000000 THEN 1 ELSE 0 END
+        |      AS death FROM u, hz),
+        |sup AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(death) AS BIGINT) AS d FROM lab GROUP BY dur),
+        |tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS nu FROM sup),
+        |cum AS (SELECT dur, n_all, d,
+        |    tot.nu - COALESCE(sum(n_all) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM sup, tot),
+        |dd AS (SELECT dur, d, n_risk,
+        |    CASE WHEN n_risk > d THEN
+        |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+        |        * 1000000000) AS BIGINT) END AS lnq
+        |  FROM cum WHERE d > 0),
+        |km AS (SELECT dur, d, n_risk,
+        |    sum(lnq) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+        |  FROM dd)
+        |SELECT dur AS t_hours, n_risk, d AS n_deaths,
+        |  CASE WHEN n_risk = d THEN 0.0
+        |    ELSE round(exp(CAST(lnsum AS DOUBLE) / 1000000000), 4) END
+        |    AS survival
+        |FROM km ORDER BY t_hours""".stripMargin) { (s, d) =>
+      // O(users) rows, checkpointed: feeds the horizon agg AND the
+      // label projection, so the corpus is scanned exactly once
+      val u = t(s, d, "events").groupBy(col("user_id"))
+        .agg(expr("CAST((unix_micros(max(ts)) - unix_micros(min(ts)))"
+          + " div 3600000000 AS BIGINT)").as("dur"),
+          unix_micros(max(col("ts"))).as("last_us"))
+        .localCheckpoint()
+      val hz = u.agg(max(col("last_us")).as("h"))
+      val sup = u.crossJoin(broadcast(hz))
+        .select(col("dur"),
+          when(col("last_us") < col("h") - 86400000000L, 1L).otherwise(0L)
+            .as("death"))
+        .groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_all"), sum(col("death")).cast("long").as("d"))
+      val tot = sup.agg(sum(col("n_all")).cast("long").as("nu"))
+      // the support table is O(distinct durations) post-agg rows — the
+      // single-partition cumulative windows run there, never on users
+      val wPrev = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = sup.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("nu") - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+        .filter(col("d") > 0)
+        .withColumn("lnq",
+          when(col("n_risk") > col("d"),
+            floor(log((col("n_risk") - col("d")).cast("double")
+              / col("n_risk")) * 1000000000).cast("long")))
+      dd.withColumn("lnsum", sum(col("lnq")).over(wCum))
+        .select(col("dur").as("t_hours"), col("n_risk"),
+          col("d").as("n_deaths"),
+          when(col("n_risk") === col("d"), lit(0.0))
+            .otherwise(round(exp(col("lnsum").cast("double")
+              / 1000000000L), 4)).as("survival"))
+        .orderBy(col("t_hours"))
     })
 }

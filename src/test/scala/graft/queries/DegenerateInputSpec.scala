@@ -248,6 +248,28 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"pe=1 leaves kappa undefined — must be NULL: $r")
   }
 
+  test("q197: an empty observed arm yields NULL stat and NULL p") {
+    // the shared fixture's single user hashes into arm B (md5('1')
+    // starts 'c4'), so the observed statistic — and therefore the
+    // p-value — is undefined; permutations that split the same way
+    // contribute 0 to the count, never an error
+    val rows = run("q197_permutation_test")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_a")) == 0L)
+      assert(r.isNullAt(r.fieldIndex("obs_stat")), s"obs must be NULL: $r")
+      assert(r.isNullAt(r.fieldIndex("p_value")), s"p must be NULL: $r")
+    }
+  }
+
+  test("q198: a corpus with no churned users yields an empty curve") {
+    // the shared fixture pins every event to one instant: the single
+    // user's last event IS the horizon, so it is censored — zero
+    // deaths means zero product-limit steps, never a ln(0)
+    val rows = run("q198_kaplan_meier")
+    assert(rows.isEmpty, s"no deaths ⇒ no steps: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

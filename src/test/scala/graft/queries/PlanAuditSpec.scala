@@ -477,7 +477,20 @@ class PlanAuditSpec extends AnyFunSuite {
       // q196 = the corpus-sized (lang, source) char sum + the lang-
       // partitioned rank window exchange + the O(langs) Lorenz agg;
       // all post-agg rows from the first exchange on.
-      "q196_source_concentration" -> 3)
+      "q196_source_concentration" -> 3,
+      // q197 = the observed (etype, arm) agg + the (etype, perm) agg
+      // (map-side combined out of the 64× expansion) + the O(types·64)
+      // count agg + result sort; obs/cnt ride broadcasts.
+      "q197_permutation_test" -> 4,
+      // q198 = past the checkpointed O(users) lifetime table: the
+      // horizon agg + the duration-support agg + its total + the two
+      // single-partition cumulative windows + result sort — all on
+      // O(users) → O(distinct durations) rows; the corpus is scanned
+      // exactly once by the per-user agg before the checkpoint.
+      "q198_kaplan_meier" -> 6,
+      // q199 = the corpus-sized (source, token) count + the O(sources)
+      // richness agg + result sort.
+      "q199_chao1_richness" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
