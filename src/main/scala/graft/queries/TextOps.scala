@@ -2228,6 +2228,78 @@ object TextOps {
           expr("""CAST((CAST(f1 AS DECIMAL(38,0)) * 1000000) div n_tokens
             |  AS BIGINT)""".stripMargin).as("p_unseen_micro"))
         .orderBy(col("source"))
+    },
+
+    // ---- Mutual information between lang and source — the corpus-
+    //      composition LEAKAGE audit: MI ≈ 0 means language is spread
+    //      independently across feeds; MI near H(lang) means feeds ARE
+    //      languages, so any per-source split silently becomes a
+    //      per-language split (and a "held-out source" eval leaks
+    //      nothing it was supposed to). Follows q190's quantized-ln
+    //      discipline exactly: each cell's log-ratio is a per-row ln
+    //      on exact integer counts rounded to integer micro-nats, the
+    //      p-weighted sums are DECIMAL(38,0) — the only floats are
+    //      per-row ln and the final three divisions. The contingency
+    //      table is O(langs·sources) cells off ONE corpus exchange;
+    //      H(lang) and H(source) come from the same cell table's
+    //      marginals, giving MI its scale (0 ≤ MI ≤ min(H)). ----
+    QueryDef.sql("q201_lang_source_mi",
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM documents GROUP BY lang, source),
+        |rl AS (SELECT lang, CAST(sum(cxy) AS BIGINT) AS rx
+        |  FROM c GROUP BY lang),
+        |cs AS (SELECT source, CAST(sum(cxy) AS BIGINT) AS cy
+        |  FROM c GROUP BY source),
+        |nn AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM c),
+        |mi AS (SELECT sum(CAST(c.cxy AS HUGEINT) *
+        |    CAST(round(ln((CAST(c.cxy AS DOUBLE) * nn.n)
+        |      / (CAST(rl.rx AS DOUBLE) * cs.cy)) * 1000000) AS BIGINT))
+        |    AS s
+        |  FROM c JOIN rl ON rl.lang = c.lang
+        |  JOIN cs ON cs.source = c.source, nn),
+        |hl AS (SELECT sum(CAST(rx AS HUGEINT) *
+        |    CAST(round(ln(CAST(nn.n AS DOUBLE) / rx) * 1000000) AS BIGINT))
+        |    AS s FROM rl, nn),
+        |hs AS (SELECT sum(CAST(cy AS HUGEINT) *
+        |    CAST(round(ln(CAST(nn.n AS DOUBLE) / cy) * 1000000) AS BIGINT))
+        |    AS s FROM cs, nn)
+        |SELECT nn.n AS n_docs,
+        |  round(CAST(mi.s AS DOUBLE) / nn.n / 1000000, 6) AS mi_nats,
+        |  round(CAST(hl.s AS DOUBLE) / nn.n / 1000000, 6) AS h_lang_nats,
+        |  round(CAST(hs.s AS DOUBLE) / nn.n / 1000000, 6) AS h_source_nats
+        |FROM nn, mi, hl, hs""".stripMargin) { (s, d) =>
+      val c = t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cxy"))
+        .localCheckpoint() // O(langs·sources) cells feed all four aggs
+      val rl = c.groupBy(col("lang")).agg(sum(col("cxy")).cast("long").as("rx"))
+      val cs = c.groupBy(col("source"))
+        .agg(sum(col("cxy")).cast("long").as("cy"))
+      val nn = c.agg(sum(col("cxy")).cast("long").as("n"))
+      val mi = c.join(broadcast(rl), "lang").join(broadcast(cs), "source")
+        .crossJoin(broadcast(nn))
+        .agg(sum(col("cxy").cast("decimal(38,0)") *
+          round(log((col("cxy").cast("double") * col("n"))
+            / (col("rx").cast("double") * col("cy"))) * 1000000)
+            .cast("long")).as("s"))
+      val hl = rl.crossJoin(broadcast(nn))
+        .agg(sum(col("rx").cast("decimal(38,0)") *
+          round(log(col("n").cast("double") / col("rx")) * 1000000)
+            .cast("long")).as("s"))
+      val hs = cs.crossJoin(broadcast(nn))
+        .agg(sum(col("cy").cast("decimal(38,0)") *
+          round(log(col("n").cast("double") / col("cy")) * 1000000)
+            .cast("long")).as("s"))
+      nn.crossJoin(broadcast(mi.select(col("s").as("mis"))))
+        .crossJoin(broadcast(hl.select(col("s").as("hls"))))
+        .crossJoin(broadcast(hs.select(col("s").as("hss"))))
+        .select(col("n").as("n_docs"),
+          round(col("mis").cast("double") / col("n") / 1000000, 6)
+            .as("mi_nats"),
+          round(col("hls").cast("double") / col("n") / 1000000, 6)
+            .as("h_lang_nats"),
+          round(col("hss").cast("double") / col("n") / 1000000, 6)
+            .as("h_source_nats"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

@@ -1512,5 +1512,151 @@ object TrainingOps {
             .otherwise(round(exp(col("lnsum").cast("double")
               / 1000000000L), 4)).as("survival"))
         .orderBy(col("t_hours"))
+    },
+
+    // ---- Benford first-digit audit: the fraud/instrumentation-bug
+    //      forensic — organically-generated magnitudes follow
+    //      P(d) = log10(1+1/d); a feed whose values were synthesized,
+    //      truncated, or unit-mangled shows up as a fat χ² before any
+    //      model ever trains on it. The first digit comes off the
+    //      INTEGER micro value's string form (long→string is stable
+    //      cross-engine; a double's text form is not). Each digit
+    //      cell's χ² contribution is computed per-row in one fixed
+    //      float op order against the shared log10 literal and
+    //      immediately floored to integer micro — the per-type total
+    //      is then an INTEGER window sum, so no 9-term float-add
+    //      association can diverge. Zero-count digits enter through
+    //      the dense digit spine (LEFT JOIN), contributing their full
+    //      expected mass. O(types·9) rows past the digit count. ----
+    QueryDef.sql("q200_benford_audit",
+      """WITH v AS (SELECT event_type AS etype,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events
+        |  WHERE floor(value * 1000000) > 0),
+        |dg AS (SELECT etype,
+        |    CAST(substring(CAST(vm AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM v),
+        |o AS (SELECT etype, digit, CAST(count(*) AS BIGINT) AS obs
+        |  FROM dg GROUP BY etype, digit),
+        |n AS (SELECT etype, CAST(sum(obs) AS BIGINT) AS n
+        |  FROM o GROUP BY etype),
+        |ben AS (SELECT unnest(range(1, 10)) AS digit),
+        |ex AS (SELECT n.etype, ben.digit, n.n,
+        |    log10(1.0 + 1.0 / ben.digit) AS p FROM n, ben),
+        |j AS (SELECT ex.etype, ex.digit, COALESCE(o.obs, 0) AS obs,
+        |    CAST(floor(ex.n * ex.p * 1000000) AS BIGINT) AS exp_micro,
+        |    CAST(floor((COALESCE(o.obs, 0) - ex.n * ex.p)
+        |      * (COALESCE(o.obs, 0) - ex.n * ex.p) / (ex.n * ex.p)
+        |      * 1000000) AS BIGINT) AS contrib_micro
+        |  FROM ex LEFT JOIN o ON o.etype = ex.etype AND o.digit = ex.digit)
+        |SELECT etype, CAST(digit AS INTEGER) AS digit, obs, exp_micro,
+        |  contrib_micro,
+        |  CAST(sum(contrib_micro) OVER (PARTITION BY etype) AS BIGINT)
+        |    AS chi2_micro
+        |FROM j ORDER BY etype, digit""".stripMargin) { (s, d) =>
+      val o = t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          floor(col("value") * 1000000).cast("long").as("vm"))
+        .filter(col("vm") > 0)
+        .select(col("etype"),
+          substring(col("vm").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("etype"), col("digit"))
+        .agg(count(lit(1)).as("obs"))
+      val n = o.groupBy(col("etype")).agg(sum(col("obs")).cast("long").as("n"))
+      val ex = n.select(col("etype"), col("n"),
+          explode(sequence(lit(1), lit(9))).as("digit"))
+        .withColumn("p", log10(lit(1.0) + lit(1.0) / col("digit")))
+      val j = ex.join(o, Seq("etype", "digit"), "left")
+        .select(col("etype"), col("digit"),
+          coalesce(col("obs"), lit(0L)).as("obs"),
+          floor(col("n") * col("p") * 1000000).cast("long").as("exp_micro"),
+          floor((coalesce(col("obs"), lit(0L)) - col("n") * col("p"))
+            * (coalesce(col("obs"), lit(0L)) - col("n") * col("p"))
+            / (col("n") * col("p")) * 1000000).cast("long")
+            .as("contrib_micro"))
+      j.withColumn("chi2_micro",
+          sum(col("contrib_micro"))
+            .over(Window.partitionBy(col("etype"))).cast("long"))
+        .select(col("etype"), col("digit"), col("obs"), col("exp_micro"),
+          col("contrib_micro"), col("chi2_micro"))
+        .orderBy(col("etype"), col("digit"))
+    },
+
+    // ---- Neyman allocation: design the stratified eval sample that
+    //      minimizes the variance of the estimated mean — n_h ∝
+    //      N_h·S_h, so big AND noisy strata get the budget (equal or
+    //      proportional allocation wastes draws on homogeneous feeds).
+    //      The weight is one sqrt of an exact integer:
+    //      N_h·S_h = sqrt(N_h·Σx² − (Σx)²) — moments ride
+    //      DECIMAL(38,0), and IEEE sqrt is CORRECTLY ROUNDED (unlike
+    //      ln/exp), so floor(sqrt(·)) is bit-identical cross-engine.
+    //      The B=10 000 budget then apportions by LARGEST REMAINDER:
+    //      base = B·w div W, the B−Σbase leftovers go to the largest
+    //      remainders (rank window over O(strata) rows, source
+    //      tie-break) — Σ alloc = B EXACTLY, no float rounding can
+    //      leak a unit. All-zero weights (every stratum variance-free)
+    //      degenerate to PROPORTIONAL allocation — Neyman's own limit
+    //      at equal variances, and the divisor stays nonzero. Output
+    //      is all integers. ----
+    QueryDef.sql("q202_neyman_allocation",
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pop,
+        |    sum(CAST(n_chars AS HUGEINT)) AS sx,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_pop,
+        |    CAST(floor(sqrt(CAST(n_pop * sxx - sx * sx AS DOUBLE)))
+        |      AS BIGINT) AS wgt FROM st),
+        |tw AS (SELECT CAST(sum(wgt) AS BIGINT) AS tot,
+        |    CAST(sum(n_pop) AS BIGINT) AS totn FROM w),
+        |eff AS (SELECT w.source, w.n_pop, w.wgt,
+        |    CASE WHEN tw.tot = 0 THEN w.n_pop ELSE w.wgt END AS we,
+        |    CASE WHEN tw.tot = 0 THEN tw.totn ELSE tw.tot END AS te
+        |  FROM w, tw),
+        |base AS (SELECT source, n_pop, wgt,
+        |    CAST(10000 * CAST(we AS HUGEINT) // te AS BIGINT) AS alloc0,
+        |    CAST(10000 * CAST(we AS HUGEINT) % te AS BIGINT) AS rem
+        |  FROM eff),
+        |lo AS (SELECT CAST(10000 - sum(alloc0) AS BIGINT) AS left_over
+        |  FROM base),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |    AS BIGINT) AS rr FROM base)
+        |SELECT rk.source, rk.n_pop, rk.wgt,
+        |  CAST(rk.alloc0 + CASE WHEN rk.rr <= lo.left_over THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM rk, lo ORDER BY rk.source""".stripMargin) { (s, d) =>
+      val w = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pop"),
+          sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+          sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+            .as("sxx"))
+        .select(col("source"), col("n_pop"),
+          floor(sqrt((col("n_pop") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))).cast("long").as("wgt"))
+      val tw = w.agg(sum(col("wgt")).cast("long").as("tot"),
+        sum(col("n_pop")).cast("long").as("totn"))
+      // all-zero weights (every stratum variance-free) degenerate
+      // Neyman to PROPORTIONAL allocation — the mathematically right
+      // fallback, and it keeps the divisor nonzero on both engines
+      val base = w.crossJoin(broadcast(tw))
+        .withColumn("we", when(col("tot") === 0, col("n_pop"))
+          .otherwise(col("wgt")))
+        .withColumn("te", when(col("tot") === 0, col("totn"))
+          .otherwise(col("tot")))
+        .select(col("source"), col("n_pop"), col("wgt"),
+          expr("CAST((10000 * CAST(we AS DECIMAL(38,0))) div te AS BIGINT)")
+            .as("alloc0"),
+          expr("CAST((10000 * CAST(we AS DECIMAL(38,0))) % te AS BIGINT)")
+            .as("rem"))
+        .localCheckpoint() // O(strata) rows feed the leftover agg + rank
+      val lo = base.agg((lit(10000L) - sum(col("alloc0"))).cast("long")
+        .as("left_over"))
+      val rk = base.withColumn("rr",
+        row_number().over(Window.orderBy(col("rem").desc, col("source")))
+          .cast("long"))
+      rk.crossJoin(broadcast(lo))
+        .select(col("source"), col("n_pop"), col("wgt"),
+          (col("alloc0") + when(col("rr") <= col("left_over"), 1L)
+            .otherwise(0L)).cast("long").as("alloc"))
+        .orderBy(col("source"))
     })
 }

@@ -270,6 +270,48 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(rows.isEmpty, s"no deaths ⇒ no steps: ${rows.toSeq}")
   }
 
+  test("q200: an all-nonpositive value column yields an empty audit") {
+    // separate fixture: every value is 0, so no row has a first digit
+    // — the audit is empty, never a log-of-zero or a 0/0 cell
+    val tmp = Files.createTempDirectory("degen200").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.withColumn("value", lit(0.0).cast(ev.schema("value").dataType))
+      .write.parquet(s"$d2/events.parquet")
+    val rows = SparkEntry.queries("q200_benford_audit")(spark, d2).collect()
+    assert(rows.isEmpty, s"no positive values ⇒ no digits: ${rows.toSeq}")
+  }
+
+  test("q201: a single-source corpus has MI 0 and H(source) 0") {
+    // the shared fixture's one feed makes source a constant: zero
+    // entropy, zero information shared with lang — exact zeros, not
+    // NaNs (every ln argument is exactly 1)
+    val r = run("q201_lang_source_mi")(0)
+    assert(r.getDouble(r.fieldIndex("mi_nats")) == 0.0, s"mi: $r")
+    assert(r.getDouble(r.fieldIndex("h_source_nats")) == 0.0, s"hs: $r")
+    assert(r.getDouble(r.fieldIndex("h_lang_nats")) > 0.0, s"hl: $r")
+  }
+
+  test("q202: variance-free strata fall back to proportional shares") {
+    // separate fixture: n_chars constant, so every Neyman weight is 0
+    // — the divisor guard swaps in proportional allocation and the
+    // budget still lands exactly
+    val tmp = Files.createTempDirectory("degen202").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("n_chars", lit(100L).cast(docs.schema("n_chars").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q202_neyman_allocation")(spark, d2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("wgt")) == 0L, s"wgt must be 0: $r")
+    }
+    assert(rows.map(r => r.getLong(r.fieldIndex("alloc"))).sum == 10000L,
+      "the budget must still apportion exactly")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

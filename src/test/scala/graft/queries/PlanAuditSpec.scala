@@ -490,7 +490,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "q198_kaplan_meier" -> 6,
       // q199 = the corpus-sized (source, token) count + the O(sources)
       // richness agg + result sort.
-      "q199_chao1_richness" -> 3)
+      "q199_chao1_richness" -> 3,
+      // q200 = the corpus-sized (etype, digit) count + the O(types)
+      // total agg + the O(types·9) chi² window + result sort; the
+      // digit spine joins broadcast.
+      "q200_benford_audit" -> 4,
+      // q201 = every exchange past the checkpointed O(langs·sources)
+      // cell table: the two marginal aggs + the total + the three
+      // quantized-ln sum aggs and their single-partition finals —
+      // all on cell/marginal-sized rows; the corpus is touched once
+      // by the cell count before the checkpoint.
+      "q201_lang_source_mi" -> 11,
+      // q202 = the corpus-sized per-stratum moment agg + the visible
+      // tail past the checkpointed O(strata) base table (total agg +
+      // remainder rank + sort fold in).
+      "q202_neyman_allocation" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
