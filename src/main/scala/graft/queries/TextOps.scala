@@ -2300,6 +2300,84 @@ object TextOps {
             .as("h_lang_nats"),
           round(col("hss").cast("double") / col("n") / 1000000, 6)
             .as("h_source_nats"))
+    },
+
+    // ---- Bigram conditional entropy per source — H(next | current) =
+    //      H(joint) − H(marginal): the PREDICTABILITY of each feed.
+    //      A template/boilerplate generator has low conditional
+    //      entropy (the next token is nearly determined); organic
+    //      prose sits high — this catches machine-generated feeds
+    //      that per-document repetition scores (q121) miss because
+    //      the repetition is ACROSS documents. q190's quantized-ln
+    //      discipline: per-row ln on exact integer counts rounded to
+    //      micro-nats, DECIMAL(38,0) weighted sums, the only floats
+    //      are per-row ln and the final divisions. The marginal is
+    //      the bigram table's OWN first-token rollup (not raw
+    //      unigrams), so H_cond ≥ 0 exactly. One corpus-sized
+    //      (source, w1, w2) exchange; docs under 2 tokens contribute
+    //      nothing (guarded both engines). ----
+    QueryDef.sql("q204_bigram_entropy_rate",
+      """WITH t AS (SELECT source, string_split_regex(lower(trim(text)),
+        |    '\s+') AS toks FROM documents),
+        |bg AS (SELECT source,
+        |    unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        |    unnest(list_slice(toks, 2, len(toks))) AS w2 FROM t),
+        |c2 AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY source, w1, w2),
+        |c1 AS (SELECT source, w1, CAST(sum(c) AS BIGINT) AS c
+        |  FROM c2 GROUP BY source, w1),
+        |n2 AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM c2 GROUP BY source),
+        |hj AS (SELECT c2.source, sum(CAST(c2.c AS HUGEINT) *
+        |    CAST(round(ln(CAST(n2.n AS DOUBLE) / c2.c) * 1000000)
+        |      AS BIGINT)) AS s
+        |  FROM c2 JOIN n2 ON n2.source = c2.source GROUP BY c2.source),
+        |hm AS (SELECT c1.source, sum(CAST(c1.c AS HUGEINT) *
+        |    CAST(round(ln(CAST(n2.n AS DOUBLE) / c1.c) * 1000000)
+        |      AS BIGINT)) AS s
+        |  FROM c1 JOIN n2 ON n2.source = c1.source GROUP BY c1.source)
+        |SELECT n2.source, n2.n AS n_bigrams,
+        |  round(CAST(hj.s AS DOUBLE) / n2.n / 1000000, 6) AS h_joint_nats,
+        |  round(CAST(hm.s AS DOUBLE) / n2.n / 1000000, 6)
+        |    AS h_marginal_nats,
+        |  round(CAST(hj.s - hm.s AS DOUBLE) / n2.n / 1000000, 6)
+        |    AS h_cond_nats
+        |FROM n2 JOIN hj ON hj.source = n2.source
+        |JOIN hm ON hm.source = n2.source
+        |ORDER BY n2.source""".stripMargin) { (s, d) =>
+      val c2 = t(s, d, "documents")
+        .select(col("source"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(toks)-2)," +
+            " i -> struct(toks[i] as w1, toks[i+1] as w2))")).as("b"))
+        .groupBy(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // the bigram-TYPE table feeds all three sums
+      val c1 = c2.groupBy(col("source"), col("w1"))
+        .agg(sum(col("c")).cast("long").as("c"))
+      val n2 = c2.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n"))
+      def hsum(tab: org.apache.spark.sql.DataFrame) =
+        tab.join(broadcast(n2), "source")
+          .groupBy(col("source"))
+          .agg(sum(col("c").cast("decimal(38,0)") *
+            round(log(col("n").cast("double") / col("c")) * 1000000)
+              .cast("long")).as("s"))
+      val hj = hsum(c2.select(col("source"), col("c")))
+      val hm = hsum(c1.select(col("source"), col("c")))
+      n2.join(broadcast(hj.select(col("source"), col("s").as("sj"))), "source")
+        .join(broadcast(hm.select(col("source"), col("s").as("sm"))),
+          "source")
+        .select(col("source"), col("n").as("n_bigrams"),
+          round(col("sj").cast("double") / col("n") / 1000000, 6)
+            .as("h_joint_nats"),
+          round(col("sm").cast("double") / col("n") / 1000000, 6)
+            .as("h_marginal_nats"),
+          round((col("sj") - col("sm")).cast("double") / col("n")
+            / 1000000, 6).as("h_cond_nats"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

@@ -1658,5 +1658,100 @@ object TrainingOps {
           (col("alloc0") + when(col("rr") <= col("left_over"), 1L)
             .otherwise(0L)).cast("long").as("alloc"))
         .orderBy(col("source"))
+    },
+
+    // ---- Trimmed + winsorized means: the robust per-type location
+    //      estimates a value column with fat tails needs (q203's raw
+    //      mean sits ~10% above its 5%-trimmed twin on this corpus —
+    //      exactly the gap outliers carve). All EXACT integers via the
+    //      value SUPPORT table: per (type, value) counts carry
+    //      [lo, hi] rank ranges from one cumulative window, the kept
+    //      mass per value is interval arithmetic
+    //      max(0, min(hi, n−k) − max(lo, k+1) + 1), and the two
+    //      winsor boundary values are the rows whose rank range covers
+    //      k+1 / n−k — no per-row sort-and-slice of N values, and the
+    //      windows PARTITION BY type (parallel across types; within a
+    //      type the support is O(distinct micro values) — for a
+    //      genuinely continuous column at extreme scale, pair with
+    //      q65's approx thresholds). k = n div 20 per tail; n=1 ⇒
+    //      k=0 ⇒ all three means coincide (no guard needed — the
+    //      kept interval is never empty). ----
+    QueryDef.sql("q203_trimmed_winsor_mean",
+      """WITH v AS (SELECT event_type AS etype,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |sup AS (SELECT etype, vm, CAST(count(*) AS BIGINT) AS c
+        |  FROM v GROUP BY etype, vm),
+        |cum AS (SELECT etype, vm, c,
+        |    sum(c) OVER (PARTITION BY etype ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+        |    sum(c) OVER (PARTITION BY etype ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
+        |      AS lo
+        |  FROM sup),
+        |nn AS (SELECT etype, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(vm AS HUGEINT) * c) AS s FROM sup GROUP BY etype),
+        |kk AS (SELECT etype, n, s, n // 20 AS k FROM nn),
+        |kept AS (SELECT c.etype, kk.n, kk.k, kk.s,
+        |    greatest(0, least(c.hi, kk.n - kk.k)
+        |      - greatest(c.lo, kk.k + 1) + 1) AS nc, c.vm
+        |  FROM cum c JOIN kk ON kk.etype = c.etype),
+        |tr AS (SELECT etype, max(n) AS n, max(k) AS k, max(s) AS s,
+        |    sum(CAST(vm AS HUGEINT) * nc) AS ts,
+        |    CAST(sum(nc) AS BIGINT) AS tn
+        |  FROM kept GROUP BY etype),
+        |blo AS (SELECT c.etype, c.vm AS v_lo
+        |  FROM cum c JOIN kk ON kk.etype = c.etype
+        |  WHERE kk.k + 1 BETWEEN c.lo AND c.hi),
+        |bhi AS (SELECT c.etype, c.vm AS v_hi
+        |  FROM cum c JOIN kk ON kk.etype = c.etype
+        |  WHERE kk.n - kk.k BETWEEN c.lo AND c.hi)
+        |SELECT tr.etype, tr.n, tr.k,
+        |  CAST(CAST(tr.s AS HUGEINT) // tr.n AS BIGINT) AS mean_micro,
+        |  CAST(tr.ts // tr.tn AS BIGINT) AS trimmed_mean_micro,
+        |  CAST((tr.ts + CAST(tr.k AS HUGEINT) * blo.v_lo
+        |    + CAST(tr.k AS HUGEINT) * bhi.v_hi) // tr.n AS BIGINT)
+        |    AS winsor_mean_micro
+        |FROM tr JOIN blo ON blo.etype = tr.etype
+        |JOIN bhi ON bhi.etype = tr.etype
+        |ORDER BY tr.etype""".stripMargin) { (s, d) =>
+      val sup = t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          floor(col("value") * 1000000).cast("long").as("vm"))
+        .groupBy(col("etype"), col("vm"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // O(types·distinct values) rows feed all legs
+      val wCum = Window.partitionBy(col("etype")).orderBy(col("vm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = sup
+        .withColumn("hi", sum(col("c")).over(wCum))
+        .withColumn("lo", sum(col("c")).over(wCum) - col("c") + 1)
+      val kk = sup.groupBy(col("etype"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          sum(col("vm").cast("decimal(38,0)") * col("c")).as("s"))
+        .withColumn("k", expr("n div 20"))
+      val kept = cum.join(broadcast(kk), "etype")
+        .select(col("etype"), col("n"), col("k"), col("s"), col("vm"),
+          greatest(lit(0L), least(col("hi"), col("n") - col("k"))
+            - greatest(col("lo"), col("k") + 1) + 1).as("nc"))
+      val tr = kept.groupBy(col("etype"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+          max(col("s")).as("s"),
+          sum(col("vm").cast("decimal(38,0)") * col("nc")).as("ts"),
+          sum(col("nc")).cast("long").as("tn"))
+      val blo = cum.join(broadcast(kk), "etype")
+        .filter(col("k") + 1 >= col("lo") && col("k") + 1 <= col("hi"))
+        .select(col("etype"), col("vm").as("v_lo"))
+      val bhi = cum.join(broadcast(kk), "etype")
+        .filter(col("n") - col("k") >= col("lo")
+          && col("n") - col("k") <= col("hi"))
+        .select(col("etype"), col("vm").as("v_hi"))
+      tr.join(broadcast(blo), "etype").join(broadcast(bhi), "etype")
+        .select(col("etype"), col("n"), col("k"),
+          expr("CAST(s div n AS BIGINT)").as("mean_micro"),
+          expr("CAST(ts div tn AS BIGINT)").as("trimmed_mean_micro"),
+          expr("""CAST((ts + CAST(k AS DECIMAL(38,0)) * v_lo
+            |  + CAST(k AS DECIMAL(38,0)) * v_hi) div n AS BIGINT)"""
+            .stripMargin).as("winsor_mean_micro"))
+        .orderBy(col("etype"))
     })
 }

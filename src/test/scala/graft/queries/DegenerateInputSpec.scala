@@ -312,6 +312,40 @@ class DegenerateInputSpec extends AnyFunSuite {
       "the budget must still apportion exactly")
   }
 
+  test("q203: a constant value column makes all three means coincide") {
+    // separate fixture: value = 1.0 everywhere, so trimming and
+    // winsorizing change nothing — one support row covers every rank
+    // and the kept interval is the whole population
+    val tmp = Files.createTempDirectory("degen203").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.withColumn("value", lit(1.0).cast(ev.schema("value").dataType))
+      .write.parquet(s"$d2/events.parquet")
+    val rows =
+      SparkEntry.queries("q203_trimmed_winsor_mean")(spark, d2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("mean_micro")) == 1000000L)
+      assert(r.getLong(r.fieldIndex("trimmed_mean_micro")) == 1000000L)
+      assert(r.getLong(r.fieldIndex("winsor_mean_micro")) == 1000000L)
+    }
+  }
+
+  test("q204: a one-token corpus has no bigrams and an empty table") {
+    // reuse the q185-style fixture: every document is one token, so
+    // no (w1, w2) pair exists — empty output, never a ln(0) or 0/0
+    val tmp = Files.createTempDirectory("degen204").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("text", lit("x").cast(docs.schema("text").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val rows =
+      SparkEntry.queries("q204_bigram_entropy_rate")(spark, d2).collect()
+    assert(rows.isEmpty, s"one-token docs yield no bigrams: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -504,7 +504,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // q202 = the corpus-sized per-stratum moment agg + the visible
       // tail past the checkpointed O(strata) base table (total agg +
       // remainder rank + sort fold in).
-      "q202_neyman_allocation" -> 2)
+      "q202_neyman_allocation" -> 2,
+      // q203 = past the checkpointed (etype, value) support: the
+      // type-partitioned cum window + the kk moment agg + the kept
+      // agg + the two boundary probes' window reuse + result sort —
+      // all on support-sized rows; the corpus is touched once by the
+      // support count before the checkpoint.
+      "q203_trimmed_winsor_mean" -> 7,
+      // q204 = past the checkpointed (source, w1, w2) bigram-type
+      // table: the c1 rollup + n2 + the two quantized-ln sum aggs +
+      // result sort; the corpus-sized bigram explode pays exactly one
+      // exchange before the checkpoint.
+      "q204_bigram_entropy_rate" -> 7)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
