@@ -1091,6 +1091,48 @@ object LakeOps {
             .otherwise(round(col("nk").cast("double")
               / col("d2").cast("double"), 6)).as("acf"))
         .orderBy(col("etype"), col("lag"))
+    },
+
+    // ---- Streaming twin of the q200 Benford audit (the q145/q181
+    //      discipline applied to forensics): the (type, digit) counts
+    //      fold INCREMENTALLY over the event feed — a plain
+    //      associative complete-mode aggregation whose state is
+    //      O(types·9) rows FOREVER — and the χ² assembly runs AT READ
+    //      off the folded table through the SHARED benfordTail, so
+    //      batch and stream cannot drift. This is the operational
+    //      form: the fraud monitor watches digits as events arrive,
+    //      not in a nightly batch. Oracle = q200's oracle verbatim;
+    //      the green hash proves stream ≡ batch. ----
+    QueryDef.sql("q205_stream_benford",
+      TrainingOps.queries.find(_.name == "q200_benford_audit").get
+        .oracle.get) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "evvalfeed",
+        idCol = "event_id", checkSpan = false)(ev)
+      val sink = graft.bench.BenchFeeds.sinkName("q205_benford")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(col("event_type").as("etype"),
+            floor(col("value") * 1000000).cast("long").as("vm"))
+          .filter(col("vm") > 0)
+          .select(col("etype"),
+            substring(col("vm").cast("string"), 1, 1).cast("int")
+              .as("digit"))
+          .groupBy(col("etype"), col("digit"))
+          .agg(count(lit(1)).as("obs"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // checkpoint snapshots the memory sink AND breaks the lineage so
+      // the tail's n-rollup⋈counts self-join resolves unambiguously
+      TrainingOps.benfordTail(
+        s.table(sink).select(col("etype"), col("digit"),
+          col("obs").cast("long").as("obs")).localCheckpoint())
     }
   )
 }

@@ -2378,6 +2378,86 @@ object TextOps {
           round((col("sj") - col("sm")).cast("double") / col("n")
             / 1000000, 6).as("h_cond_nats"))
         .orderBy(col("source"))
+    },
+
+    // ---- Exact 1-D Wasserstein (earth-mover) distance between each
+    //      source's length distribution and the POOLED corpus — the
+    //      drift metric with UNITS (characters of mass movement),
+    //      where KL (q190) is unitless and explodes on disjoint
+    //      support. W₁ = ∫|F_s − F_pool| over the pooled support:
+    //      both CDFs are step functions changing only at support
+    //      points, so the integral is EXACT integer arithmetic —
+    //      |cum_s·N − cum_p·n_s|·gap summed per support interval,
+    //      one division at the end (micro-chars). The grid is
+    //      O(sources·|support|) rows (n_chars is integer-valued and
+    //      bounded by max doc length — the support does NOT grow with
+    //      corpus rows); its CDF windows PARTITION BY source. For an
+    //      unbounded-support column, bucket first (q72's histogram
+    //      discipline). ----
+    QueryDef.sql("q206_wasserstein_drift",
+      """WITH ss AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT)
+        |    AS c FROM documents GROUP BY source, n_chars),
+        |ps AS (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM ss GROUP BY v),
+        |pc AS (SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p
+        |  FROM ps),
+        |np AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ps),
+        |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM ss
+        |  GROUP BY source),
+        |grid AS (SELECT nsrc.source, pc.v, pc.cum_p FROM nsrc, pc),
+        |gs AS (SELECT g.source, g.v, g.cum_p,
+        |    sum(COALESCE(ss.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+        |    lead(g.v) OVER (PARTITION BY g.source ORDER BY g.v) AS v_next
+        |  FROM grid g LEFT JOIN ss ON ss.source = g.source AND ss.v = g.v),
+        |term AS (SELECT gs.source,
+        |    sum(abs(CAST(gs.cum_s AS HUGEINT) * np.n
+        |      - CAST(gs.cum_p AS HUGEINT) * nsrc.n_s)
+        |      * (gs.v_next - gs.v)) AS num
+        |  FROM gs JOIN nsrc ON nsrc.source = gs.source, np
+        |  WHERE gs.v_next IS NOT NULL GROUP BY gs.source)
+        |SELECT nsrc.source, nsrc.n_s,
+        |  CAST(COALESCE(term.num, 0) * 1000000
+        |    // (CAST(nsrc.n_s AS HUGEINT) * np.n) AS BIGINT)
+        |    AS w1_micro_chars
+        |FROM nsrc LEFT JOIN term ON term.source = nsrc.source, np
+        |ORDER BY nsrc.source""".stripMargin) { (s, d) =>
+      val ss = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // O(sources·|support|) rows feed every leg
+      val wP = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val pc = ss.groupBy(col("v")).agg(sum(col("c")).cast("long").as("c"))
+        .withColumn("cum_p", sum(col("c")).over(wP))
+        .select(col("v"), col("cum_p"))
+      val np = ss.agg(sum(col("c")).cast("long").as("n"))
+      val nsrc = ss.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_s"))
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("v"))
+      val wSc = wS.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val gs = nsrc.select(col("source")).crossJoin(broadcast(pc))
+        .join(ss, Seq("source", "v"), "left")
+        .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(wSc))
+        .withColumn("v_next", lead(col("v"), 1).over(wS))
+      val term = gs.filter(col("v_next").isNotNull)
+        .join(broadcast(nsrc), "source").crossJoin(broadcast(np))
+        .groupBy(col("source"))
+        .agg(sum(abs(col("cum_s").cast("decimal(38,0)") * col("n")
+            - col("cum_p").cast("decimal(38,0)") * col("n_s"))
+          * (col("v_next") - col("v"))).as("num"))
+      nsrc.join(broadcast(term), Seq("source"), "left")
+        .crossJoin(broadcast(np))
+        .select(col("source"), col("n_s"),
+          expr("""CAST((COALESCE(num, 0) * 1000000)
+            |  div (CAST(n_s AS DECIMAL(38,0)) * n) AS BIGINT)"""
+            .stripMargin).as("w1_micro_chars"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

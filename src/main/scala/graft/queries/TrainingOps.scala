@@ -19,6 +19,32 @@ object TrainingOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** The q200 Benford χ² assembly from a (etype, digit, obs) count
+    * table — shared by the q205 STREAMING twin so batch and stream
+    * can never drift: dense digit spine, per-cell contribution
+    * floored to integer micro in one fixed float op order, per-type
+    * total as an INTEGER window sum. */
+  private[queries] def benfordTail(o: DataFrame): DataFrame = {
+    val n = o.groupBy(col("etype")).agg(sum(col("obs")).cast("long").as("n"))
+    val ex = n.select(col("etype"), col("n"),
+        explode(sequence(lit(1), lit(9))).as("digit"))
+      .withColumn("p", log10(lit(1.0) + lit(1.0) / col("digit")))
+    val j = ex.join(o, Seq("etype", "digit"), "left")
+      .select(col("etype"), col("digit"),
+        coalesce(col("obs"), lit(0L)).as("obs"),
+        floor(col("n") * col("p") * 1000000).cast("long").as("exp_micro"),
+        floor((coalesce(col("obs"), lit(0L)) - col("n") * col("p"))
+          * (coalesce(col("obs"), lit(0L)) - col("n") * col("p"))
+          / (col("n") * col("p")) * 1000000).cast("long")
+          .as("contrib_micro"))
+    j.withColumn("chi2_micro",
+        sum(col("contrib_micro"))
+          .over(Window.partitionBy(col("etype"))).cast("long"))
+      .select(col("etype"), col("digit"), col("obs"), col("exp_micro"),
+        col("contrib_micro"), col("chi2_micro"))
+      .orderBy(col("etype"), col("digit"))
+  }
+
   /** First two hex chars of md5(doc_id) — a uniform draw in [0, 256)
     * that any engine reproduces from the row alone. */
   private def hashBucket(c: org.apache.spark.sql.Column) =
@@ -1561,24 +1587,7 @@ object TrainingOps {
           substring(col("vm").cast("string"), 1, 1).cast("int").as("digit"))
         .groupBy(col("etype"), col("digit"))
         .agg(count(lit(1)).as("obs"))
-      val n = o.groupBy(col("etype")).agg(sum(col("obs")).cast("long").as("n"))
-      val ex = n.select(col("etype"), col("n"),
-          explode(sequence(lit(1), lit(9))).as("digit"))
-        .withColumn("p", log10(lit(1.0) + lit(1.0) / col("digit")))
-      val j = ex.join(o, Seq("etype", "digit"), "left")
-        .select(col("etype"), col("digit"),
-          coalesce(col("obs"), lit(0L)).as("obs"),
-          floor(col("n") * col("p") * 1000000).cast("long").as("exp_micro"),
-          floor((coalesce(col("obs"), lit(0L)) - col("n") * col("p"))
-            * (coalesce(col("obs"), lit(0L)) - col("n") * col("p"))
-            / (col("n") * col("p")) * 1000000).cast("long")
-            .as("contrib_micro"))
-      j.withColumn("chi2_micro",
-          sum(col("contrib_micro"))
-            .over(Window.partitionBy(col("etype"))).cast("long"))
-        .select(col("etype"), col("digit"), col("obs"), col("exp_micro"),
-          col("contrib_micro"), col("chi2_micro"))
-        .orderBy(col("etype"), col("digit"))
+      benfordTail(o)
     },
 
     // ---- Neyman allocation: design the stratified eval sample that

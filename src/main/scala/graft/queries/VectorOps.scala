@@ -1109,5 +1109,58 @@ object VectorOps {
               4)).as("centroid_cos"),
           round(sqrt(col("d2").cast("double")), 6).as("centroid_shift"))
         .orderBy(col("label"))
+    },
+
+    // ---- Embedding isotropy audit: anisotropy = ‖mean vector‖² /
+    //      mean ‖v‖² — the one-number health check of an embedding
+    //      space (≈0 ⇒ directions balanced; near 1 ⇒ every vector
+    //      points the same way and cosine similarity is meaningless —
+    //      the known degeneration of contextual encoders). EXACT:
+    //      each component is quantized to integer micro at the scan
+    //      (float→double→floor is deterministic), the per-dimension
+    //      sums and both norms are DECIMAL(38,0) integer arithmetic,
+    //      and the single division lands in micro units — no float
+    //      summation order anywhere. One corpus exchange keyed by
+    //      dimension (O(dim) groups, each a parallel partial sum);
+    //      everything after is O(dim) rows. ----
+    QueryDef.sql("q207_embedding_isotropy",
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS dim FROM embeddings),
+        |q AS (SELECT vec_id, dim,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qm
+        |  FROM e),
+        |sd AS (SELECT dim, sum(CAST(qm AS HUGEINT)) AS s,
+        |    sum(CAST(qm AS HUGEINT) * qm) AS s2 FROM q GROUP BY dim),
+        |nv AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+        |    CAST(count(*) // count(DISTINCT vec_id) AS BIGINT) AS d
+        |  FROM q),
+        |agg AS (SELECT sum(s * s) AS s_norm2, sum(s2) AS sum_norm2
+        |  FROM sd)
+        |SELECT nv.n AS n_vecs, nv.d AS dim,
+        |  CASE WHEN agg.sum_norm2 = 0 THEN NULL
+        |    ELSE CAST(agg.s_norm2 * 1000000 // (nv.n * agg.sum_norm2)
+        |      AS BIGINT) END AS anisotropy_micro
+        |FROM nv, agg""".stripMargin) { (s, d) =>
+      val q = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("qm"))
+        .localCheckpoint() // feeds the dim sums and the size agg
+      val sd = q.groupBy(col("dim"))
+        .agg(sum(col("qm").cast("decimal(38,0)")).as("s"),
+          sum(col("qm").cast("decimal(38,0)") * col("qm")).as("s2"))
+      val nv = q.agg(countDistinct(col("vec_id")).as("nd"),
+          count(lit(1)).as("nr"))
+        .select(col("nd").cast("long").as("n"),
+          expr("CAST(nr div nd AS BIGINT)").as("d"))
+      val agg = sd.agg(sum(col("s") * col("s")).as("s_norm2"),
+        sum(col("s2")).as("sum_norm2"))
+      nv.crossJoin(broadcast(agg))
+        .select(col("n").as("n_vecs"), col("d").as("dim"),
+          when(col("sum_norm2") === 0, lit(null).cast("long"))
+            .otherwise(expr("""CAST((s_norm2 * 1000000)
+              |  div (CAST(n AS DECIMAL(38,0)) * sum_norm2) AS BIGINT)"""
+              .stripMargin)).as("anisotropy_micro"))
     })
 }

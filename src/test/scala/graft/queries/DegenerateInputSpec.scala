@@ -346,6 +346,35 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(rows.isEmpty, s"one-token docs yield no bigrams: ${rows.toSeq}")
   }
 
+  test("q206: a single-source corpus has exactly zero drift") {
+    // the shared fixture's one feed IS the pooled distribution, so
+    // every |F_s − F_pool| gap is exactly 0 — integer-exact zero,
+    // not a rounding-small float
+    val rows = run("q206_wasserstein_drift")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("w1_micro_chars")) == 0L, s"w1: $r")
+    }
+  }
+
+  test("q207: an all-zero embedding table yields NULL anisotropy") {
+    // separate fixture: every vector is the zero vector — both norms
+    // are 0 and the ratio is undefined; the guard must emit NULL,
+    // never a div-by-zero error or a 0/0 artifact
+    val tmp = Files.createTempDirectory("degen207").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.withColumn("embedding",
+        expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+          .cast(emb.schema("embedding").dataType))
+      .write.parquet(s"$d2/embeddings.parquet")
+    val r = SparkEntry.queries("q207_embedding_isotropy")(spark, d2)
+      .collect()(0)
+    assert(r.isNullAt(r.fieldIndex("anisotropy_micro")),
+      s"0/0 must be NULL: $r")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -515,7 +515,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // table: the c1 rollup + n2 + the two quantized-ln sum aggs +
       // result sort; the corpus-sized bigram explode pays exactly one
       // exchange before the checkpoint.
-      "q204_bigram_entropy_rate" -> 7)
+      "q204_bigram_entropy_rate" -> 7,
+      // q206 = past the checkpointed (source, value) support: the
+      // pooled support agg + its single-partition CDF window + the
+      // total/size aggs + the source-PARTITIONED grid windows + the
+      // term agg + result sort — all on O(sources·|support|) rows;
+      // the corpus pays exactly one exchange before the checkpoint.
+      "q206_wasserstein_drift" -> 8,
+      // q207 = past the checkpointed (vec, dim) quantized stream: the
+      // per-dimension moment agg + the distinct-count size agg and
+      // their single-partition finals — O(dim) rows after the first
+      // exchange.
+      "q207_embedding_isotropy" -> 4)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
