@@ -809,5 +809,76 @@ object Sketches {
         .select(col("doc1"), col("doc2"), col("jaccard"))
         .dropDuplicates("doc1", "doc2")
         .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // ---- Capture–recapture dedup-recall estimate: how many near-dup
+    //      pairs exist that BOTH detectors missed — answered with NO
+    //      ground truth, the way ecologists count fish. Detector A =
+    //      the MinHash-LSH exact-verified pairs (q35's operator),
+    //      detector B = the SimHash Hamming≤3 pairs (q50's); treating
+    //      the two independent sketch families as two "capture"
+    //      rounds, Chapman's bias-corrected Lincoln–Petersen
+    //      N̂ = (|A|+1)(|B|+1)/(|A∩B|+1) − 1 estimates the TRUE pair
+    //      count, and m/|B|, m/|A| estimate each detector's recall.
+    //      The estimator is exact integer arithmetic (DECIMAL(38,0)
+    //      products — pair counts can be huge); both pair sets are
+    //      checkpointed so each sketch pipeline runs ONCE and the
+    //      three counts + the (doc1, doc2)-keyed intersection join
+    //      run on pair-sized rows. Empty detector ⇒ NULL recall
+    //      (Chapman itself is defined at m = 0 — that is its point).
+    //      ----
+    QueryDef.sql("q210_dedup_recall_capture",
+      s"""WITH $gramsCte,
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
+         |  FROM sh),
+         |ma AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.8),
+         |tt AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+         |    '\\s+')) AS tk FROM documents),
+         |hh AS (SELECT doc_id, ${hash60Sql("tk")} AS hv FROM tt),
+         |ll AS (SELECT doc_id, list(hv) AS hs FROM hh GROUP BY doc_id),
+         |sb AS (SELECT doc_id, CAST(list_sum(list_transform(range(60),
+         |    b -> CASE WHEN list_sum(list_transform(hs, x ->
+         |      CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS h60 FROM ll),
+         |mb AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.h60, b.h60)) <= 3),
+         |ca AS (SELECT CAST(count(*) AS BIGINT) AS a FROM ma),
+         |cb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM mb),
+         |cm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ma
+         |  JOIN mb ON ma.doc1 = mb.doc1 AND ma.doc2 = mb.doc2)
+         |SELECT ca.a AS n_minhash, cb.b AS n_simhash, cm.m AS n_both,
+         |  CAST((CAST(ca.a AS HUGEINT) + 1) * (cb.b + 1) // (cm.m + 1) - 1
+         |    AS BIGINT) AS chapman_est,
+         |  CASE WHEN cb.b = 0 THEN NULL
+         |    ELSE CAST(CAST(cm.m AS HUGEINT) * 1000000 // cb.b AS BIGINT)
+         |    END AS recall_minhash_micro,
+         |  CASE WHEN ca.a = 0 THEN NULL
+         |    ELSE CAST(CAST(cm.m AS HUGEINT) * 1000000 // ca.a AS BIGINT)
+         |    END AS recall_simhash_micro
+         |FROM ca, cb, cm""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val a = minHashPairs(docs, 0.8).select(col("doc1"), col("doc2"))
+        .localCheckpoint()
+      val b = simHashPairs(docs, 3).select(col("doc1"), col("doc2"))
+        .localCheckpoint()
+      val ca = a.agg(count(lit(1)).as("a"))
+      val cb = b.agg(count(lit(1)).as("b"))
+      val cm = a.join(b, Seq("doc1", "doc2")).agg(count(lit(1)).as("m"))
+      ca.crossJoin(broadcast(cb)).crossJoin(broadcast(cm))
+        .select(col("a").as("n_minhash"), col("b").as("n_simhash"),
+          col("m").as("n_both"),
+          expr("""CAST((CAST(a + 1 AS DECIMAL(38,0)) * (b + 1))
+            |  div (m + 1) - 1 AS BIGINT)""".stripMargin)
+            .as("chapman_est"),
+          when(col("b") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST((CAST(m AS DECIMAL(38,0)) * 1000000)"
+              + " div b AS BIGINT)")).as("recall_minhash_micro"),
+          when(col("a") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST((CAST(m AS DECIMAL(38,0)) * 1000000)"
+              + " div a AS BIGINT)")).as("recall_simhash_micro"))
     })
 }

@@ -2458,6 +2458,116 @@ object TextOps {
             |  div (CAST(n_s AS DECIMAL(38,0)) * n) AS BIGINT)"""
             .stripMargin).as("w1_micro_chars"))
         .orderBy(col("source"))
+    },
+
+    // ---- Spearman rank correlation between the q33 quality score and
+    //      document length, per source — the "is my quality filter
+    //      just a length filter?" audit (on this corpus ρ ≈ 0.9: the
+    //      score IS largely a length proxy — exactly the confound a
+    //      curation team must know before cutting on it). Rank-based,
+    //      so it sees any monotone relation Pearson's r would
+    //      understate. EXACT: tie-averaged ranks enter DOUBLED
+    //      (lo+hi off the per-source value-support cum windows — the
+    //      q203 interval discipline, integers always), the five rank
+    //      moments are DECIMAL(38,0), and the one float is the final
+    //      r formula (q185's cross-multiplied shape) rounded 6 dp.
+    //      Either variable constant within a source ⇒ zero variance ⇒
+    //      NULL (guarded both engines). ----
+    QueryDef.sql("q208_quality_length_spearman",
+      """WITH t AS (SELECT doc_id, source, n_chars, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, n_chars,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |      / greatest(length(text), 1), 4) AS alpha_ratio,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','a','of','and','to','in','is')))
+        |      AS INTEGER) AS stop_hits
+        |  FROM t),
+        |q AS (SELECT doc_id, source, n_chars AS x,
+        |    CAST(floor(CAST(round(CAST(0.5 * alpha_ratio
+        |        + 0.3 * (1 - round(stop_hits / greatest(n_tokens, 1), 4))
+        |        + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4)
+        |      AS DOUBLE) * 1000000) AS BIGINT) AS y
+        |  FROM m),
+        |sx AS (SELECT source, x AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM q GROUP BY source, x),
+        |cx AS (SELECT source, v,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
+        |      AS lo
+        |  FROM sx),
+        |sy AS (SELECT source, y AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM q GROUP BY source, y),
+        |cy AS (SELECT source, v,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
+        |      AS lo
+        |  FROM sy),
+        |r AS (SELECT q.source, cx.lo + cx.hi AS rx, cy.lo + cy.hi AS ry
+        |  FROM q JOIN cx ON cx.source = q.source AND cx.v = q.x
+        |  JOIN cy ON cy.source = q.source AND cy.v = q.y),
+        |mo AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+        |    sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    sum(CAST(ry AS HUGEINT) * ry) AS syy,
+        |    sum(CAST(rx AS HUGEINT) * ry) AS sxy
+        |  FROM r GROUP BY source)
+        |SELECT source, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+        |    AS spearman_rho
+        |FROM mo ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val q = qualityScored(docs)
+        .select(col("doc_id"), col("n_chars").as("x"),
+          floor(col("quality_score") * 1000000).cast("long").as("y"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("x"), col("y"))
+        .localCheckpoint() // feeds both support tables and the rank join
+      def ranks(vCol: String): org.apache.spark.sql.DataFrame = {
+        val wC = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        q.groupBy(col("source"), col(vCol).as("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("hi", sum(col("c")).over(wC))
+          .withColumn("lo", sum(col("c")).over(wC) - col("c") + 1)
+          .select(col("source"), col("v"), (col("lo") + col("hi")).as("r2"))
+      }
+      val r = q
+        .join(ranks("x").select(col("source"), col("v").as("x"),
+          col("r2").as("rx")), Seq("source", "x"))
+        .join(ranks("y").select(col("source"), col("v").as("y"),
+          col("r2").as("ry")), Seq("source", "y"))
+      val mo = r.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx").cast("decimal(38,0)")).as("sx"),
+          sum(col("ry").cast("decimal(38,0)")).as("sy"),
+          sum(col("rx").cast("decimal(38,0)") * col("rx")).as("sxx"),
+          sum(col("ry").cast("decimal(38,0)") * col("ry")).as("syy"),
+          sum(col("rx").cast("decimal(38,0)") * col("ry")).as("sxy"))
+      mo.select(col("source"), col("n"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) === 0
+            || (col("n") * col("syy") - col("sy") * col("sy")) === 0,
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                    .cast("double")
+                  * (col("n") * col("syy") - col("sy") * col("sy"))
+                    .cast("double")), 6)).as("spearman_rho"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

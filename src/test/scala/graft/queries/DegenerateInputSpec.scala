@@ -375,6 +375,56 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"0/0 must be NULL: $r")
   }
 
+  test("q208: a constant-text corpus has zero rank variance, NULL rho") {
+    // every document scores identically, so the quality ranks are one
+    // big tie — zero variance on the y side must yield NULL, never a
+    // 0/0 NaN
+    val tmp = Files.createTempDirectory("degen208").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("text", lit("x").cast(docs.schema("text").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val rows =
+      SparkEntry.queries("q208_quality_length_spearman")(spark, d2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("spearman_rho")),
+        s"all-tied ranks must yield NULL: $r")
+    }
+  }
+
+  test("q209: a single-source corpus is exactly one run, ratio 1") {
+    // the shared fixture's one feed means no adjacent pair can differ:
+    // R = 1, E[R] = 1, and the mix ratio is EXACTLY 1.0 in micro —
+    // integer identities, not approximations
+    val r = run("q209_shuffle_runs_test")(0)
+    assert(r.getLong(r.fieldIndex("n_runs")) == 1L)
+    assert(r.getLong(r.fieldIndex("expected_runs_micro")) == 1000000L)
+    assert(r.getLong(r.fieldIndex("mix_ratio_micro")) == 1000000L)
+  }
+
+  test("q210: a pairless corpus has NULL recalls and Chapman 0") {
+    // separate fixture: every document is a unique single token, so
+    // neither detector fires — both recall denominators are 0 (NULL)
+    // while Chapman's +1 correction keeps ITS estimate defined at 0
+    val tmp = Files.createTempDirectory("degen210").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("text",
+        concat(lit("tok"), col("doc_id").cast("string"))
+          .cast(docs.schema("text").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("q210_dedup_recall_capture")(spark, d2)
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("n_minhash")) == 0L, s"a: $r")
+    assert(r.getLong(r.fieldIndex("n_simhash")) == 0L, s"b: $r")
+    assert(r.getLong(r.fieldIndex("chapman_est")) == 0L, s"chapman: $r")
+    assert(r.isNullAt(r.fieldIndex("recall_minhash_micro")), s"ra: $r")
+    assert(r.isNullAt(r.fieldIndex("recall_simhash_micro")), s"rb: $r")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

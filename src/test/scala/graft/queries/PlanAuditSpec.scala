@@ -526,7 +526,22 @@ class PlanAuditSpec extends AnyFunSuite {
       // per-dimension moment agg + the distinct-count size agg and
       // their single-partition finals — O(dim) rows after the first
       // exchange.
-      "q207_embedding_isotropy" -> 4)
+      "q207_embedding_isotropy" -> 4,
+      // q208 = past the checkpointed (source, x, y) projection: two
+      // support aggs + their source-partitioned cum windows + the two
+      // rank joins + the O(sources) moment agg + result sort — the
+      // corpus is scored once before the checkpoint.
+      "q208_quality_length_spearman" -> 10,
+      // q209 = past the checkpointed keyed table: the 256-bucket
+      // window scan + its global agg + the O(buckets) seam window +
+      // the source counts + the two 1-row totals — no global sort of
+      // N rows anywhere.
+      "q209_shuffle_runs_test" -> 8,
+      // q210 = the visible tail past the two checkpointed pair sets:
+      // the three counts and the (doc1, doc2) intersection join — the
+      // two sketch pipelines pay their own audited exchanges before
+      // the checkpoints.
+      "q210_dedup_recall_capture" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
