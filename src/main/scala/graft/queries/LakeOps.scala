@@ -24,6 +24,40 @@ object LakeOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Dense per-type hourly count series (etype, hidx, x) on each
+    * type's own [min, max] hour span — missing hours are REAL zeros
+    * (an occupied-hours-only series aliases gaps into the signal).
+    * Shared by q194 (ACF), q212 (seasonality), q213 (changepoint) so
+    * the series definition can never drift between the three. */
+  private def hourlySeries(events: DataFrame): DataFrame = {
+    val cnt = events.select(col("event_type").as("etype"),
+        expr("CAST(ts AS BIGINT) div 3600").as("hidx"))
+      .groupBy(col("etype"), col("hidx"))
+      .agg(count(lit(1)).as("x"))
+    cnt.groupBy(col("etype"))
+      .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+      .select(col("etype"),
+        explode(sequence(col("h0"), col("h1"))).as("hidx"))
+      .join(cnt, Seq("etype", "hidx"), "left")
+      .select(col("etype"), col("hidx"),
+        coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** DuckDB CTE twin of [[hourlySeries]]: defines `ser(etype, hidx,
+    * x)` off `events`. */
+  private val hourlySeriesCte: String =
+    """h AS (SELECT event_type AS etype,
+      |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hidx FROM events),
+      |cnt AS (SELECT etype, hidx, CAST(count(*) AS BIGINT) AS x
+      |  FROM h GROUP BY etype, hidx),
+      |bounds AS (SELECT etype, min(hidx) AS h0, max(hidx) AS h1
+      |  FROM cnt GROUP BY etype),
+      |spine AS (SELECT etype, unnest(range(h0, h1 + 1)) AS hidx
+      |  FROM bounds),
+      |ser AS (SELECT s.etype, s.hidx, COALESCE(c.x, 0) AS x
+      |  FROM spine s LEFT JOIN cnt c
+      |    ON c.etype = s.etype AND c.hidx = s.hidx)""".stripMargin
+
   /** SCD2 validity intervals from the event stream (the q141/q153
     * shape): per user, consecutive identical event-type states
     * collapse and the survivors close each other's intervals —
@@ -1027,17 +1061,7 @@ object LakeOps {
     //      a year of hourly series is 8 760 rows per type. Constant
     //      series ⇒ Σc² = 0 ⇒ NULL (guarded both engines). ----
     QueryDef.sql("q194_hourly_acf",
-      """WITH h AS (SELECT event_type AS etype,
-        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hidx FROM events),
-        |cnt AS (SELECT etype, hidx, CAST(count(*) AS BIGINT) AS x
-        |  FROM h GROUP BY etype, hidx),
-        |bounds AS (SELECT etype, min(hidx) AS h0, max(hidx) AS h1
-        |  FROM cnt GROUP BY etype),
-        |spine AS (SELECT etype, unnest(range(h0, h1 + 1)) AS hidx
-        |  FROM bounds),
-        |ser AS (SELECT s.etype, s.hidx, COALESCE(c.x, 0) AS x
-        |  FROM spine s LEFT JOIN cnt c
-        |    ON c.etype = s.etype AND c.hidx = s.hidx),
+      s"""WITH $hourlySeriesCte,
         |st AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx FROM ser GROUP BY etype),
         |cen AS (SELECT ser.etype, ser.hidx,
@@ -1056,18 +1080,7 @@ object LakeOps {
         |FROM num n JOIN den ON den.etype = n.etype
         |JOIN st ON st.etype = n.etype
         |ORDER BY n.etype, lag""".stripMargin) { (s, d) =>
-      val h = t(s, d, "events").select(col("event_type").as("etype"),
-        expr("CAST(ts AS BIGINT) div 3600").as("hidx"))
-      val cnt = h.groupBy(col("etype"), col("hidx"))
-        .agg(count(lit(1)).as("x"))
-      val bounds = cnt.groupBy(col("etype"))
-        .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
-      val ser = bounds
-        .select(col("etype"),
-          explode(sequence(col("h0"), col("h1"))).as("hidx"))
-        .join(cnt, Seq("etype", "hidx"), "left")
-        .select(col("etype"), col("hidx"),
-          coalesce(col("x"), lit(0L)).as("x"))
+      val ser = hourlySeries(t(s, d, "events"))
       val st = ser.groupBy(col("etype"))
         .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sx"))
       // the centered series is O(types·hours) — checkpointed once, it
@@ -1133,6 +1146,220 @@ object LakeOps {
       TrainingOps.benfordTail(
         s.table(sink).select(col("etype"), col("digit"),
           col("obs").cast("long").as("obs")).localCheckpoint())
+    },
+
+    // ---- Cross-correlation between event-type pairs at lags −12..+12
+    //      hours — the LEAD–LAG discovery q194's ACF can't see: a ccf
+    //      peak at lag +2 on (click, error) says errors FOLLOW click
+    //      surges by two hours, the causal breadcrumb an on-call team
+    //      wants. The two series must share ONE GLOBAL spine (per-type
+    //      spans would misalign t), so both are centered against the
+    //      same n; q194's exact-integer discipline otherwise —
+    //      n-scaled centering, DECIMAL(38,0) cross-products, the
+    //      final normalized ratio is the one float (√(Σa²·Σb²)
+    //      denominator). O(pairs·hours·lags) work past the hourly
+    //      count, never corpus rows. Either series constant ⇒ NULL
+    //      (guarded both engines). ----
+    QueryDef.sql("q211_crosscorr_leadlag",
+      """WITH h AS (SELECT event_type AS etype,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hidx FROM events),
+        |cnt AS (SELECT etype, hidx, CAST(count(*) AS BIGINT) AS x
+        |  FROM h GROUP BY etype, hidx),
+        |gb AS (SELECT min(hidx) AS h0, max(hidx) AS h1 FROM cnt),
+        |tys AS (SELECT DISTINCT etype FROM cnt),
+        |spine AS (SELECT tys.etype, unnest(range(gb.h0, gb.h1 + 1))
+        |    AS hidx FROM tys, gb),
+        |ser AS (SELECT s.etype, s.hidx, COALESCE(c.x, 0) AS x
+        |  FROM spine s LEFT JOIN cnt c
+        |    ON c.etype = s.etype AND c.hidx = s.hidx),
+        |st AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM ser GROUP BY etype),
+        |cen AS (SELECT ser.etype, ser.hidx,
+        |    CAST(st.n AS HUGEINT) * ser.x - st.sx AS c
+        |  FROM ser JOIN st ON st.etype = ser.etype),
+        |den AS (SELECT etype, sum(c * c) AS d2 FROM cen GROUP BY etype),
+        |lags AS (SELECT unnest(range(-12, 13)) AS lag),
+        |num AS (SELECT a.etype AS ta, b.etype AS tb, l.lag,
+        |    sum(a.c * b.c) AS nk
+        |  FROM cen a JOIN lags l ON true
+        |  JOIN cen b ON b.hidx = a.hidx + l.lag AND a.etype < b.etype
+        |  GROUP BY a.etype, b.etype, l.lag)
+        |SELECT n.ta, n.tb, CAST(n.lag AS INTEGER) AS lag,
+        |  CASE WHEN da.d2 = 0 OR db.d2 = 0 THEN NULL
+        |    ELSE round(CAST(n.nk AS DOUBLE)
+        |      / sqrt(CAST(da.d2 AS DOUBLE) * CAST(db.d2 AS DOUBLE)), 6)
+        |  END AS ccf
+        |FROM num n JOIN den da ON da.etype = n.ta
+        |JOIN den db ON db.etype = n.tb
+        |ORDER BY n.ta, n.tb, lag""".stripMargin) { (s, d) =>
+      val cnt = t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          expr("CAST(ts AS BIGINT) div 3600").as("hidx"))
+        .groupBy(col("etype"), col("hidx"))
+        .agg(count(lit(1)).as("x"))
+      val gb = cnt.agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+      val ser = cnt.select(col("etype")).distinct()
+        .crossJoin(broadcast(gb))
+        .select(col("etype"),
+          explode(sequence(col("h0"), col("h1"))).as("hidx"))
+        .join(cnt, Seq("etype", "hidx"), "left")
+        .select(col("etype"), col("hidx"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val st = ser.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sx"))
+      val cen = ser.join(broadcast(st), "etype")
+        .select(col("etype"), col("hidx"),
+          (col("n").cast("decimal(38,0)") * col("x") - col("sx")).as("c"))
+        .localCheckpoint() // feeds den and both legs of the lag join
+      val den = cen.groupBy(col("etype"))
+        .agg(sum(col("c") * col("c")).as("d2"))
+      val num = cen
+        .withColumn("lag", explode(sequence(lit(-12L), lit(12L)))).as("a")
+        .join(cen.as("b"),
+          col("b.hidx") === col("a.hidx") + col("a.lag")
+            && col("a.etype") < col("b.etype"))
+        .groupBy(col("a.etype").as("ta"), col("b.etype").as("tb"),
+          col("a.lag").as("lag"))
+        .agg(sum(col("a.c") * col("b.c")).as("nk"))
+      num
+        .join(broadcast(den.select(col("etype").as("ta"),
+          col("d2").as("da"))), "ta")
+        .join(broadcast(den.select(col("etype").as("tb"),
+          col("d2").as("db"))), "tb")
+        .select(col("ta"), col("tb"), col("lag").cast("int").as("lag"),
+          when(col("da") === 0 || col("db") === 0,
+            lit(null).cast("double"))
+            .otherwise(round(col("nk").cast("double")
+              / sqrt(col("da").cast("double") * col("db").cast("double")),
+              6)).as("ccf"))
+        .orderBy(col("ta"), col("tb"), col("lag"))
+    },
+
+    // ---- Seasonality strength per event type: 1 − SSE_within(hour-
+    //      of-day) / SST — the fraction of hourly variance the daily
+    //      cycle explains (the one number that says whether q194's
+    //      lag-24 peak is worth modeling). Group and total sums of
+    //      squares are exact integer moments off the SHARED
+    //      hourlySeries; each group's SSE lands in integer micro by
+    //      per-group integer division (identical op order both
+    //      engines), so the strength ratio is integer arithmetic end
+    //      to end. Constant series ⇒ SST = 0 ⇒ NULL (guarded). ----
+    QueryDef.sql("q212_seasonality_strength",
+      s"""WITH $hourlySeriesCte,
+        |hod AS (SELECT etype, hidx % 24 AS hd, x FROM ser),
+        |grp AS (SELECT etype, hd, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(x) AS BIGINT) AS s1, sum(CAST(x AS HUGEINT) * x) AS s2
+        |  FROM hod GROUP BY etype, hd),
+        |ssw AS (SELECT etype, CAST(sum((s2 * ng - CAST(s1 AS HUGEINT) * s1)
+        |    * 1000000 // ng) AS HUGEINT) AS ssew_micro
+        |  FROM grp GROUP BY etype),
+        |tot AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1, sum(CAST(x AS HUGEINT) * x) AS s2
+        |  FROM hod GROUP BY etype),
+        |sst AS (SELECT etype, n,
+        |    CAST((s2 * n - CAST(s1 AS HUGEINT) * s1) * 1000000 // n
+        |      AS HUGEINT) AS sst_micro FROM tot)
+        |SELECT sst.etype, sst.n AS n_hours,
+        |  CASE WHEN sst.sst_micro = 0 THEN NULL
+        |    ELSE CAST(1000000 - ssw.ssew_micro * 1000000 // sst.sst_micro
+        |      AS BIGINT) END AS seasonality_micro
+        |FROM sst JOIN ssw ON ssw.etype = sst.etype
+        |ORDER BY sst.etype""".stripMargin) { (s, d) =>
+      val hod = hourlySeries(t(s, d, "events"))
+        .select(col("etype"), (col("hidx") % 24).as("hd"), col("x"))
+        .localCheckpoint() // O(types·hours) rows feed both moment aggs
+      val ssw = hod.groupBy(col("etype"), col("hd"))
+        .agg(count(lit(1)).as("ng"),
+          sum(col("x")).cast("decimal(38,0)").as("s1"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
+        .groupBy(col("etype"))
+        .agg(sum(expr("(s2 * ng - s1 * s1) * 1000000 div ng"))
+          .cast("decimal(38,0)").as("ssew_micro"))
+      val sst = hod.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("s1"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
+        .select(col("etype"), col("n"),
+          expr("(s2 * n - s1 * s1) * 1000000 div n")
+            .cast("decimal(38,0)").as("sst_micro"))
+      sst.join(broadcast(ssw), "etype")
+        .select(col("etype"), col("n").as("n_hours"),
+          when(col("sst_micro") === 0, lit(null).cast("long"))
+            .otherwise(expr("""CAST(1000000 - (ssew_micro * 1000000)
+              |  div sst_micro AS BIGINT)""".stripMargin))
+            .as("seasonality_micro"))
+        .orderBy(col("etype"))
+    },
+
+    // ---- Exact single-changepoint fit per event type: the hour that
+    //      best splits the series into two level segments — q149's
+    //      CUSUM says drift EXISTS, this says WHERE and by how much
+    //      (the before/after means). Minimizing two-segment SSE ⇔
+    //      maximizing between-group sum of squares A1²/n_l + B1²/n_r
+    //      (SST is fixed), evaluated for every candidate break off
+    //      ONE cumulative window over the SHARED hourlySeries — the
+    //      score is exact integer micro (DECIMAL(38,0) numerator,
+    //      one integer division per candidate), the argmax is a rank
+    //      window with hidx tie-break, and a 24 h MINIMUM SEGMENT
+    //      keeps the known small-segment bias of the between-SS
+    //      criterion from electing a 1-point "regime". Series shorter
+    //      than 48 h ⇒ no candidates ⇒ empty (DegenerateInputSpec).
+    //      ----
+    QueryDef.sql("q213_changepoint_fit",
+      s"""WITH $hourlySeriesCte,
+        |cum AS (SELECT etype, hidx,
+        |    sum(x) OVER (PARTITION BY etype ORDER BY hidx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+        |    CAST(row_number() OVER (PARTITION BY etype ORDER BY hidx)
+        |      AS BIGINT) AS na
+        |  FROM ser),
+        |tot AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1 FROM ser GROUP BY etype),
+        |sc AS (SELECT c.etype, c.hidx, c.na, tot.n - c.na AS nb, c.a1,
+        |    tot.s1 - c.a1 AS b1,
+        |    CAST((CAST(c.a1 AS HUGEINT) * c.a1 * (tot.n - c.na)
+        |      + CAST(tot.s1 - c.a1 AS HUGEINT) * (tot.s1 - c.a1) * c.na)
+        |      * 1000000 // (CAST(c.na AS HUGEINT) * (tot.n - c.na))
+        |      AS BIGINT) AS score
+        |  FROM cum c JOIN tot ON tot.etype = c.etype
+        |  WHERE c.na >= 24 AND tot.n - c.na >= 24),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY etype
+        |    ORDER BY score DESC, hidx) AS rr FROM sc)
+        |SELECT etype, hidx AS break_hidx, na AS n_left, nb AS n_right,
+        |  CAST(CAST(a1 AS HUGEINT) * 1000000 // na AS BIGINT)
+        |    AS mean_left_micro,
+        |  CAST(CAST(b1 AS HUGEINT) * 1000000 // nb AS BIGINT)
+        |    AS mean_right_micro
+        |FROM rk WHERE rr = 1 ORDER BY etype""".stripMargin) { (s, d) =>
+      val ser = hourlySeries(t(s, d, "events"))
+      val wCum = Window.partitionBy(col("etype")).orderBy(col("hidx"))
+      val cum = ser
+        .withColumn("a1", sum(col("x"))
+          .over(wCum.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("na", row_number().over(wCum).cast("long"))
+      val tot = ser.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("s1"))
+      val sc = cum.join(broadcast(tot), "etype")
+        .filter(col("na") >= 24 && col("n") - col("na") >= 24)
+        .select(col("etype"), col("hidx"), col("na"),
+          (col("n") - col("na")).as("nb"), col("a1"),
+          (col("s1") - col("a1")).as("b1"),
+          expr("""CAST((CAST(a1 AS DECIMAL(38,0)) * a1 * (n - na)
+            |  + CAST(s1 - a1 AS DECIMAL(38,0)) * (s1 - a1) * na)
+            |  * 1000000 div (CAST(na AS DECIMAL(38,0)) * (n - na))
+            |  AS BIGINT)""".stripMargin).as("score"))
+      val wRk = Window.partitionBy(col("etype"))
+        .orderBy(col("score").desc, col("hidx"))
+      sc.withColumn("rr", row_number().over(wRk))
+        .filter(col("rr") === 1)
+        .select(col("etype"), col("hidx").as("break_hidx"),
+          col("na").as("n_left"), col("nb").as("n_right"),
+          expr("CAST((CAST(a1 AS DECIMAL(38,0)) * 1000000) div na"
+            + " AS BIGINT)").as("mean_left_micro"),
+          expr("CAST((CAST(b1 AS DECIMAL(38,0)) * 1000000) div nb"
+            + " AS BIGINT)").as("mean_right_micro"))
+        .orderBy(col("etype"))
     }
   )
 }

@@ -425,6 +425,34 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("recall_simhash_micro")), s"rb: $r")
   }
 
+  test("q211: a single-instant feed has only lag-0 rows, all NULL ccf") {
+    // the shared fixture's one-hour global spine leaves no shifted
+    // pair for lag ≠ 0, and the lag-0 centered products are all zero
+    // (n = 1 ⇒ c = 0) — the zero-variance guard must say NULL
+    val rows = run("q211_crosscorr_leadlag")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("lag")) == 0, s"only lag 0 exists: $r")
+      assert(r.isNullAt(r.fieldIndex("ccf")), s"0/0 must be NULL: $r")
+    }
+  }
+
+  test("q212: a single-hour series has zero variance, NULL strength") {
+    val rows = run("q212_seasonality_strength")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_hours")) == 1L)
+      assert(r.isNullAt(r.fieldIndex("seasonality_micro")),
+        s"SST = 0 must yield NULL: $r")
+    }
+  }
+
+  test("q213: a series shorter than two min-segments fits no break") {
+    val rows = run("q213_changepoint_fit")
+    assert(rows.isEmpty,
+      s"1 hour < 48 h of candidates ⇒ empty: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

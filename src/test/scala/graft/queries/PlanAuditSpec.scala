@@ -541,7 +541,21 @@ class PlanAuditSpec extends AnyFunSuite {
       // the three counts and the (doc1, doc2) intersection join — the
       // two sketch pipelines pay their own audited exchanges before
       // the checkpoints.
-      "q210_dedup_recall_capture" -> 5)
+      "q210_dedup_recall_capture" -> 5,
+      // q211 = the visible tail past the checkpointed centered
+      // series: the lag-join pair agg + its sort fold in via AQE;
+      // the corpus-sized hourly count and spine join pay before the
+      // checkpoint, den/st ride broadcasts.
+      "q211_crosscorr_leadlag" -> 1,
+      // q212 = the visible tail past the checkpointed hour-of-day
+      // projection (the grp/tot moment aggs coalesce over the tiny
+      // checkpoint partitions); the hourly count pays before it.
+      "q212_seasonality_strength" -> 1,
+      // q213 = the corpus-sized (etype, hour) count + the spine join
+      // + the type-partitioned cumulative/rank windows sharing one
+      // exchange with the tot agg's reuse — all O(types·hours) past
+      // the first exchange.
+      "q213_changepoint_fit" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
