@@ -880,5 +880,115 @@ object Sketches {
           when(col("a") === 0, lit(null).cast("long"))
             .otherwise(expr("CAST((CAST(m AS DECIMAL(38,0)) * 1000000)"
               + " div a AS BIGINT)")).as("recall_simhash_micro"))
+    },
+
+    // ---- Cross-source duplication matrix: where the near-dup mass
+    //      actually COMES FROM — q35's exact-verified pairs joined to
+    //      their sources, (src1 ≤ src2) cells counted. Off-diagonal
+    //      mass is mirror/scrape evidence at DOCUMENT granularity
+    //      (q189's token-set Jaccard flags shared vocabulary; this
+    //      flags shared near-verbatim documents — the stronger claim
+    //      a dedup policy acts on). The pair set is checkpointed
+    //      (pipeline runs once); the matrix is two broadcast-able
+    //      doc→source lookups and an O(sources²) count. ----
+    QueryDef.sql("q215_crosssource_dups",
+      s"""WITH $gramsCte,
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
+         |  FROM sh),
+         |ma AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.8),
+         |sp AS (SELECT least(d1.source, d2.source) AS src1,
+         |    greatest(d1.source, d2.source) AS src2
+         |  FROM ma JOIN documents d1 ON d1.doc_id = ma.doc1
+         |  JOIN documents d2 ON d2.doc_id = ma.doc2)
+         |SELECT src1, src2, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN src1 = src2 THEN 0 ELSE 1 END AS INTEGER)
+         |    AS is_cross
+         |FROM sp GROUP BY src1, src2
+         |ORDER BY src1, src2""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      minHashPairs(docs, 0.8).select(col("doc1"), col("doc2"))
+        .localCheckpoint()
+        .join(broadcast(src.withColumnRenamed("doc_id", "doc1")
+          .withColumnRenamed("source", "s1")), "doc1")
+        .join(broadcast(src.withColumnRenamed("doc_id", "doc2")
+          .withColumnRenamed("source", "s2")), "doc2")
+        .select(least(col("s1"), col("s2")).as("src1"),
+          greatest(col("s1"), col("s2")).as("src2"))
+        .groupBy(col("src1"), col("src2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          when(col("src1") === col("src2"), 0).otherwise(1)
+            .cast("int").as("is_cross"))
+        .orderBy(col("src1"), col("src2"))
+    },
+
+    // ---- CV-fold leakage audit: assign every document a
+    //      deterministic fold (md5 mod 5) and count how many
+    //      exact-verified near-dup pairs STRADDLE folds — each one
+    //      is test-set contamination that inflates eval scores. The
+    //      expected straddle fraction under hash assignment is
+    //      (n² − Σn_f²)/n² off the fold sizes (exact integers), so
+    //      the report reads as observed vs expected: near-dup pairs
+    //      straddle folds at the BASE rate unless dedup (or
+    //      group-aware folding) runs first — which is exactly the
+    //      argument for q77-style cluster-aware splits. Pair set
+    //      checkpointed; everything past it is O(pairs) + O(folds).
+    //      Zero pairs ⇒ NULL observed fraction (guarded). ----
+    QueryDef.sql("q216_fold_leakage",
+      s"""WITH $gramsCte,
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
+         |  FROM sh),
+         |ma AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.8),
+         |fd AS (SELECT doc_id,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+         |      ::BIGINT % 5 AS BIGINT) AS fold FROM documents),
+         |fs AS (SELECT fold, CAST(count(*) AS BIGINT) AS nf
+         |  FROM fd GROUP BY fold),
+         |tt AS (SELECT CAST(sum(nf) AS BIGINT) AS n,
+         |    sum(CAST(nf AS HUGEINT) * nf) AS s2 FROM fs),
+         |pc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN f1.fold <> f2.fold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_cross
+         |  FROM ma JOIN fd f1 ON f1.doc_id = ma.doc1
+         |  JOIN fd f2 ON f2.doc_id = ma.doc2)
+         |SELECT pc.n_pairs, pc.n_cross,
+         |  CASE WHEN pc.n_pairs = 0 THEN NULL
+         |    ELSE CAST(CAST(pc.n_cross AS HUGEINT) * 1000000 // pc.n_pairs
+         |      AS BIGINT) END AS cross_frac_micro,
+         |  CAST((CAST(tt.n AS HUGEINT) * tt.n - tt.s2) * 1000000
+         |    // (CAST(tt.n AS HUGEINT) * tt.n) AS BIGINT)
+         |    AS expected_frac_micro
+         |FROM pc, tt""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val fd = docs.select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 4), 16, 10).cast("long") % 5).as("fold"))
+      val fs = fd.groupBy(col("fold")).agg(count(lit(1)).as("nf"))
+      val tt = fs.agg(sum(col("nf")).cast("long").as("n"),
+        sum(col("nf").cast("decimal(38,0)") * col("nf")).as("s2"))
+      val pc = minHashPairs(docs, 0.8).select(col("doc1"), col("doc2"))
+        .localCheckpoint()
+        .join(broadcast(fd.select(col("doc_id").as("doc1"),
+          col("fold").as("f1"))), "doc1")
+        .join(broadcast(fd.select(col("doc_id").as("doc2"),
+          col("fold").as("f2"))), "doc2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("f1") =!= col("f2"), 1L).otherwise(0L))
+            .cast("long").as("n_cross"))
+      pc.crossJoin(broadcast(tt))
+        .select(col("n_pairs"), col("n_cross"),
+          when(col("n_pairs") === 0, lit(null).cast("long"))
+            .otherwise(expr("""CAST((CAST(n_cross AS DECIMAL(38,0))
+              |  * 1000000) div n_pairs AS BIGINT)""".stripMargin))
+            .as("cross_frac_micro"),
+          expr("""CAST(((CAST(n AS DECIMAL(38,0)) * n - s2) * 1000000)
+            |  div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""
+            .stripMargin).as("expected_frac_micro"))
     })
 }

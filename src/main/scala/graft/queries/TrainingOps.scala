@@ -1836,5 +1836,129 @@ object TrainingOps {
             .otherwise(expr("""CAST((CAST(runs AS DECIMAL(38,0)) * n
               |  * 1000000) div ((CAST(n AS DECIMAL(38,0)) + 1) * n - s2)
               |  AS BIGINT)""".stripMargin)).as("mix_ratio_micro"))
+    },
+
+    // ---- CUPED variance reduction: adjust each user's outcome by
+    //      their PRE-period activity — Y' = Y − θ·X with θ =
+    //      cov(X,Y)/var(X) — the standard trick that shrinks A/B
+    //      confidence intervals for free (the pre-period is already
+    //      logged). Pre = days 1–15, outcome = days 16–30, both
+    //      integer micro sums per user. θ lands in integer micro by
+    //      one exact division of DECIMAL(38,0) moments; each user's
+    //      adjustment is then an integer div — no float anywhere, so
+    //      arm means and the within-arm sum-of-squares ratio (the
+    //      reported variance reduction) hash exactly. Zero pre-period
+    //      variance degenerates θ to 0 — CUPED's own no-op limit, the
+    //      q202 fallback discipline (adjusted ≡ raw, reduction 0, no
+    //      division error). ----
+    QueryDef.sql("q214_cuped_adjustment",
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN day(ts) <= 15 THEN
+        |      CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN day(ts) > 15 THEN
+        |      CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+        |      < '80' THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM u),
+        |th AS (SELECT n, CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |    ELSE CAST((n * sxy - sx * sy) * 1000000
+        |      // (n * sxx - sx * sx) AS BIGINT) END AS theta_micro
+        |  FROM mo),
+        |adj AS (SELECT u.arm, u.y,
+        |    u.y - CAST(th.theta_micro AS HUGEINT) * u.x // 1000000 AS yp
+        |  FROM u, th),
+        |am AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(yp AS HUGEINT)) AS syp,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(yp AS HUGEINT) * yp) AS sypp
+        |  FROM adj GROUP BY arm),
+        |w AS (SELECT max(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN arm = 'A' THEN sy END) AS sya,
+        |    max(CASE WHEN arm = 'B' THEN sy END) AS syb,
+        |    max(CASE WHEN arm = 'A' THEN syp END) AS sypa,
+        |    max(CASE WHEN arm = 'B' THEN syp END) AS sypb FROM am),
+        |vv AS (SELECT
+        |    CAST(sum(CAST(n AS HUGEINT) * syy)
+        |      - sum(CAST(sy AS HUGEINT) * sy) AS HUGEINT) AS vy,
+        |    CAST(sum(CAST(n AS HUGEINT) * sypp)
+        |      - sum(CAST(syp AS HUGEINT) * syp) AS HUGEINT) AS vyp
+        |  FROM am)
+        |SELECT th.n AS n_users, th.theta_micro,
+        |  CASE WHEN w.na IS NULL OR w.nb IS NULL OR w.na = 0 OR w.nb = 0
+        |    THEN NULL
+        |    ELSE CAST(w.sya // w.na - w.syb // w.nb AS BIGINT) END
+        |    AS diff_raw_micro,
+        |  CASE WHEN w.na IS NULL OR w.nb IS NULL OR w.na = 0 OR w.nb = 0
+        |    THEN NULL
+        |    ELSE CAST(w.sypa // w.na - w.sypb // w.nb AS BIGINT) END
+        |    AS diff_cuped_micro,
+        |  CASE WHEN vv.vy = 0 THEN NULL
+        |    ELSE CAST(1000000 - vv.vyp * 1000000 // vv.vy AS BIGINT) END
+        |    AS var_reduction_micro
+        |FROM th, w, vv""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(dayofmonth(col("ts")) <= 15,
+            floor(col("value") * 1000000).cast("long")).otherwise(0L))
+            .cast("long").as("x"),
+          sum(when(dayofmonth(col("ts")) > 15,
+            floor(col("value") * 1000000).cast("long")).otherwise(0L))
+            .cast("long").as("y"))
+        .withColumn("arm",
+          when(hashBucket(col("user_id")) < "80", "A").otherwise("B"))
+        .localCheckpoint() // O(users) rows feed θ, the adjust, and arms
+      val mo = u.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      val th = mo.select(col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0, 0L)
+          .otherwise(expr("""CAST(((n * sxy - sx * sy) * 1000000)
+            |  div (n * sxx - sx * sx) AS BIGINT)""".stripMargin))
+          .as("theta_micro"))
+      val adj = u.crossJoin(broadcast(th))
+        .select(col("arm"), col("y"),
+          (col("y") - expr("""CAST((CAST(theta_micro AS DECIMAL(38,0))
+            |  * x) div 1000000 AS BIGINT)""".stripMargin)).as("yp"))
+      val am = adj.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("yp").cast("decimal(38,0)")).as("syp"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(col("yp").cast("decimal(38,0)") * col("yp")).as("sypp"))
+        .localCheckpoint() // 2 rows feed the pivot and the SS ratio
+      val w = am.agg(max(when(col("arm") === "A", col("n"))).as("na"),
+        max(when(col("arm") === "B", col("n"))).as("nb"),
+        max(when(col("arm") === "A", col("sy"))).as("sya"),
+        max(when(col("arm") === "B", col("sy"))).as("syb"),
+        max(when(col("arm") === "A", col("syp"))).as("sypa"),
+        max(when(col("arm") === "B", col("syp"))).as("sypb"))
+      val vv = am.agg(
+        (sum(col("n").cast("decimal(38,0)") * col("syy"))
+          - sum(col("sy") * col("sy"))).as("vy"),
+        (sum(col("n").cast("decimal(38,0)") * col("sypp"))
+          - sum(col("syp") * col("syp"))).as("vyp"))
+      th.crossJoin(broadcast(w)).crossJoin(broadcast(vv))
+        .select(col("n").as("n_users"), col("theta_micro"),
+          when(col("na").isNull || col("nb").isNull || col("na") === 0
+            || col("nb") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(sya div na - syb div nb AS BIGINT)"))
+            .as("diff_raw_micro"),
+          when(col("na").isNull || col("nb").isNull || col("na") === 0
+            || col("nb") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(sypa div na - sypb div nb AS BIGINT)"))
+            .as("diff_cuped_micro"),
+          when(col("vy") === 0, lit(null).cast("long"))
+            .otherwise(expr("""CAST(1000000 - (vyp * 1000000) div vy
+              |  AS BIGINT)""".stripMargin)).as("var_reduction_micro"))
     })
 }

@@ -453,6 +453,40 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"1 hour < 48 h of candidates ⇒ empty: ${rows.toSeq}")
   }
 
+  test("q214: one censored user in one arm degenerates CUPED to no-op") {
+    // the shared fixture: a single user, every event on day 1 — the
+    // outcome period is empty (y = 0), pre-period variance is 0 with
+    // n = 1, and arm A is empty: θ must fall back to 0, the arm
+    // diffs and the variance ratio must be NULL, never errors
+    val r = run("q214_cuped_adjustment")(0)
+    assert(r.getLong(r.fieldIndex("n_users")) == 1L)
+    assert(r.getLong(r.fieldIndex("theta_micro")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("diff_raw_micro")))
+    assert(r.isNullAt(r.fieldIndex("diff_cuped_micro")))
+    assert(r.isNullAt(r.fieldIndex("var_reduction_micro")))
+  }
+
+  test("q215/q216: a pairless corpus — empty matrix, NULL leak rate") {
+    // unique-single-token documents fire neither detector (the q210
+    // fixture): the duplication matrix is empty and the fold-leakage
+    // observed fraction is NULL while its expectation stays defined
+    val tmp = Files.createTempDirectory("degen215").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("text",
+        concat(lit("tok"), col("doc_id").cast("string"))
+          .cast(docs.schema("text").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val m = SparkEntry.queries("q215_crosssource_dups")(spark, d2).collect()
+    assert(m.isEmpty, s"no pairs ⇒ empty matrix: ${m.toSeq}")
+    val r = SparkEntry.queries("q216_fold_leakage")(spark, d2).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("cross_frac_micro")))
+    assert(r.getLong(r.fieldIndex("expected_frac_micro")) > 0L,
+      s"the expectation comes from fold sizes, not pairs: $r")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

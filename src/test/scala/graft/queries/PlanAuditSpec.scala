@@ -555,7 +555,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // + the type-partitioned cumulative/rank windows sharing one
       // exchange with the tot agg's reuse — all O(types·hours) past
       // the first exchange.
-      "q213_changepoint_fit" -> 3)
+      "q213_changepoint_fit" -> 3,
+      // q214 = the corpus-sized per-user agg before the checkpoint +
+      // the visible O(users) tail: the θ moment agg and the per-arm
+      // aggregate — 1-row legs ride broadcasts.
+      "q214_cuped_adjustment" -> 3,
+      // q215 = past the checkpointed pair set: the (src1, src2)
+      // matrix agg + result sort; the doc→source lookups broadcast.
+      "q215_crosssource_dups" -> 2,
+      // q216 = the fold-size agg + its total + the O(pairs) count —
+      // fold lookups broadcast, pair pipeline audited upstream.
+      "q216_fold_leakage" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
