@@ -1360,6 +1360,39 @@ object LakeOps {
           expr("CAST((CAST(b1 AS DECIMAL(38,0)) * 1000000) div nb"
             + " AS BIGINT)").as("mean_right_micro"))
         .orderBy(col("etype"))
+    },
+
+    // ---- Fano factor (index of dispersion) per event type: hourly
+    //      variance-to-mean off the SHARED hourlySeries — the one
+    //      number that says whether arrivals are Poisson (≈1, this
+    //      corpus), BURSTY (≫1 — batch jobs, scrapers, incident
+    //      storms), or quota-regularized (≪1). The complement to
+    //      q212: seasonality explains variance, Fano says how much
+    //      raw variance there is to explain. Exact integer micro:
+    //      (n·Σx² − (Σx)²)·10⁶ div (n·Σx), DECIMAL(38,0) moments;
+    //      an all-empty series (Σx = 0) ⇒ NULL. ----
+    QueryDef.sql("q219_fano_burstiness",
+      s"""WITH $hourlySeriesCte,
+        |mo AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1, sum(CAST(x AS HUGEINT) * x) AS s2
+        |  FROM ser GROUP BY etype)
+        |SELECT etype, n AS n_hours,
+        |  CASE WHEN s1 = 0 THEN NULL
+        |    ELSE CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |      * 1000000 // (CAST(n AS HUGEINT) * s1) AS BIGINT) END
+        |    AS fano_micro
+        |FROM mo ORDER BY etype""".stripMargin) { (s, d) =>
+      hourlySeries(t(s, d, "events"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("s1"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
+        .select(col("etype"), col("n").cast("long").as("n_hours"),
+          when(col("s1") === 0, lit(null).cast("long"))
+            .otherwise(expr("""CAST(((n * s2 - s1 * s1) * 1000000)
+              |  div (n * s1) AS BIGINT)""".stripMargin))
+            .as("fano_micro"))
+        .orderBy(col("etype"))
     }
   )
 }

@@ -2568,6 +2568,117 @@ object TextOps {
                   * (col("n") * col("syy") - col("sy") * col("sy"))
                     .cast("double")), 6)).as("spearman_rho"))
         .orderBy(col("source"))
+    },
+
+    // ---- Population Stability Index per source (the MLOps-standard
+    //      binned drift score, thresholds 0.1/0.25 folklore): length
+    //      distribution of a deterministic md5 half-split (epoch 0 =
+    //      baseline, epoch 1 = current — a NULL-CONTROL split, so
+    //      production PSI against real epochs reuses the shape with
+    //      the hash swapped for a date). Decile bins come off the
+    //      POOLED support's rank intervals (q193's discipline — a
+    //      value group never splits across bins); Laplace add-one
+    //      keeps empty bins defined; shares land in integer micro by
+    //      per-cell integer division, the log-ratio is the one
+    //      per-row float (q190 quantization), and the PSI sum is
+    //      DECIMAL(38,0). The dense source×bin grid (LEFT JOIN) makes
+    //      one-sided bins contribute their full penalty. ----
+    QueryDef.sql("q217_psi_drift",
+      """WITH ss AS (SELECT source, n_chars AS v,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 0 ELSE 1 END AS ep, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars, ep),
+        |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS c
+        |  FROM ss GROUP BY v),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sup),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
+        |    AS lo FROM sup),
+        |bin AS (SELECT cum.v, CAST(least(9, (cum.lo - 1) * 10 // nn.n)
+        |    AS BIGINT) AS b FROM cum, nn),
+        |cell AS (SELECT ss.source, bin.b, ss.ep,
+        |    CAST(sum(ss.c) AS BIGINT) AS c
+        |  FROM ss JOIN bin ON bin.v = ss.v
+        |  GROUP BY ss.source, bin.b, ss.ep),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nbins
+        |  FROM bin),
+        |grid AS (SELECT s.source, bb.b
+        |  FROM (SELECT DISTINCT source FROM ss) s,
+        |  (SELECT DISTINCT b FROM bin) bb),
+        |ee AS (SELECT g.source, g.b,
+        |    COALESCE(max(CASE WHEN cell.ep = 0 THEN cell.c END), 0) AS c0,
+        |    COALESCE(max(CASE WHEN cell.ep = 1 THEN cell.c END), 0) AS c1
+        |  FROM grid g LEFT JOIN cell
+        |    ON cell.source = g.source AND cell.b = g.b
+        |  GROUP BY g.source, g.b),
+        |ns AS (SELECT source, CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1 FROM ee GROUP BY source),
+        |pq AS (SELECT ee.source, ee.b,
+        |    CAST((ee.c0 + 1) * 1000000 // (ns.n0 + nb.nbins) AS BIGINT)
+        |      AS pm,
+        |    CAST((ee.c1 + 1) * 1000000 // (ns.n1 + nb.nbins) AS BIGINT)
+        |      AS qm
+        |  FROM ee JOIN ns ON ns.source = ee.source, nb),
+        |term AS (SELECT source, sum(CAST(qm - pm AS HUGEINT) *
+        |    CAST(round(ln(CAST(qm AS DOUBLE) / pm) * 1000000) AS BIGINT))
+        |    AS s FROM pq GROUP BY source)
+        |SELECT term.source, ns.n0 AS n_baseline, ns.n1 AS n_current,
+        |  round(CAST(term.s AS DOUBLE) / 1e12, 6) AS psi
+        |FROM term JOIN ns ON ns.source = term.source
+        |ORDER BY term.source""".stripMargin) { (s, d) =>
+      // ONE corpus exchange: the (source, value, epoch) support; the
+      // pooled support, bins, and cells all derive from it post-agg
+      val ss = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars").as("v"),
+          when(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 1) < "8", 0).otherwise(1).as("ep"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val sup = ss.groupBy(col("v")).agg(sum(col("c")).cast("long").as("c"))
+      val nn = sup.agg(sum(col("c")).cast("long").as("n"))
+      val wC = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      // O(distinct values) rows with FOUR consumers (cell join, bin
+      // count, grid, universe) — checkpointed so the support window
+      // subtree is planned once, not re-expanded per consumer
+      val bin = sup
+        .withColumn("lo", sum(col("c")).over(wC) - col("c") + 1)
+        .crossJoin(broadcast(nn))
+        .select(col("v"),
+          least(lit(9L), expr("((lo - 1) * 10) div n")).as("b"))
+        .localCheckpoint()
+      val cell = ss.join(broadcast(bin), "v")
+        .groupBy(col("source"), col("b"), col("ep"))
+        .agg(sum(col("c")).cast("long").as("c"))
+      val nb = bin.agg(countDistinct(col("b")).as("nbins"))
+      val grid = cell.select(col("source")).distinct()
+        .crossJoin(broadcast(bin.select(col("b")).distinct()))
+      val ee = grid.join(cell, Seq("source", "b"), "left")
+        .groupBy(col("source"), col("b"))
+        .agg(coalesce(max(when(col("ep") === 0, col("c"))), lit(0L))
+            .as("c0"),
+          coalesce(max(when(col("ep") === 1, col("c"))), lit(0L))
+            .as("c1"))
+      val ns = ee.groupBy(col("source"))
+        .agg(sum(col("c0")).cast("long").as("n0"),
+          sum(col("c1")).cast("long").as("n1"))
+      val pq = ee.join(broadcast(ns), "source").crossJoin(broadcast(nb))
+        .select(col("source"),
+          expr("CAST(((c0 + 1) * 1000000) div (n0 + nbins) AS BIGINT)")
+            .as("pm"),
+          expr("CAST(((c1 + 1) * 1000000) div (n1 + nbins) AS BIGINT)")
+            .as("qm"))
+      val term = pq.groupBy(col("source"))
+        .agg(sum((col("qm") - col("pm")).cast("decimal(38,0)") *
+          round(log(col("qm").cast("double") / col("pm")) * 1000000)
+            .cast("long")).as("s"))
+      term.join(broadcast(ns), "source")
+        .select(col("source"), col("n0").as("n_baseline"),
+          col("n1").as("n_current"),
+          round(col("s").cast("double") / 1e12, 6).as("psi"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

@@ -1960,5 +1960,69 @@ object TrainingOps {
           when(col("vy") === 0, lit(null).cast("long"))
             .otherwise(expr("""CAST(1000000 - (vyp * 1000000) div vy
               |  AS BIGINT)""".stripMargin)).as("var_reduction_micro"))
+    },
+
+    // ---- Power planning per event type: the minimum detectable
+    //      effect at the CURRENT arm sizes (α = .05 two-sided, 80%
+    //      power) and the per-arm n a 1%-of-mean lift would need —
+    //      the two numbers that decide whether an experiment is worth
+    //      launching. Moments are exact integers; the z constants are
+    //      SHARED double literals, and MDE/n_req are computed per-row
+    //      in one fixed float op order (sqrt is correctly rounded, so
+    //      even it is bit-stable), rounded 4 dp. Degenerate cells —
+    //      an empty arm, a single row, a zero mean — return NULL, not
+    //      an error (DegenerateInputSpec). ----
+    QueryDef.sql("q218_power_planning",
+      """WITH e AS (SELECT event_type AS etype,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+        |      < '80' THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |g AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS na,
+        |    CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS nb,
+        |    sum(CAST(vm AS HUGEINT)) AS s1,
+        |    sum(CAST(vm AS HUGEINT) * vm) AS s2
+        |  FROM e GROUP BY etype)
+        |SELECT etype, na, nb,
+        |  CAST(CAST(s1 AS HUGEINT) // n AS BIGINT) AS mean_micro,
+        |  CASE WHEN na = 0 OR nb = 0 OR n <= 1 THEN NULL
+        |    ELSE round((1.959963984540054 + 0.8416212335729143)
+        |      * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / n
+        |        * (1.0 / na + 1.0 / nb)), 4) END AS mde_micro,
+        |  CASE WHEN s1 = 0 OR n <= 1 THEN NULL
+        |    ELSE round(2 * (1.959963984540054 + 0.8416212335729143)
+        |      * (1.959963984540054 + 0.8416212335729143)
+        |      * (CAST(n * s2 - s1 * s1 AS DOUBLE) / n / n)
+        |      / ((CAST(s1 AS DOUBLE) / n / 100)
+        |        * (CAST(s1 AS DOUBLE) / n / 100)), 4) END
+        |    AS n_req_per_arm
+        |FROM g ORDER BY etype""".stripMargin) { (s, d) =>
+      val zsum = lit(1.959963984540054) + lit(0.8416212335729143)
+      val g = t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          when(hashBucket(col("user_id")) < "80", "A").otherwise("B")
+            .as("arm"),
+          floor(col("value") * 1000000).cast("long").as("vm"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("arm") === "A", 1)).as("na"),
+          count(when(col("arm") === "B", 1)).as("nb"),
+          sum(col("vm").cast("decimal(38,0)")).as("s1"),
+          sum(col("vm").cast("decimal(38,0)") * col("vm")).as("s2"))
+      val varPop = (col("n") * col("s2") - col("s1") * col("s1"))
+        .cast("double") / col("n") / col("n")
+      val mean = col("s1").cast("double") / col("n")
+      g.select(col("etype"), col("na"), col("nb"),
+          expr("CAST(s1 div n AS BIGINT)").as("mean_micro"),
+          when(col("na") === 0 || col("nb") === 0 || col("n") <= 1,
+            lit(null).cast("double"))
+            .otherwise(round(zsum * sqrt(varPop
+              * (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4))
+            .as("mde_micro"),
+          when(col("s1") === 0 || col("n") <= 1,
+            lit(null).cast("double"))
+            .otherwise(round(lit(2) * zsum * zsum * varPop
+              / ((mean / 100) * (mean / 100)), 4)).as("n_req_per_arm"))
+        .orderBy(col("etype"))
     })
 }

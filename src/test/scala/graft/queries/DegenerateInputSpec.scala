@@ -487,6 +487,30 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"the expectation comes from fold sizes, not pairs: $r")
   }
 
+  test("q218: an empty arm yields NULL MDE but a defined n_req") {
+    // the shared fixture's population hashes entirely into arm B —
+    // the current-design MDE is undefined (no arm A), while the
+    // required-n planning number needs only the pooled moments
+    val rows = run("q218_power_planning")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("na")) == 0L)
+      assert(r.isNullAt(r.fieldIndex("mde_micro")), s"mde: $r")
+      assert(!r.isNullAt(r.fieldIndex("n_req_per_arm")), s"n_req: $r")
+    }
+  }
+
+  test("q219: a single-hour series has exactly zero dispersion") {
+    // one spine point ⇒ variance numerator n·Σx²−(Σx)² is exactly 0
+    // and the Fano factor is the integer 0, not a NULL or an error
+    val rows = run("q219_fano_burstiness")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_hours")) == 1L)
+      assert(r.getLong(r.fieldIndex("fano_micro")) == 0L, s"fano: $r")
+    }
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

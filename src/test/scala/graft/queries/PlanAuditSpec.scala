@@ -565,7 +565,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "q215_crosssource_dups" -> 2,
       // q216 = the fold-size agg + its total + the O(pairs) count —
       // fold lookups broadcast, pair pipeline audited upstream.
-      "q216_fold_leakage" -> 3)
+      "q216_fold_leakage" -> 3,
+      // q217 = ONE corpus exchange (the (source, value, epoch)
+      // support, checkpointed) + a tail of support/cell-sized aggs,
+      // windows, grids, and finals — 15 exchanges over O(distinct
+      // values)+O(sources·bins) rows (bin checkpointed so its window
+      // subtree is not re-expanded per consumer).
+      "q217_psi_drift" -> 16,
+      // q218 = the corpus-sized (etype, arm) moment agg + result
+      // sort; everything else is per-row arithmetic on O(types) rows.
+      "q218_power_planning" -> 2,
+      // q219 = the corpus-sized hourly count + the spine join + the
+      // O(types) moment agg with its sort folded in.
+      "q219_fano_burstiness" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
