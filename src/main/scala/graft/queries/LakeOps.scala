@@ -29,11 +29,16 @@ object LakeOps {
     * (an occupied-hours-only series aliases gaps into the signal).
     * Shared by q194 (ACF), q212 (seasonality), q213 (changepoint) so
     * the series definition can never drift between the three. */
-  private def hourlySeries(events: DataFrame): DataFrame = {
-    val cnt = events.select(col("event_type").as("etype"),
+  private def hourlySeries(events: DataFrame): DataFrame =
+    seriesFromCounts(events.select(col("event_type").as("etype"),
         expr("CAST(ts AS BIGINT) div 3600").as("hidx"))
       .groupBy(col("etype"), col("hidx"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** Spine-fill half of [[hourlySeries]], factored so the q220
+    * STREAMING fold (whose (etype, hidx, x) counts arrive from a
+    * complete-mode aggregation) reuses the identical densification. */
+  private def seriesFromCounts(cnt: DataFrame): DataFrame =
     cnt.groupBy(col("etype"))
       .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
       .select(col("etype"),
@@ -41,7 +46,36 @@ object LakeOps {
       .join(cnt, Seq("etype", "hidx"), "left")
       .select(col("etype"), col("hidx"),
         coalesce(col("x"), lit(0L)).as("x"))
-  }
+
+  /** The q219 Fano assembly from a dense series — shared by the q220
+    * streaming twin so batch and stream cannot drift. */
+  private def fanoTail(ser: DataFrame): DataFrame =
+    ser.groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("s1"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
+      .select(col("etype"), col("n").cast("long").as("n_hours"),
+        when(col("s1") === 0, lit(null).cast("long"))
+          .otherwise(expr("""CAST(((n * s2 - s1 * s1) * 1000000)
+            |  div (n * s1) AS BIGINT)""".stripMargin))
+          .as("fano_micro"))
+      .orderBy(col("etype"))
+
+  /** Shared oracle for q219 and its streaming twin q220 — one SQL
+    * text, so the two QueryDefs are provably the same computation. */
+  // lazy: declared before hourlySeriesCte in file order, so a strict
+  // val would interpolate null at object init
+  private lazy val fanoOracle: String =
+    s"""WITH $hourlySeriesCte,
+      |mo AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s1, sum(CAST(x AS HUGEINT) * x) AS s2
+      |  FROM ser GROUP BY etype)
+      |SELECT etype, n AS n_hours,
+      |  CASE WHEN s1 = 0 THEN NULL
+      |    ELSE CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+      |      * 1000000 // (CAST(n AS HUGEINT) * s1) AS BIGINT) END
+      |    AS fano_micro
+      |FROM mo ORDER BY etype""".stripMargin
 
   /** DuckDB CTE twin of [[hourlySeries]]: defines `ser(etype, hidx,
     * x)` off `events`. */
@@ -1371,28 +1405,41 @@ object LakeOps {
     //      raw variance there is to explain. Exact integer micro:
     //      (n·Σx² − (Σx)²)·10⁶ div (n·Σx), DECIMAL(38,0) moments;
     //      an all-empty series (Σx = 0) ⇒ NULL. ----
-    QueryDef.sql("q219_fano_burstiness",
-      s"""WITH $hourlySeriesCte,
-        |mo AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS BIGINT) AS s1, sum(CAST(x AS HUGEINT) * x) AS s2
-        |  FROM ser GROUP BY etype)
-        |SELECT etype, n AS n_hours,
-        |  CASE WHEN s1 = 0 THEN NULL
-        |    ELSE CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
-        |      * 1000000 // (CAST(n AS HUGEINT) * s1) AS BIGINT) END
-        |    AS fano_micro
-        |FROM mo ORDER BY etype""".stripMargin) { (s, d) =>
-      hourlySeries(t(s, d, "events"))
-        .groupBy(col("etype"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).cast("decimal(38,0)").as("s1"),
-          sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
-        .select(col("etype"), col("n").cast("long").as("n_hours"),
-          when(col("s1") === 0, lit(null).cast("long"))
-            .otherwise(expr("""CAST(((n * s2 - s1 * s1) * 1000000)
-              |  div (n * s1) AS BIGINT)""".stripMargin))
-            .as("fano_micro"))
-        .orderBy(col("etype"))
+    QueryDef.sql("q219_fano_burstiness", fanoOracle) { (s, d) =>
+      fanoTail(hourlySeries(t(s, d, "events")))
+    },
+
+    // ---- Streaming twin of the q219 Fano monitor: the (type, hour)
+    //      counts fold incrementally as a complete-mode streaming
+    //      aggregation — the canonical time-bounded state (O(types ×
+    //      elapsed hours), growing with TIME not corpus size; closed
+    //      hours are compactable à la q97) — and the spine fill +
+    //      dispersion assembly run AT READ through the SHARED
+    //      seriesFromCounts/fanoTail, so the whole hourly-series
+    //      family (q194/q211/q212/q213/q219) is proven streamable by
+    //      this one green hash against q219's verbatim oracle. ----
+    QueryDef.sql("q220_stream_hourly_fano", fanoOracle) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "evhrfeed",
+        idCol = "event_id", checkSpan = false)(ev)
+      val sink = graft.bench.BenchFeeds.sinkName("q220_fano")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(col("event_type").as("etype"),
+            expr("CAST(ts AS BIGINT) div 3600").as("hidx"))
+          .groupBy(col("etype"), col("hidx"))
+          .agg(count(lit(1)).as("x"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      fanoTail(seriesFromCounts(
+        s.table(sink).select(col("etype"), col("hidx"),
+          col("x").cast("long").as("x")).localCheckpoint()))
     }
   )
 }

@@ -2024,5 +2024,104 @@ object TrainingOps {
             .otherwise(round(lit(2) * zsum * zsum * varPop
               / ((mean / 100) * (mean / 100)), 4)).as("n_req_per_arm"))
         .orderBy(col("etype"))
+    },
+
+    // ---- User-cohort overlap between event types: exact Jaccard of
+    //      the USER sets behind each pair of event types — the "are
+    //      clickers also buyers" audience matrix (feature-correlation
+    //      at the audience level; q189 does the same algebra over
+    //      source token sets, this over behavior cohorts). Exact set
+    //      algebra off ONE (user, type) distinct: intersections from
+    //      a user-keyed self-join, union by inclusion–exclusion
+    //      (never materialized), Jaccard in integer micro. A type
+    //      seen by k users costs k·(k−1)/2... no — a USER with k
+    //      types costs k·(k−1)/2 pair rows, bounded by types², so
+    //      the self-join fan-out is CONSTANT per user. ----
+    QueryDef.sql("q221_audience_overlap",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type AS etype
+        |  FROM events),
+        |nt AS (SELECT etype, CAST(count(*) AS BIGINT) AS nu
+        |  FROM ut GROUP BY etype),
+        |ix AS (SELECT a.etype AS t1, b.etype AS t2,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM ut a JOIN ut b ON b.user_id = a.user_id
+        |    AND a.etype < b.etype
+        |  GROUP BY a.etype, b.etype)
+        |SELECT ix.t1, ix.t2, na.nu AS n1, nb.nu AS n2, ix.c AS n_common,
+        |  CAST(CAST(ix.c AS HUGEINT) * 1000000 // (na.nu + nb.nu - ix.c)
+        |    AS BIGINT) AS jaccard_micro
+        |FROM ix JOIN nt na ON na.etype = ix.t1
+        |JOIN nt nb ON nb.etype = ix.t2
+        |ORDER BY ix.t1, ix.t2""".stripMargin) { (s, d) =>
+      val ut = t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("etype")).distinct()
+        .localCheckpoint() // feeds sizes and both self-join legs
+      val nt = ut.groupBy(col("etype")).agg(count(lit(1)).as("nu"))
+      val ix = ut.as("a")
+        .join(ut.as("b"),
+          col("b.user_id") === col("a.user_id")
+            && col("a.etype") < col("b.etype"))
+        .groupBy(col("a.etype").as("t1"), col("b.etype").as("t2"))
+        .agg(count(lit(1)).as("c"))
+      ix
+        .join(broadcast(nt.select(col("etype").as("t1"),
+          col("nu").as("n1"))), "t1")
+        .join(broadcast(nt.select(col("etype").as("t2"),
+          col("nu").as("n2"))), "t2")
+        .select(col("t1"), col("t2"), col("n1"), col("n2"),
+          col("c").as("n_common"),
+          expr("""CAST((CAST(c AS DECIMAL(38,0)) * 1000000)
+            |  div (n1 + n2 - c) AS BIGINT)""".stripMargin)
+            .as("jaccard_micro"))
+        .orderBy(col("t1"), col("t2"))
+    },
+
+    // ---- User specialization profile: each user's event-type-mix
+    //      Shannon entropy (0 = single-purpose, ln 5 ≈ 1.609 = even
+    //      generalist), profiled by how many types the user touches —
+    //      the segmentation readout that decides whether per-type
+    //      personalization is worth anything. Per-user entropies are
+    //      exact integer micro (q190's quantized-ln on exact counts,
+    //      one integer div per user); the profile aggregates them by
+    //      type-count k with integer min/mean/max. Per-row work is
+    //      one ln per (user, type) cell; everything downstream is
+    //      O(users) then O(k) rows. ----
+    QueryDef.sql("q222_user_entropy_profile",
+      """WITH uc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT)
+        |    AS c FROM events GROUP BY user_id, event_type),
+        |un AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k FROM uc GROUP BY user_id),
+        |he AS (SELECT uc.user_id, un.k,
+        |    CAST(sum(CAST(uc.c AS HUGEINT) *
+        |      CAST(round(ln(CAST(un.n AS DOUBLE) / uc.c) * 1000000)
+        |        AS BIGINT)) // un.n AS BIGINT) AS h_micro
+        |  FROM uc JOIN un ON un.user_id = uc.user_id
+        |  GROUP BY uc.user_id, un.k, un.n)
+        |SELECT k AS n_types, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(CAST(sum(h_micro) AS HUGEINT) // count(*) AS BIGINT)
+        |    AS mean_entropy_micro,
+        |  CAST(min(h_micro) AS BIGINT) AS min_entropy_micro,
+        |  CAST(max(h_micro) AS BIGINT) AS max_entropy_micro
+        |FROM he GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      val uc = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // O(users·types) cells feed sizes + entropy
+      val un = uc.groupBy(col("user_id"))
+        .agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("k"))
+      val he = uc.join(un, "user_id")
+        .groupBy(col("user_id"), col("k"), col("n"))
+        .agg(sum(col("c").cast("decimal(38,0)") *
+          round(log(col("n").cast("double") / col("c")) * 1000000)
+            .cast("long")).as("hs"))
+        .select(col("user_id"), col("k"),
+          expr("CAST(hs div n AS BIGINT)").as("h_micro"))
+      he.groupBy(col("k").as("n_types"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("""CAST(CAST(sum(h_micro) AS DECIMAL(38,0)) div count(1)
+            |  AS BIGINT)""".stripMargin).as("mean_entropy_micro"),
+          min(col("h_micro")).cast("long").as("min_entropy_micro"),
+          max(col("h_micro")).cast("long").as("max_entropy_micro"))
+        .orderBy(col("n_types"))
     })
 }

@@ -511,6 +511,20 @@ class DegenerateInputSpec extends AnyFunSuite {
     }
   }
 
+  test("q221/q222: a single user collapses to identical cohorts") {
+    // the shared fixture's one user belongs to every type's cohort:
+    // all pairwise Jaccards are exactly 1 (denominator 1+1−1 = 1,
+    // never 0 — a pair row exists only with c ≥ 1), and the entropy
+    // profile is one k=5 row for one user
+    val m = run("q221_audience_overlap")
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getLong(r.fieldIndex("jaccard_micro")) == 1000000L, s"$r")
+    }
+    val p = run("q222_user_entropy_profile")
+    assert(p.length == 1 && p(0).getLong(p(0).fieldIndex("n_users")) == 1L)
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

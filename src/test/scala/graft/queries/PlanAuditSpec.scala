@@ -577,7 +577,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q218_power_planning" -> 2,
       // q219 = the corpus-sized hourly count + the spine join + the
       // O(types) moment agg with its sort folded in.
-      "q219_fano_burstiness" -> 3)
+      "q219_fano_burstiness" -> 3,
+      // q221 = the corpus-sized (user, type) distinct before the
+      // checkpoint + the visible tail: the user-keyed self-join +
+      // the O(types²) matrix agg + result sort; sizes broadcast.
+      "q221_audience_overlap" -> 4,
+      // q222 = the corpus-sized (user, type) cell agg before the
+      // checkpoint + the O(users) per-user entropy agg + the O(k)
+      // profile agg with its sort.
+      "q222_user_entropy_profile" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
