@@ -1440,6 +1440,54 @@ object LakeOps {
       fanoTail(seriesFromCounts(
         s.table(sink).select(col("etype"), col("hidx"),
           col("x").cast("long").as("x")).localCheckpoint()))
+    },
+
+    // ---- Inter-arrival CV² per event type: the EVENT-granularity
+    //      burstiness twin of q219's hourly Fano — CV² = var/mean² of
+    //      the gaps, 1 for a Poisson process (this corpus), ≫1 for
+    //      machine-gun batches, ≪1 for metronome schedulers. Gaps are
+    //      exact integer µs from a lag window PARTITIONED BY
+    //      (type, day) — never one partition per type (which would
+    //      serialize a year of events); the day-boundary gap is
+    //      dropped, a bounded bias every streaming-window estimator
+    //      shares. Moments are DECIMAL(38,0); zero mean gap or a
+    //      single gap ⇒ NULL (guarded both engines). ----
+    QueryDef.sql("q223_interarrival_cv2",
+      """WITH e AS (SELECT event_type AS etype, CAST(ts AS DATE) AS dy,
+        |    epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT etype, us - lag(us) OVER (PARTITION BY etype, dy
+        |    ORDER BY us, event_id) AS gap FROM e),
+        |mo AS (SELECT etype, CAST(count(gap) AS BIGINT) AS n,
+        |    sum(CAST(gap AS HUGEINT)) AS s1,
+        |    sum(CAST(gap AS HUGEINT) * gap) AS s2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY etype)
+        |SELECT etype, n AS n_gaps,
+        |  CAST(CAST(s1 AS HUGEINT) // n AS BIGINT) AS mean_gap_us,
+        |  CASE WHEN s1 = 0 OR n <= 1 THEN NULL
+        |    ELSE CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |      * 1000000 // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) END
+        |    AS cv2_micro
+        |FROM mo ORDER BY etype""".stripMargin) { (s, d) =>
+      val wG = Window.partitionBy(col("etype"), col("dy"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          col("ts").cast("date").as("dy"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(wG))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("gap").cast("decimal(38,0)")).as("s1"),
+          sum(col("gap").cast("decimal(38,0)") * col("gap")).as("s2"))
+        .select(col("etype"), col("n").as("n_gaps"),
+          expr("CAST(s1 div n AS BIGINT)").as("mean_gap_us"),
+          when(col("s1") === 0 || col("n") <= 1,
+            lit(null).cast("long"))
+            .otherwise(expr("""CAST(((n * s2 - s1 * s1) * 1000000)
+              |  div (s1 * s1) AS BIGINT)""".stripMargin))
+            .as("cv2_micro"))
+        .orderBy(col("etype"))
     }
   )
 }

@@ -2679,6 +2679,151 @@ object TextOps {
           col("n1").as("n_current"),
           round(col("s").cast("double") / 1e12, 6).as("psi"))
         .orderBy(col("source"))
+    },
+
+    // ---- Log-length normality check: skewness and kurtosis of
+    //      ln(n_chars) — document lengths are canonically log-normal
+    //      (skew 0, kurtosis 3 in log space), and a corpus that
+    //      DEVIATES has been truncated, padded, or stitched (this one
+    //      reads −0.80 / 2.84: left-truncated). Centered TWO-PASS
+    //      moments: ln quantized to 1e4 per row, the integer mean
+    //      subtracted BEFORE powering, so dm⁴ sums stay inside
+    //      DECIMAL(38,0) at any corpus size (raw fourth moments
+    //      overflow 128-bit integers at 500 rows — measured). The
+    //      final ratios use only sqrt (correctly rounded — never
+    //      libm pow, which is not cross-engine stable). Zero variance
+    //      ⇒ NULL (guarded). ----
+    QueryDef.sql("q224_loglength_moments",
+      """WITH l AS (SELECT CAST(round(ln(CAST(n_chars AS DOUBLE)) * 10000)
+        |    AS BIGINT) AS lq FROM documents WHERE n_chars > 0),
+        |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(lq) AS HUGEINT) // count(*) AS BIGINT) AS mu
+        |  FROM l),
+        |c AS (SELECT l.lq - m1.mu AS dm, m1.n, m1.mu FROM l, m1),
+        |mo AS (SELECT max(n) AS n, max(mu) AS mu,
+        |    sum(CAST(dm AS HUGEINT) * dm) AS m2,
+        |    sum(CAST(dm AS HUGEINT) * dm * dm) AS m3,
+        |    sum(CAST(dm AS HUGEINT) * dm * dm * dm) AS m4
+        |  FROM c)
+        |SELECT n AS n_docs, mu AS mean_ln_e4,
+        |  CASE WHEN m2 = 0 THEN NULL
+        |    ELSE round(CAST(m3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+        |      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 4) END
+        |    AS skewness,
+        |  CASE WHEN m2 = 0 THEN NULL
+        |    ELSE round(CAST(n AS DOUBLE) * CAST(m4 AS DOUBLE)
+        |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 4) END
+        |    AS kurtosis
+        |FROM mo""".stripMargin) { (s, d) =>
+      val l = t(s, d, "documents").filter(col("n_chars") > 0)
+        .select(round(log(col("n_chars").cast("double")) * 10000)
+          .cast("long").as("lq"))
+        .localCheckpoint() // feeds the mean pass and the centered pass
+      val m1 = l.agg(count(lit(1)).as("n"),
+        expr("CAST(CAST(sum(lq) AS DECIMAL(38,0)) div count(1) AS BIGINT)")
+          .as("mu"))
+      val mo = l.crossJoin(broadcast(m1))
+        .select((col("lq") - col("mu")).as("dm"), col("n"), col("mu"))
+        .groupBy()
+        .agg(max(col("n")).as("n"), max(col("mu")).as("mu"),
+          sum(col("dm").cast("decimal(38,0)") * col("dm")).as("m2"),
+          sum(col("dm").cast("decimal(38,0)") * col("dm") * col("dm"))
+            .as("m3"),
+          sum(col("dm").cast("decimal(38,0)") * col("dm") * col("dm")
+            * col("dm")).as("m4"))
+      mo.select(col("n").as("n_docs"), col("mu").as("mean_ln_e4"),
+        when(col("m2") === 0, lit(null).cast("double"))
+          .otherwise(round(col("m3").cast("double")
+            * sqrt(col("n").cast("double"))
+            / (col("m2").cast("double") * sqrt(col("m2").cast("double"))),
+            4)).as("skewness"),
+        when(col("m2") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n").cast("double")
+            * col("m4").cast("double")
+            / (col("m2").cast("double") * col("m2").cast("double")), 4))
+          .as("kurtosis"))
+    },
+
+    // ---- Heaps'-law exponent: V(N) ∝ N^β fitted over ten cumulative
+    //      md5-bucket prefixes of the corpus — the growth-curve twin
+    //      of q199's Chao1 (richness at infinity vs the RATE new
+    //      types arrive; β ≈ 0.5 for organic text, ≈ 0 for a closed
+    //      template vocabulary — this synthetic corpus reads exactly
+    //      0). NO global rank anywhere: the "prefix" order is ten
+    //      deterministic hash buckets, a token's first appearance is
+    //      min(bucket), both cumulations are 10-row aggregates — the
+    //      scan-order-free way to draw a growth curve at lake scale.
+    //      The log-log fit is q185's integer least squares on
+    //      quantized lns; degenerate fits (V constant would still
+    //      fit; a SINGLE populated point ⇒ zero x-variance) ⇒ NULL.
+    //      ----
+    QueryDef.sql("q225_heaps_exponent",
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      ::BIGINT % 10 AS BIGINT) AS b FROM documents),
+        |tok AS (SELECT b, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS tk FROM d),
+        |tb AS (SELECT b, CAST(count(*) AS BIGINT) AS nt
+        |  FROM tok GROUP BY b),
+        |tf AS (SELECT tk, CAST(min(b) AS BIGINT) AS fb
+        |  FROM tok GROUP BY tk),
+        |vf AS (SELECT fb, CAST(count(*) AS BIGINT) AS nv
+        |  FROM tf GROUP BY fb),
+        |cum AS (SELECT gb.i,
+        |    (SELECT CAST(COALESCE(sum(nt), 0) AS BIGINT) FROM tb
+        |      WHERE tb.b < gb.i) AS ntk,
+        |    (SELECT CAST(COALESCE(sum(nv), 0) AS BIGINT) FROM vf
+        |      WHERE vf.fb < gb.i) AS v
+        |  FROM (SELECT unnest(range(1, 11)) AS i) gb),
+        |ll AS (SELECT i,
+        |    CAST(round(ln(CAST(ntk AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+        |    CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+        |  FROM cum WHERE v > 0 AND ntk > 0),
+        |fit AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(lx AS HUGEINT)) AS sx, sum(CAST(ly AS HUGEINT)) AS sy,
+        |    sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+        |    sum(CAST(lx AS HUGEINT) * ly) AS sxy FROM ll)
+        |SELECT k AS n_points,
+        |  CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round(CAST(k * sxy - sx * sy AS DOUBLE)
+        |      / CAST(k * sxx - sx * sx AS DOUBLE), 6) END AS heaps_beta
+        |FROM fit""".stripMargin) { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select((conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 4), 16, 10).cast("long") % 10).as("b"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+        .localCheckpoint() // feeds the token totals and first-buckets
+      val tb = tok.groupBy(col("b")).agg(count(lit(1)).as("nt"))
+      val vf = tok.groupBy(col("tk")).agg(min(col("b")).as("fb"))
+        .groupBy(col("fb")).agg(count(lit(1)).as("nv"))
+      val gb = t(s, d, "documents").sparkSession.range(1, 11)
+        .select(col("id").as("i"))
+      val cum = gb
+        .join(broadcast(tb), col("b") < col("i"), "left")
+        .groupBy(col("i"))
+        .agg(coalesce(sum(col("nt")), lit(0L)).cast("long").as("ntk"))
+        .join(gb.join(broadcast(vf), col("fb") < col("i"), "left")
+          .groupBy(col("i"))
+          .agg(coalesce(sum(col("nv")), lit(0L)).cast("long").as("v")),
+          "i")
+      val ll = cum.filter(col("v") > 0 && col("ntk") > 0)
+        .select(
+          round(log(col("ntk").cast("double")) * 1000000).cast("long")
+            .as("lx"),
+          round(log(col("v").cast("double")) * 1000000).cast("long")
+            .as("ly"))
+      ll.agg(count(lit(1)).as("k"),
+          sum(col("lx").cast("decimal(38,0)")).as("sx"),
+          sum(col("ly").cast("decimal(38,0)")).as("sy"),
+          sum(col("lx").cast("decimal(38,0)") * col("lx")).as("sxx"),
+          sum(col("lx").cast("decimal(38,0)") * col("ly")).as("sxy"))
+        .select(col("k").cast("long").as("n_points"),
+          when(col("k") * col("sxx") - col("sx") * col("sx") === 0,
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (col("k") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"), 6)).as("heaps_beta"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

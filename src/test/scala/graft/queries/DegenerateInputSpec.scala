@@ -525,6 +525,45 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(p.length == 1 && p(0).getLong(p(0).fieldIndex("n_users")) == 1L)
   }
 
+  test("q223: a single-instant feed has zero gaps and NULL CV²") {
+    // every event shares one timestamp, so all intra-day gaps are 0:
+    // the mean gap is exactly 0 and CV²'s mean² denominator is 0 —
+    // NULL, never a division error
+    val rows = run("q223_interarrival_cv2")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("mean_gap_us")) == 0L)
+      assert(r.isNullAt(r.fieldIndex("cv2_micro")), s"cv2: $r")
+    }
+  }
+
+  test("q224: a constant-length corpus has zero variance, NULL moments") {
+    val tmp = Files.createTempDirectory("degen224").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("n_chars", lit(100L).cast(docs.schema("n_chars").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("q224_loglength_moments")(spark, d2)
+      .collect()(0)
+    assert(r.isNullAt(r.fieldIndex("skewness")), s"skew: $r")
+    assert(r.isNullAt(r.fieldIndex("kurtosis")), s"kurt: $r")
+  }
+
+  test("q225: a closed one-token vocabulary has Heaps beta exactly 0") {
+    // constant text ⇒ V = 1 at every prefix ⇒ ln V ≡ 0 ⇒ the fitted
+    // slope is the exact integer-moment zero, not a near-zero float
+    val tmp = Files.createTempDirectory("degen225").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("text", lit("x").cast(docs.schema("text").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("q225_heaps_exponent")(spark, d2)
+      .collect()(0)
+    assert(r.getDouble(r.fieldIndex("heaps_beta")) == 0.0, s"beta: $r")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

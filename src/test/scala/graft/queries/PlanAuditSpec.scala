@@ -585,7 +585,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // q222 = the corpus-sized (user, type) cell agg before the
       // checkpoint + the O(users) per-user entropy agg + the O(k)
       // profile agg with its sort.
-      "q222_user_entropy_profile" -> 3)
+      "q222_user_entropy_profile" -> 3,
+      // q223 = the (type, day)-partitioned lag window exchange + the
+      // O(types) moment agg + result sort — no per-type serial scan.
+      "q223_interarrival_cv2" -> 3,
+      // q224 = two passes over the checkpointed quantized-ln column
+      // (mean agg + centered-moment agg), both single-partition
+      // finals over O(1) groups.
+      "q224_loglength_moments" -> 2,
+      // q225 = the corpus-sized token explode into the checkpoint +
+      // the bucket totals, first-bucket rollup, and the two 10-row
+      // cumulations + the 1-row fit.
+      "q225_heaps_exponent" -> 4)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
