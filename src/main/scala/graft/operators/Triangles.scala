@@ -66,4 +66,44 @@ object Triangles {
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("global_cc"))
   }
+
+  /** Per-node triangle counts `(node, tri)` — the local variant
+    * [[stats]] aggregates away. Same degree-ordered orientation, but
+    * each triangle must credit all THREE corners, so the closing step
+    * materializes the intersection ELEMENTS (`array_intersect` on the
+    * sorted out-neighbor arrays, row-local) instead of summing
+    * overlap counts: one output row per triangle (found once, at its
+    * base edge), then a corner-explode + count. Exchange volume is
+    * the oriented edge list + one adjacency array per node + one row
+    * per triangle — the same O(m^1.5) bound as [[stats]]. Nodes in no
+    * triangle are absent (callers left-join degrees). */
+  def perNode(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("x").as("u"))
+      .unionAll(edges.select(col("y").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val keyed = deg.select(col("u"),
+      (col("dg") * lit(4294967296L) + col("u")).as("k"))
+    val o = edges
+      .join(keyed.select(col("u").as("x"), col("k").as("kx")), "x")
+      .join(keyed.select(col("u").as("y"), col("k").as("ky")), "y")
+      .select(
+        when(col("kx") < col("ky"), col("x")).otherwise(col("y")).as("src"),
+        when(col("kx") < col("ky"), col("y")).otherwise(col("x")).as("dst"))
+      // the oriented edge list and adjacency arrays each feed two+
+      // consumers below — truncate the lineage once (edge-list-sized)
+      // instead of replaying the orientation joins per consumer
+      .localCheckpoint()
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      .localCheckpoint()
+    val tris = o
+      .join(adj.select(col("src"), col("ns").as("nsu")), "src")
+      .join(adj.select(col("src").as("dst"), col("ns").as("nsv")), "dst")
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nsu"), col("nsv"))).as("w"))
+    tris.select(col("src").as("node"))
+      .unionAll(tris.select(col("dst").as("node")))
+      .unionAll(tris.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+  }
 }

@@ -1488,6 +1488,138 @@ object LakeOps {
               |  div (s1 * s1) AS BIGINT)""".stripMargin))
             .as("cv2_micro"))
         .orderBy(col("etype"))
+    },
+
+    // ---- Schema-driven table profiler: per column of `orders`,
+    //      null count and exact distinct count in ONE pass — the
+    //      data-quality fingerprint a lake catalog records per
+    //      snapshot. The Spark side derives the aggregate list from
+    //      df.columns (dynamic schema — no column is named in the
+    //      code), then unpivots via stack(); the multi-distinct agg
+    //      is Catalyst's expand (one shuffle carrying an n_cols×
+    //      row expansion of only the profiled columns). At 100 TB
+    //      the distinct legs swap to HLL partials (the q95 sketch
+    //      lake) — exact here so the oracle can pin the counts. ----
+    QueryDef.sql("q230_table_profile",
+      """SELECT 'o_custkey' AS col_name,
+        |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+        |    AS n_null,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders
+        |UNION ALL SELECT 'o_orderdate',
+        |  CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderkey',
+        |  CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderpriority',
+        |  CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderstatus',
+        |  CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_totalprice',
+        |  CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val df = t(s, d, "orders")
+      val cols = df.columns.sorted.toSeq
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"))
+      }
+      val stackArgs = cols
+        .map(c => s"'$c', ${c}__nn, ${c}__nd").mkString(", ")
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.length}, $stackArgs) " +
+          "AS (col_name, n_null, n_distinct)"))
+        .orderBy(col("col_name"))
+    },
+
+    // ---- Robust outlier gate: median/MAD per event type (the
+    //      3.5σ-equivalent rule x > med + 3.5·1.4826·MAD — Iglewicz
+    //      & Hoaglin's modified z-score), the heavy-tail-safe
+    //      replacement for q139's mean/stddev gate. Exact medians
+    //      (percentile ↔ quantile_cont, the q53 pairing), each
+    //      ROUNDED to 4 dp before re-entering arithmetic so both
+    //      engines branch on bit-identical thresholds (the decimal
+    //      discipline). Two grouped exact-percentile passes — the
+    //      100 TB swap is approx_percentile / the q103 quantile
+    //      lake; the gate logic is unchanged. ----
+    QueryDef.sql("q231_mad_outliers",
+      """WITH m AS (SELECT event_type,
+        |    CAST(round(CAST(quantile_cont(value, 0.5) AS DECIMAL(25,10)),
+        |      4) AS DOUBLE) AS med FROM events GROUP BY 1),
+        |a AS (SELECT e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS ad FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type,
+        |    CAST(round(CAST(quantile_cont(ad, 0.5) AS DECIMAL(25,10)),
+        |      4) AS DOUBLE) AS mad FROM a GROUP BY 1)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE a.ad > 5.1891 * md.mad) AS BIGINT)
+        |    AS outliers,
+        |  max(a.med) AS med, max(md.mad) AS mad
+        |FROM a JOIN md ON a.event_type = md.event_type
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val m = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)").cast("decimal(25,10)"), 4)
+          .cast("double").as("med"))
+      val a = ev.join(m, "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val md = a.groupBy(col("event_type"))
+        .agg(round(expr("percentile(ad, 0.5)").cast("decimal(25,10)"), 4)
+          .cast("double").as("mad"))
+      a.join(md, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ad") > lit(5.1891) * col("mad"), 1L).otherwise(0L))
+            .cast("long").as("outliers"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- Theil–Sen robust trend: per event type, the median of all
+    //      pairwise slopes of the DAILY INTEGER totals (micro units)
+    //      — the estimator that shrugs off the outlier days that
+    //      wreck OLS (q213's fit). Each slope is one integer-by-
+    //      integer IEEE division — bit-identical on both engines, no
+    //      order-dependent float accumulation — and only the final
+    //      median is rounded. The day fold is the corpus-sized agg;
+    //      the O(days²) pair join is bounded by the series length
+    //      (365·years rows per type), never by corpus size. ----
+    QueryDef.sql("q232_theilsen_slope",
+      """WITH dly AS (SELECT event_type,
+        |    epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400 AS dn,
+        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS vm
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(b.vm - a.vm AS DOUBLE) / (b.dn - a.dn) AS slope
+        |  FROM dly a JOIN dly b
+        |    ON a.event_type = b.event_type AND a.dn < b.dn)
+        |SELECT event_type,
+        |  CAST(round(CAST(quantile_cont(slope, 0.5) AS DECIMAL(38,10)),
+        |    4) AS DOUBLE) AS ts_slope_micro_4,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_date(cast(ts as date))").cast("long").as("dn"))
+        .agg(sum(floor(col("value") * 1000000).cast("long")).cast("long")
+          .as("vm"))
+      val a = dly.select(col("event_type"), col("dn").as("dna"),
+        col("vm").as("vma"))
+      val b = dly.select(col("event_type"), col("dn").as("dnb"),
+        col("vm").as("vmb"))
+      a.join(b, Seq("event_type")).filter(col("dna") < col("dnb"))
+        .withColumn("slope",
+          (col("vmb") - col("vma")).cast("double") / (col("dnb") - col("dna")))
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(slope, 0.5)").cast("decimal(38,10)"), 4)
+            .cast("double").as("ts_slope_micro_4"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("event_type"))
     }
   )
 }

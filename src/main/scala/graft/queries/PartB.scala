@@ -2198,5 +2198,266 @@ object PartB {
             .cast("long").as("score_micro"),
           sum(col("cnt")).cast("long").as("n_events"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- Resource-Allocation link prediction (Zhou/Lü/Zhang 2009 —
+    //      the integer-exact sibling of Adamic–Adar): suppliers are
+    //      linked through shared parts, and a candidate pair (s1,s2)
+    //      scores Σ 1/deg(p) over shared parts — common neighbors
+    //      down-weighted by their promiscuity. Hub parts (deg > 30)
+    //      are dropped BEFORE the pair expansion — the df-cap
+    //      discipline every posting-list operator here uses: they
+    //      dominate the O(Σ deg²) fan-out while contributing the
+    //      least signal (1/deg → 0), so the cap bounds exchange
+    //      volume at any corpus size. Degrees are corpus-derived
+    //      integers and the score is Σ (10⁶ div deg) — exact integer
+    //      arithmetic, no ln() (Adamic–Adar's 1/ln d) whose libm
+    //      rounding could diverge between engines. Top-50 by score
+    //      rides TakeOrdered (no global sort). ----
+    QueryDef.sql("q226_ra_link_prediction",
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |  FROM lineitem),
+        |d AS (SELECT p, count(*) AS deg FROM sp GROUP BY p),
+        |dc AS (SELECT p, deg FROM d WHERE deg BETWEEN 2 AND 30),
+        |pairs AS (SELECT a.s AS s1, b.s AS s2, dc.deg
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        |  JOIN dc ON dc.p = a.p)
+        |SELECT s1, s2, CAST(sum(1000000 // deg) AS BIGINT) AS ra_micro,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        |FROM pairs GROUP BY s1, s2
+        |ORDER BY ra_micro DESC, s1, s2 LIMIT 50""".stripMargin) { (s, d) =>
+      val sp = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+      val dc = sp.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg").between(2, 30))
+      sp.select(col("s").as("s1"), col("p"))
+        .join(dc, "p") // part-typed side; AQE broadcasts when it fits
+        .join(sp.select(col("s").as("s2"), col("p")), "p")
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(sum(expr("1000000 div deg")).cast("long").as("ra_micro"),
+          count(lit(1)).as("n_common"))
+        .orderBy(col("ra_micro").desc, col("s1"), col("s2"))
+        .limit(50)
+    },
+
+    // ---- Per-node local clustering coefficient over the supplier
+    //      co-purchase graph (edge = ≥2 shared high-quantity parts,
+    //      hub parts df-capped before the expansion — q226's rule).
+    //      Per-node triangle counts come from the degree-ordered
+    //      enumeration ([[graft.operators.Triangles.perNode]] —
+    //      O(m^1.5) exchange, each triangle found once and credited
+    //      to its three corners), NOT the Σ deg² wedge join the
+    //      oracle can afford at DuckDB scale. The coefficient
+    //      2T/(d(d−1)) is emitted in integer micro units — exact on
+    //      both engines. The edge list feeds degree + triangle legs →
+    //      localCheckpoint (q186's rule: compute the graph once). ----
+    QueryDef.sql("q227_local_clustering",
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |d AS (SELECT p FROM sp GROUP BY p
+        |  HAVING count(*) BETWEEN 2 AND 30),
+        |e0 AS (SELECT a.s AS s1, b.s AS s2
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        |  JOIN d ON d.p = a.p
+        |  GROUP BY a.s, b.s HAVING count(*) >= 2),
+        |adj AS (SELECT s1 AS u, s2 AS v FROM e0
+        |  UNION ALL SELECT s2, s1 FROM e0),
+        |deg AS (SELECT u, count(*) AS dg FROM adj GROUP BY u),
+        |tri AS (SELECT a.u, count(*) AS tr FROM adj a
+        |  JOIN adj b ON a.u = b.u AND a.v < b.v
+        |  JOIN e0 e ON e.s1 = a.v AND e.s2 = b.v GROUP BY a.u)
+        |SELECT deg.u AS node, CAST(deg.dg AS BIGINT) AS degree,
+        |  CAST(coalesce(tri.tr, 0) AS BIGINT) AS triangles,
+        |  CAST((2 * coalesce(tri.tr, 0) * 1000000)
+        |    // (deg.dg * (deg.dg - 1)) AS BIGINT) AS lcc_micro
+        |FROM deg LEFT JOIN tri ON deg.u = tri.u
+        |WHERE deg.dg >= 2
+        |ORDER BY lcc_micro DESC, node LIMIT 40""".stripMargin) { (s, d) =>
+      val sp = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+      val dc = sp.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+        .filter(col("pd").between(2, 30)).select(col("p"))
+      val spc = sp.join(dc, "p")
+      val e0 = spc.select(col("s").as("x"), col("p"))
+        .join(spc.select(col("s").as("y"), col("p")), "p")
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2).select(col("x"), col("y"))
+        .localCheckpoint()
+      val deg = e0.select(col("x").as("node"))
+        .unionAll(e0.select(col("y").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      val tri = graft.operators.Triangles.perNode(e0)
+      deg.join(tri.select(col("node"), col("tri").as("triangles")),
+          Seq("node"), "left")
+        .filter(col("degree") >= 2)
+        .select(col("node"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          expr("(2 * coalesce(triangles, 0L) * 1000000) div " +
+            "(degree * degree - degree)").as("lcc_micro"))
+        .orderBy(col("lcc_micro").desc, col("node"))
+        .limit(40)
+    },
+
+    // ---- RFM segmentation: per-user Recency (days before the stream
+    //      horizon), Frequency (events), Monetary (integer cents),
+    //      each ntile(5)-scored on a TOTAL order (metric, user_id) —
+    //      the classic 555-cell customer/contributor segmentation,
+    //      deterministic because every ntile key is a corpus-derived
+    //      integer with an id tie-break. Output is the cell census
+    //      (125 rows max), so the windows are the only wide ops; at
+    //      100 TB ntile swaps for bucketing against the q103 quantile
+    //      lake's boundaries — the cell semantics are unchanged. ----
+    QueryDef.sql("q234_rfm_cells",
+      """WITH h AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+        |u AS (SELECT user_id,
+        |    datediff('day', max(CAST(ts AS DATE)), (SELECT hz FROM h))
+        |      AS rec,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS mon_c
+        |  FROM events GROUP BY 1),
+        |sc AS (SELECT user_id, rec, freq, mon_c,
+        |    ntile(5) OVER (ORDER BY rec DESC, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY mon_c, user_id) AS m_score FROM u)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
+        |    AS rfm_cell,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(user_id) AS BIGINT) AS sample_user,
+        |  CAST(sum(mon_c) AS BIGINT) AS cell_monetary_c
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val hz = ev.agg(max(col("ts").cast("date")).as("hz"))
+      val u = ev.groupBy(col("user_id"))
+        .agg(max(col("ts").cast("date")).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("value") * 100).cast("long")).cast("long")
+            .as("mon_c"))
+        .crossJoin(broadcast(hz))
+        .select(col("user_id"), expr("datediff(hz, last_d)").as("rec"),
+          col("freq"), col("mon_c"))
+      u.select(col("user_id"), col("mon_c"),
+          ntile(5).over(Window.orderBy(col("rec").desc, col("user_id")))
+            .as("r_score"),
+          ntile(5).over(Window.orderBy(col("freq"), col("user_id")))
+            .as("f_score"),
+          ntile(5).over(Window.orderBy(col("mon_c"), col("user_id")))
+            .as("m_score"))
+        .groupBy((col("r_score") * 100 + col("f_score") * 10
+          + col("m_score")).as("rfm_cell"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("user_id")).as("sample_user"),
+          sum(col("mon_c")).cast("long").as("cell_monetary_c"))
+        .orderBy(col("rfm_cell"))
+    },
+
+    // ---- First-order Markov transition matrix over per-user event
+    //      sequences: lead() within (user ORDER BY ts, event_id)
+    //      yields each consecutive pair once, the transition count
+    //      fold is the only corpus-sized shuffle (keyed by the
+    //      type×type matrix — O(|types|²) output), and row
+    //      probabilities are integer micro (count·10⁶ div row total).
+    //      The per-user sequence window partitions by user — no
+    //      global ordering anywhere, the sequence-model-ready shape
+    //      for behavioural pretraining corpora. ----
+    QueryDef.sql("q235_markov_transitions",
+      """WITH s AS (SELECT user_id, event_type AS et,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt FROM events),
+        |c AS (SELECT et, nxt, count(*) AS n FROM s
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT et, sum(n) AS t FROM c GROUP BY 1)
+        |SELECT c.et AS src, c.nxt AS dst, CAST(c.n AS BIGINT) AS n,
+        |  CAST((1000000 * c.n) // tot.t AS BIGINT) AS p_micro
+        |FROM c JOIN tot ON c.et = tot.et
+        |ORDER BY src, dst""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val c = t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("et"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("et"), col("nxt")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("et")).agg(sum(col("n")).as("t"))
+      c.join(tot, "et") // |types|-row side — AQE broadcasts it
+        .select(col("et").as("src"), col("nxt").as("dst"),
+          col("n").cast("long").as("n"),
+          expr("CAST((1000000 * n) div t AS BIGINT)").as("p_micro"))
+        .orderBy(col("src"), col("dst"))
+    },
+
+    // ---- Multimodal near-dup: perceptual-hash frame matching across
+    //      media payloads. Each payload emits 4 stride-sampled frames
+    //      (q174's REAL sampleFrames operator); each frame gets a
+    //      60-bit locality-sensitive fingerprint (low nibble of each
+    //      of its first 15 bytes — the pHash stand-in: byte edits
+    //      flip nibbles, so Hamming distance tracks frame drift);
+    //      candidates come from 4×15-bit SimHash-style banding (a
+    //      Hamming-(≤3-nibble) pair shares ≥1 band) and verify with
+    //      one codegen'd xor+bit_count — the near-exact-frame dedup
+    //      a video corpus runs, the whole pipeline riding the banded
+    //      LSH shape q93/q138 audit. Band buckets bound the pair
+    //      fan-out exactly like posting df-caps at 100 TB. ----
+    QueryDef.sql("q236_frame_phash_neardup",
+      s"""WITH $mediaCte,
+        |f AS (SELECT doc_id,
+        |    CAST(floor(fn * greatest(octet_length(payload), 1) / 4)
+        |      AS BIGINT) AS off, payload
+        |  FROM p, (SELECT unnest(range(4)) AS fn)),
+        |fr AS (SELECT doc_id,
+        |    substring(hex(payload), CAST(2 * off + 1 AS INTEGER), 32)
+        |      AS fh FROM f),
+        |ph AS (SELECT doc_id, CAST(CAST('0x' ||
+        |      ${(1 to 15).map(i => s"substr(fh, ${2 * i}, 1)")
+          .mkString(" || ")}
+        |    AS UBIGINT) AS BIGINT) AS h
+        |  FROM fr WHERE length(fh) = 32),
+        |bands AS (SELECT doc_id, h, b, (h >> (15 * b)) & 32767 AS bv
+        |  FROM ph, (SELECT unnest(range(4)) AS b)),
+        |cand AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db,
+        |    l.h AS ha, r.h AS hb
+        |  FROM bands l JOIN bands r
+        |    ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id),
+        |close AS (SELECT da, db, bit_count(xor(ha, hb)) AS hd
+        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 4)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_close_frames,
+        |  CAST(min(hd) AS BIGINT) AS min_hamming
+        |FROM close GROUP BY da, db ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+      import graft.multimodal.Multimodal
+      val frames = Multimodal.sampleFrames(
+          mediaPayloads(t(s, d, "documents")), "payload", nFrames = 4)
+        .select(col("doc_id"), hex(col("frame")).as("fh"))
+        .filter(length(col("fh")) === 32)
+      val nib = (1 to 15).map(i => substring(col("fh"), 2 * i, 1))
+      val ph = frames
+        .select(col("doc_id"),
+          conv(concat(nib: _*), 16, 10).cast("long").as("h"))
+      val bands = ph.select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bv",
+          expr("shiftright(h, cast(15 * b AS int))")
+            .bitwiseAND(lit(32767L)))
+      val cand = bands.select(col("doc_id").as("da"), col("b"),
+          col("bv"), col("h").as("ha"))
+        .join(bands.select(col("doc_id").as("db"), col("b"), col("bv"),
+          col("h").as("hb")), Seq("b", "bv"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"), col("ha"), col("hb"))
+        .distinct()
+      cand
+        .withColumn("hd", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hd") <= 4)
+        .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+        .agg(count(lit(1)).as("n_close_frames"),
+          min(col("hd")).cast("long").as("min_hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 }

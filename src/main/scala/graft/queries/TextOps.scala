@@ -2824,6 +2824,51 @@ object TextOps {
               (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
                 / (col("k") * col("sxx") - col("sx") * col("sx"))
                   .cast("double"), 6)).as("heaps_beta"))
+    },
+
+    // ---- Gini coefficient of document length per language — the
+    //      inequality lens on corpus composition (q196's HHI answers
+    //      "how concentrated are the SOURCES"; Gini answers "how
+    //      unequal are the DOCUMENTS"). Exact integer form of the
+    //      sorted-rank identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n in
+    //      micro units — one rank window per language partition
+    //      ordered by the total key (n_chars, doc_id), then a single
+    //      grouped integer fold. At 100 TB the per-group sort is the
+    //      only super-linear term; the two-level prefix-sum form
+    //      (q63's discipline) replaces it when groups outgrow a
+    //      partition. ----
+    QueryDef.sql("q233_length_gini",
+      """WITH s AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS i,
+        |    count(*) OVER (PARTITION BY lang) AS n,
+        |    sum(n_chars) OVER (PARTITION BY lang) AS tot
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN tot = 0 THEN NULL
+        |    ELSE CAST((2000000 * sum(i * n_chars)) // (n * tot)
+        |      - (1000000 * (n + 1)) // n AS BIGINT) END AS gini_micro,
+        |  CAST(max(n) AS BIGINT) AS n_docs
+        |FROM s GROUP BY lang, n, tot ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+      val ranked = t(s, d, "documents").select(col("lang"), col("n_chars"),
+          row_number().over(w.orderBy(col("n_chars"), col("doc_id")))
+            .as("i"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("n_chars")).over(w).as("tot"))
+      ranked.groupBy(col("lang"), col("n"), col("tot"))
+        .agg(sum(col("i").cast("decimal(38,0)") * col("n_chars"))
+          .as("sin"))
+        .select(col("lang"),
+          // an all-empty-doc language has no defined inequality —
+          // NULL, not a div-by-zero seam (degenerate-corpus guard)
+          when(col("tot") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST((2000000 * sin) div (n * tot) AS BIGINT)")
+              - expr("CAST((1000000 * (n + 1)) div n AS BIGINT)"))
+            .as("gini_micro"),
+          col("n").cast("long").as("n_docs"))
+        .orderBy(col("lang"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

@@ -2123,5 +2123,83 @@ object TrainingOps {
           min(col("h_micro")).cast("long").as("min_entropy_micro"),
           max(col("h_micro")).cast("long").as("max_entropy_micro"))
         .orderBy(col("n_types"))
+    },
+
+    // ---- Deterministic weighted sampling WITHOUT replacement
+    //      (Efraimidis–Spiridakis A-ES): draw 20 docs per language
+    //      with inclusion probability ∝ n_chars, by ranking on
+    //      −ln(u)/w where u is the md5-derived uniform in (0,1) —
+    //      the seeded-hash randomness every deterministic sampler
+    //      here uses (q100's md5 discipline), so a re-run (or a
+    //      backfill on another engine) draws the IDENTICAL sample.
+    //      The key is rounded to nano units per row before the rank
+    //      (q222's round-then-integer rule: float libm output never
+    //      feeds an order-dependent float sum — here it only feeds a
+    //      row-local rounding). One window per language partition —
+    //      at 100 TB the rank is a per-group top-k (bounded heap),
+    //      not a global sort; the window form here keeps the oracle
+    //      expression identical. ----
+    QueryDef.sql("q228_weighted_sample",
+      """WITH k AS (SELECT doc_id, lang, n_chars,
+        |    CAST(round(-ln((CAST(CAST('0x' ||
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |        AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+        |      / greatest(1, n_chars) * 1000000000) AS BIGINT) AS key_nano
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY key_nano, doc_id) AS rk FROM k)
+        |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars"),
+          round(-log((conv(substring(md5(col("doc_id").cast("string")
+              .cast("binary")), 1, 8), 16, 10).cast("long")
+              .cast("double") + 0.5) / 4294967296.0)
+            // zero-length docs weigh as 1 — the degenerate-corpus
+            // guard (a 0 weight is an IEEE inf key → long overflow)
+            / greatest(lit(1), col("n_chars")) * 1e9).cast("long")
+            .as("key_nano"))
+      k.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("key_nano"), col("doc_id"))))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // ---- k-anonymity audit (k = 5) over the quasi-identifier tuple
+    //      (lang, source, length bucket): the privacy gate a corpus
+    //      release runs before publishing per-document metadata. Per
+    //      language: how many QI equivalence classes exist, how many
+    //      are smaller than k, how many rows those small classes
+    //      expose, and the worst-case class size. Two integer
+    //      aggregations (QI-grouped then language-grouped) — the
+    //      first is the only corpus-sized shuffle and its key space
+    //      is the QI domain, so at 100 TB it map-side combines to
+    //      O(|QI classes|) rows. ----
+    QueryDef.sql("q229_k_anonymity",
+      """WITH g AS (SELECT lang, source, n_chars // 200 AS len_bucket,
+        |    count(*) AS grp_n FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(count(*) FILTER (WHERE grp_n < 5) AS BIGINT)
+        |    AS small_groups,
+        |  CAST(coalesce(sum(grp_n) FILTER (WHERE grp_n < 5), 0)
+        |    AS BIGINT) AS exposed_rows,
+        |  CAST(min(grp_n) AS BIGINT) AS min_k
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 200").as("len_bucket"))
+        .agg(count(lit(1)).as("grp_n"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("grp_n") < 5, 1L).otherwise(0L)).cast("long")
+            .as("small_groups"),
+          coalesce(sum(when(col("grp_n") < 5, col("grp_n"))), lit(0L))
+            .cast("long").as("exposed_rows"),
+          min(col("grp_n")).cast("long").as("min_k"))
+        .orderBy(col("lang"))
     })
 }

@@ -248,6 +248,62 @@ object VectorOps {
     } finally if (persistAssignment) { assigned.unpersist(false); () }
   }
 
+  /** EXACT hard-negative mining: for every vector, the top-k most
+    * cosine-similar vectors carrying a DIFFERENT label — the
+    * contrastive-training companion to q89's kNN (a hard negative is
+    * the most confusable wrong-label example). Same two-pass
+    * bound-pruned IVF as [[ivfTopK]] with the label predicate applied
+    * to BOTH passes; the pruning stays lossless because pass 2 only
+    * skips clusters whose bound beats no candidate at all — label
+    * filtering shrinks the candidate set, never the bound's validity.
+    * One label-aware wrinkle: a query whose primary cluster holds NO
+    * different-label candidate yields no pass-1 row, so kb joins LEFT
+    * and defaults below −1 (probe everything) — the degenerate case
+    * [[ivfTopK]] never hits with label-blind candidates. */
+  def hardNegatives(spark: SparkSession, corpus: DataFrame,
+      nCentroids: Int, k: Int): DataFrame = {
+    val cents = kmeans(spark, corpus, nCentroids, iters = 2)
+    val assigned = corpus
+      .select(col("vec_id").as("cid"), col("embedding").as("cve"),
+        col("label").as("clab"))
+      .withColumn("bucket", assignExpr(cents, "cve"))
+    import spark.implicits._
+    val centsDf = cents.toDF("pbucket", "cvec")
+    val radii = assigned.join(broadcast(centsDf),
+        col("bucket") === col("pbucket"))
+      .withColumn("cdist", sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) *
+        cos("cve", "cvec"))))
+      .groupBy(col("pbucket")).agg(max(col("cdist")).as("r"))
+    val q = corpus.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("label").as("qlab"))
+      .withColumn("bucket", assignExpr(cents, "qv"))
+    graft.functions.GraftFunctions.register(spark)
+    val kb = q.join(assigned, Seq("bucket"))
+      .filter(col("clab") =!= col("qlab"))
+      .withColumn("cs", cos("qv", "cve"))
+      .groupBy(col("qid"))
+      .agg(expr(s"top_k_min(struct(1.0d - cs AS dk, cid, cs), $k)")
+        .as("top"))
+      .select(col("qid"),
+        (when(size(col("top")) === k, expr(s"element_at(top, $k).cs"))
+          .otherwise(lit(-1.0)) - lit(0.0001)).as("kb"))
+    val probes = q.select(col("qid"), col("qv"), col("qlab"))
+      .join(kb, Seq("qid"), "left")
+      .withColumn("kb", coalesce(col("kb"), lit(-1.0001)))
+      .crossJoin(broadcast(centsDf.join(radii, Seq("pbucket"))))
+      .withColumn("gap", greatest(lit(0.0),
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cos("qv", "cvec")))
+          - col("r")))
+      .filter(lit(1.0) - col("gap") * col("gap") / 2 >= col("kb"))
+      .select(col("qid"), col("qv"), col("qlab"),
+        col("pbucket").as("bucket"))
+    heapTopK(
+      probes.join(assigned, Seq("bucket"))
+        .filter(col("clab") =!= col("qlab"))
+        .withColumn("cos_sim", round(cos("qv", "cve"), 4)), k)
+      .orderBy(col("qid"), col("cid"))
+  }
+
   /** EXACT all-pairs cosine ≥ threshold via cluster-pruned blocking —
     * no cartesian node (the r2 verdict's q39 fix). Lossless by the
     * triangle inequality on unit vectors: cos(x,y) ≥ t ⟺
@@ -1162,5 +1218,109 @@ object VectorOps {
             .otherwise(expr("""CAST((s_norm2 * 1000000)
               |  div (CAST(n AS DECIMAL(38,0)) * sum_norm2) AS BIGINT)"""
               .stripMargin)).as("anisotropy_micro"))
+    },
+
+    // ---- Hard-negative mining: per vector, the 3 most similar
+    //      DIFFERENT-label vectors — the contrastive-training miner
+    //      (the negatives the model most confuses). Corpus-scale
+    //      query side through the label-aware bound-pruned IVF
+    //      ([[hardNegatives]] — exact by the same triangle-inequality
+    //      argument as q40/q89, label filter on both probe passes);
+    //      the oracle is the brute-force answer, so the hash asserts
+    //      the pruning loses nothing at this operating point. ----
+    QueryDef.sql("q237_hard_negatives",
+      """WITH q AS (SELECT vec_id AS qid, label AS qlab,
+        |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS cid, label AS clab,
+        |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+        |SELECT qid, cid, neg_label, cos_sim FROM (
+        |  SELECT qid, cid, clab AS neg_label,
+        |    round(list_cosine_similarity(qv, cv), 4) AS cos_sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+        |        cid) AS rn
+        |  FROM q JOIN c ON qlab <> clab)
+        |WHERE rn <= 3 ORDER BY qid, cid""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      hardNegatives(s, e, nCentroids = 8, k = 3)
+        .join(e.select(col("vec_id").as("cid"),
+          col("label").as("neg_label")), "cid")
+        .select(col("qid"), col("cid"), col("neg_label"), col("cos_sim"))
+        .orderBy(col("qid"), col("cid"))
+    },
+
+    // ---- Density-based clustering (DBSCAN, cosine ε-ball): core
+    //      points have ≥3 neighbors at cos ≥ 0.35, clusters are the
+    //      connected components of the core-core neighbor graph
+    //      (labelled by min core id), border points attach to their
+    //      lowest-labelled core neighbor, noise is silent. Every leg
+    //      reuses an audited shape: the ε-pairs come from the
+    //      cluster-pruned EXACT similarity join (q39's operator — no
+    //      cartesian), components from the large-star/small-star CC
+    //      (q69's), and the neighbor-count/border folds are plain
+    //      integer aggs. The oracle replays it with a recursive CTE.
+    //      ----
+    QueryDef.sql("q238_dbscan",
+      """WITH RECURSIVE
+        |pr AS (SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.35),
+        |nb AS (SELECT u AS x, v AS y FROM pr
+        |  UNION ALL SELECT v, u FROM pr),
+        |ncnt AS (SELECT x, count(*) AS c FROM nb GROUP BY x),
+        |core AS (SELECT x FROM ncnt WHERE c >= 3),
+        |ce AS (SELECT pr.u, pr.v FROM pr
+        |  JOIN core c1 ON pr.u = c1.x JOIN core c2 ON pr.v = c2.x),
+        |edges AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+        |walk(node, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+        |  WHERE w.comp < e.v),
+        |cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+        |corec AS (SELECT core.x AS node,
+        |    coalesce(cc.comp, core.x) AS cluster
+        |  FROM core LEFT JOIN cc ON cc.node = core.x),
+        |border AS (SELECT nb.x AS node, min(corec.cluster) AS cluster
+        |  FROM nb JOIN corec ON nb.y = corec.node
+        |  WHERE nb.x NOT IN (SELECT x FROM core)
+        |  GROUP BY nb.x)
+        |SELECT node AS vec_id, 'core' AS role,
+        |  CAST(cluster AS BIGINT) AS cluster FROM corec
+        |UNION ALL
+        |SELECT node, 'border', CAST(cluster AS BIGINT) FROM border
+        |ORDER BY vec_id, role""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val pairs = cosinePairsExact(s, t(s, d, "embeddings"), 0.35,
+          nClusters = 8)
+        .select(col("id1").as("u"), col("id2").as("v"))
+        .localCheckpoint() // feeds neighbor counts, core edges, borders
+      val nb = pairs.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(pairs.select(col("v").as("x"), col("u").as("y")))
+      val core = nb.groupBy(col("x")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3).select(col("x"))
+        .localCheckpoint() // tiny core set, read by three legs
+      val ce = pairs
+        .join(core.select(col("x").as("u")), "u")
+        .join(core.select(col("x").as("v")), "v")
+        .select(col("u"), col("v"))
+      val cc = graft.operators.ConnectedComponents.run(ce, "u", "v")
+      val corec = core
+        .join(cc.select(col("node").as("ccn"), col("component")),
+          col("x") === col("ccn"), "left")
+        .select(col("x").as("node"),
+          coalesce(col("component"), col("x")).as("cluster"))
+      val border = nb
+        .join(corec.select(col("node").as("y"), col("cluster")), "y")
+        .join(core, Seq("x"), "left_anti")
+        .groupBy(col("x")).agg(min(col("cluster")).as("cluster"))
+      corec.select(col("node").as("vec_id"), lit("core").as("role"),
+          col("cluster").cast("long").as("cluster"))
+        .unionAll(border.select(col("x").as("vec_id"),
+          lit("border").as("role"), col("cluster").cast("long")
+            .as("cluster")))
+        .orderBy(col("vec_id"), col("role"))
     })
 }

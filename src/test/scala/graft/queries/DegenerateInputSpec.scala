@@ -564,6 +564,26 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("heaps_beta")) == 0.0, s"beta: $r")
   }
 
+  test("q228/q233: an all-empty-doc corpus samples and reports NULL gini") {
+    // n_chars ≡ 0 collapses BOTH new length-derived denominators: the
+    // A-ES key's weight (0 ⇒ inf key ⇒ long overflow without the
+    // greatest(1,·) guard) and the Gini total (0 ⇒ div-by-zero)
+    val tmp = Files.createTempDirectory("degen228").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("n_chars", lit(0L).cast(docs.schema("n_chars").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val sampled = SparkEntry.queries("q228_weighted_sample")(spark, d2)
+      .collect()
+    assert(sampled.nonEmpty, "uniform fallback sample must still draw")
+    val gini = SparkEntry.queries("q233_length_gini")(spark, d2).collect()
+    assert(gini.nonEmpty)
+    gini.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("gini_micro")), s"gini: $r")
+    }
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -596,7 +596,41 @@ class PlanAuditSpec extends AnyFunSuite {
       // q225 = the corpus-sized token explode into the checkpoint +
       // the bucket totals, first-bucket rollup, and the two 10-row
       // cumulations + the 1-row fit.
-      "q225_heaps_exponent" -> 4)
+      "q225_heaps_exponent" -> 4,
+      // distinct + part-degree agg + pair-join agg + final agg
+      // (TakeOrdered for the top-50 — no global sort exchange)
+      "q226_ra_link_prediction" -> 4,
+      // post-checkpoint legs only: edge degrees, perNode's orientation
+      // degree + corner fold, the final deg⋈tri; the oriented edge
+      // list and adjacency arrays are lineage-truncated in perNode
+      "q227_local_clustering" -> 6,
+      // one rank window per language + the output sort
+      "q228_weighted_sample" -> 2,
+      // QI-class agg + language agg + output sort
+      "q229_k_anonymity" -> 3,
+      // the multi-distinct expand agg (2-phase) — stack is map-side
+      "q230_table_profile" -> 2,
+      // two exact-percentile aggs + their re-join legs
+      "q231_mad_outliers" -> 4,
+      // daily integer fold + the slope-pair join + per-type median
+      "q232_theilsen_slope" -> 3,
+      // the per-language rank/sum window + grouped fold
+      "q233_length_gini" -> 2,
+      // per-user fold + the three ntile windows (one exchange to a
+      // single partition — the q103 quantile-lake swap at scale) +
+      // cell census
+      "q234_rfm_cells" -> 3,
+      // per-user sequence window + transition fold + row totals +
+      // output sort
+      "q235_markov_transitions" -> 4,
+      // band-bucket candidate self-join + distinct + pair fold
+      "q236_frame_phash_neardup" -> 3,
+      // label-aware IVF: primary-probe kb agg, bound-probe join,
+      // final heap top-k, label re-join
+      "q237_hard_negatives" -> 4,
+      // ε-pair blocking (checkpointed) + neighbor-count agg + core
+      // joins + CC (internally checkpointed) + border fold
+      "q238_dbscan" -> 9)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
