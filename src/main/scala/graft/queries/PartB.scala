@@ -2459,5 +2459,170 @@ object PartB {
         .agg(count(lit(1)).as("n_close_frames"),
           min(col("hd")).cast("long").as("min_hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- Sequence-model calibration: the q235 Markov family's
+    //      predicted P(next = purchase | current type), TRAINED on the
+    //      first half of the month (pair assigned by its NEXT event's
+    //      timestamp, split at an absolute epoch so no engine-local
+    //      date math can drift) and EVALUATED on the second — per-type
+    //      predicted-vs-observed reliability plus the Brier score, the
+    //      standard probability-forecast loss. Everything is exact:
+    //      predictions are count ratios in integer micro, and Brier
+    //      needs no per-row float at all — Σ(p−y)² over a cell with k
+    //      positives of n is k(1−p)² + (n−k)p², assembled from the
+    //      same integer counts (one DECIMAL(38,0) product tree, one
+    //      final rounded division). Two O(types) aggs off one
+    //      lead-window pass (user-partitioned — sequences bound per
+    //      user, never corpus-long); test types unseen in training
+    //      surface with NULL prediction via the left join (guard). ----
+    QueryDef.sql("q240_seq_calibration",
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt_us
+        |  FROM events),
+        |pairs AS (SELECT event_type AS cur, nxt, nxt_us FROM seq
+        |  WHERE nxt IS NOT NULL),
+        |tr AS (SELECT cur, CAST(count(*) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k_tr
+        |  FROM pairs WHERE nxt_us < 1705363200000000 GROUP BY cur),
+        |pm AS (SELECT cur, n_train,
+        |    CAST(k_tr * 1000000 // n_train AS BIGINT) AS p_pred_micro
+        |  FROM tr),
+        |te AS (SELECT cur, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k_te
+        |  FROM pairs WHERE nxt_us >= 1705363200000000 GROUP BY cur)
+        |SELECT te.cur AS cur_type, pm.n_train, pm.p_pred_micro,
+        |  te.n_test,
+        |  CAST(te.k_te * 1000000 // te.n_test AS BIGINT) AS p_obs_micro,
+        |  CASE WHEN pm.p_pred_micro IS NULL THEN NULL
+        |    ELSE round(CAST(te.k_te
+        |        * CAST(1000000 - pm.p_pred_micro AS HUGEINT)
+        |        * (1000000 - pm.p_pred_micro)
+        |      + (te.n_test - te.k_te)
+        |        * CAST(pm.p_pred_micro AS HUGEINT) * pm.p_pred_micro
+        |      AS DOUBLE) / (CAST(te.n_test AS DOUBLE) * 1e12), 6) END
+        |    AS brier
+        |FROM te LEFT JOIN pm ON te.cur = pm.cur
+        |ORDER BY cur_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"),
+          lead(unix_micros(col("ts")), 1).over(w).as("nxt_us"))
+        .filter(col("nxt").isNotNull)
+        .localCheckpoint() // feeds the train and test aggs
+      def half(f: org.apache.spark.sql.Column, n: String, kc: String) =
+        pairs.filter(f).groupBy(col("cur"))
+          .agg(count(lit(1)).as(n),
+            sum(when(col("nxt") === "purchase", 1).otherwise(0))
+              .cast("long").as(kc))
+      val pm = half(col("nxt_us") < 1705363200000000L, "n_train", "k_tr")
+        .select(col("cur"), col("n_train"),
+          expr("CAST(k_tr * 1000000 div n_train AS BIGINT)")
+            .as("p_pred_micro"))
+      val te = half(col("nxt_us") >= 1705363200000000L, "n_test", "k_te")
+      te.join(pm, Seq("cur"), "left")
+        .select(col("cur").as("cur_type"), col("n_train"),
+          col("p_pred_micro"), col("n_test"),
+          expr("CAST(k_te * 1000000 div n_test AS BIGINT)")
+            .as("p_obs_micro"),
+          // a test-only type has no trained prediction — NULL, not a
+          // null-arithmetic seam
+          when(col("p_pred_micro").isNull, lit(null).cast("double"))
+            .otherwise(round(
+              (col("k_te")
+                * (lit(1000000) - col("p_pred_micro")).cast("decimal(38,0)")
+                * (lit(1000000) - col("p_pred_micro"))
+              + (col("n_test") - col("k_te"))
+                * col("p_pred_micro").cast("decimal(38,0)")
+                * col("p_pred_micro")).cast("double")
+              / (col("n_test").cast("double") * lit(1e12)), 6))
+            .as("brier"))
+        .orderBy(col("cur_type"))
+    },
+
+    // ---- Deadline-windowed funnel (view → click ≤24h → purchase
+    //      ≤24h): q135's earliest-completion chain with a per-step
+    //      DEADLINE — the production funnel semantics (ClickHouse's
+    //      windowFunnel, Amplitude's conversion windows) where an
+    //      unwindowed funnel on a long-lived corpus converts everyone
+    //      eventually (q135 here reads 150/150/150; this reads
+    //      150/60/25 — the deadline is what creates drop-off). Same
+    //      scalable shape: per-user min-aggs chained through user-
+    //      keyed joins (agg → join (t, t+W] → agg), never a per-user
+    //      ordered scan; the report is 1-row broadcast aggs. The
+    //      completion median rides the doubled-median trick (2× the
+    //      interpolated median of integer µs is an exactly-
+    //      representable integer double — CAST truncation can't
+    //      diverge cross-engine where a .5 could). ----
+    QueryDef.sql("q241_windowed_funnel",
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+        |    AND epoch_us(e.ts) <= v.t1 + 86400000000
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+        |    AND epoch_us(e.ts) <= c.t2 + 86400000000
+        |  GROUP BY e.user_id),
+        |b AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n3,
+        |  (SELECT CAST(2 * quantile_cont(p.t3 - v.t1, 0.5) AS BIGINT)
+        |    FROM p JOIN v ON p.user_id = v.user_id) AS med2)
+        |SELECT n1 AS step1_users, n2 AS step2_users, n3 AS step3_users,
+        |  CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 END AS BIGINT)
+        |    AS conv12_micro,
+        |  CAST(CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 END AS BIGINT)
+        |    AS conv23_micro,
+        |  CAST(CASE WHEN n1 > 0 THEN n3 * 1000000 // n1 END AS BIGINT)
+        |    AS conv13_micro,
+        |  med2 AS median2_complete_us
+        |FROM b""".stripMargin) { (s, d) =>
+      val W = 86400000000L
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      def stage(tpe: String, after: DataFrame, tCol: String, out: String) =
+        ev.filter(col("event_type") === tpe)
+          .join(after, "user_id")
+          .filter(col("us") > col(tCol) && col("us") <= col(tCol) + W)
+          .groupBy(col("user_id")).agg(min(col("us")).as(out))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        .localCheckpoint() // anchors step 2 and the completion median
+      val c = stage("click", v, "t1", "t2")
+        .localCheckpoint() // feeds step 3 and its own count
+      val p = stage("purchase", c, "t2", "t3")
+        .localCheckpoint() // feeds the count and the median join
+      val n1 = v.agg(count(lit(1)).cast("long").as("step1_users"))
+      val n2 = c.agg(count(lit(1)).cast("long").as("step2_users"))
+      val n3 = p.agg(count(lit(1)).cast("long").as("step3_users"))
+      val med = p.join(v, "user_id")
+        .agg(expr("CAST(2 * percentile(t3 - t1, 0.5D) AS BIGINT)")
+          .as("median2_complete_us"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
+        .crossJoin(broadcast(med))
+        .select(col("step1_users"), col("step2_users"), col("step3_users"),
+          when(col("step1_users") > 0,
+            expr("CAST(step2_users * 1000000 div step1_users AS BIGINT)"))
+            .as("conv12_micro"),
+          when(col("step2_users") > 0,
+            expr("CAST(step3_users * 1000000 div step2_users AS BIGINT)"))
+            .as("conv23_micro"),
+          when(col("step1_users") > 0,
+            expr("CAST(step3_users * 1000000 div step1_users AS BIGINT)"))
+            .as("conv13_micro"),
+          col("median2_complete_us"))
     })
 }

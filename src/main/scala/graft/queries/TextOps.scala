@@ -2869,6 +2869,154 @@ object TextOps {
             .as("gini_micro"),
           col("n").cast("long").as("n_docs"))
         .orderBy(col("lang"))
+    },
+
+    // ---- Classifier-discrimination AUC: does the langid scorer's
+    //      CONFIDENCE (margin = top stopword-hit count minus the
+    //      runner-up's) rank its correct predictions above its
+    //      mistakes? AUC is the Mann–Whitney probability, so it rides
+    //      q182's exact doubled-rank algebra: margins are small
+    //      integers (heavy ties), a tied group of size c after cb rows
+    //      has 2·avg_rank = 2·cb+c+1, and the rank-sum accumulates in
+    //      DECIMAL(38,0) — no float average ranks, so the statistic
+    //      hash-compares bit-for-bit. The second-best hit count is
+    //      max-of-pairwise-mins (6 terms — exact order statistics, no
+    //      sort). One support agg on O(distinct margins) rows, the
+    //      cumulative window runs post-aggregation (q175 discipline).
+    //      Single-class outcomes (all correct / all wrong) ⇒ NULL AUC.
+    //      0.5 = confidence is noise; this corpus reads ≈ 0.58 —
+    //      margin barely separates hits from misses, exactly what a
+    //      7-stopword scorer deserves. ----
+    QueryDef.sql("q239_langid_auc",
+      s"""WITH $langidPredCte,
+        |m AS (SELECT pr.doc_id, d.lang, pr.pred_lang,
+        |    greatest(en_hits, de_hits, fr_hits, es_hits)
+        |      - greatest(least(en_hits, de_hits), least(en_hits, fr_hits),
+        |                 least(en_hits, es_hits), least(de_hits, fr_hits),
+        |                 least(de_hits, es_hits), least(fr_hits, es_hits))
+        |      AS margin
+        |  FROM pr JOIN documents d ON pr.doc_id = d.doc_id),
+        |lab AS (SELECT margin,
+        |    CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS y FROM m),
+        |sup AS (SELECT margin, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS cp FROM lab GROUP BY margin),
+        |cw AS (SELECT margin, c, cp,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY margin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb FROM sup),
+        |agg AS (SELECT sum(CAST(cp AS HUGEINT) * (2 * cb + c + 1)) AS r2,
+        |    CAST(sum(cp) AS BIGINT) AS n1,
+        |    CAST(sum(c - cp) AS BIGINT) AS n0 FROM cw)
+        |SELECT n1 AS n_correct, n0 AS n_incorrect,
+        |  CAST(CASE WHEN n1 > 0 AND n0 > 0
+        |    THEN (r2 - n1 * (CAST(n1 AS HUGEINT) + 1)) * 500000
+        |      // (CAST(n1 AS HUGEINT) * n0) END AS BIGINT) AS auc_micro
+        |FROM agg""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pr = langidPred(t(s, d, "documents"))
+      val m = pr
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .select(
+          (greatest(col("en_hits"), col("de_hits"), col("fr_hits"),
+            col("es_hits"))
+            - greatest(least(col("en_hits"), col("de_hits")),
+              least(col("en_hits"), col("fr_hits")),
+              least(col("en_hits"), col("es_hits")),
+              least(col("de_hits"), col("fr_hits")),
+              least(col("de_hits"), col("es_hits")),
+              least(col("fr_hits"), col("es_hits")))).as("margin"),
+          when(col("pred_lang") === col("lang"), 1).otherwise(0).as("y"))
+      val sup = m.groupBy(col("margin"))
+        .agg(count(lit(1)).as("c"), sum(col("y")).cast("long").as("cp"))
+      // O(distinct margins) rows past the support agg — the single-
+      // partition cumulative window is post-aggregation (q175/q182)
+      val cw = sup.withColumn("cb",
+        coalesce(sum(col("c")).over(Window.orderBy(col("margin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      cw.agg(
+          sum(col("cp").cast("decimal(38,0)")
+            * (lit(2) * col("cb") + col("c") + 1)).as("r2"),
+          sum(col("cp")).cast("long").as("n1"),
+          sum(col("c") - col("cp")).cast("long").as("n0"))
+        .select(col("n1").as("n_correct"), col("n0").as("n_incorrect"),
+          // degenerate outcome mix (all correct / all wrong) ⇒ NULL
+          when(col("n1") > 0 && col("n0") > 0,
+            expr("""CAST((r2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1))
+              |  * 500000 div (CAST(n1 AS DECIMAL(38,0)) * n0)
+              |  AS BIGINT)""".stripMargin))
+            .otherwise(lit(null).cast("long")).as("auc_micro"))
+    },
+
+    // ---- Hill tail-index per source: the order-statistics tail
+    //      exponent alpha = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the
+    //      top-k doc lengths — the estimator behind "is this feed's
+    //      length distribution heavy-tailed?" (alpha ≤ 2 ⇒ infinite
+    //      variance: expect pathological concat/stitched documents;
+    //      this thin-tailed synthetic corpus reads alpha ≫ 3). The
+    //      moment family (q224) sees the whole distribution; Hill sees
+    //      ONLY the tail. k = min(25, n/5) per source, deterministic.
+    //      ln is per-row on exact integer lengths, rounded to 1e6
+    //      fixed point (q185/q225's float fence); the excess-ln sum is
+    //      then pure integers, and alpha is one integer division.
+    //      Ranks come from a source-partitioned window (parallel
+    //      across sources; per-source row counts bounded by the
+    //      source, not the corpus — at 100 TB swap the rank window for
+    //      the q103 quantile-lake top-k boundary, same algebra).
+    //      Sources with k < 2 are excluded; a constant-length tail ⇒
+    //      excess sum 0 ⇒ NULL alpha (degenerate guard). ----
+    QueryDef.sql("q242_hill_tail",
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS lx,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT source, CAST(least(25, max(n) // 5) AS BIGINT) AS k
+        |  FROM r GROUP BY source),
+        |k2 AS (SELECT source, k FROM k WHERE k >= 2),
+        |xk AS (SELECT r.source, k2.k, r.lx AS lxk FROM r
+        |  JOIN k2 ON r.source = k2.source AND r.rk = k2.k + 1),
+        |s AS (SELECT r.source, xk.k, xk.lxk,
+        |    CAST(sum(r.lx) AS BIGINT) AS sl
+        |  FROM r JOIN xk ON r.source = xk.source AND r.rk <= xk.k
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, k, CAST(sl - k * lxk AS BIGINT) AS hill_sum_micro,
+        |  CAST((sl - k * lxk) // k AS BIGINT) AS hill_micro,
+        |  CAST(CASE WHEN sl - k * lxk > 0
+        |    THEN (CAST(k AS HUGEINT) * 1000000000000) // (sl - k * lxk)
+        |    END AS BIGINT) AS alpha_micro
+        |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+      val r = t(s, d, "documents").filter(col("n_chars") > 0)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          round(log(col("n_chars").cast("double")) * 1000000)
+            .cast("long").as("lx"),
+          row_number().over(
+            w.orderBy(col("n_chars").desc, col("doc_id"))).as("rk"),
+          count(lit(1)).over(w).as("n"))
+        .localCheckpoint() // feeds the k table, the x_(k+1) probe and
+                           // the top-k sum
+      val k2 = r.groupBy(col("source"))
+        .agg(expr("CAST(least(25, max(n) div 5) AS BIGINT)").as("k"))
+        .filter(col("k") >= 2)
+      val xk = r.join(k2, "source").filter(col("rk") === col("k") + 1)
+        .select(col("source"), col("k"), col("lx").as("lxk"))
+      val sdf = r.join(xk, "source").filter(col("rk") <= col("k"))
+        .groupBy(col("source"), col("k"), col("lxk"))
+        .agg(sum(col("lx")).cast("long").as("sl"))
+      sdf.select(col("source"), col("k"),
+          (col("sl") - col("k") * col("lxk")).as("hill_sum_micro"),
+          expr("CAST((sl - k * lxk) div k AS BIGINT)").as("hill_micro"),
+          // constant-length tail ⇒ zero excess mass ⇒ NULL, not a
+          // div-by-zero seam (degenerate-corpus guard)
+          when(col("sl") - col("k") * col("lxk") > 0,
+            expr("""CAST(CAST(k AS DECIMAL(38,0)) * 1000000000000
+              |  div (sl - k * lxk) AS BIGINT)""".stripMargin))
+            .otherwise(lit(null).cast("long")).as("alpha_micro"))
+        .orderBy(col("source"))
     })
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as

@@ -584,6 +584,58 @@ class DegenerateInputSpec extends AnyFunSuite {
     }
   }
 
+  test("q239: a single-class outcome (all predictions wrong) has NULL AUC") {
+    // lang ≡ 'xx' matches no classifier output ⇒ n_correct = 0 ⇒ the
+    // rank-sum denominator n1·n0 is 0 — NULL, not a div-by-zero seam
+    val tmp = Files.createTempDirectory("degen239").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("lang", lit("xx").cast(docs.schema("lang").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("q239_langid_auc")(spark, d2).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_correct")) == 0L, s"row: $r")
+    assert(r.isNullAt(r.fieldIndex("auc_micro")), s"row: $r")
+  }
+
+  test("q240/q241: a single-instant feed — no trained model, no funnel") {
+    // the shared fixture's events all share one post-split timestamp:
+    // q240's training half is EMPTY (every pair lands in test ⇒ NULL
+    // prediction and NULL Brier via the left join, observed still
+    // defined); q241's strictly-after step chain can never advance
+    // (equal timestamps ⇒ no click after the first view ⇒ 0/0 funnel
+    // tail with NULL conv23 and NULL median, conv12 exactly 0)
+    val cal = run("q240_seq_calibration")
+    assert(cal.nonEmpty)
+    cal.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("p_pred_micro")), s"row: $r")
+      assert(r.isNullAt(r.fieldIndex("brier")), s"row: $r")
+      assert(!r.isNullAt(r.fieldIndex("p_obs_micro")), s"row: $r")
+    }
+    val f = run("q241_windowed_funnel")(0)
+    assert(f.getLong(f.fieldIndex("step2_users")) == 0L, s"row: $f")
+    assert(f.getLong(f.fieldIndex("conv12_micro")) == 0L, s"row: $f")
+    assert(f.isNullAt(f.fieldIndex("conv23_micro")), s"row: $f")
+    assert(f.isNullAt(f.fieldIndex("median2_complete_us")), s"row: $f")
+  }
+
+  test("q242: a constant-length tail has zero excess mass, NULL alpha") {
+    // n_chars ≡ 100 ⇒ every top-k ln equals ln x_(k+1) ⇒ the Hill sum
+    // is exactly 0 and 1/H must be NULL, not an ANSI division error
+    val tmp = Files.createTempDirectory("degen242").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("n_chars", lit(100L).cast(docs.schema("n_chars").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q242_hill_tail")(spark, d2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("hill_sum_micro")) == 0L, s"row: $r")
+      assert(r.isNullAt(r.fieldIndex("alpha_micro")), s"row: $r")
+    }
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

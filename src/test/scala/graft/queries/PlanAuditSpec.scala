@@ -630,7 +630,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "q237_hard_negatives" -> 4,
       // ε-pair blocking (checkpointed) + neighbor-count agg + core
       // joins + CC (internally checkpointed) + border fold
-      "q238_dbscan" -> 9)
+      "q238_dbscan" -> 9,
+      // margin/label support agg + the O(distinct margins) cumulative
+      // window (single partition, post-agg) + the 1-row rank-sum fold
+      "q239_langid_auc" -> 3,
+      // one user-partitioned lead window + the train and test O(types)
+      // aggs off the checkpoint + the left join + output sort
+      "q240_seq_calibration" -> 3,
+      // three user-keyed stage legs (agg → join → agg, checkpointed) +
+      // the four 1-row report aggs riding broadcasts
+      "q241_windowed_funnel" -> 4,
+      // the source-partitioned rank window into the checkpoint + the
+      // per-source k agg + the x_(k+1) probe and top-k sum joins +
+      // output sort
+      "q242_hill_tail" -> 1)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
