@@ -2201,5 +2201,147 @@ object TrainingOps {
             .cast("long").as("exposed_rows"),
           min(col("grp_n")).cast("long").as("min_k"))
         .orderBy(col("lang"))
+    },
+
+    // ---- One-way ANOVA F across sources (k-arm extension of q165's
+    //      Welch t): does mean doc length differ by source at all,
+    //      before any pairwise test? Everything is EXACT integer
+    //      algebra: per-source (n, Σx, Σx²) in DECIMAL(38,0), the
+    //      between-groups term Σ s_j²/n_j floor-quantized to micro
+    //      per group (integer div — both engines floor identically on
+    //      the provably-nonnegative operands), so SSB/SSW/F/η² are
+    //      integers that hash bit-for-bit. One corpus-sized groupBy
+    //      (map-side combine to O(sources) rows) then a 1-row fold —
+    //      the report is source-count-sized forever. A corpus where
+    //      every source is internally constant ⇒ SSW = 0 ⇒ NULL F
+    //      (the guard DegenerateInputSpec pins); η² stays defined
+    //      unless the whole corpus is one constant. ----
+    QueryDef.sql("q243_anova_f",
+      """WITH g AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(n_chars) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS ss
+        |  FROM documents GROUP BY source),
+        |agg AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+        |    CAST(sum(s) AS HUGEINT) AS st,
+        |    CAST(sum(ss) AS HUGEINT) AS sst,
+        |    CAST(count(*) AS HUGEINT) AS k,
+        |    CAST(sum(s * s * 1000000 // n) AS HUGEINT) AS bterm
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_total,
+        |  CAST(bterm - st * st * 1000000 // nn AS BIGINT) AS ssb_micro,
+        |  CAST(sst * 1000000 - bterm AS BIGINT) AS ssw_micro,
+        |  CAST(CASE WHEN sst * 1000000 - bterm > 0 AND k > 1 AND nn > k
+        |    THEN (bterm - st * st * 1000000 // nn) * (nn - k) * 1000000
+        |      // ((sst * 1000000 - bterm) * (k - 1)) END AS BIGINT)
+        |    AS f_micro,
+        |  CAST(CASE WHEN sst * 1000000 - st * st * 1000000 // nn > 0
+        |    THEN (bterm - st * st * 1000000 // nn) * 1000000
+        |      // (sst * 1000000 - st * st * 1000000 // nn) END AS BIGINT)
+        |    AS eta2_micro
+        |FROM agg""".stripMargin) { (s, d) =>
+      val g = t(s, d, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("n_chars").cast("decimal(38,0)")).as("s"),
+          sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+            .as("ss"))
+      g.agg(sum(col("n")).as("nn"), sum(col("s")).as("st"),
+          sum(col("ss")).as("sst"),
+          count(lit(1)).cast("decimal(38,0)").as("k"),
+          sum(expr("CAST(s * s * 1000000 div n AS DECIMAL(38,0))"))
+            .as("bterm"))
+        .select(col("k").cast("long").as("k_groups"),
+          col("nn").cast("long").as("n_total"),
+          expr("CAST(bterm - st * st * 1000000 div nn AS BIGINT)")
+            .as("ssb_micro"),
+          (col("sst") * 1000000 - col("bterm")).cast("long")
+            .as("ssw_micro"),
+          // SSW = 0 (every source internally constant) or k <= 1 or
+          // nn <= k would divide by zero — NULL, mirrored in the oracle
+          expr("""CAST(CASE WHEN sst * 1000000 - bterm > 0 AND k > 1
+            |    AND nn > k
+            |  THEN (bterm - st * st * 1000000 div nn) * (nn - k)
+            |    * 1000000 div ((sst * 1000000 - bterm) * (k - 1))
+            |  END AS BIGINT)""".stripMargin).as("f_micro"),
+          expr("""CAST(CASE WHEN sst * 1000000
+            |    - st * st * 1000000 div nn > 0
+            |  THEN (bterm - st * st * 1000000 div nn) * 1000000
+            |    div (sst * 1000000 - st * st * 1000000 div nn)
+            |  END AS BIGINT)""".stripMargin).as("eta2_micro"))
+    },
+
+    // ---- Kruskal–Wallis H across sources — the rank-based twin of
+    //      q243 (robust to the heavy tails q242 measures): does the
+    //      length DISTRIBUTION differ by source? Tie-corrected via
+    //      the variance-ratio identity H = (N−1)(ΣR_j²/n_j − C) /
+    //      (Σ_v c_v·m_v² − C) with C = N(N+1)²/4, which makes both
+    //      numerator and denominator provably nonnegative — so the
+    //      floor integer division is sign-safe in both engines (the
+    //      greatest(0,·) clamp only absorbs ≤k µunits of quantization
+    //      noise). Ranks never touch N rows: the (value, source) cell
+    //      agg and the O(distinct lengths) support table carry q182's
+    //      exact doubled-rank algebra (2·avg_rank = 2·cb + c + 1),
+    //      and the cumulative window runs post-aggregation. An
+    //      all-one-value corpus ⇒ denominator 0 ⇒ NULL
+    //      (DegenerateInputSpec). ----
+    QueryDef.sql("q244_kruskal_wallis",
+      """WITH cell AS (SELECT n_chars AS v, source,
+        |    CAST(count(*) AS BIGINT) AS cj
+        |  FROM documents GROUP BY 1, 2),
+        |sup AS (SELECT v, CAST(sum(cj) AS BIGINT) AS c
+        |  FROM cell GROUP BY v),
+        |cw AS (SELECT v, c,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb FROM sup),
+        |r2 AS (SELECT cell.source,
+        |    CAST(sum(CAST(cj AS HUGEINT) * (2 * cb + c + 1)) AS HUGEINT)
+        |      AS r2j,
+        |    CAST(sum(cj) AS HUGEINT) AS nj
+        |  FROM cell JOIN cw ON cell.v = cw.v GROUP BY cell.source),
+        |den AS (SELECT
+        |    CAST(sum(CAST(c AS HUGEINT) * (2 * cb + c + 1)
+        |      * (2 * cb + c + 1)) AS HUGEINT) AS s4,
+        |    CAST(sum(c) AS HUGEINT) AS n FROM cw),
+        |agg AS (SELECT
+        |    CAST(sum(r2j * r2j * 1000000 // nj) AS HUGEINT) AS bterm,
+        |    CAST(count(*) AS HUGEINT) AS k FROM r2)
+        |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+        |  CAST(CASE WHEN s4 - n * (n + 1) * (n + 1) > 0 THEN
+        |    (n - 1) * greatest(0, bterm - n * (n + 1) * (n + 1) * 1000000)
+        |      // (s4 - n * (n + 1) * (n + 1)) END AS BIGINT) AS h_micro
+        |FROM agg, den""".stripMargin) { (s, d) =>
+      val cell = t(s, d, "documents")
+        .groupBy(col("n_chars").as("v"), col("source"))
+        .agg(count(lit(1)).as("cj"))
+        .localCheckpoint() // feeds both the support table and the
+                           // per-source rank-sum join
+      val sup = cell.groupBy(col("v")).agg(sum(col("cj")).as("c"))
+      // O(distinct lengths) rows past the support agg — the single-
+      // partition cumulative window is post-aggregation (q182/q239)
+      val cw = sup.withColumn("cb",
+          coalesce(sum(col("c")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .localCheckpoint() // feeds the rank-sum join and the 1-row
+                           // denominator fold
+      val r2 = cell.join(cw, "v").groupBy(col("source"))
+        .agg(sum(col("cj").cast("decimal(38,0)")
+            * (lit(2) * col("cb") + col("c") + 1)).as("r2j"),
+          sum(col("cj")).cast("decimal(38,0)").as("nj"))
+      val den = cw.agg(
+        sum(col("c").cast("decimal(38,0)")
+          * (lit(2) * col("cb") + col("c") + 1)
+          * (lit(2) * col("cb") + col("c") + 1)).as("s4"),
+        sum(col("c")).cast("decimal(38,0)").as("n"))
+      r2.agg(sum(expr("CAST(r2j * r2j * 1000000 div nj AS DECIMAL(38,0))"))
+            .as("bterm"),
+          count(lit(1)).cast("long").as("k_groups"))
+        .crossJoin(broadcast(den)) // 1-row denominator fold
+        .select(col("k_groups"), col("n").cast("long").as("n_total"),
+          // one distinct value corpus-wide ⇒ rank variance 0 ⇒ NULL
+          expr("""CAST(CASE WHEN s4 - n * (n + 1) * (n + 1) > 0 THEN
+            |  (n - 1) * greatest(CAST(0 AS DECIMAL(38,0)),
+            |    bterm - n * (n + 1) * (n + 1) * 1000000)
+            |  div (s4 - n * (n + 1) * (n + 1)) END AS BIGINT)"""
+            .stripMargin).as("h_micro"))
     })
 }

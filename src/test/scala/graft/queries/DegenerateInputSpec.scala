@@ -636,6 +636,26 @@ class DegenerateInputSpec extends AnyFunSuite {
     }
   }
 
+  test("q243/q244: a constant-length corpus has NULL F and NULL H") {
+    // n_chars ≡ 100 ⇒ SSW = SSB = 0 (q243's guard) and the rank
+    // variance denominator s4 − n(n+1)² = 0 (q244's guard) — NULL,
+    // never a division error; the exact integer counts stay defined
+    val tmp = Files.createTempDirectory("degen243").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.withColumn("n_chars", lit(100L).cast(docs.schema("n_chars").dataType))
+      .write.parquet(s"$d2/documents.parquet")
+    val f = SparkEntry.queries("q243_anova_f")(spark, d2).collect()(0)
+    assert(f.getLong(f.fieldIndex("ssb_micro")) == 0L, s"row: $f")
+    assert(f.getLong(f.fieldIndex("ssw_micro")) == 0L, s"row: $f")
+    assert(f.isNullAt(f.fieldIndex("f_micro")), s"row: $f")
+    assert(f.isNullAt(f.fieldIndex("eta2_micro")), s"row: $f")
+    val h = SparkEntry.queries("q244_kruskal_wallis")(spark, d2).collect()(0)
+    assert(h.getLong(h.fieldIndex("n_total")) > 0L, s"row: $h")
+    assert(h.isNullAt(h.fieldIndex("h_micro")), s"row: $h")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

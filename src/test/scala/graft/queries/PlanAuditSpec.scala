@@ -643,7 +643,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // the source-partitioned rank window into the checkpoint + the
       // per-source k agg + the x_(k+1) probe and top-k sum joins +
       // output sort
-      "q242_hill_tail" -> 1)
+      "q242_hill_tail" -> 1,
+      // the per-source moment agg + the 1-row fold
+      "q243_anova_f" -> 2,
+      // past the checkpointed cell/support tables: the per-source
+      // rank-sum agg + the 1-row fold (the broadcast denominator
+      // rides free)
+      "q244_kruskal_wallis" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
