@@ -2624,5 +2624,225 @@ object PartB {
             expr("CAST(step3_users * 1000000 div step1_users AS BIGINT)"))
             .as("conv13_micro"),
           col("median2_complete_us"))
+    },
+
+    // ---- Cumulative gains / lift curve: rank users by an engagement
+    //      score (view count) and read, at every score threshold, how
+    //      much of the heavy-buyer population (≥ 15 purchases) the
+    //      targeted slice captures vs random targeting — the standard
+    //      model-evaluation readout behind "top 20 % of scores holds
+    //      34 % of buyers". The curve is evaluated at score
+    //      THRESHOLDS, not row-level deciles, so it assembles from
+    //      the O(distinct scores) support table (score, users,
+    //      positives): no per-row global rank exists anywhere — the
+    //      cumulative window is post-aggregation (q239/q244) and the
+    //      corpus only pays one user-keyed agg. Depth/recall/lift are
+    //      exact integer micro (floor div on provably nonnegative
+    //      operands). A corpus with zero positives ⇒ NULL recall and
+    //      lift at every threshold (DegenerateInputSpec). ----
+    QueryDef.sql("q245_gains_curve",
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS score,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS y
+        |  FROM events GROUP BY user_id),
+        |sup AS (SELECT score, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS cp FROM u GROUP BY score),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(cp) AS BIGINT) AS b FROM sup),
+        |cw AS (SELECT score,
+        |    CAST(sum(c) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS targeted,
+        |    CAST(sum(cp) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS captured FROM sup)
+        |SELECT score AS score_threshold, targeted, captured,
+        |  CAST(targeted * 1000000 // n AS BIGINT) AS depth_micro,
+        |  CAST(CASE WHEN b > 0 THEN captured * 1000000 // b END
+        |    AS BIGINT) AS recall_micro,
+        |  CAST(CASE WHEN b > 0 THEN
+        |    (CAST(captured AS HUGEINT) * n * 1000000)
+        |      // (CAST(targeted AS HUGEINT) * b) END AS BIGINT)
+        |    AS lift_micro
+        |FROM cw, tot ORDER BY score_threshold DESC""".stripMargin) {
+      (s, d) =>
+      val u = t(s, d, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 15, 1L).otherwise(0L).as("y"))
+      val sup = u.groupBy(col("score"))
+        .agg(count(lit(1)).as("c"), sum(col("y")).cast("long").as("cp"))
+        .localCheckpoint() // feeds the 1-row total and the curve
+      val tot = sup.agg(sum(col("c")).cast("long").as("n"),
+        sum(col("cp")).cast("long").as("b"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cw = sup.select(col("score"),
+        sum(col("c")).over(w).as("targeted"),
+        sum(col("cp")).over(w).as("captured"))
+      cw.crossJoin(broadcast(tot)) // 1-row population totals
+        .select(col("score").as("score_threshold"),
+          col("targeted"), col("captured"),
+          expr("CAST(targeted * 1000000 div n AS BIGINT)")
+            .as("depth_micro"),
+          // a zero-positive population ⇒ NULL, mirrored in the oracle
+          when(col("b") > 0,
+            expr("CAST(captured * 1000000 div b AS BIGINT)"))
+            .as("recall_micro"),
+          when(col("b") > 0,
+            expr("""CAST(CAST(captured AS DECIMAL(38,0)) * n * 1000000
+              |  div (CAST(targeted AS DECIMAL(38,0)) * b)
+              |  AS BIGINT)""".stripMargin)).as("lift_micro"))
+        .orderBy(col("score_threshold").desc)
+    },
+
+    // ---- Kendall τ-b between per-user view and purchase counts —
+    //      the ordinal association test Spearman (q208) approximates:
+    //      do heavier viewers buy more, judged by every PAIR of
+    //      users? The O(N²) pair space never materializes: with
+    //      small-integer scores the concordant/discordant counts are
+    //      exact functions of the (x, y) CONTINGENCY CELLS — a
+    //      domain-bounded cell table (distinct views × distinct
+    //      purchases, independent of user count) crossed with itself
+    //      under strict-order predicates, each side a few hundred
+    //      rows broadcast. Tie terms come from the two marginals.
+    //      C, D, and both tie-corrected denominators are exact
+    //      integers; τ-b is one float op chain at the very end
+    //      (q165's fence), NULL when either marginal is constant. ----
+    QueryDef.sql("q246_kendall_tau",
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |cell AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY x, y),
+        |cd AS (SELECT
+        |    CAST(coalesce(sum(CAST(a.n AS HUGEINT) * b.n) FILTER (
+        |      WHERE b.x > a.x AND b.y > a.y), 0) AS HUGEINT) AS c2,
+        |    CAST(coalesce(sum(CAST(a.n AS HUGEINT) * b.n) FILTER (
+        |      WHERE b.x > a.x AND b.y < a.y), 0) AS HUGEINT) AS d2
+        |  FROM cell a, cell b),
+        |tx AS (SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT)
+        |    AS txx FROM (SELECT x, CAST(sum(n) AS BIGINT) AS n
+        |    FROM cell GROUP BY x)),
+        |ty AS (SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT)
+        |    AS tyy FROM (SELECT y, CAST(sum(n) AS BIGINT) AS n
+        |    FROM cell GROUP BY y)),
+        |nn AS (SELECT CAST(sum(n) AS HUGEINT) AS n FROM cell)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  CAST(c2 AS BIGINT) AS concordant, CAST(d2 AS BIGINT) AS discordant,
+        |  CASE WHEN n * (n - 1) - txx > 0 AND n * (n - 1) - tyy > 0 THEN
+        |    round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
+        |      / sqrt(CAST(n * (n - 1) - txx AS DOUBLE))
+        |      / sqrt(CAST(n * (n - 1) - tyy AS DOUBLE)) * 2, 4)
+        |  END AS tau_b
+        |FROM cd, tx, ty, nn""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val cell = u.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds the pair fold, both marginals and
+                           // the population count
+      val a = cell.select(col("x").as("ax"), col("y").as("ay"),
+        col("n").as("an"))
+      val b = cell.select(col("x").as("bx"), col("y").as("by"),
+        col("n").as("bn"))
+      // domain-bounded cell² fold (distinct-score products, NOT user
+      // pairs) — the broadcast side is the whole cell table
+      val cd = a.crossJoin(broadcast(b))
+        .agg(coalesce(sum(when(col("bx") > col("ax") &&
+            col("by") > col("ay"),
+            col("an").cast("decimal(38,0)") * col("bn"))), lit(0)
+            .cast("decimal(38,0)")).as("c2"),
+          coalesce(sum(when(col("bx") > col("ax") &&
+            col("by") < col("ay"),
+            col("an").cast("decimal(38,0)") * col("bn"))), lit(0)
+            .cast("decimal(38,0)")).as("d2"))
+      val tx = cell.groupBy(col("x")).agg(sum(col("n")).as("n"))
+        .agg(sum(col("n").cast("decimal(38,0)") * (col("n") - 1))
+          .as("txx"))
+      val ty = cell.groupBy(col("y")).agg(sum(col("n")).as("n"))
+        .agg(sum(col("n").cast("decimal(38,0)") * (col("n") - 1))
+          .as("tyy"))
+      val nn = cell.agg(sum(col("n")).cast("decimal(38,0)").as("n"))
+      cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .crossJoin(broadcast(nn)) // 1-row folds
+        .select(col("n").cast("long").as("n_users"),
+          col("c2").cast("long").as("concordant"),
+          col("d2").cast("long").as("discordant"),
+          // a constant marginal ⇒ zero tie-corrected variance ⇒ NULL
+          when(col("n") * (col("n") - 1) - col("txx") > 0 &&
+            col("n") * (col("n") - 1) - col("tyy") > 0,
+            round((col("c2").cast("double") - col("d2").cast("double"))
+              / sqrt((col("n") * (col("n") - 1) - col("txx"))
+                .cast("double"))
+              / sqrt((col("n") * (col("n") - 1) - col("tyy"))
+                .cast("double")) * 2, 4)).as("tau_b"))
+    },
+
+    // ---- Degree assortativity of the co-occurrence graph: do
+    //      high-degree users co-occur with other high-degree users
+    //      (r > 0, social-network-like) or with leaves (r < 0,
+    //      hub-and-spoke)? The Newman coefficient is the Pearson
+    //      correlation over EDGE ENDPOINTS, and on an undirected
+    //      graph the symmetrized endpoint list makes both marginals
+    //      identical — so r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²), three
+    //      exact DECIMAL(38,0) sums over the doubled edge list, one
+    //      float division at the end (q165's fence). Shapes: q137's
+    //      audited edge derivation, one union-all degree count, two
+    //      user-keyed joins — no new shuffle family. A degree-regular
+    //      graph ⇒ zero variance ⇒ NULL r (DegenerateInputSpec). ----
+    QueryDef.sql("q247_assortativity",
+      s"""WITH ${coocEdgesCte()},
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT x AS u FROM e UNION ALL SELECT y AS u FROM e)
+        |  GROUP BY u),
+        |de AS (SELECT dx.d AS a, dy.d AS b2 FROM e
+        |  JOIN deg dx ON e.x = dx.u JOIN deg dy ON e.y = dy.u),
+        |sym AS (SELECT a, b2 FROM de UNION ALL SELECT b2, a FROM de),
+        |agg AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+        |    CAST(sum(a) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(a AS HUGEINT) * b2) AS HUGEINT) AS sxy
+        |  FROM sym)
+        |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+        |  CAST(m * sxy - sx * sx AS BIGINT) AS cov_num,
+        |  CAST(m * sxx - sx * sx AS BIGINT) AS var_num,
+        |  CASE WHEN m * sxx - sx * sx > 0 THEN
+        |    round(CAST(m * sxy - sx * sx AS DOUBLE)
+        |      / CAST(m * sxx - sx * sx AS DOUBLE), 4)
+        |  END AS assortativity
+        |FROM agg""".stripMargin) { (s, d) =>
+      val e = coocEdges(s, d)
+        .localCheckpoint() // feeds the degree count and both hops
+      val deg = e.select(col("x").as("u"))
+        .unionAll(e.select(col("y").as("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val de = e.join(deg.select(col("u").as("x"), col("d").as("a")), "x")
+        .join(deg.select(col("u").as("y"), col("d").as("b2")), "y")
+        .select(col("a"), col("b2"))
+      val sym = de.unionAll(de.select(col("b2").as("a"), col("a").as("b2")))
+      sym.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+          sum(col("a")).cast("decimal(38,0)").as("sx"),
+          sum(col("a").cast("decimal(38,0)") * col("a")).as("sxx"),
+          sum(col("a").cast("decimal(38,0)") * col("b2")).as("sxy"))
+        .select(expr("CAST(m div 2 AS BIGINT)").as("n_edges"),
+          (col("m") * col("sxy") - col("sx") * col("sx")).cast("long")
+            .as("cov_num"),
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("long")
+            .as("var_num"),
+          // a degree-regular graph has zero endpoint variance ⇒ NULL
+          when(col("m") * col("sxx") - col("sx") * col("sx") > 0,
+            round((col("m") * col("sxy") - col("sx") * col("sx"))
+              .cast("double")
+              / (col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 4)).as("assortativity"))
     })
 }

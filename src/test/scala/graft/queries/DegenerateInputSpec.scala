@@ -656,6 +656,36 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(h.isNullAt(h.fieldIndex("h_micro")), s"row: $h")
   }
 
+  test("q245: a zero-positive population has NULL recall and lift") {
+    // views-only feed ⇒ nobody reaches 15 purchases ⇒ B = 0: depth
+    // stays defined, recall/lift are NULL — never a div-by-zero
+    val tmp = Files.createTempDirectory("degen245").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "view")
+      .write.parquet(s"$d2/events.parquet")
+    val rows = SparkEntry.queries("q245_gains_curve")(spark, d2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("depth_micro")), s"row: $r")
+      assert(r.isNullAt(r.fieldIndex("recall_micro")), s"row: $r")
+      assert(r.isNullAt(r.fieldIndex("lift_micro")), s"row: $r")
+    }
+  }
+
+  test("q246/q247: a one-user feed — constant marginals, empty graph") {
+    // one user ⇒ a single contingency cell (both tie-corrected
+    // variances are exactly 0 ⇒ NULL τ-b) and no co-occurrence pair
+    // at all (0 edges ⇒ zero endpoint variance ⇒ NULL r)
+    val kt = run("q246_kendall_tau")(0)
+    assert(kt.getLong(kt.fieldIndex("n_users")) == 1L, s"row: $kt")
+    assert(kt.isNullAt(kt.fieldIndex("tau_b")), s"row: $kt")
+    val as = run("q247_assortativity")(0)
+    assert(as.getLong(as.fieldIndex("n_edges")) == 0L, s"row: $as")
+    assert(as.isNullAt(as.fieldIndex("assortativity")), s"row: $as")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

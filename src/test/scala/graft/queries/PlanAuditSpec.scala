@@ -649,7 +649,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // past the checkpointed cell/support tables: the per-source
       // rank-sum agg + the 1-row fold (the broadcast denominator
       // rides free)
-      "q244_kruskal_wallis" -> 2)
+      "q244_kruskal_wallis" -> 2,
+      // the user-keyed score agg + the support-table agg; the curve
+      // window and the 1-row total ride the checkpointed support
+      "q245_gains_curve" -> 2,
+      // all six run past the checkpointed O(cells) table: the cell²
+      // fold, the two marginal agg pairs, and the 1-row count —
+      // every exchange moves domain-bounded rows, never users
+      "q246_kendall_tau" -> 6,
+      // degree union-agg + the two user-keyed degree hops + the
+      // 1-row moment fold over the checkpointed edge list
+      "q247_assortativity" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
