@@ -1322,5 +1322,185 @@ object VectorOps {
           lit("border").as("role"), col("cluster").cast("long")
             .as("cluster")))
         .orderBy(col("vec_id"), col("role"))
+    },
+
+    // ---- MMR diverse top-k re-ranking: the retrieval post-processor
+    //      that trades relevance against redundancy — greedily pick
+    //      argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) (λ = 0.7,
+    //      k = 8) from a top-20 relevance pool. The selection algebra
+    //      is EXACT: rel and pairwise sims quantize to integer micro
+    //      at birth (q38's round-then-rank fence), so every argmax
+    //      compares integers 7·rel − 3·ms with vec_id tie-break — no
+    //      float comparison anywhere, both engines replay the greedy
+    //      walk bit-identically (the oracle unrolls it into k
+    //      MATERIALIZED CTEs, the q186 HITS discipline). Scale: the
+    //      corpus pays ONE scored scan + per-partition top-k
+    //      (TakeOrdered — no global sort); everything after runs on
+    //      the 20-row pool and its 400-entry similarity table. ----
+    QueryDef.sql("q248_mmr_rerank", mmrOracleSql(8)) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qv"))
+      val pool = e.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q)) // 1-row query vector
+        .select(col("vec_id").as("cid"), col("embedding"),
+          expr("CAST(round(cosine_sim(embedding, qv) * 1000000) AS BIGINT)")
+            .as("rel"))
+        .orderBy(col("rel").desc, col("cid")).limit(20)
+        .localCheckpoint() // 20-row pool feeds the pair table and
+                           // every greedy iteration
+      val pp = pool.select(col("cid").as("c1"), col("embedding").as("e1"))
+        .join(broadcast(pool.select(col("cid").as("c2"),
+          col("embedding").as("e2"))), col("c1") =!= col("c2"))
+        .select(col("c1"), col("c2"),
+          expr("CAST(round(cosine_sim(e1, e2) * 1000000) AS BIGINT)")
+            .as("sm"))
+        .localCheckpoint() // 400-entry pool-pair similarity table
+      val p = pool.select(col("cid"), col("rel"))
+      var sel = p.orderBy(col("rel").desc, col("cid")).limit(1)
+        .select(lit(1).as("rk"), col("cid"), col("rel"),
+          lit(null).cast("long").as("ms"))
+      for (i <- 2 to 8) {
+        val pick = p.join(sel.select(col("cid")), Seq("cid"), "left_anti")
+          .join(pp, col("cid") === col("c1"))
+          .join(sel.select(col("cid").as("c2")), "c2")
+          .groupBy(col("cid"), col("rel")).agg(max(col("sm")).as("ms"))
+          .orderBy((lit(7) * col("rel") - lit(3) * col("ms")).desc,
+            col("cid"))
+          .limit(1)
+          .select(lit(i).as("rk"), col("cid"), col("rel"), col("ms"))
+        sel = sel.unionAll(pick)
+      }
+      sel.select(col("rk").as("mmr_rank"), col("cid").as("vec_id"),
+          col("rel").as("rel_micro"), col("ms").as("max_sim_micro"))
+        .orderBy(col("mmr_rank"))
+    },
+
+    // ---- Simplified silhouette per label — the clustering-quality
+    //      readout (how separable are the labels in embedding
+    //      space?): s = (b − a)/max(a, b) with a = distance to the
+    //      OWN label centroid, b = distance to the nearest OTHER
+    //      centroid; mean s per label plus the misassignment count
+    //      (s < 0). Everything until the last op is exact integers:
+    //      vectors quantize to micro at read (the q38 fence),
+    //      centroids are per-dim integer means (truncating div —
+    //      identical in both engines), squared distances are integer
+    //      sums; the per-row sqrt chain quantizes straight back to
+    //      micro (q242's ln discipline) so the label means are
+    //      integer folds. Scale: the centroid pass map-side combines
+    //      the 64×corpus explode to O(labels·dims) rows; distances
+    //      are PURE MAP-SIDE array algebra against the broadcast
+    //      1-row label→centroid map (never a corpus×labels shuffle);
+    //      the report agg is O(labels). ----
+    QueryDef.sql("q249_silhouette",
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dims AS (SELECT vec_id, label, r AS dim, qv[r] AS x
+        |  FROM v, range(1, 65) t(r)),
+        |cent AS (SELECT label AS clab, dim,
+        |    CAST(sum(x) // count(*) AS BIGINT) AS c
+        |  FROM dims GROUP BY label, dim),
+        |d2 AS (SELECT dims.vec_id, dims.label, cent.clab,
+        |    CAST(sum((x - c) * (x - c)) AS HUGEINT) AS dd
+        |  FROM dims JOIN cent ON dims.dim = cent.dim
+        |  GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |    max(CASE WHEN clab = label THEN dd END) AS a2,
+        |    min(CASE WHEN clab <> label THEN dd END) AS b2
+        |  FROM d2 GROUP BY vec_id, label),
+        |srow AS (SELECT vec_id, label,
+        |    CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(round((sqrt(CAST(b2 AS DOUBLE))
+        |          - sqrt(CAST(a2 AS DOUBLE)))
+        |        / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * 1000000)
+        |        AS BIGINT) END AS s FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS mean_sil_micro,
+        |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative
+        |FROM srow GROUP BY label ORDER BY label""".stripMargin) {
+      (s, d) =>
+      val v = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        expr("""transform(embedding,
+          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"""
+          .stripMargin).as("qv"))
+      // centroid pass: the 64× explode map-side combines to
+      // O(labels·dims) rows before the exchange
+      val cent = v.select(col("label").as("clab"),
+          posexplode(col("qv")).as(Seq("p", "x")))
+        .groupBy(col("clab"), col("p"))
+        .agg(expr("CAST(sum(x) div count(*) AS BIGINT)").as("c"))
+      val carr = cent.groupBy(col("clab"))
+        .agg(expr("transform(array_sort(collect_list(struct(p, c))), s -> s.c)")
+          .as("cv"))
+      val cm = carr.agg(
+        map_from_entries(collect_list(struct(col("clab"), col("cv"))))
+          .as("cm"))
+      // distances are map-side: 10 zip_with folds per row against the
+      // broadcast 1-row centroid map, then a2/b2 from the 10-entry
+      // array — no corpus×labels shuffle exists
+      val ab = v.crossJoin(broadcast(cm))
+        .select(col("vec_id"), col("label"),
+          expr("""transform(map_entries(cm), e -> struct(e.key AS clab,
+            |  aggregate(zip_with(qv, e.value, (x, c) -> (x - c) * (x - c)),
+            |    CAST(0 AS BIGINT), (acc, vv) -> acc + vv) AS dd))"""
+            .stripMargin).as("dds"))
+        .select(col("vec_id"), col("label"),
+          expr("filter(dds, s -> s.clab = label)[0].dd").as("a2"),
+          expr("""array_min(transform(filter(dds, s -> s.clab != label),
+            |  s -> s.dd))""".stripMargin).as("b2"))
+      val srow = ab.select(col("label"),
+        when(greatest(col("a2"), col("b2")) === 0, lit(0L))
+          .otherwise(round((sqrt(col("b2").cast("double"))
+              - sqrt(col("a2").cast("double")))
+            / sqrt(greatest(col("a2"), col("b2")).cast("double"))
+            * 1000000).cast("long")).as("s"))
+      srow.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("CAST(sum(s) div count(*) AS BIGINT)").as("mean_sil_micro"),
+          sum(when(col("s") < 0, 1L).otherwise(0L)).cast("long")
+            .as("n_negative"))
+        .orderBy(col("label"))
     })
+
+  /** DuckDB oracle for q248: the k-step greedy MMR walk unrolled into
+    * MATERIALIZED CTEs (inlining would expand the selected-set chain
+    * exponentially), each step an integer argmax over the 20-row
+    * relevance pool — the [[hitsOracleSql]] unrolling discipline. */
+  private def mmrOracleSql(k: Int): String = {
+    val iters = (2 to k).map { i =>
+      s"""selu$i AS MATERIALIZED (SELECT * FROM selu${i - 1} UNION ALL (
+         |  SELECT $i AS rk, p.cid, p.rel, max(pp.sm) AS ms
+         |  FROM pool p
+         |  JOIN pp ON pp.c1 = p.cid
+         |  JOIN selu${i - 1} s ON pp.c2 = s.cid
+         |  WHERE p.cid NOT IN (SELECT cid FROM selu${i - 1})
+         |  GROUP BY p.cid, p.rel
+         |  ORDER BY 7 * p.rel - 3 * max(pp.sm) DESC, p.cid LIMIT 1))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |pool AS MATERIALIZED (SELECT vec_id AS cid,
+       |    CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+       |      qv) * 1000000) AS BIGINT) AS rel
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY 2 DESC, 1 LIMIT 20),
+       |pp AS MATERIALIZED (SELECT a.cid AS c1, b.cid AS c2,
+       |    CAST(round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |      CAST(eb.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS sm
+       |  FROM pool a JOIN pool b ON a.cid <> b.cid
+       |  JOIN embeddings ea ON ea.vec_id = a.cid
+       |  JOIN embeddings eb ON eb.vec_id = b.cid),
+       |selu1 AS MATERIALIZED (SELECT 1 AS rk, cid, rel,
+       |    CAST(NULL AS BIGINT) AS ms
+       |  FROM pool ORDER BY rel DESC, cid LIMIT 1),
+       |$iters
+       |SELECT rk AS mmr_rank, cid AS vec_id, rel AS rel_micro,
+       |  ms AS max_sim_micro
+       |FROM selu$k ORDER BY rk""".stripMargin
+  }
 }

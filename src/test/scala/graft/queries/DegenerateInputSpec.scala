@@ -686,6 +686,31 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(as.isNullAt(as.fieldIndex("assortativity")), s"row: $as")
   }
 
+  test("q248: a pool smaller than k yields min(k, pool) ranks, no error") {
+    // 5 vectors ⇒ a 4-candidate pool (the query vector is excluded):
+    // the greedy walk must exhaust the pool and stop at rank 4 with
+    // every later iteration contributing nothing
+    val tmp = Files.createTempDirectory("degen248").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .write.parquet(s"$d2/embeddings.parquet")
+    val rows = SparkEntry.queries("q248_mmr_rerank")(spark, d2).collect()
+    assert(rows.length == 4, s"rows: ${rows.toSeq}")
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("q249: a singleton label IS its centroid — silhouette exactly 1") {
+    // the shared fixture moves vec 0 to its own label 999: a = 0 and
+    // b > 0 force s = 1e6 with no division hazard
+    val r = run("q249_silhouette").filter(_.getInt(0) == 999)
+    assert(r.length == 1, s"rows: ${r.toSeq}")
+    assert(r(0).getLong(r(0).fieldIndex("n_vecs")) == 1L)
+    assert(r(0).getLong(r(0).fieldIndex("mean_sil_micro")) == 1000000L)
+    assert(r(0).getLong(r(0).fieldIndex("n_negative")) == 0L)
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

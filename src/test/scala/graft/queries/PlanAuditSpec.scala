@@ -659,7 +659,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "q246_kendall_tau" -> 6,
       // degree union-agg + the two user-keyed degree hops + the
       // 1-row moment fold over the checkpointed edge list
-      "q247_assortativity" -> 5)
+      "q247_assortativity" -> 5,
+      // the scored pool is TakeOrdered (no exchange) and checkpointed;
+      // the greedy walk runs on 20-row broadcast frames
+      "q248_mmr_rerank" -> 0,
+      // centroid explode agg (map-side combined to labels×dims) +
+      // the two tiny assembly aggs + the O(labels) report agg; the
+      // distance pass itself is exchange-free map-side array algebra
+      "q249_silhouette" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
