@@ -28,6 +28,16 @@ object VectorOps {
 
   private def cos(a: String, b: String) = expr(s"cosine_sim($a, $b)")
 
+  /** Integer-micro position discounts round(1e6 / log2(i + 1)) for
+    * ranks 1–10 — computed at AUTHORING time so no runtime log2 call
+    * exists in either engine (the weight-ladder discipline; q251). */
+  private val NdcgW: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  private def ndcgWeightValues: String =
+    NdcgW.zipWithIndex.map { case (w, i) => s"(${i + 1}, $w)" }
+      .mkString(", ")
+
   // ------------------------------------------------------------- k-means
 
   /** Deterministic k-means codebook fit on a BOUNDED sample — the
@@ -1464,6 +1474,218 @@ object VectorOps {
           sum(when(col("s") < 0, 1L).otherwise(0L)).cast("long")
             .as("n_negative"))
         .orderBy(col("label"))
+    },
+
+    // ---- Reciprocal-rank fusion of two retrievers: the standard
+    //      way to merge ranked lists without score calibration —
+    //      here the full-64-dim retriever fused with its CHEAP
+    //      truncated-32-dim twin (matryoshka serving: the two
+    //      genuinely disagree — top-30 overlap is ~half). Every
+    //      contribution is the exact integer 1e9 div (60 + rank), so
+    //      the fused ordering is an integer sort both engines replay
+    //      bit-identically. Scale: each list is ONE scored corpus
+    //      scan resolved by TakeOrdered (per-partition heads, no
+    //      exchange); the fusion groupBy runs on ≤ 60 rows. ----
+    QueryDef.sql("q250_rrf_fusion",
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT vec_id AS cid,
+        |    CAST(round(list_cosine_similarity(
+        |      CAST(embedding AS DOUBLE[]), qv) * 1000000) AS BIGINT) AS fs,
+        |    CAST(round(list_cosine_similarity(
+        |      CAST(embedding AS DOUBLE[])[1:32], qv[1:32]) * 1000000)
+        |      AS BIGINT) AS ts
+        |  FROM embeddings, q WHERE vec_id <> 0),
+        |la AS (SELECT cid, row_number() OVER (ORDER BY fs DESC, cid)
+        |    AS rk FROM sc ORDER BY fs DESC, cid LIMIT 30),
+        |lb AS (SELECT cid, row_number() OVER (ORDER BY ts DESC, cid)
+        |    AS rk FROM sc ORDER BY ts DESC, cid LIMIT 30),
+        |contrib AS (
+        |  SELECT cid, CAST(1000000000 // (60 + rk) AS BIGINT) AS c,
+        |    rk AS ra, CAST(NULL AS BIGINT) AS rb FROM la
+        |  UNION ALL
+        |  SELECT cid, CAST(1000000000 // (60 + rk) AS BIGINT),
+        |    CAST(NULL AS BIGINT), rk FROM lb),
+        |fused AS (SELECT cid AS vec_id, sum(c) AS rrf_nano,
+        |    CAST(max(ra) AS BIGINT) AS rank_full,
+        |    CAST(max(rb) AS BIGINT) AS rank_trunc
+        |  FROM contrib GROUP BY cid)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_nano DESC, vec_id)
+        |    AS BIGINT) AS fused_rank,
+        |  vec_id, CAST(rrf_nano AS BIGINT) AS rrf_nano, rank_full,
+        |  rank_trunc
+        |FROM fused ORDER BY fused_rank LIMIT 10""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qv"))
+      val sc = e.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q)) // 1-row query vector
+        .select(col("vec_id").as("cid"),
+          expr("CAST(round(cosine_sim(embedding, qv) * 1000000) AS BIGINT)")
+            .as("fs"),
+          expr("""CAST(round(cosine_sim(slice(embedding, 1, 32),
+            |  slice(qv, 1, 32)) * 1000000) AS BIGINT)""".stripMargin)
+            .as("ts"))
+      // each list: TakeOrdered (no exchange), then a 30-row rank
+      def ranked(score: String): DataFrame =
+        sc.orderBy(col(score).desc, col("cid")).limit(30)
+          .localCheckpoint()
+          .select(col("cid"), row_number()
+            .over(Window.orderBy(col(score).desc, col("cid"))).as("rk"))
+      val la = ranked("fs")
+      val lb = ranked("ts")
+      val contrib = la.select(col("cid"),
+          expr("CAST(1000000000 div (60 + rk) AS BIGINT)").as("c"),
+          col("rk").cast("long").as("ra"), lit(null).cast("long").as("rb"))
+        .unionAll(lb.select(col("cid"),
+          expr("CAST(1000000000 div (60 + rk) AS BIGINT)").as("c"),
+          lit(null).cast("long").as("ra"), col("rk").cast("long").as("rb")))
+      contrib.groupBy(col("cid").as("vec_id"))
+        .agg(sum(col("c")).cast("long").as("rrf_nano"),
+          max(col("ra")).as("rank_full"), max(col("rb")).as("rank_trunc"))
+        .select(row_number().over(
+            Window.orderBy(col("rrf_nano").desc, col("vec_id")))
+            .cast("long").as("fused_rank"),
+          col("vec_id"), col("rrf_nano"), col("rank_full"),
+          col("rank_trunc"))
+        .orderBy(col("fused_rank")).limit(10)
+    },
+
+    // ---- nDCG@10 retrieval evaluation over 10 query vectors —
+    //      graded relevance (2 = same label, 1 = same label group,
+    //      0 = miss) against the cosine ranking. The position
+    //      discounts 1/log2(i+1) are AUTHORING-TIME integer-micro
+    //      constants (inlined in both engines — no runtime log2 can
+    //      diverge), so DCG and IDCG are exact integer dot products
+    //      and nDCG one floor division. Scale: the corpus is scored
+    //      map-side against the broadcast 10-row query set; BOTH
+    //      rank windows share one qid-keyed exchange (same partition
+    //      key — Catalyst reuses it); everything after is O(queries).
+    //      ----
+    QueryDef.sql("q251_ndcg",
+      s"""WITH qs AS (SELECT vec_id AS qid, label AS qlab,
+        |    CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |cand AS (SELECT vec_id AS cid, label AS clab,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id >= 10),
+        |sc AS (SELECT qid, cid,
+        |    CAST(round(list_cosine_similarity(cv, qv) * 1000000)
+        |      AS BIGINT) AS cs,
+        |    CASE WHEN clab = qlab THEN 2
+        |      WHEN clab % 5 = qlab % 5 THEN 1 ELSE 0 END AS gain
+        |  FROM qs, cand),
+        |wt(pos, w_micro) AS (VALUES $ndcgWeightValues),
+        |rk AS (SELECT qid, gain, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cs DESC, cid) AS r FROM sc),
+        |dcg AS (SELECT qid, CAST(sum(gain * w_micro) AS BIGINT)
+        |    AS dcg_micro
+        |  FROM rk JOIN wt ON rk.r = wt.pos GROUP BY qid),
+        |irk AS (SELECT qid, gain, row_number() OVER
+        |    (PARTITION BY qid ORDER BY gain DESC, cid) AS r FROM sc),
+        |idcg AS (SELECT qid, CAST(sum(gain * w_micro) AS BIGINT)
+        |    AS idcg_micro
+        |  FROM irk JOIN wt ON irk.r = wt.pos GROUP BY qid)
+        |SELECT dcg.qid, dcg_micro, idcg_micro,
+        |  CASE WHEN idcg_micro = 0 THEN NULL
+        |    ELSE CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT)
+        |    END AS ndcg_micro
+        |FROM dcg JOIN idcg ON dcg.qid = idcg.qid
+        |ORDER BY dcg.qid""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("embedding").as("qv"))
+      val sc = e.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(qs)) // 10-row query set
+        .select(col("qid"), col("vec_id").as("cid"),
+          expr("CAST(round(cosine_sim(embedding, qv) * 1000000) AS BIGINT)")
+            .as("cs"),
+          when(col("label") === col("qlab"), 2L)
+            .when(col("label") % 5 === col("qlab") % 5, 1L)
+            .otherwise(0L).as("gain"))
+      val wArr = s"array(${NdcgW.mkString(", ")})"
+      def weighted(ordered: Column*) = sc
+        .withColumn("r",
+          row_number().over(Window.partitionBy(col("qid")).orderBy(ordered: _*)))
+        .filter(col("r") <= 10)
+        .groupBy(col("qid"))
+      val dcg = weighted(col("cs").desc, col("cid"))
+        .agg(expr(s"CAST(sum(gain * element_at($wArr, r)) AS BIGINT)")
+          .as("dcg_micro"))
+      val idcg = weighted(col("gain").desc, col("cid"))
+        .agg(expr(s"CAST(sum(gain * element_at($wArr, r)) AS BIGINT)")
+          .as("idcg_micro"))
+      dcg.join(idcg, "qid")
+        .select(col("qid"), col("dcg_micro"), col("idcg_micro"),
+          when(col("idcg_micro") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(dcg_micro * 1000000 div idcg_micro AS BIGINT)"))
+            .as("ndcg_micro"))
+        .orderBy(col("qid"))
+    },
+
+    // ---- MRR@20 — the "how deep must a user scroll" readout for
+    //      the same 10-query panel: reciprocal rank of the FIRST
+    //      same-label hit within the top 20, 0 when none (standard
+    //      MRR), plus the mean as a qid = −1 summary row. rr is the
+    //      exact integer 1e6 div rank. Scale: one map-side scoring
+    //      pass against the broadcast query set, one qid-keyed rank
+    //      window, O(queries) everything after. ----
+    QueryDef.sql("q252_mrr",
+      """WITH qs AS (SELECT vec_id AS qid, label AS qlab,
+        |    CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |cand AS (SELECT vec_id AS cid, label AS clab,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id >= 10),
+        |sc AS (SELECT qid, cid,
+        |    CAST(round(list_cosine_similarity(cv, qv) * 1000000)
+        |      AS BIGINT) AS cs,
+        |    CASE WHEN clab = qlab THEN 1 ELSE 0 END AS rel
+        |  FROM qs, cand),
+        |rk AS (SELECT qid, rel, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cs DESC, cid) AS r FROM sc),
+        |fr AS (SELECT qid, min(CASE WHEN rel = 1 THEN r END)
+        |    AS first_rank
+        |  FROM rk WHERE r <= 20 GROUP BY qid),
+        |pq AS (SELECT CAST(qid AS BIGINT) AS qid,
+        |    CAST(first_rank AS BIGINT) AS first_rel_rank,
+        |    CAST(COALESCE(1000000 // first_rank, 0) AS BIGINT)
+        |      AS rr_micro FROM fr)
+        |SELECT * FROM pq
+        |UNION ALL SELECT -1, NULL,
+        |  CAST(sum(rr_micro) // count(*) AS BIGINT) FROM pq
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("embedding").as("qv"))
+      val pq = e.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(qs)) // 10-row query set
+        .select(col("qid"), col("vec_id").as("cid"),
+          expr("CAST(round(cosine_sim(embedding, qv) * 1000000) AS BIGINT)")
+            .as("cs"),
+          when(col("label") === col("qlab"), 1L).otherwise(0L).as("rel"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cs").desc, col("cid"))))
+        .filter(col("r") <= 20)
+        .groupBy(col("qid"))
+        .agg(min(when(col("rel") === 1, col("r"))).cast("long")
+          .as("first_rel_rank"))
+        .select(col("qid"),
+          col("first_rel_rank"),
+          coalesce(expr("CAST(1000000 div first_rel_rank AS BIGINT)"),
+            lit(0L)).as("rr_micro"))
+        .localCheckpoint() // 10-row panel feeds both legs
+      pq.unionAll(pq.agg(lit(-1L).as("qid"),
+          lit(null).cast("long").as("first_rel_rank"),
+          expr("CAST(sum(rr_micro) div count(*) AS BIGINT)").as("rr_micro")))
+        .orderBy(col("qid"))
     })
 
   /** DuckDB oracle for q248: the k-step greedy MMR walk unrolled into

@@ -711,6 +711,60 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(r(0).getLong(r(0).fieldIndex("n_negative")) == 0L)
   }
 
+  test("q250: a 4-candidate corpus fuses to 4 ranks, both lists full") {
+    // both retriever lists hold all 4 candidates, so every fused row
+    // carries BOTH ranks and the output stops at the pool size
+    val tmp = Files.createTempDirectory("degen250").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .write.parquet(s"$d2/embeddings.parquet")
+    val rows = SparkEntry.queries("q250_rrf_fusion")(spark, d2).collect()
+    assert(rows.length == 4, s"rows: ${rows.toSeq}")
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("rank_full"))
+      && !r.isNullAt(r.fieldIndex("rank_trunc"))), s"rows: ${rows.toSeq}")
+  }
+
+  private lazy val singleLabelCandidatesDir: String = {
+    // candidates collapsed to ONE label (3): only the label-3 query
+    // (qid 6 in sf0.001) can ever see gain > 0 / a relevant hit
+    val tmp = Files.createTempDirectory("degen251").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10 || col("label") === 3)
+      .write.parquet(s"$d2/embeddings.parquet")
+    d2
+  }
+
+  test("q251: a query whose label group misses the pool gets NULL nDCG") {
+    // all candidates are label 3 ⇒ every query but qid 6 has
+    // idcg = 0: the guard must emit NULL, never a division error
+    val rows = SparkEntry.queries("q251_ndcg")(
+      spark, singleLabelCandidatesDir).collect()
+    assert(rows.length == 10, s"rows: ${rows.toSeq}")
+    val (hit, miss) = rows.partition(_.getLong(0) == 6L)
+    assert(hit.length == 1 &&
+      hit(0).getLong(hit(0).fieldIndex("ndcg_micro")) == 1000000L,
+      s"the label-3 query retrieves only gain-2 docs: ${hit.toSeq}")
+    assert(miss.forall(r => r.isNullAt(r.fieldIndex("ndcg_micro"))),
+      s"rows: ${miss.toSeq}")
+  }
+
+  test("q252: queries with no relevant candidate score rr 0, mean 1/10") {
+    val rows = SparkEntry.queries("q252_mrr")(
+      spark, singleLabelCandidatesDir).collect()
+    assert(rows.length == 11, s"rows: ${rows.toSeq}")
+    val byQid = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byQid(6L).getLong(2) == 1000000L, s"rows: ${rows.toSeq}")
+    assert((0L to 9L).filter(_ != 6L).forall { q =>
+      byQid(q).isNullAt(1) && byQid(q).getLong(2) == 0L
+    }, s"rows: ${rows.toSeq}")
+    assert(byQid(-1L).getLong(2) == 100000L, s"rows: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -666,7 +666,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // centroid explode agg (map-side combined to labels×dims) +
       // the two tiny assembly aggs + the O(labels) report agg; the
       // distance pass itself is exchange-free map-side array algebra
-      "q249_silhouette" -> 5)
+      "q249_silhouette" -> 5,
+      // both retriever lists are TakeOrdered off the scored scan and
+      // the fusion runs on checkpointed ≤30-row frames — no exchange
+      "q250_rrf_fusion" -> 0,
+      // one qid-keyed rank exchange per leg (dcg + idcg re-derive the
+      // scored scan) + the tiny qid join of the two 10-row reports
+      "q251_ndcg" -> 3,
+      // the qid-keyed rank window + the qid groupBy over its output
+      "q252_mrr" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
