@@ -1620,6 +1620,67 @@ object LakeOps {
             .cast("double").as("ts_slope_micro_4"),
           count(lit(1)).as("n_pairs"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- Shard-rebalance audit: rendezvous (highest-random-weight)
+    //      hashing vs mod-hashing when the lake grows 8 → 9 shards.
+    //      HRW's monotonicity means docs only ever move INTO the new
+    //      shard (~1/9 of the corpus); mod-hash reshuffles ~8/9 — the
+    //      report PROVES it per shard, which is the decision gate
+    //      before resharding a 100 TB lake. Assignment is pure
+    //      MAP-SIDE algebra: the 9-entry md5 weight array is built
+    //      per row (`transform(sequence(...))`) and argmax'd by
+    //      struct ordering with an (h, s) total tie-break — no
+    //      corpus×shards row explosion, no per-doc window, no join;
+    //      the only exchanges are the two 9-group aggregates. ----
+    QueryDef.sql("q257_shard_rebalance",
+      """WITH sh AS (SELECT range AS s FROM range(0, 9)),
+        |hw AS (SELECT doc_id, s,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents, sh),
+        |a8 AS (SELECT doc_id, s AS old FROM (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, s DESC) AS rn
+        |  FROM hw WHERE s < 8) WHERE rn = 1),
+        |a9 AS (SELECT doc_id, s AS snew FROM (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, s DESC) AS rn
+        |  FROM hw) WHERE rn = 1),
+        |hrw AS (SELECT 'rendezvous' AS policy, CAST(snew AS BIGINT)
+        |      AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN old <> snew THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_moved
+        |  FROM a8 JOIN a9 USING (doc_id) GROUP BY snew),
+        |md AS (SELECT 'mod' AS policy, CAST(doc_id % 9 AS BIGINT)
+        |      AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN doc_id % 8 <> doc_id % 9 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_moved
+        |  FROM documents GROUP BY doc_id % 9)
+        |SELECT * FROM hrw UNION ALL SELECT * FROM md
+        |ORDER BY policy, shard""".stripMargin) { (s, d) =>
+      def hrwShard(n: Int): String =
+        s"""CAST(array_max(transform(sequence(0, ${n - 1}),
+           |  sx -> struct(CAST(conv(substring(md5(CAST(concat(
+           |    CAST(doc_id AS STRING), ':', CAST(sx AS STRING))
+           |    AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS h, sx AS s)
+           |  )).s AS BIGINT)""".stripMargin
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        expr(hrwShard(8)).as("old"), expr(hrwShard(9)).as("snew"))
+      val hrw = docs.groupBy(col("snew").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("old") =!= col("snew"), 1L).otherwise(0L))
+            .cast("long").as("n_moved"))
+        .select(lit("rendezvous").as("policy"), col("shard"),
+          col("n_docs"), col("n_moved"))
+      val md = t(s, d, "documents")
+        .groupBy((col("doc_id") % 9).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") % 8 =!= col("doc_id") % 9, 1L)
+            .otherwise(0L)).cast("long").as("n_moved"))
+        .select(lit("mod").as("policy"), col("shard").cast("long"),
+          col("n_docs"), col("n_moved"))
+      hrw.unionAll(md).orderBy(col("policy"), col("shard"))
     }
   )
 }

@@ -2844,5 +2844,43 @@ object PartB {
               .cast("double")
               / (col("m") * col("sxx") - col("sx") * col("sx"))
               .cast("double"), 4)).as("assortativity"))
+    },
+
+    // ---- Community detection: 4 rounds of SYNCHRONOUS label
+    //      propagation over q164's sparse 1-minute co-occurrence
+    //      graph (the 10-minute graph is one dense component — LPA
+    //      collapses it to a single community; the 1-minute graph
+    //      has real structure). Deterministic by construction: every
+    //      node adopts its neighbors' modal label with min-label
+    //      tie-break, all ranks integer — the oracle unrolls the 4
+    //      rounds into chained CTEs (q186's discipline) so a green
+    //      hash proves the Spark loop replays the exact fixed-point
+    //      walk. Report = community sizes. Scale notes on
+    //      [[graft.operators.LabelPropagation]]: per-round Pregel
+    //      joins + map-side-combining argmax, no window sort, plan
+    //      depth O(1) via per-round localCheckpoint. ----
+    QueryDef.sql("q253_label_propagation", {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT s.v, l.lab, count(*) AS cnt FROM sym s
+           |  JOIN l${i - 1} l ON l.v = s.n GROUP BY s.v, l.lab),
+           |l$i AS (SELECT v, lab FROM (SELECT v, lab, row_number()
+           |    OVER (PARTITION BY v ORDER BY cnt DESC, lab) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${coocEdgesCte(60000000L)},
+         |sym AS (SELECT x AS v, y AS n FROM e
+         |  UNION ALL SELECT y AS v, x AS n FROM e),
+         |l0 AS (SELECT DISTINCT v, v AS lab FROM sym),
+         |$rounds
+         |SELECT CAST(lab AS BIGINT) AS community,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM l4 GROUP BY lab
+         |ORDER BY n_members DESC, community""".stripMargin
+    }) { (s, d) =>
+      graft.operators.LabelPropagation
+        .labels(coocEdges(s, d, 60000000L), 4)
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community"))
     })
 }

@@ -38,6 +38,56 @@ object VectorOps {
     NdcgW.zipWithIndex.map { case (w, i) => s"(${i + 1}, $w)" }
       .mkString(", ")
 
+  /** Rank-biased-overlap weight ladder at p = 0.9, depth 20: integer
+    * micro with the FLOOR-division recurrence w_d = w_{d-1}·9 div 10
+    * — reproducible anywhere, no runtime pow (q251's discipline). */
+  private val RboW: Seq[Long] = Seq.iterate(1000000L, 20)(w => w * 9 / 10)
+
+  /** The full-64-dim and truncated-32-dim cosine rankings of the
+    * corpus against query vector 0, top `n` each — shared by q250
+    * (RRF fusion) and q255 (RBO). Each list is ONE scored corpus scan
+    * resolved by TakeOrdered (per-partition heads, no exchange),
+    * checkpointed at `n` rows, then ranked by a window over that tiny
+    * frame. Returns (full, trunc) as (cid, rk). */
+  private def fullTruncLists(s: SparkSession, d: String, n: Int)
+      : (DataFrame, DataFrame) = {
+    GraftFunctions.register(s)
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"))
+    val sc = e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q)) // 1-row query vector
+      .select(col("vec_id").as("cid"),
+        expr("CAST(round(cosine_sim(embedding, qv) * 1000000) AS BIGINT)")
+          .as("fs"),
+        expr("""CAST(round(cosine_sim(slice(embedding, 1, 32),
+          |  slice(qv, 1, 32)) * 1000000) AS BIGINT)""".stripMargin)
+          .as("ts"))
+    def ranked(score: String): DataFrame =
+      sc.orderBy(col(score).desc, col("cid")).limit(n)
+        .localCheckpoint()
+        .select(col("cid"), row_number()
+          .over(Window.orderBy(col(score).desc, col("cid"))).as("rk"))
+    (ranked("fs"), ranked("ts"))
+  }
+
+  /** DuckDB CTE twin of [[fullTruncLists]]: defines `la(cid, rk)` and
+    * `lb(cid, rk)` (needs `embeddings` in scope). */
+  private def fullTruncListsCte(n: Int): String =
+    s"""q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id = 0),
+      |sc AS (SELECT vec_id AS cid,
+      |    CAST(round(list_cosine_similarity(
+      |      CAST(embedding AS DOUBLE[]), qv) * 1000000) AS BIGINT) AS fs,
+      |    CAST(round(list_cosine_similarity(
+      |      CAST(embedding AS DOUBLE[])[1:32], qv[1:32]) * 1000000)
+      |      AS BIGINT) AS ts
+      |  FROM embeddings, q WHERE vec_id <> 0),
+      |la AS (SELECT cid, row_number() OVER (ORDER BY fs DESC, cid)
+      |    AS rk FROM sc ORDER BY fs DESC, cid LIMIT $n),
+      |lb AS (SELECT cid, row_number() OVER (ORDER BY ts DESC, cid)
+      |    AS rk FROM sc ORDER BY ts DESC, cid LIMIT $n)""".stripMargin
+
   // ------------------------------------------------------------- k-means
 
   /** Deterministic k-means codebook fit on a BOUNDED sample — the
@@ -1487,19 +1537,7 @@ object VectorOps {
     //      scan resolved by TakeOrdered (per-partition heads, no
     //      exchange); the fusion groupBy runs on ≤ 60 rows. ----
     QueryDef.sql("q250_rrf_fusion",
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id = 0),
-        |sc AS (SELECT vec_id AS cid,
-        |    CAST(round(list_cosine_similarity(
-        |      CAST(embedding AS DOUBLE[]), qv) * 1000000) AS BIGINT) AS fs,
-        |    CAST(round(list_cosine_similarity(
-        |      CAST(embedding AS DOUBLE[])[1:32], qv[1:32]) * 1000000)
-        |      AS BIGINT) AS ts
-        |  FROM embeddings, q WHERE vec_id <> 0),
-        |la AS (SELECT cid, row_number() OVER (ORDER BY fs DESC, cid)
-        |    AS rk FROM sc ORDER BY fs DESC, cid LIMIT 30),
-        |lb AS (SELECT cid, row_number() OVER (ORDER BY ts DESC, cid)
-        |    AS rk FROM sc ORDER BY ts DESC, cid LIMIT 30),
+      s"""WITH ${fullTruncListsCte(30)},
         |contrib AS (
         |  SELECT cid, CAST(1000000000 // (60 + rk) AS BIGINT) AS c,
         |    rk AS ra, CAST(NULL AS BIGINT) AS rb FROM la
@@ -1515,26 +1553,7 @@ object VectorOps {
         |  vec_id, CAST(rrf_nano AS BIGINT) AS rrf_nano, rank_full,
         |  rank_trunc
         |FROM fused ORDER BY fused_rank LIMIT 10""".stripMargin) { (s, d) =>
-      GraftFunctions.register(s)
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") === 0L)
-        .select(col("embedding").as("qv"))
-      val sc = e.filter(col("vec_id") =!= 0L)
-        .crossJoin(broadcast(q)) // 1-row query vector
-        .select(col("vec_id").as("cid"),
-          expr("CAST(round(cosine_sim(embedding, qv) * 1000000) AS BIGINT)")
-            .as("fs"),
-          expr("""CAST(round(cosine_sim(slice(embedding, 1, 32),
-            |  slice(qv, 1, 32)) * 1000000) AS BIGINT)""".stripMargin)
-            .as("ts"))
-      // each list: TakeOrdered (no exchange), then a 30-row rank
-      def ranked(score: String): DataFrame =
-        sc.orderBy(col(score).desc, col("cid")).limit(30)
-          .localCheckpoint()
-          .select(col("cid"), row_number()
-            .over(Window.orderBy(col(score).desc, col("cid"))).as("rk"))
-      val la = ranked("fs")
-      val lb = ranked("ts")
+      val (la, lb) = fullTruncLists(s, d, 30)
       val contrib = la.select(col("cid"),
           expr("CAST(1000000000 div (60 + rk) AS BIGINT)").as("c"),
           col("rk").cast("long").as("ra"), lit(null).cast("long").as("rb"))
@@ -1656,8 +1675,8 @@ object VectorOps {
         |    CAST(COALESCE(1000000 // first_rank, 0) AS BIGINT)
         |      AS rr_micro FROM fr)
         |SELECT * FROM pq
-        |UNION ALL SELECT -1, NULL,
-        |  CAST(sum(rr_micro) // count(*) AS BIGINT) FROM pq
+        |UNION ALL SELECT -1, NULL, CASE WHEN count(*) = 0 THEN NULL
+        |  ELSE CAST(sum(rr_micro) // count(*) AS BIGINT) END FROM pq
         |ORDER BY qid""".stripMargin) { (s, d) =>
       GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
@@ -1684,7 +1703,242 @@ object VectorOps {
         .localCheckpoint() // 10-row panel feeds both legs
       pq.unionAll(pq.agg(lit(-1L).as("qid"),
           lit(null).cast("long").as("first_rel_rank"),
-          expr("CAST(sum(rr_micro) div count(*) AS BIGINT)").as("rr_micro")))
+          // an empty panel (no queries or no candidates) must yield
+          // NULL, not an ANSI division error
+          when(count(lit(1)) === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(sum(rr_micro) div count(*) AS BIGINT)"))
+            .as("rr_micro")))
+        .orderBy(col("qid"))
+    },
+
+    // ---- Davies–Bouldin index per label — q249's companion
+    //      clustering readout: for each cluster i, the WORST
+    //      (s_i + s_j)/d_ij over other clusters j (scatter-to-
+    //      separation ratio; lower = tighter), plus the overall index
+    //      as a label = −1 summary row. Same exactness ladder as
+    //      q249: integer-micro vectors (q38 fence), integer per-dim
+    //      centroids, per-row sqrt quantized straight back to integer
+    //      micro, ratios one floor division with a d_ij = 0 ⇒ NULL
+    //      guard. Scale: ONE corpus-sized exchange (the map-side-
+    //      combined centroid explode); scatter distances are map-side
+    //      zip_with folds against the broadcast label→centroid map;
+    //      the pair/ratio/argmax algebra runs on O(labels²) rows. ----
+    QueryDef.sql("q254_davies_bouldin",
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dims AS (SELECT vec_id, label, r AS dim, qv[r] AS x
+        |  FROM v, range(1, 65) t(r)),
+        |cent AS (SELECT label AS clab, dim,
+        |    CAST(sum(x) // count(*) AS BIGINT) AS c
+        |  FROM dims GROUP BY label, dim),
+        |d2own AS (SELECT dims.vec_id, dims.label,
+        |    CAST(sum((x - c) * (x - c)) AS HUGEINT) AS dd
+        |  FROM dims JOIN cent ON dims.dim = cent.dim
+        |    AND dims.label = cent.clab
+        |  GROUP BY 1, 2),
+        |scat AS (SELECT label,
+        |    CAST(sum(CAST(round(sqrt(CAST(dd AS DOUBLE))) AS BIGINT))
+        |      // count(*) AS BIGINT) AS s
+        |  FROM d2own GROUP BY label),
+        |cd AS (SELECT a.clab AS i, b.clab AS j,
+        |    CAST(round(sqrt(CAST(sum((a.c - b.c) * (a.c - b.c))
+        |      AS DOUBLE))) AS BIGINT) AS dij
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.clab <> b.clab
+        |  GROUP BY 1, 2),
+        |ratio AS (SELECT i, j, CASE WHEN dij = 0 THEN NULL
+        |    ELSE CAST((si.s + sj.s) * 1000000 // dij AS BIGINT) END AS r
+        |  FROM cd JOIN scat si ON si.label = cd.i
+        |  JOIN scat sj ON sj.label = cd.j),
+        |top AS (SELECT i, j, r, row_number() OVER (PARTITION BY i
+        |    ORDER BY r DESC NULLS LAST, j) AS rn FROM ratio)
+        |SELECT CAST(i AS BIGINT) AS label,
+        |  CAST(j AS BIGINT) AS worst_neighbor, r AS db_term_micro
+        |FROM top WHERE rn = 1
+        |UNION ALL
+        |SELECT -1, NULL, CASE WHEN count(r) = 0 THEN NULL
+        |    ELSE CAST(sum(r) // count(r) AS BIGINT) END
+        |FROM top WHERE rn = 1
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val v = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        expr("""transform(embedding,
+          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"""
+          .stripMargin).as("qv"))
+      // the one corpus-sized exchange: 64× explode map-side combines
+      // to O(labels·dims) rows
+      val cent = v.select(col("label").as("clab"),
+          posexplode(col("qv")).as(Seq("p", "x")))
+        .groupBy(col("clab"), col("p"))
+        .agg(expr("CAST(sum(x) div count(*) AS BIGINT)").as("c"))
+      val carr = cent.groupBy(col("clab"))
+        .agg(expr("transform(array_sort(collect_list(struct(p, c))), s -> s.c)")
+          .as("cv"))
+        .localCheckpoint() // O(labels) rows feed the map AND the pairs
+      val cm = carr.agg(
+        map_from_entries(collect_list(struct(col("clab"), col("cv"))))
+          .as("cm"))
+      // scatter: map-side distance to the OWN centroid only
+      val scat = v.crossJoin(broadcast(cm))
+        .select(col("label"),
+          expr("""CAST(round(sqrt(CAST(aggregate(zip_with(qv, cm[label],
+            |  (x, c) -> (x - c) * (x - c)), CAST(0 AS BIGINT),
+            |  (acc, vv) -> acc + vv) AS DOUBLE))) AS BIGINT)"""
+            .stripMargin).as("dist"))
+        .groupBy(col("label"))
+        .agg(expr("CAST(sum(dist) div count(*) AS BIGINT)").as("s"))
+      val cd = carr.select(col("clab").as("i"), col("cv").as("ci"))
+        .join(broadcast(carr.select(col("clab").as("j"), col("cv").as("cj"))),
+          col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          expr("""CAST(round(sqrt(CAST(aggregate(zip_with(ci, cj,
+            |  (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT),
+            |  (acc, vv) -> acc + vv) AS DOUBLE))) AS BIGINT)"""
+            .stripMargin).as("dij"))
+      val ratio = cd
+        .join(broadcast(scat.select(col("label").as("i"), col("s").as("si"))),
+          "i")
+        .join(broadcast(scat.select(col("label").as("j"), col("s").as("sj"))),
+          "j")
+        .select(col("i"), col("j"),
+          when(col("dij") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST((si + sj) * 1000000 div dij AS BIGINT)"))
+            .as("r"))
+      val top = ratio.withColumn("rn",
+          row_number().over(Window.partitionBy(col("i"))
+            .orderBy(col("r").desc_nulls_last, col("j"))))
+        .filter(col("rn") === 1)
+        .localCheckpoint() // O(labels) rows feed both output legs
+      top.select(col("i").cast("long").as("label"),
+          col("j").cast("long").as("worst_neighbor"),
+          col("r").as("db_term_micro"))
+        .unionAll(top.agg(lit(-1L).as("label"),
+          lit(null).cast("long").as("worst_neighbor"),
+          when(count(col("r")) === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(sum(r) div count(r) AS BIGINT)"))
+            .as("db_term_micro")))
+        .orderBy(col("label"))
+    },
+
+    // ---- Rank-biased overlap between the full-64 and truncated-32
+    //      retriever lists (q250's pair) — the top-weighted list-
+    //      agreement curve (RBO, Webber et al.): prefix overlaps at
+    //      depths 1..20 weighted by the p = 0.9 ladder. The weights
+    //      are the FLOOR-division integer recurrence w_d = w_{d-1}·9
+    //      div 10 evaluated at authoring time ([[RboW]]) — no runtime
+    //      pow in either engine — so every depth's term and the
+    //      cumulative RBO are exact integers. Scale: two TakeOrdered
+    //      corpus scans (q250's shape); the overlap/weight algebra
+    //      runs on a ≤20-row intersection table. ----
+    QueryDef.sql("q255_rbo", {
+      val wvals = RboW.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""WITH ${fullTruncListsCte(20)},
+        |pr AS (SELECT la.cid, la.rk AS ra, lb.rk AS rb
+        |  FROM la JOIN lb USING (cid)),
+        |wt(d, w_micro) AS (VALUES $wvals),
+        |ov AS (SELECT wt.d, wt.w_micro, count(pr.cid) AS overlap
+        |  FROM wt LEFT JOIN pr ON greatest(ra, rb) <= wt.d
+        |  GROUP BY wt.d, wt.w_micro),
+        |terms AS (SELECT d, CAST(overlap AS BIGINT) AS overlap,
+        |    CAST(overlap * 1000000 // d AS BIGINT) AS a_d_micro,
+        |    CAST((overlap * 1000000 // d) * w_micro // 1000000
+        |      AS BIGINT) AS term_micro
+        |  FROM ov)
+        |SELECT CAST(d AS BIGINT) AS depth, overlap, a_d_micro,
+        |  CAST(sum(term_micro) OVER (ORDER BY d) // 10 AS BIGINT)
+        |    AS rbo_micro
+        |FROM terms ORDER BY depth""".stripMargin
+    }) { (s, d) =>
+      val (la, lb) = fullTruncLists(s, d, 20)
+      val pr = la.select(col("cid"), col("rk").as("ra"))
+        .join(lb.select(col("cid"), col("rk").as("rb")), "cid")
+      val wArr = s"array(${RboW.mkString("L, ")}L)"
+      val wt = s.range(1, 21)
+        .select(col("id").cast("int").as("d"),
+          expr(s"element_at($wArr, CAST(id AS INT))").as("w_micro"))
+      val ov = wt.join(broadcast(pr),
+          greatest(col("ra"), col("rb")) <= col("d"), "left")
+        .groupBy(col("d"), col("w_micro"))
+        .agg(count(col("cid")).as("overlap"))
+      ov.select(col("d").cast("long").as("depth"),
+          col("overlap").cast("long").as("overlap"),
+          expr("CAST(overlap * 1000000 div d AS BIGINT)").as("a_d_micro"),
+          expr("""CAST(sum((overlap * 1000000 div d) * w_micro
+            |  div 1000000) OVER (ORDER BY d) div 10 AS BIGINT)"""
+            .stripMargin).as("rbo_micro"))
+        .orderBy(col("depth"))
+    },
+
+    // ---- Matryoshka-truncation recall audit: recall@10 of the
+    //      truncated-32-dim retriever against the full-64 ground
+    //      truth, per query plus the qid = −1 mean — the decision
+    //      gate for serving half-width vectors (q112's quantized-
+    //      recall discipline applied to the dimension axis; here the
+    //      measured ~30–40 % recall IS the finding: these vectors are
+    //      not matryoshka-trained, so naive truncation is not a safe
+    //      serving path). All counts/recalls exact integers. Scale:
+    //      one map-side scoring pass against the broadcast 10-query
+    //      panel, both rank windows keyed on qid, report O(queries).
+    //      ----
+    QueryDef.sql("q256_matryoshka_recall",
+      """WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+        |    AS qv FROM embeddings WHERE vec_id < 10),
+        |cand AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[])
+        |    AS cv FROM embeddings WHERE vec_id >= 10),
+        |sc AS (SELECT qid, cid,
+        |    CAST(round(list_cosine_similarity(cv, qv) * 1000000)
+        |      AS BIGINT) AS fs,
+        |    CAST(round(list_cosine_similarity(cv[1:32], qv[1:32])
+        |      * 1000000) AS BIGINT) AS ts
+        |  FROM qs, cand),
+        |fr AS (SELECT qid, cid FROM (SELECT qid, cid, row_number()
+        |    OVER (PARTITION BY qid ORDER BY fs DESC, cid) AS r
+        |  FROM sc) WHERE r <= 10),
+        |tr AS (SELECT qid, cid FROM (SELECT qid, cid, row_number()
+        |    OVER (PARTITION BY qid ORDER BY ts DESC, cid) AS r
+        |  FROM sc) WHERE r <= 10),
+        |pq AS (SELECT fr.qid, CAST(count(tr.cid) AS BIGINT) AS n_hit,
+        |    CAST(count(tr.cid) * 1000000 // 10 AS BIGINT)
+        |      AS recall_micro
+        |  FROM fr LEFT JOIN tr ON fr.qid = tr.qid AND fr.cid = tr.cid
+        |  GROUP BY fr.qid)
+        |SELECT CAST(qid AS BIGINT) AS qid, n_hit, recall_micro FROM pq
+        |UNION ALL SELECT -1, NULL, CASE WHEN count(*) = 0 THEN NULL
+        |  ELSE CAST(sum(recall_micro) // count(*) AS BIGINT) END FROM pq
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val sc = e.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(qs)) // 10-row query panel
+        .select(col("qid"), col("vec_id").as("cid"),
+          expr("CAST(round(cosine_sim(embedding, qv) * 1000000) AS BIGINT)")
+            .as("fs"),
+          expr("""CAST(round(cosine_sim(slice(embedding, 1, 32),
+            |  slice(qv, 1, 32)) * 1000000) AS BIGINT)""".stripMargin)
+            .as("ts"))
+      def top(score: String): DataFrame =
+        sc.withColumn("r", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col(score).desc, col("cid"))))
+          .filter(col("r") <= 10).select(col("qid"), col("cid"))
+      val fr = top("fs")
+      val tr = top("ts").withColumn("hit", lit(1L))
+      val pq = fr.join(tr, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          expr("CAST(n_hit * 1000000 div 10 AS BIGINT)").as("recall_micro"))
+        .localCheckpoint() // 10-row panel feeds both output legs
+      pq.unionAll(pq.agg(lit(-1L).as("qid"),
+          lit(null).cast("long").as("n_hit"),
+          // empty panel ⇒ NULL mean, never an ANSI division error
+          when(count(lit(1)) === 0, lit(null).cast("long"))
+            .otherwise(
+              expr("CAST(sum(recall_micro) div count(*) AS BIGINT)"))
+            .as("recall_micro")))
         .orderBy(col("qid"))
     })
 

@@ -765,6 +765,74 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(byQid(-1L).getLong(2) == 100000L, s"rows: ${rows.toSeq}")
   }
 
+  test("q253: a pairless event log yields an empty community report") {
+    // the shared fixture collapses events to ONE user: no co-occurrence
+    // pair exists, the symmetrized edge list is empty, and all four
+    // LPA rounds run over nothing without erroring
+    assert(run("q253_label_propagation").isEmpty)
+  }
+
+  test("q254: a single-label corpus has no cluster pairs — summary NULL") {
+    // all vectors one label ⇒ the centroid-pair table is empty, so no
+    // per-label row survives and the label = −1 mean guard must emit
+    // NULL rather than divide by count 0
+    val tmp = Files.createTempDirectory("degen254").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("label", lit(7))
+      .write.parquet(s"$d2/embeddings.parquet")
+    val rows = SparkEntry.queries("q254_davies_bouldin")(spark, d2).collect()
+    assert(rows.length == 1, s"rows: ${rows.toSeq}")
+    assert(rows(0).getLong(0) == -1L && rows(0).isNullAt(1)
+      && rows(0).isNullAt(2), s"rows: ${rows.toSeq}")
+  }
+
+  test("q255: 4-candidate lists still emit all 20 depths, overlap 4") {
+    val tmp = Files.createTempDirectory("degen255").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .write.parquet(s"$d2/embeddings.parquet")
+    val rows = SparkEntry.queries("q255_rbo")(spark, d2).collect()
+    assert(rows.length == 20, s"rows: ${rows.toSeq}")
+    // past depth 4 both 4-row lists are exhausted: overlap pins at 4
+    assert(rows.last.getLong(rows.last.fieldIndex("overlap")) == 4L,
+      s"rows: ${rows.toSeq}")
+  }
+
+  test("q252/q256: an empty candidate pool yields only the NULL summary") {
+    // vec_id < 5 ⇒ queries exist but candidates (vec_id >= 10) don't:
+    // the per-query panel is empty and the mean row must be NULL, not
+    // an ANSI division-by-zero error
+    val tmp = Files.createTempDirectory("degen256").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .write.parquet(s"$d2/embeddings.parquet")
+    for (q <- Seq("q252_mrr", "q256_matryoshka_recall")) {
+      val rows = SparkEntry.queries(q)(spark, d2).collect()
+      assert(rows.length == 1, s"$q rows: ${rows.toSeq}")
+      assert(rows(0).getLong(0) == -1L && rows(0).isNullAt(1)
+        && rows(0).isNullAt(2), s"$q rows: ${rows.toSeq}")
+    }
+  }
+
+  test("q257: both policies stay defined on a 1-document corpus") {
+    val tmp = Files.createTempDirectory("degen257").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 0L)
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q257_shard_rebalance")(spark, d2).collect()
+    // one row per policy: the single doc sits in exactly one shard each
+    assert(rows.length == 2, s"rows: ${rows.toSeq}")
+    assert(rows.forall(_.getLong(2) == 1L), s"rows: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -674,7 +674,20 @@ class PlanAuditSpec extends AnyFunSuite {
       // scored scan) + the tiny qid join of the two 10-row reports
       "q251_ndcg" -> 3,
       // the qid-keyed rank window + the qid groupBy over its output
-      "q252_mrr" -> 2)
+      "q252_mrr" -> 2,
+      // per-round Pregel shuffles hide behind localCheckpoint; the
+      // visible plan is the community groupBy + the report sort
+      "q253_label_propagation" -> 2,
+      // the centroid explode agg (map-side combined) + the scatter
+      // label agg; pairs/ratios ride broadcasts off checkpoints
+      "q254_davies_bouldin" -> 2,
+      // the ≤20-row depth/weight groupBy + the cumulative window
+      "q255_rbo" -> 2,
+      // both qid rank windows share one exchange + the qid groupBy
+      "q256_matryoshka_recall" -> 2,
+      // two 9-group map-side-combined aggs + the report sort; shard
+      // assignment itself is exchange-free row algebra
+      "q257_shard_rebalance" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
