@@ -2882,5 +2882,78 @@ object PartB {
         .groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("community"))
+    },
+
+    // ---- Association rules (market-basket): {a, b} → c over
+    //      per-(user, day) behavior baskets with support ≥ 5 —
+    //      support / confidence / lift, the classic Apriori readout
+    //      (per-day baskets because the all-time baskets are complete
+    //      sets here: every rule would be trivially 1.0). The type
+    //      domain bounds everything: a basket emits ≤ C(5,2) pairs
+    //      and ≤ 30 triples (row-bounded fan-out, never quadratic in
+    //      events), and the rule table is ≤ 30 rows. lift cross-
+    //      multiplies in DECIMAL(38,0)/HUGEINT (n_abc·N·1e6 overflows
+    //      BIGINT at lake-scale basket counts); all divisions are
+    //      provably-nonnegative floor divs. Scale: three basket-keyed
+    //      joins/aggs (u, dy) + type-sized assembly on broadcasts. ----
+    QueryDef.sql("q258_assoc_rules",
+      """WITH ut AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE)
+        |    AS dy, event_type AS ty FROM events),
+        |n AS (SELECT count(*) AS nu FROM (SELECT DISTINCT u, dy FROM ut)),
+        |nc AS (SELECT ty, count(*) AS n_c FROM ut GROUP BY ty),
+        |up AS (SELECT a.u, a.dy, a.ty AS ta, b.ty AS tb FROM ut a
+        |  JOIN ut b ON a.u = b.u AND a.dy = b.dy AND a.ty < b.ty),
+        |nab AS (SELECT ta, tb, count(*) AS n_ab FROM up GROUP BY ta, tb),
+        |tri AS (SELECT up.u, up.ta, up.tb, c.ty AS tc FROM up JOIN ut c
+        |  ON c.u = up.u AND c.dy = up.dy AND c.ty <> up.ta
+        |    AND c.ty <> up.tb),
+        |nabc AS (SELECT ta, tb, tc, count(*) AS n_abc FROM tri
+        |  GROUP BY ta, tb, tc)
+        |SELECT nabc.ta AS ant_a, nabc.tb AS ant_b, nabc.tc AS cons,
+        |  CAST(n_abc AS BIGINT) AS n_baskets,
+        |  CAST(n_abc * 1000000 // nu AS BIGINT) AS support_micro,
+        |  CAST(n_abc * 1000000 // n_ab AS BIGINT) AS confidence_micro,
+        |  CAST(CAST(n_abc AS HUGEINT) * nu * 1000000
+        |    // (CAST(n_ab AS HUGEINT) * n_c) AS BIGINT) AS lift_micro
+        |FROM nabc JOIN nab ON nabc.ta = nab.ta AND nabc.tb = nab.tb
+        |JOIN nc ON nc.ty = nabc.tc, n
+        |WHERE n_abc >= 5
+        |ORDER BY lift_micro DESC, ant_a, ant_b, cons""".stripMargin) {
+      (s, d) =>
+      val ut = t(s, d, "events")
+        .select(col("user_id").as("u"), to_date(col("ts")).as("dy"),
+          col("event_type").as("ty"))
+        .distinct()
+        .localCheckpoint() // basket-sized (≪ events); feeds 4 consumers
+      val n = ut.select(col("u"), col("dy")).distinct()
+        .agg(count(lit(1)).as("nu"))
+      val nc = ut.groupBy(col("ty")).agg(count(lit(1)).as("n_c"))
+      val up = ut.select(col("u"), col("dy"), col("ty").as("ta"))
+        .join(ut.select(col("u"), col("dy"), col("ty").as("tb")),
+          Seq("u", "dy"))
+        .filter(col("ta") < col("tb"))
+      val nab = up.groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_ab"))
+      val tri = up
+        .join(ut.select(col("u"), col("dy"), col("ty").as("tc")),
+          Seq("u", "dy"))
+        .filter(col("tc") =!= col("ta") && col("tc") =!= col("tb"))
+      val nabc = tri.groupBy(col("ta"), col("tb"), col("tc"))
+        .agg(count(lit(1)).as("n_abc"))
+      nabc.filter(col("n_abc") >= 5)
+        .join(broadcast(nab), Seq("ta", "tb"))
+        .join(broadcast(nc.withColumnRenamed("ty", "tc")), "tc")
+        .crossJoin(broadcast(n))
+        .select(col("ta").as("ant_a"), col("tb").as("ant_b"),
+          col("tc").as("cons"), col("n_abc").cast("long").as("n_baskets"),
+          expr("CAST(n_abc * 1000000 div nu AS BIGINT)")
+            .as("support_micro"),
+          expr("CAST(n_abc * 1000000 div n_ab AS BIGINT)")
+            .as("confidence_micro"),
+          expr("""CAST((CAST(n_abc AS DECIMAL(38,0)) * nu * 1000000)
+            |  div (CAST(n_ab AS DECIMAL(38,0)) * n_c) AS BIGINT)"""
+            .stripMargin).as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("ant_a"), col("ant_b"),
+          col("cons"))
     })
 }

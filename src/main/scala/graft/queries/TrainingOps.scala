@@ -2343,5 +2343,87 @@ object TrainingOps {
             |    bterm - n * (n + 1) * (n + 1) * 1000000)
             |  div (s4 - n * (n + 1) * (n + 1)) END AS BIGINT)"""
             .stripMargin).as("h_micro"))
+    },
+
+    // ---- Decision-stump split finder: the Gini-optimal threshold on
+    //      a per-user behavioral feature (view count) for a binary
+    //      label (more purchases than errors) — the 1-D CART step and
+    //      the simplest supervised primitive a curation pipeline
+    //      runs. EXACT by construction: weighted Gini compares as the
+    //      single integer ((nl²−l1²−l0²)·nr + (nr²−r1²−r0²)·nl)·1e6
+    //      div (nl·nr·N) in DECIMAL(38,0)/HUGEINT — no float impurity
+    //      anywhere, ties broken by threshold, so both engines pick
+    //      identical split rankings. Scale: candidate thresholds come
+    //      from the O(distinct x) SUPPORT table (q245's discipline —
+    //      the cumulative window runs post-agg on domain-sized rows,
+    //      never a per-user global sort); the corpus pays one
+    //      user-keyed agg. Top-5 splits reported. ----
+    QueryDef.sql("q259_decision_stump",
+      """WITH ux AS (SELECT user_id AS u,
+        |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      AS BIGINT) AS x,
+        |    CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1
+        |        END) > count(CASE WHEN event_type = 'error' THEN 1 END)
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(y) AS HUGEINT) AS n1 FROM ux),
+        |sup AS (SELECT x, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS c1 FROM ux GROUP BY x),
+        |cum AS (SELECT x AS thr, CAST(sum(c) OVER w AS HUGEINT) AS nl,
+        |    CAST(sum(c1) OVER w AS HUGEINT) AS l1
+        |  FROM sup WINDOW w AS (ORDER BY x)),
+        |sc AS (SELECT thr, nl, l1, n - nl AS nr, n1 - l1 AS r1, n
+        |  FROM cum, tot WHERE nl < n),
+        |g AS (SELECT thr, nl, nr, l1, r1,
+        |    CAST(((nl*nl - l1*l1 - (nl-l1)*(nl-l1)) * nr
+        |        + (nr*nr - r1*r1 - (nr-r1)*(nr-r1)) * nl) * 1000000
+        |      // (nl * nr * n) AS BIGINT) AS gini_micro,
+        |    CAST(l1 * 1000000 // nl AS BIGINT) AS p_left_micro,
+        |    CAST(r1 * 1000000 // nr AS BIGINT) AS p_right_micro
+        |  FROM sc)
+        |SELECT CAST(row_number() OVER (ORDER BY gini_micro, thr)
+        |    AS BIGINT) AS rank,
+        |  CAST(thr AS BIGINT) AS threshold, gini_micro,
+        |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+        |  p_left_micro, p_right_micro
+        |FROM g ORDER BY gini_micro, thr LIMIT 5""".stripMargin) {
+      (s, d) =>
+      val ux = t(s, d, "events").groupBy(col("user_id").as("u"))
+        .agg(count(when(col("event_type") === "view", 1)).cast("long")
+            .as("x"),
+          when(count(when(col("event_type") === "purchase", 1))
+              > count(when(col("event_type") === "error", 1)), 1L)
+            .otherwise(0L).as("y"))
+      val sup = ux.groupBy(col("x"))
+        .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+      val tot = ux.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("y")).cast("decimal(38,0)").as("n1"))
+      // cumulative window over the O(distinct x) support table only
+      val w = Window.orderBy(col("x"))
+      val cum = sup.select(col("x").as("thr"),
+        sum(col("c")).over(w).cast("decimal(38,0)").as("nl"),
+        sum(col("c1")).over(w).cast("decimal(38,0)").as("l1"))
+      val g = cum.crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n"))
+        .select(col("thr"), col("nl"), col("l1"),
+          (col("n") - col("nl")).as("nr"),
+          (col("n1") - col("l1")).as("r1"), col("n"))
+        .select(col("thr"), col("nl"), col("nr"),
+          expr("""CAST((((nl*nl - l1*l1 - (nl-l1)*(nl-l1)) * nr
+            |    + (nr*nr - r1*r1 - (nr-r1)*(nr-r1)) * nl) * 1000000)
+            |  div (nl * nr * n) AS BIGINT)""".stripMargin)
+            .as("gini_micro"),
+          expr("CAST((l1 * 1000000) div nl AS BIGINT)").as("p_left_micro"),
+          expr("CAST((r1 * 1000000) div nr AS BIGINT)")
+            .as("p_right_micro"))
+      g.select(row_number().over(
+            Window.orderBy(col("gini_micro"), col("thr")))
+            .cast("long").as("rank"),
+          col("thr").as("threshold"), col("gini_micro"),
+          col("nl").cast("long").as("n_left"),
+          col("nr").cast("long").as("n_right"),
+          col("p_left_micro"), col("p_right_micro"))
+        .orderBy(col("rank")).limit(5)
     })
 }

@@ -833,6 +833,20 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) == 1L), s"rows: ${rows.toSeq}")
   }
 
+  test("q258: a single-basket log clears no support threshold — empty") {
+    // one user at one instant ⇒ exactly one (user, day) basket: every
+    // triple has n_abc = 1 < 5, so the rule table is empty, not an
+    // error (and no division ever sees the empty side)
+    assert(run("q258_assoc_rules").isEmpty)
+  }
+
+  test("q259: a single-user population admits no split — empty") {
+    // one user ⇒ one support row whose cumulative count equals N: the
+    // nl < n guard leaves no candidate threshold and no gini division
+    // runs against an empty side
+    assert(run("q259_decision_stump").isEmpty)
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -687,7 +687,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q256_matryoshka_recall" -> 2,
       // two 9-group map-side-combined aggs + the report sort; shard
       // assignment itself is exchange-free row algebra
-      "q257_shard_rebalance" -> 3)
+      "q257_shard_rebalance" -> 3,
+      // basket-keyed pair/triple joins + their type-sized counts off
+      // the checkpointed basket table; rule assembly rides broadcasts
+      "q258_assoc_rules" -> 6,
+      // the user-keyed feature agg is the only corpus shuffle; the
+      // support agg + 1-row total + two tiny windows are domain-sized
+      "q259_decision_stump" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
