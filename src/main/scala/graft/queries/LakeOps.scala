@@ -1681,6 +1681,56 @@ object LakeOps {
         .select(lit("mod").as("policy"), col("shard").cast("long"),
           col("n_docs"), col("n_moved"))
       hrw.unionAll(md).orderBy(col("policy"), col("shard"))
+    },
+
+    // ---- MASE forecast audit (seasonal-naive vs naive-1): can the
+    //      24-hour-ago value forecast this hour better than the
+    //      last-hour value? MASE < 1 = daily seasonality is real
+    //      signal; ≈ 1 (what this corpus honestly reads) = no
+    //      exploitable cycle — the go/no-go gate before shipping a
+    //      seasonal model. Built ON the SHARED dense hourly series
+    //      ([[hourlySeries]] — q194/q212/q213/q219's spine, so the
+    //      series definition cannot drift); absolute errors are exact
+    //      integers off two lag windows, MASE one HUGEINT/DECIMAL
+    //      cross-multiplied floor division (all terms nonnegative).
+    //      Scale: one (etype, hour) agg + an etype-keyed lag window
+    //      over O(types·hours) rows. ----
+    QueryDef.sql("q261_mase_forecast",
+      s"""WITH $hourlySeriesCte,
+        |lg AS (SELECT etype, x, lag(x, 24) OVER w AS x24,
+        |    lag(x, 1) OVER w AS x1
+        |  FROM ser WINDOW w AS (PARTITION BY etype ORDER BY hidx)),
+        |agg AS (SELECT etype, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(abs(x - x24)) AS BIGINT) AS sase,
+        |    CAST(count(x24) AS BIGINT) AS nf,
+        |    CAST(sum(abs(x - x1)) AS BIGINT) AS sae1,
+        |    CAST(count(x1) AS BIGINT) AS n1
+        |  FROM lg GROUP BY etype)
+        |SELECT etype, n_hours, sase, sae1,
+        |  CASE WHEN sae1 = 0 OR nf = 0 THEN NULL
+        |    ELSE CAST(CAST(sase AS HUGEINT) * n1 * 1000000
+        |      // (CAST(sae1 AS HUGEINT) * nf) AS BIGINT) END
+        |    AS mase_micro
+        |FROM agg ORDER BY etype""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("etype")).orderBy(col("hidx"))
+      hourlySeries(t(s, d, "events"))
+        .select(col("etype"), col("x"),
+          lag(col("x"), 24).over(w).as("x24"),
+          lag(col("x"), 1).over(w).as("x1"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(abs(col("x") - col("x24"))).cast("long").as("sase"),
+          count(col("x24")).as("nf"),
+          sum(abs(col("x") - col("x1"))).cast("long").as("sae1"),
+          count(col("x1")).as("n1"))
+        .select(col("etype"), col("n_hours"), col("sase"), col("sae1"),
+          when(col("sae1") === 0 || col("nf") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr("""CAST((CAST(sase AS DECIMAL(38,0)) * n1
+              |  * 1000000) div (CAST(sae1 AS DECIMAL(38,0)) * nf)
+              |  AS BIGINT)""".stripMargin)).as("mase_micro"))
+        .orderBy(col("etype"))
     }
   )
 }

@@ -14,6 +14,41 @@ object PartB {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Per-user next-event pairs (cur, nxt, nxt_us) off one user-keyed
+    * lead window — shared by q240 (calibration) and q262 (ECE) so the
+    * sequence model's training data cannot drift between them. */
+  private def nextTypePairs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(w).as("nxt"),
+        lead(unix_micros(col("ts")), 1).over(w).as("nxt_us"))
+      .filter(col("nxt").isNotNull)
+      .localCheckpoint() // feeds the train and test aggs
+  }
+
+  /** DuckDB CTE twin of [[nextTypePairs]] + the trained per-type
+    * purchase-probability table: defines `pairs(cur, nxt, nxt_us)`
+    * and `pm(cur, n_train, p_pred_micro)` (train = first half-month,
+    * the q240 temporal split). */
+  private val nextPairsCte: String =
+    """seq AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt_us
+      |  FROM events),
+      |pairs AS (SELECT event_type AS cur, nxt, nxt_us FROM seq
+      |  WHERE nxt IS NOT NULL),
+      |tr AS (SELECT cur, CAST(count(*) AS BIGINT) AS n_train,
+      |    CAST(sum(CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k_tr
+      |  FROM pairs WHERE nxt_us < 1705363200000000 GROUP BY cur),
+      |pm AS (SELECT cur, n_train,
+      |    CAST(k_tr * 1000000 // n_train AS BIGINT) AS p_pred_micro
+      |  FROM tr)""".stripMargin
+
   /** Undirected user co-occurrence edges (x < y, distinct) from shared
     * (event_type, `bucketUs`) buckets — 10-minute buckets give the
     * dense graph q126/q137 analyze; q164's BFS uses 1-minute buckets
@@ -2477,21 +2512,7 @@ object PartB {
     //      user, never corpus-long); test types unseen in training
     //      surface with NULL prediction via the left join (guard). ----
     QueryDef.sql("q240_seq_calibration",
-      """WITH seq AS (SELECT user_id, event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS nxt,
-        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS nxt_us
-        |  FROM events),
-        |pairs AS (SELECT event_type AS cur, nxt, nxt_us FROM seq
-        |  WHERE nxt IS NOT NULL),
-        |tr AS (SELECT cur, CAST(count(*) AS BIGINT) AS n_train,
-        |    CAST(sum(CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS k_tr
-        |  FROM pairs WHERE nxt_us < 1705363200000000 GROUP BY cur),
-        |pm AS (SELECT cur, n_train,
-        |    CAST(k_tr * 1000000 // n_train AS BIGINT) AS p_pred_micro
-        |  FROM tr),
+      s"""WITH $nextPairsCte,
         |te AS (SELECT cur, CAST(count(*) AS BIGINT) AS n_test,
         |    CAST(sum(CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS k_te
@@ -2509,15 +2530,7 @@ object PartB {
         |    AS brier
         |FROM te LEFT JOIN pm ON te.cur = pm.cur
         |ORDER BY cur_type""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val pairs = t(s, d, "events")
-        .select(col("event_type").as("cur"),
-          lead(col("event_type"), 1).over(w).as("nxt"),
-          lead(unix_micros(col("ts")), 1).over(w).as("nxt_us"))
-        .filter(col("nxt").isNotNull)
-        .localCheckpoint() // feeds the train and test aggs
+      val pairs = nextTypePairs(s, d)
       def half(f: org.apache.spark.sql.Column, n: String, kc: String) =
         pairs.filter(f).groupBy(col("cur"))
           .agg(count(lit(1)).as(n),
@@ -2955,5 +2968,158 @@ object PartB {
             .stripMargin).as("lift_micro"))
         .orderBy(col("lift_micro").desc, col("ant_a"), col("ant_b"),
           col("cons"))
+    },
+
+    // ---- Multi-touch attribution: every purchase credits the LAST
+    //      and the FIRST touch (non-purchase event) by the same user
+    //      in the strictly-prior 24 h window — the two classic
+    //      marketing models side by side, plus the '(none)' bucket
+    //      for unattributed purchases. The window join runs through
+    //      [[graft.operators.IntervalJoin]] (bucket banding: each
+    //      touch meets a purchase in ONE (user, 24 h-bucket) cell —
+    //      no per-user cross product, skew spread over time buckets);
+    //      per-purchase credit is an integer argmax/argmin on the
+    //      TOTAL (tts, tid) order, so both engines pick the same
+    //      touch. Money is exact integer cents. ----
+    QueryDef.sql("q260_attribution",
+      """WITH pur AS (SELECT user_id AS u, event_id AS pid, ts AS pts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS u, event_id AS tid, ts AS tts,
+        |    event_type AS ty
+        |  FROM events WHERE event_type <> 'purchase'),
+        |m AS (SELECT pur.pid, tch.tts, tch.tid, tch.ty FROM pur
+        |  JOIN tch ON pur.u = tch.u
+        |    AND tch.tts >= pur.pts - INTERVAL 24 HOURS
+        |    AND tch.tts < pur.pts),
+        |lastm AS (SELECT pid, ty FROM (SELECT pid, ty, row_number()
+        |    OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) rn
+        |  FROM m) WHERE rn = 1),
+        |firstm AS (SELECT pid, ty FROM (SELECT pid, ty, row_number()
+        |    OVER (PARTITION BY pid ORDER BY tts ASC, tid ASC) rn
+        |  FROM m) WHERE rn = 1),
+        |pp AS (SELECT pur.pid, pur.cents,
+        |    COALESCE(l.ty, '(none)') AS lty,
+        |    COALESCE(f.ty, '(none)') AS fty
+        |  FROM pur LEFT JOIN lastm l ON l.pid = pur.pid
+        |  LEFT JOIN firstm f ON f.pid = pur.pid),
+        |lr AS (SELECT lty AS channel, CAST(count(*) AS BIGINT)
+        |      AS n_last, CAST(sum(cents) AS BIGINT) AS value_last_cents
+        |  FROM pp GROUP BY lty),
+        |fr AS (SELECT fty AS channel, CAST(count(*) AS BIGINT)
+        |      AS n_first, CAST(sum(cents) AS BIGINT)
+        |      AS value_first_cents
+        |  FROM pp GROUP BY fty)
+        |SELECT COALESCE(lr.channel, fr.channel) AS channel,
+        |  CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last,
+        |  CAST(COALESCE(value_last_cents, 0) AS BIGINT)
+        |    AS value_last_cents,
+        |  CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
+        |  CAST(COALESCE(value_first_cents, 0) AS BIGINT)
+        |    AS value_first_cents
+        |FROM lr FULL OUTER JOIN fr ON lr.channel = fr.channel
+        |ORDER BY channel""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("event_id").as("pid"),
+          col("ts").as("pts"),
+          expr("pts - INTERVAL 24 HOURS").as("wstart"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val tch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("u"), col("event_id").as("tid"),
+          col("ts").as("tts"), col("event_type").as("ty"))
+      // one (user, day-bucket) banded join: a 24 h window spans ≤ 2
+      // buckets, so fan-out is bounded and no per-user cross exists
+      val m = graft.operators.IntervalJoin.pointInInterval(
+          tch, pur, "u", "tts", "wstart", "pts", 86400000000L)
+        .groupBy(col("pid"))
+        .agg(max(struct(col("tts"), col("tid"), col("ty"))).as("lt"),
+          min(struct(col("tts"), col("tid"), col("ty"))).as("ft"))
+        .select(col("pid"), col("lt.ty").as("lty0"),
+          col("ft.ty").as("fty0"))
+      val pp = pur.join(m, Seq("pid"), "left")
+        .select(col("cents"),
+          coalesce(col("lty0"), lit("(none)")).as("lty"),
+          coalesce(col("fty0"), lit("(none)")).as("fty"))
+        .localCheckpoint() // per-purchase credits feed both reports
+      val lr = pp.groupBy(col("lty").as("channel"))
+        .agg(count(lit(1)).as("n_last"),
+          sum(col("cents")).cast("long").as("value_last_cents"))
+      val fr = pp.groupBy(col("fty").as("channel"))
+        .agg(count(lit(1)).as("n_first"),
+          sum(col("cents")).cast("long").as("value_first_cents"))
+      lr.join(fr, Seq("channel"), "full")
+        .select(col("channel"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("value_last_cents"), lit(0L))
+            .as("value_last_cents"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("value_first_cents"), lit(0L))
+            .as("value_first_cents"))
+        .orderBy(col("channel"))
+    },
+
+    // ---- Expected calibration error (ECE, 10 equal-width bins) of
+    //      the q240 sequence model — the standard "is the model's
+    //      confidence honest" gate, computed WITHOUT any float: the
+    //      per-bin identity |acc−conf|·n = |k·1e6 − Σp| makes every
+    //      gap an exact integer, and the bin = −1 summary row is one
+    //      HUGEINT/DECIMAL floor division. Shares [[nextTypePairs]] /
+    //      the trained pm table with q240 verbatim, so the model under
+    //      audit is provably the one q240 scored. Scale: one user-
+    //      keyed lead window + type-sized broadcasts + an O(bins) agg.
+    //      ----
+    QueryDef.sql("q262_ece",
+      s"""WITH $nextPairsCte,
+        |tev AS (SELECT pairs.cur,
+        |    CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    pm.p_pred_micro AS p
+        |  FROM pairs JOIN pm ON pm.cur = pairs.cur
+        |  WHERE nxt_us >= 1705363200000000),
+        |bins AS (SELECT p // 100000 AS bin, CAST(count(*) AS BIGINT)
+        |      AS n, CAST(sum(y) AS BIGINT) AS k,
+        |    CAST(sum(p) AS BIGINT) AS sump
+        |  FROM tev GROUP BY 1),
+        |pb AS (SELECT CAST(bin AS BIGINT) AS bin, n,
+        |    CAST(sump // n AS BIGINT) AS conf_micro,
+        |    CAST(k * 1000000 // n AS BIGINT) AS acc_micro,
+        |    CAST(abs(k * 1000000 - sump) // n AS BIGINT) AS gap_micro
+        |  FROM bins)
+        |SELECT * FROM pb
+        |UNION ALL
+        |SELECT -1, CAST(sum(n) AS BIGINT), NULL, NULL,
+        |  CAST(sum(CAST(abs(k * 1000000 - sump) AS HUGEINT))
+        |    // sum(n) AS BIGINT)
+        |FROM bins
+        |ORDER BY bin""".stripMargin) { (s, d) =>
+      val pairs = nextTypePairs(s, d)
+      val pm = pairs.filter(col("nxt_us") < 1705363200000000L)
+        .groupBy(col("cur"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("nxt") === "purchase", 1).otherwise(0))
+            .cast("long").as("k_tr"))
+        .select(col("cur"),
+          expr("CAST(k_tr * 1000000 div n_train AS BIGINT)").as("p"))
+      val bins = pairs.filter(col("nxt_us") >= 1705363200000000L)
+        .join(broadcast(pm), "cur") // type-sized model table
+        .select(when(col("nxt") === "purchase", 1L).otherwise(0L)
+            .as("y"), col("p"))
+        .groupBy(expr("p div 100000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k"),
+          sum(col("p")).cast("long").as("sump"))
+        .localCheckpoint() // O(bins) rows feed both output legs
+      bins.select(col("bin").cast("long").as("bin"), col("n"),
+          expr("CAST(sump div n AS BIGINT)").as("conf_micro"),
+          expr("CAST(k * 1000000 div n AS BIGINT)").as("acc_micro"),
+          expr("CAST(abs(k * 1000000 - sump) div n AS BIGINT)")
+            .as("gap_micro"))
+        .unionAll(bins.agg(lit(-1L).as("bin"),
+          sum(col("n")).cast("long").as("n"),
+          lit(null).cast("long").as("conf_micro"),
+          lit(null).cast("long").as("acc_micro"),
+          expr("""CAST(sum(CAST(abs(k * 1000000 - sump)
+            |  AS DECIMAL(38,0))) div sum(n) AS BIGINT)""".stripMargin)
+            .as("gap_micro")))
+        .orderBy(col("bin"))
     })
 }

@@ -847,6 +847,34 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(run("q259_decision_stump").isEmpty)
   }
 
+  test("q260: a same-instant log attributes every purchase to (none)") {
+    // all events share one timestamp: no touch is STRICTLY prior, so
+    // both models route all credit to the unattributed bucket
+    val rows = run("q260_attribution")
+    assert(rows.length == 1, s"rows: ${rows.toSeq}")
+    assert(rows(0).getString(0) == "(none)", s"rows: ${rows.toSeq}")
+    assert(rows(0).getLong(1) == rows(0).getLong(3), s"rows: ${rows.toSeq}")
+  }
+
+  test("q261: a one-hour series has no lag — NULL MASE, no error") {
+    val rows = run("q261_mase_forecast")
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getLong(r.fieldIndex("n_hours")) == 1L &&
+        r.isNullAt(r.fieldIndex("mase_micro"))
+    }, s"rows: ${rows.toSeq}")
+  }
+
+  test("q262: an empty training half leaves only a NULL summary row") {
+    // the fixture instant falls in the TEST half: the model table is
+    // empty, no test pair scores, and the summary divides nothing —
+    // every field NULL, never a zero-division error
+    val rows = run("q262_ece")
+    assert(rows.length == 1, s"rows: ${rows.toSeq}")
+    assert(rows(0).getLong(0) == -1L && (1 to 4).forall(rows(0).isNullAt),
+      s"rows: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

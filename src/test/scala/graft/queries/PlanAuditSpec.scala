@@ -693,7 +693,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "q258_assoc_rules" -> 6,
       // the user-keyed feature agg is the only corpus shuffle; the
       // support agg + 1-row total + two tiny windows are domain-sized
-      "q259_decision_stump" -> 5)
+      "q259_decision_stump" -> 5,
+      // the (user, bucket) banded interval join + the pid credit agg;
+      // both channel reports run off the checkpointed credit table
+      "q260_attribution" -> 3,
+      // the (etype, hour) count agg + the spine join + the lag window
+      // share the etype key; report agg is O(types)
+      "q261_mase_forecast" -> 3,
+      // the user-keyed lead window (train + test share it via the
+      // checkpoint) + the O(bins) agg
+      "q262_ece" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
