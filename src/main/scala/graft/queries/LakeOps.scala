@@ -1731,6 +1731,122 @@ object LakeOps {
               |  * 1000000) div (CAST(sae1 AS DECIMAL(38,0)) * nf)
               |  AS BIGINT)""".stripMargin)).as("mase_micro"))
         .orderBy(col("etype"))
+    },
+
+    // ---- k-anonymity release audit over the quasi-identifier tuple
+    //      (lang, source, length-bucket): how many documents sit in
+    //      QI groups smaller than k for k ∈ {2, 5, 10} — the privacy
+    //      gate a corpus release runs BEFORE publishing metadata
+    //      columns. risk@k = share of docs re-identifiable at group
+    //      size < k; this corpus honestly reads ~35 %@2 → 100 %@10
+    //      (fine-grained QI on a small corpus — exactly what the
+    //      audit exists to catch). Pure integer counts and one
+    //      nonneg floor division. Scale: ONE corpus-sized QI groupBy
+    //      (map-side combined); the per-k report crosses the O(groups)
+    //      table with a 3-row constant — never re-scans the corpus.
+    //      ----
+    QueryDef.sql("q263_k_anonymity",
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS lb,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nd,
+        |    CAST(count(*) AS BIGINT) AS ng FROM g),
+        |ks(k) AS (VALUES (2), (5), (10))
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(count(CASE WHEN n < k THEN 1 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(COALESCE(sum(CASE WHEN n < k THEN n END), 0) AS BIGINT)
+        |    AS n_docs_at_risk,
+        |  CAST(COALESCE(sum(CASE WHEN n < k THEN n END), 0) * 1000000
+        |    // nd AS BIGINT) AS risk_micro,
+        |  ng AS n_groups
+        |FROM g, tot, ks GROUP BY k, nd, ng ORDER BY k""".stripMargin) {
+      (s, d) =>
+      val g = t(s, d, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("lb"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // O(groups) rows feed the total and the ks
+      val tot = g.agg(sum(col("n")).cast("long").as("nd"),
+        count(lit(1)).as("ng"))
+      val ks = s.range(1, 4)
+        .select(when(col("id") === 1, 2L).when(col("id") === 2, 5L)
+          .otherwise(10L).as("k"))
+      g.crossJoin(broadcast(tot)).crossJoin(broadcast(ks))
+        .groupBy(col("k"), col("nd"), col("ng"))
+        .agg(count(when(col("n") < col("k"), 1)).as("n_small_groups"),
+          coalesce(sum(when(col("n") < col("k"), col("n"))), lit(0L))
+            .cast("long").as("n_docs_at_risk"))
+        .select(col("k"), col("n_small_groups"), col("n_docs_at_risk"),
+          expr("CAST(n_docs_at_risk * 1000000 div nd AS BIGINT)")
+            .as("risk_micro"),
+          col("ng").as("n_groups"))
+        .orderBy(col("k"))
+    },
+
+    // ---- Referential-integrity audit: orphan and NULL-FK counts for
+    //      every foreign-key edge of the relational schema — the lake
+    //      constraint-validation pass (Spark enforces nothing at
+    //      write time, so ingestion pipelines RUN this). The 0s ARE
+    //      the report: a nonzero row names the broken edge. Each edge
+    //      is one LEFT ANTI join (dimension parents broadcast; the
+    //      lineitem→orders edge shuffles on the join key, the shape a
+    //      100 TB fact table wants) + two counts; the 7 one-row
+    //      reports union. ----
+    QueryDef.sql("q264_fk_integrity", fkIntegrityOracleSql) { (s, d) =>
+      def edge(name: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+        val c = child.select(col(fk).as("fk"))
+        val p = parent.select(col(pk).as("fk"))
+        val orphans = c.filter(col("fk").isNotNull)
+          .join(if (bcast) broadcast(p) else p, Seq("fk"), "left_anti")
+        c.agg(count(lit(1)).as("n_child"),
+            sum(when(col("fk").isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_null_fk"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_child"),
+            col("n_orphans"), col("n_null_fk"))
+      }
+      val li = t(s, d, "lineitem")
+      edge("customer.c_nationkey->nation", t(s, d, "customer"),
+          "c_nationkey", t(s, d, "nation"), "n_nationkey", bcast = true)
+        .unionAll(edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          t(s, d, "orders"), "o_orderkey", bcast = false))
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey", bcast = true))
+        .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey", bcast = true))
+        .unionAll(edge("nation.n_regionkey->region", t(s, d, "nation"),
+          "n_regionkey", t(s, d, "region"), "r_regionkey", bcast = true))
+        .unionAll(edge("orders.o_custkey->customer", t(s, d, "orders"),
+          "o_custkey", t(s, d, "customer"), "c_custkey", bcast = true))
+        .unionAll(edge("supplier.s_nationkey->nation",
+          t(s, d, "supplier"), "s_nationkey", t(s, d, "nation"),
+          "n_nationkey", bcast = true))
+        .orderBy(col("fk_edge"))
     }
   )
+
+  /** DuckDB oracle for q264: one NOT-EXISTS/NULL-count report per FK
+    * edge, unioned — generated from the same edge list the Spark plan
+    * walks (alphabetical, matching the final ORDER BY). */
+  private lazy val fkIntegrityOracleSql: String = {
+    val edges = Seq(
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"))
+    edges.map { case (ct, fk, pt, pk) =>
+      s"""SELECT '$ct.$fk->$pt' AS fk_edge,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $ct) AS n_child,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $ct c
+         |    WHERE c.$fk IS NOT NULL AND NOT EXISTS
+         |      (SELECT 1 FROM $pt p WHERE p.$pk = c.$fk)) AS n_orphans,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $ct WHERE $fk IS NULL)
+         |    AS n_null_fk""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
 }

@@ -3121,5 +3121,67 @@ object PartB {
             |  AS DECIMAL(38,0))) div sum(n) AS BIGINT)""".stripMargin)
             .as("gap_micro")))
         .orderBy(col("bin"))
+    },
+
+    // ---- Local clustering coefficient distribution over the sparse
+    //      1-minute co-occurrence graph: per-node lcc = 2·tri(v) /
+    //      (deg·(deg−1)) in exact integer micro, reported as a decile
+    //      histogram (decile −1 = degree-<2 nodes, 10 = perfect
+    //      cliques) plus a decile-100 mean row — the per-node
+    //      refinement of q126's global triangle count and the
+    //      standard small-world readout. Per-node triangle counts
+    //      come from the SAME oriented a<b<c edge self-join as q126's
+    //      oracle (each triangle credits its three corners once).
+    //      Scale: the wedge join is O(m^(3/2))-bounded like q126, the
+    //      per-node fold and degree agg are node-keyed, the histogram
+    //      O(11). ----
+    QueryDef.sql("q265_lcc_histogram",
+      s"""WITH ${coocEdgesCte(60000000L)},
+        |tri AS (SELECT e1.x AS a, e1.y AS b2, e2.y AS c FROM e e1
+        |  JOIN e e2 ON e2.x = e1.y
+        |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+        |    SELECT a AS v FROM tri UNION ALL SELECT b2 FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY v),
+        |deg AS (SELECT u AS v, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT x AS u FROM e UNION ALL SELECT y FROM e) GROUP BY u),
+        |lcc AS (SELECT deg.v, CASE WHEN d < 2 THEN NULL
+        |    ELSE CAST(2 * COALESCE(t, 0) * 1000000 // (d * (d - 1))
+        |      AS BIGINT) END AS l
+        |  FROM deg LEFT JOIN tv ON tv.v = deg.v),
+        |hist AS (SELECT CAST(COALESCE(l // 100000, -1) AS BIGINT)
+        |      AS decile, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM lcc GROUP BY 1)
+        |SELECT decile, n_nodes FROM hist
+        |UNION ALL
+        |SELECT 100, CASE WHEN count(l) = 0 THEN NULL
+        |  ELSE CAST(sum(l) // count(l) AS BIGINT) END FROM lcc
+        |ORDER BY decile""".stripMargin) { (s, d) =>
+      val e = coocEdges(s, d, 60000000L)
+        .localCheckpoint() // feeds the wedge join (3×) and the degrees
+      val tri = e.select(col("x").as("a"), col("y").as("b2"))
+        .join(e.select(col("x").as("b2"), col("y").as("c")), "b2")
+        .join(e.select(col("x").as("a"), col("y").as("c")),
+          Seq("a", "c"))
+      val tv = tri.select(col("a").as("v"))
+        .unionAll(tri.select(col("b2").as("v")))
+        .unionAll(tri.select(col("c").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      val deg = e.select(col("x").as("v"))
+        .unionAll(e.select(col("y").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val lcc = deg.join(tv, Seq("v"), "left")
+        .select(when(col("d") < 2, lit(null).cast("long"))
+          .otherwise(expr("""CAST(2 * COALESCE(t, CAST(0 AS BIGINT))
+            |  * 1000000 div (d * (d - 1)) AS BIGINT)""".stripMargin))
+          .as("l"))
+        .localCheckpoint() // O(nodes) rows feed histogram + mean
+      lcc.groupBy(coalesce(expr("l div 100000"), lit(-1L)).as("decile"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .unionAll(lcc.agg(lit(100L).as("decile"),
+          when(count(col("l")) === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(sum(l) div count(l) AS BIGINT)"))
+            .as("n_nodes")))
+        .orderBy(col("decile"))
     })
 }

@@ -875,6 +875,47 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"rows: ${rows.toSeq}")
   }
 
+  test("q263: an empty corpus yields an empty risk report, no division") {
+    val tmp = Files.createTempDirectory("degen263").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 0)
+      .write.parquet(s"$d2/documents.parquet")
+    assert(SparkEntry.queries("q263_k_anonymity")(spark, d2)
+      .collect().isEmpty)
+  }
+
+  test("q264: injected orphans are counted on exactly the broken edge") {
+    // halve orders: every lineitem pointing at a dropped order becomes
+    // an orphan on lineitem->orders, and orders->customer loses rows
+    // but stays consistent — the auditor must flag ONLY the first
+    val tmp = Files.createTempDirectory("degen264").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+        "lineitem"))
+      spark.read.parquet(s"$sf/$tbl.parquet")
+        .write.parquet(s"$d2/$tbl.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.parquet(s"$d2/orders.parquet")
+    val rows = SparkEntry.queries("q264_fk_integrity")(spark, d2).collect()
+    val byEdge = rows.map(r => r.getString(0) -> r).toMap
+    val li = byEdge("lineitem.l_orderkey->orders")
+    assert(li.getLong(li.fieldIndex("n_orphans")) > 0, s"rows: ${rows.toSeq}")
+    assert(rows.filter(_.getString(0) != "lineitem.l_orderkey->orders")
+      .forall(r => r.getLong(r.fieldIndex("n_orphans")) == 0),
+      s"rows: ${rows.toSeq}")
+  }
+
+  test("q265: a pairless graph leaves only the NULL mean row") {
+    val rows = run("q265_lcc_histogram")
+    assert(rows.length == 1, s"rows: ${rows.toSeq}")
+    assert(rows(0).getLong(0) == 100L && rows(0).isNullAt(1),
+      s"rows: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

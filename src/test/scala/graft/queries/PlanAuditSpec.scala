@@ -702,7 +702,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "q261_mase_forecast" -> 3,
       // the user-keyed lead window (train + test share it via the
       // checkpoint) + the O(bins) agg
-      "q262_ece" -> 2)
+      "q262_ece" -> 2,
+      // the one corpus-sized QI groupBy + the 1-row total + the per-k
+      // report agg over O(groups) rows
+      "q263_k_anonymity" -> 3,
+      // 7 independent edge audits: each pays its two 1-row count
+      // folds (the lineitem->orders anti join is the only keyed one;
+      // dimension parents broadcast)
+      "q264_fk_integrity" -> 14,
+      // wedge-join corners + degree agg + node-keyed lcc fold; the
+      // histogram/mean run off the checkpointed O(nodes) table
+      "q265_lcc_histogram" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
