@@ -22,6 +22,9 @@ object TextOps {
     * on edge tokens. */
   private val toks = split(lower(trim(col("text"))), "\\s+")
 
+  /** DuckDB twin of [[toks]] as an inline expression string. */
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
   private val enWords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val deWords = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
   private val frWords = Seq("le", "la", "les", "et", "est", "une", "dans")
@@ -3017,7 +3020,133 @@ object TextOps {
               |  div (sl - k * lxk) AS BIGINT)""".stripMargin))
             .otherwise(lit(null).cast("long")).as("alpha_micro"))
         .orderBy(col("source"))
+    },
+
+    // ---- Pareto skyline (maximal points) on (n_chars, distinct
+    //      tokens) — the classic DB skyline operator: a doc is on the
+    //      frontier iff nothing is ≥ on both axes and > on one;
+    //      "longest AND richest" corpus picks. The naive algorithm is
+    //      the O(N²) dominance self-join; this runs the sort-filter
+    //      skyline on the O(distinct x) SUPPORT table (q245's
+    //      discipline): per-x argmax collapses x-ties (an equal-x,
+    //      higher-y point dominates), then one cumulative-max window
+    //      from the right — a point survives iff y strictly exceeds
+    //      every max at larger x. All integers, struct-argmax total.
+    //      ----
+    QueryDef.sql("q266_pareto_skyline",
+      s"""WITH dv AS (SELECT doc_id, n_chars AS x,
+        |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS y
+        |  FROM documents),
+        |cnt AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+        |  FROM dv GROUP BY x, y),
+        |supm AS (SELECT x, y AS ym, n AS n_at_max FROM (SELECT x, y, n,
+        |    row_number() OVER (PARTITION BY x ORDER BY y DESC) AS rn
+        |  FROM cnt) WHERE rn = 1),
+        |sky AS (SELECT x, ym, n_at_max, max(ym) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        |  FROM supm)
+        |SELECT CAST(x AS BIGINT) AS n_chars, ym AS n_tokens,
+        |  n_at_max AS n_docs
+        |FROM sky WHERE rmax IS NULL OR ym > rmax
+        |ORDER BY n_chars""".stripMargin) { (s, d) =>
+      val dv = t(s, d, "documents").select(col("n_chars").as("x"),
+        size(array_distinct(toks)).cast("long").as("y"))
+      val supm = dv.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("x"))
+        .agg(max(struct(col("y"), col("n"))).as("m"))
+        .select(col("x"), col("m.y").as("ym"), col("m.n").as("n_at_max"))
+      // cumulative max from the right over the tiny support table
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("x").desc)
+        .rowsBetween(Long.MinValue, -1)
+      supm.select(col("x"), col("ym"), col("n_at_max"),
+          max(col("ym")).over(w).as("rmax"))
+        .filter(col("rmax").isNull || col("ym") > col("rmax"))
+        .select(col("x").cast("long").as("n_chars"),
+          col("ym").as("n_tokens"), col("n_at_max").as("n_docs"))
+        .orderBy(col("n_chars"))
+    },
+
+    // ---- Greedy max-coverage corpus selection: pick 5 docs from the
+    //      top-20 pool maximizing cumulative distinct-BIGRAM coverage
+    //      — the submodular (1−1/e)-greedy that data-curation uses
+    //      for "most diverse k docs" (facility location / set cover).
+    //      The walk is EXACT and replayed bit-identically: gains are
+    //      set-difference counts on sorted distinct bigram arrays,
+    //      ties break on doc_id, and the oracle unrolls the 5 rounds
+    //      into MATERIALIZED CTEs (q248's greedy discipline). Scale:
+    //      the corpus pays one row-local bigram projection + a
+    //      TakeOrdered top-20; every round runs on the 20-row pool ×
+    //      a 1-row covered set. ----
+    QueryDef.sql("q267_max_coverage", maxCoverageOracleSql(5)) { (s, d) =>
+      val dv = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"),
+          // row-local bigram build (the q119 idiom): pair each of the
+          // first n−1 tokens with its successor (0-based ts[i + 1])
+          expr("""array_sort(array_distinct(transform(
+            |  slice(ts, 1, greatest(size(ts) - 1, 0)),
+            |  (w, i) -> concat(w, ' ', ts[i + 1]))))""".stripMargin)
+            .as("vocab"))
+      val pool = dv
+        .orderBy(size(col("vocab")).desc, col("doc_id")).limit(20)
+        .localCheckpoint() // 20-row pool drives every greedy round
+      var sel = pool
+        .orderBy(size(col("vocab")).desc, col("doc_id")).limit(1)
+        .select(lit(1L).as("rk"), col("doc_id"),
+          size(col("vocab")).cast("long").as("gain"),
+          col("vocab").as("cov"))
+      for (i <- 2 to 5) {
+        val cov = sel.orderBy(col("rk").desc).limit(1)
+          .select(col("cov"))
+        val pick = pool
+          .join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .crossJoin(broadcast(cov))
+          .select(lit(i.toLong).as("rk"), col("doc_id"),
+            size(expr("array_except(vocab, cov)")).cast("long")
+              .as("gain"),
+            expr("array_sort(array_union(cov, vocab))").as("cov"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+        sel = sel.unionAll(pick)
+      }
+      sel.select(col("rk"), col("doc_id"), col("gain"),
+          size(col("cov")).cast("long").as("covered_total"))
+        .orderBy(col("rk"))
     })
+
+  /** DuckDB oracle for q267: the 5-round greedy coverage walk
+    * unrolled into MATERIALIZED CTEs over sorted distinct bigram
+    * lists (the q248 unrolling discipline). */
+  private def maxCoverageOracleSql(k: Int): String = {
+    val iters = (2 to k).map { i =>
+      s"""sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL (
+         |  SELECT $i AS rk, p.doc_id,
+         |    CAST(len(list_filter(p.vocab,
+         |      t -> NOT list_contains(c.cov, t))) AS BIGINT) AS gain,
+         |    list_sort(list_distinct(list_concat(c.cov, p.vocab)))
+         |      AS cov
+         |  FROM pool p,
+         |    (SELECT cov FROM sel${i - 1} WHERE rk = ${i - 1}) c
+         |  WHERE p.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+         |  ORDER BY gain DESC, p.doc_id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |zz AS (SELECT doc_id, unnest(list_zip(ts, ts[2:])) AS z
+       |  FROM tok),
+       |dv AS (SELECT doc_id, list_sort(list_distinct(
+       |    list(z[1] || ' ' || z[2]))) AS vocab
+       |  FROM zz WHERE z[2] IS NOT NULL GROUP BY doc_id),
+       |pool AS MATERIALIZED (SELECT doc_id, vocab FROM dv
+       |  ORDER BY len(vocab) DESC, doc_id LIMIT 20),
+       |sel1 AS MATERIALIZED (SELECT 1 AS rk, doc_id,
+       |    CAST(len(vocab) AS BIGINT) AS gain, vocab AS cov
+       |  FROM pool ORDER BY len(vocab) DESC, doc_id LIMIT 1),
+       |$iters
+       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, gain,
+       |  CAST(len(cov) AS BIGINT) AS covered_total
+       |FROM sel$k ORDER BY rk""".stripMargin
+  }
 
   /** Sentinels for the BPE symbol encoding: every symbol is stored as
     * S1+sym+S2, so a literal `replace` of S1+x+S2+S1+y+S2 with

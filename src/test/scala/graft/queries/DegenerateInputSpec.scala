@@ -916,6 +916,23 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"rows: ${rows.toSeq}")
   }
 
+  test("q266/q267: a 3-doc corpus yields a defined frontier and walk") {
+    val tmp = Files.createTempDirectory("degen266").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 6) // doc ids are odd in no fixture here
+      .limit(3)
+      .write.parquet(s"$d2/documents.parquet")
+    val sky = SparkEntry.queries("q266_pareto_skyline")(spark, d2).collect()
+    assert(sky.nonEmpty && sky.length <= 3, s"rows: ${sky.toSeq}")
+    // the greedy walk exhausts a pool smaller than k at min(k, pool)
+    val cov = SparkEntry.queries("q267_max_coverage")(spark, d2).collect()
+    assert(cov.length == 3, s"rows: ${cov.toSeq}")
+    assert(cov.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      s"rows: ${cov.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -712,7 +712,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q264_fk_integrity" -> 14,
       // wedge-join corners + degree agg + node-keyed lcc fold; the
       // histogram/mean run off the checkpointed O(nodes) table
-      "q265_lcc_histogram" -> 3)
+      "q265_lcc_histogram" -> 3,
+      // the (x, y) agg + per-x argmax (same key side) + the support
+      // window; the dominance filter is row-local
+      "q266_pareto_skyline" -> 3,
+      // the pool is TakeOrdered off a row-local bigram projection and
+      // checkpointed; every greedy round runs on broadcast frames
+      "q267_max_coverage" -> 0)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
