@@ -3183,5 +3183,143 @@ object PartB {
             .otherwise(expr("CAST(sum(l) div count(l) AS BIGINT)"))
             .as("n_nodes")))
         .orderBy(col("decile"))
+    },
+
+    // ---- Sliding DAU / trailing-7-day WAU + stickiness (DAU/WAU) —
+    //      the product-health ratio, with the EXACT sliding distinct
+    //      the naive per-day re-count can't afford: each (user, day)
+    //      active cell fans out to the ≤ 7 windows it belongs to
+    //      (bounded explode, the banding idea), distinct-per-window,
+    //      then a plain count — no count(DISTINCT) expand, no per-day
+    //      rescan. Stickiness is one nonneg integer floor division
+    //      (WAU ≥ DAU > 0 on every reported day by construction). ----
+    QueryDef.sql("q268_dau_wau",
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dy
+        |  FROM events),
+        |span AS (SELECT max(dy) AS d1 FROM ud),
+        |dau AS (SELECT dy, CAST(count(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY dy),
+        |uw AS (SELECT DISTINCT u, dy + r AS w FROM ud, range(0, 7) t(r)),
+        |wau AS (SELECT w AS dy, CAST(count(*) AS BIGINT) AS wau
+        |  FROM uw, span WHERE w <= d1 GROUP BY w)
+        |SELECT dau.dy AS day_idx, dau.dau, wau.wau,
+        |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT)
+        |    AS stickiness_micro
+        |FROM dau JOIN wau ON dau.dy = wau.dy
+        |ORDER BY day_idx""".stripMargin) { (s, d) =>
+      val ud = t(s, d, "events")
+        .select(col("user_id").as("u"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+            .as("dy"))
+        .distinct()
+        .localCheckpoint() // activity cells feed dau, wau, and span
+      val span = ud.agg(max(col("dy")).as("d1"))
+      val dau = ud.groupBy(col("dy")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("u"), explode(sequence(col("dy"), col("dy") + 6))
+          .as("w"))
+        .distinct()
+        .crossJoin(broadcast(span)).filter(col("w") <= col("d1"))
+        .groupBy(col("w").as("dy")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "dy")
+        .select(col("dy").as("day_idx"), col("dau"), col("wau"),
+          expr("CAST(dau * 1000000 div wau AS BIGINT)")
+            .as("stickiness_micro"))
+        .orderBy(col("day_idx"))
+    },
+
+    // ---- Shapley-value attribution over the q260 touch windows —
+    //      the game-theoretic credit split (the fair division between
+    //      first- and last-touch's extremes), EXACT because the
+    //      channel domain bounds the game: journeys collapse to a
+    //      4-bit mask histogram (16 cells), coalition values v(S) are
+    //      submask sums, and φ·4! is an INTEGER (the |S|!(n−1−|S|)!
+    //      weights {6,2,2,6} stay integral at n = 4) — both engines
+    //      replay the whole game bit-for-bit; Σφ·24 = 24·v(full) by
+    //      efficiency, which the oracle hash implicitly pins. Scale:
+    //      the corpus pays the q260 banded interval join + one pid
+    //      mask agg; the game itself is 16-row algebra. ----
+    QueryDef.sql("q269_shapley_attribution",
+      """WITH pur AS (SELECT user_id AS u, event_id AS pid, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS u, event_id AS tid, ts AS tts,
+        |    event_type AS ty
+        |  FROM events WHERE event_type <> 'purchase'),
+        |m AS (SELECT pur.pid, tch.ty FROM pur JOIN tch
+        |  ON pur.u = tch.u AND tch.tts >= pur.pts - INTERVAL 24 HOURS
+        |    AND tch.tts < pur.pts),
+        |jm AS (SELECT pid,
+        |    max(CASE WHEN ty = 'click' THEN 1 ELSE 0 END)
+        |    + 2 * max(CASE WHEN ty = 'error' THEN 1 ELSE 0 END)
+        |    + 4 * max(CASE WHEN ty = 'signup' THEN 1 ELSE 0 END)
+        |    + 8 * max(CASE WHEN ty = 'view' THEN 1 ELSE 0 END) AS mask
+        |  FROM m GROUP BY pid),
+        |cnt AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM jm
+        |  GROUP BY mask),
+        |masks AS (SELECT range AS s FROM range(0, 16)),
+        |v AS (SELECT s, CAST(COALESCE(sum(CASE WHEN (cnt.mask & s)
+        |      = cnt.mask THEN c END), 0) AS BIGINT) AS v
+        |  FROM masks LEFT JOIN cnt ON TRUE GROUP BY s),
+        |ch(channel, bit) AS (VALUES ('click', 1), ('error', 2),
+        |  ('signup', 4), ('view', 8)),
+        |wts(pc, w) AS (VALUES (0, 6), (1, 2), (2, 2), (3, 6)),
+        |phi AS (SELECT ch.channel,
+        |    CAST(sum(wts.w * (vi.v - vs.v)) AS BIGINT) AS shapley_x24
+        |  FROM ch JOIN v vs ON (vs.s & ch.bit) = 0
+        |  JOIN v vi ON vi.s = (vs.s | ch.bit)
+        |  JOIN wts ON wts.pc = CAST(bit_count(CAST(vs.s AS BIT))
+        |    AS INTEGER)
+        |  GROUP BY ch.channel),
+        |tot AS (SELECT v AS vfull FROM v WHERE s = 15)
+        |SELECT channel, shapley_x24,
+        |  CASE WHEN vfull = 0 THEN NULL
+        |    ELSE CAST(shapley_x24 * 1000000 // (24 * vfull) AS BIGINT)
+        |    END AS share_micro
+        |FROM phi, tot ORDER BY channel""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("event_id").as("pid"),
+          col("ts").as("pts"),
+          expr("pts - INTERVAL 24 HOURS").as("wstart"))
+      val tch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("u"), col("event_id").as("tid"),
+          col("ts").as("tts"), col("event_type").as("ty"))
+      val cnt = graft.operators.IntervalJoin.pointInInterval(
+          tch, pur, "u", "tts", "wstart", "pts", 86400000000L)
+        .groupBy(col("pid"))
+        .agg((max(when(col("ty") === "click", 1).otherwise(0))
+          + max(when(col("ty") === "error", 1).otherwise(0)) * 2
+          + max(when(col("ty") === "signup", 1).otherwise(0)) * 4
+          + max(when(col("ty") === "view", 1).otherwise(0)) * 8)
+          .as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("c"))
+      val v = s.range(0, 16).select(col("id").cast("int").as("s"))
+        .join(broadcast(cnt), expr("(mask & s) = mask"), "left")
+        .groupBy(col("s"))
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("v"))
+        .localCheckpoint() // the 16-row game table feeds three legs
+      val ch = s.range(0, 4).select(
+        element_at(array(lit("click"), lit("error"), lit("signup"),
+          lit("view")), col("id").cast("int") + 1).as("channel"),
+        expr("CAST(shiftleft(1, CAST(id AS INT)) AS INT)").as("bit"))
+      val wArr = "array(6L, 2L, 2L, 6L)"
+      val phi = broadcast(ch)
+        .join(v.withColumnRenamed("v", "vs"), expr("(s & bit) = 0"))
+        .join(broadcast(v.select(col("s").as("si"), col("v").as("vi"))),
+          expr("si = (s | bit)"))
+        .select(col("channel"),
+          (expr(s"element_at($wArr, CAST(bit_count(s) AS INT) + 1)")
+            * (col("vi") - col("vs"))).as("term"))
+        .groupBy(col("channel"))
+        .agg(sum(col("term")).cast("long").as("shapley_x24"))
+      val tot = v.filter(col("s") === 15).select(col("v").as("vfull"))
+      phi.crossJoin(broadcast(tot))
+        .select(col("channel"), col("shapley_x24"),
+          when(col("vfull") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(shapley_x24 * 1000000 div (24 * vfull) AS BIGINT)"))
+            .as("share_micro"))
+        .orderBy(col("channel"))
     })
 }

@@ -933,6 +933,23 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"rows: ${cov.toSeq}")
   }
 
+  test("q268: a one-user one-day log reads DAU = WAU = stickiness 1") {
+    val rows = run("q268_dau_wau")
+    assert(rows.length == 1, s"rows: ${rows.toSeq}")
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 1L
+      && rows(0).getLong(3) == 1000000L, s"rows: ${rows.toSeq}")
+  }
+
+  test("q269: a touchless game is all-zero with a NULL share guard") {
+    // same-instant events ⇒ no strictly-prior touch ⇒ every coalition
+    // value is 0: shapley 0 everywhere and the v(full) = 0 share
+    // division must emit NULL, not an error
+    val rows = run("q269_shapley_attribution")
+    assert(rows.length == 4, s"rows: ${rows.toSeq}")
+    assert(rows.forall(r => r.getLong(1) == 0L && r.isNullAt(2)),
+      s"rows: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -718,7 +718,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q266_pareto_skyline" -> 3,
       // the pool is TakeOrdered off a row-local bigram projection and
       // checkpointed; every greedy round runs on broadcast frames
-      "q267_max_coverage" -> 0)
+      "q267_max_coverage" -> 0,
+      // off the checkpointed (user, day) cells: day agg + the 7×
+      // window explode's distinct + window agg + the tiny day join
+      "q268_dau_wau" -> 5,
+      // the (user, bucket) banded interval join feeds one pid mask
+      // agg; the 16-row game algebra rides broadcasts
+      "q269_shapley_attribution" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
