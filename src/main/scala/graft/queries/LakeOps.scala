@@ -169,6 +169,71 @@ object LakeOps {
       .drop("srun", "smin")
   }
 
+  /** DuckDB oracle for q270 + the shared column list: every BIGINT
+    * key column in the relational schema, qualified `table.column`. */
+  private val keyColumns: Seq[(String, String)] = Seq(
+    ("customer", "c_custkey"), ("customer", "c_nationkey"),
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"), ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"), ("orders", "o_custkey"),
+    ("orders", "o_orderkey"), ("part", "p_partkey"),
+    ("region", "r_regionkey"), ("supplier", "s_nationkey"),
+    ("supplier", "s_suppkey"))
+
+  private lazy val joinKeyOracleSql: String = {
+    val kv = keyColumns.map { case (tbl, c) =>
+      s"""SELECT '$tbl.$c' AS cn, CAST($c AS BIGINT) AS v FROM $tbl
+         |  WHERE $c IS NOT NULL""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH kv AS (SELECT DISTINCT cn, v FROM ($kv)),
+       |card AS (SELECT cn, CAST(count(*) AS BIGINT) AS n FROM kv
+       |  GROUP BY cn),
+       |inter AS (SELECT a.cn AS ca, b.cn AS cb,
+       |    CAST(count(*) AS BIGINT) AS ab
+       |  FROM kv a JOIN kv b ON a.v = b.v AND a.cn <> b.cn
+       |  GROUP BY a.cn, b.cn),
+       |sc AS (SELECT ca AS col_a, cb AS col_b, ab AS n_shared,
+       |    na.n AS n_distinct_a,
+       |    CAST(ab * 1000000 // na.n AS BIGINT) AS inclusion_micro,
+       |    CAST(ab * 1000000 // (na.n + nb.n - ab) AS BIGINT)
+       |      AS jaccard_micro
+       |  FROM inter JOIN card na ON na.cn = inter.ca
+       |  JOIN card nb ON nb.cn = inter.cb)
+       |SELECT * FROM sc
+       |WHERE inclusion_micro >= 950000 AND jaccard_micro >= 950000
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** The q271 functional-dependency audit list: (table, determinant,
+    * dependent) — a mix of FDs that hold and FDs that fail, so the
+    * report exercises both verdicts. */
+  private val fdChecks: Seq[(String, String, String)] = Seq(
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+    ("events", "event_id", "event_type"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("nation", "n_name", "n_nationkey"),
+    ("nation", "n_nationkey", "n_name"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("orders", "o_orderkey", "o_custkey"))
+
+  private lazy val fdOracleSql: String =
+    fdChecks.map { case (tbl, det, dep) =>
+      s"""SELECT '$tbl: $det -> $dep' AS fd,
+         |  (SELECT CAST(count(DISTINCT $det) AS BIGINT) FROM $tbl)
+         |    AS n_det,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |    (SELECT DISTINCT $det, $dep FROM $tbl)) AS n_det_dep,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT $det FROM
+         |    (SELECT DISTINCT $det, $dep FROM $tbl) GROUP BY $det
+         |    HAVING count(*) > 1)) AS n_violating,
+         |  (SELECT count(DISTINCT $det) FROM $tbl) = (SELECT count(*)
+         |    FROM (SELECT DISTINCT $det, $dep FROM $tbl)) AS holds"""
+        .stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- SCD Type 2 dimension build from the event stream: collapse
@@ -1824,6 +1889,74 @@ object LakeOps {
           t(s, d, "supplier"), "s_nationkey", t(s, d, "nation"),
           "n_nationkey", bcast = true))
         .orderBy(col("fk_edge"))
+    },
+
+    // ---- Join-key discovery (schema profiling à la Aurum / LSH
+    //      Ensemble, exact at this scale): which column pairs share a
+    //      value domain? ALL candidate columns union into ONE
+    //      (column, value) table and a single value-keyed self-join
+    //      scores every pair at once — never 13² pairwise joins.
+    //      Inclusion alone is blind to dense surrogate ranges (1..N ⊂
+    //      1..M makes everything "joinable"), so the report co-gates
+    //      on JACCARD ≥ 0.95 — which keeps exactly the true shared
+    //      domains (FK↔PK both ways, sibling FKs) and drops the
+    //      range-nesting noise. The scale path swaps the exact
+    //      distinct for KMV sketches (q133's lake); the pair algebra
+    //      is identical. ----
+    QueryDef.sql("q270_joinkey_discovery", joinKeyOracleSql) { (s, d) =>
+      val kv = keyColumns.map { case (tbl, c) =>
+          t(s, d, tbl).filter(col(c).isNotNull)
+            .select(lit(s"$tbl.$c").as("cn"), col(c).cast("long").as("v"))
+        }.reduce(_ unionAll _)
+        .distinct()
+        .localCheckpoint() // (column, value) domain feeds both legs
+      val card = kv.groupBy(col("cn")).agg(count(lit(1)).as("n"))
+      val inter = kv.select(col("cn").as("ca"), col("v"))
+        .join(kv.select(col("cn").as("cb"), col("v")), "v")
+        .filter(col("ca") =!= col("cb"))
+        .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("ab"))
+      inter
+        .join(broadcast(card.select(col("cn").as("ca"), col("n").as("na"))),
+          "ca")
+        .join(broadcast(card.select(col("cn").as("cb"), col("n").as("nb"))),
+          "cb")
+        .select(col("ca").as("col_a"), col("cb").as("col_b"),
+          col("ab").as("n_shared"), col("na").as("n_distinct_a"),
+          expr("CAST(ab * 1000000 div na AS BIGINT)")
+            .as("inclusion_micro"),
+          expr("CAST(ab * 1000000 div (na + nb - ab) AS BIGINT)")
+            .as("jaccard_micro"))
+        .filter(col("inclusion_micro") >= 950000
+          && col("jaccard_micro") >= 950000)
+        .orderBy(col("col_a"), col("col_b"))
+    },
+
+    // ---- Functional-dependency audit: does determinant → dependent
+    //      hold, and over how many violating keys? FD(A→B) holds iff
+    //      |distinct A| = |distinct (A,B)| — two map-side-combined
+    //      distinct aggregates per check, plus the violating-key
+    //      count off the same (A,B) distinct; the audited list mixes
+    //      holding and failing FDs so both verdicts are exercised.
+    //      This is the data-contract discovery pass (profilers like
+    //      Deequ/metanome run exactly this) — at 100 TB each check is
+    //      one groupBy over its table, checks independent. ----
+    QueryDef.sql("q271_fd_audit", fdOracleSql) { (s, d) =>
+      fdChecks.map { case (tbl, det, dep) =>
+        val ab = t(s, d, tbl).select(col(det).as("a"), col(dep).as("b"))
+          .distinct()
+          .localCheckpoint() // the (A,B) domain feeds all three counts
+        val perA = ab.groupBy(col("a")).agg(count(lit(1)).as("nb"))
+          .agg(count(lit(1)).as("n_det"),
+            // coalesce: an empty table must read (0, 0, 0, true) like
+            // the oracle's scalar counts, not NULL sums
+            coalesce(sum(col("nb")), lit(0L)).cast("long")
+              .as("n_det_dep"),
+            coalesce(sum(when(col("nb") > 1, 1L).otherwise(0L)),
+              lit(0L)).cast("long").as("n_violating"))
+        perA.select(lit(s"$tbl: $det -> $dep").as("fd"), col("n_det"),
+          col("n_det_dep"), col("n_violating"),
+          (col("n_det") === col("n_det_dep")).as("holds"))
+      }.reduce(_ unionAll _).orderBy(col("fd"))
     }
   )
 

@@ -950,6 +950,28 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"rows: ${rows.toSeq}")
   }
 
+  test("q270/q271: empty tables yield an empty / all-holds report") {
+    val tmp = Files.createTempDirectory("degen270").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem"))
+      spark.read.parquet(s"$sf/$tbl.parquet").limit(0)
+        .write.parquet(s"$d2/$tbl.parquet")
+    for (tbl <- Seq("documents", "events"))
+      spark.read.parquet(s"$sf/$tbl.parquet").limit(0)
+        .write.parquet(s"$d2/$tbl.parquet")
+    // no value domain ⇒ no candidate pair, and no division ever runs
+    assert(SparkEntry.queries("q270_joinkey_discovery")(spark, d2)
+      .collect().isEmpty)
+    // every FD holds vacuously with integer-zero counts (the oracle's
+    // scalar subqueries read 0, so NULL sums would hash-diverge)
+    val fds = SparkEntry.queries("q271_fd_audit")(spark, d2).collect()
+    assert(fds.length == 9, s"rows: ${fds.toSeq}")
+    assert(fds.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L
+      && r.getLong(3) == 0L && r.getBoolean(4)), s"rows: ${fds.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -724,7 +724,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q268_dau_wau" -> 5,
       // the (user, bucket) banded interval join feeds one pid mask
       // agg; the 16-row game algebra rides broadcasts
-      "q269_shapley_attribution" -> 2)
+      "q269_shapley_attribution" -> 2,
+      // the (column, value) distinct + its value-keyed self-join +
+      // cardinality agg + report sort; card tables ride broadcasts
+      "q270_joinkey_discovery" -> 4,
+      // 9 independent FD checks × (per-determinant groupBy + 1-row
+      // fold) off each check's checkpointed (A, B) domain
+      "q271_fd_audit" -> 18)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
