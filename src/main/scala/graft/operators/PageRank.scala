@@ -37,4 +37,44 @@ object PageRank {
     }
     r
   }
+
+  /** Personalized PageRank: the teleport mass lands on `seeds`
+    * (column u) instead of uniformly — the random-walk-with-restart
+    * similarity that powers "users like these" recommendations. Same
+    * exact-integer discipline as [[ranks]]: the per-seed teleport is
+    * `(15·Scale) div (100·|S|)` with |S| counted AFTER restricting
+    * seeds to graph nodes (off-graph seeds would silently strand
+    * mass), r₀ IS the teleport vector, and each round adds the
+    * damped integer contribution sum. One O(nodes) teleport table is
+    * checkpointed once and joined per round — never a driver-side
+    * seed list. A seedless graph converges to all-zero ranks (the
+    * CASE guard means the |S| division never executes on any row). */
+  def personalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val dirE = edges.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(edges.select(col("y").as("src"), col("x").as("dst")))
+    val deg = dirE.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = dirE.join(deg, "src")
+    val inGraph = seeds.select(col("u"))
+      .join(deg.select(col("src").as("u")), "u")
+    val ns = inGraph.agg(count(lit(1)).as("ns"))
+    val tel = deg.select(col("src").as("u"))
+      .join(inGraph.withColumn("isSeed", lit(1)), Seq("u"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("u"),
+        when(col("isSeed").isNotNull,
+          expr(s"(15 * ${Scale}L) div (100 * ns)"))
+          .otherwise(lit(0L)).as("tel"))
+      .localCheckpoint()
+    var r = tel.select(col("u"), col("tel").as("r"))
+    for (_ <- 1 to iters) {
+      r = withDeg.join(r, col("src") === col("u"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("u"), expr("(85 * sc) div 100").as("pr"))
+        .join(tel, "u")
+        .select(col("u"), (col("tel") + col("pr")).as("r"))
+    }
+    r
+  }
 }

@@ -47,6 +47,52 @@ object LakeOps {
       .select(col("etype"), col("hidx"),
         coalesce(col("x"), lit(0L)).as("x"))
 
+  /** The q261 MASE assembly from a dense series — shared by the q273
+    * streaming twin so batch and stream cannot drift: two lag windows
+    * (seasonal-24 and naive-1), integer absolute-error sums, one
+    * DECIMAL cross-multiplied floor division. */
+  private def maseTail(ser: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("etype")).orderBy(col("hidx"))
+    ser
+      .select(col("etype"), col("x"),
+        lag(col("x"), 24).over(w).as("x24"),
+        lag(col("x"), 1).over(w).as("x1"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("x") - col("x24"))).cast("long").as("sase"),
+        count(col("x24")).as("nf"),
+        sum(abs(col("x") - col("x1"))).cast("long").as("sae1"),
+        count(col("x1")).as("n1"))
+      .select(col("etype"), col("n_hours"), col("sase"), col("sae1"),
+        when(col("sae1") === 0 || col("nf") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("""CAST((CAST(sase AS DECIMAL(38,0)) * n1
+            |  * 1000000) div (CAST(sae1 AS DECIMAL(38,0)) * nf)
+            |  AS BIGINT)""".stripMargin)).as("mase_micro"))
+      .orderBy(col("etype"))
+  }
+
+  /** Shared oracle for q261 and its streaming twin q273 — one SQL
+    * text, so the two QueryDefs are provably the same computation. */
+  private lazy val maseOracle: String =
+    s"""WITH $hourlySeriesCte,
+      |lg AS (SELECT etype, x, lag(x, 24) OVER w AS x24,
+      |    lag(x, 1) OVER w AS x1
+      |  FROM ser WINDOW w AS (PARTITION BY etype ORDER BY hidx)),
+      |agg AS (SELECT etype, CAST(count(*) AS BIGINT) AS n_hours,
+      |    CAST(sum(abs(x - x24)) AS BIGINT) AS sase,
+      |    CAST(count(x24) AS BIGINT) AS nf,
+      |    CAST(sum(abs(x - x1)) AS BIGINT) AS sae1,
+      |    CAST(count(x1) AS BIGINT) AS n1
+      |  FROM lg GROUP BY etype)
+      |SELECT etype, n_hours, sase, sae1,
+      |  CASE WHEN sae1 = 0 OR nf = 0 THEN NULL
+      |    ELSE CAST(CAST(sase AS HUGEINT) * n1 * 1000000
+      |      // (CAST(sae1 AS HUGEINT) * nf) AS BIGINT) END
+      |    AS mase_micro
+      |FROM agg ORDER BY etype""".stripMargin
+
   /** The q219 Fano assembly from a dense series — shared by the q220
     * streaming twin so batch and stream cannot drift. */
   private def fanoTail(ser: DataFrame): DataFrame =
@@ -1760,42 +1806,39 @@ object LakeOps {
     //      cross-multiplied floor division (all terms nonnegative).
     //      Scale: one (etype, hour) agg + an etype-keyed lag window
     //      over O(types·hours) rows. ----
-    QueryDef.sql("q261_mase_forecast",
-      s"""WITH $hourlySeriesCte,
-        |lg AS (SELECT etype, x, lag(x, 24) OVER w AS x24,
-        |    lag(x, 1) OVER w AS x1
-        |  FROM ser WINDOW w AS (PARTITION BY etype ORDER BY hidx)),
-        |agg AS (SELECT etype, CAST(count(*) AS BIGINT) AS n_hours,
-        |    CAST(sum(abs(x - x24)) AS BIGINT) AS sase,
-        |    CAST(count(x24) AS BIGINT) AS nf,
-        |    CAST(sum(abs(x - x1)) AS BIGINT) AS sae1,
-        |    CAST(count(x1) AS BIGINT) AS n1
-        |  FROM lg GROUP BY etype)
-        |SELECT etype, n_hours, sase, sae1,
-        |  CASE WHEN sae1 = 0 OR nf = 0 THEN NULL
-        |    ELSE CAST(CAST(sase AS HUGEINT) * n1 * 1000000
-        |      // (CAST(sae1 AS HUGEINT) * nf) AS BIGINT) END
-        |    AS mase_micro
-        |FROM agg ORDER BY etype""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("etype")).orderBy(col("hidx"))
-      hourlySeries(t(s, d, "events"))
-        .select(col("etype"), col("x"),
-          lag(col("x"), 24).over(w).as("x24"),
-          lag(col("x"), 1).over(w).as("x1"))
-        .groupBy(col("etype"))
-        .agg(count(lit(1)).as("n_hours"),
-          sum(abs(col("x") - col("x24"))).cast("long").as("sase"),
-          count(col("x24")).as("nf"),
-          sum(abs(col("x") - col("x1"))).cast("long").as("sae1"),
-          count(col("x1")).as("n1"))
-        .select(col("etype"), col("n_hours"), col("sase"), col("sae1"),
-          when(col("sae1") === 0 || col("nf") === 0,
-            lit(null).cast("long"))
-            .otherwise(expr("""CAST((CAST(sase AS DECIMAL(38,0)) * n1
-              |  * 1000000) div (CAST(sae1 AS DECIMAL(38,0)) * nf)
-              |  AS BIGINT)""".stripMargin)).as("mase_micro"))
-        .orderBy(col("etype"))
+    QueryDef.sql("q261_mase_forecast", maseOracle) { (s, d) =>
+      maseTail(hourlySeries(t(s, d, "events")))
+    },
+
+    // ---- Streaming MASE twin: the forecast audit folding ON the
+    //      live feed — the (etype, hidx) counts accumulate as a
+    //      complete-mode streaming aggregation (state O(types·elapsed
+    //      hours), q220's bound) and the spine fill + lag/MASE
+    //      assembly run AT READ through the SHARED seriesFromCounts/
+    //      maseTail, against q261's verbatim oracle: one green hash
+    //      proves the forecast-audit family streamable end to end. ----
+    QueryDef.sql("q273_stream_mase", maseOracle) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "evhrfeed",
+        idCol = "event_id", checkSpan = false)(ev)
+      val sink = graft.bench.BenchFeeds.sinkName("q273_mase")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(col("event_type").as("etype"),
+            expr("CAST(ts AS BIGINT) div 3600").as("hidx"))
+          .groupBy(col("etype"), col("hidx"))
+          .agg(count(lit(1)).as("x"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      maseTail(seriesFromCounts(
+        s.table(sink).select(col("etype"), col("hidx"),
+          col("x").cast("long").as("x")).localCheckpoint()))
     },
 
     // ---- k-anonymity release audit over the quasi-identifier tuple

@@ -167,6 +167,39 @@ object PartB {
 
   /** DuckDB oracle for q137: the 5-iteration integer PageRank loop
     * unrolled into chained CTEs over [[coocEdgesCte]]'s graph. */
+  /** DuckDB oracle for q272: the k-round integer PPR loop unrolled —
+    * [[pageRankOracleSql]]'s discipline with the teleport vector
+    * (seed-restricted, CASE-guarded |S| division) replacing the
+    * uniform damping term. */
+  private def pprOracleSql(k: Int): String = {
+    val S = graft.operators.PageRank.Scale
+    val iters = (1 to k).map { i =>
+      s"""s$i AS (SELECT d.dst AS u,
+         |    CAST((85 * sum(p.r // dg.deg)) // 100 AS BIGINT) AS pr
+         |  FROM dir d JOIN p${i - 1} p ON p.u = d.src
+         |  JOIN deg dg ON dg.u = d.src
+         |  GROUP BY d.dst),
+         |p$i AS (SELECT t.u, t.tel + s$i.pr AS r FROM tel t
+         |  JOIN s$i ON s$i.u = t.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${coocEdgesCte()},
+       |dir AS (SELECT x AS src, y AS dst FROM e
+       |  UNION ALL SELECT y AS src, x AS dst FROM e),
+       |deg AS (SELECT src AS u, CAST(count(*) AS BIGINT) AS deg
+       |  FROM dir GROUP BY src),
+       |tops AS (SELECT user_id AS u FROM events GROUP BY user_id
+       |  ORDER BY count(*) DESC, user_id LIMIT 5),
+       |sd AS (SELECT tops.u FROM tops JOIN deg ON deg.u = tops.u),
+       |ns AS (SELECT count(*) AS ns FROM sd),
+       |tel AS (SELECT deg.u, CASE WHEN sd.u IS NOT NULL
+       |    THEN CAST((15 * $S) // (100 * ns) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS tel
+       |  FROM deg CROSS JOIN ns LEFT JOIN sd ON sd.u = deg.u),
+       |p0 AS (SELECT u, tel AS r FROM tel),
+       |$iters
+       |SELECT u, r AS ppr FROM p$k ORDER BY r DESC, u LIMIT 10""".stripMargin
+  }
+
   private def pageRankOracleSql(k: Int): String = {
     val S = 1000000000000L
     val iters = (1 to k).map { i =>
@@ -3321,5 +3354,27 @@ object PartB {
               "CAST(shapley_x24 * 1000000 div (24 * vfull) AS BIGINT)"))
             .as("share_micro"))
         .orderBy(col("channel"))
+    },
+
+    // ---- Personalized PageRank (random walk with restart) from the
+    //      5 most active users — the "users like these" similarity
+    //      that seeds recommendations and influence audits; q137's
+    //      exact-integer fixed point with the teleport mass landing
+    //      on the seed set instead of uniformly (seed-restricted |S|,
+    //      CASE-guarded division — see
+    //      [[graft.operators.PageRank.personalized]]). The oracle
+    //      unrolls the 4 rounds, so the green hash proves the whole
+    //      walk including the teleport algebra. Per round: one
+    //      edge-keyed join + one dst agg + the O(nodes) teleport
+    //      join — the Pregel shape. ----
+    QueryDef.sql("q272_personalized_pagerank", pprOracleSql(4)) {
+      (s, d) =>
+      val seeds = t(s, d, "events").groupBy(col("user_id").as("u"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("u")).limit(5)
+        .select(col("u"))
+      graft.operators.PageRank.personalized(coocEdges(s, d), seeds, 4)
+        .orderBy(col("r").desc, col("u")).limit(10)
+        .select(col("u"), col("r").as("ppr"))
     })
 }

@@ -972,6 +972,13 @@ class DegenerateInputSpec extends AnyFunSuite {
       && r.getLong(3) == 0L && r.getBoolean(4)), s"rows: ${fds.toSeq}")
   }
 
+  test("q272: a pairless graph yields no ranks and never divides by |S|") {
+    // one user ⇒ no co-occurrence edge ⇒ empty degree table: the
+    // seed-teleport division is CASE-guarded behind seed rows that
+    // cannot exist, so the result is empty, not an error
+    assert(run("q272_personalized_pagerank").isEmpty)
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

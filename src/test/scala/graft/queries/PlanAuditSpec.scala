@@ -730,7 +730,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q270_joinkey_discovery" -> 4,
       // 9 independent FD checks × (per-determinant groupBy + 1-row
       // fold) off each check's checkpointed (A, B) domain
-      "q271_fd_audit" -> 18)
+      "q271_fd_audit" -> 18,
+      // visible post-checkpoint plan: per-round dst aggs + teleport
+      // joins (4 rounds) off the O(nodes) teleport table; the edge
+      // derivation hides behind coocEdges' audited shape
+      "q272_personalized_pagerank" -> 7)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
