@@ -3108,7 +3108,9 @@ object TextOps {
               .as("gain"),
             expr("array_sort(array_union(cov, vocab))").as("cov"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1)
-        sel = sel.unionAll(pick)
+        // checkpoint per round: pick references sel twice (anti-join
+        // + covered set) — unchecked lineage doubles per iteration
+        sel = sel.unionAll(pick).localCheckpoint()
       }
       sel.select(col("rk"), col("doc_id"), col("gain"),
           size(col("cov")).cast("long").as("covered_total"))

@@ -1430,7 +1430,10 @@ object VectorOps {
             col("cid"))
           .limit(1)
           .select(lit(i).as("rk"), col("cid"), col("rel"), col("ms"))
-        sel = sel.unionAll(pick)
+        // checkpoint per round: each pick references sel TWICE, so an
+        // unchecked lineage doubles per iteration — 2^8 plan copies
+        // measured 100× the checkpointed walk (Hits' discipline)
+        sel = sel.unionAll(pick).localCheckpoint()
       }
       sel.select(col("rk").as("mmr_rank"), col("cid").as("vec_id"),
           col("rel").as("rel_micro"), col("ms").as("max_sim_micro"))
