@@ -3115,6 +3115,64 @@ object TextOps {
       sel.select(col("rk"), col("doc_id"), col("gain"),
           size(col("cov")).cast("long").as("covered_total"))
         .orderBy(col("rk"))
+    },
+
+    // ---- Leave-one-out source contribution: how much of the corpus
+    //      TRIGRAM vocabulary would disappear if a source were
+    //      dropped — the data-mix ablation readout (a source whose
+    //      unique share is ~0 is redundant; a high share is
+    //      irreplaceable). Trigrams because this corpus's unigram
+    //      (31 words) and bigram (~31²) spaces saturate — every
+    //      source covers them and the readout degenerates to zero;
+    //      the sf0.1 share collapse (≈38 % → ≈0.1 %) is itself the
+    //      honest Heaps-saturation finding. Exact: df-per-source
+    //      counts off ONE distinct (source, trigram) table; a
+    //      unique token's owner is min(source) over its single row.
+    //      Scale: trigrams build row-locally, the domain table is
+    //      vocab-sized, two aggs + a type-sized join. ----
+    QueryDef.sql("q275_source_contribution",
+      s"""WITH tok AS (SELECT source, $toksSql AS ts FROM documents),
+        |zz AS (SELECT source, unnest(list_zip(ts, ts[2:], ts[3:]))
+        |    AS z FROM tok),
+        |st AS (SELECT DISTINCT source,
+        |    z[1] || ' ' || z[2] || ' ' || z[3] AS tok
+        |  FROM zz WHERE z[3] IS NOT NULL),
+        |df AS (SELECT tok, count(*) AS nsrc, min(source) AS only_src
+        |  FROM st GROUP BY tok),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams
+        |  FROM st GROUP BY source),
+        |uniq AS (SELECT only_src AS source,
+        |    CAST(count(*) AS BIGINT) AS n_unique
+        |  FROM df WHERE nsrc = 1 GROUP BY only_src)
+        |SELECT tot.source, tot.n_trigrams,
+        |  CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique_trigrams,
+        |  CAST(COALESCE(n_unique, 0) * 1000000 // tot.n_trigrams
+        |    AS BIGINT) AS unique_share_micro
+        |FROM tot LEFT JOIN uniq ON uniq.source = tot.source
+        |ORDER BY tot.source""".stripMargin) { (s, d) =>
+      val st = t(s, d, "documents")
+        .select(col("source"), toks.as("ts"))
+        .select(col("source"), explode(expr(
+          """transform(slice(ts, 1, greatest(size(ts) - 2, 0)),
+            |  (w, i) -> concat(w, ' ', ts[i + 1], ' ', ts[i + 2]))"""
+            .stripMargin)).as("tok"))
+        .distinct()
+        .localCheckpoint() // the (source, trigram) domain feeds both aggs
+      val df = st.groupBy(col("tok"))
+        .agg(count(lit(1)).as("nsrc"), min(col("source")).as("only_src"))
+      val tot = st.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_trigrams"))
+      val uniq = df.filter(col("nsrc") === 1)
+        .groupBy(col("only_src").as("source"))
+        .agg(count(lit(1)).as("n_unique"))
+      tot.join(uniq, Seq("source"), "left")
+        .select(col("source"), col("n_trigrams"),
+          coalesce(col("n_unique"), lit(0L)).cast("long")
+            .as("n_unique_trigrams"),
+          expr("""CAST(coalesce(n_unique, CAST(0 AS BIGINT)) * 1000000
+            |  div n_trigrams AS BIGINT)""".stripMargin)
+            .as("unique_share_micro"))
+        .orderBy(col("source"))
     })
 
   /** DuckDB oracle for q267: the 5-round greedy coverage walk

@@ -1943,6 +1943,84 @@ object VectorOps {
               expr("CAST(sum(recall_micro) div count(*) AS BIGINT)"))
             .as("recall_micro")))
         .orderBy(col("qid"))
+    },
+
+    // ---- Active-learning batch selection (margin / uncertainty
+    //      sampling): among the "unlabeled" fifth of the corpus
+    //      (vec_id % 5 = 0), pick the 10 vectors whose 5-NN label
+    //      vote is most contested — margin = top votes − runner-up
+    //      votes, the standard label-next heuristic that buys the
+    //      most model improvement per annotation. Every quantity is
+    //      an integer (vote counts off the exact micro-cosine 5-NN),
+    //      ties broken by vec_id. Scale: q89's brute-force panel
+    //      shape — map-side scoring against the broadcast unlabeled
+    //      panel, qid-keyed rank windows, O(panel) report; the IVF
+    //      bucket probe is the documented swap when the panel grows.
+    //      ----
+    QueryDef.sql("q274_uncertainty_sampling",
+      """WITH unl AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+        |    AS qv FROM embeddings WHERE vec_id % 5 = 0),
+        |lab AS (SELECT vec_id AS cid, label, CAST(embedding AS
+        |    DOUBLE[]) AS cv FROM embeddings WHERE vec_id % 5 <> 0),
+        |sc AS (SELECT qid, cid, label,
+        |    CAST(round(list_cosine_similarity(cv, qv) * 1000000)
+        |      AS BIGINT) AS cs
+        |  FROM unl, lab),
+        |nn AS (SELECT qid, label FROM (SELECT qid, label, row_number()
+        |    OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS r
+        |  FROM sc) WHERE r <= 5),
+        |votes AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS v
+        |  FROM nn GROUP BY qid, label),
+        |rk AS (SELECT qid, v, row_number() OVER (PARTITION BY qid
+        |    ORDER BY v DESC, label) AS rn FROM votes),
+        |marg AS (SELECT a.qid, a.v AS top_votes,
+        |    COALESCE(b.v, 0) AS second_votes,
+        |    a.v - COALESCE(b.v, 0) AS margin
+        |  FROM rk a LEFT JOIN rk b ON b.qid = a.qid AND b.rn = 2
+        |  WHERE a.rn = 1)
+        |SELECT CAST(row_number() OVER (ORDER BY margin, qid)
+        |    AS BIGINT) AS pick_rank,
+        |  qid AS vec_id, CAST(margin AS BIGINT) AS margin,
+        |  CAST(top_votes AS BIGINT) AS top_votes,
+        |  CAST(second_votes AS BIGINT) AS second_votes
+        |FROM marg ORDER BY margin, qid LIMIT 10""".stripMargin) {
+      (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val unl = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val sc = e.filter(col("vec_id") % 5 =!= 0)
+        .crossJoin(broadcast(unl)) // the unlabeled panel
+        .select(col("qid"), col("vec_id").as("cid"), col("label"),
+          expr("CAST(round(cosine_sim(embedding, qv) * 1000000) AS BIGINT)")
+            .as("cs"))
+      val votes = sc.withColumn("r", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cs").desc, col("cid"))))
+        .filter(col("r") <= 5)
+        .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("v"))
+      val rk = votes.withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("v").desc, col("label"))))
+        .localCheckpoint() // O(panel·labels) vote table feeds both rn legs
+      val marg = rk.filter(col("rn") === 1)
+        .select(col("qid"), col("v").as("top_votes"))
+        .join(rk.filter(col("rn") === 2)
+          .select(col("qid"), col("v").as("sv")), Seq("qid"), "left")
+        .select(col("qid"), col("top_votes"),
+          coalesce(col("sv"), lit(0L)).cast("long").as("second_votes"))
+      marg
+        .select(col("qid"),
+          (col("top_votes") - col("second_votes")).as("margin"),
+          col("top_votes").cast("long").as("top_votes"),
+          col("second_votes"))
+        .select(row_number().over(
+            Window.orderBy(col("margin"), col("qid")))
+            .cast("long").as("pick_rank"),
+          col("qid").as("vec_id"), col("margin").cast("long")
+            .as("margin"),
+          col("top_votes"), col("second_votes"))
+        .orderBy(col("pick_rank")).limit(10)
     })
 
   /** DuckDB oracle for q248: the k-step greedy MMR walk unrolled into

@@ -979,6 +979,28 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(run("q272_personalized_pagerank").isEmpty)
   }
 
+  test("q274: a 1-vector panel yields one pick from its 4 neighbors") {
+    val tmp = Files.createTempDirectory("degen274").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .write.parquet(s"$d2/embeddings.parquet")
+    // vec 0 is the only unlabeled vector; its 5-NN truncates to the 4
+    // labeled ones without erroring
+    val rows = SparkEntry.queries("q274_uncertainty_sampling")(spark, d2)
+      .collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L,
+      s"rows: ${rows.toSeq}")
+  }
+
+  test("q275: a single-source corpus owns its entire vocabulary") {
+    val rows = run("q275_source_contribution")
+    assert(rows.length == 1, s"rows: ${rows.toSeq}")
+    assert(rows(0).getLong(1) == rows(0).getLong(2)
+      && rows(0).getLong(3) == 1000000L, s"rows: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

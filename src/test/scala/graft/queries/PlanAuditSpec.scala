@@ -734,7 +734,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // visible post-checkpoint plan: per-round dst aggs + teleport
       // joins (4 rounds) off the O(nodes) teleport table; the edge
       // derivation hides behind coocEdges' audited shape
-      "q272_personalized_pagerank" -> 7)
+      "q272_personalized_pagerank" -> 7,
+      // one qid-keyed rank exchange; the vote table is checkpointed
+      // and the margin/pick algebra runs on panel-sized frames
+      "q274_uncertainty_sampling" -> 1,
+      // trigram-keyed df agg + source totals + the type-sized left
+      // join + report sort, all off the checkpointed domain table
+      "q275_source_contribution" -> 4)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
