@@ -3376,5 +3376,63 @@ object PartB {
       graft.operators.PageRank.personalized(coocEdges(s, d), seeds, 4)
         .orderBy(col("r").desc, col("u")).limit(10)
         .select(col("u"), col("r").as("ppr"))
+    },
+
+    // ---- G-test (log-likelihood ratio) of lang × source
+    //      independence — q170's χ² twin with the opposite zero-cell
+    //      behavior: O = 0 contributes NOTHING to G (0·ln(0/E) → 0)
+    //      where χ² charges the expected mass, which is why both
+    //      statistics ship (they disagree exactly on sparse grids).
+    //      Same determinism ladder as q170: the contingency table is
+    //      exact integers, each cell's O·ln(O·N/(rt·ct)) is ONE
+    //      identical double tree whose 6-dp round absorbs ln ulp
+    //      (q90's fence), and the grid sums as DECIMAL(28,6) —
+    //      aggregation-order-independent. One corpus groupBy, O(r·c)
+    //      everything after. ----
+    QueryDef.sql("q276_g_test",
+      """WITH o0 AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM o0
+        |  GROUP BY lang),
+        |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM o0
+        |  GROUP BY source),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o0),
+        |grid AS (SELECT r.lang, c.source, r.rt, c.ct,
+        |    coalesce(o0.o, 0) AS o
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN o0 ON o0.lang = r.lang AND o0.source = c.source),
+        |cells AS (SELECT g.*, n.n,
+        |    CASE WHEN g.o = 0 THEN CAST(0 AS DECIMAL(28,6))
+        |      ELSE CAST(round(g.o * ln(CAST(g.o AS DOUBLE) * n.n
+        |        / (CAST(g.rt AS DOUBLE) * g.ct)), 6)
+        |        AS DECIMAL(28,6)) END AS term
+        |  FROM grid g CROSS JOIN n)
+        |SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(2 * sum(term) AS DOUBLE) AS g_stat
+        |FROM cells""".stripMargin) { (s, d) =>
+      val o0 = t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // O(r·c) table feeds margins and the grid
+      val r = o0.groupBy(col("lang"))
+        .agg(sum(col("o")).cast("long").as("rt"))
+      val c = o0.groupBy(col("source"))
+        .agg(sum(col("o")).cast("long").as("ct"))
+      val n = o0.agg(sum(col("o")).cast("long").as("n"))
+      val grid = broadcast(r).crossJoin(broadcast(c))
+        .join(o0, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(n))
+      val cells = grid.withColumn("term",
+        when(col("o") === 0, lit(0).cast("decimal(28,6)"))
+          .otherwise(round(col("o") * log(col("o").cast("double")
+              * col("n") / (col("rt").cast("double") * col("ct"))), 6)
+            .cast("decimal(28,6)")))
+      cells.agg(max(col("n")).as("n_docs"),
+        ((countDistinct(col("lang")) - 1)
+          * (countDistinct(col("source")) - 1)).cast("long").as("dof"),
+        (lit(2) * sum(col("term"))).cast("double").as("g_stat"))
     })
 }

@@ -1001,6 +1001,15 @@ class DegenerateInputSpec extends AnyFunSuite {
       && rows(0).getLong(3) == 1000000L, s"rows: ${rows.toSeq}")
   }
 
+  test("q276: a single-source grid has dof 0 and exactly zero G") {
+    // one column ⇒ every cell IS its expected value: ln(1) = 0 per
+    // cell, so G must be exactly 0.0, never a NaN or residue
+    val rows = run("q276_g_test")
+    assert(rows.length == 1, s"rows: ${rows.toSeq}")
+    assert(rows(0).getLong(1) == 0L && rows(0).getDouble(2) == 0.0,
+      s"rows: ${rows.toSeq}")
+  }
+
   test("q196: a single-source corpus has gini 0 and hhi 1") {
     // the shared fixture collapses source to one feed: the Lorenz
     // identity degenerates to (2w−2w)/w = 0 and HHI to w²/w² = 1 —

@@ -740,7 +740,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q274_uncertainty_sampling" -> 1,
       // trigram-keyed df agg + source totals + the type-sized left
       // join + report sort, all off the checkpointed domain table
-      "q275_source_contribution" -> 4)
+      "q275_source_contribution" -> 4,
+      // q170's shape: the two margin aggs + 1-row total + the grid
+      // join + the final fold, all off the checkpointed contingency
+      // table (the corpus is scanned once)
+      "q276_g_test" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
