@@ -1463,14 +1463,19 @@ object TrainingOps {
     //      micros div). At-risk counts come from the duration SUPPORT
     //      table (O(distinct durations) post-agg rows, the q175/q193
     //      discipline) via a cumulative window: n_risk(t) = N − #{dur
-    //      < t}. The survival product runs in LOG space with each
-    //      factor QUANTIZED to integer nanos first — ln is per-row
-    //      (the q90 libm exposure), but the running SUM is integer,
-    //      so no float-accumulation order can diverge across engines
-    //      (a windowed double sum may associate differently; an
-    //      integer sum cannot). A step where everyone at risk dies
-    //      yields survival exactly 0 (it is necessarily the last
-    //      step). No deaths ⇒ empty curve (DegenerateInputSpec). ----
+    //      < t}. The survival product is an ORDER-PINNED LEFT FOLD
+    //      over the dur-sorted factor array — each factor is one
+    //      IEEE-exact division (n_risk−d)/n_risk and the fold is pure
+    //      multiplication, both correctly rounded by IEEE-754, so an
+    //      identical fold order is BIT-IDENTICAL across engines and
+    //      JIT states. (The previous floor(ln(·)·1e9) quantization
+    //      rode java.lang.Math.log's 1-ulp license — a factor landing
+    //      within 1 ulp of an integer-nano boundary flipped the floor
+    //      run-to-run: the r10 hash flake. No libm anywhere now.) The
+    //      curve is O(distinct death durations) — array ops on one
+    //      post-agg row. A step where everyone at risk dies yields
+    //      factor 0.0, so the product (and every later step) is
+    //      exactly 0. No deaths ⇒ empty curve (DegenerateInputSpec).
     QueryDef.sql("q198_kaplan_meier",
       """WITH u AS (SELECT user_id,
         |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000
@@ -1489,19 +1494,20 @@ object TrainingOps {
         |      AS n_risk
         |  FROM sup, tot),
         |dd AS (SELECT dur, d, n_risk,
-        |    CASE WHEN n_risk > d THEN
-        |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
-        |        * 1000000000) AS BIGINT) END AS lnq
+        |    CAST(n_risk - d AS DOUBLE) / n_risk AS f
         |  FROM cum WHERE d > 0),
-        |km AS (SELECT dur, d, n_risk,
-        |    sum(lnq) OVER (ORDER BY dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
-        |  FROM dd)
-        |SELECT dur AS t_hours, n_risk, d AS n_deaths,
-        |  CASE WHEN n_risk = d THEN 0.0
-        |    ELSE round(exp(CAST(lnsum AS DOUBLE) / 1000000000), 4) END
-        |    AS survival
-        |FROM km ORDER BY t_hours""".stripMargin) { (s, d) =>
+        |arr AS (SELECT
+        |    list(struct_pack(dur := dur, n_risk := n_risk, d := d)
+        |      ORDER BY dur) AS ls,
+        |    list(f ORDER BY dur) AS lf FROM dd),
+        |ex AS (SELECT unnest(list_transform(ls, (x, i) ->
+        |    struct_pack(t_hours := x.dur, n_risk := x.n_risk,
+        |      n_deaths := x.d,
+        |      survival := round(list_reduce(lf[1:i],
+        |        (acc, y) -> acc * y), 4)))) AS r FROM arr)
+        |SELECT r.t_hours AS t_hours, r.n_risk AS n_risk,
+        |  r.n_deaths AS n_deaths, r.survival AS survival
+        |FROM ex ORDER BY t_hours""".stripMargin) { (s, d) =>
       // O(users) rows, checkpointed: feeds the horizon agg AND the
       // label projection, so the corpus is scanned exactly once
       val u = t(s, d, "events").groupBy(col("user_id"))
@@ -1518,25 +1524,30 @@ object TrainingOps {
         .agg(count(lit(1)).as("n_all"), sum(col("death")).cast("long").as("d"))
       val tot = sup.agg(sum(col("n_all")).cast("long").as("nu"))
       // the support table is O(distinct durations) post-agg rows — the
-      // single-partition cumulative windows run there, never on users
+      // single-partition cumulative window runs there, never on users
       val wPrev = Window.orderBy(col("dur"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wCum = Window.orderBy(col("dur"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val dd = sup.crossJoin(broadcast(tot))
         .withColumn("n_risk",
           col("nu") - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
         .filter(col("d") > 0)
-        .withColumn("lnq",
-          when(col("n_risk") > col("d"),
-            floor(log((col("n_risk") - col("d")).cast("double")
-              / col("n_risk")) * 1000000000).cast("long")))
-      dd.withColumn("lnsum", sum(col("lnq")).over(wCum))
-        .select(col("dur").as("t_hours"), col("n_risk"),
-          col("d").as("n_deaths"),
-          when(col("n_risk") === col("d"), lit(0.0))
-            .otherwise(round(exp(col("lnsum").cast("double")
-              / 1000000000L), 4)).as("survival"))
+        .withColumn("f",
+          (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+      // dur is the group key ⇒ distinct ⇒ sort_array on the struct
+      // (dur leads) is a TOTAL order; the fold prefix at index i is
+      // Spark's aggregate(slice(a,1,i+1), 1.0, ·×·) vs DuckDB's
+      // list_reduce(lf[1:i]) — 1.0×f ≡ f exactly, so both are the
+      // same left-multiplication chain, bit for bit
+      dd.agg(sort_array(collect_list(struct(col("dur"), col("n_risk"),
+          col("d"), col("f")))).as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> struct(
+            |  x.dur AS t_hours, x.n_risk AS n_risk, x.d AS n_deaths,
+            |  round(aggregate(slice(a, 1, i + 1), CAST(1.0 AS DOUBLE),
+            |    (acc, y) -> acc * y.f), 4) AS survival))""".stripMargin))
+          .as("r"))
+        .select(col("r.t_hours"), col("r.n_risk"), col("r.n_deaths"),
+          col("r.survival"))
         .orderBy(col("t_hours"))
     },
 
