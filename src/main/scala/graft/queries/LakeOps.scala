@@ -1897,17 +1897,21 @@ object LakeOps {
     //      constraint-validation pass (Spark enforces nothing at
     //      write time, so ingestion pipelines RUN this). The 0s ARE
     //      the report: a nonzero row names the broken edge. Each edge
-    //      is one LEFT ANTI join (dimension parents broadcast; the
-    //      lineitem→orders edge shuffles on the join key, the shape a
-    //      100 TB fact table wants) + two counts; the 7 one-row
-    //      reports union. ----
+    //      is one LEFT ANTI join + two counts; the 7 one-row reports
+    //      union. Parent sides carry NO broadcast hint: only nation /
+    //      region are fixed-cardinality — customer, part, supplier
+    //      all scale with the lake, so pinning them broadcast would
+    //      OOM at 100× (the q215 lesson). The stats-driven planner
+    //      broadcasts every small-enough parent at any given SF and
+    //      falls back to a key shuffle when one outgrows the
+    //      threshold — exactly the adaptive behavior wanted. ----
     QueryDef.sql("q264_fk_integrity", fkIntegrityOracleSql) { (s, d) =>
       def edge(name: String, child: DataFrame, fk: String,
-          parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+          parent: DataFrame, pk: String): DataFrame = {
         val c = child.select(col(fk).as("fk"))
         val p = parent.select(col(pk).as("fk"))
         val orphans = c.filter(col("fk").isNotNull)
-          .join(if (bcast) broadcast(p) else p, Seq("fk"), "left_anti")
+          .join(p, Seq("fk"), "left_anti")
         c.agg(count(lit(1)).as("n_child"),
             sum(when(col("fk").isNull, 1L).otherwise(0L)).cast("long")
               .as("n_null_fk"))
@@ -1917,20 +1921,20 @@ object LakeOps {
       }
       val li = t(s, d, "lineitem")
       edge("customer.c_nationkey->nation", t(s, d, "customer"),
-          "c_nationkey", t(s, d, "nation"), "n_nationkey", bcast = true)
+          "c_nationkey", t(s, d, "nation"), "n_nationkey")
         .unionAll(edge("lineitem.l_orderkey->orders", li, "l_orderkey",
-          t(s, d, "orders"), "o_orderkey", bcast = false))
+          t(s, d, "orders"), "o_orderkey"))
         .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
-          t(s, d, "part"), "p_partkey", bcast = true))
+          t(s, d, "part"), "p_partkey"))
         .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
-          t(s, d, "supplier"), "s_suppkey", bcast = true))
+          t(s, d, "supplier"), "s_suppkey"))
         .unionAll(edge("nation.n_regionkey->region", t(s, d, "nation"),
-          "n_regionkey", t(s, d, "region"), "r_regionkey", bcast = true))
+          "n_regionkey", t(s, d, "region"), "r_regionkey"))
         .unionAll(edge("orders.o_custkey->customer", t(s, d, "orders"),
-          "o_custkey", t(s, d, "customer"), "c_custkey", bcast = true))
+          "o_custkey", t(s, d, "customer"), "c_custkey"))
         .unionAll(edge("supplier.s_nationkey->nation",
           t(s, d, "supplier"), "s_nationkey", t(s, d, "nation"),
-          "n_nationkey", bcast = true))
+          "n_nationkey"))
         .orderBy(col("fk_edge"))
     },
 

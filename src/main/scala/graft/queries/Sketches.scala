@@ -889,8 +889,11 @@ object Sketches {
     //      (q189's token-set Jaccard flags shared vocabulary; this
     //      flags shared near-verbatim documents — the stronger claim
     //      a dedup policy acts on). The pair set is checkpointed
-    //      (pipeline runs once); the matrix is two broadcast-able
-    //      doc→source lookups and an O(sources²) count. ----
+    //      (pipeline runs once); the doc→source lookups carry NO
+    //      broadcast hint — the lookup side is corpus-sized (O(docs)),
+    //      so a forced broadcast would OOM at lake scale; AQE picks
+    //      broadcast when the post-dedup pair side is the small one
+    //      and falls back to a shuffle join when it is not. ----
     QueryDef.sql("q215_crosssource_dups",
       s"""WITH $gramsCte,
          |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
@@ -912,10 +915,10 @@ object Sketches {
       val src = docs.select(col("doc_id"), col("source"))
       minHashPairs(docs, 0.8).select(col("doc1"), col("doc2"))
         .localCheckpoint()
-        .join(broadcast(src.withColumnRenamed("doc_id", "doc1")
-          .withColumnRenamed("source", "s1")), "doc1")
-        .join(broadcast(src.withColumnRenamed("doc_id", "doc2")
-          .withColumnRenamed("source", "s2")), "doc2")
+        .join(src.withColumnRenamed("doc_id", "doc1")
+          .withColumnRenamed("source", "s1"), "doc1")
+        .join(src.withColumnRenamed("doc_id", "doc2")
+          .withColumnRenamed("source", "s2"), "doc2")
         .select(least(col("s1"), col("s2")).as("src1"),
           greatest(col("s1"), col("s2")).as("src2"))
         .groupBy(col("src1"), col("src2"))
@@ -936,7 +939,12 @@ object Sketches {
     //      group-aware folding) runs first — which is exactly the
     //      argument for q77-style cluster-aware splits. Pair set
     //      checkpointed; everything past it is O(pairs) + O(folds).
-    //      Zero pairs ⇒ NULL observed fraction (guarded). ----
+    //      The fold is a PURE FUNCTION of doc_id (md5-derived), so
+    //      f1/f2 are re-derived directly on the pair table — no
+    //      doc_id→fold join exists at all (the r10 version broadcast
+    //      a corpus-sized fold map onto both legs; the pure-function
+    //      form costs two hashes per pair and zero shuffles at any
+    //      scale). Zero pairs ⇒ NULL observed fraction (guarded). ----
     QueryDef.sql("q216_fold_leakage",
       s"""WITH $gramsCte,
          |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
@@ -966,18 +974,16 @@ object Sketches {
          |    AS expected_frac_micro
          |FROM pc, tt""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val fd = docs.select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-          1, 4), 16, 10).cast("long") % 5).as("fold"))
-      val fs = fd.groupBy(col("fold")).agg(count(lit(1)).as("nf"))
+      def foldOf(c: Column): Column =
+        conv(substring(md5(c.cast("string").cast("binary")),
+          1, 4), 16, 10).cast("long") % 5
+      val fs = docs.select(foldOf(col("doc_id")).as("fold"))
+        .groupBy(col("fold")).agg(count(lit(1)).as("nf"))
       val tt = fs.agg(sum(col("nf")).cast("long").as("n"),
         sum(col("nf").cast("decimal(38,0)") * col("nf")).as("s2"))
       val pc = minHashPairs(docs, 0.8).select(col("doc1"), col("doc2"))
         .localCheckpoint()
-        .join(broadcast(fd.select(col("doc_id").as("doc1"),
-          col("fold").as("f1"))), "doc1")
-        .join(broadcast(fd.select(col("doc_id").as("doc2"),
-          col("fold").as("f2"))), "doc2")
+        .select(foldOf(col("doc1")).as("f1"), foldOf(col("doc2")).as("f2"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("f1") =!= col("f2"), 1L).otherwise(0L))
             .cast("long").as("n_cross"))

@@ -561,10 +561,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // aggregate — 1-row legs ride broadcasts.
       "q214_cuped_adjustment" -> 3,
       // q215 = past the checkpointed pair set: the (src1, src2)
-      // matrix agg + result sort; the doc→source lookups broadcast.
+      // matrix agg + result sort. The doc→source lookups carry NO
+      // hint (the r10 version force-broadcast the corpus side —
+      // 100×-unsafe): here the stats-driven planner broadcasts them
+      // (size-based, disappears at scale); at lake scale they become
+      // shuffle joins or AQE broadcasts of the post-dedup pair side.
       "q215_crosssource_dups" -> 2,
       // q216 = the fold-size agg + its total + the O(pairs) count —
-      // fold lookups broadcast, pair pipeline audited upstream.
+      // folds are re-derived per pair (pure md5 function of doc_id),
+      // so NO fold-map join or broadcast exists in the plan at all.
       "q216_fold_leakage" -> 3,
       // q217 = ONE corpus exchange (the (source, value, epoch)
       // support, checkpointed) + a tail of support/cell-sized aggs,
@@ -805,5 +810,74 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(combined.nonEmpty,
         s"exchange ships un-combined rows:\n${ex.child.treeString}")
     }
+  }
+
+  test("no query force-broadcasts a corpus-keyed frame (q215/q216 tripwire)") {
+    // The same mistake shipped twice in r10 (q215/q216 pinned corpus-
+    // sized doc→source / doc→fold maps as broadcasts) WHILE the r10
+    // work was unpinning the identical shape in q147 — vigilance does
+    // not scale; this rule does. Every BROADCAST-hinted join side in
+    // every batch query must be provably bounded: it reads no stored
+    // relation (driver-local literals), or only the FIXED-cardinality
+    // TPC-H tables (region=5, nation=25 rows at every scale factor),
+    // or an Aggregate / GlobalLimit sits between the scan and the
+    // join (k-row codebooks, 1-row totals, top-k). Stats-driven
+    // broadcasts are NOT flagged — they disappear at scale by
+    // construction. Stream-driving queries (name contains "stream")
+    // are skipped: constructing them runs a streaming job; their
+    // shapes are audited by their own specs. Known limitation: a hint
+    // INSIDE a localCheckpoint()ed subtree is invisible here (the
+    // subtree is already an RDD scan by plan time).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST,
+      GlobalLimit, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    val fixedSize = Set("region.parquet", "nation.parquet")
+    def corpusScan(side: LogicalPlan): Boolean = side.collect {
+      case l: LogicalRelation => l.relation match {
+        case r: HadoopFsRelation =>
+          r.location.rootPaths.exists(p => !fixedSize(p.getName))
+        case _ => true
+      }
+    }.exists(identity)
+    def bounded(side: LogicalPlan): Boolean =
+      side.collect { case a: Aggregate => a }.nonEmpty ||
+        side.collect { case l: GlobalLimit => l }.nonEmpty
+    // Broadcast hints the rule flags but a human has adjudicated as
+    // bounded for reasons a plan walk cannot see. Every entry must
+    // still TRIP the rule (asserted below) so stale entries fail
+    // loudly when the underlying hint is removed.
+    val adjudicated = Map(
+      // constant 10-row query panels: filter(vec_id < 10) is an
+      // absolute literal bound, not a corpus fraction
+      "q38_cosine_topk" -> "10-row query panel (vec_id < 10)",
+      "q70_ann_srp_lsh" -> "10-row query panel (codes + vectors)",
+      "q112_quantized_recall" -> "10-row query panels (both legs)",
+      "q251_ndcg" -> "10-row query panel",
+      // the benchmark leg stands in for an external eval suite — a
+      // fixed-size contract input, not a corpus fraction (the %31
+      // filter only simulates it on the single-corpus fixture)
+      "q114_fuzzy_decontam" -> "benchmark suite bounded by contract")
+    val hits = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.contains("stream")).flatMap { q =>
+        val lp = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.optimizedPlan
+        lp.collect { case j: Join => j }.flatMap { j =>
+          Seq("left" -> (j.hint.leftHint, j.left),
+            "right" -> (j.hint.rightHint, j.right)).collect {
+            case (tag, (Some(h), side))
+                if h.strategy.contains(BROADCAST) && corpusScan(side) &&
+                  !bounded(side) =>
+              q -> (s"$q: $tag side of a join is a FORCED broadcast of " +
+                "an un-aggregated corpus scan")
+          }
+        }
+      }
+    val bad = hits.collect { case (q, msg) if !adjudicated.contains(q) => msg }
+    assert(bad.isEmpty,
+      s"forced corpus-sized broadcasts (OOM at lake scale):\n${bad.mkString("\n")}")
+    val stale = adjudicated.keySet -- hits.map(_._1).toSet
+    assert(stale.isEmpty,
+      s"adjudicated entries no longer trip the rule — remove them: $stale")
   }
 }
