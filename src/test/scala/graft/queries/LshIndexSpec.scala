@@ -245,4 +245,85 @@ class LshIndexSpec extends AnyFunSuite {
       spark.sql(s"drop table if exists ${name}_grams__c")
     }
   }
+
+  /** The INTERLEAVING the two specs above prove only separately: a
+    * crash BETWEEN an append's two table writes (postings landed,
+    * grams did not — the worst partial state), then a COMPACTION over
+    * that half-landed index, then the replay. Two replay paths are
+    * exercised in order: (1) same-JVM — the high-water-mark fast path
+    * must skip the compacted-but-landed postings (hwm == batchId) and
+    * append the missing grams (hwm + 1 == batchId) with no table
+    * probe; (2) fresh-JVM (marks dropped) — a second replay must
+    * answer both gates from the durable batch_id column of the
+    * COMPACTED files and no-op. Zero duplicates, no lost rows, and
+    * the screen contract stays oracle-green and bucket-aligned. */
+  test("mid-append crash + compaction + replay: no dup, no loss") {
+    val name = "lshrace"
+    val corpus = Seq(1L -> base, 2L -> uniq('a'))
+    val b0 = Seq(100L -> uniq('e'))
+    val b1 = Seq(101L -> nearDup)
+    try {
+      LshIndex.build(corpus.toDF("doc_id", "text"), name, buckets = 4)
+      LshIndex.append(b0.toDF("doc_id", "text"), name, buckets = 4,
+        batchId = 0L)
+      // ---- batch 1, crashing between the postings and grams writes:
+      // the grams frame detonates at evaluation time, AFTER the
+      // postings write job committed
+      val shReal = Sketches.shingled(b1.toDF("doc_id", "text"))
+      val post1 = LshIndex.postingsFromShingled(shReal)
+      val shBoom = shReal.select(col("doc_id"),
+        expr("if(doc_id >= 0, raise_error('injected mid-append crash'), null)")
+          .cast("array<string>").as("grams"))
+      intercept[Exception] {
+        LshIndex.appendPrepared(post1, shBoom, name, buckets = 4,
+          batchId = 1L)
+      }
+      assert(spark.table(s"${name}_postings")
+        .filter(col("batch_id") === 1L).count() > 0,
+        "fixture: postings of batch 1 must have landed before the crash")
+      assert(spark.table(s"${name}_grams")
+        .filter(col("batch_id") === 1L).isEmpty,
+        "fixture: grams of batch 1 must be missing after the crash")
+      // ---- compaction runs over the half-landed index (the swap the
+      // verdict flagged as racing the hwm fast path)
+      LshIndex.compact(name, buckets = 4)
+      // ---- same-JVM replay: hwm fast paths (skip postings, append
+      // grams) must be correct AGAINST THE SWAPPED TABLES
+      LshIndex.appendPrepared(post1, shReal, name, buckets = 4,
+        batchId = 1L)
+      val postRows = spark.table(s"${name}_postings").count()
+      val gramRows = spark.table(s"${name}_grams").count()
+      // ---- fresh-JVM replay: durable probe path over compacted files
+      LshIndex.forgetJvmState(name)
+      LshIndex.appendPrepared(post1, shReal, name, buckets = 4,
+        batchId = 1L)
+      assert(spark.table(s"${name}_postings").count() == postRows,
+        "fresh-JVM replay re-appended postings")
+      assert(spark.table(s"${name}_grams").count() == gramRows,
+        "fresh-JVM replay re-appended grams")
+      val dupPostings = spark.table(s"${name}_postings")
+        .groupBy(col("doc_id"), col("band")).count()
+        .filter(col("count") > 1)
+      assert(dupPostings.isEmpty,
+        s"duplicate postings: ${dupPostings.collect().toSeq}")
+      val dupGrams = spark.table(s"${name}_grams")
+        .groupBy(col("doc_id")).count().filter(col("count") > 1)
+      assert(dupGrams.isEmpty,
+        s"duplicate grams: ${dupGrams.collect().toSeq}")
+      assert(spark.table(s"${name}_grams")
+        .filter(col("batch_id") === 1L).count() == 1,
+        "the replay must have healed the missing grams write")
+      // ---- and the screen contract holds over the healed index
+      val probe = Seq(200L -> nearDup)
+      val got = assertScreenInPlace(name)(
+        LshIndex.screen(probe.toDF("doc_id", "text"), name, 0.8))
+      assert(got == exactPairs(probe, corpus ++ b0 ++ b1, 0.8),
+        s"screen after crash+compact+replay: $got")
+    } finally {
+      spark.sql(s"drop table if exists ${name}_postings")
+      spark.sql(s"drop table if exists ${name}_grams")
+      spark.sql(s"drop table if exists ${name}_postings__c")
+      spark.sql(s"drop table if exists ${name}_grams__c")
+    }
+  }
 }
