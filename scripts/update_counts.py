@@ -36,7 +36,7 @@ def test_counts(log_path):
     tests = (re.findall(r"Total number of tests run: (\d+)", log) or
              re.findall(r"Tests: succeeded (\d+),", log))
     suites = re.findall(r"Suites: completed (\d+)", log)
-    failed = re.findall(r"failed (\d+)", log)
+    failed = re.findall(r"Tests: succeeded \d+, failed (\d+)", log)
     if not tests or not suites:
         sys.exit(f"no sbt test summary found in {log_path}")
     if any(int(f) for f in failed):

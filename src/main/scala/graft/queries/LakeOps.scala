@@ -2004,6 +2004,200 @@ object LakeOps {
           col("n_det_dep"), col("n_violating"),
           (col("n_det") === col("n_det_dep")).as("holds"))
       }.reduce(_ unionAll _).orderBy(col("fd"))
+    },
+
+    // ---- Bitemporal as-of audit: the two-clock extension of q141's
+    //      SCD2 (valid time only) and q57's as-of join (transaction
+    //      time only). Each event is a REVISION of (user, valid_day)
+    //      state: transaction time = ts (when recorded), valid day =
+    //      ts's day minus event_id % 11 days (late-arriving
+    //      corrections up to 10 days stale — the reality bitemporal
+    //      modeling exists for). The belief AS OF transaction cutoff T
+    //      for a key is its arg-max revision by (tx_us, event_id)
+    //      among rows with tx_us ≤ T — event_id is globally unique,
+    //      so the struct max is tie-free on both engines. The report
+    //      compares the CURRENT reconstruction against the one a week
+    //      ago per valid day: keys that did not exist yet (n_new),
+    //      keys whose believed value changed (n_revised), and the
+    //      total absolute value drift in exact integer micros — the
+    //      late-data correction monitor that tells a training-data
+    //      pipeline how far back a re-snapshot must reach. Scale: the
+    //      horizon is a 1-row broadcast; BOTH cutoff beliefs come out
+    //      of ONE (user, valid_day)-keyed aggregation (conditional
+    //      struct max — no second shuffle, no self-join); the day
+    //      report is O(days). ----
+    QueryDef.sql("q277_bitemporal_asof",
+      """WITH r AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 - event_id % 11 AS valid_day,
+        |    epoch_us(ts) AS tx_us, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+        |hz AS (SELECT max(tx_us) AS t2 FROM r),
+        |k AS (SELECT user_id, valid_day,
+        |    max(struct_pack(a := tx_us, b := event_id, c := vm))
+        |      AS now_rev,
+        |    max(CASE WHEN tx_us <= hz.t2 - 604800000000
+        |      THEN struct_pack(a := tx_us, b := event_id, c := vm) END)
+        |      AS then_rev
+        |  FROM r, hz GROUP BY user_id, valid_day)
+        |SELECT valid_day, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN then_rev IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN then_rev IS NOT NULL
+        |      AND now_rev.c <> then_rev.c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_revised,
+        |  CAST(sum(CASE WHEN then_rev IS NOT NULL
+        |      THEN abs(now_rev.c - then_rev.c) ELSE 0 END) AS BIGINT)
+        |    AS drift_micro
+        |FROM k GROUP BY valid_day ORDER BY valid_day""".stripMargin) {
+      (s, d) =>
+        val r = t(s, d, "events").select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000 - event_id % 11")
+            .as("valid_day"),
+          unix_micros(col("ts")).as("tx_us"), col("event_id"),
+          round(col("value") * 1000000).cast("long").as("vm"))
+        val hz = r.agg(max(col("tx_us")).as("t2"))
+        val rev = struct(col("tx_us"), col("event_id"), col("vm"))
+        val k = r.crossJoin(broadcast(hz))
+          .groupBy(col("user_id"), col("valid_day"))
+          .agg(max(rev).as("now_rev"),
+            max(when(col("tx_us") <= col("t2") - 604800000000L, rev))
+              .as("then_rev"))
+        k.groupBy(col("valid_day"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("then_rev").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_new"),
+            sum(when(col("then_rev").isNotNull &&
+                col("now_rev.vm") =!= col("then_rev.vm"), 1L)
+              .otherwise(0L)).cast("long").as("n_revised"),
+            sum(when(col("then_rev").isNotNull,
+                abs(col("now_rev.vm") - col("then_rev.vm")))
+              .otherwise(0L)).cast("long").as("drift_micro"))
+          .orderBy(col("valid_day"))
+    },
+
+    // ---- Kleinberg 2-state burst detection per event type: the
+    //      classic "enumerating bursts" automaton (base rate λ₀ = N/T
+    //      vs burst rate λ₁ = 2λ₀, Poisson costs, γ·ln T with γ = ¼
+    //      to ENTER the burst state — γ picked so a near-Poisson
+    //      corpus like this one still surfaces its rate-fluctuation
+    //      episodes) run over each type's dense hourly series — the
+    //      episode detector behind trend surfacing and incident
+    //      forensics, stricter than q219's Fano (which says HOW bursty,
+    //      not WHEN). The Viterbi DP is sequential — the classic
+    //      excuse for not distributing it — but it is a LEFT FOLD:
+    //      the per-type series collapses to one array row and the
+    //      two-state (cost₀, cost₁, path₀, path₁) accumulator folds
+    //      across it in ONE aggregate() expression. Determinism: the
+    //      ln(λ)/ln(T) constants quantize to integer micros ONCE per
+    //      type (the q90 round seam — never inside the fold), so the
+    //      DP itself is pure integer min/plus with fixed tie-breaks
+    //      (ties prefer the non-burst predecessor in state 0 and the
+    //      stay-in-burst predecessor in state 1) — both engines walk
+    //      the identical path (pinned against a BigInt reference in
+    //      KleinbergFoldSpec). n! terms are state-independent per
+    //      hour and cancel out of every comparison, so they are
+    //      dropped. The ORACLE runs the same recurrence as a
+    //      recursive CTE, NOT list_reduce: DuckDB 1.0's list_reduce
+    //      mis-folds struct accumulators holding ≥1e9 integers (extra
+    //      applications, measured — the recursion is the reliable
+    //      sequential form there). Burst islands come off the path
+    //      string with the gaps-and-islands window and join back to
+    //      the (checkpointed) series for exact per-burst event
+    //      counts. Scale: one corpus-sized (etype, hidx) count agg;
+    //      everything after is O(types·hours); path strings are
+    //      span-length (~10³ chars per year-type). A quiet corpus
+    //      yields ZERO rows — that IS the report. ----
+    QueryDef.sql("q280_kleinberg_bursts",
+      s"""WITH RECURSIVE $hourlySeriesCte,
+        |agg AS (SELECT etype, min(hidx) AS h0,
+        |    list(x ORDER BY hidx) AS arr,
+        |    CAST(sum(x) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS t
+        |  FROM ser GROUP BY etype),
+        |par AS (SELECT etype, h0, arr, t,
+        |    CAST(round(CAST(n AS DOUBLE) / t * 1000000) AS BIGINT) AS lm0,
+        |    CAST(round(CAST(n AS DOUBLE) / t * 2000000) AS BIGINT) AS lm1,
+        |    CAST(round(ln(CAST(n AS DOUBLE) / t) * 1000000) AS BIGINT)
+        |      AS l0,
+        |    CAST(round(ln(CAST(n AS DOUBLE) / t * 2) * 1000000) AS BIGINT)
+        |      AS l1,
+        |    CAST(round(ln(CAST(t AS DOUBLE)) * 250000) AS BIGINT) AS g
+        |  FROM agg),
+        |dp AS (
+        |  SELECT etype, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS c0,
+        |    CAST(1000000000000000 AS BIGINT) AS c1, '' AS p0, '' AS p1
+        |  FROM par
+        |  UNION ALL
+        |  SELECT d.etype, d.i + 1,
+        |    least(d.c0, d.c1) + p.lm0
+        |      - p.arr[CAST(d.i + 1 AS INTEGER)] * p.l0,
+        |    least(d.c0 + p.g, d.c1) + p.lm1
+        |      - p.arr[CAST(d.i + 1 AS INTEGER)] * p.l1,
+        |    (CASE WHEN d.c1 < d.c0 THEN d.p1 ELSE d.p0 END) || '0',
+        |    (CASE WHEN d.c0 + p.g < d.c1 THEN d.p0 ELSE d.p1 END) || '1'
+        |  FROM dp d JOIN par p ON p.etype = d.etype WHERE d.i < p.t),
+        |pth AS (SELECT dp.etype, p.h0,
+        |    CASE WHEN dp.c0 <= dp.c1 THEN dp.p0 ELSE dp.p1 END AS path
+        |  FROM dp JOIN par p ON p.etype = dp.etype WHERE dp.i = p.t),
+        |ones AS (SELECT etype, h0 + i AS hidx,
+        |    row_number() OVER (PARTITION BY etype ORDER BY i) AS rn
+        |  FROM (SELECT etype, h0, unnest(range(len(path))) AS i, path
+        |    FROM pth)
+        |  WHERE substring(path, CAST(i + 1 AS INTEGER), 1) = '1')
+        |SELECT o.etype, min(o.hidx) AS burst_start,
+        |  max(o.hidx) AS burst_end, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(ser.x) AS BIGINT) AS n_events
+        |FROM ones o JOIN ser ON ser.etype = o.etype AND ser.hidx = o.hidx
+        |GROUP BY o.etype, o.hidx - o.rn
+        |ORDER BY o.etype, burst_start""".stripMargin) { (s, d) =>
+      val ser = hourlySeries(t(s, d, "events"))
+        .localCheckpoint() // feeds the fold AND the island count join
+      val agg = ser.groupBy(col("etype"))
+        .agg(min(col("hidx")).as("h0"),
+          expr("transform(array_sort(collect_list(struct(hidx, x))), p -> p.x)")
+            .as("arr"),
+          sum(col("x")).cast("long").as("n"),
+          count(lit(1)).as("t"))
+      val par = agg.select(col("etype"), col("h0"), col("arr"),
+        round(col("n").cast("double") / col("t") * 1000000)
+          .cast("long").as("lm0"),
+        round(col("n").cast("double") / col("t") * 2000000)
+          .cast("long").as("lm1"),
+        round(log(col("n").cast("double") / col("t")) * 1000000)
+          .cast("long").as("l0"),
+        round(log(col("n").cast("double") / col("t") * 2) * 1000000)
+          .cast("long").as("l1"),
+        round(log(col("t").cast("double")) * 250000)
+          .cast("long").as("g"))
+      val dp = par.withColumn("f", expr(
+        """aggregate(arr,
+          |  named_struct('c0', CAST(0 AS BIGINT),
+          |    'c1', CAST(1000000000000000 AS BIGINT), 'p0', '', 'p1', ''),
+          |  (a, v) -> named_struct(
+          |    'c0', least(a.c0, a.c1) + lm0 - v * l0,
+          |    'c1', least(a.c0 + g, a.c1) + lm1 - v * l1,
+          |    'p0', concat(CASE WHEN a.c1 < a.c0 THEN a.p1 ELSE a.p0 END,
+          |      '0'),
+          |    'p1', concat(CASE WHEN a.c0 + g < a.c1 THEN a.p0 ELSE a.p1
+          |      END, '1')))""".stripMargin))
+      val pth = dp.select(col("etype"), col("h0"),
+        when(col("f.c0") <= col("f.c1"), col("f.p0"))
+          .otherwise(col("f.p1")).as("path"))
+      val ones = pth
+        .select(col("etype"), col("h0"),
+          posexplode(split(col("path"), "")).as(Seq("i", "ch")))
+        .filter(col("ch") === "1")
+        .select(col("etype"), (col("h0") + col("i")).as("hidx"),
+          row_number().over(Window.partitionBy(col("etype"))
+            .orderBy(col("i"))).as("rn"))
+      ones.join(ser, Seq("etype", "hidx"))
+        .groupBy(col("etype"), (col("hidx") - col("rn")).as("grp"))
+        .agg(min(col("hidx")).as("burst_start"),
+          max(col("hidx")).as("burst_end"),
+          count(lit(1)).as("n_hours"),
+          sum(col("x")).cast("long").as("n_events"))
+        .select(col("etype"), col("burst_start"), col("burst_end"),
+          col("n_hours"), col("n_events"))
+        .orderBy(col("etype"), col("burst_start"))
     }
   )
 

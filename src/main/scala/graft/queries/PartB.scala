@@ -3156,6 +3156,119 @@ object PartB {
         .orderBy(col("bin"))
     },
 
+    // ---- Isotonic (PAV) recalibration of a sequence model — the FIX
+    //      to the miscalibration q262's ECE only MEASURES: learn the
+    //      monotone map raw-score → calibrated probability. The model
+    //      is q240's next=purchase predictor crossed with hour-of-day
+    //      (richer score distribution ⇒ a real reliability diagram;
+    //      trained on the first half-month, evaluated on the second).
+    //      The isotonic fit uses the exact MINIMAX characterization
+    //      fit(b) = max_{j≤b} min_{k≥b} mean(j..k) — every segment
+    //      mean is one integer floor division of cumulative (k, n)
+    //      sums (micro units, all non-negative, so Spark div ≡ DuckDB
+    //      // — no negative-truncation seam), and min/max over
+    //      integers is engine-exact, so the pooled fit hashes
+    //      bit-for-bit. PAV's O(B) stack walk is sequential; minimax
+    //      is its closed form over the O(B²) segment grid — B = score
+    //      bins (≤ 50), so the grid is constant-sized and fully
+    //      parallel. Output is monotone by construction (the max's
+    //      j-set only grows with b). Scale: one user-keyed lead
+    //      window + an O(types·24) model broadcast; everything past
+    //      the bin agg is O(B²) rows. ----
+    QueryDef.sql("q281_isotonic_calibration",
+      """WITH seq AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hod,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt_us
+        |  FROM events),
+        |pairs AS (SELECT event_type AS cur, hod, nxt, nxt_us FROM seq
+        |  WHERE nxt IS NOT NULL),
+        |tr AS (SELECT cur, hod, CAST(count(*) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k_tr
+        |  FROM pairs WHERE nxt_us < 1705363200000000 GROUP BY cur, hod),
+        |pm AS (SELECT cur, hod,
+        |    CAST(k_tr * 1000000 // n_train AS BIGINT) AS p FROM tr),
+        |tev AS (SELECT CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END
+        |      AS y, pm.p
+        |  FROM pairs JOIN pm ON pm.cur = pairs.cur AND pm.hod = pairs.hod
+        |  WHERE nxt_us >= 1705363200000000),
+        |bins AS (SELECT p // 20000 AS bin, CAST(count(*) AS BIGINT)
+        |      AS n, CAST(sum(y) AS BIGINT) AS k FROM tev GROUP BY 1),
+        |ix AS (SELECT bin, n, k, row_number() OVER (ORDER BY bin) AS i
+        |  FROM bins),
+        |cum AS (SELECT i, bin, n, k, sum(n) OVER (ORDER BY i) AS cn,
+        |    sum(k) OVER (ORDER BY i) AS ck FROM ix),
+        |seg AS (SELECT lo.i AS j, hi.i AS kk,
+        |    CAST((hi.ck - COALESCE(lo2.ck, 0)) * 1000000
+        |      // (hi.cn - COALESCE(lo2.cn, 0)) AS BIGINT) AS m
+        |  FROM cum lo JOIN cum hi ON lo.i <= hi.i
+        |  LEFT JOIN cum lo2 ON lo2.i = lo.i - 1),
+        |mn AS (SELECT b.i, s.j, min(s.m) AS mn
+        |  FROM cum b JOIN seg s ON s.j <= b.i AND s.kk >= b.i
+        |  GROUP BY b.i, s.j),
+        |fit AS (SELECT i, max(mn) AS fit_micro FROM mn GROUP BY i)
+        |SELECT c.bin, c.n, c.k,
+        |  CAST(c.k * 1000000 // c.n AS BIGINT) AS raw_micro,
+        |  CAST(f.fit_micro AS BIGINT) AS fit_micro
+        |FROM cum c JOIN fit f ON f.i = c.i
+        |ORDER BY c.bin""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      // own lead window (not nextTypePairs): the hour-of-day feature
+      // rides the same pass
+      val pairs = t(s, d, "events")
+        .select(col("event_type").as("cur"),
+          expr("unix_micros(ts) div 3600000000 % 24").as("hod"),
+          lead(col("event_type"), 1).over(w).as("nxt"),
+          lead(unix_micros(col("ts")), 1).over(w).as("nxt_us"))
+        .filter(col("nxt").isNotNull)
+        .localCheckpoint() // feeds the train agg AND the test scoring
+      val pm = pairs.filter(col("nxt_us") < 1705363200000000L)
+        .groupBy(col("cur"), col("hod"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("nxt") === "purchase", 1).otherwise(0))
+            .cast("long").as("k_tr"))
+        .select(col("cur"), col("hod"),
+          expr("CAST(k_tr * 1000000 div n_train AS BIGINT)").as("p"))
+      val bins = pairs.filter(col("nxt_us") >= 1705363200000000L)
+        .join(broadcast(pm), Seq("cur", "hod")) // O(types·24) model
+        .select(when(col("nxt") === "purchase", 1L).otherwise(0L)
+          .as("y"), col("p"))
+        .groupBy(expr("p div 20000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k"))
+      val cum = bins
+        .withColumn("i", row_number().over(Window.orderBy(col("bin"))))
+        .withColumn("cn",
+          sum(col("n")).over(Window.orderBy(col("i"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ck",
+          sum(col("k")).over(Window.orderBy(col("i"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint() // O(bins) rows feed seg + anchor + output
+      val seg = cum.select(col("i").as("j"), col("cn").as("cnj"),
+          col("ck").as("ckj"))
+        .join(cum.select(col("i").as("kk"), col("cn").as("cnk"),
+          col("ck").as("ckk")), col("j") <= col("kk"))
+        .join(cum.select((col("i") + 1).as("j"), col("cn").as("cnp"),
+          col("ck").as("ckp")), Seq("j"), "left")
+        .select(col("j"), col("kk"), expr(
+          """CAST((ckk - COALESCE(ckp, CAST(0 AS BIGINT))) * 1000000
+            |  div (cnk - COALESCE(cnp, CAST(0 AS BIGINT))) AS BIGINT)"""
+            .stripMargin).as("m"))
+      val fit = cum.select(col("i"))
+        .join(seg, col("j") <= col("i") && col("kk") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(min(col("m")).as("mn"))
+        .groupBy(col("i")).agg(max(col("mn")).as("fit_micro"))
+      cum.join(fit, "i")
+        .select(col("bin"), col("n"), col("k"),
+          expr("CAST(k * 1000000 div n AS BIGINT)").as("raw_micro"),
+          col("fit_micro").cast("long").as("fit_micro"))
+        .orderBy(col("bin"))
+    },
+
     // ---- Local clustering coefficient distribution over the sparse
     //      1-minute co-occurrence graph: per-node lcc = 2·tri(v) /
     //      (deg·(deg−1)) in exact integer micro, reported as a decile

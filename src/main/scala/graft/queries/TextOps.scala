@@ -1538,6 +1538,49 @@ object TextOps {
         .orderBy(col("n").desc, col("token")).limit(15)
     },
 
+    // ---- Tokenizer fertility per language: subwords-per-word after
+    //      the GLOBAL q123 tokenizer (3 learned merges) is applied to
+    //      each language's word types — the multilingual-equity audit
+    //      a shared-tokenizer pipeline runs (a language whose
+    //      fertility is 2× pays 2× the context window and 2× the
+    //      training cost per word; the standard argument for
+    //      vocabulary rebalancing). One corpus scan builds the
+    //      (lang, word-type) table (CHECKPOINTED — the learner chain
+    //      and the per-language apply both read it; q123/q148 rescan
+    //      per merge instead); the global learner aggregates language
+    //      counts out of it, the merge tables come back as 1-row
+    //      broadcasts, the apply is the same row-local sentinel
+    //      replace chain the learner used (learn∘apply cannot drift),
+    //      and the report is O(langs) with an exact integer div.
+    //      Fertility here counts symbols after 3 merges (≈ chars) —
+    //      a real deployment runs the identical plan at k≈30000. ----
+    QueryDef.sql("q278_tokenizer_fertility", bpeFertilityOracleSql(3)) {
+      (s, d) =>
+        val lw = graft.Tables.wide(t(s, d, "documents"))
+          .select(col("lang"), explode(toks).as("w"))
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+          .localCheckpoint()
+        val globalWf = lw.groupBy(col("w"))
+          .agg(sum(col("freq")).as("freq"))
+        val (_, merges) = bpeLoop(globalWf, 3)
+        var seqs = lw
+          .filter(!col("w").contains(BpeS1) && !col("w").contains(BpeS2))
+          .select(col("lang"), bpeEncoded(col("w")).as("seq"), col("freq"))
+        for (m <- merges)
+          seqs = seqs.crossJoin(broadcast(m.select(col("pair").as("bp"))))
+            .select(col("lang"), bpeApplied(col("seq"), col("bp")).as("seq"),
+              col("freq"))
+        seqs.select(col("lang"), col("freq"),
+            bpeSymCount(col("seq")).cast("long").as("syms"))
+          .groupBy(col("lang"))
+          .agg(sum(col("freq")).cast("long").as("n_words"),
+            sum(col("freq") * col("syms")).cast("long").as("n_subwords"))
+          .select(col("lang"), col("n_words"), col("n_subwords"),
+            expr("CAST(n_subwords * 1000000 div n_words AS BIGINT)")
+              .as("fertility_micro"))
+          .orderBy(col("lang"))
+    },
+
     // ---- Curation retention funnel: the per-stage release report a
     //      100 TB curation run prints — raw → language gate → length
     //      gate → exact dedup → near-dup prune → decontamination,
@@ -3228,17 +3271,36 @@ object TextOps {
       : org.apache.spark.sql.DataFrame =
     bpeLoop(wordFreqs, k)._2.reduce(_ unionAll _)
 
+  /** Sentinel-delimited symbol encoding of a word: ␟c₁␞␟c₂␞… */
+  private def bpeEncoded(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit(BpeS1),
+      concat_ws(BpeS2 + BpeS1, filter(split(w, ""), x => x =!= "")),
+      lit(BpeS2))
+
+  /** One BPE merge application: fuse every sentinel-delimited
+    * occurrence of best pair `bp` ("x y") inside `seq`. Row-local. */
+  private def bpeApplied(seq: org.apache.spark.sql.Column,
+      bp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(seq,
+      concat(lit(BpeS1), replace(bp, lit(" "), lit(BpeS2 + BpeS1)),
+        lit(BpeS2)),
+      concat(lit(BpeS1), replace(bp, lit(" "), lit("")), lit(BpeS2)))
+
+  /** Subword count of an encoded seq (its token count post-merges). */
+  private def bpeSymCount(seq: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    size(split(seq.substr(lit(2), length(seq) - 2), BpeS2 + BpeS1))
+
   /** The `k`-iteration BPE loop shared by the merge-LEARNING report
-    * (q123) and the tokenizer-APPLICATION report (q148): returns the
-    * final merged word-type sequences AND the per-rank merge tables.
-    */
+    * (q123), the tokenizer-APPLICATION report (q148), and the
+    * per-language fertility audit (q278): returns the final merged
+    * word-type sequences AND the per-rank merge tables. */
   private def bpeLoop(wordFreqs: org.apache.spark.sql.DataFrame, k: Int)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     var seqs = wordFreqs
       .filter(!col("w").contains(BpeS1) && !col("w").contains(BpeS2))
-      .select(concat(lit(BpeS1),
-        concat_ws(BpeS2 + BpeS1, filter(split(col("w"), ""), x => x =!= "")),
-        lit(BpeS2)).as("seq"), col("freq"))
+      .select(bpeEncoded(col("w")).as("seq"), col("freq"))
     val merges = (1 to k).map { r =>
       val pairs = seqs
         .select(col("freq"),
@@ -3251,12 +3313,7 @@ object TextOps {
         .groupBy(col("pair")).agg(sum(col("freq")).as("freq"))
       val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
       seqs = seqs.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-        .select(replace(col("seq"),
-          concat(lit(BpeS1),
-            replace(col("bp"), lit(" "), lit(BpeS2 + BpeS1)), lit(BpeS2)),
-          concat(lit(BpeS1),
-            replace(col("bp"), lit(" "), lit("")), lit(BpeS2))).as("seq"),
-          col("freq"))
+        .select(bpeApplied(col("seq"), col("bp")).as("seq"), col("freq"))
       best.select(lit(r).as("merge_rank"), col("pair"),
         col("freq").cast("long").as("freq"))
     }
@@ -3328,6 +3385,35 @@ object TextOps {
        |    chr(30) || chr(31))) AS token, freq FROM s$k)
        |SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM tk
        |GROUP BY token ORDER BY n DESC, token LIMIT $topN""".stripMargin
+
+  /** DuckDB oracle for q278: the same unrolled GLOBAL merge chain
+    * (b1..bk), then a per-language apply chain over the
+    * (lang, w, freq) word types and the fertility aggregation. */
+  private def bpeFertilityOracleSql(k: Int): String = {
+    val applies = (1 to k).map { i =>
+      s"""ls$i AS (SELECT lang, replace(seq,
+         |    chr(31) || replace((SELECT pair FROM b$i), ' ',
+         |      chr(30) || chr(31)) || chr(30),
+         |    chr(31) || replace((SELECT pair FROM b$i), ' ', '') || chr(30))
+         |    AS seq, freq FROM ls${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeOracleCtes(k)},
+       |lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT lang, unnest(string_split_regex(lower(trim(text)),
+       |      '\\s+')) AS w FROM documents)
+       |  WHERE NOT contains(w, chr(31)) AND NOT contains(w, chr(30))
+       |  GROUP BY lang, w),
+       |ls0 AS (SELECT lang, chr(31) || array_to_string(string_split(w, ''),
+       |    chr(30) || chr(31)) || chr(30) AS seq, freq FROM lw),
+       |$applies,
+       |ft AS (SELECT lang, freq, CAST(len(string_split(substr(seq, 2,
+       |    len(seq)-2), chr(30) || chr(31))) AS BIGINT) AS syms FROM ls$k)
+       |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+       |  CAST(sum(freq * syms) AS BIGINT) AS n_subwords,
+       |  CAST(sum(freq * syms) * 1000000 // sum(freq) AS BIGINT)
+       |    AS fertility_micro
+       |FROM ft GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   /** Per-doc winnowing fingerprint sets, shaped (doc_id, grams) so
     * [[gramPairCounts]] consumes them directly. K=3 token shingles,

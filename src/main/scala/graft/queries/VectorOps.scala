@@ -2021,6 +2021,76 @@ object VectorOps {
             .as("margin"),
           col("top_votes"), col("second_votes"))
         .orderBy(col("pick_rank")).limit(10)
+    },
+
+    // ---- Hierarchical dendrogram over the label-class centroids:
+    //      agglomerative centroid-linkage clustering of the 10
+    //      embedding classes — the label-taxonomy discovery pass
+    //      (which classes are semantically adjacent → merge
+    //      candidates / curriculum ordering). EXACT throughout: each
+    //      class is its integer per-dim quantized sum vector (round
+    //      (x·1e6), BIGINT) plus a count; centroid distance between
+    //      clusters a, b is Σᵢ(saᵢ·n_b − sbᵢ·n_a)² / (n_a·n_b)² —
+    //      integer-quantized to pico units by one floor division, so
+    //      the argmin (tie-break (dq, c1, c2)) picks the same merge on
+    //      both engines; merging ADDS sum vectors and counts (centroid
+    //      linkage is exactly closed under the integer representation
+    //      — no re-scan, no float). Scale split: the corpus pays ONE
+    //      (label, dim)-keyed partial-sum shuffle; the dendrogram
+    //      itself is O(k³) driver arithmetic on the k = O(labels)
+    //      collected sum vectors (BigInt — the kmeans-fit collect
+    //      discipline: bounded by the label vocabulary, never by the
+    //      corpus; at k ≫ 10³ the documented swap is the unrolled
+    //      distributed greedy, q267's shape). Merged cluster keeps
+    //      min(c1, c2) as its id; 10 leaves ⇒ 9 merge rows. ----
+    QueryDef.sql("q279_label_dendrogram", dendrogramOracleSql(9)) {
+      (s, d) =>
+      val e = t(s, d, "embeddings")
+      val ex = e.select(col("label"), posexplode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as(Seq("pos", "v")))
+      val cs = ex.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).cast("long").as("sq"))
+      val cnt = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val a0 = cs.groupBy(col("label"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, sq))), p -> p.sq)")
+          .as("s"))
+        .join(cnt, "label")
+        .select(col("label").as("cid"), col("n"), col("s"))
+      // O(labels) rows by construction — the bounded-collect contract
+      var alive = a0.collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Long](2).toArray)).sortBy(_._1).toBuffer
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Int, Long, Long)]
+      var step = 1L
+      while (alive.size > 1) {
+        var best: (BigInt, Int, Int, Int, Int) = null // (dq, c1, c2, i, j)
+        for (i <- alive.indices; j <- (i + 1) until alive.size) {
+          val (ca, na, sa) = alive(i); val (cb, nb, sb) = alive(j)
+          val (c1, c2, i1, i2) =
+            if (ca < cb) (ca, cb, i, j) else (cb, ca, j, i)
+          var num = BigInt(0)
+          for (p <- sa.indices) {
+            val diff = BigInt(sa(p)) * nb - BigInt(sb(p)) * na
+            num += diff * diff
+          }
+          val dq = num / (BigInt(na) * nb * na * nb)
+          if (best == null || dq < best._1 || (dq == best._1 &&
+              (c1 < best._2 || (c1 == best._2 && c2 < best._3))))
+            best = (dq, c1, c2, i1, i2)
+        }
+        val (dq, c1, c2, i1, i2) = best
+        val (_, na, sa) = alive(i1); val (_, nb, sb) = alive(i2)
+        out += ((step, c1, c2, na + nb, dq.toLong))
+        alive(i1) = (c1, na + nb,
+          sa.zip(sb).map { case (x, y) => x + y })
+        alive.remove(i2)
+        step += 1
+      }
+      import s.implicits._
+      out.toSeq.toDF("step", "c1", "c2", "n_merged", "dist2_pico")
+        .orderBy(col("step"))
     })
 
   /** DuckDB oracle for q248: the k-step greedy MMR walk unrolled into
@@ -2059,5 +2129,52 @@ object VectorOps {
        |SELECT rk AS mmr_rank, cid AS vec_id, rel AS rel_micro,
        |  ms AS max_sim_micro
        |FROM selu$k ORDER BY rk""".stripMargin
+  }
+
+  /** DuckDB oracle for q279: the agglomerative loop unrolled into
+    * MATERIALIZED CTE rounds (aᵣ = alive clusters, bᵣ = the argmin
+    * merge), one per merge — integer sum-vector centroids, HUGEINT
+    * cross-multiplied distances, (dq, c1, c2) tie-break: the same
+    * spec the Spark driver loop executes. */
+  private def dendrogramOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (SELECT a.cid AS c1, b.cid AS c2, a.n AS na, b.n AS nb,
+         |    a.s AS sa, b.s AS sb,
+         |    list_sum(list_transform(range(len(a.s)), i ->
+         |      CAST(a.s[i+1]*b.n - b.s[i+1]*a.n AS HUGEINT)
+         |        * CAST(a.s[i+1]*b.n - b.s[i+1]*a.n AS HUGEINT)))
+         |      // (CAST(a.n*b.n AS HUGEINT) * CAST(a.n*b.n AS HUGEINT))
+         |      AS dq
+         |  FROM a${r - 1} a JOIN a${r - 1} b ON a.cid < b.cid),
+         |b$r AS MATERIALIZED (SELECT * FROM p$r ORDER BY dq, c1, c2
+         |  LIMIT 1),
+         |a$r AS MATERIALIZED (SELECT cid, n, s FROM a${r - 1}
+         |    WHERE cid <> (SELECT c1 FROM b$r)
+         |      AND cid <> (SELECT c2 FROM b$r)
+         |  UNION ALL SELECT (SELECT c1 FROM b$r) AS cid,
+         |    (SELECT na + nb FROM b$r) AS n,
+         |    (SELECT list_transform(list_zip(sa, sb), z -> z[1] + z[2])
+         |      FROM b$r) AS s)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT $r AS step, c1, c2, na + nb AS n_merged, " +
+        s"CAST(dq AS BIGINT) AS dist2_pico FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT label, unnest(range(len(embedding))) AS pos,
+       |    unnest(list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+       |      AS v
+       |  FROM embeddings),
+       |cs AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS sq
+       |  FROM e GROUP BY 1, 2),
+       |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+       |  FROM embeddings GROUP BY label),
+       |a0 AS MATERIALIZED (SELECT cs.label AS cid, cnt.n AS n,
+       |    list(sq ORDER BY pos) AS s
+       |  FROM cs JOIN cnt ON cs.label = cnt.label GROUP BY cs.label, cnt.n),
+       |$rounds
+       |SELECT CAST(step AS BIGINT) AS step, c1, c2,
+       |  CAST(n_merged AS BIGINT) AS n_merged, dist2_pico FROM ($out)
+       |ORDER BY step""".stripMargin
   }
 }

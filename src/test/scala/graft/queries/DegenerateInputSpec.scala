@@ -1022,4 +1022,53 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(r.getDouble(r.fieldIndex("hhi")) == 1.0, s"hhi: $r")
     }
   }
+
+  test("q277: a single-instant feed makes every belief brand-new") {
+    // all transaction times collapse onto the horizon, so the week-ago
+    // cutoff precedes every revision: then_rev is NULL for every key
+    // (n_new == n_keys) and the drift integral is exactly 0 — never a
+    // NULL-minus or a spurious revision
+    val rows = run("q277_bitemporal_asof")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_new")) ==
+        r.getLong(r.fieldIndex("n_keys")), s"new != keys: $r")
+      assert(r.getLong(r.fieldIndex("n_revised")) == 0L, s"revised: $r")
+      assert(r.getLong(r.fieldIndex("drift_micro")) == 0L, s"drift: $r")
+    }
+  }
+
+  test("q280: a single-instant feed has no bursts and no errors") {
+    // every event lands in ONE hour: T=1, g=round(ln(1)·250k)=0, and
+    // the lone hour's Poisson cost favors the base state (λ₁ = 2λ₀
+    // overshoots a count that EQUALS λ₀) — empty report, no div/ln
+    // edge (λ₀ = N ≥ 1)
+    val rows = run("q280_kleinberg_bursts")
+    assert(rows.isEmpty, s"single-hour series cannot burst: ${rows.toSeq}")
+  }
+
+  test("q281: an empty training half yields an empty reliability table") {
+    // the fixture's single instant (2024-03-01) is AFTER the temporal
+    // split, so the model trains on nothing: no (cur, hod) cell exists,
+    // the test join matches nothing, and the isotonic grid is empty —
+    // never a div-by-zero on the segment means
+    val rows = run("q281_isotonic_calibration")
+    assert(rows.isEmpty, s"no training data ⇒ no bins: ${rows.toSeq}")
+  }
+
+  test("q279: a singleton label still merges cleanly (n=1 legs)") {
+    // the fixture adds label 999 with exactly ONE member: 11 leaves ⇒
+    // 10 merges, and the n_a·n_b denominators stay ≥ 1 throughout —
+    // no div-by-zero, monotone merge sizes, ids stay within the label
+    // vocabulary
+    val rows = run("q279_label_dendrogram")
+    assert(rows.length == 10, s"11 leaves need 10 merges: ${rows.length}")
+    assert(rows.last.getLong(rows.last.fieldIndex("n_merged")) ==
+      spark.read.parquet(s"$dir/embeddings.parquet").count(),
+      "the final merge must swallow the whole corpus")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("dist2_pico")) >= 0L, s"dist2: $r")
+      assert(r.getInt(r.fieldIndex("c1")) < r.getInt(r.fieldIndex("c2")))
+    }
+  }
 }

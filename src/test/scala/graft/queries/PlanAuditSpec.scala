@@ -749,7 +749,32 @@ class PlanAuditSpec extends AnyFunSuite {
       // q170's shape: the two margin aggs + 1-row total + the grid
       // join + the final fold, all off the checkpointed contingency
       // table (the corpus is scanned once)
-      "q276_g_test" -> 5)
+      "q276_g_test" -> 5,
+      // q277 = the 1-row horizon agg (broadcast back) + the ONE
+      // (user, valid_day)-keyed conditional-argmax agg (both cutoff
+      // beliefs in a single shuffle) + the O(days) report agg + sort
+      "q277_bitemporal_asof" -> 4,
+      // q278 = every exchange is TYPE-sized (word-vocabulary rows):
+      // the corpus is scanned once into the checkpointed (lang, w)
+      // table; the 3 unrolled merge-learning rounds re-embed their
+      // predecessors' pair aggs in the static plan (1+2+3 pair aggs +
+      // a global-freq agg per round) and the per-lang apply tail adds
+      // the fertility agg + sort — 16 exchanges, none corpus-sized
+      "q278_tokenizer_fertility" -> 16,
+      // q279 = the audited tail is the 9-row driver-built dendrogram
+      // (1 sort); the corpus-sized work — the (label, dim) partial-sum
+      // agg — executes inside the bounded collect at plan-build time
+      // and is shaped identically to q116's audited centroid agg
+      "q279_label_dendrogram" -> 1,
+      // q280 = past the checkpointed dense series: the per-type
+      // array/param agg; the island windows and count join ride the
+      // same etype partitioning and the report is O(bursts)
+      "q280_kleinberg_bursts" -> 1,
+      // q281 = the corpus-sized lead window and the O(bins) cumulative
+      // table are both checkpointed at build; the audited tail (the
+      // O(B²) minimax grid + report) runs on ≤50-row frames whose
+      // joins all broadcast — zero exchanges
+      "q281_isotonic_calibration" -> 0)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
