@@ -2198,6 +2198,73 @@ object LakeOps {
         .select(col("etype"), col("burst_start"), col("burst_end"),
           col("n_hours"), col("n_events"))
         .orderBy(col("etype"), col("burst_start"))
+    },
+
+    // ---- Daily top-k churn: Jaccard between consecutive days'
+    //      top-20 item sets (items = the props.k payload key) — the
+    //      trending-surface stability audit: a leaderboard that turns
+    //      over 90 % per day (this corpus reads 2–25 %) is noise, not
+    //      trend, and a cache/feature-store keyed on "today's top k"
+    //      needs exactly this number to size its churn. Determinism:
+    //      top-20 by (count DESC, item) is a total order; the
+    //      intersection is an equi-join on (day−1, item); Jaccard is
+    //      one exact division with the EXACT |A|+|B|−∩ denominator —
+    //      a day with fewer than 20 distinct items (sf0.001 has them)
+    //      must not pretend to a 40-item union. Days without a
+    //      predecessor (the first) are not reported. Scale: one
+    //      corpus-sized (day, item) count agg; top-k via per-day rank
+    //      windows on the O(days·items) table; everything after is
+    //      O(days·k). ----
+    QueryDef.sql("q286_topk_churn",
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE props IS NOT NULL),
+        |c AS (SELECT day, item, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |tk AS (SELECT day, item FROM (SELECT day, item,
+        |    row_number() OVER (PARTITION BY day ORDER BY n DESC, item)
+        |      AS r FROM c)
+        |  WHERE r <= 20),
+        |sz AS (SELECT day, CAST(count(*) AS BIGINT) AS na FROM tk
+        |  GROUP BY day),
+        |ix AS (SELECT t.day, CAST(count(p.item) AS BIGINT) AS inter
+        |  FROM tk t LEFT JOIN tk p ON p.day = t.day - 1
+        |    AND p.item = t.item
+        |  GROUP BY t.day)
+        |SELECT s.day, s.na AS n_today, pv.na AS n_prev, i.inter,
+        |  CAST(i.inter * 1000000 // (s.na + pv.na - i.inter) AS BIGINT)
+        |    AS jaccard_micro
+        |FROM sz s JOIN sz pv ON pv.day = s.day - 1
+        |JOIN ix i ON i.day = s.day
+        |ORDER BY s.day""".stripMargin) { (s, d) =>
+      val tk = t(s, d, "events")
+        .filter(col("props").isNotNull)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .groupBy(col("day"), col("item"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(Window.partitionBy(col("day"))
+          .orderBy(col("n").desc, col("item"))))
+        .filter(col("r") <= 20)
+        .select(col("day"), col("item"))
+        .localCheckpoint() // O(days·k) rows feed sizes + both join legs
+      val sz = tk.groupBy(col("day")).agg(count(lit(1)).as("na"))
+      val ix = tk
+        .join(tk.select((col("day") + 1).as("day"),
+          col("item").as("pitem")),
+          Seq("day"), "left")
+        .select(col("day"),
+          when(col("pitem") === col("item"), 1L).otherwise(0L).as("hit"))
+        .groupBy(col("day"))
+        .agg(sum(col("hit")).cast("long").as("inter"))
+      sz.join(sz.select((col("day") + 1).as("day"), col("na").as("nprev")),
+          "day")
+        .join(ix, "day")
+        .select(col("day"), col("na").as("n_today"),
+          col("nprev").as("n_prev"), col("inter"),
+          expr("""CAST(inter * 1000000 div (na + nprev - inter)
+            |  AS BIGINT)""".stripMargin).as("jaccard_micro"))
+        .orderBy(col("day"))
     }
   )
 

@@ -3547,5 +3547,126 @@ object PartB {
         ((countDistinct(col("lang")) - 1)
           * (countDistinct(col("source")) - 1)).cast("long").as("dof"),
         (lit(2) * sum(col("term"))).cast("double").as("g_stat"))
+    },
+
+    // ---- Jackknife standard error of each event type's traffic
+    //      share (leave-one-DAY-out): the assumption-free error bar a
+    //      metrics pipeline puts on a ratio — days are the natural
+    //      exchangeable blocks (within-day events correlate, the
+    //      i.i.d. bootstrap would understate the variance, and
+    //      deterministic day blocks need no RNG). θ₍ᵢ₎ = share with
+    //      day i removed, exact integer micro via one guarded floor
+    //      division (all non-negative); the variance moves through
+    //      the EXACT integer identity D = (J−1)·(J·Σθ² − (Σθ)²) and
+    //      meets float only at the final sqrt — IEEE-correctly-rounded
+    //      on both engines, so the rounded SE is deterministic (the
+    //      q198 libm rule: sqrt is the one transcendental-free escape
+    //      hatch). Scale: ONE corpus-sized (etype, day) cell agg
+    //      (checkpointed — margins, totals, and the leave-one-out
+    //      grid all read it); everything after is O(types·days).
+    //      Single-day corpus ⇒ the loo denominator is 0 for its only
+    //      row ⇒ guarded NULL θ ⇒ SE NULL, J<2 (DegenerateInputSpec).
+    QueryDef.sql("q282_jackknife_se", jackknifeOracle) { (s, d) =>
+      val cell = t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("etype"), col("day"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint() // O(types·days) feeds all four readers
+      jackknifeTail(cell)
+    },
+
+    // ---- Streaming jackknife twin: the (etype, day) cell counts are
+    //      a plain associative complete-mode aggregation (q220's
+    //      shape — O(types·days) state, closed days compactable), and
+    //      the WHOLE leave-one-out analysis applies AT READ through
+    //      the SHARED jackknifeTail against q282's VERBATIM oracle —
+    //      one green hash proves the error-bar report streamable with
+    //      no batch recompute. ----
+    QueryDef.sql("q284_stream_jackknife", jackknifeOracle) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "evdayfeed",
+        idCol = "event_id", checkSpan = false)(ev)
+      val sink = graft.bench.BenchFeeds.sinkName("q284_jackknife")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(col("event_type").as("etype"),
+            expr("CAST(ts AS BIGINT) div 86400").as("day"))
+          .groupBy(col("etype"), col("day"))
+          .agg(count(lit(1)).as("k"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      jackknifeTail(s.table(sink)
+        .select(col("etype"), col("day"), col("k").cast("long").as("k"))
+        .localCheckpoint())
     })
+
+  /** The q282 leave-one-day-out assembly from an (etype, day, k) cell
+    * table — shared by the q284 streaming twin so batch and stream
+    * cannot drift. Expects `cell` materialized (both margin aggs, the
+    * grid, and the totals read it). */
+  private def jackknifeTail(cell: DataFrame): DataFrame = {
+    val dayn = cell.groupBy(col("day"))
+      .agg(sum(col("k")).cast("long").as("n"))
+    val tote = cell.groupBy(col("etype"))
+      .agg(sum(col("k")).cast("long").as("ke"))
+    val nn = dayn.agg(sum(col("n")).cast("long").as("nn"))
+    val loo = tote.crossJoin(broadcast(dayn)).crossJoin(broadcast(nn))
+      .join(cell, Seq("etype", "day"), "left")
+      .select(col("etype"),
+        when(col("nn") > col("n"),
+          expr("""CAST((ke - COALESCE(k, CAST(0 AS BIGINT))) * 1000000
+            |  div (nn - n) AS BIGINT)""".stripMargin)).as("th"))
+    val mn = loo.groupBy(col("etype"))
+      .agg(count(col("th")).as("j"),
+        sum(col("th")).cast("long").as("sth"),
+        sum(col("th").cast("decimal(38,0)") * col("th")).as("sth2"))
+    mn.join(tote, "etype").crossJoin(broadcast(nn))
+      .select(col("etype"), col("j"),
+        expr("CAST(ke * 1000000 div nn AS BIGINT)").as("theta_micro"),
+        when(col("j") < 2, lit(null).cast("long"))
+          .otherwise(round(sqrt(((col("j") - 1)
+              * (col("j") * col("sth2")
+                - col("sth").cast("decimal(38,0)") * col("sth")))
+              .cast("double")) / col("j")).cast("long"))
+          .as("se_micro"))
+      .orderBy(col("etype"))
+  }
+
+  /** Shared oracle for q282 and its streaming twin q284 — one SQL
+    * text, so the two QueryDefs are provably the same computation. */
+  private lazy val jackknifeOracle: String =
+    """WITH d AS (SELECT event_type AS etype,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |cell AS (SELECT etype, day, CAST(count(*) AS BIGINT) AS k
+      |  FROM d GROUP BY 1, 2),
+      |dayn AS (SELECT day, CAST(sum(k) AS BIGINT) AS n FROM cell
+      |  GROUP BY day),
+      |tote AS (SELECT etype, CAST(sum(k) AS BIGINT) AS ke FROM cell
+      |  GROUP BY etype),
+      |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM dayn),
+      |loo AS (SELECT te.etype,
+      |    CASE WHEN nn.nn > dn.n THEN
+      |      CAST((te.ke - COALESCE(c.k, 0)) * 1000000 // (nn.nn - dn.n)
+      |        AS BIGINT) END AS th
+      |  FROM tote te CROSS JOIN dayn dn CROSS JOIN nn
+      |  LEFT JOIN cell c ON c.etype = te.etype AND c.day = dn.day),
+      |mn AS (SELECT etype, CAST(count(th) AS BIGINT) AS j,
+      |    CAST(sum(th) AS BIGINT) AS sth,
+      |    sum(CAST(th AS HUGEINT) * th) AS sth2
+      |  FROM loo GROUP BY etype)
+      |SELECT m.etype, m.j,
+      |  CAST(te.ke * 1000000 // nn.nn AS BIGINT) AS theta_micro,
+      |  CASE WHEN m.j < 2 THEN NULL
+      |    ELSE CAST(round(sqrt(CAST((m.j - 1)
+      |      * (m.j * m.sth2 - CAST(m.sth AS HUGEINT) * m.sth)
+      |      AS DOUBLE)) / m.j) AS BIGINT) END AS se_micro
+      |FROM mn m JOIN tote te ON te.etype = m.etype CROSS JOIN nn
+      |ORDER BY m.etype""".stripMargin
 }

@@ -1551,6 +1551,73 @@ object TrainingOps {
         .orderBy(col("t_hours"))
     },
 
+    // ---- Nelson–Aalen cumulative hazard: q198's estimator twin on
+    //      the SAME duration support table — Ĥ(t) = Σ_{t_i ≤ t} d_i /
+    //      n_risk(t_i), the quantity whose exp(−Ĥ) approximates the
+    //      KM curve but whose INCREMENTS are what hazard-based models
+    //      (survival forests, proportional-hazards screening)
+    //      actually consume. Unlike KM's product, the NA sum is
+    //      CLOSED under integer quantization with no libm at all:
+    //      each step's d·10⁶ div n_risk is one exact non-negative
+    //      floor division and the cumulative sum is an integer window
+    //      — bit-stable by construction (the lesson q198 had to learn
+    //      the hard way, free here). Same censoring rule, same
+    //      support-table scale shape: one corpus agg, O(distinct
+    //      durations) rows after. No deaths ⇒ empty curve. ----
+    QueryDef.sql("q285_nelson_aalen",
+      """WITH u AS (SELECT user_id,
+        |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000
+        |      AS BIGINT) AS dur,
+        |    epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id),
+        |hz AS (SELECT max(last_us) AS h FROM u),
+        |lab AS (SELECT u.dur,
+        |    CASE WHEN u.last_us < hz.h - 86400000000 THEN 1 ELSE 0 END
+        |      AS death FROM u, hz),
+        |sup AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(death) AS BIGINT) AS d FROM lab GROUP BY dur),
+        |tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS nu FROM sup),
+        |cum AS (SELECT dur, n_all, d,
+        |    tot.nu - COALESCE(sum(n_all) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM sup, tot),
+        |dd AS (SELECT dur, d, n_risk,
+        |    CAST(d * 1000000 // n_risk AS BIGINT) AS hq
+        |  FROM cum WHERE d > 0)
+        |SELECT dur AS t_hours, n_risk, d AS n_deaths,
+        |  CAST(sum(hq) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_hazard_micro
+        |FROM dd ORDER BY t_hours""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events").groupBy(col("user_id"))
+        .agg(expr("CAST((unix_micros(max(ts)) - unix_micros(min(ts)))"
+          + " div 3600000000 AS BIGINT)").as("dur"),
+          unix_micros(max(col("ts"))).as("last_us"))
+        .localCheckpoint() // feeds the horizon agg AND the labels
+      val hz = u.agg(max(col("last_us")).as("h"))
+      val sup = u.crossJoin(broadcast(hz))
+        .select(col("dur"),
+          when(col("last_us") < col("h") - 86400000000L, 1L).otherwise(0L)
+            .as("death"))
+        .groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_all"), sum(col("death")).cast("long").as("d"))
+      val tot = sup.agg(sum(col("n_all")).cast("long").as("nu"))
+      val wPrev = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sup.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("nu") - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+        .filter(col("d") > 0)
+        .withColumn("hq", expr("CAST(d * 1000000 div n_risk AS BIGINT)"))
+        .withColumn("cum_hazard_micro",
+          sum(col("hq")).over(wCum).cast("long"))
+        .select(col("dur").as("t_hours"), col("n_risk"),
+          col("d").as("n_deaths"), col("cum_hazard_micro"))
+        .orderBy(col("t_hours"))
+    },
+
     // ---- Benford first-digit audit: the fraud/instrumentation-bug
     //      forensic — organically-generated magnitudes follow
     //      P(d) = log10(1+1/d); a feed whose values were synthesized,

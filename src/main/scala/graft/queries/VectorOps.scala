@@ -2091,6 +2091,64 @@ object VectorOps {
       import s.implicits._
       out.toSeq.toDF("step", "c1", "c2", "n_merged", "dist2_pico")
         .orderBy(col("step"))
+    },
+
+    // ---- Mutual nearest neighbors (reciprocal 1-NN pairs): the
+    //      high-precision pair-mining primitive — bitext mining,
+    //      paraphrase pairing, cross-source entity matching all gate
+    //      on "we are each other's closest vector", which kills the
+    //      hub-dominated false pairs a one-directional 1-NN keeps.
+    //      The 1-NN table comes from the EXACT bound-pruned IVF
+    //      (q40/q89's operator, k=1, corpus-as-queries) with the
+    //      (round-4 cosine DESC, cid) tie order both engines share;
+    //      the oracle recomputes it brute-force, so the green hash
+    //      proves the pruned search exact at k=1 corpus-wide. A
+    //      vector has ONE nearest neighbor, so each id appears in at
+    //      most one mutual pair (id1 unique ⇒ total order). Labels
+    //      join WITHOUT a broadcast hint (corpus-sized — the q215
+    //      rule); same_label reads the pair-mining precision directly.
+    //      Scale: the IVF probe is the audited q89 shape; the mutual
+    //      check is a self-join of the O(N) 1-NN table on its own
+    //      reversed key. ----
+    QueryDef.sql("q283_mutual_nn",
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[])
+        |    AS emb FROM embeddings),
+        |nn AS (SELECT qid, cid, cs FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    round(list_cosine_similarity(a.emb, b.emb), 4) AS cs,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
+        |        DESC, b.vec_id) AS rn
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id) WHERE rn = 1),
+        |mu AS (SELECT x.qid AS id1, x.cid AS id2, x.cs
+        |  FROM nn x JOIN nn y ON y.qid = x.cid AND y.cid = x.qid
+        |  WHERE x.qid < x.cid)
+        |SELECT mu.id1, mu.id2, mu.cs AS cos_sim,
+        |  CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS INTEGER)
+        |    AS same_label
+        |FROM mu JOIN v a ON a.vec_id = mu.id1
+        |JOIN v b ON b.vec_id = mu.id2
+        |ORDER BY id1""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val nn1 = ivfTopK(s, e, e, nCentroids = 8, k = 1)
+        .select(col("qid"), col("cid"), col("cos_sim"))
+        .localCheckpoint() // O(N) 1-NN table feeds both self-join legs
+      val mu = nn1.as("x")
+        .join(nn1.as("y"), col("y.qid") === col("x.cid")
+          && col("y.cid") === col("x.qid"))
+        .filter(col("x.qid") < col("x.cid"))
+        .select(col("x.qid").as("id1"), col("x.cid").as("id2"),
+          col("x.cos_sim").as("cos_sim"))
+      val lab = e.select(col("vec_id"), col("label"))
+      mu.join(lab.select(col("vec_id").as("id1"), col("label").as("la")),
+          "id1")
+        .join(lab.select(col("vec_id").as("id2"), col("label").as("lb")),
+          "id2")
+        .select(col("id1"), col("id2"), col("cos_sim"),
+          when(col("la") === col("lb"), 1).otherwise(0)
+            .cast("int").as("same_label"))
+        .orderBy(col("id1"))
     })
 
   /** DuckDB oracle for q248: the k-step greedy MMR walk unrolled into

@@ -1056,6 +1056,42 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(rows.isEmpty, s"no training data ⇒ no bins: ${rows.toSeq}")
   }
 
+  test("q282: a single-day corpus leaves the jackknife undefined, not 1/0") {
+    // one day ⇒ every leave-one-out denominator is 0 ⇒ θ₍ᵢ₎ guarded
+    // NULL ⇒ j = count(θ) = 0 and SE is NULL — never an ANSI division
+    // error; the point estimate itself stays defined
+    val rows = run("q282_jackknife_se")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("j")) == 0L, s"j: $r")
+      assert(r.isNullAt(r.fieldIndex("se_micro")), s"se: $r")
+      assert(!r.isNullAt(r.fieldIndex("theta_micro")))
+    }
+  }
+
+  test("q283: mutual pairs stay a matching (each id at most once)") {
+    // a vector has exactly one nearest neighbor, so the reciprocal
+    // pair set must be a matching even with the fixture's singleton
+    // label present
+    val rows = run("q283_mutual_nn")
+    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length,
+      "an id appeared in two mutual pairs")
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("q285: a corpus with no churned users yields an empty hazard") {
+    // same censoring rule as q198: the single instant IS the horizon,
+    // zero deaths, zero steps — and the d/n_risk division never runs
+    val rows = run("q285_nelson_aalen")
+    assert(rows.isEmpty, s"no deaths ⇒ no hazard steps: ${rows.toSeq}")
+  }
+
+  test("q286: a single-day corpus has no predecessor to churn against") {
+    val rows = run("q286_topk_churn")
+    assert(rows.isEmpty, s"one day ⇒ no consecutive pair: ${rows.toSeq}")
+  }
+
   test("q279: a singleton label still merges cleanly (n=1 legs)") {
     // the fixture adds label 999 with exactly ONE member: 11 leaves ⇒
     // 10 merges, and the n_a·n_b denominators stay ≥ 1 throughout —

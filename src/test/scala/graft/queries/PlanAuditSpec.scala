@@ -774,7 +774,25 @@ class PlanAuditSpec extends AnyFunSuite {
       // table are both checkpointed at build; the audited tail (the
       // O(B²) minimax grid + report) runs on ≤50-row frames whose
       // joins all broadcast — zero exchanges
-      "q281_isotonic_calibration" -> 0)
+      "q281_isotonic_calibration" -> 0,
+      // q282 = past the checkpointed (etype, day) cell table: the
+      // day/type/total margin aggs, the leave-one-out grid joins, and
+      // the final report agg + sort — 8 exchanges over O(types·days)
+      // rows; the corpus pays only the cell agg at checkpoint time
+      "q282_jackknife_se" -> 8,
+      // q283 = past the checkpointed O(N) 1-NN table (the audited q89
+      // IVF shape runs at build): the reversed-key self-join + the
+      // un-hinted label joins + result sort — the label legs broadcast
+      // by stats at this sf and shuffle at scale
+      "q283_mutual_nn" -> 3,
+      // q285 = past the checkpointed O(users) lifetime table: q198's
+      // exact exchange profile (horizon agg + duration support agg +
+      // total + the single-partition support windows + result sort)
+      "q285_nelson_aalen" -> 6,
+      // q286 = ONE corpus-sized (day, item) count agg feeding the
+      // checkpointed O(days·k) top-k table; sizes, intersection, and
+      // the report all ride broadcasts off it + result sort
+      "q286_topk_churn" -> 1)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
