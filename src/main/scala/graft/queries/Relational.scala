@@ -745,5 +745,56 @@ object Relational {
           round(sum(col("value").cast("decimal(25,10)")), 4)
             .cast("double").as("sum_value"))
         .orderBy(col("c_mktsegment"), col("event_type"))
+    },
+
+    // ---- Session-gap sensitivity sweep: the audit BEFORE anyone
+    //      picks q28's 30-minute constant — session counts and
+    //      events-per-session at 5/15/30/60-minute gap thresholds,
+    //      read off ONE user-keyed lag pass (a session count is just
+    //      #users + #gaps-above-threshold, so the sweep costs four
+    //      conditional sums, not four sessionizations). A metric that
+    //      swings hard across the sweep is threshold-driven, not
+    //      behavior-driven. All integer (exact µs gaps, exact micro
+    //      ratio). Scale: one user-keyed window over the corpus +
+    //      O(thresholds) everything else. ----
+    QueryDef.sql("q288_session_sweep",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS gap FROM e),
+        |thr(t_min) AS (VALUES (CAST(5 AS BIGINT)), (15), (30), (60)),
+        |st AS (SELECT thr.t_min,
+        |    CAST((SELECT count(DISTINCT user_id) FROM e) AS BIGINT)
+        |      + CAST(sum(CASE WHEN g.gap > thr.t_min * 60000000
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |    CAST((SELECT count(*) FROM e) AS BIGINT) AS n_events
+        |  FROM thr, g WHERE g.gap IS NOT NULL GROUP BY thr.t_min)
+        |SELECT t_min, n_sessions,
+        |  CAST(n_events * 1000000 // n_sessions AS BIGINT)
+        |    AS events_per_session_micro
+        |FROM st ORDER BY t_min""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+      val g = e.withColumn("gap", col("us") - lag(col("us"), 1)
+          .over(Window.partitionBy(col("user_id"))
+            .orderBy(col("us"), col("event_id"))))
+        .filter(col("gap").isNotNull)
+        .select(col("gap"))
+      val base = e.agg(countDistinct(col("user_id")).as("nu"),
+        count(lit(1)).as("n_events"))
+      val thr = s.range(0, 4).select(
+        when(col("id") === 0, 5L).when(col("id") === 1, 15L)
+          .when(col("id") === 2, 30L).otherwise(60L).as("t_min"))
+      g.crossJoin(broadcast(thr))
+        .groupBy(col("t_min"))
+        .agg(sum(when(col("gap") > col("t_min") * 60000000L, 1L)
+          .otherwise(0L)).as("extra"))
+        .crossJoin(broadcast(base))
+        .select(col("t_min"),
+          (col("nu") + col("extra")).cast("long").as("n_sessions"),
+          expr("""CAST(n_events * 1000000 div (nu + extra)
+            |  AS BIGINT)""".stripMargin).as("events_per_session_micro"))
+        .orderBy(col("t_min"))
     })
 }

@@ -910,6 +910,72 @@ object TrainingOps {
         .orderBy(col("etype"))
     },
 
+    // ---- Quantile treatment effect at the deciles: WHERE in the
+    //      value distribution the A/B effect lives — equal means (q165)
+    //      and even a small KS (q175) can hide a tail-only shift that
+    //      a mean test averages away; the QTE row at p=9 is the tail
+    //      story. Per (etype, arm): the p-th decile is the EXACT order
+    //      statistic at rank ⌈p·n/10⌉, read off the same (etype, v)
+    //      support table q175 uses via the integer test cum·10 ≥ p·n —
+    //      never an interpolated float percentile, so both engines
+    //      agree bit-for-bit. Empty arms leave the quantile NULL (the
+    //      min-over-empty guard is explicit: an na = 0 arm must not
+    //      satisfy cum·10 ≥ 0 vacuously). One corpus support agg +
+    //      one window pass + an O(types·9) report. ----
+    QueryDef.sql("q287_quantile_effect",
+      s"""WITH $armedCte,
+        |pts AS (SELECT etype, v,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM a GROUP BY etype, v),
+        |cum AS (SELECT etype, v,
+        |    sum(ca) OVER (PARTITION BY etype ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+        |    sum(cb) OVER (PARTITION BY etype ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB
+        |  FROM pts),
+        |n AS (SELECT etype, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM pts GROUP BY etype),
+        |dec(p) AS (VALUES (CAST(1 AS BIGINT)), (2), (3), (4), (5),
+        |  (6), (7), (8), (9)),
+        |qs AS (SELECT cum.etype, d.p, n.na, n.nb,
+        |    min(CASE WHEN n.na > 0 AND cum.cumA * 10 >= d.p * n.na
+        |      THEN cum.v END) AS qa,
+        |    min(CASE WHEN n.nb > 0 AND cum.cumB * 10 >= d.p * n.nb
+        |      THEN cum.v END) AS qb
+        |  FROM cum JOIN n ON n.etype = cum.etype CROSS JOIN dec d
+        |  GROUP BY cum.etype, d.p, n.na, n.nb)
+        |SELECT etype, p AS decile, qa AS q_a_micro, qb AS q_b_micro,
+        |  qb - qa AS qte_micro
+        |FROM qs ORDER BY etype, decile""".stripMargin) { (s, d) =>
+      val pts = armedEvents(t(s, d, "events"))
+        .groupBy(col("etype"), col("v"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint() // O(types·distinct v) feeds window + margins
+      val w = Window.partitionBy(col("etype")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pts
+        .withColumn("cumA", sum(col("ca")).over(w))
+        .withColumn("cumB", sum(col("cb")).over(w))
+      val n = pts.groupBy(col("etype"))
+        .agg(sum(col("ca")).cast("long").as("na"),
+          sum(col("cb")).cast("long").as("nb"))
+      val dec = s.range(1, 10).select(col("id").as("p"))
+      cum.join(n, "etype").crossJoin(broadcast(dec))
+        .groupBy(col("etype"), col("p"), col("na"), col("nb"))
+        .agg(min(when(col("na") > 0
+            && col("cumA") * 10 >= col("p") * col("na"), col("v")))
+            .as("qa"),
+          min(when(col("nb") > 0
+            && col("cumB") * 10 >= col("p") * col("nb"), col("v")))
+            .as("qb"))
+        .select(col("etype"), col("p").as("decile"),
+          col("qa").as("q_a_micro"), col("qb").as("q_b_micro"),
+          (col("qb") - col("qa")).as("qte_micro"))
+        .orderBy(col("etype"), col("decile"))
+    },
+
     // ---- Max-min fair budget allocation (progressive waterfilling):
     //      an 80%-of-corpus token budget splits across languages so
     //      that small languages keep their FULL demand and the
@@ -1549,6 +1615,57 @@ object TrainingOps {
         .select(col("r.t_hours"), col("r.n_risk"), col("r.n_deaths"),
           col("r.survival"))
         .orderBy(col("t_hours"))
+    },
+
+    // ---- Additive-smoothing rate shrinkage (empirical-Bayes-style):
+    //      per-item purchase rates pulled toward the pooled rate with
+    //      pseudo-count m = mean item volume — the de-noising pass a
+    //      curation pipeline runs before thresholding on a per-slice
+    //      rate (a 3-event item with 2 purchases is NOT a 67 % slice;
+    //      shrinkage says how much of that is volume noise). All
+    //      integer: pooled rate and m are exact floor divisions of
+    //      corpus counts, the posterior (k·10⁶ + m·p̄)/(n + m) is one
+    //      more — the shift column ranks items by how much smoothing
+    //      moved them, and the count of >1 %-shifts falling with SF
+    //      (90 → 61 → 9 across the test SFs) is the shrinkage story
+    //      itself. One corpus (item) agg, O(items) after. ----
+    QueryDef.sql("q289_rate_shrinkage",
+      """WITH e AS (SELECT
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE props IS NOT NULL),
+        |pi AS (SELECT item, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS k FROM e GROUP BY item),
+        |gl AS (SELECT CAST(sum(k) * 1000000 // sum(n) AS BIGINT) AS pbar,
+        |    CAST(sum(n) // count(*) AS BIGINT) AS m FROM pi)
+        |SELECT pi.item, pi.n, pi.k,
+        |  CAST(pi.k * 1000000 // pi.n AS BIGINT) AS raw_micro,
+        |  CAST((pi.k * 1000000 + gl.m * gl.pbar) // (pi.n + gl.m)
+        |    AS BIGINT) AS shrunk_micro,
+        |  abs(CAST(pi.k * 1000000 // pi.n AS BIGINT)
+        |    - CAST((pi.k * 1000000 + gl.m * gl.pbar) // (pi.n + gl.m)
+        |      AS BIGINT)) AS shift_micro
+        |FROM pi, gl ORDER BY pi.item""".stripMargin) { (s, d) =>
+      val pi = t(s, d, "events")
+        .filter(col("props").isNotNull)
+        .select(get_json_object(col("props"), "$.k").cast("long")
+            .as("item"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"))
+        .groupBy(col("item"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k"))
+        .localCheckpoint() // O(items) feeds the prior agg AND the report
+      val gl = pi.agg(
+        expr("CAST(sum(k) * 1000000 div sum(n) AS BIGINT)").as("pbar"),
+        expr("CAST(sum(n) div count(1) AS BIGINT)").as("m"))
+      pi.crossJoin(broadcast(gl))
+        .select(col("item"), col("n"), col("k"),
+          expr("CAST(k * 1000000 div n AS BIGINT)").as("raw_micro"),
+          expr("CAST((k * 1000000 + m * pbar) div (n + m) AS BIGINT)")
+            .as("shrunk_micro"))
+        .withColumn("shift_micro",
+          abs(col("raw_micro") - col("shrunk_micro")))
+        .orderBy(col("item"))
     },
 
     // ---- Nelson–Aalen cumulative hazard: q198's estimator twin on

@@ -1092,6 +1092,45 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(rows.isEmpty, s"one day ⇒ no consecutive pair: ${rows.toSeq}")
   }
 
+  test("q287: an empty arm leaves its quantiles NULL, not vacuous mins") {
+    // md5('1') hashes every user into arm B: the A-side order
+    // statistic must be NULL (the na=0 guard — without it cum·10 ≥ 0
+    // is vacuously true and qa would read the global min)
+    val rows = run("q287_quantile_effect")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("q_a_micro")), s"qa: $r")
+      assert(!r.isNullAt(r.fieldIndex("q_b_micro")), s"qb: $r")
+      assert(r.isNullAt(r.fieldIndex("qte_micro")), s"qte: $r")
+    }
+  }
+
+  test("q288: a single-instant user is one session at every threshold") {
+    val rows = run("q288_session_sweep")
+    assert(rows.length == 4)
+    rows.foreach(r =>
+      assert(r.getLong(r.fieldIndex("n_sessions")) == 1L, s"$r"))
+  }
+
+  test("q289: shrinkage lands between the raw rate and the prior") {
+    // the posterior is a weighted average of raw and pooled rates —
+    // floor rounding can stray at most ~1 micro outside the bracket
+    val rows = run("q289_rate_shrinkage")
+    assert(rows.nonEmpty)
+    val pbar = {
+      val n = rows.map(r => r.getLong(r.fieldIndex("n"))).sum
+      val k = rows.map(r => r.getLong(r.fieldIndex("k"))).sum
+      k * 1000000L / n
+    }
+    rows.foreach { r =>
+      val raw = r.getLong(r.fieldIndex("raw_micro"))
+      val sh = r.getLong(r.fieldIndex("shrunk_micro"))
+      val lo = math.min(raw, pbar) - 1
+      val hi = math.max(raw, pbar) + 1
+      assert(sh >= lo && sh <= hi, s"shrunk $sh outside [$lo,$hi]: $r")
+    }
+  }
+
   test("q279: a singleton label still merges cleanly (n=1 legs)") {
     // the fixture adds label 999 with exactly ONE member: 11 leaves ⇒
     // 10 merges, and the n_a·n_b denominators stay ≥ 1 throughout —

@@ -792,7 +792,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // q286 = ONE corpus-sized (day, item) count agg feeding the
       // checkpointed O(days·k) top-k table; sizes, intersection, and
       // the report all ride broadcasts off it + result sort
-      "q286_topk_churn" -> 1)
+      "q286_topk_churn" -> 1,
+      // q287 = past the checkpointed (etype, v) support: the etype
+      // margin agg + the support window + the O(types·9) quantile agg
+      // — q175's profile plus the decile grid (broadcast)
+      "q287_quantile_effect" -> 3,
+      // q288 = the user-keyed lag window + distinct-user/base agg
+      // pair + the 4-threshold conditional-sum agg + result sort —
+      // the sweep never re-sessionizes per threshold
+      "q288_session_sweep" -> 5,
+      // q289 = ONE corpus-sized (item) agg at checkpoint; the prior
+      // agg + report sort run on the O(items) table
+      "q289_rate_shrinkage" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
