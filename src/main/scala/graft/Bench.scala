@@ -26,6 +26,21 @@ object Bench {
       } finally src.close()
     } catch { case _: Exception => None }
 
+  /** 1-minute load average from `/proc/loadavg` — the run-queue depth
+    * steal_pct misses. The r10 verdict's q138 case (8.9 s vs 21.3 s at
+    * equally low steal) showed same-host contention from sibling
+    * PROCESSES (not sibling VMs) inflating trigger-heavy queries while
+    * steal stayed flat; a loadavg far above this JVM's own core count
+    * at either end of the run marks the record as contended. None on
+    * non-Linux / unreadable.
+    */
+  private def loadAvg(): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().nextOption().map(_.split("\\s+")(0).toDouble)
+      finally src.close()
+    } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,6 +84,7 @@ object Bench {
     exec("q01_pricing_summary")
 
     val ticks0 = cpuTicks()
+    val load0 = loadAvg()
 
     // Optional args: run only the named queries (iteration aid).
     val names = if (args.nonEmpty) args.toSeq.sorted
@@ -108,7 +124,9 @@ object Bench {
       val (busy, steal) = (b1 - b0, s1 - s0)
       val pct = if (busy + steal > 0)
         math.round(10000.0 * steal / (busy + steal)) / 100.0 else 0.0
-      s""","host":{"busy_ticks":$busy,"steal_ticks":$steal,"steal_pct":$pct}"""
+      val load = (for (l0 <- load0; l1 <- loadAvg()) yield
+        s""","loadavg_start":$l0,"loadavg_end":$l1,"cpus":$cpus""").getOrElse("")
+      s""","host":{"busy_ticks":$busy,"steal_ticks":$steal,"steal_pct":$pct$load}"""
     }).getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$host}"""

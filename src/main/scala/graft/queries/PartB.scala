@@ -3605,6 +3605,88 @@ object PartB {
       jackknifeTail(s.table(sink)
         .select(col("etype"), col("day"), col("k").cast("long").as("k"))
         .localCheckpoint())
+    },
+
+    // ---- Mann-Kendall trend test (tie-corrected): is daily event
+    //      volume trending per type, assuming no distribution shape?
+    //      The significance companion to q232's Theil-Sen slope (that
+    //      one says HOW steep, this one says WHETHER to believe it).
+    //      All integer until the last row: S = Σ_{i<j} sign(c_j−c_i)
+    //      and the tie-corrected variance numerator var18 =
+    //      n(n−1)(2n+5) − Σ t(t−1)(2t+5) are exact integers off the
+    //      checkpointed O(types·days) daily table; the day-pair fold
+    //      is O(types·days²) — days are bounded by the calendar, not
+    //      the corpus, so 100× the data widens only the daily agg.
+    //      z applies the continuity correction (S∓1)/√(var18/18);
+    //      sqrt + one division are the only float ops (q165's fence),
+    //      NULL when var18 = 0 (a constant series has no trend to
+    //      test). ----
+    QueryDef.sql("q290_mann_kendall",
+      """WITH daily AS (SELECT event_type AS etype,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT a.etype,
+        |    CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |      WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON b.etype = a.etype AND b.day > a.day
+        |  GROUP BY a.etype),
+        |n AS (SELECT etype, CAST(count(*) AS BIGINT) AS n
+        |  FROM daily GROUP BY etype),
+        |ties AS (SELECT etype,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+        |  FROM (SELECT etype, c, CAST(count(*) AS BIGINT) AS t
+        |    FROM daily GROUP BY etype, c) GROUP BY etype)
+        |SELECT n.etype AS etype, n.n AS n_days,
+        |  COALESCE(s.s_stat, 0) AS s_stat,
+        |  n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt AS var18,
+        |  CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt > 0 THEN
+        |    round((COALESCE(s.s_stat, 0)
+        |        - CASE WHEN COALESCE(s.s_stat, 0) > 0 THEN 1
+        |          WHEN COALESCE(s.s_stat, 0) < 0 THEN -1 ELSE 0 END)
+        |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt
+        |        AS DOUBLE) / 18), 6)
+        |  END AS z
+        |FROM n JOIN ties ON ties.etype = n.etype
+        |LEFT JOIN s ON s.etype = n.etype
+        |ORDER BY etype""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .select(col("event_type").as("etype"),
+          expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .groupBy(col("etype"), col("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // O(types·days): feeds the pair fold, the
+                           // tie table and the day count
+      val a = daily.select(col("etype"), col("day").as("da"),
+        col("c").as("ca"))
+      val b = daily.select(col("etype"), col("day").as("db"),
+        col("c").as("cb"))
+      // calendar-bounded pair fold: the broadcast side is the whole
+      // aggregated daily table (types·days rows at any corpus size)
+      val sS = a.join(broadcast(b), Seq("etype"))
+        .filter(col("db") > col("da"))
+        .groupBy(col("etype"))
+        .agg(sum(when(col("cb") > col("ca"), 1L)
+            .when(col("cb") < col("ca"), -1L).otherwise(0L))
+          .cast("long").as("s_stat"))
+      val n = daily.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy(col("etype"), col("c"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("etype"))
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+          .cast("long").as("tt"))
+      n.join(ties, "etype").join(sS, Seq("etype"), "left")
+        .select(col("etype"), col("n").as("n_days"),
+          coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+          (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt"))
+            .as("var18"))
+        .withColumn("z",
+          when(col("var18") > 0,
+            round((col("s_stat") - signum(col("s_stat")).cast("long"))
+              / sqrt(col("var18").cast("double") / 18), 6)))
+        .orderBy(col("etype"))
     })
 
   /** The q282 leave-one-day-out assembly from an (etype, day, k) cell

@@ -3216,6 +3216,73 @@ object TextOps {
             |  div n_trigrams AS BIGINT)""".stripMargin)
             .as("unique_share_micro"))
         .orderBy(col("source"))
+    },
+
+    // ---- Good-Turing unseen mass per source: how much probability
+    //      does each feed's NEXT shard hold in never-seen tokens?
+    //      p₀ = N₁/N (singleton share of the token stream) is the
+    //      Good-Turing estimate of unseen mass — the forward-looking
+    //      companion to q199's Chao1 (that one bounds how many types
+    //      are missing; this one says how OFTEN you'll meet them),
+    //      read directly off the frequency-of-frequencies table. The
+    //      smoothed counts r* = (r+1)·N_{r+1}/N_r for r = 1, 2 expose
+    //      how hard the singleton/doubleton mass gets discounted. All
+    //      integer: counts, then three exact micro divisions per
+    //      source row. One corpus tokenization (the q190 idiom) into
+    //      a (source, token) agg; the fof table is O(sources·distinct
+    //      frequencies) and everything after is O(sources). A source
+    //      with no singletons gets NULL r*₁ (nothing to discount) —
+    //      DegenerateInputSpec. ----
+    QueryDef.sql("q292_good_turing",
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |  FROM documents),
+        |cs AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, tk),
+        |fof AS (SELECT source, c, CAST(count(*) AS BIGINT) AS nr
+        |  FROM cs GROUP BY source, c),
+        |m AS (SELECT source,
+        |    CAST(sum(c * nr) AS BIGINT) AS n,
+        |    CAST(sum(nr) AS BIGINT) AS vocab,
+        |    CAST(COALESCE(sum(nr) FILTER (WHERE c = 1), 0) AS BIGINT)
+        |      AS n1,
+        |    CAST(COALESCE(sum(nr) FILTER (WHERE c = 2), 0) AS BIGINT)
+        |      AS n2,
+        |    CAST(COALESCE(sum(nr) FILTER (WHERE c = 3), 0) AS BIGINT)
+        |      AS n3
+        |  FROM fof GROUP BY source)
+        |SELECT source, n AS n_tokens, vocab, n1, n2, n3,
+        |  (n1 * 1000000) // n AS p0_micro,
+        |  CASE WHEN n1 > 0 THEN (2 * n2 * 1000000) // n1 END
+        |    AS rstar1_micro,
+        |  CASE WHEN n2 > 0 THEN (3 * n3 * 1000000) // n2 END
+        |    AS rstar2_micro
+        |FROM m ORDER BY source""".stripMargin) { (s, d) =>
+      val cs = t(s, d, "documents")
+        .select(col("source"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+        .groupBy(col("source"), col("tk"))
+        .agg(count(lit(1)).as("c"))
+      // frequency-of-frequencies: O(sources·distinct counts) rows
+      val fof = cs.groupBy(col("source"), col("c"))
+        .agg(count(lit(1)).as("nr"))
+      fof.groupBy(col("source"))
+        .agg(sum(col("c") * col("nr")).cast("long").as("n"),
+          sum(col("nr")).cast("long").as("vocab"),
+          coalesce(sum(when(col("c") === 1, col("nr"))), lit(0L))
+            .cast("long").as("n1"),
+          coalesce(sum(when(col("c") === 2, col("nr"))), lit(0L))
+            .cast("long").as("n2"),
+          coalesce(sum(when(col("c") === 3, col("nr"))), lit(0L))
+            .cast("long").as("n3"))
+        .select(col("source"), col("n").as("n_tokens"), col("vocab"),
+          col("n1"), col("n2"), col("n3"),
+          expr("(n1 * 1000000) div n").as("p0_micro"),
+          when(col("n1") > 0, expr("(2 * n2 * 1000000) div n1"))
+            .as("rstar1_micro"),
+          when(col("n2") > 0, expr("(3 * n3 * 1000000) div n2"))
+            .as("rstar2_micro"))
+        .orderBy(col("source"))
     })
 
   /** DuckDB oracle for q267: the 5-round greedy coverage walk

@@ -2620,5 +2620,121 @@ object TrainingOps {
           col("nr").cast("long").as("n_right"),
           col("p_left_micro"), col("p_right_micro"))
         .orderBy(col("rank")).limit(5)
+    },
+
+    // ---- Log-rank test: do the two md5-armed user cohorts share one
+    //      churn-survival curve? The hypothesis-test companion to
+    //      q198's Kaplan-Meier and q285's Nelson-Aalen (those draw
+    //      the curves; this one says whether A's and B's differ).
+    //      Fully integer: at each death time the observed-minus-
+    //      expected term (d·nA·1e6) div n and the hypergeometric
+    //      variance term — factored as ((d·(n−d)·1e6) div (n−1)) then
+    //      ·nA·nB div n², keeping every intermediate < 2⁶³ — are
+    //      exact integer micro, so the cross-duration sums are
+    //      order-independent; χ² is one integer milli division at the
+    //      end (abs before div: Spark's `div` truncates toward zero,
+    //      DuckDB's `//` floors — they agree only on non-negatives).
+    //      The corpus pays one per-user agg; everything after runs on
+    //      the O(distinct durations) support table, exactly q198's
+    //      scale shape. n=1 risk sets contribute zero variance; a
+    //      zero total variance yields NULL χ² (one arm empty, or no
+    //      deaths — DegenerateInputSpec). ----
+    QueryDef.sql("q291_logrank_test",
+      """WITH u AS (SELECT user_id,
+        |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000
+        |      AS BIGINT) AS dur,
+        |    epoch_us(max(ts)) AS last_us,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+        |      < '80' THEN 1 ELSE 0 END AS a
+        |  FROM events GROUP BY user_id),
+        |hz AS (SELECT max(last_us) AS h FROM u),
+        |lab AS (SELECT u.dur, u.a,
+        |    CASE WHEN u.last_us < hz.h - 86400000000 THEN 1 ELSE 0 END
+        |      AS death FROM u, hz),
+        |sup AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(death) AS BIGINT) AS dd,
+        |    CAST(sum(a) AS BIGINT) AS na_all,
+        |    CAST(sum(a * death) AS BIGINT) AS da
+        |  FROM lab GROUP BY dur),
+        |tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS nu,
+        |    CAST(sum(na_all) AS BIGINT) AS nau FROM sup),
+        |cum AS (SELECT dur, dd, da,
+        |    tot.nu - COALESCE(sum(n_all) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk,
+        |    tot.nau - COALESCE(sum(na_all) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS na_risk
+        |  FROM sup, tot),
+        |term AS (SELECT dur, da,
+        |    (dd * na_risk * 1000000) // n_risk AS ea,
+        |    CASE WHEN n_risk > 1 THEN
+        |      (((dd * (n_risk - dd) * 1000000) // (n_risk - 1))
+        |        * na_risk * (n_risk - na_risk)) // (n_risk * n_risk)
+        |    ELSE 0 END AS v
+        |  FROM cum WHERE dd > 0),
+        |agg AS (SELECT CAST(COALESCE(sum(da), 0) AS BIGINT) AS o_a,
+        |    CAST(COALESCE(sum(ea), 0) AS BIGINT) AS e_a_micro,
+        |    CAST(COALESCE(sum(v), 0) AS BIGINT) AS var_micro
+        |  FROM term)
+        |SELECT tot.nau AS n_a, tot.nu - tot.nau AS n_b,
+        |  agg.o_a AS o_a, agg.e_a_micro AS e_a_micro,
+        |  agg.var_micro AS var_micro,
+        |  CASE WHEN agg.var_micro >= 1000 THEN
+        |    ((abs(agg.o_a * 1000000 - agg.e_a_micro) // 1000)
+        |      * (abs(agg.o_a * 1000000 - agg.e_a_micro) // 1000))
+        |      // (agg.var_micro // 1000)
+        |  END AS chi2_milli
+        |FROM agg, tot""".stripMargin) { (s, d) =>
+      // O(users) rows, checkpointed: feeds the horizon agg AND the
+      // label projection (q198's shape, plus the arm column)
+      val u = t(s, d, "events").groupBy(col("user_id"))
+        .agg(expr("CAST((unix_micros(max(ts)) - unix_micros(min(ts)))"
+          + " div 3600000000 AS BIGINT)").as("dur"),
+          unix_micros(max(col("ts"))).as("last_us"))
+        .withColumn("a",
+          when(substring(md5(col("user_id").cast("string")
+            .cast("binary")), 1, 2) < "80", 1L).otherwise(0L))
+        .localCheckpoint()
+      val hz = u.agg(max(col("last_us")).as("h"))
+      val sup = u.crossJoin(broadcast(hz))
+        .select(col("dur"), col("a"),
+          when(col("last_us") < col("h") - 86400000000L, 1L).otherwise(0L)
+            .as("death"))
+        .groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_all"),
+          sum(col("death")).cast("long").as("dd"),
+          sum(col("a")).cast("long").as("na_all"),
+          sum(col("a") * col("death")).cast("long").as("da"))
+        .localCheckpoint() // O(distinct durations): feeds the totals
+                           // AND the risk-set windows
+      val tot = sup.agg(sum(col("n_all")).cast("long").as("nu"),
+        sum(col("na_all")).cast("long").as("nau"))
+      val wPrev = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val term = sup.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("nu") - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+        .withColumn("na_risk",
+          col("nau") - coalesce(sum(col("na_all")).over(wPrev), lit(0L)))
+        .filter(col("dd") > 0)
+        .select(col("da"),
+          expr("(dd * na_risk * 1000000) div n_risk").as("ea"),
+          expr("""CASE WHEN n_risk > 1 THEN
+            |  (((dd * (n_risk - dd) * 1000000) div (n_risk - 1))
+            |    * na_risk * (n_risk - na_risk)) div (n_risk * n_risk)
+            |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("v"))
+      val agg = term.agg(
+        coalesce(sum(col("da")), lit(0L)).cast("long").as("o_a"),
+        coalesce(sum(col("ea")), lit(0L)).cast("long").as("e_a_micro"),
+        coalesce(sum(col("v")), lit(0L)).cast("long").as("var_micro"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("nau").as("n_a"), (col("nu") - col("nau")).as("n_b"),
+          col("o_a"), col("e_a_micro"), col("var_micro"),
+          when(col("var_micro") >= 1000,
+            expr("""((abs(o_a * 1000000 - e_a_micro) div 1000)
+              |  * (abs(o_a * 1000000 - e_a_micro) div 1000))
+              |  div (var_micro div 1000)""".stripMargin))
+            .as("chi2_milli"))
     })
 }

@@ -1146,4 +1146,50 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(r.getInt(r.fieldIndex("c1")) < r.getInt(r.fieldIndex("c2")))
     }
   }
+
+  test("q290: a one-day series has no trend — var18 = 0, z NULL") {
+    // one instant ⇒ every type's daily series is a single point:
+    // zero pairs (S = 0 via the LEFT-join coalesce, not a dropped
+    // row) and n(n−1)(2n+5) − Σt(t−1)(2t+5) = 0 ⇒ z undefined
+    val rows = run("q290_mann_kendall")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_days")) == 1L, s"$r")
+      assert(r.getLong(r.fieldIndex("s_stat")) == 0L, s"$r")
+      assert(r.getLong(r.fieldIndex("var18")) == 0L, s"$r")
+      assert(r.isNullAt(r.fieldIndex("z")), s"z must be NULL: $r")
+    }
+  }
+
+  test("q291: no deaths and an empty arm yield NULL chi2, not 0/0") {
+    // one instant ⇒ the single user's last event IS the horizon, so
+    // nobody churns (no death times, zero variance), and md5('1')
+    // hashes the whole population into arm B
+    val r = run("q291_logrank_test")(0)
+    assert(r.getLong(r.fieldIndex("n_a")) == 0L, s"$r")
+    assert(r.getLong(r.fieldIndex("o_a")) == 0L, s"$r")
+    assert(r.getLong(r.fieldIndex("var_micro")) == 0L, s"$r")
+    assert(r.isNullAt(r.fieldIndex("chi2_milli")),
+      s"chi2 on zero variance must be NULL: $r")
+  }
+
+  test("q292: a singleton-free source discounts nothing — NULL r*1") {
+    // custom micro-fixture: every token appears exactly twice, so
+    // N1 = 0 — the unseen mass is 0 and r*1 = 2·N2/N1 is undefined
+    val tmp = Files.createTempDirectory("gtdegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "aa bb", "en", "web", 5L), (2L, "bb aa", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("q292_good_turing")(spark, d2).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 4L, s"$r")
+    assert(r.getLong(r.fieldIndex("n1")) == 0L, s"$r")
+    assert(r.getLong(r.fieldIndex("p0_micro")) == 0L, s"$r")
+    assert(r.isNullAt(r.fieldIndex("rstar1_micro")),
+      s"r*1 with no singletons must be NULL: $r")
+    assert(r.getLong(r.fieldIndex("rstar2_micro")) == 0L,
+      s"r*2 = 3·N3/N2 = 0 when N3 = 0: $r")
+  }
 }

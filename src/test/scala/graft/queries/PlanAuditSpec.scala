@@ -803,7 +803,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "q288_session_sweep" -> 5,
       // q289 = ONE corpus-sized (item) agg at checkpoint; the prior
       // agg + report sort run on the O(items) table
-      "q289_rate_shrinkage" -> 2)
+      "q289_rate_shrinkage" -> 2,
+      // q290 = past the checkpointed O(types·days) daily table: the
+      // pair-fold agg (the pair join itself broadcasts the aggregated
+      // daily side), the n and tie aggs (2) + result sort — every
+      // exchange calendar-, not corpus-, sized
+      "q290_mann_kendall" -> 5,
+      // q291 = past the checkpointed O(users) lifetime and O(durations)
+      // support tables: the totals agg, the single-partition risk-set
+      // window, and the final term agg — q198's profile minus the
+      // result sort (one summary row)
+      "q291_logrank_test" -> 3,
+      // q292 = the (source, token) agg + the frequency-of-frequencies
+      // agg + the O(sources) margin agg + result sort; only the first
+      // is corpus-sized
+      "q292_good_turing" -> 4)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
