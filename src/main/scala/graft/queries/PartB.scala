@@ -3687,6 +3687,74 @@ object PartB {
             round((col("s_stat") - signum(col("s_stat")).cast("long"))
               / sqrt(col("var18").cast("double") / 18), 6)))
         .orderBy(col("etype"))
+    },
+
+    // ---- Cliff's delta between source pairs: the ordinal effect
+    //      size δ = P(X>Y) − P(X<Y) on document lengths — q182's
+    //      Mann-Whitney says WHETHER two feeds differ, this says HOW
+    //      MUCH, on a [−1, 1] scale that survives any monotone
+    //      transform. Exact integers end to end: the greater/less
+    //      pair counts are products of VALUE-CELL counts (the q246
+    //      discipline — distinct-length cells, never document pairs),
+    //      so the fold is O(cells²) where cells are bounded by the
+    //      length domain, not the corpus; δ lands as sign·(abs·10⁶
+    //      div n₁n₂) — abs before div because Spark truncates and
+    //      DuckDB floors negative integer division. ----
+    QueryDef.sql("q293_cliffs_delta",
+      """WITH cell AS (SELECT source, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cell GROUP BY source),
+        |pairs AS (SELECT a.source AS s1, b.source AS s2,
+        |    CAST(sum(CASE WHEN a.v > b.v
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS BIGINT)
+        |      AS gt,
+        |    CAST(sum(CASE WHEN a.v < b.v
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS BIGINT)
+        |      AS lt
+        |  FROM cell a JOIN cell b ON a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.s1 AS s1, p.s2 AS s2, n1.n AS n1, n2.n AS n2,
+        |  p.gt AS gt, p.lt AS lt,
+        |  (CASE WHEN p.gt >= p.lt THEN 1 ELSE -1 END)
+        |    * ((abs(p.gt - p.lt) * 1000000) // (n1.n * n2.n))
+        |    AS delta_micro
+        |FROM pairs p JOIN n n1 ON n1.source = p.s1
+        |JOIN n n2 ON n2.source = p.s2
+        |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      val cell = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // O(sources·distinct lengths): feeds the
+                           // pair fold and both margins
+      val a = cell.select(col("source").as("s1"), col("v").as("va"),
+        col("c").as("ca"))
+      val b = cell.select(col("source").as("s2"), col("v").as("vb"),
+        col("c").as("cb"))
+      // domain-bounded cell² fold (length cells, not doc pairs); the
+      // broadcast side is the aggregated cell table
+      val pairs = a.join(broadcast(b), col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(sum(when(col("va") > col("vb"),
+            col("ca").cast("decimal(38,0)") * col("cb")).otherwise(lit(0)))
+            .cast("long").as("gt"),
+          sum(when(col("va") < col("vb"),
+            col("ca").cast("decimal(38,0)") * col("cb")).otherwise(lit(0)))
+            .cast("long").as("lt"))
+      val n = cell.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n"))
+      pairs
+        .join(broadcast(n.select(col("source").as("s1"), col("n").as("n1"))),
+          Seq("s1"))
+        .join(broadcast(n.select(col("source").as("s2"), col("n").as("n2"))),
+          Seq("s2"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          col("gt"), col("lt"),
+          (when(col("gt") >= col("lt"), 1L).otherwise(-1L)
+            * expr("(abs(gt - lt) * 1000000) div (n1 * n2)"))
+            .as("delta_micro"))
+        .orderBy(col("s1"), col("s2"))
     })
 
   /** The q282 leave-one-day-out assembly from an (etype, day, k) cell

@@ -3283,6 +3283,98 @@ object TextOps {
           when(col("n2") > 0, expr("(3 * n3 * 1000000) div n2"))
             .as("rstar2_micro"))
         .orderBy(col("source"))
+    },
+
+    // ---- Jensen-Shannon divergence matrix between sources: the
+    //      symmetric, √-metrizable, [0, ln 2]-bounded companion to
+    //      q190's KL — the number corpus-mixing actually wants (KL
+    //      explodes on disjoint vocabularies; JS saturates at ln 2).
+    //      The q190/q185 libm fence: each log ratio ln(2c₁n₂/(c₁n₂ +
+    //      c₂n₁)) is computed ONCE per co-occurring (pair, token) row
+    //      from exact integer counts, ROUNDED (not floored) to 1e6
+    //      fixed point; the token-mass sums run in DECIMAL(38,0); the
+    //      disjoint-vocabulary mass contributes exactly ln 2 per unit
+    //      — added as the integer literal 693147 (≈ln 2·10⁶, written
+    //      out so NO engine evaluates a log at all for it); the two
+    //      divisions by n happen on the O(pairs) result. One
+    //      token-keyed self-join on the checkpointed (source, token)
+    //      agg — rows = Σ_tk C(k_tk, 2), bounded by vocab·pairs; at
+    //      100× the vocab grows ~√ (Heaps), the pair count not at
+    //      all. Identical corpora ⇒ every log ratio is ln 1 = 0 and
+    //      the disjoint mass is 0 ⇒ JS exactly 0.0. ----
+    QueryDef.sql("q295_js_divergence",
+      """WITH cs AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |    FROM documents) GROUP BY source, tk),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cs GROUP BY source),
+        |co AS (SELECT a.source AS s1, b.source AS s2,
+        |    CAST(sum(CAST(a.c AS HUGEINT)
+        |      * CAST(round(ln((2.0 * a.c * n2.n)
+        |        / (CAST(a.c AS DOUBLE) * n2.n + CAST(b.c AS DOUBLE) * n1.n))
+        |        * 1000000) AS BIGINT)) AS HUGEINT) AS w1,
+        |    CAST(sum(CAST(b.c AS HUGEINT)
+        |      * CAST(round(ln((2.0 * b.c * n1.n)
+        |        / (CAST(a.c AS DOUBLE) * n2.n + CAST(b.c AS DOUBLE) * n1.n))
+        |        * 1000000) AS BIGINT)) AS HUGEINT) AS w2,
+        |    CAST(sum(a.c) AS BIGINT) AS m1,
+        |    CAST(sum(b.c) AS BIGINT) AS m2
+        |  FROM cs a JOIN cs b ON b.tk = a.tk AND a.source < b.source
+        |  JOIN ns n1 ON n1.source = a.source
+        |  JOIN ns n2 ON n2.source = b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT co.s1 AS s1, co.s2 AS s2, n1.n AS n1, n2.n AS n2,
+        |  round((CAST(co.w1 + (n1.n - co.m1) * CAST(693147 AS HUGEINT)
+        |      AS DOUBLE) / n1.n
+        |    + CAST(co.w2 + (n2.n - co.m2) * CAST(693147 AS HUGEINT)
+        |      AS DOUBLE) / n2.n) / 2 / 1000000, 6) AS js_nats
+        |FROM co JOIN ns n1 ON n1.source = co.s1
+        |JOIN ns n2 ON n2.source = co.s2
+        |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      val cs = t(s, d, "documents")
+        .select(col("source"),
+          explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+        .groupBy(col("source"), col("tk"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // one corpus tokenization feeds both join
+                           // legs and the margins
+      val ns = cs.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n"))
+      val a = cs.select(col("source").as("s1"), col("tk"),
+        col("c").as("c1"))
+      val b = cs.select(col("source").as("s2"), col("tk"),
+        col("c").as("c2"))
+      val co = a.join(b, Seq("tk")).filter(col("s1") < col("s2"))
+        .join(broadcast(ns.select(col("source").as("s1"),
+          col("n").as("n1"))), Seq("s1"))
+        .join(broadcast(ns.select(col("source").as("s2"),
+          col("n").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("c1"), col("c2"),
+          round(log((col("c1") * 2.0 * col("n2"))
+            / (col("c1").cast("double") * col("n2")
+              + col("c2").cast("double") * col("n1"))) * 1000000)
+            .cast("long").as("lt1"),
+          round(log((col("c2") * 2.0 * col("n1"))
+            / (col("c1").cast("double") * col("n2")
+              + col("c2").cast("double") * col("n1"))) * 1000000)
+            .cast("long").as("lt2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(sum(col("c1").cast("decimal(38,0)") * col("lt1")).as("w1"),
+          sum(col("c2").cast("decimal(38,0)") * col("lt2")).as("w2"),
+          sum(col("c1")).cast("long").as("m1"),
+          sum(col("c2")).cast("long").as("m2"))
+      co.join(broadcast(ns.select(col("source").as("s1"),
+          col("n").as("n1"))), Seq("s1"))
+        .join(broadcast(ns.select(col("source").as("s2"),
+          col("n").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          round(((col("w1") + (col("n1") - col("m1"))
+              * lit(693147).cast("decimal(38,0)")).cast("double") / col("n1")
+            + (col("w2") + (col("n2") - col("m2"))
+              * lit(693147).cast("decimal(38,0)")).cast("double") / col("n2"))
+            / 2 / 1000000, 6).as("js_nats"))
+        .orderBy(col("s1"), col("s2"))
     })
 
   /** DuckDB oracle for q267: the 5-round greedy coverage walk

@@ -2736,5 +2736,108 @@ object TrainingOps {
               |  * (abs(o_a * 1000000 - e_a_micro) div 1000))
               |  div (var_micro div 1000)""".stripMargin))
             .as("chi2_milli"))
+    },
+
+    // ---- Split-conformal coverage audit: does the 90% prediction
+    //      interval actually cover 90%? The distribution-free
+    //      guarantee every curation-model consumer should demand
+    //      before trusting a "confidence" column. Three md5 folds
+    //      (train/calibrate/test, the q82 idiom); the per-lang train
+    //      mean is an exact integer micro division; the calibration
+    //      quantile is the EXACT order statistic at rank
+    //      k = ⌈0.9·(n+1)⌉ via q287's integer test cum·10 ≥ 9·(n+1)
+    //      on the distinct-score support table (never an interpolated
+    //      percentile); test coverage is one integer micro division.
+    //      The corpus pays one fold/lang projection + three
+    //      lang-keyed aggs; everything else is O(langs·distinct
+    //      scores). k > n_calib (too few calibration rows for the
+    //      level) yields NULL q̂ and NULL coverage — the honest "not
+    //      enough data" answer (DegenerateInputSpec). ----
+    QueryDef.sql("q294_conformal_coverage",
+      """WITH f AS (SELECT lang, n_chars,
+        |    CASE
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '60'
+        |        THEN 0
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'b0'
+        |        THEN 1
+        |      ELSE 2 END AS fold
+        |  FROM documents),
+        |mu AS (SELECT lang,
+        |    CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT)
+        |      AS mu_micro
+        |  FROM f WHERE fold = 0 GROUP BY lang),
+        |cal AS (SELECT f.lang,
+        |    abs(f.n_chars * 1000000 - mu.mu_micro) AS sc
+        |  FROM f JOIN mu ON mu.lang = f.lang WHERE f.fold = 1),
+        |csup AS (SELECT lang, sc, CAST(count(*) AS BIGINT) AS c
+        |  FROM cal GROUP BY lang, sc),
+        |ncal AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_calib
+        |  FROM csup GROUP BY lang),
+        |cum AS (SELECT lang, sc,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM csup),
+        |qh AS (SELECT cum.lang, ncal.n_calib,
+        |    min(CASE WHEN (9 * (ncal.n_calib + 1) + 9) // 10
+        |        <= ncal.n_calib
+        |      AND cum.cc * 10 >= 9 * (ncal.n_calib + 1)
+        |      THEN cum.sc END) AS qhat
+        |  FROM cum JOIN ncal ON ncal.lang = cum.lang
+        |  GROUP BY cum.lang, ncal.n_calib),
+        |tst AS (SELECT f.lang, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN abs(f.n_chars * 1000000 - mu.mu_micro)
+        |      <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        |  FROM f JOIN mu ON mu.lang = f.lang
+        |  JOIN qh ON qh.lang = f.lang WHERE f.fold = 2
+        |  GROUP BY f.lang)
+        |SELECT qh.lang AS lang, qh.n_calib, tst.n_test,
+        |  mu.mu_micro AS mu_micro, qh.qhat AS qhat,
+        |  CASE WHEN qh.qhat IS NOT NULL AND tst.n_test > 0
+        |    THEN (tst.covered * 1000000) // tst.n_test END
+        |    AS coverage_micro
+        |FROM qh JOIN mu ON mu.lang = qh.lang
+        |JOIN tst ON tst.lang = qh.lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val f = t(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+          when(substring(md5(col("doc_id").cast("string")
+            .cast("binary")), 1, 2) < "60", 0)
+          .when(substring(md5(col("doc_id").cast("string")
+            .cast("binary")), 1, 2) < "b0", 1)
+          .otherwise(2).as("fold"))
+        .localCheckpoint() // one corpus scan feeds all three folds
+      val mu = f.filter(col("fold") === 0).groupBy(col("lang"))
+        .agg(expr("CAST(sum(n_chars) * 1000000 div count(*) AS BIGINT)")
+          .as("mu_micro"))
+      val cal = f.filter(col("fold") === 1).join(broadcast(mu), "lang")
+        .select(col("lang"),
+          abs(col("n_chars") * 1000000 - col("mu_micro")).as("sc"))
+      val csup = cal.groupBy(col("lang"), col("sc"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // O(langs·distinct scores): feeds the
+                           // count margin and the cumulative window
+      val ncal = csup.groupBy(col("lang"))
+        .agg(sum(col("c")).cast("long").as("n_calib"))
+      val wc = Window.partitionBy(col("lang")).orderBy(col("sc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qh = csup.withColumn("cc", sum(col("c")).over(wc))
+        .join(broadcast(ncal), "lang")
+        .groupBy(col("lang"), col("n_calib"))
+        .agg(min(when(
+          expr("(9 * (n_calib + 1) + 9) div 10") <= col("n_calib")
+            && col("cc") * 10 >= (col("n_calib") + 1) * 9,
+          col("sc"))).as("qhat"))
+      val tst = f.filter(col("fold") === 2)
+        .join(broadcast(mu), "lang").join(broadcast(qh), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("n_chars") * 1000000 - col("mu_micro"))
+            <= col("qhat"), 1L).otherwise(0L)).cast("long").as("covered"))
+      qh.join(broadcast(mu), "lang").join(broadcast(tst), "lang")
+        .select(col("lang"), col("n_calib"), col("n_test"),
+          col("mu_micro"), col("qhat"),
+          when(col("qhat").isNotNull && col("n_test") > 0,
+            expr("(covered * 1000000) div n_test")).as("coverage_micro"))
+        .orderBy(col("lang"))
     })
 }

@@ -1192,4 +1192,34 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("rstar2_micro")) == 0L,
       s"r*2 = 3·N3/N2 = 0 when N3 = 0: $r")
   }
+
+  test("q293/q295: a single-source corpus has no pairs — empty, no error") {
+    // the fixture collapses source to 'web': the s1 < s2 pair joins
+    // must produce zero rows (not a self-pair, not a crash)
+    assert(run("q293_cliffs_delta").isEmpty)
+    assert(run("q295_js_divergence").isEmpty)
+  }
+
+  test("q294: a too-small calibration fold yields NULL q-hat + coverage") {
+    // md5 folds: doc 6 → train (md5 '1679…'), doc 4 → calibrate
+    // ('a87f…'), doc 1 → test ('c4ca…'); n_calib = 1 makes the 90%
+    // rank k = ⌈0.9·2⌉ = 2 > 1 — the guard must answer "not enough
+    // data" (NULL), never clamp to the max score
+    val tmp = Files.createTempDirectory("confdegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    Seq((6L, "t", "en", "web", 10L), (4L, "t", "en", "web", 12L),
+        (1L, "t", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q294_conformal_coverage")(spark, d2)
+      .collect()
+    assert(rows.length == 1, s"${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getLong(r.fieldIndex("n_calib")) == 1L, s"$r")
+    assert(r.isNullAt(r.fieldIndex("qhat")), s"qhat must be NULL: $r")
+    assert(r.isNullAt(r.fieldIndex("coverage_micro")),
+      s"coverage must be NULL: $r")
+  }
 }

@@ -817,7 +817,22 @@ class PlanAuditSpec extends AnyFunSuite {
       // q292 = the (source, token) agg + the frequency-of-frequencies
       // agg + the O(sources) margin agg + result sort; only the first
       // is corpus-sized
-      "q292_good_turing" -> 4)
+      "q292_good_turing" -> 4,
+      // q293 = past the checkpointed O(sources·lengths) cell table:
+      // the pair-fold agg (the theta join broadcasts the aggregated
+      // cell side), the margin agg, the final stats-broadcast joins'
+      // exchanges + result sort — all domain-, not corpus-, sized
+      "q293_cliffs_delta" -> 4,
+      // q294 = past the checkpointed fold projection: three lang-keyed
+      // fold aggs + the O(langs·scores) support agg/window + the
+      // report join exchanges + sort; every post-checkpoint exchange
+      // is lang- or score-domain-sized
+      "q294_conformal_coverage" -> 7,
+      // q295 = past the checkpointed (source, token) agg: the
+      // token-keyed pair self-join (both legs) + the pair agg + the
+      // margin agg + result sort — the join legs are the only
+      // vocab-sized exchanges, and they ship aggregated counts
+      "q295_js_divergence" -> 6)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
