@@ -2265,6 +2265,67 @@ object LakeOps {
           expr("""CAST(inter * 1000000 div (na + nprev - inter)
             |  AS BIGINT)""".stripMargin).as("jaccard_micro"))
         .orderBy(col("day"))
+    },
+
+    // ---- l-diversity audit: q263's k-anonymity counts how many
+    //      records share a quasi-identifier group; this asks the
+    //      question k-anonymity famously misses — do the records in a
+    //      group DIFFER on the sensitive attribute, or can an
+    //      attacker who finds the group read the secret off any row?
+    //      QI = (lang, length-bucket), sensitive = source (which feed
+    //      a document came from). A group is l-diverse iff it holds
+    //      ≥ l distinct sensitive values; the report sweeps l ∈
+    //      {2, 3, 5}. Pure integer counts + one nonneg floor
+    //      division. Scale: ONE corpus-sized (QI, sensitive) agg
+    //      (map-side combined), then O(groups) algebra crossed with a
+    //      3-row constant. A single-source corpus is the worst case —
+    //      every group fails every l ≥ 2 and risk reads 100 %
+    //      (DegenerateInputSpec). ----
+    QueryDef.sql("q298_l_diversity",
+      """WITH gs AS (SELECT lang, n_chars // 100 AS lb, source,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, lb, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(n) AS BIGINT) AS n
+        |  FROM gs GROUP BY lang, lb),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nd,
+        |    CAST(count(*) AS BIGINT) AS ng FROM g),
+        |ls(l) AS (VALUES (2), (3), (5))
+        |SELECT CAST(l AS BIGINT) AS l,
+        |  CAST(count(CASE WHEN n_distinct < l THEN 1 END) AS BIGINT)
+        |    AS n_undiverse_groups,
+        |  CAST(COALESCE(sum(CASE WHEN n_distinct < l THEN n END), 0)
+        |    AS BIGINT) AS n_docs_at_risk,
+        |  CAST(COALESCE(sum(CASE WHEN n_distinct < l THEN n END), 0)
+        |    * 1000000 // nd AS BIGINT) AS risk_micro,
+        |  ng AS n_groups
+        |FROM g, tot, ls GROUP BY l, nd, ng ORDER BY l""".stripMargin) {
+      (s, d) =>
+      val gs = t(s, d, "documents")
+        .groupBy(col("lang"), expr("n_chars div 100").as("lb"),
+          col("source"))
+        .agg(count(lit(1)).as("n"))
+      val g = gs.groupBy(col("lang"), col("lb"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("n")).cast("long").as("n"))
+        .localCheckpoint() // O(groups) rows feed the total and the ls
+      val tot = g.agg(sum(col("n")).cast("long").as("nd"),
+        count(lit(1)).as("ng"))
+      val ls = s.range(1, 4)
+        .select(when(col("id") === 1, 2L).when(col("id") === 2, 3L)
+          .otherwise(5L).as("l"))
+      g.crossJoin(broadcast(tot)).crossJoin(broadcast(ls))
+        .groupBy(col("l"), col("nd"), col("ng"))
+        .agg(count(when(col("n_distinct") < col("l"), 1))
+            .as("n_undiverse_groups"),
+          coalesce(sum(when(col("n_distinct") < col("l"), col("n"))),
+            lit(0L)).cast("long").as("n_docs_at_risk"))
+        .select(col("l"), col("n_undiverse_groups"),
+          col("n_docs_at_risk"),
+          expr("CAST(n_docs_at_risk * 1000000 div nd AS BIGINT)")
+            .as("risk_micro"),
+          col("ng").as("n_groups"))
+        .orderBy(col("l"))
     }
   )
 

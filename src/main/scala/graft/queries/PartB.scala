@@ -3755,6 +3755,166 @@ object PartB {
             * expr("(abs(gt - lt) * 1000000) div (n1 * n2)"))
             .as("delta_micro"))
         .orderBy(col("s1"), col("s2"))
+    },
+
+    // ---- Newman modularity of q253's LPA communities: are the
+    //      detected communities BETTER than chance? The quality
+    //      metric every community detection needs before anyone acts
+    //      on it. Exact integers end to end: Q·4m² = Σ_c (4m·l_c −
+    //      d_c²) over intra-edge counts l_c and degree sums d_c —
+    //      products in DECIMAL/HUGEINT, one sign-guarded micro
+    //      division at the end (Q ∈ [−½, 1] can be negative; abs
+    //      before div for the trunc/floor seam). The oracle replays
+    //      the SAME 4-round min-label LPA walk (q253's unrolled CTEs)
+    //      so a green hash proves labels AND quality together. Scale:
+    //      LPA's per-round Pregel joins; the modularity read-out adds
+    //      two label-keyed joins on the edge table + O(communities)
+    //      algebra. ----
+    QueryDef.sql("q296_modularity", {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT s.v, l.lab, count(*) AS cnt FROM sym s
+           |  JOIN l${i - 1} l ON l.v = s.n GROUP BY s.v, l.lab),
+           |l$i AS (SELECT v, lab FROM (SELECT v, lab, row_number()
+           |    OVER (PARTITION BY v ORDER BY cnt DESC, lab) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${coocEdgesCte(60000000L)},
+         |sym AS (SELECT x AS v, y AS n FROM e
+         |  UNION ALL SELECT y AS v, x AS n FROM e),
+         |l0 AS (SELECT DISTINCT v, v AS lab FROM sym),
+         |$rounds,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |intra AS (SELECT la.lab AS community,
+         |    CAST(count(*) AS BIGINT) AS l_c
+         |  FROM e JOIN l4 la ON la.v = e.x JOIN l4 lb ON lb.v = e.y
+         |  WHERE la.lab = lb.lab GROUP BY la.lab),
+         |deg AS (SELECT l4.lab AS community,
+         |    CAST(count(*) AS BIGINT) AS d_c
+         |  FROM sym JOIN l4 ON l4.v = sym.v GROUP BY l4.lab),
+         |mem AS (SELECT lab AS community, CAST(count(*) AS BIGINT)
+         |    AS n_members FROM l4 GROUP BY lab),
+         |con AS (SELECT deg.community, mem.n_members,
+         |    COALESCE(intra.l_c, 0) AS l_c, deg.d_c,
+         |    4 * CAST(m.m AS HUGEINT) * COALESCE(intra.l_c, 0)
+         |      - CAST(deg.d_c AS HUGEINT) * deg.d_c AS contrib
+         |  FROM deg JOIN mem ON mem.community = deg.community
+         |  LEFT JOIN intra ON intra.community = deg.community, m),
+         |tot AS (SELECT CAST(sum(contrib) AS HUGEINT) AS tc FROM con)
+         |SELECT c.community AS community, c.n_members, c.l_c, c.d_c,
+         |  CAST(c.contrib AS BIGINT) AS contrib,
+         |  CAST((CASE WHEN t.tc >= 0 THEN 1 ELSE -1 END)
+         |    * ((abs(t.tc) * 1000000)
+         |      // (4 * CAST(m.m AS HUGEINT) * m.m)) AS BIGINT)
+         |    AS q_total_micro
+         |FROM con c, tot t, m
+         |ORDER BY community""".stripMargin
+    }) { (s, d) =>
+      val edges = coocEdges(s, d, 60000000L).localCheckpoint()
+      val lab = graft.operators.LabelPropagation.labels(edges, 4)
+      val m = edges.agg(count(lit(1)).as("m"))
+      val intra = edges
+        .join(lab.select(col("v").as("x"), col("lab").as("labx")), "x")
+        .join(lab.select(col("v").as("y"), col("lab").as("laby")), "y")
+        .filter(col("labx") === col("laby"))
+        .groupBy(col("labx").as("community"))
+        .agg(count(lit(1)).as("l_c"))
+      val sym = edges.select(col("x").as("v"))
+        .unionAll(edges.select(col("y").as("v")))
+      val deg = sym.join(lab, "v")
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("d_c"))
+      val mem = lab.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+      val con = deg.join(mem, "community")
+        .join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_members"),
+          coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"),
+          (lit(4).cast("decimal(38,0)") * col("m")
+            * coalesce(col("l_c"), lit(0L))
+            - col("d_c").cast("decimal(38,0)") * col("d_c"))
+            .as("contrib"))
+        .localCheckpoint() // O(communities): feeds the total AND the
+                           // report rows
+      val tot = con.agg(sum(col("contrib")).as("tc"))
+      con.crossJoin(broadcast(tot)).crossJoin(broadcast(m))
+        .select(col("community"), col("n_members"), col("l_c"),
+          col("d_c"), col("contrib").cast("long").as("contrib"),
+          (when(col("tc") >= 0, 1L).otherwise(-1L)
+            * expr("""CAST((abs(tc) * 1000000)
+              |  div (4 * CAST(m AS DECIMAL(38,0)) * m)
+              |  AS BIGINT)""".stripMargin))
+            .as("q_total_micro"))
+        .orderBy(col("community"))
+    },
+
+    // ---- Krippendorff's alpha (nominal): chance-corrected agreement
+    //      for the labeling pipelines behind every supervised filter
+    //      — q195's kappa handles TWO raters; alpha generalizes to
+    //      any panel (here 3 deterministic md5-perturbed annotators
+    //      per doc) and to missing data. Exact integers: per-unit
+    //      ordered disagreeing pairs D2_u = m² − Σ_c n_uc², category
+    //      marginals n_c, and α = 1 − D2(n−1)/(2(n² − Σn_c²)) as ONE
+    //      nonneg micro floor division (Do/De ≥ 0 always). The corpus
+    //      pays the 3× annotation fan-out + a (unit, label) agg;
+    //      everything after is O(categories). A single-category
+    //      panel (n² = Σn_c²) has no chance-disagreement to correct
+    //      against — NULL, not a 0/0 (DegenerateInputSpec). ----
+    QueryDef.sql("q297_krippendorff_alpha",
+      """WITH r AS (SELECT d.doc_id AS u,
+        |    CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || ':'
+        |        || CAST(k.k AS VARCHAR)), 1, 2) < '20'
+        |      THEN 'zz' ELSE d.lang END AS c
+        |  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) k(k)),
+        |uc AS (SELECT u, c, CAST(count(*) AS BIGINT) AS nuc
+        |  FROM r GROUP BY u, c),
+        |du AS (SELECT u, 9 - CAST(sum(nuc * nuc) AS BIGINT) AS d2u
+        |  FROM uc GROUP BY u),
+        |d2 AS (SELECT CAST(sum(d2u) AS BIGINT) AS d2,
+        |    CAST(count(*) AS BIGINT) AS n_units FROM du),
+        |marg AS (SELECT c, CAST(sum(nuc) AS BIGINT) AS nc
+        |  FROM uc GROUP BY c),
+        |nn AS (SELECT CAST(sum(nc) AS BIGINT) AS n,
+        |    CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS sq
+        |  FROM marg)
+        |SELECT d2.n_units AS n_units, nn.n AS n_ratings, d2.d2 AS d2,
+        |  CAST(CAST(nn.n AS HUGEINT) * nn.n - nn.sq AS BIGINT)
+        |    AS de_den,
+        |  CASE WHEN CAST(nn.n AS HUGEINT) * nn.n - nn.sq > 0 THEN
+        |    1000000 - CAST((CAST(d2.d2 AS HUGEINT) * (nn.n - 1)
+        |      * 1000000)
+        |      // (2 * (CAST(nn.n AS HUGEINT) * nn.n - nn.sq))
+        |      AS BIGINT)
+        |  END AS alpha_micro
+        |FROM d2, nn""".stripMargin) { (s, d) =>
+      val r = t(s, d, "documents")
+        .crossJoin(broadcast(s.range(1, 4).select(col("id").as("k"))))
+        .select(col("doc_id").as("u"),
+          when(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("k").cast("string")).cast("binary")),
+            1, 2) < "20", "zz").otherwise(col("lang")).as("c"))
+      val uc = r.groupBy(col("u"), col("c"))
+        .agg(count(lit(1)).as("nuc"))
+        .localCheckpoint() // (unit, label) support: feeds the per-unit
+                           // disagreement AND the category marginals
+      val d2 = uc.groupBy(col("u"))
+        .agg((lit(9L) - sum(col("nuc") * col("nuc"))).as("d2u"))
+        .agg(sum(col("d2u")).cast("long").as("d2"),
+          count(lit(1)).as("n_units"))
+      val nn = uc.groupBy(col("c"))
+        .agg(sum(col("nuc")).cast("long").as("nc"))
+        .agg(sum(col("nc")).cast("long").as("n"),
+          sum(col("nc").cast("decimal(38,0)") * col("nc")).as("sq"))
+      d2.crossJoin(broadcast(nn))
+        .select(col("n_units"), col("n").as("n_ratings"), col("d2"),
+          (col("n").cast("decimal(38,0)") * col("n") - col("sq"))
+            .cast("long").as("de_den"),
+          when(col("n").cast("decimal(38,0)") * col("n") - col("sq") > 0,
+            lit(1000000L) - expr(
+              """CAST((CAST(d2 AS DECIMAL(38,0)) * (n - 1) * 1000000)
+                |  div (2 * (CAST(n AS DECIMAL(38,0)) * n - sq))
+                |  AS BIGINT)""".stripMargin))
+            .as("alpha_micro"))
     })
 
   /** The q282 leave-one-day-out assembly from an (etype, day, k) cell

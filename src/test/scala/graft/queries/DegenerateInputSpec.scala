@@ -1222,4 +1222,40 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("coverage_micro")),
       s"coverage must be NULL: $r")
   }
+
+  test("q296: a single-user log has no co-occurrence graph — empty") {
+    // the fixture collapses events to one user: every bucket holds
+    // < 2 distinct users, so the edge table (and the report) is empty
+    assert(run("q296_modularity").isEmpty)
+  }
+
+  test("q297: a unanimous single-category panel yields NULL alpha") {
+    // doc ids 1/4/5/6 hash above '20' for all three annotators (no
+    // 'zz' flip) and share one lang: D2 = 0 AND n² = Σn_c² — perfect
+    // agreement on a constant label has no chance-disagreement to
+    // correct against, so α is NULL (0/0), never 1.0
+    val tmp = Files.createTempDirectory("kadegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    Seq(1L, 4L, 5L, 6L).map(i => (i, "t", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("q297_krippendorff_alpha")(spark, d2)
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("d2")) == 0L, s"$r")
+    assert(r.getLong(r.fieldIndex("de_den")) == 0L, s"$r")
+    assert(r.isNullAt(r.fieldIndex("alpha_micro")),
+      s"alpha on a constant panel must be NULL: $r")
+  }
+
+  test("q298: a single-source corpus fails every l — risk reads 100%") {
+    val rows = run("q298_l_diversity")
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_undiverse_groups")) ==
+        r.getLong(r.fieldIndex("n_groups")), s"$r")
+      assert(r.getLong(r.fieldIndex("risk_micro")) == 1000000L, s"$r")
+    }
+  }
 }

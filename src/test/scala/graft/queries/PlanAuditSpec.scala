@@ -832,7 +832,20 @@ class PlanAuditSpec extends AnyFunSuite {
       // token-keyed pair self-join (both legs) + the pair agg + the
       // margin agg + result sort — the join legs are the only
       // vocab-sized exchanges, and they ship aggregated counts
-      "q295_js_divergence" -> 6)
+      "q295_js_divergence" -> 6,
+      // q296 = past the checkpointed edge table and LPA's per-round
+      // checkpoints: the intra-edge join/agg, the degree agg, the
+      // member agg — the contrib table is checkpointed and the report
+      // rides broadcasts off it + result sort (communities-sized)
+      "q296_modularity" -> 3,
+      // q297 = the 3x-fanned (unit, label) agg + the per-unit
+      // disagreement agg pair + the category-marginal agg pair —
+      // one summary row, no sort; only the first agg is corpus-sized
+      "q297_krippendorff_alpha" -> 4,
+      // q298 = ONE corpus-sized (QI, sensitive) agg + the QI-group
+      // distinct-count agg + result sort; the l-grid and total ride
+      // broadcasts off the checkpointed O(groups) table
+      "q298_l_diversity" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
