@@ -996,5 +996,124 @@ object Sketches {
           expr("""CAST(((CAST(n AS DECIMAL(38,0)) * n - s2) * 1000000)
             |  div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""
             .stripMargin).as("expected_frac_micro"))
+    },
+
+    // ---- LSH operating-point planner: before re-banding an index,
+    //      predict what each (rows r, bands b) with r·b = 64 hashes
+    //      would DO on THIS corpus — expected caught near-dups,
+    //      recall at the J ≥ 0.7 target, and wasted (sub-threshold)
+    //      candidates — by pushing the EMPIRICAL pair-similarity
+    //      histogram through the S-curve P = 1 − (1 − s^r)^b. Every
+    //      float op is a MULTIPLICATION: r and b are powers of two,
+    //      so s^r and (1−s^r)^b are chained squarings (never libm
+    //      pow, which is not cross-engine stable), and each bin's
+    //      expectation quantizes to integer micro before the
+    //      order-free integer sums. The histogram bins by the exact
+    //      integer test (c·20) div union on q31's audited posting
+    //      shape, floored at J ≥ 0.25 (below that no operating point
+    //      is in play); bin 20 (J = 1) clamps to 19 so midpoints stay
+    //      < 1. Scale: the pair-count pipeline is the whole cost; the
+    //      planner itself is O(bins·6) broadcast algebra. ----
+    QueryDef.sql("q299_lsh_operating_point",
+      s"""WITH $gramsCte,
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
+         |  FROM sh),
+         |pc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.sz AS sz1,
+         |    b.sz AS sz2, CAST(count(*) AS BIGINT) AS c
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |hist AS (SELECT least((c * 20) // (sz1 + sz2 - c), 19) AS jb,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pc WHERE (c * 20) // (sz1 + sz2 - c) >= 5 GROUP BY 1),
+         |grid(r, b) AS (VALUES (1, 64), (2, 32), (4, 16), (8, 8),
+         |  (16, 4), (32, 2)),
+         |x0 AS (SELECT h.jb, h.cnt, g.r, g.b,
+         |    (CAST(h.jb AS DOUBLE) + 0.5) / 20 AS s
+         |  FROM hist h CROSS JOIN grid g),
+         |x1 AS (SELECT *, s * s AS s2 FROM x0),
+         |x2 AS (SELECT *, s2 * s2 AS s4 FROM x1),
+         |x3 AS (SELECT *, s4 * s4 AS s8 FROM x2),
+         |x4 AS (SELECT *, s8 * s8 AS s16, s8 * s8 * (s8 * s8) AS s32
+         |  FROM x3),
+         |x5 AS (SELECT jb, cnt, r, b,
+         |    1 - (CASE r WHEN 1 THEN s WHEN 2 THEN s2 WHEN 4 THEN s4
+         |      WHEN 8 THEN s8 WHEN 16 THEN s16 ELSE s32 END) AS u
+         |  FROM x4),
+         |x6 AS (SELECT *, u * u AS u2 FROM x5),
+         |x7 AS (SELECT *, u2 * u2 AS u4 FROM x6),
+         |x8 AS (SELECT *, u4 * u4 AS u8 FROM x7),
+         |x9 AS (SELECT *, u8 * u8 AS u16,
+         |    u8 * u8 * (u8 * u8) AS u32,
+         |    (u8 * u8 * (u8 * u8)) * (u8 * u8 * (u8 * u8)) AS u64
+         |  FROM x8),
+         |pp AS (SELECT jb, cnt, r, b,
+         |    CAST(round(cnt * (1 - (CASE b WHEN 2 THEN u2 WHEN 4 THEN u4
+         |      WHEN 8 THEN u8 WHEN 16 THEN u16 WHEN 32 THEN u32
+         |      ELSE u64 END)) * 1000000) AS BIGINT) AS contrib
+         |  FROM x9)
+         |SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b,
+         |  CAST(COALESCE(sum(CASE WHEN jb >= 14 THEN cnt END), 0)
+         |    AS BIGINT) AS n_true,
+         |  CAST(COALESCE(sum(CASE WHEN jb >= 14 THEN contrib END), 0)
+         |    AS BIGINT) AS exp_true_micro,
+         |  CASE WHEN COALESCE(sum(CASE WHEN jb >= 14 THEN cnt END), 0)
+         |      > 0
+         |    THEN CAST(COALESCE(sum(CASE WHEN jb >= 14 THEN contrib
+         |      END), 0) // COALESCE(sum(CASE WHEN jb >= 14 THEN cnt
+         |      END), 0) AS BIGINT) END AS recall_micro,
+         |  CAST(COALESCE(sum(CASE WHEN jb < 14 THEN contrib END), 0)
+         |    AS BIGINT) AS exp_false_micro
+         |FROM pp GROUP BY r, b ORDER BY r""".stripMargin) { (s, d) =>
+      val hist = TextOps.gramPairCounts(shingled(t(s, d, "documents")))
+        .select(expr("(c * 20) div (sz1 + sz2 - c)").as("jbr"))
+        .filter(col("jbr") >= 5)
+        .select(least(col("jbr"), lit(19L)).as("jb"))
+        .groupBy(col("jb")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // O(bins): the whole planner runs on this
+      val grid = s.range(0, 6).select(
+        expr("CAST(1 << CAST(id AS INT) AS BIGINT)").as("r"),
+        expr("CAST(64 div (1 << CAST(id AS INT)) AS BIGINT)").as("b"))
+      hist.crossJoin(broadcast(grid))
+        .withColumn("sC", (col("jb").cast("double") + 0.5) / 20)
+        .withColumn("s2", col("sC") * col("sC"))
+        .withColumn("s4", col("s2") * col("s2"))
+        .withColumn("s8", col("s4") * col("s4"))
+        .withColumn("s16", col("s8") * col("s8"))
+        .withColumn("s32", col("s8") * col("s8")
+          * (col("s8") * col("s8")))
+        .withColumn("u", lit(1) - when(col("r") === 1, col("sC"))
+          .when(col("r") === 2, col("s2"))
+          .when(col("r") === 4, col("s4"))
+          .when(col("r") === 8, col("s8"))
+          .when(col("r") === 16, col("s16")).otherwise(col("s32")))
+        .withColumn("u2", col("u") * col("u"))
+        .withColumn("u4", col("u2") * col("u2"))
+        .withColumn("u8", col("u4") * col("u4"))
+        .withColumn("u16", col("u8") * col("u8"))
+        .withColumn("u32", col("u8") * col("u8")
+          * (col("u8") * col("u8")))
+        .withColumn("u64", (col("u8") * col("u8")
+            * (col("u8") * col("u8")))
+          * (col("u8") * col("u8") * (col("u8") * col("u8"))))
+        .withColumn("contrib", round(col("cnt")
+          * (lit(1) - when(col("b") === 2, col("u2"))
+            .when(col("b") === 4, col("u4"))
+            .when(col("b") === 8, col("u8"))
+            .when(col("b") === 16, col("u16"))
+            .when(col("b") === 32, col("u32")).otherwise(col("u64")))
+          * 1000000).cast("long"))
+        .groupBy(col("r"), col("b"))
+        .agg(coalesce(sum(when(col("jb") >= 14, col("cnt"))), lit(0L))
+            .cast("long").as("n_true"),
+          coalesce(sum(when(col("jb") >= 14, col("contrib"))), lit(0L))
+            .cast("long").as("exp_true_micro"),
+          coalesce(sum(when(col("jb") < 14, col("contrib"))), lit(0L))
+            .cast("long").as("exp_false_micro"))
+        .select(col("r"), col("b"), col("n_true"), col("exp_true_micro"),
+          when(col("n_true") > 0,
+            expr("CAST(exp_true_micro div n_true AS BIGINT)"))
+            .as("recall_micro"),
+          col("exp_false_micro"))
+        .orderBy(col("r"))
     })
 }

@@ -291,6 +291,106 @@ object TextOps {
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The q217 PSI assembly from a (source, v, ep, c) support table —
+    * shared by the q301 STREAMING twin so batch and stream can never
+    * drift: pooled-rank decile bins (a value group never splits
+    * across bins), Laplace add-one shares in integer micro, the ONE
+    * per-row float log-ratio (q190 quantization), DECIMAL PSI sum.
+    * Expects `ss` materialized (four consumers). */
+  private def psiTail(ss: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = ss.groupBy(col("v")).agg(sum(col("c")).cast("long").as("c"))
+    val nn = sup.agg(sum(col("c")).cast("long").as("n"))
+    val wC = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // O(distinct values) rows with FOUR consumers (cell join, bin
+    // count, grid, universe) — checkpointed so the support window
+    // subtree is planned once, not re-expanded per consumer
+    val bin = sup
+      .withColumn("lo", sum(col("c")).over(wC) - col("c") + 1)
+      .crossJoin(broadcast(nn))
+      .select(col("v"),
+        least(lit(9L), expr("((lo - 1) * 10) div n")).as("b"))
+      .localCheckpoint()
+    val cell = ss.join(broadcast(bin), "v")
+      .groupBy(col("source"), col("b"), col("ep"))
+      .agg(sum(col("c")).cast("long").as("c"))
+    val nb = bin.agg(countDistinct(col("b")).as("nbins"))
+    val grid = cell.select(col("source")).distinct()
+      .crossJoin(broadcast(bin.select(col("b")).distinct()))
+    val ee = grid.join(cell, Seq("source", "b"), "left")
+      .groupBy(col("source"), col("b"))
+      .agg(coalesce(max(when(col("ep") === 0, col("c"))), lit(0L))
+          .as("c0"),
+        coalesce(max(when(col("ep") === 1, col("c"))), lit(0L))
+          .as("c1"))
+    val ns = ee.groupBy(col("source"))
+      .agg(sum(col("c0")).cast("long").as("n0"),
+        sum(col("c1")).cast("long").as("n1"))
+    val pq = ee.join(broadcast(ns), "source").crossJoin(broadcast(nb))
+      .select(col("source"),
+        expr("CAST(((c0 + 1) * 1000000) div (n0 + nbins) AS BIGINT)")
+          .as("pm"),
+        expr("CAST(((c1 + 1) * 1000000) div (n1 + nbins) AS BIGINT)")
+          .as("qm"))
+    val term = pq.groupBy(col("source"))
+      .agg(sum((col("qm") - col("pm")).cast("decimal(38,0)") *
+        round(log(col("qm").cast("double") / col("pm")) * 1000000)
+          .cast("long")).as("s"))
+    term.join(broadcast(ns), "source")
+      .select(col("source"), col("n0").as("n_baseline"),
+        col("n1").as("n_current"),
+        round(col("s").cast("double") / 1e12, 6).as("psi"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared oracle for q217 and its streaming twin q301 — one SQL
+    * text, so the two QueryDefs are provably the same computation. */
+  private lazy val psiOracle: String =
+    """WITH ss AS (SELECT source, n_chars AS v,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+      |      THEN 0 ELSE 1 END AS ep, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY source, n_chars, ep),
+      |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS c
+      |  FROM ss GROUP BY v),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sup),
+      |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
+      |    AS lo FROM sup),
+      |bin AS (SELECT cum.v, CAST(least(9, (cum.lo - 1) * 10 // nn.n)
+      |    AS BIGINT) AS b FROM cum, nn),
+      |cell AS (SELECT ss.source, bin.b, ss.ep,
+      |    CAST(sum(ss.c) AS BIGINT) AS c
+      |  FROM ss JOIN bin ON bin.v = ss.v
+      |  GROUP BY ss.source, bin.b, ss.ep),
+      |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nbins
+      |  FROM bin),
+      |grid AS (SELECT s.source, bb.b
+      |  FROM (SELECT DISTINCT source FROM ss) s,
+      |  (SELECT DISTINCT b FROM bin) bb),
+      |ee AS (SELECT g.source, g.b,
+      |    COALESCE(max(CASE WHEN cell.ep = 0 THEN cell.c END), 0) AS c0,
+      |    COALESCE(max(CASE WHEN cell.ep = 1 THEN cell.c END), 0) AS c1
+      |  FROM grid g LEFT JOIN cell
+      |    ON cell.source = g.source AND cell.b = g.b
+      |  GROUP BY g.source, g.b),
+      |ns AS (SELECT source, CAST(sum(c0) AS BIGINT) AS n0,
+      |    CAST(sum(c1) AS BIGINT) AS n1 FROM ee GROUP BY source),
+      |pq AS (SELECT ee.source, ee.b,
+      |    CAST((ee.c0 + 1) * 1000000 // (ns.n0 + nb.nbins) AS BIGINT)
+      |      AS pm,
+      |    CAST((ee.c1 + 1) * 1000000 // (ns.n1 + nb.nbins) AS BIGINT)
+      |      AS qm
+      |  FROM ee JOIN ns ON ns.source = ee.source, nb),
+      |term AS (SELECT source, sum(CAST(qm - pm AS HUGEINT) *
+      |    CAST(round(ln(CAST(qm AS DOUBLE) / pm) * 1000000) AS BIGINT))
+      |    AS s FROM pq GROUP BY source)
+      |SELECT term.source, ns.n0 AS n_baseline, ns.n1 AS n_current,
+      |  round(CAST(term.s AS DOUBLE) / 1e12, 6) AS psi
+      |FROM term JOIN ns ON ns.source = term.source
+      |ORDER BY term.source""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: hash-groupBy, keep lowest doc_id per content hash.
@@ -2629,102 +2729,52 @@ object TextOps {
     //      per-row float (q190 quantization), and the PSI sum is
     //      DECIMAL(38,0). The dense source×bin grid (LEFT JOIN) makes
     //      one-sided bins contribute their full penalty. ----
-    QueryDef.sql("q217_psi_drift",
-      """WITH ss AS (SELECT source, n_chars AS v,
-        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
-        |      THEN 0 ELSE 1 END AS ep, CAST(count(*) AS BIGINT) AS c
-        |  FROM documents GROUP BY source, n_chars, ep),
-        |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS c
-        |  FROM ss GROUP BY v),
-        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sup),
-        |cum AS (SELECT v, sum(c) OVER (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
-        |    AS lo FROM sup),
-        |bin AS (SELECT cum.v, CAST(least(9, (cum.lo - 1) * 10 // nn.n)
-        |    AS BIGINT) AS b FROM cum, nn),
-        |cell AS (SELECT ss.source, bin.b, ss.ep,
-        |    CAST(sum(ss.c) AS BIGINT) AS c
-        |  FROM ss JOIN bin ON bin.v = ss.v
-        |  GROUP BY ss.source, bin.b, ss.ep),
-        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nbins
-        |  FROM bin),
-        |grid AS (SELECT s.source, bb.b
-        |  FROM (SELECT DISTINCT source FROM ss) s,
-        |  (SELECT DISTINCT b FROM bin) bb),
-        |ee AS (SELECT g.source, g.b,
-        |    COALESCE(max(CASE WHEN cell.ep = 0 THEN cell.c END), 0) AS c0,
-        |    COALESCE(max(CASE WHEN cell.ep = 1 THEN cell.c END), 0) AS c1
-        |  FROM grid g LEFT JOIN cell
-        |    ON cell.source = g.source AND cell.b = g.b
-        |  GROUP BY g.source, g.b),
-        |ns AS (SELECT source, CAST(sum(c0) AS BIGINT) AS n0,
-        |    CAST(sum(c1) AS BIGINT) AS n1 FROM ee GROUP BY source),
-        |pq AS (SELECT ee.source, ee.b,
-        |    CAST((ee.c0 + 1) * 1000000 // (ns.n0 + nb.nbins) AS BIGINT)
-        |      AS pm,
-        |    CAST((ee.c1 + 1) * 1000000 // (ns.n1 + nb.nbins) AS BIGINT)
-        |      AS qm
-        |  FROM ee JOIN ns ON ns.source = ee.source, nb),
-        |term AS (SELECT source, sum(CAST(qm - pm AS HUGEINT) *
-        |    CAST(round(ln(CAST(qm AS DOUBLE) / pm) * 1000000) AS BIGINT))
-        |    AS s FROM pq GROUP BY source)
-        |SELECT term.source, ns.n0 AS n_baseline, ns.n1 AS n_current,
-        |  round(CAST(term.s AS DOUBLE) / 1e12, 6) AS psi
-        |FROM term JOIN ns ON ns.source = term.source
-        |ORDER BY term.source""".stripMargin) { (s, d) =>
+    QueryDef.sql("q217_psi_drift", psiOracle) { (s, d) =>
       // ONE corpus exchange: the (source, value, epoch) support; the
       // pooled support, bins, and cells all derive from it post-agg
-      val ss = t(s, d, "documents")
+      // (assembly shared with the q301 STREAMING twin via psiTail)
+      psiTail(t(s, d, "documents")
         .groupBy(col("source"), col("n_chars").as("v"),
           when(substring(md5(col("doc_id").cast("string").cast("binary")),
             1, 1) < "8", 0).otherwise(1).as("ep"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val sup = ss.groupBy(col("v")).agg(sum(col("c")).cast("long").as("c"))
-      val nn = sup.agg(sum(col("c")).cast("long").as("n"))
-      val wC = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      // O(distinct values) rows with FOUR consumers (cell join, bin
-      // count, grid, universe) — checkpointed so the support window
-      // subtree is planned once, not re-expanded per consumer
-      val bin = sup
-        .withColumn("lo", sum(col("c")).over(wC) - col("c") + 1)
-        .crossJoin(broadcast(nn))
-        .select(col("v"),
-          least(lit(9L), expr("((lo - 1) * 10) div n")).as("b"))
-        .localCheckpoint()
-      val cell = ss.join(broadcast(bin), "v")
-        .groupBy(col("source"), col("b"), col("ep"))
-        .agg(sum(col("c")).cast("long").as("c"))
-      val nb = bin.agg(countDistinct(col("b")).as("nbins"))
-      val grid = cell.select(col("source")).distinct()
-        .crossJoin(broadcast(bin.select(col("b")).distinct()))
-      val ee = grid.join(cell, Seq("source", "b"), "left")
-        .groupBy(col("source"), col("b"))
-        .agg(coalesce(max(when(col("ep") === 0, col("c"))), lit(0L))
-            .as("c0"),
-          coalesce(max(when(col("ep") === 1, col("c"))), lit(0L))
-            .as("c1"))
-      val ns = ee.groupBy(col("source"))
-        .agg(sum(col("c0")).cast("long").as("n0"),
-          sum(col("c1")).cast("long").as("n1"))
-      val pq = ee.join(broadcast(ns), "source").crossJoin(broadcast(nb))
-        .select(col("source"),
-          expr("CAST(((c0 + 1) * 1000000) div (n0 + nbins) AS BIGINT)")
-            .as("pm"),
-          expr("CAST(((c1 + 1) * 1000000) div (n1 + nbins) AS BIGINT)")
-            .as("qm"))
-      val term = pq.groupBy(col("source"))
-        .agg(sum((col("qm") - col("pm")).cast("decimal(38,0)") *
-          round(log(col("qm").cast("double") / col("pm")) * 1000000)
-            .cast("long")).as("s"))
-      term.join(broadcast(ns), "source")
-        .select(col("source"), col("n0").as("n_baseline"),
-          col("n1").as("n_current"),
-          round(col("s").cast("double") / 1e12, 6).as("psi"))
-        .orderBy(col("source"))
+        .localCheckpoint())
+    },
+
+    // ---- STREAMING twin of q217: the PSI drift monitor folding on
+    //      the live document feed. The (source, length, epoch) count
+    //      fold runs complete-mode with O(sources·distinct lengths·2)
+    //      state — the q220/q273 bound: the DOMAIN, not the corpus,
+    //      sizes the state — and the pooled-rank bins, Laplace
+    //      shares, and log-ratio assembly run AT READ through the
+    //      SHARED psiTail against q217's VERBATIM oracle, so one
+    //      green hash proves the drift monitor streamable with zero
+    //      batch/stream divergence. ----
+    QueryDef.sql("q301_stream_psi", psiOracle) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "doclenfeed",
+        idCol = "doc_id", checkSpan = false)(docs)
+      val sink = graft.bench.BenchFeeds.sinkName("q301_psi")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .select(col("source"), col("n_chars").as("v"),
+            when(substring(md5(col("doc_id").cast("string")
+              .cast("binary")), 1, 1) < "8", 0).otherwise(1).as("ep"))
+          .groupBy(col("source"), col("v"), col("ep"))
+          .agg(count(lit(1)).as("c"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      psiTail(s.table(sink)
+        .select(col("source"), col("v"), col("ep"),
+          col("c").cast("long").as("c"))
+        .localCheckpoint())
     },
 
     // ---- Log-length normality check: skewness and kurtosis of
@@ -3375,6 +3425,70 @@ object TextOps {
               * lit(693147).cast("decimal(38,0)")).cast("double") / col("n2"))
             / 2 / 1000000, 6).as("js_nats"))
         .orderBy(col("s1"), col("s2"))
+    },
+
+    // ---- Dirichlet-smoothed query likelihood (μ = 2000): the
+    //      language-model retrieval twin of q71's BM25 — every doc
+    //      scores against the full query because absent terms still
+    //      pay the background probability, which is what separates QL
+    //      from a tf filter. The libm fence: each term's contribution
+    //      is ln((tf·N + μ·cf) / (N·(dl + μ))) — the fraction cleared
+    //      to a ratio of EXACT INTEGERS (multiply through by the
+    //      corpus token count N), one ROUNDED 1e6 log per (doc, term)
+    //      row, then integer sums. Corpus stats (N) are a 1-row
+    //      broadcast, per-term collection frequencies a 3-row
+    //      broadcast, and the only corpus-sized exchanges are the
+    //      (doc, term) tf agg and the per-doc score agg. Terms absent
+    //      from the corpus (cf = 0) drop from the query — ln 0 never
+    //      evaluates; a corpus containing none of the query is empty,
+    //      not an error (DegenerateInputSpec). ----
+    QueryDef.sql("q300_dirichlet_ql",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |nn AS (SELECT CAST(sum(dl) AS BIGINT) AS n FROM dl),
+        |tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+        |  WHERE tk IN ('vector', 'join', 'customer')
+        |  GROUP BY doc_id, tk),
+        |cf AS (SELECT tk, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+        |  GROUP BY tk),
+        |sc AS (SELECT dl.doc_id,
+        |    CAST(round(ln(CAST(COALESCE(tf.tf, 0) * nn.n + 2000 * cf.cf
+        |        AS DOUBLE) / (CAST(nn.n AS DOUBLE) * (dl.dl + 2000)))
+        |      * 1000000) AS BIGINT) AS lt
+        |  FROM dl CROSS JOIN cf CROSS JOIN nn
+        |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tk = cf.tk
+        |  WHERE cf.cf > 0),
+        |agg AS (SELECT doc_id, CAST(sum(lt) AS BIGINT) AS score_micro
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, score_micro FROM agg
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+      val tokd = t(s, d, "documents")
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+      val dl = tokd
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .localCheckpoint() // O(docs) lengths: feeds N AND the grid
+      val nn = dl.agg(sum(col("dl")).cast("long").as("n"))
+      val tf = tokd.select(col("doc_id"), explode_outer(col("toks")).as("tk"))
+        .filter(col("tk").isin("vector", "join", "customer"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy(col("tk")).agg(sum(col("tf")).cast("long").as("cf"))
+      dl.crossJoin(broadcast(cf)).crossJoin(broadcast(nn))
+        .join(tf, Seq("doc_id", "tk"), "left")
+        .filter(col("cf") > 0)
+        .select(col("doc_id"),
+          round(log((coalesce(col("tf"), lit(0L)) * col("n")
+              + lit(2000) * col("cf")).cast("double")
+            / (col("n").cast("double") * (col("dl") + 2000)))
+            * 1000000).cast("long").as("lt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("lt")).cast("long").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(10)
     })
 
   /** DuckDB oracle for q267: the 5-round greedy coverage walk

@@ -1249,6 +1249,41 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"alpha on a constant panel must be NULL: $r")
   }
 
+  test("q299: no pairs at the recall target — NULL recall, not 0/0") {
+    // two docs whose only gram overlap sits at J = 1/3: the histogram
+    // is non-empty but n_true (J ≥ 0.7) is 0 for every operating
+    // point — recall must be NULL while exp_false stays positive
+    val tmp = Files.createTempDirectory("lshopdegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "a b c d e f", "en", "web", 11L),
+        (2L, "a b c d x y", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q299_lsh_operating_point")(spark, d2)
+      .collect()
+    assert(rows.length == 6, s"${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_true")) == 0L, s"$r")
+      assert(r.isNullAt(r.fieldIndex("recall_micro")),
+        s"recall with no target pairs must be NULL: $r")
+      assert(r.getLong(r.fieldIndex("exp_false_micro")) >= 0L, s"$r")
+    }
+  }
+
+  test("q300: a corpus containing no query term is empty, not ln(0)") {
+    val tmp = Files.createTempDirectory("qldegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "aa bb cc dd", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    assert(SparkEntry.queries("q300_dirichlet_ql")(spark, d2)
+      .collect().isEmpty)
+  }
+
   test("q298: a single-source corpus fails every l — risk reads 100%") {
     val rows = run("q298_l_diversity")
     assert(rows.length == 3)

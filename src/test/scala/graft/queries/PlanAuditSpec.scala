@@ -845,7 +845,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // q298 = ONE corpus-sized (QI, sensitive) agg + the QI-group
       // distinct-count agg + result sort; the l-grid and total ride
       // broadcasts off the checkpointed O(groups) table
-      "q298_l_diversity" -> 3)
+      "q298_l_diversity" -> 3,
+      // q299 = the planner proper is 2 exchanges (bin agg + result
+      // sort) past the checkpointed histogram; the pair-count
+      // pipeline pays q31's audited posting shape at checkpoint time
+      "q299_lsh_operating_point" -> 2,
+      // q300 = the (doc, term) tf agg pair + cf margin + the per-doc
+      // score agg + top-k — corpus stats ride 1-row/3-row broadcasts
+      "q300_dirichlet_ql" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
