@@ -3915,6 +3915,184 @@ object PartB {
                 |  div (2 * (CAST(n AS DECIMAL(38,0)) * n - sq))
                 |  AS BIGINT)""".stripMargin))
             .as("alpha_micro"))
+    },
+
+    // ---- Cochran-Armitage trend test: does a BINARY outcome rise
+    //      monotonically with an ORDERED dose? q170's χ² sees "some
+    //      association"; CA spends its one degree of freedom on the
+    //      trend, which is what dose-response questions actually ask.
+    //      Dose = user activity quintile (exact rank bucket, q193's
+    //      (r−1)·5 div N discipline with a deterministic tie-break);
+    //      outcome = purchase-over-indexed (5·purchases > events).
+    //      All integers until the last row: the trend numerator
+    //      A·N − B·R and the variance pieces R(N−R)(C·N − B²) are
+    //      DECIMAL-exact cross-multiplications; χ²·1000 is one
+    //      integer division (numerator squared in DECIMAL), NULL when
+    //      the outcome or dose is constant. One per-user agg, one
+    //      quintile window over the O(users) table, O(5) algebra. ----
+    QueryDef.sql("q303_cochran_armitage",
+      """WITH u AS (SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS ev,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS pur
+        |  FROM events GROUP BY user_id),
+        |rk AS (SELECT ev, pur, row_number()
+        |    OVER (ORDER BY ev, user_id) AS r,
+        |    count(*) OVER () AS nu FROM u),
+        |dosed AS (SELECT ((r - 1) * 5) // nu + 1 AS dose,
+        |    CASE WHEN 5 * pur > ev THEN 1 ELSE 0 END AS y FROM rk),
+        |cell AS (SELECT dose, CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(sum(y) AS BIGINT) AS r_i FROM dosed GROUP BY dose),
+        |agg AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+        |    CAST(sum(r_i) AS BIGINT) AS r,
+        |    CAST(sum(dose * r_i) AS BIGINT) AS a,
+        |    CAST(sum(dose * n_i) AS BIGINT) AS b,
+        |    CAST(sum(dose * dose * n_i) AS BIGINT) AS c
+        |  FROM cell)
+        |SELECT n AS n_users, r AS n_positive,
+        |  CAST(CAST(a AS HUGEINT) * n - CAST(b AS HUGEINT) * r
+        |    AS BIGINT) AS trend_num,
+        |  CASE WHEN r > 0 AND r < n
+        |      AND CAST(c AS HUGEINT) * n - CAST(b AS HUGEINT) * b > 0
+        |    THEN CAST(((CAST(a AS HUGEINT) * n - CAST(b AS HUGEINT)
+        |        * r) * (CAST(a AS HUGEINT) * n - CAST(b AS HUGEINT)
+        |        * r) * n * 1000)
+        |      // (CAST(r AS HUGEINT) * (n - r)
+        |        * (CAST(c AS HUGEINT) * n - CAST(b AS HUGEINT) * b))
+        |      AS BIGINT)
+        |  END AS chi2_milli
+        |FROM agg""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("pur"))
+      // O(users): the rank window and total run here, never on events
+      val rk = u
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("ev"), col("user_id"))).cast("long"))
+        .withColumn("nu", count(lit(1)).over(
+          Window.partitionBy()).cast("long"))
+      val cell = rk
+        .select(expr("((r - 1) * 5) div nu + 1").as("dose"),
+          when(col("pur") * 5 > col("ev"), 1L).otherwise(0L).as("y"))
+        .groupBy(col("dose"))
+        .agg(count(lit(1)).as("n_i"), sum(col("y")).cast("long").as("r_i"))
+      cell.agg(sum(col("n_i")).cast("long").as("n"),
+          sum(col("r_i")).cast("long").as("r"),
+          sum(col("dose") * col("r_i")).cast("long").as("a"),
+          sum(col("dose") * col("n_i")).cast("long").as("b"),
+          sum(col("dose") * col("dose") * col("n_i")).cast("long").as("c"))
+        .select(col("n").as("n_users"), col("r").as("n_positive"),
+          (col("a").cast("decimal(38,0)") * col("n")
+            - col("b").cast("decimal(38,0)") * col("r"))
+            .cast("long").as("trend_num"),
+          when(col("r") > 0 && col("r") < col("n")
+              && col("c").cast("decimal(38,0)") * col("n")
+                - col("b").cast("decimal(38,0)") * col("b") > 0,
+            expr("""CAST(((CAST(a AS DECIMAL(38,0)) * n
+              |    - CAST(b AS DECIMAL(38,0)) * r)
+              |    * (CAST(a AS DECIMAL(38,0)) * n
+              |    - CAST(b AS DECIMAL(38,0)) * r) * n * 1000)
+              |  div (CAST(r AS DECIMAL(38,0)) * (n - r)
+              |    * (CAST(c AS DECIMAL(38,0)) * n
+              |      - CAST(b AS DECIMAL(38,0)) * b))
+              |  AS BIGINT)""".stripMargin))
+            .as("chi2_milli"))
+    },
+
+    // ---- Inverse-propensity-weighted ATE: the confounder-adjusted
+    //      treatment effect q165's raw A/B difference cannot give
+    //      when treatment is NOT randomized. Treatment = click-heavy
+    //      user (clicks > views), outcome = purchase-over-indexed,
+    //      confounder = activity quintile (the same exact rank
+    //      buckets as q303 — heavy users click more AND buy more, so
+    //      the raw difference is confounded by construction).
+    //      Propensity per stratum is the exact rational t_x/n_x;
+    //      Horvitz-Thompson clears it to integers per stratum:
+    //      Σ_x y1_x·n_x·10⁶ div t_x − Σ_x y0_x·n_x·10⁶ div (n_x−t_x),
+    //      each a nonneg floor division, divided once by N. Strata
+    //      violating positivity (t_x = 0 or t_x = n_x) are DROPPED
+    //      and counted — the honest IPW answer, never a div-by-zero
+    //      (DegenerateInputSpec: a fixture where every stratum
+    //      violates yields NULL ATE and n_valid_strata = 0). ----
+    QueryDef.sql("q304_ipw_ate",
+      """WITH u AS (SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS ev,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS pur,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS clk,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS vw
+        |  FROM events GROUP BY user_id),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY ev, user_id) AS r,
+        |    count(*) OVER () AS nu FROM u),
+        |lab AS (SELECT ((r - 1) * 5) // nu + 1 AS x,
+        |    CASE WHEN clk > vw THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN 5 * pur > ev THEN 1 ELSE 0 END AS y FROM rk),
+        |st AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x,
+        |    CAST(sum(t) AS BIGINT) AS t_x,
+        |    CAST(sum(t * y) AS BIGINT) AS y1_x,
+        |    CAST(sum((1 - t) * y) AS BIGINT) AS y0_x
+        |  FROM lab GROUP BY x),
+        |agg AS (SELECT CAST(sum(n_x) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN t_x > 0 AND t_x < n_x THEN 1 END)
+        |      AS BIGINT) AS n_valid,
+        |    CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(COALESCE(sum(CASE WHEN t_x > 0 AND t_x < n_x
+        |      THEN n_x END), 0) AS BIGINT) AS n_used,
+        |    CAST(COALESCE(sum(CASE WHEN t_x > 0 AND t_x < n_x
+        |      THEN (y1_x * n_x * 1000000) // t_x END), 0) AS BIGINT)
+        |      AS s1,
+        |    CAST(COALESCE(sum(CASE WHEN t_x > 0 AND t_x < n_x
+        |      THEN (y0_x * n_x * 1000000) // (n_x - t_x) END), 0)
+        |      AS BIGINT) AS s0
+        |  FROM st)
+        |SELECT n AS n_users, n_strata, n_valid AS n_valid_strata,
+        |  CASE WHEN n_used > 0 THEN
+        |    (CASE WHEN s1 >= s0 THEN 1 ELSE -1 END)
+        |      * (abs(s1 - s0) // n_used)
+        |  END AS ate_ipw_micro
+        |FROM agg""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("pur"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("clk"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("long").as("vw"))
+      val rk = u
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("ev"), col("user_id"))).cast("long"))
+        .withColumn("nu", count(lit(1)).over(
+          Window.partitionBy()).cast("long"))
+      val st = rk
+        .select(expr("((r - 1) * 5) div nu + 1").as("x"),
+          when(col("clk") > col("vw"), 1L).otherwise(0L).as("t"),
+          when(col("pur") * 5 > col("ev"), 1L).otherwise(0L).as("y"))
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("n_x"),
+          sum(col("t")).cast("long").as("t_x"),
+          sum(col("t") * col("y")).cast("long").as("y1_x"),
+          sum((lit(1L) - col("t")) * col("y")).cast("long").as("y0_x"))
+      val valid = col("t_x") > 0 && col("t_x") < col("n_x")
+      st.agg(sum(col("n_x")).cast("long").as("n"),
+          count(when(valid, 1)).as("n_valid"),
+          count(lit(1)).as("n_strata"),
+          coalesce(sum(when(valid, col("n_x"))), lit(0L)).cast("long")
+            .as("n_used"),
+          coalesce(sum(when(valid,
+            expr("(y1_x * n_x * 1000000) div t_x"))), lit(0L))
+            .cast("long").as("s1"),
+          coalesce(sum(when(valid,
+            expr("(y0_x * n_x * 1000000) div (n_x - t_x)"))), lit(0L))
+            .cast("long").as("s0"))
+        .select(col("n").as("n_users"), col("n_strata"),
+          col("n_valid").as("n_valid_strata"),
+          when(col("n_used") > 0,
+            (when(col("s1") >= col("s0"), 1L).otherwise(-1L))
+              * expr("abs(s1 - s0) div n_used")).as("ate_ipw_micro"))
     })
 
   /** The q282 leave-one-day-out assembly from an (etype, day, k) cell

@@ -2839,5 +2839,113 @@ object TrainingOps {
           when(col("qhat").isNotNull && col("n_test") > 0,
             expr("(covered * 1000000) div n_test")).as("coverage_micro"))
         .orderBy(col("lang"))
+    },
+
+    // ---- Bradley-Terry preference strengths: the model behind every
+    //      pairwise-preference pipeline (RLHF comparisons, judge
+    //      panels, A/B doc battles) — given "i beat j" counts, what
+    //      latent strength explains them? Comparisons are
+    //      deterministic md5-bucket pairings of docs from different
+    //      sources (longer doc wins, ties void); 4 minorize-maximize
+    //      rounds run as INTEGER micro fixed points: each round
+    //      s_i ← W_i·10¹² div Σ_j (n_ij·10¹²) div (s_i + s_j), then
+    //      q186's max-rescale keeps the scale-invariant family pinned
+    //      at max = 10⁶ — the oracle unrolls all 4 rounds so the hash
+    //      proves the walk. Zero-denominator guards: a source with no
+    //      comparisons carries its strength; an all-zero pair term
+    //      contributes 0. Scale: pairing is bucket-blocked (256
+    //      buckets ⇒ O(Σ bucket²) pairs, never corpus²); the MM
+    //      rounds run on the O(sources²) win matrix. ----
+    QueryDef.sql("q302_bradley_terry", {
+      val iters = (1 to 4).map { i =>
+        s"""d$i AS (SELECT p.i, sum(CASE WHEN a.s + b.s > 0
+           |      THEN (p.nij * 1000000000000) // (a.s + b.s)
+           |      ELSE 0 END) AS den
+           |  FROM p JOIN s${i - 1} a ON a.src = p.i
+           |  JOIN s${i - 1} b ON b.src = p.j GROUP BY p.i),
+           |r$i AS (SELECT d$i.i AS src,
+           |    CASE WHEN d$i.den > 0
+           |      THEN (COALESCE(w.w, 0) * 1000000000000) // d$i.den
+           |      ELSE s.s END AS s
+           |  FROM d$i LEFT JOIN w ON w.i = d$i.i
+           |  JOIN s${i - 1} s ON s.src = d$i.i),
+           |m$i AS (SELECT max(s) AS m FROM r$i),
+           |s$i AS (SELECT r.src, CASE WHEN m.m > 0
+           |    THEN (r.s * 1000000) // m.m ELSE r.s END AS s
+           |  FROM r$i r, m$i m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bk AS (SELECT substring(md5(CAST(doc_id AS VARCHAR)),
+         |    1, 2) AS b, source, n_chars FROM documents),
+         |duel AS (SELECT a.source AS i, b.source AS j,
+         |    CAST(count(*) AS BIGINT) AS wins
+         |  FROM bk a JOIN bk b ON a.b = b.b AND a.source <> b.source
+         |    AND a.n_chars > b.n_chars
+         |  GROUP BY a.source, b.source),
+         |p AS (SELECT COALESCE(d1.i, d2.j) AS i,
+         |    COALESCE(d1.j, d2.i) AS j,
+         |    COALESCE(d1.wins, 0) + COALESCE(d2.wins, 0) AS nij
+         |  FROM duel d1 FULL JOIN duel d2
+         |    ON d1.i = d2.j AND d1.j = d2.i),
+         |w AS (SELECT i, CAST(sum(wins) AS BIGINT) AS w FROM duel
+         |  GROUP BY i),
+         |s0 AS (SELECT i AS src, CAST(1000000 AS BIGINT) AS s
+         |  FROM (SELECT DISTINCT i FROM p)),
+         |$iters
+         |SELECT s4.src AS source, COALESCE(w.w, 0) AS wins,
+         |  CAST(s4.s AS BIGINT) AS strength_micro
+         |FROM s4 LEFT JOIN w ON w.i = s4.src
+         |ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val bk = t(s, d, "documents")
+        .select(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 2).as("b"), col("source"), col("n_chars"))
+        .localCheckpoint() // bucket-blocked duel table feeds both legs
+      val duel = bk.select(col("b"), col("source").as("i"),
+          col("n_chars").as("ca"))
+        .join(bk.select(col("b"), col("source").as("j"),
+          col("n_chars").as("cb")), Seq("b"))
+        .filter(col("i") =!= col("j") && col("ca") > col("cb"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("wins"))
+        .localCheckpoint() // O(sources²): feeds p, w, and the rounds
+      val p = duel.select(col("i"), col("j"), col("wins"))
+        .join(duel.select(col("j").as("i"), col("i").as("j"),
+          col("wins").as("wr")), Seq("i", "j"), "full")
+        .select(col("i"), col("j"),
+          (coalesce(col("wins"), lit(0L)) + coalesce(col("wr"), lit(0L)))
+            .as("nij"))
+        .localCheckpoint()
+      val w = duel.groupBy(col("i"))
+        .agg(sum(col("wins")).cast("long").as("w"))
+      var sTab = p.select(col("i").as("src")).distinct()
+        .select(col("src"), lit(1000000L).as("s"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val den = p
+          .join(sTab.select(col("src").as("i"), col("s").as("si")), "i")
+          .join(sTab.select(col("src").as("j"), col("s").as("sj")), "j")
+          .groupBy(col("i"))
+          .agg(sum(when(col("si") + col("sj") > 0,
+            expr("(nij * 1000000000000) div (si + sj)"))
+            .otherwise(0L)).cast("long").as("den"))
+        val raw = den.join(w, Seq("i"), "left")
+          .join(sTab.select(col("src").as("i"), col("s").as("sp")), "i")
+          .select(col("i").as("src"),
+            when(col("den") > 0,
+              expr("(coalesce(w, CAST(0 AS BIGINT)) * 1000000000000)"
+                + " div den"))
+              .otherwise(col("sp")).as("s"))
+        val m = raw.agg(max(col("s")).as("m"))
+        sTab = raw.crossJoin(broadcast(m))
+          .select(col("src"),
+            when(col("m") > 0, expr("(s * 1000000) div m"))
+              .otherwise(col("s")).as("s"))
+          .localCheckpoint()
+      }
+      sTab.join(w.select(col("i").as("src"), col("w")), Seq("src"), "left")
+        .select(col("src").as("source"),
+          coalesce(col("w"), lit(0L)).as("wins"),
+          col("s").cast("long").as("strength_micro"))
+        .orderBy(col("source"))
     })
 }

@@ -1284,6 +1284,28 @@ class DegenerateInputSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("q302: a single-source corpus has no duels — empty, no error") {
+    assert(run("q302_bradley_terry").isEmpty)
+  }
+
+  test("q303: one user is one dose level — NULL chi2, not 0/0") {
+    // a single user collapses the dose design to one level:
+    // C·N − B² = 0 and the variance guard must answer NULL
+    val r = run("q303_cochran_armitage")(0)
+    assert(r.getLong(r.fieldIndex("n_users")) == 1L, s"$r")
+    assert(r.isNullAt(r.fieldIndex("chi2_milli")),
+      s"constant-dose chi2 must be NULL: $r")
+  }
+
+  test("q304: a 1-user stratum violates positivity — NULL ATE") {
+    // n_x = 1 forces t_x ∈ {0, n_x}: every stratum is dropped, the
+    // violation count says so, and the ATE is NULL, never 1/0
+    val r = run("q304_ipw_ate")(0)
+    assert(r.getLong(r.fieldIndex("n_valid_strata")) == 0L, s"$r")
+    assert(r.isNullAt(r.fieldIndex("ate_ipw_micro")),
+      s"no-valid-strata ATE must be NULL: $r")
+  }
+
   test("q298: a single-source corpus fails every l — risk reads 100%") {
     val rows = run("q298_l_diversity")
     assert(rows.length == 3)

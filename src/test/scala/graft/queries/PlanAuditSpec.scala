@@ -852,7 +852,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "q299_lsh_operating_point" -> 2,
       // q300 = the (doc, term) tf agg pair + cf margin + the per-doc
       // score agg + top-k — corpus stats ride 1-row/3-row broadcasts
-      "q300_dirichlet_ql" -> 5)
+      "q300_dirichlet_ql" -> 5,
+      // q302 = past the checkpointed duel/pair tables and the four
+      // checkpointed MM rounds: the final strength join + result sort
+      "q302_bradley_terry" -> 2,
+      // q303 = the per-user agg + the O(users) rank window feeding
+      // the dose cells; the 5-row algebra is exchange-free
+      "q303_cochran_armitage" -> 2,
+      // q304 = q303's exact profile: user agg + rank window; the
+      // stratum fold and the HT sums are O(5) algebra
+      "q304_ipw_ate" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
