@@ -2326,6 +2326,160 @@ object LakeOps {
             .as("risk_micro"),
           col("ng").as("n_groups"))
         .orderBy(col("l"))
+    },
+
+    // ---- Storage-encoding audit: per column, what would RLE and
+    //      dictionary encoding buy in the table's CLUSTER order
+    //      (l_orderkey, l_linenumber)? The compaction/layout planner
+    //      reads this BEFORE rewriting a petabyte: run counts say
+    //      which columns reward run-length (sorted keys, low-card
+    //      flags), dict_bits says the dictionary width. Runs are
+    //      counted EXACTLY with NO single-partition pass over the
+    //      corpus — the q111 two-level discipline: a 33-bucket split
+    //      of the key range (width (max−min) div 32 + 1) counts
+    //      intra-bucket changes under a PARTITIONED window, and the
+    //      33 bucket-boundary rows settle cross-bucket changes in an
+    //      O(33) window. All integer; quantity/date normalize to
+    //      BIGINT so equality is engine-exact (never raw double
+    //      compares). ----
+    QueryDef.sql("q306_encoding_audit", {
+      val cols = Seq("ok", "sk", "rf", "ls", "qt", "sd")
+      val names = Map("ok" -> "l_orderkey", "sk" -> "l_suppkey",
+        "rf" -> "l_returnflag", "ls" -> "l_linestatus",
+        "qt" -> "l_quantity_int", "sd" -> "l_shipday")
+      val chg = cols.map(c =>
+        s"""CASE WHEN lag($c) OVER w IS NOT NULL
+           |      AND lag($c) OVER w <> $c THEN 1 ELSE 0 END
+           |      AS chg_$c""".stripMargin).mkString(",\n|    ")
+      val wsum = cols.map(c =>
+        s"CAST(sum(chg_$c) AS BIGINT) AS w_$c").mkString(", ")
+      val fl = cols.map(c => s"$c AS f_$c").mkString(", ")
+      val ll = cols.map(c => s"$c AS l_$c").mkString(", ")
+      val pl = cols.map(c =>
+        s"lag(l_$c) OVER (ORDER BY bkt) AS p_$c").mkString(",\n|    ")
+      val bsum = cols.map(c =>
+        s"""CAST(sum(CASE WHEN p_$c IS NOT NULL AND p_$c <> f_$c
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS b_$c"""
+          .stripMargin).mkString(",\n|    ")
+      val dsum = cols.map(c =>
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS d_$c").mkString(", ")
+      val rows = cols.map(c =>
+        s"""SELECT '${names(c)}' AS col, nn.n,
+           |    dist.d_$c AS n_distinct,
+           |    wc.w_$c + bd2.b_$c + 1 AS n_runs
+           |  FROM nn, dist, wc, bd2""".stripMargin)
+        .mkString("\n|  UNION ALL\n|  ")
+      s"""WITH b0 AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+         |    l_suppkey AS sk, l_returnflag AS rf, l_linestatus AS ls,
+         |    CAST(l_quantity AS BIGINT) AS qt,
+         |    epoch_us(l_shipdate) // 86400000000 AS sd FROM lineitem),
+         |mm AS (SELECT min(ok) AS mn,
+         |    (max(ok) - min(ok)) // 32 + 1 AS bw FROM b0),
+         |bb AS (SELECT b0.*, (ok - mm.mn) // mm.bw AS bkt FROM b0, mm),
+         |lg AS (SELECT bkt, ok, ln, sk, rf, ls, qt, sd,
+         |    $chg,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY bkt) AS bn
+         |  FROM bb WINDOW w AS (PARTITION BY bkt
+         |    ORDER BY ok, ln, sk, rf, ls, qt, sd)),
+         |wc AS (SELECT $wsum FROM lg),
+         |fst AS (SELECT bkt, $fl FROM lg WHERE rn = 1),
+         |lst AS (SELECT bkt, $ll FROM lg WHERE rn = bn),
+         |bd AS (SELECT f.*, ${cols.map(c => s"l.l_$c").mkString(", ")}
+         |  FROM fst f JOIN lst l ON l.bkt = f.bkt),
+         |bd1 AS (SELECT *,
+         |    $pl
+         |  FROM bd),
+         |bd2 AS (SELECT $bsum FROM bd1),
+         |dist AS (SELECT $dsum FROM b0),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b0),
+         |st AS ($rows),
+         |sp(k) AS (SELECT unnest(range(41)))
+         |SELECT st.col AS col, st.n AS n_rows, st.n_distinct,
+         |  st.n_runs,
+         |  CAST(st.n * 1000000 // st.n_runs AS BIGINT)
+         |    AS rle_ratio_micro,
+         |  CAST(min(CASE WHEN (CAST(1 AS BIGINT) << k) >= st.n_distinct
+         |    THEN k END) AS BIGINT) AS dict_bits
+         |FROM st CROSS JOIN sp
+         |GROUP BY st.col, st.n, st.n_distinct, st.n_runs
+         |ORDER BY col""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cols = Seq("ok", "sk", "rf", "ls", "qt", "sd")
+      val names = Map("ok" -> "l_orderkey", "sk" -> "l_suppkey",
+        "rf" -> "l_returnflag", "ls" -> "l_linestatus",
+        "qt" -> "l_quantity_int", "sd" -> "l_shipday")
+      val b0 = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_suppkey").as("sk"), col("l_returnflag").as("rf"),
+          col("l_linestatus").as("ls"),
+          col("l_quantity").cast("long").as("qt"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("sd"))
+      val mm = b0.agg(min(col("ok")).as("mn"),
+        expr("(max(ok) - min(ok)) div 32 + 1").as("bw"))
+      val bb = b0.crossJoin(broadcast(mm))
+        .withColumn("bkt", expr("(ok - mn) div bw"))
+        .localCheckpoint() // feeds the window pass AND the distincts
+      val w = Window.partitionBy(col("bkt")).orderBy(col("ok"),
+        col("ln"), col("sk"), col("rf"), col("ls"), col("qt"),
+        col("sd")) // the synthetic PK is NOT unique; ordering by
+                   // every audited column makes remaining ties
+                   // FULL duplicates, so run counts are invariant
+      val lg = cols.foldLeft(
+          bb.withColumn("rn", row_number().over(w))
+            .withColumn("bn",
+              count(lit(1)).over(Window.partitionBy(col("bkt"))))) {
+          (df, c) =>
+        df.withColumn(s"chg_$c",
+          when(lag(col(c), 1).over(w).isNotNull
+            && lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L))
+      }.localCheckpoint() // ONE partitioned window pass carries all
+                          // six lag columns; three consumers below
+      val wc = lg.agg(cols.map(c => sum(col(s"chg_$c")).cast("long")
+        .as(s"w_$c")).head, cols.tail.map(c =>
+        sum(col(s"chg_$c")).cast("long").as(s"w_$c")): _*)
+      val fst = lg.filter(col("rn") === 1)
+        .select(col("bkt") +: cols.map(c => col(c).as(s"f_$c")): _*)
+      val lst = lg.filter(col("rn") === col("bn"))
+        .select(col("bkt") +: cols.map(c => col(c).as(s"l_$c")): _*)
+      val wB = Window.orderBy(col("bkt")) // O(33) bucket-boundary rows
+      val bd1 = cols.foldLeft(fst.join(lst, "bkt")) { (df, c) =>
+        df.withColumn(s"p_$c", lag(col(s"l_$c"), 1).over(wB))
+      }
+      val bd2 = bd1.agg(cols.map(c =>
+        sum(when(col(s"p_$c").isNotNull
+          && col(s"p_$c") =!= col(s"f_$c"), 1L).otherwise(0L))
+          .cast("long").as(s"b_$c")).head,
+        cols.tail.map(c => sum(when(col(s"p_$c").isNotNull
+          && col(s"p_$c") =!= col(s"f_$c"), 1L).otherwise(0L))
+          .cast("long").as(s"b_$c")): _*)
+      val dist = bb.agg(
+        countDistinct(col(cols.head)).cast("long").as(s"d_${cols.head}"),
+        cols.tail.map(c =>
+          countDistinct(col(c)).cast("long").as(s"d_$c")): _*)
+      val nn = bb.agg(count(lit(1)).as("n"))
+      // ONE combined 1-row stats frame, checkpointed — a per-column
+      // union would re-execute all four aggregate subtrees per branch
+      // (measured: 25 exchanges); stack() fans the row out for free
+      val stats = wc.crossJoin(broadcast(bd2)).crossJoin(broadcast(dist))
+        .crossJoin(broadcast(nn)).localCheckpoint()
+      val st = stats.select(col("n"), expr(
+        "stack(6, " + cols.map(c =>
+          s"'${names(c)}', d_$c, w_$c + b_$c + CAST(1 AS BIGINT)")
+          .mkString(", ") + ") AS (col, n_distinct, n_runs)"))
+      val sp = s.range(0, 41).select(col("id").as("k"))
+      st.crossJoin(broadcast(sp))
+        .groupBy(col("col"), col("n"), col("n_distinct"), col("n_runs"))
+        .agg(min(when(expr("(CAST(1 AS BIGINT) << CAST(k AS INT))")
+          >= col("n_distinct"), col("k"))).cast("long").as("dict_bits"))
+        .select(col("col"), col("n").as("n_rows"), col("n_distinct"),
+          col("n_runs"),
+          expr("CAST(n * 1000000 div n_runs AS BIGINT)")
+            .as("rle_ratio_micro"),
+          col("dict_bits"))
+        .orderBy(col("col"))
     }
   )
 

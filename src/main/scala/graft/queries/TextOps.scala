@@ -3489,6 +3489,85 @@ object TextOps {
         .agg(sum(col("lt")).cast("long").as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // ---- Dup-graph percolation sweep: how do q69's duplicate
+    //      clusters RESHAPE as the Jaccard threshold moves? The audit
+    //      before anyone trusts a single cutoff — drop it too low and
+    //      transitive closure welds the corpus into one giant
+    //      component (every doc "duplicates" every other through
+    //      chains); this query shows exactly where that phase change
+    //      happens. Thresholds {0.3, 0.5, 0.8} apply as the EXACT
+    //      integer test c·10 ≥ thr·union (never a float ≥ on a
+    //      non-representable constant); per threshold the components
+    //      come from the audited large-star/small-star CC operator,
+    //      and the oracle replays min-label reachability with one
+    //      RECURSIVE walk keyed by threshold. Reported: nodes in the
+    //      dup graph, component count, largest component, and its
+    //      share of the WHOLE corpus. Scale: one pair-count pipeline
+    //      (q31's shape), then 3 CC runs on pair tables that shrink
+    //      as thr rises. ----
+    QueryDef.sql("q307_percolation_sweep",
+      s"""WITH RECURSIVE ${Sketches.gramsCte},
+         |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
+         |  FROM sh),
+         |pc AS (SELECT a.doc_id AS u, b.doc_id AS v, a.sz AS sz1,
+         |    b.sz AS sz2, CAST(count(*) AS BIGINT) AS c
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |te AS (SELECT t.thr, pc.u, pc.v
+         |  FROM pc JOIN (VALUES (3), (5), (8)) t(thr)
+         |    ON pc.c * 10 >= t.thr * (pc.sz1 + pc.sz2 - pc.c)),
+         |edges AS (SELECT thr, u, v FROM te
+         |  UNION SELECT thr, v AS u, u AS v FROM te),
+         |walk(thr, node, comp) AS (
+         |  SELECT DISTINCT thr, u, u FROM edges
+         |  UNION
+         |  SELECT e.thr, e.v, w.comp FROM walk w
+         |  JOIN edges e ON e.thr = w.thr AND e.u = w.node
+         |  WHERE w.comp < e.v),
+         |lab AS (SELECT thr, node, min(comp) AS comp FROM walk
+         |  GROUP BY thr, node),
+         |sz AS (SELECT thr, comp, CAST(count(*) AS BIGINT) AS size
+         |  FROM lab GROUP BY thr, comp),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs
+         |  FROM documents),
+         |th(thr) AS (VALUES (3), (5), (8))
+         |SELECT CAST(th.thr * 10 AS BIGINT) AS thr_pct,
+         |  CAST(COALESCE(sum(sz.size), 0) AS BIGINT) AS n_nodes,
+         |  CAST(count(sz.comp) AS BIGINT) AS n_components,
+         |  CAST(COALESCE(max(sz.size), 0) AS BIGINT) AS max_size,
+         |  CAST(COALESCE(max(sz.size), 0) * 1000000 // nd.ndocs
+         |    AS BIGINT) AS max_frac_micro
+         |FROM th LEFT JOIN sz ON sz.thr = th.thr, nd
+         |GROUP BY th.thr, nd.ndocs
+         |ORDER BY thr_pct""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pc = gramPairCounts(Sketches.shingled(docs))
+        .withColumn("un", col("sz1") + col("sz2") - col("c"))
+        .localCheckpoint() // ONE pair-count pipeline feeds all 3 runs
+      val nd = docs.agg(count(lit(1)).as("ndocs"))
+      val sweeps = Seq(3L, 5L, 8L).map { thr =>
+        val pairs = pc.filter(col("c") * 10 >= col("un") * thr)
+          .select(col("doc1"), col("doc2"))
+        val sz = graft.operators.ConnectedComponents
+          .run(pairs, "doc1", "doc2")
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("size"))
+        sz.agg(coalesce(sum(col("size")), lit(0L)).cast("long")
+            .as("n_nodes"),
+          count(col("component")).as("n_components"),
+          coalesce(max(col("size")), lit(0L)).cast("long")
+            .as("max_size"))
+          .select(lit(thr * 10).as("thr_pct"), col("n_nodes"),
+            col("n_components"), col("max_size"))
+      }.reduce(_ unionByName _)
+      sweeps.crossJoin(broadcast(nd))
+        .select(col("thr_pct"), col("n_nodes"), col("n_components"),
+          col("max_size"),
+          expr("CAST(max_size * 1000000 div ndocs AS BIGINT)")
+            .as("max_frac_micro"))
+        .orderBy(col("thr_pct"))
     })
 
   /** DuckDB oracle for q267: the 5-round greedy coverage walk

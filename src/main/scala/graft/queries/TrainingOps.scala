@@ -76,6 +76,97 @@ object TrainingOps {
     .when(col("lang") === "es", "40").when(col("lang") === "zh", "40")
     .otherwise("10")
 
+  /** The q294 split-conformal assembly from a (lang, v, fold, c)
+    * count support — shared by the q305 STREAMING twin so batch and
+    * stream can never drift: integer-micro train mean, EXACT
+    * calibration order statistic at k = ⌈0.9(n+1)⌉ (q287's cum·10
+    * test on the distinct-score support), one integer coverage
+    * division. Expects `f` materialized (three fold consumers). */
+  private def conformalTail(f: DataFrame): DataFrame = {
+    val mu = f.filter(col("fold") === 0).groupBy(col("lang"))
+      .agg(expr("CAST(sum(v * c) * 1000000 div sum(c) AS BIGINT)")
+        .as("mu_micro"))
+    val csup = f.filter(col("fold") === 1).join(broadcast(mu), "lang")
+      .select(col("lang"),
+        abs(col("v") * 1000000 - col("mu_micro")).as("sc"), col("c"))
+      .groupBy(col("lang"), col("sc"))
+      .agg(sum(col("c")).cast("long").as("c"))
+      .localCheckpoint() // O(langs·distinct scores): feeds the count
+                         // margin and the cumulative window
+    val ncal = csup.groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_calib"))
+    val wc = Window.partitionBy(col("lang")).orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qh = csup.withColumn("cc", sum(col("c")).over(wc))
+      .join(broadcast(ncal), "lang")
+      .groupBy(col("lang"), col("n_calib"))
+      .agg(min(when(
+        expr("(9 * (n_calib + 1) + 9) div 10") <= col("n_calib")
+          && col("cc") * 10 >= (col("n_calib") + 1) * 9,
+        col("sc"))).as("qhat"))
+    val tst = f.filter(col("fold") === 2)
+      .join(broadcast(mu), "lang").join(broadcast(qh), "lang")
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_test"),
+        sum(when(abs(col("v") * 1000000 - col("mu_micro"))
+          <= col("qhat"), col("c")).otherwise(0L)).cast("long")
+          .as("covered"))
+    qh.join(broadcast(mu), "lang").join(broadcast(tst), "lang")
+      .select(col("lang"), col("n_calib"), col("n_test"),
+        col("mu_micro"), col("qhat"),
+        when(col("qhat").isNotNull && col("n_test") > 0,
+          expr("(covered * 1000000) div n_test")).as("coverage_micro"))
+      .orderBy(col("lang"))
+  }
+
+  /** Shared oracle for q294 and its streaming twin q305 — one SQL
+    * text, so the two QueryDefs are provably the same computation. */
+  private lazy val conformalOracle: String =
+    """WITH f AS (SELECT lang, n_chars,
+      |    CASE
+      |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '60'
+      |        THEN 0
+      |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'b0'
+      |        THEN 1
+      |      ELSE 2 END AS fold
+      |  FROM documents),
+      |mu AS (SELECT lang,
+      |    CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT)
+      |      AS mu_micro
+      |  FROM f WHERE fold = 0 GROUP BY lang),
+      |cal AS (SELECT f.lang,
+      |    abs(f.n_chars * 1000000 - mu.mu_micro) AS sc
+      |  FROM f JOIN mu ON mu.lang = f.lang WHERE f.fold = 1),
+      |csup AS (SELECT lang, sc, CAST(count(*) AS BIGINT) AS c
+      |  FROM cal GROUP BY lang, sc),
+      |ncal AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_calib
+      |  FROM csup GROUP BY lang),
+      |cum AS (SELECT lang, sc,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      |  FROM csup),
+      |qh AS (SELECT cum.lang, ncal.n_calib,
+      |    min(CASE WHEN (9 * (ncal.n_calib + 1) + 9) // 10
+      |        <= ncal.n_calib
+      |      AND cum.cc * 10 >= 9 * (ncal.n_calib + 1)
+      |      THEN cum.sc END) AS qhat
+      |  FROM cum JOIN ncal ON ncal.lang = cum.lang
+      |  GROUP BY cum.lang, ncal.n_calib),
+      |tst AS (SELECT f.lang, CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN abs(f.n_chars * 1000000 - mu.mu_micro)
+      |      <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      |  FROM f JOIN mu ON mu.lang = f.lang
+      |  JOIN qh ON qh.lang = f.lang WHERE f.fold = 2
+      |  GROUP BY f.lang)
+      |SELECT qh.lang AS lang, qh.n_calib, tst.n_test,
+      |  mu.mu_micro AS mu_micro, qh.qhat AS qhat,
+      |  CASE WHEN qh.qhat IS NOT NULL AND tst.n_test > 0
+      |    THEN (tst.covered * 1000000) // tst.n_test END
+      |    AS coverage_micro
+      |FROM qh JOIN mu ON mu.lang = qh.lang
+      |JOIN tst ON tst.lang = qh.lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- Deterministic weighted mixture sampling: each language gets
@@ -2753,92 +2844,58 @@ object TrainingOps {
     //      scores). k > n_calib (too few calibration rows for the
     //      level) yields NULL q̂ and NULL coverage — the honest "not
     //      enough data" answer (DegenerateInputSpec). ----
-    QueryDef.sql("q294_conformal_coverage",
-      """WITH f AS (SELECT lang, n_chars,
-        |    CASE
-        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '60'
-        |        THEN 0
-        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'b0'
-        |        THEN 1
-        |      ELSE 2 END AS fold
-        |  FROM documents),
-        |mu AS (SELECT lang,
-        |    CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT)
-        |      AS mu_micro
-        |  FROM f WHERE fold = 0 GROUP BY lang),
-        |cal AS (SELECT f.lang,
-        |    abs(f.n_chars * 1000000 - mu.mu_micro) AS sc
-        |  FROM f JOIN mu ON mu.lang = f.lang WHERE f.fold = 1),
-        |csup AS (SELECT lang, sc, CAST(count(*) AS BIGINT) AS c
-        |  FROM cal GROUP BY lang, sc),
-        |ncal AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_calib
-        |  FROM csup GROUP BY lang),
-        |cum AS (SELECT lang, sc,
-        |    sum(c) OVER (PARTITION BY lang ORDER BY sc
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
-        |  FROM csup),
-        |qh AS (SELECT cum.lang, ncal.n_calib,
-        |    min(CASE WHEN (9 * (ncal.n_calib + 1) + 9) // 10
-        |        <= ncal.n_calib
-        |      AND cum.cc * 10 >= 9 * (ncal.n_calib + 1)
-        |      THEN cum.sc END) AS qhat
-        |  FROM cum JOIN ncal ON ncal.lang = cum.lang
-        |  GROUP BY cum.lang, ncal.n_calib),
-        |tst AS (SELECT f.lang, CAST(count(*) AS BIGINT) AS n_test,
-        |    CAST(sum(CASE WHEN abs(f.n_chars * 1000000 - mu.mu_micro)
-        |      <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered
-        |  FROM f JOIN mu ON mu.lang = f.lang
-        |  JOIN qh ON qh.lang = f.lang WHERE f.fold = 2
-        |  GROUP BY f.lang)
-        |SELECT qh.lang AS lang, qh.n_calib, tst.n_test,
-        |  mu.mu_micro AS mu_micro, qh.qhat AS qhat,
-        |  CASE WHEN qh.qhat IS NOT NULL AND tst.n_test > 0
-        |    THEN (tst.covered * 1000000) // tst.n_test END
-        |    AS coverage_micro
-        |FROM qh JOIN mu ON mu.lang = qh.lang
-        |JOIN tst ON tst.lang = qh.lang
-        |ORDER BY lang""".stripMargin) { (s, d) =>
-      val f = t(s, d, "documents")
-        .select(col("lang"), col("n_chars"),
+    QueryDef.sql("q294_conformal_coverage", conformalOracle) { (s, d) =>
+      // one corpus scan into the (lang, v, fold) count support; the
+      // train mean, calibration quantile, and test coverage all
+      // derive from it post-agg (assembly shared with the q305
+      // STREAMING twin via conformalTail)
+      conformalTail(t(s, d, "documents")
+        .groupBy(col("lang"), col("n_chars").as("v"),
           when(substring(md5(col("doc_id").cast("string")
             .cast("binary")), 1, 2) < "60", 0)
           .when(substring(md5(col("doc_id").cast("string")
             .cast("binary")), 1, 2) < "b0", 1)
           .otherwise(2).as("fold"))
-        .localCheckpoint() // one corpus scan feeds all three folds
-      val mu = f.filter(col("fold") === 0).groupBy(col("lang"))
-        .agg(expr("CAST(sum(n_chars) * 1000000 div count(*) AS BIGINT)")
-          .as("mu_micro"))
-      val cal = f.filter(col("fold") === 1).join(broadcast(mu), "lang")
-        .select(col("lang"),
-          abs(col("n_chars") * 1000000 - col("mu_micro")).as("sc"))
-      val csup = cal.groupBy(col("lang"), col("sc"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // O(langs·distinct scores): feeds the
-                           // count margin and the cumulative window
-      val ncal = csup.groupBy(col("lang"))
-        .agg(sum(col("c")).cast("long").as("n_calib"))
-      val wc = Window.partitionBy(col("lang")).orderBy(col("sc"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val qh = csup.withColumn("cc", sum(col("c")).over(wc))
-        .join(broadcast(ncal), "lang")
-        .groupBy(col("lang"), col("n_calib"))
-        .agg(min(when(
-          expr("(9 * (n_calib + 1) + 9) div 10") <= col("n_calib")
-            && col("cc") * 10 >= (col("n_calib") + 1) * 9,
-          col("sc"))).as("qhat"))
-      val tst = f.filter(col("fold") === 2)
-        .join(broadcast(mu), "lang").join(broadcast(qh), "lang")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_test"),
-          sum(when(abs(col("n_chars") * 1000000 - col("mu_micro"))
-            <= col("qhat"), 1L).otherwise(0L)).cast("long").as("covered"))
-      qh.join(broadcast(mu), "lang").join(broadcast(tst), "lang")
-        .select(col("lang"), col("n_calib"), col("n_test"),
-          col("mu_micro"), col("qhat"),
-          when(col("qhat").isNotNull && col("n_test") > 0,
-            expr("(covered * 1000000) div n_test")).as("coverage_micro"))
-        .orderBy(col("lang"))
+        .localCheckpoint())
+    },
+
+    // ---- STREAMING twin of q294: the conformal-coverage monitor
+    //      folding on the live document feed. The (lang, length,
+    //      fold) count fold runs complete-mode with DOMAIN-sized
+    //      state (langs·distinct lengths·3), and the train mean,
+    //      exact calibration order statistic, and test coverage all
+    //      assemble AT READ through the SHARED conformalTail against
+    //      q294's VERBATIM oracle — the "does 90% still cover 90%?"
+    //      alarm becomes a live metric with provably zero
+    //      batch/stream divergence. ----
+    QueryDef.sql("q305_stream_conformal", conformalOracle) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "doclangfeed",
+        idCol = "doc_id", checkSpan = false)(docs)
+      val sink = graft.bench.BenchFeeds.sinkName("q305_conf")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(col("lang"), col("n_chars").as("v"),
+            when(substring(md5(col("doc_id").cast("string")
+              .cast("binary")), 1, 2) < "60", 0)
+            .when(substring(md5(col("doc_id").cast("string")
+              .cast("binary")), 1, 2) < "b0", 1)
+            .otherwise(2).as("fold"))
+          .groupBy(col("lang"), col("v"), col("fold"))
+          .agg(count(lit(1)).as("c"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      conformalTail(s.table(sink)
+        .select(col("lang"), col("v"), col("fold"),
+          col("c").cast("long").as("c"))
+        .localCheckpoint())
     },
 
     // ---- Bradley-Terry preference strengths: the model behind every

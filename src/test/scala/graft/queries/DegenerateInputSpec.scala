@@ -1306,6 +1306,49 @@ class DegenerateInputSpec extends AnyFunSuite {
       s"no-valid-strata ATE must be NULL: $r")
   }
 
+  test("q306: a one-row table is one run per column, 0 dict bits") {
+    val tmp = Files.createTempDirectory("encdegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, 2L, 3L, 1, 4.0, 5.0, 0.1, 0.2, "R", "F",
+        java.sql.Timestamp.valueOf("1995-06-15 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$d2/lineitem.parquet")
+    val rows = SparkEntry.queries("q306_encoding_audit")(spark, d2)
+      .collect()
+    assert(rows.length == 6, s"${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_runs")) == 1L, s"$r")
+      assert(r.getLong(r.fieldIndex("rle_ratio_micro")) == 1000000L,
+        s"$r")
+      assert(r.getLong(r.fieldIndex("dict_bits")) == 0L,
+        s"a 1-value dictionary needs 0 bits: $r")
+    }
+  }
+
+  test("q307: a pairless corpus keeps all 3 sweep rows at zero") {
+    // docs under 3 tokens shingle to nothing: the dup graph is empty
+    // at every threshold, and the LEFT JOIN must keep the sweep grid
+    val tmp = Files.createTempDirectory("percdegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "aa bb", "en", "web", 5L), (2L, "cc dd", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q307_percolation_sweep")(spark, d2)
+      .collect()
+    assert(rows.length == 3, s"${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_nodes")) == 0L, s"$r")
+      assert(r.getLong(r.fieldIndex("n_components")) == 0L, s"$r")
+      assert(r.getLong(r.fieldIndex("max_frac_micro")) == 0L, s"$r")
+    }
+  }
+
   test("q298: a single-source corpus fails every l — risk reads 100%") {
     val rows = run("q298_l_diversity")
     assert(rows.length == 3)

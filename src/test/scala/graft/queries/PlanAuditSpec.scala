@@ -823,11 +823,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // cell side), the margin agg, the final stats-broadcast joins'
       // exchanges + result sort — all domain-, not corpus-, sized
       "q293_cliffs_delta" -> 4,
-      // q294 = past the checkpointed fold projection: three lang-keyed
-      // fold aggs + the O(langs·scores) support agg/window + the
-      // report join exchanges + sort; every post-checkpoint exchange
-      // is lang- or score-domain-sized
-      "q294_conformal_coverage" -> 7,
+      // q294 = past the checkpointed (lang, v, fold) count support
+      // (shared with the q305 streaming twin): three lang-keyed fold
+      // aggs + the O(langs·scores) support agg/window + the report
+      // join exchanges + sort; every post-checkpoint exchange is
+      // lang- or score-domain-sized (+1 vs the pre-twin shape: the
+      // support agg itself moved inside the checkpoint)
+      "q294_conformal_coverage" -> 8,
       // q295 = past the checkpointed (source, token) agg: the
       // token-keyed pair self-join (both legs) + the pair agg + the
       // margin agg + result sort — the join legs are the only
@@ -861,7 +863,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "q303_cochran_armitage" -> 2,
       // q304 = q303's exact profile: user agg + rank window; the
       // stratum fold and the HT sums are O(5) algebra
-      "q304_ipw_ate" -> 2)
+      "q304_ipw_ate" -> 2,
+      // q306 = the corpus-sized work (partitioned lag window, the
+      // 33-row boundary window, distincts) executes at checkpoint
+      // build; the audited tail is the 6-row stack + spine fold +
+      // sort (a per-column union re-ran every agg subtree 6x — 25
+      // exchanges — before the single stats checkpoint)
+      "q306_encoding_audit" -> 2,
+      // q307 = the pair pipeline pays at checkpoint; each of the 3
+      // threshold sweeps is a CC fixed point whose per-round joins
+      // hide behind the operator's own checkpoints, leaving the
+      // component-size aggs + the union/report assembly
+      "q307_percolation_sweep" -> 10)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
