@@ -4093,6 +4093,86 @@ object PartB {
           when(col("n_used") > 0,
             (when(col("s1") >= col("s0"), 1L).otherwise(-1L))
               * expr("abs(s1 - s0) div n_used")).as("ate_ipw_micro"))
+    },
+
+    // ---- Markov next-event accuracy: q143/q235 BUILD the transition
+    //      matrix; this evaluates it — train the modal-next-event
+    //      predictor on the md5 train users, score it on held-out
+    //      users' consecutive pairs, against the global-mode baseline
+    //      every sequence model must beat. Deterministic end to end:
+    //      consecutive pairs come from user-partitioned lead windows
+    //      with the (ts, event_id) total order; the per-state argmax
+    //      ties break to the lexicographically smallest event (q253's
+    //      row_number discipline, on the O(types²) table); accuracy
+    //      is one integer micro division per state. The corpus pays
+    //      two user-keyed window passes; everything else is
+    //      type-domain algebra. A state never seen in training
+    //      predicts NOTHING — its test pairs score 0 hits with a NULL
+    //      prediction, never a silent drop. ----
+    QueryDef.sql("q309_markov_accuracy",
+      """WITH ev AS (SELECT user_id, event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+        |      < '80' THEN 0 ELSE 1 END AS fold
+        |  FROM events),
+        |pairs AS (SELECT a, b, fold FROM ev WHERE b IS NOT NULL),
+        |tr AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE fold = 0 GROUP BY a, b),
+        |pred AS (SELECT a, b AS pb FROM (SELECT a, b, row_number()
+        |    OVER (PARTITION BY a ORDER BY n DESC, b) AS rn FROM tr)
+        |  WHERE rn = 1),
+        |gm AS (SELECT b AS gb FROM (SELECT b, row_number()
+        |    OVER (ORDER BY count(*) DESC, b) AS rn
+        |  FROM pairs WHERE fold = 0 GROUP BY b) WHERE rn = 1),
+        |tst AS (SELECT p.a, pred.pb, gm.gb,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN p.b = pred.pb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits,
+        |    CAST(sum(CASE WHEN p.b = gm.gb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS base_hits
+        |  FROM pairs p LEFT JOIN pred ON pred.a = p.a, gm
+        |  WHERE p.fold = 1 GROUP BY p.a, pred.pb, gm.gb)
+        |SELECT a AS state, pb AS predicted, n_test, hits,
+        |  (hits * 1000000) // n_test AS acc_micro,
+        |  (base_hits * 1000000) // n_test AS baseline_micro
+        |FROM tst ORDER BY state""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("a"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))).as("b"),
+          when(substring(md5(col("user_id").cast("string")
+            .cast("binary")), 1, 2) < "80", 0).otherwise(1).as("fold"))
+        .filter(col("b").isNotNull)
+        .localCheckpoint() // one window pass feeds train AND test
+      val tr = ev.filter(col("fold") === 0)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      val pred = tr
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("n").desc, col("b"))))
+        .filter(col("rn") === 1)
+        .select(col("a"), col("b").as("pb"))
+      val gm = ev.filter(col("fold") === 0)
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n").desc, col("b"))))
+        .filter(col("rn") === 1)
+        .select(col("b").as("gb"))
+      ev.filter(col("fold") === 1)
+        .join(broadcast(pred), Seq("a"), "left")
+        .crossJoin(broadcast(gm))
+        .groupBy(col("a"), col("pb"), col("gb"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("b") === col("pb"), 1L).otherwise(0L))
+            .cast("long").as("hits"),
+          sum(when(col("b") === col("gb"), 1L).otherwise(0L))
+            .cast("long").as("base_hits"))
+        .select(col("a").as("state"), col("pb").as("predicted"),
+          col("n_test"), col("hits"),
+          expr("(hits * 1000000) div n_test").as("acc_micro"),
+          expr("(base_hits * 1000000) div n_test").as("baseline_micro"))
+        .orderBy(col("state"))
     })
 
   /** The q282 leave-one-day-out assembly from an (etype, day, k) cell

@@ -3568,6 +3568,72 @@ object TextOps {
           expr("CAST(max_size * 1000000 div ndocs AS BIGINT)")
             .as("max_frac_micro"))
         .orderBy(col("thr_pct"))
+    },
+
+    // ---- Theil inequality decomposition: q233's Gini says HOW
+    //      unequal document lengths are; Theil says WHERE — the index
+    //      is exactly decomposable into within-source and
+    //      between-source parts (Gini is not), so a curation pipeline
+    //      can tell "one feed is internally wild" from "the feeds
+    //      disagree with each other". The q190 libm fence end to end:
+    //      every log argument is a ratio of EXACT INTEGERS (v·N_s vs
+    //      S_s for within; S_s·N vs N_s·S for between), one rounded
+    //      1e6 log per support row, DECIMAL mass sums, one integer
+    //      division per source. The corpus pays one (source, length)
+    //      agg; the decomposition is O(sources·distinct lengths). ----
+    QueryDef.sql("q308_theil_decomposition",
+      """WITH sup AS (SELECT source, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars > 0 GROUP BY source, n_chars),
+        |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+        |    CAST(sum(c * v) AS BIGINT) AS s_s FROM sup GROUP BY source),
+        |tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+        |    CAST(sum(s_s) AS BIGINT) AS s FROM m),
+        |wi AS (SELECT sup.source,
+        |    CAST(sum(CAST(sup.c * sup.v AS HUGEINT)
+        |      * CAST(round(ln((CAST(sup.v AS DOUBLE) * m.n_s) / m.s_s)
+        |        * 1000000) AS BIGINT)) AS HUGEINT) AS num
+        |  FROM sup JOIN m ON m.source = sup.source
+        |  GROUP BY sup.source)
+        |SELECT m.source AS source, m.n_s AS n_docs, m.s_s AS s_chars,
+        |  CAST((CASE WHEN wi.num >= 0 THEN 1 ELSE -1 END)
+        |    * (abs(wi.num) // m.s_s) AS BIGINT) AS t_within_micro,
+        |  CAST((m.s_s * 1000000) // tt.s AS BIGINT) AS w_micro,
+        |  CAST(round(ln((CAST(m.s_s AS DOUBLE) * tt.n)
+        |    / (CAST(m.n_s AS DOUBLE) * tt.s)) * 1000000) AS BIGINT)
+        |    AS between_log_micro
+        |FROM m JOIN wi ON wi.source = m.source, tt
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val sup = t(s, d, "documents").filter(col("n_chars") > 0)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // O(sources·lengths): feeds margins + terms
+      val m = sup.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_s"),
+          sum(col("c") * col("v")).cast("long").as("s_s"))
+      val tt = m.agg(sum(col("n_s")).cast("long").as("n"),
+        sum(col("s_s")).cast("long").as("s"))
+      val wi = sup.join(broadcast(m), "source")
+        .select(col("source"),
+          (col("c").cast("decimal(38,0)") * col("v")
+            * round(log((col("v").cast("double") * col("n_s"))
+              / col("s_s")) * 1000000).cast("long")).as("term"))
+        .groupBy(col("source"))
+        .agg(sum(col("term")).as("num"))
+      m.join(wi, "source").crossJoin(broadcast(tt))
+        .select(col("source"), col("n_s").as("n_docs"),
+          col("s_s").as("s_chars"),
+          // Theil is ≥ 0 mathematically, but the ROUNDED log sum can
+          // dip below zero when T ≈ 0 — sign·abs dodges the
+          // trunc/floor negative-division seam
+          (when(col("num") >= 0, 1L).otherwise(-1L)
+            * expr("abs(num) div s_s")).cast("long")
+            .as("t_within_micro"),
+          expr("CAST((s_s * 1000000) div s AS BIGINT)").as("w_micro"),
+          round(log((col("s_s").cast("double") * col("n"))
+            / (col("n_s").cast("double") * col("s"))) * 1000000)
+            .cast("long").as("between_log_micro"))
+        .orderBy(col("source"))
     })
 
   /** DuckDB oracle for q267: the 5-round greedy coverage walk

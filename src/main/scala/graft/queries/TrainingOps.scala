@@ -3004,5 +3004,93 @@ object TrainingOps {
           coalesce(col("w"), lit(0L)).as("wins"),
           col("s").cast("long").as("strength_micro"))
         .orderBy(col("source"))
+    },
+
+    // ---- Raking / iterative proportional fitting: reweight the
+    //      (lang × source) cell table so BOTH margins hit uniform
+    //      targets — the survey-statistics workhorse that dataset
+    //      rebalancing reinvents (q115's temperature mix fixes ONE
+    //      margin; raking fixes two without destroying either). 3
+    //      unrolled IPF rounds as INTEGER micro fixed points: row
+    //      factor = target·10⁶ div achieved, w ← w·factor div 10⁶,
+    //      then the column pass — every operand an exact integer, so
+    //      the oracle's unrolled CTE chain is bit-identical (the
+    //      q302/q186 loop discipline). Empty margins carry weight 1e6
+    //      (guarded divisions). Scale: ONE corpus-sized (lang,
+    //      source) agg; the rounds run on the O(langs·sources) cell
+    //      table. ----
+    QueryDef.sql("q310_raking_ipf", {
+      val rounds = (1 to 3).map { i =>
+        s"""r${i}m AS (SELECT w.lang, sum(w.n * w.w) AS cur
+           |  FROM w${i - 1} w GROUP BY w.lang),
+           |r$i AS (SELECT w.lang, w.source, w.n,
+           |    CASE WHEN m.cur > 0
+           |      THEN (w.w * ((tl.t * 1000000) // m.cur)) // 1000000
+           |      ELSE w.w END AS w
+           |  FROM w${i - 1} w JOIN r${i}m m ON m.lang = w.lang
+           |  JOIN tl ON tl.lang = w.lang),
+           |c${i}m AS (SELECT w.source, sum(w.n * w.w) AS cur
+           |  FROM r$i w GROUP BY w.source),
+           |w$i AS (SELECT w.lang, w.source, w.n,
+           |    CASE WHEN m.cur > 0
+           |      THEN (w.w * ((ts.t * 1000000) // m.cur)) // 1000000
+           |      ELSE w.w END AS w
+           |  FROM r$i w JOIN c${i}m m ON m.source = w.source
+           |  JOIN ts ON ts.source = w.source)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cell AS (SELECT lang, source,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY lang, source),
+         |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nd FROM cell),
+         |nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS k
+         |  FROM cell),
+         |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS k
+         |  FROM cell),
+         |tl AS (SELECT lang, (nn.nd * 1000000) // nl.k AS t
+         |  FROM (SELECT DISTINCT lang FROM cell), nn, nl),
+         |ts AS (SELECT source, (nn.nd * 1000000) // ns.k AS t
+         |  FROM (SELECT DISTINCT source FROM cell), nn, ns),
+         |w0 AS (SELECT lang, source, n,
+         |    CAST(1000000 AS BIGINT) AS w FROM cell),
+         |$rounds
+         |SELECT lang, source, n, CAST(w AS BIGINT) AS weight_micro
+         |FROM w3 ORDER BY lang, source""".stripMargin
+    }) { (s, d) =>
+      val cell = t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // O(langs·sources): the rounds run here
+      val nn = cell.agg(sum(col("n")).cast("long").as("nd"))
+      val nl = cell.agg(countDistinct(col("lang")).as("k"))
+      val ns = cell.agg(countDistinct(col("source")).as("k"))
+      val tl = cell.select(col("lang")).distinct()
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(nl))
+        .select(col("lang"), expr("(nd * 1000000) div k").as("t"))
+        .localCheckpoint()
+      val ts = cell.select(col("source")).distinct()
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(ns))
+        .select(col("source"), expr("(nd * 1000000) div k").as("t"))
+        .localCheckpoint()
+      var w = cell.withColumn("w", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val rm = w.groupBy(col("lang"))
+          .agg(sum(col("n") * col("w")).cast("long").as("cur"))
+        w = w.join(broadcast(rm), "lang").join(broadcast(tl), "lang")
+          .select(col("lang"), col("source"), col("n"),
+            when(col("cur") > 0,
+              expr("(w * ((t * 1000000) div cur)) div 1000000"))
+              .otherwise(col("w")).as("w"))
+        val cm = w.groupBy(col("source"))
+          .agg(sum(col("n") * col("w")).cast("long").as("cur"))
+        w = w.join(broadcast(cm), "source").join(broadcast(ts), "source")
+          .select(col("lang"), col("source"), col("n"),
+            when(col("cur") > 0,
+              expr("(w * ((t * 1000000) div cur)) div 1000000"))
+              .otherwise(col("w")).as("w"))
+          .localCheckpoint() // plan depth O(1) per round
+      }
+      w.select(col("lang"), col("source"), col("n"),
+          col("w").cast("long").as("weight_micro"))
+        .orderBy(col("lang"), col("source"))
     })
 }

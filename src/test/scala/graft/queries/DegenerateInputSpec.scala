@@ -1349,6 +1349,51 @@ class DegenerateInputSpec extends AnyFunSuite {
     }
   }
 
+  test("q308: equal lengths carry zero inequality — exact 0, not ε") {
+    // every log argument is exactly 1 ⇒ every rounded term is exactly
+    // 0 ⇒ within AND between components are integer zero
+    val tmp = Files.createTempDirectory("theildegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "t", "en", "web", 100L), (2L, "t", "de", "web", 100L),
+        (3L, "t", "en", "web", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q308_theil_decomposition")(spark, d2)
+      .collect()
+    assert(rows.length == 1, s"${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getLong(r.fieldIndex("t_within_micro")) == 0L, s"$r")
+    assert(r.getLong(r.fieldIndex("between_log_micro")) == 0L, s"$r")
+    assert(r.getLong(r.fieldIndex("w_micro")) == 1000000L, s"$r")
+  }
+
+  test("q309: an empty training fold evaluates nothing — empty") {
+    // md5('1') puts the single user in the TEST fold: no transitions
+    // to train on, so the honest answer is an empty evaluation
+    assert(run("q309_markov_accuracy").isEmpty)
+  }
+
+  test("q310: raked lang margins land within rounding of uniform") {
+    // the property IPF exists for: after 3 rounds, every language's
+    // reweighted mass Σ n·w must sit within 0.5% of the uniform
+    // target nd·10⁶/k — floor rounding eats a little each round, so
+    // exact equality is not expected, drift is bounded
+    val rows = run("q310_raking_ipf")
+    assert(rows.nonEmpty)
+    val nd = rows.map(r => r.getLong(r.fieldIndex("n"))).sum
+    val byLang = rows.groupBy(_.getString(0)).map { case (l, rs) =>
+      l -> rs.map(r => r.getLong(r.fieldIndex("n"))
+        * r.getLong(r.fieldIndex("weight_micro"))).sum
+    }
+    val target = nd * 1000000L / byLang.size
+    byLang.foreach { case (l, mass) =>
+      assert(math.abs(mass - target) <= target / 200,
+        s"lang $l mass $mass vs target $target")
+    }
+  }
+
   test("q298: a single-source corpus fails every l — risk reads 100%") {
     val rows = run("q298_l_diversity")
     assert(rows.length == 3)
