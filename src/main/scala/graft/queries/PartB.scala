@@ -4173,6 +4173,72 @@ object PartB {
           expr("(hits * 1000000) div n_test").as("acc_micro"),
           expr("(base_hits * 1000000) div n_test").as("baseline_micro"))
         .orderBy(col("state"))
+    },
+
+    // ---- Distribution-free median CI: the median document length
+    //      with an exact order-statistic 95% interval — ranks
+    //      (n ∓ ⌈1.96√n⌉)/2 bracket the median with ~95% coverage for
+    //      ANY distribution (the binomial argument), which is the
+    //      honest interval to put on a skewed length distribution
+    //      where a t-interval lies. Everything is an EXACT order
+    //      statistic via the cum ≥ rank test on the distinct-value
+    //      support (q287's idiom, never an interpolated percentile);
+    //      the only float ops are one sqrt (correctly rounded) and
+    //      one rounding. One corpus agg; the support window runs on
+    //      O(distinct lengths). n < 2 leaves the interval NULL —
+    //      brackets need something to bracket (DegenerateInputSpec).
+    //      ----
+    QueryDef.sql("q313_median_ci",
+      """WITH sup AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT)
+        |    AS c FROM documents GROUP BY n_chars),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sup),
+        |rk AS (SELECT nn.n,
+        |    CAST(round(1.959964 * sqrt(CAST(nn.n AS DOUBLE)))
+        |      AS BIGINT) AS d FROM nn),
+        |bounds AS (SELECT n, (n + 1) // 2 AS med_rank,
+        |    greatest(1, (n - d) // 2) AS lo_rank,
+        |    least(n, (n + d) // 2 + 1) AS hi_rank FROM rk),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM sup)
+        |SELECT b.n AS n_docs, b.lo_rank, b.hi_rank,
+        |  CASE WHEN b.n >= 2 THEN
+        |    min(CASE WHEN cum.cc >= b.med_rank THEN cum.v END) END
+        |    AS median,
+        |  CASE WHEN b.n >= 2 THEN
+        |    min(CASE WHEN cum.cc >= b.lo_rank THEN cum.v END) END
+        |    AS ci_lo,
+        |  CASE WHEN b.n >= 2 THEN
+        |    min(CASE WHEN cum.cc >= b.hi_rank THEN cum.v END) END
+        |    AS ci_hi
+        |FROM cum, bounds b
+        |GROUP BY b.n, b.med_rank, b.lo_rank, b.hi_rank""".stripMargin) { (s, d) =>
+      val sup = t(s, d, "documents")
+        .groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // O(distinct lengths): feeds total + window
+      val nn = sup.agg(sum(col("c")).cast("long").as("n"))
+      val bounds = nn
+        .withColumn("d",
+          round(lit(1.959964) * sqrt(col("n").cast("double")))
+            .cast("long"))
+        .select(col("n"), expr("(n + 1) div 2").as("med_rank"),
+          greatest(lit(1L), expr("(n - d) div 2")).as("lo_rank"),
+          least(col("n"), expr("(n + d) div 2 + 1")).as("hi_rank"))
+      val wC = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sup.withColumn("cc", sum(col("c")).over(wC))
+        .crossJoin(broadcast(bounds))
+        .groupBy(col("n"), col("med_rank"), col("lo_rank"),
+          col("hi_rank"))
+        .agg(
+          min(when(col("cc") >= col("med_rank"), col("v"))).as("med"),
+          min(when(col("cc") >= col("lo_rank"), col("v"))).as("lo"),
+          min(when(col("cc") >= col("hi_rank"), col("v"))).as("hi"))
+        .select(col("n").as("n_docs"), col("lo_rank"), col("hi_rank"),
+          when(col("n") >= 2, col("med")).as("median"),
+          when(col("n") >= 2, col("lo")).as("ci_lo"),
+          when(col("n") >= 2, col("hi")).as("ci_hi"))
     })
 
   /** The q282 leave-one-day-out assembly from an (etype, day, k) cell

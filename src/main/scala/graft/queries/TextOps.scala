@@ -3634,6 +3634,81 @@ object TextOps {
             / (col("n_s").cast("double") * col("s"))) * 1000000)
             .cast("long").as("between_log_micro"))
         .orderBy(col("source"))
+    },
+
+    // ---- N-gram novelty (memorization audit): how much of the
+    //      held-out split is VERBATIM in training? q83 decontaminates
+    //      against an external benchmark; this measures the split-
+    //      internal leak that inflates eval scores — at the 5-gram
+    //      level, both as types (distinct grams) and as instances
+    //      (every occurrence). md5 75/25 fold; one tokenize pass
+    //      feeds both sides; the overlap is ONE gram-keyed join of
+    //      the test support against the train gram SET (left join +
+    //      null test, never a corpus² compare). All integer counts
+    //      and two micro divisions. A fully-duplicated corpus reads
+    //      0 novelty — the signal the audit exists to catch. ----
+    QueryDef.sql("q311_ngram_novelty",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < 'c0' THEN 0 ELSE 1 END AS fold
+        |  FROM documents),
+        |g AS (SELECT fold, unnest(list_transform(range(len(toks) - 4),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |      || ' ' || toks[i+4] || ' ' || toks[i+5])) AS gr
+        |  FROM t WHERE len(toks) >= 5),
+        |tr AS (SELECT DISTINCT gr FROM g WHERE fold = 0),
+        |te AS (SELECT gr, CAST(count(*) AS BIGINT) AS c FROM g
+        |  WHERE fold = 1 GROUP BY gr),
+        |j AS (SELECT te.gr, te.c,
+        |    CASE WHEN tr.gr IS NULL THEN 1 ELSE 0 END AS novel
+        |  FROM te LEFT JOIN tr ON tr.gr = te.gr),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS test_types,
+        |    CAST(sum(novel) AS BIGINT) AS novel_types,
+        |    CAST(sum(c) AS BIGINT) AS test_instances,
+        |    CAST(sum(novel * c) AS BIGINT) AS novel_instances
+        |  FROM j),
+        |ntr AS (SELECT CAST(count(*) AS BIGINT) AS train_types FROM tr)
+        |SELECT ntr.train_types, agg.test_types, agg.novel_types,
+        |  agg.test_instances, agg.novel_instances,
+        |  CASE WHEN agg.test_types > 0 THEN
+        |    (agg.novel_types * 1000000) // agg.test_types END
+        |    AS novel_type_micro,
+        |  CASE WHEN agg.test_instances > 0 THEN
+        |    (agg.novel_instances * 1000000) // agg.test_instances END
+        |    AS novel_instance_micro
+        |FROM agg, ntr""".stripMargin) { (s, d) =>
+      val g = t(s, d, "documents")
+        .select(split(lower(trim(col("text"))), "\\s+").as("toks"),
+          when(substring(md5(col("doc_id").cast("string")
+            .cast("binary")), 1, 2) < "c0", 0).otherwise(1).as("fold"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("fold"), explode(expr(
+          """transform(sequence(0, size(toks) - 5), i ->
+            |  concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+            |    toks[i+3], ' ', toks[i+4]))""".stripMargin)).as("gr"))
+        .localCheckpoint() // one tokenize pass feeds both folds
+      val tr = g.filter(col("fold") === 0).select(col("gr")).distinct()
+      val te = g.filter(col("fold") === 1)
+        .groupBy(col("gr")).agg(count(lit(1)).as("c"))
+      val j = te.join(tr.withColumn("hit", lit(1)), Seq("gr"), "left")
+        .select(col("c"),
+          when(col("hit").isNull, 1L).otherwise(0L).as("novel"))
+      val agg = j.agg(count(lit(1)).as("test_types"),
+        sum(col("novel")).cast("long").as("novel_types"),
+        sum(col("c")).cast("long").as("test_instances"),
+        sum(col("novel") * col("c")).cast("long").as("novel_instances"))
+      val ntr = tr.agg(count(lit(1)).as("train_types"))
+      agg.crossJoin(broadcast(ntr))
+        .select(col("train_types"), col("test_types"),
+          col("novel_types"), col("test_instances"),
+          col("novel_instances"),
+          when(col("test_types") > 0,
+            expr("(novel_types * 1000000) div test_types"))
+            .as("novel_type_micro"),
+          when(col("test_instances") > 0,
+            expr("(novel_instances * 1000000) div test_instances"))
+            .as("novel_instance_micro"))
     })
 
   /** DuckDB oracle for q267: the 5-round greedy coverage walk

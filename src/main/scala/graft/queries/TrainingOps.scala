@@ -3019,78 +3019,129 @@ object TrainingOps {
     //      (guarded divisions). Scale: ONE corpus-sized (lang,
     //      source) agg; the rounds run on the O(langs·sources) cell
     //      table. ----
-    QueryDef.sql("q310_raking_ipf", {
-      val rounds = (1 to 3).map { i =>
-        s"""r${i}m AS (SELECT w.lang, sum(w.n * w.w) AS cur
-           |  FROM w${i - 1} w GROUP BY w.lang),
-           |r$i AS (SELECT w.lang, w.source, w.n,
-           |    CASE WHEN m.cur > 0
-           |      THEN (w.w * ((tl.t * 1000000) // m.cur)) // 1000000
-           |      ELSE w.w END AS w
-           |  FROM w${i - 1} w JOIN r${i}m m ON m.lang = w.lang
-           |  JOIN tl ON tl.lang = w.lang),
-           |c${i}m AS (SELECT w.source, sum(w.n * w.w) AS cur
-           |  FROM r$i w GROUP BY w.source),
-           |w$i AS (SELECT w.lang, w.source, w.n,
-           |    CASE WHEN m.cur > 0
-           |      THEN (w.w * ((ts.t * 1000000) // m.cur)) // 1000000
-           |      ELSE w.w END AS w
-           |  FROM r$i w JOIN c${i}m m ON m.source = w.source
-           |  JOIN ts ON ts.source = w.source)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH cell AS (SELECT lang, source,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM documents GROUP BY lang, source),
-         |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nd FROM cell),
-         |nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS k
-         |  FROM cell),
-         |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS k
-         |  FROM cell),
-         |tl AS (SELECT lang, (nn.nd * 1000000) // nl.k AS t
-         |  FROM (SELECT DISTINCT lang FROM cell), nn, nl),
-         |ts AS (SELECT source, (nn.nd * 1000000) // ns.k AS t
-         |  FROM (SELECT DISTINCT source FROM cell), nn, ns),
-         |w0 AS (SELECT lang, source, n,
-         |    CAST(1000000 AS BIGINT) AS w FROM cell),
-         |$rounds
+    QueryDef.sql("q310_raking_ipf",
+      s"""WITH $rakingCte
          |SELECT lang, source, n, CAST(w AS BIGINT) AS weight_micro
-         |FROM w3 ORDER BY lang, source""".stripMargin
-    }) { (s, d) =>
-      val cell = t(s, d, "documents")
-        .groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint() // O(langs·sources): the rounds run here
-      val nn = cell.agg(sum(col("n")).cast("long").as("nd"))
-      val nl = cell.agg(countDistinct(col("lang")).as("k"))
-      val ns = cell.agg(countDistinct(col("source")).as("k"))
-      val tl = cell.select(col("lang")).distinct()
-        .crossJoin(broadcast(nn)).crossJoin(broadcast(nl))
-        .select(col("lang"), expr("(nd * 1000000) div k").as("t"))
-        .localCheckpoint()
-      val ts = cell.select(col("source")).distinct()
-        .crossJoin(broadcast(nn)).crossJoin(broadcast(ns))
-        .select(col("source"), expr("(nd * 1000000) div k").as("t"))
-        .localCheckpoint()
-      var w = cell.withColumn("w", lit(1000000L))
-      for (_ <- 1 to 3) {
-        val rm = w.groupBy(col("lang"))
-          .agg(sum(col("n") * col("w")).cast("long").as("cur"))
-        w = w.join(broadcast(rm), "lang").join(broadcast(tl), "lang")
-          .select(col("lang"), col("source"), col("n"),
-            when(col("cur") > 0,
-              expr("(w * ((t * 1000000) div cur)) div 1000000"))
-              .otherwise(col("w")).as("w"))
-        val cm = w.groupBy(col("source"))
-          .agg(sum(col("n") * col("w")).cast("long").as("cur"))
-        w = w.join(broadcast(cm), "source").join(broadcast(ts), "source")
-          .select(col("lang"), col("source"), col("n"),
-            when(col("cur") > 0,
-              expr("(w * ((t * 1000000) div cur)) div 1000000"))
-              .otherwise(col("w")).as("w"))
-          .localCheckpoint() // plan depth O(1) per round
-      }
-      w.select(col("lang"), col("source"), col("n"),
+         |FROM w3 ORDER BY lang, source""".stripMargin) { (s, d) =>
+      rakedWeights(s, d)
+        .select(col("lang"), col("source"), col("n"),
           col("w").cast("long").as("weight_micro"))
         .orderBy(col("lang"), col("source"))
+    },
+
+    // ---- Effective sample size of the raked weights: reweighting is
+    //      never free — Kish's ESS = (Σ n·w)²/(Σ n·w²) says how many
+    //      EFFECTIVE documents survive q310's two-margin fit, per
+    //      language. An ESS ratio near 1 means the margins were
+    //      nearly consistent; a small one means the raking bought its
+    //      balance by concentrating mass on few cells — the number a
+    //      training-mix reviewer reads BEFORE trusting any reweighted
+    //      metric. Exact: numerator and denominator are DECIMAL sums
+    //      over the same w3 table q310 emits (one shared rounds
+    //      builder, so the two queries can never drift), one integer
+    //      milli/micro division each. ----
+    QueryDef.sql("q312_weight_ess",
+      s"""WITH $rakingCte,
+         |e AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(sum(CAST(n AS HUGEINT) * w) AS HUGEINT) AS sw,
+         |    CAST(sum(CAST(n AS HUGEINT) * w * w) AS HUGEINT) AS sw2
+         |  FROM w3 GROUP BY lang)
+         |SELECT lang, n_docs,
+         |  CAST((sw * sw * 1000) // sw2 AS BIGINT) AS ess_milli,
+         |  CAST((sw * sw * 1000) // sw2 // n_docs AS BIGINT)
+         |    AS ess_ratio_milli
+         |FROM e ORDER BY lang""".stripMargin) { (s, d) =>
+      rakedWeights(s, d)
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+          sum(col("n").cast("decimal(38,0)") * col("w")).as("sw"),
+          sum(col("n").cast("decimal(38,0)") * col("w") * col("w"))
+            .as("sw2"))
+        .select(col("lang"), col("n_docs"),
+          expr("CAST((sw * sw * 1000) div sw2 AS BIGINT)")
+            .as("ess_milli"),
+          expr("CAST((sw * sw * 1000) div sw2 div n_docs AS BIGINT)")
+            .as("ess_ratio_milli"))
+        .orderBy(col("lang"))
     })
+
+  /** DuckDB CTE chain for q310's 3-round integer-micro IPF over the
+    * (lang × source) cell table — shared by q312's ESS read-out so
+    * the weights the two queries see are provably identical. Defines
+    * `cell`, targets `tl`/`ts`, and rounds `w0`..`w3`. */
+  private lazy val rakingCte: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""r${i}m AS (SELECT w.lang, sum(w.n * w.w) AS cur
+         |  FROM w${i - 1} w GROUP BY w.lang),
+         |r$i AS (SELECT w.lang, w.source, w.n,
+         |    CASE WHEN m.cur > 0
+         |      THEN (w.w * ((tl.t * 1000000) // m.cur)) // 1000000
+         |      ELSE w.w END AS w
+         |  FROM w${i - 1} w JOIN r${i}m m ON m.lang = w.lang
+         |  JOIN tl ON tl.lang = w.lang),
+         |c${i}m AS (SELECT w.source, sum(w.n * w.w) AS cur
+         |  FROM r$i w GROUP BY w.source),
+         |w$i AS (SELECT w.lang, w.source, w.n,
+         |    CASE WHEN m.cur > 0
+         |      THEN (w.w * ((ts.t * 1000000) // m.cur)) // 1000000
+         |      ELSE w.w END AS w
+         |  FROM r$i w JOIN c${i}m m ON m.source = w.source
+         |  JOIN ts ON ts.source = w.source)""".stripMargin
+    }.mkString(",\n")
+    s"""cell AS (SELECT lang, source,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY lang, source),
+       |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nd FROM cell),
+       |nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS k
+       |  FROM cell),
+       |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS k
+       |  FROM cell),
+       |tl AS (SELECT lang, (nn.nd * 1000000) // nl.k AS t
+       |  FROM (SELECT DISTINCT lang FROM cell), nn, nl),
+       |ts AS (SELECT source, (nn.nd * 1000000) // ns.k AS t
+       |  FROM (SELECT DISTINCT source FROM cell), nn, ns),
+       |w0 AS (SELECT lang, source, n,
+       |    CAST(1000000 AS BIGINT) AS w FROM cell),
+       |$rounds""".stripMargin
+  }
+
+  /** Spark twin of [[rakingCte]]: the 3-round IPF fixed point on the
+    * checkpointed cell table (plan depth O(1) per round). Returns
+    * (lang, source, n, w). */
+  private def rakedWeights(s: SparkSession, d: String): DataFrame = {
+    val cell = t(s, d, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // O(langs·sources): the rounds run here
+    val nn = cell.agg(sum(col("n")).cast("long").as("nd"))
+    val nl = cell.agg(countDistinct(col("lang")).as("k"))
+    val ns = cell.agg(countDistinct(col("source")).as("k"))
+    val tl = cell.select(col("lang")).distinct()
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(nl))
+      .select(col("lang"), expr("(nd * 1000000) div k").as("t"))
+      .localCheckpoint()
+    val ts = cell.select(col("source")).distinct()
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(ns))
+      .select(col("source"), expr("(nd * 1000000) div k").as("t"))
+      .localCheckpoint()
+    var w = cell.withColumn("w", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val rm = w.groupBy(col("lang"))
+        .agg(sum(col("n") * col("w")).cast("long").as("cur"))
+      w = w.join(broadcast(rm), "lang").join(broadcast(tl), "lang")
+        .select(col("lang"), col("source"), col("n"),
+          when(col("cur") > 0,
+            expr("(w * ((t * 1000000) div cur)) div 1000000"))
+            .otherwise(col("w")).as("w"))
+      val cm = w.groupBy(col("source"))
+        .agg(sum(col("n") * col("w")).cast("long").as("cur"))
+      w = w.join(broadcast(cm), "source").join(broadcast(ts), "source")
+        .select(col("lang"), col("source"), col("n"),
+          when(col("cur") > 0,
+            expr("(w * ((t * 1000000) div cur)) div 1000000"))
+            .otherwise(col("w")).as("w"))
+        .localCheckpoint() // plan depth O(1) per round
+    }
+    w
+  }
 }

@@ -1394,6 +1394,51 @@ class DegenerateInputSpec extends AnyFunSuite {
     }
   }
 
+  test("q311: a fully-duplicated split reads exactly zero novelty") {
+    // doc 6 hashes to train ('16…'), doc 1 to test ('c4…'); identical
+    // text ⇒ every held-out 5-gram is verbatim in training
+    val tmp = Files.createTempDirectory("novdegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    val txt = "a b c d e f g h"
+    Seq((6L, txt, "en", "web", 15L), (1L, txt, "en", "web", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("q311_ngram_novelty")(spark, d2)
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("novel_types")) == 0L, s"$r")
+    assert(r.getLong(r.fieldIndex("novel_type_micro")) == 0L, s"$r")
+    assert(r.getLong(r.fieldIndex("novel_instance_micro")) == 0L, s"$r")
+  }
+
+  test("q312: Kish ESS never exceeds the nominal count") {
+    // Cauchy–Schwarz: (Σnw)² ≤ (Σn)(Σnw²) ⇒ ESS ≤ N ⇒ ratio ≤ 1000‰
+    val rows = run("q312_weight_ess")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getLong(r.fieldIndex("ess_ratio_milli"))
+      assert(ratio > 0 && ratio <= 1000, s"ESS ratio out of (0,1]: $r")
+      assert(r.getLong(r.fieldIndex("ess_milli")) <=
+        r.getLong(r.fieldIndex("n_docs")) * 1000, s"$r")
+    }
+  }
+
+  test("q313: a 1-doc corpus brackets nothing — NULL interval") {
+    val tmp = Files.createTempDirectory("mcidegen").toFile
+    tmp.deleteOnExit()
+    val d2 = tmp.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "t", "en", "web", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("q313_median_ci")(spark, d2).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_docs")) == 1L, s"$r")
+    assert(r.isNullAt(r.fieldIndex("median")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("ci_lo")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("ci_hi")), s"$r")
+  }
+
   test("q298: a single-source corpus fails every l — risk reads 100%") {
     val rows = run("q298_l_diversity")
     assert(rows.length == 3)

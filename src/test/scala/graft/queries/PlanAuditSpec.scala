@@ -886,7 +886,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // q310 = the 3 IPF rounds (margin aggs + broadcast factor
       // joins) hide behind per-round checkpoints of the O(langs·
       // sources) cell table; the audited tail is the result sort
-      "q310_raking_ipf" -> 1)
+      "q310_raking_ipf" -> 1,
+      // q311 = past the checkpointed gram fan-out: the train
+      // distinct, the test support agg, the gram-keyed overlap join
+      // legs + the 1-row report fold — all gram-keyed, pre-combined
+      "q311_ngram_novelty" -> 5,
+      // q312 = the per-lang ESS agg + report sort over q310's
+      // checkpointed weight table (the rounds pay at build)
+      "q312_weight_ess" -> 2,
+      // q313 = the (length) support agg + the O(distinct lengths)
+      // single-partition rank window; the bracket algebra broadcasts
+      "q313_median_ci" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
