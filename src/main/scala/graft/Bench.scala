@@ -80,8 +80,44 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: JIT/codegen/classloading + OS page cache for lineitem.
-    exec("q01_pricing_summary")
+    // Warmup doubling as the CONTENTION PROBE (r11 ask #3): steal is
+    // only visible while OUR vCPUs are runnable (an idle VM is never
+    // stolen from), so the gate measures steal ACROSS the warmup
+    // query's real load, plus loadavg for same-host sibling-process
+    // contention (the r10/r11 q138 case: 2.6× driver-vs-builder drift
+    // at flat steal but loadavg 4→7). If steal > 1% or loadavg_start
+    // exceeds 2·cpus/16, wait 45 s and re-probe (≤3 retries), and
+    // record every skipped attempt in the host block — a contended
+    // record now labels ITSELF instead of costing a cross-round A/B.
+    def probe(): (Double, Double) = {
+      // loadavg BEFORE the warmup: the 1-min average must measure the
+      // pre-existing (sibling) load, not the warmup's own burst —
+      // otherwise the gate self-triggers on its probe
+      val load = loadAvg().getOrElse(0.0)
+      val t0 = cpuTicks()
+      exec("q01_pricing_summary")
+      val pct = (for ((b0, s0) <- t0; (b1, s1) <- cpuTicks()) yield {
+        val (busy, steal) = (b1 - b0, s1 - s0)
+        if (busy + steal > 0)
+          math.round(10000.0 * steal / (busy + steal)) / 100.0 else 0.0
+      }).getOrElse(0.0)
+      (pct, load)
+    }
+    val loadCap = 2.0 * cpus.toInt / 16.0
+    var gateAttempts = List.empty[String]
+    var (gSteal, gLoad) = probe()
+    var gTries = 0
+    while ((gSteal > 1.0 || gLoad > loadCap) && gTries < 3) {
+      gateAttempts :+= s"""{"steal_pct":$gSteal,"loadavg":$gLoad}"""
+      System.err.println(f"[bench] contention gate: steal=$gSteal%.2f%% " +
+        f"loadavg=$gLoad%.2f (cap $loadCap%.1f) — waiting 45s")
+      Thread.sleep(45000)
+      gTries += 1
+      val p = probe(); gSteal = p._1; gLoad = p._2
+    }
+    val gateJson = s""","gate":{"fired":${gateAttempts.nonEmpty},""" +
+      s""""clean_at_start":${gSteal <= 1.0 && gLoad <= loadCap},""" +
+      s""""skipped_attempts":[${gateAttempts.mkString(",")}]}"""
 
     val ticks0 = cpuTicks()
     val load0 = loadAvg()
@@ -126,10 +162,22 @@ object Bench {
         math.round(10000.0 * steal / (busy + steal)) / 100.0 else 0.0
       val load = (for (l0 <- load0; l1 <- loadAvg()) yield
         s""","loadavg_start":$l0,"loadavg_end":$l1,"cpus":$cpus""").getOrElse("")
-      s""","host":{"busy_ticks":$busy,"steal_ticks":$steal,"steal_pct":$pct$load}"""
+      s""","host":{"busy_ticks":$busy,"steal_ticks":$steal,"steal_pct":$pct$load$gateJson}"""
     }).getOrElse("")
+    // Run-instability annotation (r11 ask #3): a re-measured query
+    // whose two passes disagree >1.5× got hit by transient load — the
+    // record names it so a cross-round delta on it is discounted by
+    // the data, not by a judge's forensics.
+    val unstable = results.collect {
+      case (n, _, Some(t2)) =>
+        val t1 = firstPass.find(_._1 == n).map(_._2).getOrElse(-1.0)
+        (n, if (t2 > 0 && t1 > 0) math.max(t1, t2) / math.min(t1, t2) else 1.0)
+    }.filter(_._2 > 1.5).map(_._1)
+    val unstableJson =
+      if (unstable.isEmpty) ""
+      else s""","unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}]"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$host}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$unstableJson$host}"""
     println(json)
     // Also persist the complete per-query record in the repo: the
     // driver's captured stdout tail truncates past ~60 queries, which

@@ -1013,7 +1013,14 @@ object Sketches {
     //      shape, floored at J ≥ 0.25 (below that no operating point
     //      is in play); bin 20 (J = 1) clamps to 19 so midpoints stay
     //      < 1. Scale: the pair-count pipeline is the whole cost; the
-    //      planner itself is O(bins·6) broadcast algebra. ----
+    //      planner itself is O(bins·6) broadcast algebra. Cap caveat
+    //      (the q113 discipline): the overlap count c comes from the
+    //      df-capped postings (MaxGramDf=64) while the oracle counts
+    //      ALL shared grams — lossless on this fixture (max df ≈ 25
+    //      ≪ 64) and at both test SFs, but a corpus with hotter
+    //      boilerplate grams shifts the histogram vs an uncapped
+    //      count; at production scale the cap IS the plan (it drops
+    //      exactly the pairs no operating point would catch). ----
     QueryDef.sql("q299_lsh_operating_point",
       s"""WITH $gramsCte,
          |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g

@@ -298,6 +298,20 @@ object TextOps {
     * per-row float log-ratio (q190 quantization), DECIMAL PSI sum.
     * Expects `ss` materialized (four consumers). */
   private def psiTail(ss: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    psiTerms(ss)
+      .select(col("source"), col("n0").as("n_baseline"),
+        col("n1").as("n_current"),
+        round(col("s").cast("double") / 1e12, 6).as("psi"))
+      .orderBy(col("source"))
+
+  /** The integer core of the PSI assembly: per-source (n0, n1, s)
+    * where s is the DECIMAL(38,0) micro²-scaled PSI sum (psi =
+    * s/10¹²). Split out of [[psiTail]] so the q317 release gate can
+    * threshold on the EXACT integer (s div 10⁶) instead of re-parsing
+    * the rounded double — three consumers (q217, q301, q317), one
+    * builder, zero drift. */
+  private def psiTerms(ss: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sup = ss.groupBy(col("v")).agg(sum(col("c")).cast("long").as("c"))
@@ -339,10 +353,7 @@ object TextOps {
         round(log(col("qm").cast("double") / col("pm")) * 1000000)
           .cast("long")).as("s"))
     term.join(broadcast(ns), "source")
-      .select(col("source"), col("n0").as("n_baseline"),
-        col("n1").as("n_current"),
-        round(col("s").cast("double") / 1e12, 6).as("psi"))
-      .orderBy(col("source"))
+      .select(col("source"), col("n0"), col("n1"), col("s"))
   }
 
   /** Shared oracle for q217 and its streaming twin q301 — one SQL
@@ -3506,7 +3517,14 @@ object TextOps {
     //      dup graph, component count, largest component, and its
     //      share of the WHOLE corpus. Scale: one pair-count pipeline
     //      (q31's shape), then 3 CC runs on pair tables that shrink
-    //      as thr rises. ----
+    //      as thr rises. Cap caveat (the q113 discipline): the edge
+    //      test's overlap c comes from the df-capped postings
+    //      (MaxGramDf=64) while the oracle counts ALL shared grams —
+    //      lossless on this fixture (max df ≈ 25 ≪ 64) and at both
+    //      test SFs, but a hotter-boilerplate corpus can shift the
+    //      edge set vs an uncapped count; at production scale the cap
+    //      is what keeps the dup graph from welding through
+    //      boilerplate chains in the first place. ----
     QueryDef.sql("q307_percolation_sweep",
       s"""WITH RECURSIVE ${Sketches.gramsCte},
          |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
@@ -3709,6 +3727,263 @@ object TextOps {
           when(col("test_instances") > 0,
             expr("(novel_instances * 1000000) div test_instances"))
             .as("novel_instance_micro"))
+    },
+
+    // ---- Multi-scale cross-source novelty profile: what fraction of
+    //      each source's n-gram TYPES appears in no other source, at
+    //      n ∈ {2, 4, 8, 16}? The relational answer to the question a
+    //      suffix automaton asks (distinct substrings at EVERY
+    //      length): a geometric length ladder reads the same
+    //      structure — a feed that recycles its own boilerplate loses
+    //      novelty at SHORT n; one that mirrors other feeds loses it
+    //      at LONG n; the decay RATE across the ladder separates the
+    //      two failure modes q311's fixed 5-gram audit conflates.
+    //      Exact types (DISTINCT per (n, source, gram)), exclusivity
+    //      by gram-keyed count-of-sources == 1, one integer micro
+    //      division per cell. Scale: tokenize once (checkpointed);
+    //      the ladder explode is 4 linear passes over cached token
+    //      arrays feeding ONE (n, gram)-keyed distinct + count — no
+    //      pair join anywhere, O(sources·4) output. ----
+    QueryDef.sql("q316_novelty_profile",
+      """WITH t AS (SELECT source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |ns(n) AS (VALUES (2), (4), (8), (16)),
+        |g0 AS (SELECT source, ns.n,
+        |    unnest(list_transform(range(len(toks) - ns.n + 1),
+        |      i -> array_to_string(toks[i+1:i+ns.n], ' '))) AS gr
+        |  FROM t, ns WHERE len(toks) >= ns.n),
+        |sets AS (SELECT DISTINCT source, n, gr FROM g0),
+        |gc AS (SELECT n, gr, CAST(count(*) AS BIGINT) AS n_sources,
+        |    min(source) AS only_src
+        |  FROM sets GROUP BY n, gr),
+        |st AS (SELECT source, n, CAST(count(*) AS BIGINT) AS src_types
+        |  FROM sets GROUP BY source, n),
+        |nv AS (SELECT only_src AS source, n,
+        |    CAST(count(*) AS BIGINT) AS novel_types
+        |  FROM gc WHERE n_sources = 1 GROUP BY only_src, n)
+        |SELECT st.source, CAST(st.n AS BIGINT) AS n, st.src_types,
+        |  COALESCE(nv.novel_types, 0) AS novel_types,
+        |  CAST(COALESCE(nv.novel_types, 0) * 1000000 // st.src_types
+        |    AS BIGINT) AS novel_micro
+        |FROM st LEFT JOIN nv ON nv.source = st.source AND nv.n = st.n
+        |ORDER BY st.source, st.n""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(col("source"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .localCheckpoint() // one tokenize pass feeds the 4-rung ladder
+      val sets = toks
+        .withColumn("n", explode(typedLit(Seq(2, 4, 8, 16))))
+        .filter(size(col("toks")) >= col("n"))
+        .select(col("source"), col("n").cast("long").as("n"),
+          explode(expr(
+            """transform(sequence(0, size(toks) - n), i ->
+              |  array_join(slice(toks, i + 1, n), ' '))""".stripMargin))
+            .as("gr"))
+        .distinct()
+        .localCheckpoint() // type sets feed the per-source count AND
+                           // the exclusivity count
+      val gc = sets.groupBy(col("n"), col("gr"))
+        .agg(count(lit(1)).as("n_sources"), min(col("source")).as("only_src"))
+      val st = sets.groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("src_types"))
+      val nv = gc.filter(col("n_sources") === 1)
+        .groupBy(col("only_src").as("source"), col("n"))
+        .agg(count(lit(1)).as("novel_types"))
+      st.join(nv, Seq("source", "n"), "left")
+        .select(col("source"), col("n"), col("src_types"),
+          coalesce(col("novel_types"), lit(0L)).as("novel_types"))
+        .withColumn("novel_micro",
+          expr("CAST(novel_types * 1000000 div src_types AS BIGINT)"))
+        .orderBy(col("source"), col("n"))
+    },
+
+    // ---- Curation release report: the end-to-end GO/NO-GO artifact a
+    //      dataset release reads last — one table composing the
+    //      funnel (q179's stages, verbatim pipeline), the drift
+    //      monitor (q217's PSI, via the shared psiTerms integer
+    //      core), and the privacy audit (q263's k-anonymity at k=5)
+    //      into named gates with thresholds and a summary row. All
+    //      gate values are integer micro; pass is an INTEGER 1/0
+    //      (value ≥ threshold for retention, ≤ for the risk gates);
+    //      the 'release' row counts failed gates (pass ⇔ zero). The
+    //      thresholds are the folklore ones (25% funnel retention cap
+    //      on attrition, 10% near-dup, PSI 0.25, 5% k=5 re-id risk) —
+    //      the point is the COMPOSITION: one artifact, one hash, so a
+    //      release pipeline can gate on a single green row instead of
+    //      three dashboards. Scale: pays q179's funnel (the near-dup
+    //      CC dominates) + q217's one corpus support agg + q263's one
+    //      group agg; every gate itself is a 1-row fold. ----
+    QueryDef.sql("q317_release_report",
+      """WITH RECURSIVE
+        |s1 AS (SELECT doc_id, text, n_chars FROM documents
+        |  WHERE lang IN ('en', 'de', 'fr', 'es')),
+        |s2 AS (SELECT doc_id, text FROM s1 WHERE n_chars >= 100),
+        |ex AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM s2 GROUP BY 1),
+        |s3 AS (SELECT s2.doc_id, s2.text FROM s2
+        |  JOIN ex ON md5(s2.text) = ex.h AND s2.doc_id = ex.keep),
+        |t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM s3),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |walk(node, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e2.v, w.comp FROM walk w JOIN edges e2 ON e2.u = w.node
+        |  WHERE w.comp < e2.v),
+        |cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+        |drp AS (SELECT node AS doc_id FROM cc WHERE node <> comp),
+        |s4 AS (SELECT s3.doc_id FROM s3 ANTI JOIN drp USING (doc_id)),
+        |bad AS (SELECT DISTINCT e.doc_id FROM e
+        |  WHERE e.g IN ('stream table hash', 'row column sort',
+        |    'window fast query')),
+        |s5 AS (SELECT s4.doc_id FROM s4 ANTI JOIN bad USING (doc_id)),
+        |ss AS (SELECT source, n_chars AS v,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 0 ELSE 1 END AS ep, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars, ep),
+        |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS c
+        |  FROM ss GROUP BY v),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sup),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
+        |    AS lo FROM sup),
+        |bin AS (SELECT cum.v, CAST(least(9, (cum.lo - 1) * 10 // nn.n)
+        |    AS BIGINT) AS b FROM cum, nn),
+        |cell AS (SELECT ss.source, bin.b, ss.ep,
+        |    CAST(sum(ss.c) AS BIGINT) AS c
+        |  FROM ss JOIN bin ON bin.v = ss.v
+        |  GROUP BY ss.source, bin.b, ss.ep),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nbins
+        |  FROM bin),
+        |grid AS (SELECT s.source, bb.b
+        |  FROM (SELECT DISTINCT source FROM ss) s,
+        |  (SELECT DISTINCT b FROM bin) bb),
+        |ee AS (SELECT g.source, g.b,
+        |    COALESCE(max(CASE WHEN cell.ep = 0 THEN cell.c END), 0) AS c0,
+        |    COALESCE(max(CASE WHEN cell.ep = 1 THEN cell.c END), 0) AS c1
+        |  FROM grid g LEFT JOIN cell
+        |    ON cell.source = g.source AND cell.b = g.b
+        |  GROUP BY g.source, g.b),
+        |nss AS (SELECT source, CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1 FROM ee GROUP BY source),
+        |pq AS (SELECT ee.source, ee.b,
+        |    CAST((ee.c0 + 1) * 1000000 // (nss.n0 + nb.nbins) AS BIGINT)
+        |      AS pm,
+        |    CAST((ee.c1 + 1) * 1000000 // (nss.n1 + nb.nbins) AS BIGINT)
+        |      AS qm
+        |  FROM ee JOIN nss ON nss.source = ee.source, nb),
+        |term AS (SELECT source, sum(CAST(qm - pm AS HUGEINT) *
+        |    CAST(round(ln(CAST(qm AS DOUBLE) / pm) * 1000000) AS BIGINT))
+        |    AS s FROM pq GROUP BY source),
+        |kg AS (SELECT lang, source, n_chars // 100 AS lb,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g0 AS (
+        |  SELECT 'funnel_retention' AS gate,
+        |    CAST((SELECT count(*) FROM s5) * 1000000
+        |      // (SELECT count(*) FROM documents) AS BIGINT)
+        |      AS value_micro,
+        |    CAST(250000 AS BIGINT) AS threshold_micro, 1 AS dir
+        |  UNION ALL
+        |  SELECT 'near_dup_rate',
+        |    CAST((SELECT count(*) FROM drp) * 1000000
+        |      // greatest(1, (SELECT count(*) FROM s3)) AS BIGINT),
+        |    CAST(100000 AS BIGINT), -1
+        |  UNION ALL
+        |  SELECT 'drift_psi_max',
+        |    (SELECT CAST(COALESCE(max(s // 1000000), 0) AS BIGINT)
+        |      FROM term),
+        |    CAST(250000 AS BIGINT), -1
+        |  UNION ALL
+        |  SELECT 'privacy_k5_risk',
+        |    (SELECT CAST(COALESCE(sum(CASE WHEN n < 5 THEN n END), 0)
+        |      * 1000000 // sum(n) AS BIGINT) FROM kg),
+        |    CAST(50000 AS BIGINT), -1),
+        |gts AS (SELECT gate, value_micro, threshold_micro,
+        |    CAST(CASE WHEN dir = 1 THEN value_micro >= threshold_micro
+        |      ELSE value_micro <= threshold_micro END AS INTEGER) AS pass
+        |  FROM g0)
+        |SELECT gate, value_micro, threshold_micro, pass FROM gts
+        |UNION ALL
+        |SELECT 'release',
+        |  CAST((SELECT sum(1 - pass) FROM gts) AS BIGINT),
+        |  CAST(0 AS BIGINT),
+        |  CAST((SELECT sum(1 - pass) FROM gts) = 0 AS INTEGER)
+        |ORDER BY gate""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      // ---- funnel leg: q179's pipeline, stage for stage ----
+      val st1 = docs.filter(col("lang").isin("en", "de", "fr", "es"))
+      val st2 = st1.filter(col("n_chars") >= 100)
+        .select(col("doc_id"), col("text"))
+      val ex = st2.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep"))
+      val st3 = st2
+        .join(ex, md5(col("text")) === col("h")
+          && col("doc_id") === col("keep"))
+        .select(col("doc_id"), col("text"))
+      val sh = Sketches.shingled(st3)
+      val pairs = prefixJaccardPairs(sh, 3, 10)
+        .select(col("doc1"), col("doc2"))
+      val cc = graft.operators.ConnectedComponents.run(pairs, "doc1", "doc2")
+      val drop = cc.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val st4 = st3.select(col("doc_id"))
+        .join(drop, Seq("doc_id"), "left_anti")
+      val bad = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+        .filter(col("g").isin("stream table hash", "row column sort",
+          "window fast query"))
+        .select(col("doc_id")).distinct()
+      val st5 = st4.join(bad, Seq("doc_id"), "left_anti")
+      // ---- drift leg: the shared psiTerms integer core ----
+      val terms = psiTerms(docs
+        .groupBy(col("source"), col("n_chars").as("v"),
+          when(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 1) < "8", 0).otherwise(1).as("ep"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+      // ---- privacy leg: q263's group table at k=5 ----
+      val kg = docs
+        .groupBy(col("lang"), col("source"), expr("n_chars div 100").as("lb"))
+        .agg(count(lit(1)).as("n"))
+      // ---- gates: each value a 1-row fold ----
+      def gate(name: String, v: org.apache.spark.sql.DataFrame,
+          thr: Long, geq: Boolean) =
+        v.select(lit(name).as("gate"), col("v").cast("long").as("value_micro"),
+          lit(thr).as("threshold_micro"),
+          (if (geq) col("v") >= thr else col("v") <= thr)
+            .cast("int").as("pass"))
+      val funnel = st5.agg(count(lit(1)).as("k"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+        .select(expr("(k * 1000000) div nd").as("v"))
+      val nearDup = drop.agg(count(lit(1)).as("k"))
+        .crossJoin(broadcast(st3.agg(count(lit(1)).as("n3"))))
+        .select(expr("(k * 1000000) div greatest(1L, n3)").as("v"))
+      val drift = terms
+        .agg(coalesce(max(expr("CAST(s div 1000000 AS BIGINT)")), lit(0L))
+          .as("v"))
+      val privacy = kg
+        .agg(coalesce(sum(when(col("n") < 5, col("n"))), lit(0L)).as("r"),
+          sum(col("n")).as("nd"))
+        .select(expr("CAST((r * 1000000) div nd AS BIGINT)").as("v"))
+      val gates = gate("funnel_retention", funnel, 250000L, geq = true)
+        .unionByName(gate("near_dup_rate", nearDup, 100000L, geq = false))
+        .unionByName(gate("drift_psi_max", drift, 250000L, geq = false))
+        .unionByName(gate("privacy_k5_risk", privacy, 50000L, geq = false))
+        .localCheckpoint() // 4 rows feed the report AND the summary
+      val summary = gates
+        .agg(sum(lit(1) - col("pass")).cast("long").as("v"))
+        .select(lit("release").as("gate"), col("v").as("value_micro"),
+          lit(0L).as("threshold_micro"),
+          (col("v") === 0).cast("int").as("pass"))
+      gates.unionByName(summary).orderBy(col("gate"))
     })
 
   /** DuckDB oracle for q267: the 5-round greedy coverage walk

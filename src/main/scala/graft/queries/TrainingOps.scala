@@ -1619,22 +1619,30 @@ object TrainingOps {
     //      lifetime is last−first event in whole hours (exact integer
     //      micros div). At-risk counts come from the duration SUPPORT
     //      table (O(distinct durations) post-agg rows, the q175/q193
-    //      discipline) via a cumulative window: n_risk(t) = N − #{dur
-    //      < t}. The survival product is an ORDER-PINNED LEFT FOLD
-    //      over the dur-sorted factor array — each factor is one
-    //      IEEE-exact division (n_risk−d)/n_risk and the fold is pure
-    //      multiplication, both correctly rounded by IEEE-754, so an
-    //      identical fold order is BIT-IDENTICAL across engines and
-    //      JIT states. (The previous floor(ln(·)·1e9) quantization
-    //      rode java.lang.Math.log's 1-ulp license — a factor landing
-    //      within 1 ulp of an integer-nano boundary flipped the floor
-    //      run-to-run: the r10 hash flake. No libm anywhere now.) The
-    //      curve is O(distinct death durations) — array ops on one
-    //      post-agg row. A step where everyone at risk dies yields
-    //      factor 0.0, so the product (and every later step) is
-    //      exactly 0. No deaths ⇒ empty curve (DegenerateInputSpec).
+    //      discipline, emitted standalone as q314 so any future
+    //      divergence localizes to support vs fold): n_risk(t) =
+    //      N − #{dur < t}. The survival product is an INTEGER
+    //      FIXED-POINT LEFT FOLD over the dur-sorted step array —
+    //      acc₀ = 10¹², accᵢ = accᵢ₋₁·(n_riskᵢ−dᵢ) div n_riskᵢ, every
+    //      step one exact non-negative floor division, so the curve
+    //      is BIT-STABLE BY CONSTRUCTION on any engine (the r10/r11
+    //      lesson: first floor(ln·1e9) rode libm's 1-ulp license,
+    //      then the IEEE double fold was exact per-step but its
+    //      DuckDB mirror, list_reduce, folds differently across
+    //      DuckDB versions — the oracle now runs the SAME integer
+    //      recurrence as a recursive CTE, the q280 discipline, with
+    //      a HUGEINT accumulator; Spark folds in DECIMAL(38,0)).
+    //      survival_micro = acc div 10⁶: the 10¹² carry keeps the
+    //      per-step floor loss below 1 output micro even after 10⁶
+    //      death steps. The curve is O(distinct death durations) —
+    //      array ops on one post-agg row. A step where everyone at
+    //      risk dies zeroes acc exactly, forever. No deaths ⇒ empty
+    //      curve (DegenerateInputSpec). The oracle's n_risk and step
+    //      index come from O(k²) support self-joins, not windows —
+    //      k = distinct durations, and boring correlated sums are
+    //      the most version-proof SQL there is. ----
     QueryDef.sql("q198_kaplan_meier",
-      """WITH u AS (SELECT user_id,
+      """WITH RECURSIVE u AS (SELECT user_id,
         |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000
         |      AS BIGINT) AS dur,
         |    epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id),
@@ -1644,27 +1652,24 @@ object TrainingOps {
         |      AS death FROM u, hz),
         |sup AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
         |    CAST(sum(death) AS BIGINT) AS d FROM lab GROUP BY dur),
-        |tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS nu FROM sup),
-        |cum AS (SELECT dur, n_all, d,
-        |    tot.nu - COALESCE(sum(n_all) OVER (ORDER BY dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS n_risk
-        |  FROM sup, tot),
-        |dd AS (SELECT dur, d, n_risk,
-        |    CAST(n_risk - d AS DOUBLE) / n_risk AS f
-        |  FROM cum WHERE d > 0),
-        |arr AS (SELECT
-        |    list(struct_pack(dur := dur, n_risk := n_risk, d := d)
-        |      ORDER BY dur) AS ls,
-        |    list(f ORDER BY dur) AS lf FROM dd),
-        |ex AS (SELECT unnest(list_transform(ls, (x, i) ->
-        |    struct_pack(t_hours := x.dur, n_risk := x.n_risk,
-        |      n_deaths := x.d,
-        |      survival := round(list_reduce(lf[1:i],
-        |        (acc, y) -> acc * y), 4)))) AS r FROM arr)
-        |SELECT r.t_hours AS t_hours, r.n_risk AS n_risk,
-        |  r.n_deaths AS n_deaths, r.survival AS survival
-        |FROM ex ORDER BY t_hours""".stripMargin) { (s, d) =>
+        |dd AS (SELECT s.dur, s.d,
+        |    (SELECT CAST(sum(s2.n_all) AS BIGINT) FROM sup s2
+        |      WHERE s2.dur >= s.dur) AS n_risk
+        |  FROM sup s WHERE s.d > 0),
+        |idx AS (SELECT a.dur, a.d, a.n_risk,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM dd b
+        |      WHERE b.dur <= a.dur) AS i
+        |  FROM dd a),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |    CAST(1000000000000 AS HUGEINT) AS acc
+        |  UNION ALL
+        |  SELECT r.i + 1, (r.acc * (x.n_risk - x.d)) // x.n_risk
+        |  FROM rec r JOIN idx x ON x.i = r.i + 1)
+        |SELECT x.dur AS t_hours, x.n_risk AS n_risk, x.d AS n_deaths,
+        |  CAST(r.acc // 1000000 AS BIGINT) AS survival_micro
+        |FROM idx x JOIN rec r ON r.i = x.i
+        |ORDER BY t_hours""".stripMargin) { (s, d) =>
       // O(users) rows, checkpointed: feeds the horizon agg AND the
       // label projection, so the corpus is scanned exactly once
       val u = t(s, d, "events").groupBy(col("user_id"))
@@ -1688,23 +1693,23 @@ object TrainingOps {
         .withColumn("n_risk",
           col("nu") - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
         .filter(col("d") > 0)
-        .withColumn("f",
-          (col("n_risk") - col("d")).cast("double") / col("n_risk"))
       // dur is the group key ⇒ distinct ⇒ sort_array on the struct
-      // (dur leads) is a TOTAL order; the fold prefix at index i is
-      // Spark's aggregate(slice(a,1,i+1), 1.0, ·×·) vs DuckDB's
-      // list_reduce(lf[1:i]) — 1.0×f ≡ f exactly, so both are the
-      // same left-multiplication chain, bit for bit
+      // (dur leads) is a TOTAL order; the prefix fold at index i is
+      // the same integer recurrence the oracle's recursive CTE walks
+      // — floor division per step, exact on both engines
       dd.agg(sort_array(collect_list(struct(col("dur"), col("n_risk"),
-          col("d"), col("f")))).as("a"))
+          col("d")))).as("a"))
         .select(explode(expr(
           """transform(a, (x, i) -> struct(
             |  x.dur AS t_hours, x.n_risk AS n_risk, x.d AS n_deaths,
-            |  round(aggregate(slice(a, 1, i + 1), CAST(1.0 AS DOUBLE),
-            |    (acc, y) -> acc * y.f), 4) AS survival))""".stripMargin))
+            |  CAST(aggregate(slice(a, 1, i + 1),
+            |      CAST(1000000000000 AS DECIMAL(38,0)),
+            |      (acc, y) -> CAST((acc * (y.n_risk - y.d)) div y.n_risk
+            |        AS DECIMAL(38,0)))
+            |    div 1000000 AS BIGINT) AS survival_micro))""".stripMargin))
           .as("r"))
         .select(col("r.t_hours"), col("r.n_risk"), col("r.n_deaths"),
-          col("r.survival"))
+          col("r.survival_micro"))
         .orderBy(col("t_hours"))
     },
 
@@ -1771,7 +1776,13 @@ object TrainingOps {
     //      — bit-stable by construction (the lesson q198 had to learn
     //      the hard way, free here). Same censoring rule, same
     //      support-table scale shape: one corpus agg, O(distinct
-    //      durations) rows after. No deaths ⇒ empty curve. ----
+    //      durations) rows after. No deaths ⇒ empty curve. The
+    //      oracle computes n_risk and the cumulative sum as O(k²)
+    //      support self-joins rather than frame windows — after the
+    //      r11 driver-env hash divergence (red on a harness whose
+    //      DuckDB version differs, green on 1.0.0 at both SFs), the
+    //      oracle keeps only correlated integer sums, the SQL subset
+    //      with no cross-version surface at all. ----
     QueryDef.sql("q285_nelson_aalen",
       """WITH u AS (SELECT user_id,
         |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000
@@ -1783,20 +1794,16 @@ object TrainingOps {
         |      AS death FROM u, hz),
         |sup AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
         |    CAST(sum(death) AS BIGINT) AS d FROM lab GROUP BY dur),
-        |tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS nu FROM sup),
-        |cum AS (SELECT dur, n_all, d,
-        |    tot.nu - COALESCE(sum(n_all) OVER (ORDER BY dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS n_risk
-        |  FROM sup, tot),
-        |dd AS (SELECT dur, d, n_risk,
-        |    CAST(d * 1000000 // n_risk AS BIGINT) AS hq
-        |  FROM cum WHERE d > 0)
-        |SELECT dur AS t_hours, n_risk, d AS n_deaths,
-        |  CAST(sum(hq) OVER (ORDER BY dur
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS cum_hazard_micro
-        |FROM dd ORDER BY t_hours""".stripMargin) { (s, d) =>
+        |dd AS (SELECT s.dur, s.d,
+        |    (SELECT CAST(sum(s2.n_all) AS BIGINT) FROM sup s2
+        |      WHERE s2.dur >= s.dur) AS n_risk
+        |  FROM sup s WHERE s.d > 0),
+        |hq AS (SELECT dur, d, n_risk,
+        |    CAST(d * 1000000 // n_risk AS BIGINT) AS hq FROM dd)
+        |SELECT a.dur AS t_hours, a.n_risk AS n_risk, a.d AS n_deaths,
+        |  (SELECT CAST(sum(b.hq) AS BIGINT) FROM hq b
+        |    WHERE b.dur <= a.dur) AS cum_hazard_micro
+        |FROM hq a ORDER BY t_hours""".stripMargin) { (s, d) =>
       val u = t(s, d, "events").groupBy(col("user_id"))
         .agg(expr("CAST((unix_micros(max(ts)) - unix_micros(min(ts)))"
           + " div 3600000000 AS BIGINT)").as("dur"),
@@ -1823,6 +1830,58 @@ object TrainingOps {
           sum(col("hq")).over(wCum).cast("long"))
         .select(col("dur").as("t_hours"), col("n_risk"),
           col("d").as("n_deaths"), col("cum_hazard_micro"))
+        .orderBy(col("t_hours"))
+    },
+
+    // ---- Survival support table: the shared (duration, n_all,
+    //      deaths, at-risk) spine q198 / q285 / q291 all fold over,
+    //      emitted as its own oracle row set. This is INSTRUMENTATION
+    //      with analytical value of its own (it is the life table a
+    //      retention analyst reads raw), but its primary job is
+    //      localization: if a survival-family hash ever diverges
+    //      again in a foreign harness, this query says whether the
+    //      divergence is in the support (durations / censoring /
+    //      risk sets — shared) or in the downstream fold (per-query).
+    //      Emits ALL durations, censored-only ones included, so the
+    //      full lab → sup path is covered, not just death steps.
+    //      Scale: one per-user corpus agg; O(distinct durations)
+    //      after; the oracle's n_risk is an O(k²) self-join sum on
+    //      the tiny support table (version-proof, no windows). ----
+    QueryDef.sql("q314_survival_support",
+      """WITH u AS (SELECT user_id,
+        |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000
+        |      AS BIGINT) AS dur,
+        |    epoch_us(max(ts)) AS last_us FROM events GROUP BY user_id),
+        |hz AS (SELECT max(last_us) AS h FROM u),
+        |lab AS (SELECT u.dur,
+        |    CASE WHEN u.last_us < hz.h - 86400000000 THEN 1 ELSE 0 END
+        |      AS death FROM u, hz),
+        |sup AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(death) AS BIGINT) AS d FROM lab GROUP BY dur)
+        |SELECT s.dur AS t_hours, s.n_all AS n_all, s.d AS n_deaths,
+        |  (SELECT CAST(sum(s2.n_all) AS BIGINT) FROM sup s2
+        |    WHERE s2.dur >= s.dur) AS n_risk
+        |FROM sup s ORDER BY t_hours""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events").groupBy(col("user_id"))
+        .agg(expr("CAST((unix_micros(max(ts)) - unix_micros(min(ts)))"
+          + " div 3600000000 AS BIGINT)").as("dur"),
+          unix_micros(max(col("ts"))).as("last_us"))
+        .localCheckpoint() // feeds the horizon agg AND the labels
+      val hz = u.agg(max(col("last_us")).as("h"))
+      val sup = u.crossJoin(broadcast(hz))
+        .select(col("dur"),
+          when(col("last_us") < col("h") - 86400000000L, 1L).otherwise(0L)
+            .as("death"))
+        .groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_all"), sum(col("death")).cast("long").as("d"))
+      val tot = sup.agg(sum(col("n_all")).cast("long").as("nu"))
+      val wPrev = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sup.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("nu") - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+        .select(col("dur").as("t_hours"), col("n_all"),
+          col("d").as("n_deaths"), col("n_risk"))
         .orderBy(col("t_hours"))
     },
 
@@ -2910,19 +2969,27 @@ object TrainingOps {
     //      at max = 10⁶ — the oracle unrolls all 4 rounds so the hash
     //      proves the walk. Zero-denominator guards: a source with no
     //      comparisons carries its strength; an all-zero pair term
-    //      contributes 0. Scale: pairing is bucket-blocked (256
-    //      buckets ⇒ O(Σ bucket²) pairs, never corpus²); the MM
-    //      rounds run on the O(sources²) win matrix. ----
+    //      contributes 0. nij·10¹² and w·10¹² ride HUGEINT /
+    //      DECIMAL(38,0) (the q303 fence): a pair past ~9.2M
+    //      comparisons widens instead of wrapping. Scale: the 256
+    //      md5 buckets are a CONSTANT-FACTOR rebate — Σ bucket² ≈
+    //      corpus²/256, still quadratic in corpus size (unlike the
+    //      df-capped gram pipelines); at 100 TB the duel join needs
+    //      per-bucket sampling or a corpus-scaled bucket key —
+    //      documented cliff, see SCALE.md. The MM rounds themselves
+    //      run on the O(sources²) win matrix. ----
     QueryDef.sql("q302_bradley_terry", {
       val iters = (1 to 4).map { i =>
         s"""d$i AS (SELECT p.i, sum(CASE WHEN a.s + b.s > 0
-           |      THEN (p.nij * 1000000000000) // (a.s + b.s)
+           |      THEN (CAST(p.nij AS HUGEINT) * 1000000000000)
+           |        // (a.s + b.s)
            |      ELSE 0 END) AS den
            |  FROM p JOIN s${i - 1} a ON a.src = p.i
            |  JOIN s${i - 1} b ON b.src = p.j GROUP BY p.i),
            |r$i AS (SELECT d$i.i AS src,
            |    CASE WHEN d$i.den > 0
-           |      THEN (COALESCE(w.w, 0) * 1000000000000) // d$i.den
+           |      THEN (CAST(COALESCE(w.w, 0) AS HUGEINT) * 1000000000000)
+           |        // d$i.den
            |      ELSE s.s END AS s
            |  FROM d$i LEFT JOIN w ON w.i = d$i.i
            |  JOIN s${i - 1} s ON s.src = d$i.i),
@@ -2982,15 +3049,19 @@ object TrainingOps {
           .join(sTab.select(col("src").as("i"), col("s").as("si")), "i")
           .join(sTab.select(col("src").as("j"), col("s").as("sj")), "j")
           .groupBy(col("i"))
+          // nij·10¹² in DECIMAL(38,0) (HUGEINT in the oracle): the
+          // q303 fence — a source pair past ~9.2M comparisons must
+          // widen, not wrap (ADVICE r11)
           .agg(sum(when(col("si") + col("sj") > 0,
-            expr("(nij * 1000000000000) div (si + sj)"))
-            .otherwise(0L)).cast("long").as("den"))
+            expr("CAST((CAST(nij AS DECIMAL(38,0)) * 1000000000000)"
+              + " div (si + sj) AS DECIMAL(38,0))"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("den"))
         val raw = den.join(w, Seq("i"), "left")
           .join(sTab.select(col("src").as("i"), col("s").as("sp")), "i")
           .select(col("i").as("src"),
             when(col("den") > 0,
-              expr("(coalesce(w, CAST(0 AS BIGINT)) * 1000000000000)"
-                + " div den"))
+              expr("(CAST(coalesce(w, 0) AS DECIMAL(38,0))"
+                + " * 1000000000000) div den"))
               .otherwise(col("sp")).as("s"))
         val m = raw.agg(max(col("s")).as("m"))
         sTab = raw.crossJoin(broadcast(m))

@@ -1080,11 +1080,64 @@ class DegenerateInputSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("q315: a query with zero relevant candidates reads NULL nDCG") {
+    // vec 0's singleton label matches no candidate: idcg = 0, so both
+    // nDCG columns are NULL (never 0/0); τ stays defined — the orders
+    // exist even when nothing is relevant
+    val rows = run("q315_rerank_eval")
+    assert(rows.length == 5)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(r0.fieldIndex("n_rel")) == 0L)
+    assert(r0.isNullAt(r0.fieldIndex("ndcg_bi_milli")))
+    assert(r0.isNullAt(r0.fieldIndex("ndcg_cross_milli")))
+    assert(!r0.isNullAt(r0.fieldIndex("tau_milli")))
+  }
+
+  test("q316: a single-source corpus is 100% novel at every scale") {
+    // with one source every gram type is exclusive by definition —
+    // novel_micro reads exactly 1e6 on each ladder rung
+    val rows = run("q316_novelty_profile")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(r.fieldIndex("source")) == "web")
+      assert(r.getLong(r.fieldIndex("novel_micro")) == 1000000L,
+        s"exclusivity must be total with one source: $r")
+    }
+  }
+
+  test("q317: the release summary row is consistent with its gates") {
+    // one source, collapsed columns — whatever the gates read, the
+    // 'release' row must count exactly the failed ones and pass iff
+    // zero failed; every value is defined (no NULL gate values)
+    val rows = run("q317_release_report")
+    assert(rows.length == 5)
+    val gates = rows.filter(_.getString(0) != "release")
+    val rel = rows.find(_.getString(0) == "release").get
+    val failed = gates.count(_.getInt(3) == 0)
+    assert(rel.getLong(rel.fieldIndex("value_micro")) == failed.toLong)
+    assert(rel.getInt(rel.fieldIndex("pass")) ==
+      (if (failed == 0) 1 else 0))
+    gates.foreach(r => assert(!r.isNullAt(r.fieldIndex("value_micro"))))
+  }
+
   test("q285: a corpus with no churned users yields an empty hazard") {
     // same censoring rule as q198: the single instant IS the horizon,
     // zero deaths, zero steps — and the d/n_risk division never runs
     val rows = run("q285_nelson_aalen")
     assert(rows.isEmpty, s"no deaths ⇒ no hazard steps: ${rows.toSeq}")
+  }
+
+  test("q314: the support table still reports the censored row") {
+    // unlike the curves, the life table is NOT empty on a no-death
+    // corpus — it shows the single all-censored duration bucket, which
+    // is exactly the instrumentation value (support present, fold
+    // empty localizes a divergence to the fold)
+    val rows = run("q314_survival_support")
+    assert(rows.length == 1, s"one duration bucket: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("n_deaths")) == 0L)
+    assert(r.getLong(r.fieldIndex("n_all")) ==
+      r.getLong(r.fieldIndex("n_risk")))
   }
 
   test("q286: a single-day corpus has no predecessor to churn against") {

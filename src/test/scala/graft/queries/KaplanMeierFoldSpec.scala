@@ -7,20 +7,25 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** q198's bit-stability contract: the survival column is an
-  * order-pinned left fold of IEEE-exact factors, so Spark's
-  * `aggregate(slice(a, 1, i+1), 1.0, (acc,y) -> acc*y.f)` must equal
-  * a plain Scala Double left fold BIT FOR BIT on randomized
-  * (n_risk, d) curves — no libm call anywhere means no 1-ulp JIT
-  * license to flake on (the r10 q198 hash failure). Also pins the
-  * fold against an exact BigDecimal product: each multiply is
-  * correctly rounded, so n multiplies accumulate at most ~n ulps. */
+/** q198's bit-stability contract, integer edition: survival_micro is
+  * an INTEGER FIXED-POINT LEFT FOLD — acc₀ = 10¹², accᵢ =
+  * accᵢ₋₁·(n_riskᵢ−dᵢ) div n_riskᵢ — so Spark's
+  * `aggregate(slice(a, 1, i+1), DECIMAL(38,0), ·)` must equal a plain
+  * Scala BigInt floor-division fold EXACTLY (not to ulps: there is no
+  * float anywhere, hence nothing for an engine version or JIT state
+  * to flake on — the lesson of the r10 libm flake and the r11
+  * list_reduce cross-version divergence). Also pins the fixed-point
+  * error envelope: acc/10¹² tracks the exact rational product within
+  * k steps of 10⁻¹² each, so survival_micro = acc div 10⁶ is within
+  * 1 micro of the true curve for any k ≤ 10⁶. */
 class KaplanMeierFoldSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("survival fold is bit-identical to a Scala Double left fold " +
-    "and within n ulps of the BigDecimal product") {
+  private val Carry = BigInt(1000000000000L) // 10^12
+
+  test("survival_micro fold is exactly the BigInt floor-division fold " +
+    "and within 1 micro of the exact rational product") {
     val rng = new Random(42)
     // 50 curves, lengths 1..40, n_risk strictly decreasing, 1 <= d <=
     // n_risk (d == n_risk exercises the exact-zero step)
@@ -43,57 +48,57 @@ class KaplanMeierFoldSpec extends AnyFunSuite {
 
     val df = curves.values.flatten.toSeq
       .toDF("curve", "dur", "n_risk", "d")
-      .withColumn("f",
-        (col("n_risk") - col("d")).cast("double") / col("n_risk"))
-    // the exact expression shape q198 uses (sorted struct array, fold
-    // over the slice prefix), grouped per curve
+    // the exact expression shape q198 uses (sorted struct array,
+    // integer fold over the slice prefix), grouped per curve
     val got = df.groupBy(col("curve"))
       .agg(sort_array(collect_list(struct(col("dur"), col("n_risk"),
-        col("d"), col("f")))).as("a"))
+        col("d")))).as("a"))
       .select(col("curve"), expr(
         """transform(a, (x, i) -> struct(
           |  x.dur AS dur,
-          |  aggregate(slice(a, 1, i + 1), CAST(1.0 AS DOUBLE),
-          |    (acc, y) -> acc * y.f) AS s,
-          |  round(aggregate(slice(a, 1, i + 1), CAST(1.0 AS DOUBLE),
-          |    (acc, y) -> acc * y.f), 4) AS s4))""".stripMargin).as("r"))
-      .as[(Int, Seq[(Long, Double, Double)])]
+          |  aggregate(slice(a, 1, i + 1),
+          |    CAST(1000000000000 AS DECIMAL(38,0)),
+          |    (acc, y) -> CAST((acc * (y.n_risk - y.d)) div y.n_risk
+          |      AS DECIMAL(38,0))) AS acc,
+          |  CAST(aggregate(slice(a, 1, i + 1),
+          |      CAST(1000000000000 AS DECIMAL(38,0)),
+          |      (acc, y) -> CAST((acc * (y.n_risk - y.d)) div y.n_risk
+          |        AS DECIMAL(38,0)))
+          |    div 1000000 AS BIGINT) AS survival_micro))""".stripMargin)
+        .as("r"))
+      .as[(Int, Seq[(Long, java.math.BigDecimal, Long)])]
       .collect().toMap
 
     assert(got.keySet == curves.keySet)
     curves.foreach { case (c, steps) =>
-      val factors = steps.sortBy(_._2).map { case (_, _, n, d) =>
-        (n - d).toDouble / n.toDouble
+      val ordered = steps.sortBy(_._2).map { case (_, _, n, d) => (n, d) }
+      // Scala reference: same floor-division chain on BigInt
+      var acc = Carry
+      val ref = ordered.map { case (n, d) => acc = acc * (n - d) / n; acc }
+      // exact rational prefix products (num/den), for the envelope
+      var num = BigInt(1); var den = BigInt(1)
+      val exact = ordered.map { case (n, d) =>
+        num *= (n - d); den *= n; (num, den)
       }
-      // Scala reference: same left-multiplication chain
-      var acc = 1.0
-      val ref = factors.map { f => acc *= f; acc }
-      val refBig = factors.scanLeft(BigDecimal(1)) { (a, f) =>
-        a * BigDecimal(f)
-      }.tail
       val rows = got(c).sortBy(_._1)
       assert(rows.length == ref.length, s"curve $c length")
-      rows.zip(ref).zip(refBig).zipWithIndex.foreach {
-        case (((row, want), wantBig), i) =>
-          // bit-identical fold (the cross-engine stability claim)
-          assert(java.lang.Double.doubleToLongBits(row._2) ==
-            java.lang.Double.doubleToLongBits(want),
+      rows.zip(ref).zip(exact).zipWithIndex.foreach {
+        case (((row, want), (nm, dn)), i) =>
+          // exact integer equality (the cross-engine stability claim)
+          assert(BigInt(row._2.toBigInteger) == want,
             s"curve $c step $i: got ${row._2}, fold says $want")
-          // rounded output matches HALF_UP on the same double
-          val want4 = BigDecimal(want)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          assert(row._3 == want4,
-            s"curve $c step $i round: got ${row._3}, want $want4")
-          // and the double fold tracks the exact product to ~n ulps
-          val exact = wantBig.toDouble
-          val tol = math.max(math.ulp(exact) * (i + 2).toDouble, 1e-300)
-          assert(math.abs(row._2 - exact) <= tol,
-            s"curve $c step $i vs BigDecimal: ${row._2} vs $exact")
+          assert(row._3 == (want / 1000000).toLong,
+            s"curve $c step $i micro: got ${row._3}")
+          // floor fold only loses: exact·Carry ≥ acc ≥ exact·Carry − i−1
+          val exactScaled = nm * Carry / dn // floor of the true product
+          assert(want <= exactScaled && want >= exactScaled - (i + 1),
+            s"curve $c step $i envelope: acc=$want exact=$exactScaled")
       }
       // a kill-all step (d == n_risk) zeroes survival exactly, forever
-      val killIdx = factors.indexWhere(_ == 0.0)
+      val killIdx = ordered.indexWhere { case (n, d) => d == n }
       if (killIdx >= 0)
-        rows.drop(killIdx).foreach(r => assert(r._2 == 0.0))
+        rows.drop(killIdx).foreach(r =>
+          assert(r._3 == 0L && r._2.signum == 0))
     }
   }
 }

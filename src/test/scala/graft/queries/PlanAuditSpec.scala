@@ -630,9 +630,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q235_markov_transitions" -> 4,
       // band-bucket candidate self-join + distinct + pair fold
       "q236_frame_phash_neardup" -> 3,
-      // label-aware IVF: primary-probe kb agg, bound-probe join,
-      // final heap top-k, label re-join
-      "q237_hard_negatives" -> 4,
+      // label-aware blockTopK: corpus + exploded-query block join
+      // legs, heap top-k (partial map-side), label re-join, sort —
+      // shuffle volume is O(N·blocks) vector copies, never pair rows
+      "q237_hard_negatives" -> 5,
       // ε-pair blocking (checkpointed) + neighbor-count agg + core
       // joins + CC (internally checkpointed) + border fold
       "q238_dbscan" -> 9,
@@ -780,10 +781,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // the final report agg + sort — 8 exchanges over O(types·days)
       // rows; the corpus pays only the cell agg at checkpoint time
       "q282_jackknife_se" -> 8,
-      // q283 = past the checkpointed O(N) 1-NN table (the audited q89
-      // IVF shape runs at build): the reversed-key self-join + the
-      // un-hinted label joins + result sort — the label legs broadcast
-      // by stats at this sf and shuffle at scale
+      // q283 = past the checkpointed O(N) 1-NN table (blockTopK runs
+      // at build): the reversed-key self-join + the un-hinted label
+      // joins + result sort — the label legs broadcast by stats at
+      // this sf and shuffle at scale
       "q283_mutual_nn" -> 3,
       // q285 = past the checkpointed O(users) lifetime table: q198's
       // exact exchange profile (horizon agg + duration support agg +
@@ -896,7 +897,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "q312_weight_ess" -> 2,
       // q313 = the (length) support agg + the O(distinct lengths)
       // single-partition rank window; the bracket algebra broadcasts
-      "q313_median_ci" -> 2)
+      "q313_median_ci" -> 2,
+      // q314 = q198's support spine without the fold: horizon agg +
+      // duration-support agg + total + the single-partition risk
+      // window + result sort, all past the checkpointed O(users) table
+      "q314_survival_support" -> 6,
+      // q315 = past the checkpointed 100-row pool+rank table: the
+      // nDCG agg (τ legs and the final join ride stats broadcasts,
+      // the weight spine is a literal); the corpus paid one scored
+      // scan into the bounded per-query heap at build
+      "q315_rerank_eval" -> 1,
+      // q316 = past the checkpointed distinct type sets: exclusivity
+      // count + per-source count + their join + result sort; the
+      // 4-rung ladder explode collapses in the ONE distinct at build
+      "q316_novelty_profile" -> 4,
+      // q317 = every leg folds to a checkpointed 4-row gate table at
+      // build (funnel CC, psiTerms, k-anon each pay their own audited
+      // shapes there); the report itself is union + 5-row sort
+      "q317_release_report" -> 0)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
