@@ -3984,6 +3984,255 @@ object TextOps {
           lit(0L).as("threshold_micro"),
           (col("v") === 0).cast("int").as("pass"))
       gates.unionByName(summary).orderBy(col("gate"))
+    },
+
+    // ---- Quota shadow price: what does the per-source quota COST in
+    //      quality terms? Rank each source's docs by the q33 quality
+    //      score (the SHARED qualityScored builder — any drift breaks
+    //      both oracles), admit the top half (quota = n div 2, floor
+    //      1), and report the MARGINAL admitted quality, the first
+    //      REJECTED quality, and their gap — the economics read-out a
+    //      mixture designer wants before moving quota between
+    //      sources: a tiny gap means the quota binds against docs as
+    //      good as the ones kept (raising it is cheap); a big gap
+    //      means the source's tail is junk (the quota is doing its
+    //      job). All integer: quality quantizes to q4 = round(score ·
+    //      10⁴) (the score is exactly 4-dp by construction), ranks
+    //      and order statistics are exact, the admitted mass is an
+    //      integer sum. Scale: one quality scan + ONE per-source rank
+    //      window (q84's shape, q86's heap as the monster-source
+    //      fallback); output O(sources). ----
+    QueryDef.sql("q320_quota_shadow_price",
+      s"""WITH t AS (SELECT doc_id, text, n_chars,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      / greatest(length(text), 1), 4) AS alpha_ratio,
+         |    ${hitsSqlDuck(enWords)} AS stop_hits
+         |  FROM t),
+         |r AS (SELECT doc_id, n_tokens, alpha_ratio,
+         |    round(stop_hits / greatest(n_tokens, 1), 4) AS stop_ratio
+         |  FROM m),
+         |qq AS (SELECT d.source, r.doc_id,
+         |    CAST(round(CAST(round(CAST(0.5 * alpha_ratio
+         |      + 0.3 * (1 - stop_ratio)
+         |      + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4)
+         |      AS DOUBLE) * 10000) AS BIGINT) AS q4
+         |  FROM r JOIN documents d USING (doc_id)),
+         |rk AS (SELECT source, doc_id, q4,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY q4 DESC, doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+         |  FROM qq),
+         |rq AS (SELECT source, doc_id, q4, rn, n_s,
+         |    greatest(1, n_s // 2) AS quota FROM rk)
+         |SELECT source, max(n_s) AS n_docs,
+         |  CAST(max(quota) AS BIGINT) AS quota,
+         |  max(CASE WHEN rn = quota THEN q4 END) AS marginal_q4,
+         |  max(CASE WHEN rn = quota + 1 THEN q4 END) AS rejected_q4,
+         |  max(CASE WHEN rn = quota THEN q4 END)
+         |    - max(CASE WHEN rn = quota + 1 THEN q4 END) AS gap_q4,
+         |  CAST(sum(CASE WHEN rn <= quota THEN q4 ELSE 0 END) AS BIGINT)
+         |    AS admitted_q4_sum
+         |FROM rq GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val qq = qualityScored(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("doc_id"),
+          round(col("quality_score") * 10000).cast("long").as("q4"))
+      import org.apache.spark.sql.expressions.Window
+      val wR = Window.partitionBy(col("source"))
+        .orderBy(col("q4").desc, col("doc_id"))
+      val wN = Window.partitionBy(col("source"))
+      qq.withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(wN))
+        .withColumn("quota", greatest(lit(1L), expr("n_s div 2")))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"), max(col("quota")).as("quota"),
+          max(when(col("rn") === col("quota"), col("q4")))
+            .as("marginal_q4"),
+          max(when(col("rn") === col("quota") + 1, col("q4")))
+            .as("rejected_q4"),
+          sum(when(col("rn") <= col("quota"), col("q4")).otherwise(0L))
+            .cast("long").as("admitted_q4_sum"))
+        .withColumn("gap_q4", col("marginal_q4") - col("rejected_q4"))
+        .select(col("source"), col("n_docs"), col("quota"),
+          col("marginal_q4"), col("rejected_q4"), col("gap_q4"),
+          col("admitted_q4_sum"))
+        .orderBy(col("source"))
+    },
+
+    // ---- Dup-cluster tightness audit: q69 builds the clusters; this
+    //      asks whether each one is a TIGHT ball or a WELDED CHAIN —
+    //      the failure percolation (q307) detects corpus-wide, read
+    //      per cluster: edge density (edges / member pairs) and the
+    //      weakest edge (the minimum Jaccard that glued the cluster).
+    //      Low density + a weak link = transitive chaining: the
+    //      cluster's ends are NOT near-dups of each other and keeping
+    //      one representative throws away distinct documents. Exact:
+    //      edge weights are integer micro Jaccard (c·10⁶ div union)
+    //      off the audited posting pipeline, components off the
+    //      large-star/small-star operator, density one integer
+    //      division (members ≥ 2 always — every clustered node has an
+    //      edge). Cap caveat: pair counts ride the MaxGramDf-capped
+    //      postings (lossless here, max df ≈ 25 ≪ 64 — the q113
+    //      note). Scale: the pair pipeline is the whole cost;
+    //      everything after runs on O(edges) with O(clusters) output.
+    //      ----
+    QueryDef.sql("q321_cluster_tightness",
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
+        |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    CAST(a.sz AS BIGINT) AS sz1, CAST(b.sz AS BIGINT) AS sz2
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.3),
+        |pj AS (SELECT u, v,
+        |    CAST(c * 1000000 // (sz1 + sz2 - c) AS BIGINT) AS jm
+        |  FROM pairs),
+        |edges AS (SELECT u, v FROM pj UNION SELECT v, u FROM pj),
+        |walk(node, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e2.v, w.comp FROM walk w JOIN edges e2 ON e2.u = w.node
+        |  WHERE w.comp < e2.v),
+        |cc AS (SELECT node, min(comp) AS cluster FROM walk GROUP BY node),
+        |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM cc GROUP BY cluster),
+        |ce AS (SELECT cc.cluster, pj.jm FROM pj
+        |  JOIN cc ON cc.node = pj.u)
+        |SELECT ce.cluster, sz.n_members,
+        |  CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(min(ce.jm) AS BIGINT) AS weakest_jm,
+        |  CAST(max(ce.jm) AS BIGINT) AS strongest_jm,
+        |  CAST(count(*) * 1000000
+        |    // (sz.n_members * (sz.n_members - 1) // 2) AS BIGINT)
+        |    AS density_micro
+        |FROM ce JOIN sz ON sz.cluster = ce.cluster
+        |GROUP BY ce.cluster, sz.n_members
+        |ORDER BY ce.cluster""".stripMargin) { (s, d) =>
+      val pc = gramPairCounts(Sketches.shingled(t(s, d, "documents")))
+      val pj = pc
+        .filter(col("c") / (col("sz1") + col("sz2") - col("c")) >= 0.3)
+        .select(col("doc1").as("u"), col("doc2").as("v"),
+          expr("CAST(c * 1000000 div (sz1 + sz2 - c) AS BIGINT)").as("jm"))
+        .localCheckpoint() // feeds CC AND the per-cluster edge agg
+      val cc = graft.operators.ConnectedComponents
+        .run(pj.select(col("u"), col("v")), "u", "v")
+      val sz = cc.groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+      pj.join(cc.select(col("node").as("u"), col("component").as("cluster")),
+          "u")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_edges"), min(col("jm")).as("weakest_jm"),
+          max(col("jm")).as("strongest_jm"))
+        .join(sz, "cluster")
+        .select(col("cluster"), col("n_members"), col("n_edges"),
+          col("weakest_jm"), col("strongest_jm"),
+          expr("""CAST(n_edges * 1000000
+            |  div (n_members * (n_members - 1) div 2) AS BIGINT)"""
+            .stripMargin).as("density_micro"))
+        .orderBy(col("cluster"))
+    },
+
+    // ---- Token-budget fill: spend a global budget of HALF the
+    //      corpus tokens on the highest-quality documents — which
+    //      sources make the cut, and by how much? The quality-
+    //      thresholding dual of q115's count quotas (there the quota
+    //      is per-group and counts docs; here ONE global token budget
+    //      competes all sources against each other — the question a
+    //      mixture designer actually faces when compute, not doc
+    //      count, is the constraint). Admission = exclusive prefix
+    //      of tokens in (q4 DESC, doc_id) order < budget, so the doc
+    //      straddling the boundary is admitted whole. The global
+    //      cumulative sum is NOT a single-partition window: quality
+    //      quantizes to q4 ∈ [0, 10⁴], so (10⁴−q4) div 320 buckets
+    //      the corpus into 32 contiguous quality ranges and the q63
+    //      two-level prefix scheme applies verbatim (same q4 ⇒ same
+    //      bucket — no straddle). Shares are integer micro. One
+    //      quality scan; output O(sources). ----
+    QueryDef.sql("q323_token_budget_fill",
+      s"""WITH t AS (SELECT doc_id, text, n_chars,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      / greatest(length(text), 1), 4) AS alpha_ratio,
+         |    ${hitsSqlDuck(enWords)} AS stop_hits
+         |  FROM t),
+         |r AS (SELECT doc_id, n_tokens, alpha_ratio,
+         |    round(stop_hits / greatest(n_tokens, 1), 4) AS stop_ratio
+         |  FROM m),
+         |qs AS (SELECT d.source, r.doc_id,
+         |    CAST(r.n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(round(CAST(round(CAST(0.5 * alpha_ratio
+         |      + 0.3 * (1 - stop_ratio)
+         |      + 0.2 * least(n_tokens / 200.0, 1.0) AS DECIMAL(18,6)), 4)
+         |      AS DOUBLE) * 10000) AS BIGINT) AS q4
+         |  FROM r JOIN documents d USING (doc_id)),
+         |c AS (SELECT source, doc_id, n_tokens, q4,
+         |    COALESCE(sum(n_tokens) OVER (ORDER BY q4 DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum FROM qs),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM qs)
+         |SELECT c.source,
+         |  CAST(count(*) AS BIGINT) AS n_src_docs,
+         |  CAST(sum(c.n_tokens) AS BIGINT) AS src_tokens,
+         |  CAST(count(CASE WHEN c.cum < tot.tt // 2 THEN 1 END) AS BIGINT)
+         |    AS n_admitted,
+         |  CAST(COALESCE(sum(CASE WHEN c.cum < tot.tt // 2
+         |    THEN c.n_tokens END), 0) AS BIGINT) AS admitted_tokens,
+         |  CAST(COALESCE(sum(CASE WHEN c.cum < tot.tt // 2
+         |      THEN c.n_tokens END), 0) * 1000000
+         |    // greatest(1, sum(c.n_tokens)) AS BIGINT) AS share_micro
+         |FROM c, tot GROUP BY c.source, tot.tt
+         |ORDER BY c.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val qs = qualityScored(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          round(col("quality_score") * 10000).cast("long").as("q4"))
+        .localCheckpoint() // feeds the prefix buckets, totals, report
+      val tot = qs.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("tt"))
+      val staged = qs.withColumn("pid",
+        expr("CAST((10000 - q4) div 320 AS INT)"))
+      val wIn = Window.partitionBy(col("pid"))
+        .orderBy(col("q4").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = staged.withColumn("cum_in",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = staged.groupBy(col("pid"))
+        .agg(sum(col("n_tokens")).as("pt"))
+        .withColumn("offset", coalesce(sum(col("pt")).over(wOff), lit(0L)))
+        .select(col("pid"), col("offset"))
+      within.join(broadcast(offsets), "pid")
+        .withColumn("cum", col("offset") + col("cum_in"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src_docs"),
+          sum(col("n_tokens")).cast("long").as("src_tokens"),
+          count(when(col("cum") < expr("tt div 2"), 1)).as("n_admitted"),
+          coalesce(sum(when(col("cum") < expr("tt div 2"),
+            col("n_tokens"))), lit(0L)).cast("long").as("admitted_tokens"))
+        .withColumn("share_micro",
+          expr("CAST(admitted_tokens * 1000000"
+            + " div greatest(1L, src_tokens) AS BIGINT)"))
+        .select(col("source"), col("n_src_docs"), col("src_tokens"),
+          col("n_admitted"), col("admitted_tokens"), col("share_micro"))
+        .orderBy(col("source"))
     })
 
   /** DuckDB oracle for q267: the 5-round greedy coverage walk

@@ -167,6 +167,50 @@ object TrainingOps {
       |JOIN tst ON tst.lang = qh.lang
       |ORDER BY lang""".stripMargin
 
+  /** (doc_id, n_tokens, cum) — the global token prefix sum in doc_id
+    * order, all-distributed via the classic two-level scheme (q63's
+    * discipline, shared with the q319 sweep): contiguous doc_id range
+    * buckets (pure projection) → running sum WITHIN each bucket
+    * (partitioned window) → per-bucket totals prefix-summed into
+    * offsets (the only unpartitioned window — over ≤ Buckets rows,
+    * never data) broadcast back. The totals branch re-reads the table
+    * with a map-side partial agg (32 output rows); it does
+    * re-tokenize, which at lake scale you avoid by carrying a
+    * precomputed n_tokens column in the corpus metadata (standard
+    * practice) or persisting the staged slice. Empty corpus → empty
+    * frame, not an NPE. */
+  private def tokenPrefix(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val Buckets = 32 // at lake scale: O(executors), still tiny driver-side
+    val toks = docs.select(col("doc_id"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+        .as("n_tokens"))
+    val bounds = toks
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    if (bounds.isNullAt(0))
+      toks.filter(lit(false)).withColumn("cum", lit(0L))
+    else {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val width = math.max(1L, (hi - lo) / Buckets + 1)
+      val staged = toks.withColumn("pid",
+        ((col("doc_id") - lit(lo)) / lit(width)).cast("int"))
+      val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = staged.withColumn("cum_in",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = staged.groupBy(col("pid"))
+        .agg(sum(col("n_tokens")).as("part_total"))
+        .withColumn("offset",
+          coalesce(sum(col("part_total")).over(wOff), lit(0L)))
+        .select(col("pid"), col("offset"))
+      within.join(broadcast(offsets), "pid")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("offset") + col("cum_in")).as("cum"))
+    }
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- Deterministic weighted mixture sampling: each language gets
@@ -217,45 +261,78 @@ object TrainingOps {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val Capacity = 2048
-      val Buckets = 32 // at lake scale: O(executors), still tiny driver-side
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"),
-          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
-      // contiguous doc_id ranges → bucket id (deterministic, no sampling)
-      val bounds = toks.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-      if (bounds.isNullAt(0)) { // empty corpus: empty result, not an NPE
-        toks.filter(lit(false)).select(lit(0L).as("bin"),
-          lit(0L).as("n_docs"), lit(0L).as("bin_tokens"),
-          lit(0L).as("first_doc"), lit(0L).as("last_doc"))
-      } else {
-        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-        val width = math.max(1L, (hi - lo) / Buckets + 1)
-        val staged = toks.withColumn("pid",
-          ((col("doc_id") - lit(lo)) / lit(width)).cast("int"))
-        // running sum within each bucket — a PARTITIONED window, scales
-        val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val within = staged.withColumn("cum_in",
-          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-        // bucket offsets: one row per bucket, prefix-summed (the only
-        // unpartitioned window — over ≤ Buckets rows, not data). The
-        // totals branch re-reads the table with a map-side partial agg
-        // (32 output rows); it does re-tokenize, which at lake scale you
-        // avoid by carrying a precomputed n_tokens column in the corpus
-        // metadata (standard practice) or persisting the staged slice.
-        val wOff = Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = staged.groupBy(col("pid"))
-          .agg(sum(col("n_tokens")).as("part_total"))
-          .withColumn("offset", coalesce(sum(col("part_total")).over(wOff), lit(0L)))
-          .select(col("pid"), col("offset"))
-        within.join(broadcast(offsets), "pid")
-          .withColumn("bin", expr(s"(offset + cum_in) div $Capacity"))
-          .groupBy(col("bin"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
-            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-          .orderBy(col("bin"))
-      }
+      tokenPrefix(t(s, d, "documents"))
+        .withColumn("bin", expr(s"cum div $Capacity"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin"))
+    },
+
+    // ---- Context-length packing sweep: the planning artifact behind
+    //      "which context size do we train at?" — for C ∈ {512, 1024,
+    //      2048, 4096}, what does q63's concat-split packing COST at
+    //      each C? Under concat-split there is no padding except the
+    //      tail bin; the price is FRAGMENTATION — documents cut by a
+    //      bin boundary lose cross-boundary attention. Exact from the
+    //      ONE shared token prefix (tokenPrefix — q63's two-level
+    //      prefix sum, one builder, two consumers): a doc with first
+    //      token at cum and length n crosses ⌊(cum+n−1)/C⌋ − ⌊cum/C⌋
+    //      boundaries; bins, split fractions, and tail fill are pure
+    //      integer algebra on (cum, n). Scale: the prefix table is
+    //      checkpointed once; the 4-rung sweep is a map-side explode
+    //      + one O(4)-row agg — sweeping more sizes costs nothing
+    //      corpus-shaped. ----
+    QueryDef.sql("q319_packing_sweep",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |    COALESCE(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum FROM t),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS nd FROM t),
+        |cs(cap) AS (VALUES (512), (1024), (2048), (4096)),
+        |per AS (SELECT cs.cap,
+        |    CAST(count(CASE WHEN (c.cum + c.n - 1) // cs.cap
+        |      > c.cum // cs.cap THEN 1 END) AS BIGINT) AS n_split,
+        |    CAST(COALESCE(sum((c.cum + c.n - 1) // cs.cap
+        |      - c.cum // cs.cap), 0) AS BIGINT) AS n_crossings
+        |  FROM c, cs GROUP BY cs.cap)
+        |SELECT CAST(per.cap AS BIGINT) AS cap, tot.nd AS n_docs,
+        |  tot.tt AS total_tokens,
+        |  CAST((tot.tt + per.cap - 1) // per.cap AS BIGINT) AS n_bins,
+        |  per.n_split AS n_split_docs,
+        |  per.n_crossings AS n_crossings,
+        |  CAST(per.n_split * 1000000 // greatest(1, tot.nd) AS BIGINT)
+        |    AS split_doc_micro,
+        |  CAST(CASE WHEN tot.tt % per.cap = 0 THEN 1000000
+        |    ELSE (tot.tt % per.cap) * 1000000 // per.cap END AS BIGINT)
+        |    AS tail_fill_micro
+        |FROM per, tot ORDER BY cap""".stripMargin) { (s, d) =>
+      val pre = tokenPrefix(t(s, d, "documents"))
+        .localCheckpoint() // one prefix build feeds the sweep AND totals
+      val tot = pre.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("tt"),
+        count(lit(1)).as("nd"))
+      val per = pre
+        .withColumn("cap", explode(typedLit(Seq(512L, 1024L, 2048L, 4096L))))
+        .groupBy(col("cap"))
+        .agg(count(when(expr("(cum + n_tokens - 1) div cap")
+            > expr("cum div cap"), 1)).as("n_split"),
+          coalesce(sum(expr("(cum + n_tokens - 1) div cap")
+            - expr("cum div cap")), lit(0L)).cast("long").as("n_crossings"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cap"), col("nd").as("n_docs"),
+          col("tt").as("total_tokens"),
+          expr("(tt + cap - 1) div cap").as("n_bins"),
+          col("n_split").as("n_split_docs"), col("n_crossings"),
+          expr("n_split * 1000000 div greatest(1L, nd)")
+            .as("split_doc_micro"),
+          when(expr("tt % cap") === 0, lit(1000000L))
+            .otherwise(expr("(tt % cap) * 1000000 div cap"))
+            .as("tail_fill_micro"))
+        .orderBy(col("cap"))
     },
 
     // ---- The corpus-build composition, end to end: exact dedup (md5

@@ -2366,6 +2366,170 @@ object VectorOps {
             .as("ndcg_cross_milli"),
           expr("(s * 1000) div np").as("tau_milli"))
         .orderBy(col("qid"))
+    },
+
+    // ---- Greedy k-center exemplar selection (farthest-point
+    //      traversal, Gonzalez): pick 8 vectors such that every
+    //      corpus vector is near SOME pick — the prototype-selection
+    //      / diversity-coverage primitive behind SemDeDup-style
+    //      pruning and eval-panel construction, and the dual of
+    //      q267's bigram max-coverage (that one maximizes covered
+    //      mass, this one minimizes the worst gap). Each round adds
+    //      the vector FARTHEST from the chosen set (min cosine,
+    //      vec_id tie-break) and reports the frontier — the coverage
+    //      radius curve whose flattening says "more exemplars stop
+    //      helping". Exact integer argmaxes: cosines quantize to
+    //      micro at birth (the q38 fence); the per-round update is
+    //      greatest(best, cos-to-new-center). The oracle unrolls all
+    //      8 rounds into MATERIALIZED CTEs (the q248/q267 greedy
+    //      discipline), so the hash proves the walk. Scale: k linear
+    //      passes — each round is one map-side cosine against a
+    //      1-row broadcast center plus a TakeOrdered(1); the best[]
+    //      accumulator is checkpointed per round (2ᵏ lineage lesson,
+    //      SCALE.md). ----
+    QueryDef.sql("q318_kcenter_select", {
+      val rounds = (2 to 8).map { i =>
+        val upd = if (i < 8)
+          s""",
+             |b$i AS MATERIALIZED (SELECT b.vec_id, greatest(b.best,
+             |    CAST(round(list_cosine_similarity(v.e, c.e) * 1000000)
+             |      AS BIGINT)) AS best
+             |  FROM b${i - 1} b JOIN v ON v.vec_id = b.vec_id
+             |  JOIN v c ON c.vec_id = (SELECT vec_id FROM p$i)
+             |  WHERE b.vec_id <> (SELECT vec_id FROM p$i))""".stripMargin
+        else ""
+        s"""p$i AS MATERIALIZED (SELECT vec_id, best FROM b${i - 1}
+           |  ORDER BY best, vec_id LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL
+           |  SELECT $i, vec_id, best FROM p$i)$upd""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |sel1 AS MATERIALIZED (SELECT 1 AS rk, vec_id AS cid,
+         |    CAST(NULL AS BIGINT) AS frontier FROM v WHERE vec_id = 0),
+         |b1 AS MATERIALIZED (SELECT v.vec_id,
+         |    CAST(round(list_cosine_similarity(v.e, c.e) * 1000000)
+         |      AS BIGINT) AS best
+         |  FROM v JOIN v c ON c.vec_id = 0 WHERE v.vec_id <> 0),
+         |$rounds
+         |SELECT CAST(rk AS BIGINT) AS rk, cid,
+         |  frontier AS frontier_cos_micro
+         |FROM sel8 ORDER BY rk""".stripMargin
+    }) { (s, d) =>
+      GraftFunctions.register(s)
+      val v = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val seed = v.filter(col("vec_id") === 0L)
+      var sel = seed
+        .select(lit(1L).as("rk"), col("vec_id").as("cid"),
+          lit(null).cast("long").as("frontier_cos_micro"))
+        .localCheckpoint()
+      var best = v.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(seed.select(col("embedding").as("ce"))))
+        .select(col("vec_id"), col("embedding"),
+          expr("CAST(round(cosine_sim(embedding, ce) * 1000000) AS BIGINT)")
+            .as("best"))
+        .localCheckpoint() // per-round checkpoint: the accumulator is
+                           // referenced twice per round (2^k lineage)
+      for (i <- 2 to 8) {
+        val pick = best.orderBy(col("best"), col("vec_id")).limit(1)
+          .localCheckpoint()
+        sel = sel.unionAll(pick.select(lit(i.toLong).as("rk"),
+            col("vec_id").as("cid"), col("best").as("frontier_cos_micro")))
+          .localCheckpoint()
+        if (i < 8)
+          best = best
+            .join(broadcast(pick.select(col("vec_id").as("pid"))),
+              col("vec_id") === col("pid"), "left_anti")
+            .crossJoin(broadcast(pick.select(col("embedding").as("ce"))))
+            .select(col("vec_id"), col("embedding"),
+              greatest(col("best"),
+                expr("CAST(round(cosine_sim(embedding, ce) * 1000000)"
+                  + " AS BIGINT)")).as("best"))
+            .localCheckpoint()
+      }
+      sel.select(col("rk"), col("cid"), col("frontier_cos_micro"))
+        .orderBy(col("rk"))
+    },
+
+    // ---- Per-label embedding drift between two (md5) epochs: did
+    //      the embedding space MOVE between snapshots? The monitor a
+    //      pipeline runs after swapping embedding models or
+    //      re-encoding a corpus — per label, the cosine between the
+    //      two epochs' centroids plus the EXACT integer squared
+    //      shift. The null-control md5 split (q217's discipline)
+    //      means production reuses the shape with the hash swapped
+    //      for a snapshot date. Integer exactness end to end:
+    //      vectors quantize to micro at read (q38/q249 fence),
+    //      centroids are per-dim truncating-div means, dot/norms/
+    //      shift² are DECIMAL folds of exact integers; the ONE float
+    //      op is the final correctly-rounded sqrt pair + micro round
+    //      (q242 discipline — no libm). A label present in only one
+    //      epoch has no drift row (inner epoch join) — the
+    //      DegenerateInputSpec singleton pins that. Scale: one
+    //      (label, epoch, dim) agg over the 64× map-side-combined
+    //      explode; everything after is O(labels·64). ----
+    QueryDef.sql("q322_embedding_drift",
+      """WITH v AS (SELECT label,
+        |    CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 0 ELSE 1 END AS ep,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dims AS (SELECT label, ep, r AS dim, qv[r] AS x
+        |  FROM v, range(1, 65) t(r)),
+        |cent AS (SELECT label, ep, dim,
+        |    CAST(sum(x) // count(*) AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM dims GROUP BY label, ep, dim),
+        |pc AS (SELECT a.label, a.dim, a.c AS c0, b.c AS c1,
+        |    a.n AS n0, b.n AS n1
+        |  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+        |  WHERE a.ep = 0 AND b.ep = 1),
+        |agg AS (SELECT label,
+        |    CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+        |    sum(CAST(c0 AS HUGEINT) * c1) AS dot,
+        |    sum(CAST(c0 AS HUGEINT) * c0) AS s0,
+        |    sum(CAST(c1 AS HUGEINT) * c1) AS s1,
+        |    CAST(sum(CAST(c0 - c1 AS HUGEINT) * (c0 - c1)) AS BIGINT)
+        |      AS shift2
+        |  FROM pc GROUP BY label)
+        |SELECT label, n0, n1, shift2,
+        |  CASE WHEN s0 > 0 AND s1 > 0 THEN
+        |    CAST(round(CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(s0 AS DOUBLE)) * sqrt(CAST(s1 AS DOUBLE)))
+        |      * 1000000) AS BIGINT) END AS drift_cos_micro
+        |FROM agg ORDER BY label""".stripMargin) { (s, d) =>
+      val v = t(s, d, "embeddings").select(col("label"),
+        when(substring(md5(col("vec_id").cast("string").cast("binary")),
+          1, 1) < "8", 0).otherwise(1).as("ep"),
+        expr("""transform(embedding,
+          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"""
+          .stripMargin).as("qv"))
+      val cent = v.select(col("label"), col("ep"),
+          posexplode(col("qv")).as(Seq("p", "x")))
+        .groupBy(col("label"), col("ep"), col("p"))
+        .agg(expr("CAST(sum(x) div count(1) AS BIGINT)").as("c"),
+          count(lit(1)).as("n"))
+        .localCheckpoint() // O(labels·2·64): feeds both epoch legs
+      val pc = cent.filter(col("ep") === 0)
+        .select(col("label"), col("p"), col("c").as("c0"), col("n").as("n0"))
+        .join(cent.filter(col("ep") === 1)
+          .select(col("label"), col("p"), col("c").as("c1"),
+            col("n").as("n1")), Seq("label", "p"))
+      pc.groupBy(col("label"))
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          sum(col("c0").cast("decimal(38,0)") * col("c1")).as("dot"),
+          sum(col("c0").cast("decimal(38,0)") * col("c0")).as("s0"),
+          sum(col("c1").cast("decimal(38,0)") * col("c1")).as("s1"),
+          sum((col("c0") - col("c1")).cast("decimal(38,0)")
+            * (col("c0") - col("c1"))).cast("long").as("shift2"))
+        .select(col("label"), col("n0"), col("n1"), col("shift2"),
+          when(col("s0") > 0 && col("s1") > 0,
+            round(col("dot").cast("double")
+              / (sqrt(col("s0").cast("double"))
+                * sqrt(col("s1").cast("double"))) * 1000000)
+              .cast("long")).as("drift_cos_micro"))
+        .orderBy(col("label"))
     })
 
   /** DuckDB oracle for q248: the k-step greedy MMR walk unrolled into

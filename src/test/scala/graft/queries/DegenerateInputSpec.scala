@@ -1120,6 +1120,98 @@ class DegenerateInputSpec extends AnyFunSuite {
     gates.foreach(r => assert(!r.isNullAt(r.fieldIndex("value_micro"))))
   }
 
+  test("q318: the k-center frontier is monotone and picks are distinct") {
+    // greedy farthest-point invariant: each round removes the global
+    // minimum and updates only via greatest(), so the frontier cosine
+    // can never decrease — a violated monotonicity means the update
+    // or the tie-break drifted
+    val rows = run("q318_kcenter_select").sortBy(_.getLong(0))
+    assert(rows.length == 8)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("frontier_cos_micro")))
+    val fr = rows.tail.map(r => r.getLong(r.fieldIndex("frontier_cos_micro")))
+    assert(fr.zip(fr.tail).forall { case (a, b) => a <= b },
+      s"frontier must be non-decreasing: ${fr.toSeq}")
+    val cids = rows.map(_.getLong(1))
+    assert(cids.distinct.length == cids.length)
+  }
+
+  test("q319: packing sweep identities hold on the collapsed corpus") {
+    // doubling the cap can only remove bin boundaries: crossings and
+    // bins are non-increasing in cap, and the bin count is exactly
+    // ceil(total/cap)
+    val rows = run("q319_packing_sweep").sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(512L, 1024L, 2048L, 4096L))
+    rows.foreach { r =>
+      val (cap, total) = (r.getLong(0), r.getLong(2))
+      assert(r.getLong(r.fieldIndex("n_bins")) == (total + cap - 1) / cap)
+      assert(r.getLong(r.fieldIndex("n_crossings")) >=
+        r.getLong(r.fieldIndex("n_split_docs")))
+    }
+    val cr = rows.map(r => r.getLong(r.fieldIndex("n_crossings")))
+    assert(cr.zip(cr.tail).forall { case (a, b) => a >= b },
+      s"crossings must fall as cap doubles: ${cr.toSeq}")
+  }
+
+  test("q320: the shadow price is non-negative and the admitted mass " +
+    "dominates quota × marginal") {
+    // ranks are quality-descending, so the marginal admitted doc is
+    // the worst admitted: gap ≥ 0 and every admitted ≥ marginal
+    val rows = run("q320_quota_shadow_price")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("gap_q4")))
+        assert(r.getLong(r.fieldIndex("gap_q4")) >= 0L, s"gap < 0: $r")
+      val (quota, marg) = (r.getLong(r.fieldIndex("quota")),
+        r.getLong(r.fieldIndex("marginal_q4")))
+      assert(r.getLong(r.fieldIndex("admitted_q4_sum")) >= quota * marg)
+    }
+  }
+
+  test("q321: tightness bounds hold — weak ≤ strong, density ≤ 1e6, " +
+    "threshold respected") {
+    val rows = run("q321_cluster_tightness")
+    rows.foreach { r =>
+      val (wk, st) = (r.getLong(r.fieldIndex("weakest_jm")),
+        r.getLong(r.fieldIndex("strongest_jm")))
+      assert(wk <= st && wk >= 300000L, s"edge outside [0.3, strong]: $r")
+      assert(r.getLong(r.fieldIndex("density_micro")) <= 1000000L)
+      val m = r.getLong(r.fieldIndex("n_members"))
+      assert(r.getLong(r.fieldIndex("n_edges")) <= m * (m - 1) / 2)
+    }
+  }
+
+  test("q322: a label present in one epoch only has no drift row") {
+    // md5('0') starts 'c' ≥ '8': the singleton label 999 lands
+    // entirely in epoch 1, so the epoch join drops it — absence IS
+    // the correct answer, not a NULL-riddled row
+    val rows = run("q322_embedding_drift")
+    assert(!rows.exists(_.getInt(0) == 999), "singleton label leaked in")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("shift2")) >= 0L)
+      if (!r.isNullAt(r.fieldIndex("drift_cos_micro")))
+        assert(math.abs(r.getLong(r.fieldIndex("drift_cos_micro")))
+          <= 1000000L, s"cosine out of range: $r")
+    }
+  }
+
+  test("q323: the budget fill admits at least the budget and never " +
+    "more than the source holds") {
+    val rows = run("q323_token_budget_fill")
+    assert(rows.nonEmpty)
+    var admitted = 0L; var total = 0L
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("admitted_tokens")) <=
+        r.getLong(r.fieldIndex("src_tokens")))
+      assert(r.getLong(r.fieldIndex("n_admitted")) <=
+        r.getLong(r.fieldIndex("n_src_docs")))
+      admitted += r.getLong(r.fieldIndex("admitted_tokens"))
+      total += r.getLong(r.fieldIndex("src_tokens"))
+    }
+    // the straddling doc is admitted whole, so the fill reaches the
+    // budget exactly or overshoots by part of one document
+    assert(admitted >= total / 2, s"fill $admitted below budget ${total / 2}")
+  }
+
   test("q285: a corpus with no churned users yields an empty hazard") {
     // same censoring rule as q198: the single instant IS the horizon,
     // zero deaths, zero steps — and the d/n_risk division never runs

@@ -914,7 +914,29 @@ class PlanAuditSpec extends AnyFunSuite {
       // q317 = every leg folds to a checkpointed 4-row gate table at
       // build (funnel CC, psiTerms, k-anon each pay their own audited
       // shapes there); the report itself is union + 5-row sort
-      "q317_release_report" -> 0)
+      "q317_release_report" -> 0,
+      // q318 = past the per-round checkpointed accumulator: the final
+      // 8-row result sort (each round's pass paid its map-side cosine
+      // + TakeOrdered at build)
+      "q318_kcenter_select" -> 1,
+      // q319 = past the checkpointed token prefix: the 4-rung sweep
+      // agg + the totals agg + result sort
+      "q319_packing_sweep" -> 3,
+      // q320 = the per-source quality rank window + report agg +
+      // result sort (quality scoring is scan-level projection)
+      "q320_quota_shadow_price" -> 3,
+      // q321 = past the checkpointed integer-Jaccard edge table: the
+      // component-size agg + per-cluster edge agg + their join +
+      // result sort (CC checkpoints internally)
+      "q321_cluster_tightness" -> 5,
+      // q322 = past the checkpointed O(labels·2·64) centroid table:
+      // the per-label drift agg + result sort (the epoch self-join
+      // rides stats broadcasts)
+      "q322_embedding_drift" -> 2,
+      // q323 = past the checkpointed (source, tokens, q4) projection:
+      // the bucketed prefix windows + per-bucket totals + the report
+      // agg + result sort — q63's two-level scheme on the quality key
+      "q323_token_budget_fill" -> 6)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None

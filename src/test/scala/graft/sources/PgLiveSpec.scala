@@ -83,6 +83,40 @@ class PgLiveSpec extends AnyFunSuite {
       direct.map(_.newTuple.map(_.keySet)))
   }
 
+  test("SegmentSink flushes on commit boundaries only, tx-atomic") {
+    val rel = PgOutput.Relation(99, "public", "t_sink", 'd',
+      Seq(PgOutput.Column("id", 20, isKey = true)))
+    def tx(lsn: Long, id: String): Seq[(Array[Byte], Long)] = Seq(
+      PgOutput.Encoder.begin(lsn, 1L, 1) -> lsn,
+      PgOutput.Encoder.insert(rel, Seq(id.getBytes)) -> lsn,
+      PgOutput.Encoder.commit(lsn, lsn + 1, 1L) -> (lsn + 1))
+
+    val dir = Files.createTempDirectory("pgsink").toString
+    val sink = new LiveCapture.SegmentSink(dir, flushTxs = 2)
+    sink.offer(PgOutput.Encoder.relation(rel), 5L)
+    assert(sink.ackLsn() == 0L, "nothing durable yet")
+    (tx(100L, "1") ++ tx(200L, "2")).foreach { case (p, e) => sink.offer(p, e) }
+    // 2 txs == flushTxs → one segment, ack at the last commit's end
+    assert(sink.segmentsFlushed == 1L && sink.ackLsn() == 201L)
+    // a tx missing its commit must NOT flush (tx atomicity)
+    sink.offer(PgOutput.Encoder.begin(300L, 1L, 3), 300L)
+    sink.offer(PgOutput.Encoder.insert(rel, Seq("3".getBytes)), 300L)
+    sink.flush()
+    assert(sink.segmentsFlushed == 1L && sink.ackLsn() == 201L,
+      "open transaction leaked into a segment")
+    // replay sees exactly the two committed inserts with tx checkpoints
+    val events = WalFiles.replay(WalFiles.segments(dir).map(_._2)).toSeq
+    assert(events.map(_.change.op) == Seq("INSERT", "INSERT"))
+    assert(events.map(_.cp.lsn) == Seq(100L, 200L))
+    assert(events.map(_.cp.seq) == Seq(1, 1))
+    // the commit then lands in the NEXT flush, atomically
+    sink.offer(PgOutput.Encoder.commit(300L, 301L, 1L), 301L)
+    sink.flush()
+    assert(sink.segmentsFlushed == 2L && sink.ackLsn() == 301L)
+    val all = WalFiles.replay(WalFiles.segments(dir).map(_._2)).toSeq
+    assert(all.map(_.cp.lsn) == Seq(100L, 200L, 300L))
+  }
+
   // --------------------------------------------------- env-gated tests
 
   /** Unique-ish suffix so parallel CI runs don't collide. */
@@ -170,6 +204,41 @@ class PgLiveSpec extends AnyFunSuite {
     } finally {
       try ctl.exec(s"DROP PUBLICATION IF EXISTS \"$pub\"") finally {
         try ctl.exec(s"DROP TABLE IF EXISTS $tbl") finally ctl.close()
+      }
+    }
+  }
+
+  test("LiveCapture tails a live server into replayable segments (live)") {
+    assume(dsn.isDefined, "PGCAPTURE_TEST_DSN not set — live test skipped")
+    val ctl = new PgWire(dsn.get)
+    val id = runId
+    val (tbl, pub, slot) = (s"graft_lc_$id", s"graft_lp_$id", s"graft_ls_$id")
+    val dir = Files.createTempDirectory("pglive-cap").toString
+    try {
+      ctl.exec(s"CREATE TABLE $tbl (id bigint PRIMARY KEY, v text)")
+      // capture in a background thread while the control connection
+      // commits work — the real operational shape
+      val cap = new Thread(() => {
+        LiveCapture.run(dsn.get, dir, pub, slot, Seq(s"public.$tbl"),
+          deadlineMs = 20000, maxTxs = 2, flushTxs = 1)
+        ()
+      })
+      cap.start()
+      Thread.sleep(1500) // slot + publication creation
+      ctl.exec(s"INSERT INTO $tbl VALUES (1, 'x')")
+      ctl.exec(s"UPDATE $tbl SET v = 'y' WHERE id = 1")
+      cap.join(30000)
+      assert(!cap.isAlive, "capture loop failed to stop")
+      val events = WalFiles.replay(WalFiles.segments(dir).map(_._2)).toSeq
+      assert(events.map(_.change.op) == Seq("INSERT", "UPDATE"))
+      assert(events.forall(_.change.rel.name == tbl))
+    } finally {
+      try ctl.exec(
+        s"SELECT pg_drop_replication_slot('$slot') " +
+          s"FROM pg_replication_slots WHERE slot_name = '$slot'") finally {
+        try ctl.exec(s"DROP PUBLICATION IF EXISTS \"$pub\"") finally {
+          try ctl.exec(s"DROP TABLE IF EXISTS $tbl") finally ctl.close()
+        }
       }
     }
   }
