@@ -311,6 +311,84 @@ object VectorOps {
     heapTopK(scored, k).orderBy(col("qid"), col("cid"))
   }
 
+  /** The q322/q324 drift projection: (label, ep, p, x) — epoch from
+    * the md5 null-control split, vector quantized to integer micro
+    * per dim (q38/q249 fence), 64× posexplode. Pure per-row
+    * projection, so the SAME code path runs on the batch table and
+    * the live stream (the q305/q301 twin discipline). */
+  private def driftFold(vecs: DataFrame): DataFrame =
+    vecs.select(col("label"),
+        when(substring(md5(col("vec_id").cast("string").cast("binary")),
+          1, 1) < "8", 0).otherwise(1).as("ep"),
+        expr("""transform(embedding,
+          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"""
+          .stripMargin).as("qv"))
+      .select(col("label"), col("ep"), posexplode(col("qv")).as(Seq("p", "x")))
+
+  /** The q322 drift assembly from a (label, ep, p, sx, n) fold —
+    * shared by the q324 STREAMING twin so batch and stream can never
+    * drift: truncating-div centroid means, DECIMAL dot/norm/shift²
+    * folds, the one correctly-rounded sqrt pair + micro round. */
+  private def driftTail(cent0: DataFrame): DataFrame = {
+    val cent = cent0
+      .select(col("label"), col("ep"), col("p"),
+        expr("CAST(sx div n AS BIGINT)").as("c"), col("n"))
+      .localCheckpoint() // O(labels·2·64): feeds both epoch legs
+    val pc = cent.filter(col("ep") === 0)
+      .select(col("label"), col("p"), col("c").as("c0"), col("n").as("n0"))
+      .join(cent.filter(col("ep") === 1)
+        .select(col("label"), col("p"), col("c").as("c1"),
+          col("n").as("n1")), Seq("label", "p"))
+    pc.groupBy(col("label"))
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        sum(col("c0").cast("decimal(38,0)") * col("c1")).as("dot"),
+        sum(col("c0").cast("decimal(38,0)") * col("c0")).as("s0"),
+        sum(col("c1").cast("decimal(38,0)") * col("c1")).as("s1"),
+        sum((col("c0") - col("c1")).cast("decimal(38,0)")
+          * (col("c0") - col("c1"))).cast("long").as("shift2"))
+      .select(col("label"), col("n0"), col("n1"), col("shift2"),
+        when(col("s0") > 0 && col("s1") > 0,
+          round(col("dot").cast("double")
+            / (sqrt(col("s0").cast("double"))
+              * sqrt(col("s1").cast("double"))) * 1000000)
+            .cast("long")).as("drift_cos_micro"))
+      .orderBy(col("label"))
+  }
+
+  /** Shared oracle for q322 and its streaming twin q324 — one SQL
+    * text, so the two QueryDefs are provably the same computation. */
+  private lazy val embeddingDriftOracle: String =
+    """WITH v AS (SELECT label,
+      |    CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+      |      THEN 0 ELSE 1 END AS ep,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dims AS (SELECT label, ep, r AS dim, qv[r] AS x
+      |  FROM v, range(1, 65) t(r)),
+      |cent AS (SELECT label, ep, dim,
+      |    CAST(sum(x) // count(*) AS BIGINT) AS c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM dims GROUP BY label, ep, dim),
+      |pc AS (SELECT a.label, a.dim, a.c AS c0, b.c AS c1,
+      |    a.n AS n0, b.n AS n1
+      |  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+      |  WHERE a.ep = 0 AND b.ep = 1),
+      |agg AS (SELECT label,
+      |    CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+      |    sum(CAST(c0 AS HUGEINT) * c1) AS dot,
+      |    sum(CAST(c0 AS HUGEINT) * c0) AS s0,
+      |    sum(CAST(c1 AS HUGEINT) * c1) AS s1,
+      |    CAST(sum(CAST(c0 - c1 AS HUGEINT) * (c0 - c1)) AS BIGINT)
+      |      AS shift2
+      |  FROM pc GROUP BY label)
+      |SELECT label, n0, n1, shift2,
+      |  CASE WHEN s0 > 0 AND s1 > 0 THEN
+      |    CAST(round(CAST(dot AS DOUBLE)
+      |      / (sqrt(CAST(s0 AS DOUBLE)) * sqrt(CAST(s1 AS DOUBLE)))
+      |      * 1000000) AS BIGINT) END AS drift_cos_micro
+      |FROM agg ORDER BY label""".stripMargin
+
   /** Brute-force top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -2468,68 +2546,168 @@ object VectorOps {
     //      DegenerateInputSpec singleton pins that. Scale: one
     //      (label, epoch, dim) agg over the 64× map-side-combined
     //      explode; everything after is O(labels·64). ----
-    QueryDef.sql("q322_embedding_drift",
-      """WITH v AS (SELECT label,
-        |    CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
-        |      THEN 0 ELSE 1 END AS ep,
-        |    list_transform(CAST(embedding AS DOUBLE[]),
-        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |dims AS (SELECT label, ep, r AS dim, qv[r] AS x
-        |  FROM v, range(1, 65) t(r)),
-        |cent AS (SELECT label, ep, dim,
-        |    CAST(sum(x) // count(*) AS BIGINT) AS c,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM dims GROUP BY label, ep, dim),
-        |pc AS (SELECT a.label, a.dim, a.c AS c0, b.c AS c1,
-        |    a.n AS n0, b.n AS n1
-        |  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
-        |  WHERE a.ep = 0 AND b.ep = 1),
-        |agg AS (SELECT label,
-        |    CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
-        |    sum(CAST(c0 AS HUGEINT) * c1) AS dot,
-        |    sum(CAST(c0 AS HUGEINT) * c0) AS s0,
-        |    sum(CAST(c1 AS HUGEINT) * c1) AS s1,
-        |    CAST(sum(CAST(c0 - c1 AS HUGEINT) * (c0 - c1)) AS BIGINT)
-        |      AS shift2
-        |  FROM pc GROUP BY label)
-        |SELECT label, n0, n1, shift2,
-        |  CASE WHEN s0 > 0 AND s1 > 0 THEN
-        |    CAST(round(CAST(dot AS DOUBLE)
-        |      / (sqrt(CAST(s0 AS DOUBLE)) * sqrt(CAST(s1 AS DOUBLE)))
-        |      * 1000000) AS BIGINT) END AS drift_cos_micro
-        |FROM agg ORDER BY label""".stripMargin) { (s, d) =>
-      val v = t(s, d, "embeddings").select(col("label"),
-        when(substring(md5(col("vec_id").cast("string").cast("binary")),
-          1, 1) < "8", 0).otherwise(1).as("ep"),
-        expr("""transform(embedding,
-          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"""
-          .stripMargin).as("qv"))
-      val cent = v.select(col("label"), col("ep"),
-          posexplode(col("qv")).as(Seq("p", "x")))
+    QueryDef.sql("q322_embedding_drift", embeddingDriftOracle) { (s, d) =>
+      driftTail(driftFold(t(s, d, "embeddings"))
         .groupBy(col("label"), col("ep"), col("p"))
-        .agg(expr("CAST(sum(x) div count(1) AS BIGINT)").as("c"),
-          count(lit(1)).as("n"))
-        .localCheckpoint() // O(labels·2·64): feeds both epoch legs
-      val pc = cent.filter(col("ep") === 0)
-        .select(col("label"), col("p"), col("c").as("c0"), col("n").as("n0"))
-        .join(cent.filter(col("ep") === 1)
-          .select(col("label"), col("p"), col("c").as("c1"),
-            col("n").as("n1")), Seq("label", "p"))
-      pc.groupBy(col("label"))
-        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
-          sum(col("c0").cast("decimal(38,0)") * col("c1")).as("dot"),
-          sum(col("c0").cast("decimal(38,0)") * col("c0")).as("s0"),
-          sum(col("c1").cast("decimal(38,0)") * col("c1")).as("s1"),
-          sum((col("c0") - col("c1")).cast("decimal(38,0)")
-            * (col("c0") - col("c1"))).cast("long").as("shift2"))
-        .select(col("label"), col("n0"), col("n1"), col("shift2"),
-          when(col("s0") > 0 && col("s1") > 0,
-            round(col("dot").cast("double")
-              / (sqrt(col("s0").cast("double"))
-                * sqrt(col("s1").cast("double"))) * 1000000)
-              .cast("long")).as("drift_cos_micro"))
-        .orderBy(col("label"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n")))
+    },
+
+    // ---- STREAMING twin of q322: the embedding-drift monitor folding
+    //      on the live vector feed. The (label, epoch, dim) sum/count
+    //      fold runs complete-mode with DOMAIN-sized state
+    //      (labels·2·64 — the q220/q301 bound), and the centroid
+    //      means, dot/norm DECIMAL folds, and the one rounded sqrt
+    //      pair all assemble AT READ through the SHARED driftTail
+    //      against q322's VERBATIM oracle — re-encode drift becomes a
+    //      live metric with provably zero batch/stream divergence. ----
+    QueryDef.sql("q324_stream_embedding_drift", embeddingDriftOracle) {
+      (s, d) =>
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "embfeed",
+        idCol = "vec_id", checkSpan = false)(emb)
+      val sink = graft.bench.BenchFeeds.sinkName("q324_drift")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = driftFold(s.readStream
+            .schema(s.read.parquet(feedDir).schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(feedDir))
+          .groupBy(col("label"), col("ep"), col("p"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      driftTail(s.table(sink)
+        .select(col("label"), col("ep"), col("p"),
+          col("sx").cast("long").as("sx"), col("n").cast("long").as("n")))
+    },
+
+    // ---- IVF probe-operating-point sweep: before trading exactness
+    //      for probe count, what does nProbe ∈ {1, 2, 4, 8} actually
+    //      BUY on this corpus? Recall@5 of probing only the nProbe
+    //      nearest clusters vs the exact answer, with the candidate
+    //      volume alongside — the (recall, cost) curve an ANN
+    //      deployment reads before picking its operating point (the
+    //      IVF twin of q299's LSH (r, b) planner). The codebook is
+    //      HASH-SEEDED (the 8 md5-smallest vectors), not k-means —
+    //      deliberately: both engines must derive the identical
+    //      codebook from the data alone, and the sweep measures probe
+    //      economics, not codebook quality. Every ranking key is an
+    //      integer micro cosine (the q38 round-then-rank fence):
+    //      assignment argmax, probe order, both top-5s — so the hash
+    //      pins the full sweep. Scale: one N×8 assignment pass (ONE
+    //      map-side-combined argmax), candidates are bucket-keyed
+    //      joins, the exact leg is the 10-query panel's single scored
+    //      scan. ----
+    QueryDef.sql("q325_ivf_probe_sweep",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |h AS (SELECT vec_id AS ccid, e AS ce FROM v
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |asg AS (SELECT cid, ccid AS bucket FROM (
+        |  SELECT a.vec_id AS cid, h.ccid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.e, h.ce) * 1000000)
+        |        DESC, h.ccid) AS rn
+        |  FROM v a, h) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        |pr AS (SELECT qid, ccid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(list_cosine_similarity(qe, ce) * 1000000)
+        |        DESC, ccid) AS pr
+        |  FROM q, h),
+        |nps(np) AS (VALUES (1), (2), (4), (8)),
+        |cand AS (SELECT pr.qid, nps.np, asg.cid
+        |  FROM pr CROSS JOIN nps
+        |  JOIN asg ON asg.bucket = pr.ccid
+        |  WHERE pr.pr <= nps.np AND asg.cid <> pr.qid),
+        |ap AS (SELECT qid, np, cid FROM (
+        |  SELECT c.qid, c.np, c.cid,
+        |    row_number() OVER (PARTITION BY c.qid, c.np
+        |      ORDER BY round(list_cosine_similarity(qv.e, cv.e) * 1000000)
+        |        DESC, c.cid) AS rn
+        |  FROM cand c JOIN v qv ON qv.vec_id = c.qid
+        |  JOIN v cv ON cv.vec_id = c.cid) WHERE rn <= 5),
+        |ex AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, b.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY round(list_cosine_similarity(q.qe, b.e) * 1000000)
+        |        DESC, b.vec_id) AS rn
+        |  FROM q JOIN v b ON b.vec_id <> q.qid) WHERE rn <= 5),
+        |hit AS (SELECT ap.np, CAST(count(*) AS BIGINT) AS hits
+        |  FROM ap JOIN ex ON ex.qid = ap.qid AND ex.cid = ap.cid
+        |  GROUP BY ap.np),
+        |cn AS (SELECT np, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM cand GROUP BY np),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q)
+        |SELECT CAST(cn.np AS BIGINT) AS n_probe, cn.n_candidates,
+        |  COALESCE(hit.hits, 0) AS hits,
+        |  CAST(COALESCE(hit.hits, 0) * 1000000 // (nq.nq * 5) AS BIGINT)
+        |    AS recall_micro
+        |FROM cn LEFT JOIN hit ON hit.np = cn.np, nq
+        |ORDER BY n_probe""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val v = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = v
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+          col("vec_id"))
+        .limit(8)
+        .select(col("vec_id").as("ccid"), col("embedding").as("ce"))
+        .localCheckpoint() // the 8-row hash-seeded codebook
+      def csm(a: String, b: String) =
+        expr(s"CAST(round(cosine_sim($a, $b) * 1000000) AS BIGINT)")
+      // ONE map-side-combined argmax over the N×8 cross: assignment
+      val asg = v.select(col("vec_id").as("cid"), col("embedding").as("cve"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csm", csm("cve", "ce"))
+        .groupBy(col("cid"))
+        .agg(min_by(col("ccid"),
+          struct((-col("csm")).as("nc"), col("ccid"))).as("bucket"))
+        .localCheckpoint() // O(N): read by every nProbe rung
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val pr = q.crossJoin(broadcast(cents))
+        .withColumn("csm", csm("qe", "ce"))
+        .withColumn("pr", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("csm").desc, col("ccid"))))
+        .select(col("qid"), col("ccid"), col("pr"))
+      val cand = pr
+        .withColumn("np", explode(typedLit(Seq(1, 2, 4, 8))))
+        .filter(col("pr") <= col("np"))
+        .join(asg, col("bucket") === col("ccid"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("np"), col("cid"))
+        .localCheckpoint() // feeds the cost count AND the scored top-5
+      val ap = cand
+        .join(q, "qid")
+        .join(v.select(col("vec_id").as("cid"), col("embedding")
+          .as("cve")), "cid")
+        .withColumn("csm", csm("qe", "cve"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"), col("np"))
+            .orderBy(col("csm").desc, col("cid"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("np"), col("cid"))
+      val ex = q
+        .join(v.select(col("vec_id").as("cid"), col("embedding")
+          .as("cve")), col("cid") =!= col("qid"))
+        .withColumn("csm", csm("qe", "cve"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("csm").desc, col("cid"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"))
+      val hit = ap.join(ex, Seq("qid", "cid"))
+        .groupBy(col("np")).agg(count(lit(1)).as("hits"))
+      val cn = cand.groupBy(col("np")).agg(count(lit(1)).as("n_candidates"))
+      val nq = q.agg(count(lit(1)).as("nq"))
+      cn.join(hit, Seq("np"), "left").crossJoin(broadcast(nq))
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .select(col("np").cast("long").as("n_probe"), col("n_candidates"),
+          col("hits"),
+          expr("CAST(hits * 1000000 div (nq * 5) AS BIGINT)")
+            .as("recall_micro"))
+        .orderBy(col("n_probe"))
     })
 
   /** DuckDB oracle for q248: the k-step greedy MMR walk unrolled into

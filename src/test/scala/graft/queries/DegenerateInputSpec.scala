@@ -1212,6 +1212,20 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(admitted >= total / 2, s"fill $admitted below budget ${total / 2}")
   }
 
+  test("q325: recall is monotone in nProbe and exact at full probe") {
+    // superset candidates can only displace a true hit with another
+    // true hit (total order on the same key), so recall never falls;
+    // probing all 8 buckets IS the full scan, so recall@8 ≡ 1
+    val rows = run("q325_ivf_probe_sweep").sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    val rec = rows.map(r => r.getLong(r.fieldIndex("recall_micro")))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone: ${rec.toSeq}")
+    assert(rec.last == 1000000L, s"full probe must be exact: ${rec.toSeq}")
+    val cand = rows.map(r => r.getLong(r.fieldIndex("n_candidates")))
+    assert(cand.zip(cand.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q285: a corpus with no churned users yields an empty hazard") {
     // same censoring rule as q198: the single instant IS the horizon,
     // zero deaths, zero steps — and the d/n_risk division never runs

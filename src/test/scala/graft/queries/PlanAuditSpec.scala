@@ -936,7 +936,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // q323 = past the checkpointed (source, tokens, q4) projection:
       // the bucketed prefix windows + per-bucket totals + the report
       // agg + result sort — q63's two-level scheme on the quality key
-      "q323_token_budget_fill" -> 6)
+      "q323_token_budget_fill" -> 6,
+      // q325 = past the checkpointed assignment + candidate tables:
+      // the per-(query,np) approx-top-5 window, the 10-query exact
+      // window, hit/cost aggs and their join + result sort — all on
+      // panel-sized frames (the N×8 assignment argmax map-side
+      // combined at build)
+      "q325_ivf_probe_sweep" -> 8)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
