@@ -3211,6 +3211,149 @@ object TrainingOps {
           expr("CAST((sw * sw * 1000) div sw2 div n_docs AS BIGINT)")
             .as("ess_ratio_milli"))
         .orderBy(col("lang"))
+    },
+
+    // ---- Winner's-curse audit (leaderboard regression to the mean):
+    //      rank users by activity on an md5 HALF of their events, then
+    //      measure the same users on the OTHER half — per rank decile,
+    //      how much of the "top user" signal was selection noise? The
+    //      audit behind every top-k list a pipeline promotes (power
+    //      users, hot domains, best sources): the top decile's B/A
+    //      ratio below 10⁶ IS the curse, and its size says how much
+    //      shrinkage (q289) the metric needs before anyone acts on
+    //      the ranking. Deterministic md5(event_id) split; ranks and
+    //      deciles are exact integer order statistics ((rk−1)·10 div
+    //      n — never a float quantile); the decile report is integer
+    //      sums + one micro division. Scale: ONE per-user count agg;
+    //      the rank is a single window over O(users) rows (at
+    //      monster scale: the q63 two-level scheme on count buckets);
+    //      output is 10 rows. ----
+    QueryDef.sql("q326_winners_curse",
+      """WITH e AS (SELECT user_id,
+        |    CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 1 ELSE 0 END AS a
+        |  FROM events),
+        |u AS (SELECT user_id, CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(count(*) - sum(a) AS BIGINT) AS cb
+        |  FROM e GROUP BY user_id),
+        |r AS (SELECT ca, cb,
+        |    row_number() OVER (ORDER BY ca DESC, user_id) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n FROM u)
+        |SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(ca) AS BIGINT) AS sum_a,
+        |  CAST(sum(cb) AS BIGINT) AS sum_b,
+        |  CASE WHEN sum(ca) > 0 THEN
+        |    CAST(sum(cb) * 1000000 // sum(ca) AS BIGINT) END
+        |    AS b_over_a_micro
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events")
+        .select(col("user_id"),
+          when(substring(md5(col("event_id").cast("string")
+            .cast("binary")), 1, 1) < "8", 1L).otherwise(0L).as("a"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("a")).cast("long").as("ca"),
+          (count(lit(1)) - sum(col("a"))).cast("long").as("cb"))
+      val wR = Window.orderBy(col("ca").desc, col("user_id"))
+      val wN = Window.partitionBy()
+      u.withColumn("rk", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN))
+        .groupBy(expr("CAST((rk - 1) * 10 div n AS BIGINT)").as("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("ca")).cast("long").as("sum_a"),
+          sum(col("cb")).cast("long").as("sum_b"))
+        .select(col("decile"), col("n_users"), col("sum_a"), col("sum_b"),
+          when(col("sum_a") > 0,
+            expr("CAST(sum_b * 1000000 div sum_a AS BIGINT)"))
+            .as("b_over_a_micro"))
+        .orderBy(col("decile"))
+    },
+
+    // ---- Exact two-sample Kolmogorov–Smirnov drift per source: the
+    //      distribution-free companion to PSI (q217 — binned, tuned)
+    //      and Wasserstein (q221 — magnitude-weighted): KS reads the
+    //      single worst CDF gap between a source's length
+    //      distribution and the REST of the corpus, plus WHERE it
+    //      opens (the split length — the actionable readout: "this
+    //      feed diverges below 200 chars"). EXACT integers end to
+    //      end: the gap at support value v is |cumA·nB − cumB·nA|
+    //      (cross-multiplied — never a float CDF), maximized by ONE
+    //      min_by over the dense source × support grid with the
+    //      smallest-v tie-break; ks_micro divides once at the end
+    //      (DECIMAL fence: cum·n products overflow BIGINT past ~3·10⁹
+    //      rows). Scale: one (source, length) count agg; the grid is
+    //      O(sources · distinct lengths) — domain-sized, the q217
+    //      shape; output O(sources). ----
+    QueryDef.sql("q327_ks_drift",
+      """WITH c AS (SELECT source, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY v),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS na FROM c
+        |  GROUP BY source),
+        |nn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM sup),
+        |grid AS (SELECT ns.source, sup.v, sup.ct, ns.na,
+        |    COALESCE(c.c, 0) AS ca
+        |  FROM ns CROSS JOIN sup
+        |  LEFT JOIN c ON c.source = ns.source AND c.v = sup.v),
+        |cum AS (SELECT source, v, na,
+        |    sum(ca) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(ct) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+        |  FROM grid),
+        |gap AS (SELECT source, v, na,
+        |    abs(CAST(cuma AS HUGEINT) * ((SELECT n FROM nn) - na)
+        |      - CAST(cumt - cuma AS HUGEINT) * na) AS g
+        |  FROM cum),
+        |mg AS (SELECT source, max(na) AS na, max(g) AS g
+        |  FROM gap GROUP BY source),
+        |mx AS (SELECT mg.source, mg.na, mg.g,
+        |    min(gap.v) AS ks_at
+        |  FROM mg JOIN gap ON gap.source = mg.source AND gap.g = mg.g
+        |  GROUP BY mg.source, mg.na, mg.g)
+        |SELECT mx.source, mx.na AS n_src,
+        |  (SELECT n FROM nn) - mx.na AS n_rest,
+        |  CAST(mx.ks_at AS BIGINT) AS ks_at,
+        |  CASE WHEN (SELECT n FROM nn) > mx.na THEN
+        |    CAST(mx.g * 1000000 // (mx.na * ((SELECT n FROM nn) - mx.na))
+        |      AS BIGINT) END AS ks_micro
+        |FROM mx ORDER BY mx.source""".stripMargin) { (s, d) =>
+      val c = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // (source, length) counts: feeds support,
+                           // margins, and the grid
+      val sup = c.groupBy(col("v")).agg(sum(col("c")).cast("long").as("ct"))
+      val ns = c.groupBy(col("source")).agg(sum(col("c")).cast("long")
+        .as("na"))
+      val nn = sup.agg(sum(col("ct")).cast("long").as("n"))
+      val grid = ns.crossJoin(sup)
+        .join(c, Seq("source", "v"), "left")
+        .select(col("source"), col("v"), col("ct"), col("na"),
+          coalesce(col("c"), lit(0L)).as("ca"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gap = grid
+        .withColumn("cuma", sum(col("ca")).over(wCum))
+        .withColumn("cumt", sum(col("ct")).over(wCum))
+        .crossJoin(broadcast(nn))
+        .select(col("source"), col("v"), col("na"), col("n"),
+          abs(col("cuma").cast("decimal(38,0)") * (col("n") - col("na"))
+            - (col("cumt") - col("cuma")).cast("decimal(38,0)")
+              * col("na")).as("g"))
+      gap.groupBy(col("source"))
+        .agg(max(col("na")).as("na"), max(col("n")).as("n"),
+          min_by(col("v"), struct((-col("g")).as("ng"), col("v")))
+            .as("ks_at"),
+          max(col("g")).as("g"))
+        .select(col("source"), col("na").as("n_src"),
+          (col("n") - col("na")).as("n_rest"),
+          col("ks_at").cast("long").as("ks_at"),
+          when(col("n") > col("na"),
+            expr("CAST(g * 1000000 div (na * (n - na)) AS BIGINT)"))
+            .as("ks_micro"))
+        .orderBy(col("source"))
     })
 
   /** DuckDB CTE chain for q310's 3-round integer-micro IPF over the

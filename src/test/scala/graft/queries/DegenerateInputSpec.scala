@@ -1226,6 +1226,25 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(cand.zip(cand.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q326: one user collapses the leaderboard to a single decile") {
+    // the fixture pins every event to user 1: one rank row, decile 0,
+    // and the B/A read-out is defined (or NULL if half A is empty)
+    val rows = run("q326_winners_curse")
+    assert(rows.length == 1 && rows.head.getLong(0) == 0L)
+    assert(rows.head.getLong(rows.head.fieldIndex("n_users")) == 1L)
+  }
+
+  test("q327: a single-source corpus has no rest side — NULL KS") {
+    // the 'rest' is empty: the na·(n−na) denominator is 0, so the
+    // statistic is NULL (the honest "nothing to compare against"),
+    // never an ANSI divide-by-zero
+    val rows = run("q327_ks_drift")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("n_rest")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("ks_micro")), s"expected NULL KS: $r")
+  }
+
   test("q285: a corpus with no churned users yields an empty hazard") {
     // same censoring rule as q198: the single instant IS the horizon,
     // zero deaths, zero steps — and the d/n_risk division never runs

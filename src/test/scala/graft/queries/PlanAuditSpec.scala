@@ -942,7 +942,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // window, hit/cost aggs and their join + result sort — all on
       // panel-sized frames (the N×8 assignment argmax map-side
       // combined at build)
-      "q325_ivf_probe_sweep" -> 8)
+      "q325_ivf_probe_sweep" -> 8,
+      // q326 = ONE per-user count agg + the global rank window +
+      // decile report agg (the rank's single partition is O(users)
+      // post-agg — monster scale swaps in the q63 two-level scheme)
+      "q326_winners_curse" -> 2,
+      // q327 = past the checkpointed (source, length) counts: support
+      // + margin aggs, the grid join + per-source CDF windows, the
+      // argmax agg + result sort — all domain-sized (q217's shape)
+      "q327_ks_drift" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
