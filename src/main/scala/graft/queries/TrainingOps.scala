@@ -211,6 +211,84 @@ object TrainingOps {
     }
   }
 
+
+  /** The q327 KS assembly from a (source, v, c) count support —
+    * shared by the q328 STREAMING twin so batch and stream can never
+    * drift: dense source×support grid, per-source integer CDF
+    * windows, cross-multiplied DECIMAL gaps, max-then-min-v argmax,
+    * NULL on an empty rest side. Expects `c` materialized (four
+    * consumers). */
+  private def ksTail(c: DataFrame): DataFrame = {
+    val sup = c.groupBy(col("v")).agg(sum(col("c")).cast("long").as("ct"))
+    val ns = c.groupBy(col("source")).agg(sum(col("c")).cast("long")
+      .as("na"))
+    val nn = sup.agg(sum(col("ct")).cast("long").as("n"))
+    val grid = ns.crossJoin(sup)
+      .join(c, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), col("ct"), col("na"),
+        coalesce(col("c"), lit(0L)).as("ca"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = grid
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumt", sum(col("ct")).over(wCum))
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("v"), col("na"), col("n"),
+        abs(col("cuma").cast("decimal(38,0)") * (col("n") - col("na"))
+          - (col("cumt") - col("cuma")).cast("decimal(38,0)")
+            * col("na")).as("g"))
+    gap.groupBy(col("source"))
+      .agg(max(col("na")).as("na"), max(col("n")).as("n"),
+        min_by(col("v"), struct((-col("g")).as("ng"), col("v")))
+          .as("ks_at"),
+        max(col("g")).as("g"))
+      .select(col("source"), col("na").as("n_src"),
+        (col("n") - col("na")).as("n_rest"),
+        col("ks_at").cast("long").as("ks_at"),
+        when(col("n") > col("na"),
+          expr("CAST(g * 1000000 div (na * (n - na)) AS BIGINT)"))
+          .as("ks_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared oracle for q327 and its streaming twin q328 — one SQL
+    * text, so the two QueryDefs are provably the same computation. */
+  private lazy val ksOracle: String =
+    """WITH c AS (SELECT source, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY v),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS na FROM c
+        |  GROUP BY source),
+        |nn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM sup),
+        |grid AS (SELECT ns.source, sup.v, sup.ct, ns.na,
+        |    COALESCE(c.c, 0) AS ca
+        |  FROM ns CROSS JOIN sup
+        |  LEFT JOIN c ON c.source = ns.source AND c.v = sup.v),
+        |cum AS (SELECT source, v, na,
+        |    sum(ca) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(ct) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+        |  FROM grid),
+        |gap AS (SELECT source, v, na,
+        |    abs(CAST(cuma AS HUGEINT) * ((SELECT n FROM nn) - na)
+        |      - CAST(cumt - cuma AS HUGEINT) * na) AS g
+        |  FROM cum),
+        |mg AS (SELECT source, max(na) AS na, max(g) AS g
+        |  FROM gap GROUP BY source),
+        |mx AS (SELECT mg.source, mg.na, mg.g,
+        |    min(gap.v) AS ks_at
+        |  FROM mg JOIN gap ON gap.source = mg.source AND gap.g = mg.g
+        |  GROUP BY mg.source, mg.na, mg.g)
+        |SELECT mx.source, mx.na AS n_src,
+        |  (SELECT n FROM nn) - mx.na AS n_rest,
+        |  CAST(mx.ks_at AS BIGINT) AS ks_at,
+        |  CASE WHEN (SELECT n FROM nn) > mx.na THEN
+        |    CAST(mx.g * 1000000 // (mx.na * ((SELECT n FROM nn) - mx.na))
+        |      AS BIGINT) END AS ks_micro
+        |FROM mx ORDER BY mx.source""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- Deterministic weighted mixture sampling: each language gets
@@ -3284,76 +3362,45 @@ object TrainingOps {
     //      rows). Scale: one (source, length) count agg; the grid is
     //      O(sources · distinct lengths) — domain-sized, the q217
     //      shape; output O(sources). ----
-    QueryDef.sql("q327_ks_drift",
-      """WITH c AS (SELECT source, n_chars AS v,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM documents GROUP BY source, n_chars),
-        |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY v),
-        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS na FROM c
-        |  GROUP BY source),
-        |nn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM sup),
-        |grid AS (SELECT ns.source, sup.v, sup.ct, ns.na,
-        |    COALESCE(c.c, 0) AS ca
-        |  FROM ns CROSS JOIN sup
-        |  LEFT JOIN c ON c.source = ns.source AND c.v = sup.v),
-        |cum AS (SELECT source, v, na,
-        |    sum(ca) OVER (PARTITION BY source ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
-        |    sum(ct) OVER (PARTITION BY source ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
-        |  FROM grid),
-        |gap AS (SELECT source, v, na,
-        |    abs(CAST(cuma AS HUGEINT) * ((SELECT n FROM nn) - na)
-        |      - CAST(cumt - cuma AS HUGEINT) * na) AS g
-        |  FROM cum),
-        |mg AS (SELECT source, max(na) AS na, max(g) AS g
-        |  FROM gap GROUP BY source),
-        |mx AS (SELECT mg.source, mg.na, mg.g,
-        |    min(gap.v) AS ks_at
-        |  FROM mg JOIN gap ON gap.source = mg.source AND gap.g = mg.g
-        |  GROUP BY mg.source, mg.na, mg.g)
-        |SELECT mx.source, mx.na AS n_src,
-        |  (SELECT n FROM nn) - mx.na AS n_rest,
-        |  CAST(mx.ks_at AS BIGINT) AS ks_at,
-        |  CASE WHEN (SELECT n FROM nn) > mx.na THEN
-        |    CAST(mx.g * 1000000 // (mx.na * ((SELECT n FROM nn) - mx.na))
-        |      AS BIGINT) END AS ks_micro
-        |FROM mx ORDER BY mx.source""".stripMargin) { (s, d) =>
-      val c = t(s, d, "documents")
+    QueryDef.sql("q327_ks_drift", ksOracle) { (s, d) =>
+      // ONE corpus exchange: the (source, length) support; the grid,
+      // CDF windows, and argmax all derive from it post-agg (assembly
+      // shared with the q328 STREAMING twin via ksTail)
+      ksTail(t(s, d, "documents")
         .groupBy(col("source"), col("n_chars").as("v"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // (source, length) counts: feeds support,
-                           // margins, and the grid
-      val sup = c.groupBy(col("v")).agg(sum(col("c")).cast("long").as("ct"))
-      val ns = c.groupBy(col("source")).agg(sum(col("c")).cast("long")
-        .as("na"))
-      val nn = sup.agg(sum(col("ct")).cast("long").as("n"))
-      val grid = ns.crossJoin(sup)
-        .join(c, Seq("source", "v"), "left")
-        .select(col("source"), col("v"), col("ct"), col("na"),
-          coalesce(col("c"), lit(0L)).as("ca"))
-      val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gap = grid
-        .withColumn("cuma", sum(col("ca")).over(wCum))
-        .withColumn("cumt", sum(col("ct")).over(wCum))
-        .crossJoin(broadcast(nn))
-        .select(col("source"), col("v"), col("na"), col("n"),
-          abs(col("cuma").cast("decimal(38,0)") * (col("n") - col("na"))
-            - (col("cumt") - col("cuma")).cast("decimal(38,0)")
-              * col("na")).as("g"))
-      gap.groupBy(col("source"))
-        .agg(max(col("na")).as("na"), max(col("n")).as("n"),
-          min_by(col("v"), struct((-col("g")).as("ng"), col("v")))
-            .as("ks_at"),
-          max(col("g")).as("g"))
-        .select(col("source"), col("na").as("n_src"),
-          (col("n") - col("na")).as("n_rest"),
-          col("ks_at").cast("long").as("ks_at"),
-          when(col("n") > col("na"),
-            expr("CAST(g * 1000000 div (na * (n - na)) AS BIGINT)"))
-            .as("ks_micro"))
-        .orderBy(col("source"))
+        .localCheckpoint())
+    },
+
+    // ---- STREAMING twin of q327: the KS drift monitor folding on
+    //      the live document feed. The (source, length) count fold
+    //      runs complete-mode with DOMAIN-sized state (sources ·
+    //      distinct lengths — the q220/q301 bound), and the dense
+    //      grid, integer CDF windows, cross-multiplied gaps, and
+    //      argmax all assemble AT READ through the SHARED ksTail
+    //      against q327's VERBATIM oracle — the worst-CDF-gap alarm
+    //      becomes a live metric with zero batch/stream divergence.
+    //      ----
+    QueryDef.sql("q328_stream_ks_drift", ksOracle) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "doclenfeed",
+        idCol = "doc_id", checkSpan = false)(docs)
+      val sink = graft.bench.BenchFeeds.sinkName("q328_ks")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      ksTail(s.table(sink)
+        .select(col("source"), col("v"), col("c").cast("long").as("c"))
+        .localCheckpoint())
     })
 
   /** DuckDB CTE chain for q310's 3-round integer-micro IPF over the
