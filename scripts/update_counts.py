@@ -37,18 +37,19 @@ def test_counts(log_path):
              re.findall(r"Tests: succeeded (\d+),", log))
     suites = re.findall(r"Suites: completed (\d+)", log)
     failed = re.findall(r"Tests: succeeded \d+, failed (\d+)", log)
+    canceled = re.findall(r"failed \d+, canceled (\d+)", log)
     if not tests or not suites:
         sys.exit(f"no sbt test summary found in {log_path}")
     if any(int(f) for f in failed):
         sys.exit("refusing to stamp counts from a FAILING run log")
-    return int(tests[-1]), int(suites[-1])
+    return int(tests[-1]), int(suites[-1]), int(canceled[-1]) if canceled else 0
 
 
 def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
     nq, qmax = query_counts()
-    nt, ns = test_counts(sys.argv[1])
+    nt, ns, nc = test_counts(sys.argv[1])
     rnd = sys.argv[2] if len(sys.argv) > 2 else None
     cov = ROOT / "COVERAGE.md"
     text = cov.read_text()
@@ -59,13 +60,16 @@ def main():
         r"\(\d+ tests /\n\d+ suites — count from the round-\d+ `sbt test` run log: \d+/\d+ green;",
         f"({nt} tests /\n{ns} suites — count from the round-{rnd or 'N'} `sbt test` run log: "
         f"{nt}/{nt} green;", text)
+    if nc:  # stamp the canceled count too (ADVICE r12: it was stale at 2)
+        text = re.sub(r"plus \d+ CANCELED by design",
+                      f"plus {nc} CANCELED by design", text)
     cov.write_text(text)
     rd = ROOT / "README.md"
     rtext = rd.read_text()
     rtext = re.sub(r"q01–q\d+", f"q01–q{qmax:02d}", rtext)
     rtext = re.sub(r"All \d+ queries", f"All {nq} queries", rtext)
     rd.write_text(rtext)
-    print(f"queries={nq} (q01..q{qmax})  tests={nt}  suites={ns}")
+    print(f"queries={nq} (q01..q{qmax})  tests={nt}  suites={ns}  canceled={nc}")
 
 
 if __name__ == "__main__":

@@ -103,7 +103,12 @@ object Bench {
       }).getOrElse(0.0)
       (pct, load)
     }
-    val loadCap = 2.0 * cpus.toInt / 16.0
+    // Cap = 2·(our vCPUs / host cores): loadavg counts ALL host
+    // runnables, so what "too much sibling load" means scales with
+    // the machine — a literal 16 misfired on smaller hosts and never
+    // fired on larger ones (ADVICE r12).
+    val loadCap =
+      2.0 * cpus.toInt / Runtime.getRuntime.availableProcessors().toDouble
     var gateAttempts = List.empty[String]
     var (gSteal, gLoad) = probe()
     var gTries = 0

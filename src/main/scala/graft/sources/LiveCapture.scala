@@ -105,11 +105,21 @@ object LiveCapture {
           catch {
             case e: PgWire.PgError
                 if e.fields.get('C').contains("42710") => // exists:
-              // resume from the slot's durable restart point
-              PgWire.parseLsn(ctl.query(
+              // resume from the slot's durable restart point — guard
+              // the raced-drop (no row) and both-LSNs-NULL cases with
+              // a diagnosable failure instead of NoSuchElement/NPE
+              // (ADVICE r12)
+              val lsnText = ctl.query(
                 s"""SELECT coalesce(confirmed_flush_lsn, restart_lsn)
                    |FROM pg_replication_slots
-                   |WHERE slot_name = '$slot'""".stripMargin).head.head)
+                   |WHERE slot_name = ${PgWire.quoteLit(slot)}"""
+                  .stripMargin).headOption.flatMap(_.headOption)
+                .flatMap(Option(_))
+              require(lsnText.nonEmpty,
+                s"replication slot '$slot' exists but has no resumable " +
+                  "LSN (dropped concurrently, or both confirmed_flush_lsn " +
+                  "and restart_lsn are NULL)")
+              PgWire.parseLsn(lsnText.get)
           }
         val sink = new SegmentSink(dir, flushTxs)
         var txs = 0L

@@ -77,6 +77,25 @@ object PgWire {
 
   def formatLsn(lsn: Long): String =
     f"${lsn >>> 32}%X/${lsn & 0xffffffffL}%X"
+
+  /** SQL identifier, double-quoted with internal quotes doubled —
+    * a slot/publication/table name containing `"` must not break (or
+    * rewrite) the statement it is interpolated into (ADVICE r12). */
+  def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** SQL string literal, single-quoted with internal quotes doubled. */
+  def quoteLit(value: String): String =
+    "'" + value.replace("'", "''") + "'"
+
+  /** Split a "schema.table" name at its FIRST dot with a diagnosable
+    * failure — the blind `split("\\.", 2)` destructure threw a
+    * MatchError on an unqualified name (ADVICE r12). */
+  def splitQualified(t: String): (String, String) = t.split("\\.", 2) match {
+    case Array(ns, rel) if ns.nonEmpty && rel.nonEmpty => (ns, rel)
+    case _ => throw new IllegalArgumentException(
+      s"expected schema-qualified table name 'schema.table', got '$t'")
+  }
 }
 
 /** One protocol-v3 connection. `replication = true` opens a logical
@@ -90,12 +109,23 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(dsn.host, dsn.port), 10000)
   socket.setTcpNoDelay(true)
+  // A wedged server must not hang recv() forever during startup/auth/
+  // simple-query — 30 s bounds every read; startReplication swaps in
+  // its own 1 s poll timeout and restores this one (ADVICE r12).
+  socket.setSoTimeout(30000)
   private val in = new DataInputStream(
     new BufferedInputStream(socket.getInputStream))
   private val out = new DataOutputStream(
     new BufferedOutputStream(socket.getOutputStream))
 
-  startup()
+  // a failed startup/auth must not leak the socket — the constructor
+  // throws and no caller ever sees the instance to close()
+  try startup()
+  catch {
+    case e: Throwable =>
+      try socket.close() catch { case _: Exception => () }
+      throw e
+  }
 
   // ------------------------------------------------------------ framing
 
@@ -201,7 +231,16 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
     init.write(clientFirst)
     send('p', init.toByteArray)
 
-    val serverFirst = recv() match {
+    // NoticeResponse is legal between ANY two backend messages, the
+    // SASL exchange included — the authenticate() loop tolerated it
+    // but these two inner reads did not (found by PgWireMockSpec's
+    // scripted mid-auth notice)
+    def recvSkipNotices(): (Char, Array[Byte]) = {
+      var m = recv()
+      while (m._1 == 'N') m = recv()
+      m
+    }
+    val serverFirst = recvSkipNotices() match {
       case ('R', b) if authCode(b) == 11 => new String(b.drop(4), UTF_8)
       case ('E', b) => throw errorOf(b)
       case (t, _) => throw new IllegalStateException(s"expected SASLContinue, got '$t'")
@@ -231,7 +270,7 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
       s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}"
     send('p', clientFinal.getBytes(UTF_8))
 
-    recv() match {
+    recvSkipNotices() match {
       case ('R', b) if authCode(b) == 12 =>
         val fin = new String(b.drop(4), UTF_8)
         val serverKey = hmac(salted, "Server Key")
@@ -290,7 +329,7 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
   def createLogicalSlot(slot: String, temporary: Boolean = false): Long = {
     val temp = if (temporary) "TEMPORARY " else ""
     val rows = query(
-      s"""CREATE_REPLICATION_SLOT "$slot" ${temp}LOGICAL pgoutput""")
+      s"CREATE_REPLICATION_SLOT ${quoteIdent(slot)} ${temp}LOGICAL pgoutput")
     PgWire.parseLsn(rows.head(1))
   }
 
@@ -303,9 +342,11 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
   def startReplication(slot: String, publication: String, startLsn: Long,
       ackLsn: () => Long, deadlineMs: Long = 30000)(
       onData: XLogData => Boolean): Long = {
-    val opts =
-      s"""("proto_version" '1', "publication_names" '"$publication"')"""
-    send('Q', cstr(s"""START_REPLICATION SLOT "$slot" LOGICAL """ +
+    // publication_names is a quoted identifier INSIDE a string
+    // literal — escape both layers (ADVICE r12)
+    val pubOpt = quoteLit(quoteIdent(publication))
+    val opts = s"""("proto_version" '1', "publication_names" $pubOpt)"""
+    send('Q', cstr(s"START_REPLICATION SLOT ${quoteIdent(slot)} LOGICAL " +
       s"${PgWire.formatLsn(startLsn)} $opts"))
     var copying = false
     while (!copying) recv() match {
@@ -351,7 +392,7 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
       }
       standbyStatus(false)
       n
-    } finally socket.setSoTimeout(0)
+    } finally socket.setSoTimeout(30000)
   }
 
   /** Microseconds since the PostgreSQL epoch (2000-01-01). */
@@ -379,25 +420,27 @@ object PgPublication {
     * publication was already in the wanted state) — the spec asserts
     * on it. */
   def ensure(wire: PgWire, pub: String, tables: Seq[String]): Seq[String] = {
+    import PgWire.{quoteIdent, quoteLit, splitQualified}
     val want = tables.map(_.toLowerCase).sorted
     val exists = wire.query(
-      s"SELECT 1 FROM pg_publication WHERE pubname = '$pub'").nonEmpty
+      s"SELECT 1 FROM pg_publication WHERE pubname = ${quoteLit(pub)}")
+      .nonEmpty
     val tableList = want.map { t =>
-      val Array(ns, rel) = t.split("\\.", 2)
-      s""""$ns"."$rel""""
+      val (ns, rel) = splitQualified(t)
+      s"${quoteIdent(ns)}.${quoteIdent(rel)}"
     }.mkString(", ")
     if (!exists) {
-      val ddl = s"""CREATE PUBLICATION "$pub" FOR TABLE $tableList"""
+      val ddl = s"CREATE PUBLICATION ${quoteIdent(pub)} FOR TABLE $tableList"
       wire.exec(ddl)
       Seq(ddl)
     } else {
       val have = wire.query(
         s"""SELECT schemaname || '.' || tablename
-           |FROM pg_publication_tables WHERE pubname = '$pub'"""
+           |FROM pg_publication_tables WHERE pubname = ${quoteLit(pub)}"""
           .stripMargin).map(_.head.toLowerCase).sorted
       if (have == want) Seq.empty
       else {
-        val ddl = s"""ALTER PUBLICATION "$pub" SET TABLE $tableList"""
+        val ddl = s"ALTER PUBLICATION ${quoteIdent(pub)} SET TABLE $tableList"
         wire.exec(ddl)
         Seq(ddl)
       }

@@ -1,0 +1,823 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
+  DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.security.MessageDigest
+import java.util.Base64
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.PgOutput
+import graft.sources.PgWire.Dsn
+
+/** The sandbox-honest half of the live-PG story (r12 ask #1): a
+  * scripted protocol-v3 BACKEND on a loopback ServerSocket drives the
+  * REAL [[PgWire]] client through every message type it emits or
+  * parses — trust/cleartext/md5/SCRAM auth (multi-mechanism NUL list,
+  * mid-auth NoticeResponse, server-signature verification), simple
+  * query framing, CREATE_REPLICATION_SLOT, START_REPLICATION
+  * COPY-BOTH with XLogData and reply-demanding keepalives, the
+  * standby-status ack bytes, [[PgPublication]]'s diff DDL (with
+  * quote-injection names), and a full [[LiveCapture.run]] loop into
+  * replayable WalFiles segments. PgLiveSpec stays the real-server
+  * layer (env-gated on PGCAPTURE_TEST_DSN); this suite is the CI leg
+  * that was missing — the reference tests its client against real
+  * PostgreSQL versions (pkg/source/postgres_test.go:110-260), and the
+  * FIXTURES.md discipline applied to the wire protocol is the
+  * in-sandbox equivalent. Every byte the mock speaks is the public
+  * protocol from the PostgreSQL documentation ("Frontend/Backend
+  * Protocol", "Streaming Replication Protocol") and RFC 5802/7677.
+  */
+object MockPg {
+
+  /** Backend side of one accepted connection: read the frontend's
+    * messages, write scripted backend messages. */
+  final class Conn(socket: Socket) {
+    socket.setSoTimeout(15000) // a silent client must fail the test, not hang it
+    private val in = new DataInputStream(
+      new BufferedInputStream(socket.getInputStream))
+    private val out = new DataOutputStream(
+      new BufferedOutputStream(socket.getOutputStream))
+
+    // -------------------------------------------------- frontend reads
+
+    /** Untagged startup message → its parameter map (asserts v3.0). */
+    def readStartup(): Map[String, String] = {
+      val len = in.readInt() - 4
+      val body = new Array[Byte](len); in.readFully(body)
+      val ver = ByteBuffer.wrap(body, 0, 4).getInt
+      require(ver == 0x0003_0000, s"unexpected protocol version $ver")
+      val m = mutable.Map.empty[String, String]
+      var i = 4
+      while (i < body.length && body(i) != 0) {
+        val e1 = body.indexOf(0.toByte, i)
+        val e2 = body.indexOf(0.toByte, e1 + 1)
+        m(new String(body, i, e1 - i, UTF_8)) =
+          new String(body, e1 + 1, e2 - e1 - 1, UTF_8)
+        i = e2 + 1
+      }
+      m.toMap
+    }
+
+    /** Next tagged frontend message. */
+    def readMsg(): (Char, Array[Byte]) = {
+      val tag = in.readByte().toChar
+      val len = in.readInt() - 4
+      val body = new Array[Byte](len); in.readFully(body)
+      (tag, body)
+    }
+
+    /** Body of the next message, asserting its tag. */
+    def expect(tag: Char): Array[Byte] = {
+      val (t, b) = readMsg()
+      require(t == tag, s"expected frontend '$tag', got '$t'")
+      b
+    }
+
+    /** Next 'Q' message → its SQL text. */
+    def expectQuery(): String = {
+      val b = expect('Q')
+      new String(b, 0, b.length - 1, UTF_8) // strip the NUL
+    }
+
+    /** Next 'Q' message, or None on Terminate/close — for serve-until-
+      * disconnect catalog loops. */
+    def nextQuery(): Option[String] =
+      try readMsg() match {
+        case ('Q', b) => Some(new String(b, 0, b.length - 1, UTF_8))
+        case ('X', _) => None
+        case (t, _) => throw new IllegalStateException(
+          s"expected 'Q' or Terminate, got '$t'")
+      } catch {
+        case _: EOFException => None
+        case _: java.net.SocketException => None
+      }
+
+    /** Read frontend messages until the client closes (or sends 'X');
+      * returns the drained tags. Standby statuses and Terminate land
+      * here at stream end. */
+    def drain(): Seq[Char] = {
+      val tags = mutable.Buffer.empty[Char]
+      try {
+        var go = true
+        while (go) {
+          val (t, _) = readMsg()
+          tags += t
+          if (t == 'X') go = false
+        }
+      } catch {
+        case _: EOFException => ()
+        case _: java.net.SocketException => ()
+      }
+      tags.toSeq
+    }
+
+    // -------------------------------------------------- backend writes
+
+    private def msg(tag: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tag); out.writeInt(body.length + 4)
+      out.write(body); out.flush()
+    }
+    private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+    private def i32(v: Int): Array[Byte] =
+      ByteBuffer.allocate(4).putInt(v).array()
+
+    def authOk(): Unit = msg('R', i32(0))
+    def authCleartext(): Unit = msg('R', i32(3))
+    def authMd5(salt: Array[Byte]): Unit = msg('R', i32(5) ++ salt)
+    /** AuthenticationSASL: NUL-terminated mechanism cstrings plus the
+      * empty-string list terminator. */
+    def authSasl(mechs: Seq[String]): Unit =
+      msg('R', i32(10) ++ mechs.flatMap(cstr).toArray :+ 0.toByte)
+    def saslContinue(serverFirst: String): Unit =
+      msg('R', i32(11) ++ serverFirst.getBytes(UTF_8))
+    def saslFinal(serverFinal: String): Unit =
+      msg('R', i32(12) ++ serverFinal.getBytes(UTF_8))
+    def paramStatus(k: String, v: String): Unit = msg('S', cstr(k) ++ cstr(v))
+    def backendKeyData(): Unit = msg('K', i32(4711) ++ i32(1234))
+    def readyForQuery(): Unit = msg('Z', Array('I'.toByte))
+    def notice(text: String): Unit =
+      msg('N', "S".getBytes ++ cstr("NOTICE") ++ "M".getBytes ++
+        cstr(text) :+ 0.toByte)
+    def error(sqlState: String, text: String): Unit =
+      msg('E', "S".getBytes ++ cstr("ERROR") ++ "C".getBytes ++
+        cstr(sqlState) ++ "M".getBytes ++ cstr(text) :+ 0.toByte)
+
+    def rowDescription(names: String*): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(ByteBuffer.allocate(2).putShort(names.size.toShort).array())
+      names.foreach { n =>
+        b.write(cstr(n))
+        b.write(i32(0)) // table oid
+        b.write(Array[Byte](0, 0)) // attnum
+        b.write(i32(25)) // text
+        b.write(ByteBuffer.allocate(2).putShort(-1).array())
+        b.write(i32(-1)) // typmod
+        b.write(Array[Byte](0, 0)) // text format
+      }
+      msg('T', b.toByteArray)
+    }
+
+    def dataRow(vals: Seq[String]): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(ByteBuffer.allocate(2).putShort(vals.size.toShort).array())
+      vals.foreach {
+        case null => b.write(i32(-1))
+        case v =>
+          val bytes = v.getBytes(UTF_8)
+          b.write(i32(bytes.length)); b.write(bytes)
+      }
+      msg('D', b.toByteArray)
+    }
+
+    def commandComplete(tag: String): Unit = msg('C', cstr(tag))
+    def copyBothResponse(): Unit = msg('W', Array[Byte](0, 0, 0))
+    def copyDone(): Unit = msg('c', Array.emptyByteArray)
+
+    def xlogData(walStart: Long, walEnd: Long, payload: Array[Byte]): Unit = {
+      val bb = ByteBuffer.allocate(1 + 24 + payload.length)
+      bb.put('w'.toByte).putLong(walStart).putLong(walEnd).putLong(0L)
+        .put(payload)
+      msg('d', bb.array())
+    }
+
+    def keepalive(walEnd: Long, wantReply: Boolean): Unit = {
+      val bb = ByteBuffer.allocate(1 + 16 + 1)
+      bb.put('k'.toByte).putLong(walEnd).putLong(0L)
+        .put(if (wantReply) 1.toByte else 0.toByte)
+      msg('d', bb.array())
+    }
+
+    /** Read 'd' messages until a standby status ('r') arrives; return
+      * (writeLsn, flushLsn, applyLsn, replyFlag). */
+    def readStandbyStatus(): (Long, Long, Long, Byte) = {
+      var res: Option[(Long, Long, Long, Byte)] = None
+      while (res.isEmpty) {
+        val b = expect('d')
+        if (b(0).toChar == 'r') {
+          val bb = ByteBuffer.wrap(b, 1, b.length - 1)
+          res = Some((bb.getLong, bb.getLong, bb.getLong,
+            { bb.getLong; bb.get() })) // skip clock, take reply flag
+        }
+      }
+      res.get
+    }
+
+    /** The standard happy-path prologue around a scripted auth step. */
+    def acceptStartup(auth: Conn => Unit): Map[String, String] = {
+      val params = readStartup()
+      auth(this)
+      paramStatus("server_version", "16.3")
+      paramStatus("integer_datetimes", "on")
+      backendKeyData()
+      readyForQuery()
+      params
+    }
+  }
+
+  /** Accepts one connection per handler (concurrently — a control and
+    * a replication connection overlap in LiveCapture.run), collecting
+    * handler failures for the test thread to rethrow. */
+  final class Server(handlers: Seq[Conn => Unit]) extends AutoCloseable {
+    private val ss =
+      new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    val port: Int = ss.getLocalPort
+    private val errors = new ConcurrentLinkedQueue[Throwable]
+    private val done = new CountDownLatch(handlers.size)
+    private val acceptor = new Thread(() => {
+      var accepting = true
+      handlers.foreach { h =>
+        if (accepting) {
+          try {
+            val s = ss.accept()
+            val worker = new Thread(() => {
+              try h(new Conn(s))
+              catch { case e: Throwable => errors.add(e) }
+              finally {
+                try s.close() catch { case _: Exception => () }
+                done.countDown()
+              }
+            })
+            worker.setDaemon(true)
+            worker.start()
+          } catch {
+            case _: Exception => accepting = false; done.countDown()
+          }
+        } else done.countDown()
+      }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def dsn(password: String = "pw"): Dsn =
+      Dsn("127.0.0.1", port, "capdb", "graft", password)
+
+    /** Await all handlers; rethrow the first scripted-side failure. */
+    def await(timeoutMs: Long = 20000): Unit = {
+      assert(done.await(timeoutMs, TimeUnit.MILLISECONDS),
+        "mock server handlers did not finish")
+      if (!errors.isEmpty) throw errors.peek()
+    }
+
+    override def close(): Unit = {
+      try ss.close() catch { case _: Exception => () }
+    }
+  }
+
+  // ------------------------------------------------- SCRAM server side
+
+  /** RFC 5802 server-side verification of the client's SASL exchange:
+    * parse the initial response, issue server-first, check the proof
+    * against the derived StoredKey, and return the server-final
+    * signature line. `breakSignature` forges v= so the client's
+    * mandatory server-authentication check must trip. */
+  def scramExchange(c: Conn, password: String,
+      noticeMidAuth: Boolean = false,
+      breakSignature: Boolean = false): Unit = {
+    c.authSasl(Seq("SCRAM-SHA-256-PLUS", "SCRAM-SHA-256"))
+    val init = c.expect('p')
+    val mechEnd = init.indexOf(0.toByte)
+    val mech = new String(init, 0, mechEnd, UTF_8)
+    require(mech == "SCRAM-SHA-256", s"client chose $mech")
+    val respLen = ByteBuffer.wrap(init, mechEnd + 1, 4).getInt
+    val clientFirst =
+      new String(init, mechEnd + 5, respLen, UTF_8)
+    require(clientFirst.startsWith("n,,"), s"gs2 header: $clientFirst")
+    val clientFirstBare = clientFirst.drop(3)
+    val clientNonce = clientFirstBare.split(",").map(a => a(0) -> a.drop(2))
+      .toMap.apply('r')
+
+    if (noticeMidAuth) c.notice("authentication in progress")
+
+    val salt = "graft-mock-salt!".getBytes(UTF_8)
+    val iters = 4096
+    val combinedNonce = clientNonce + "mockSrvNonce0001"
+    val serverFirst = s"r=$combinedNonce," +
+      s"s=${Base64.getEncoder.encodeToString(salt)},i=$iters"
+    c.saslContinue(serverFirst)
+
+    val fin = new String(c.expect('p'), UTF_8)
+    val attrs = fin.split(",").map(a => a(0) -> a.drop(2)).toMap
+    require(attrs('c') == "biws", s"channel binding: ${attrs('c')}")
+    require(attrs('r') == combinedNonce, "combined nonce mismatch")
+    val proof = Base64.getDecoder.decode(attrs('p'))
+
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iters, 256)
+    val salted = javax.crypto.SecretKeyFactory
+      .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
+    def hmac(key: Array[Byte], s: String): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(s.getBytes(UTF_8))
+    }
+    val storedKey = MessageDigest.getInstance("SHA-256")
+      .digest(hmac(salted, "Client Key"))
+    val withoutProof = fin.substring(0, fin.lastIndexOf(",p="))
+    val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+    val clientSig = hmac(storedKey, authMessage)
+    val recoveredKey =
+      proof.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+    require(java.util.Arrays.equals(
+      MessageDigest.getInstance("SHA-256").digest(recoveredKey), storedKey),
+      "client proof did not verify")
+
+    val serverSig = Base64.getEncoder.encodeToString(
+      hmac(hmac(salted, "Server Key"), authMessage))
+    val v = if (breakSignature) "v=" + serverSig.reverse else s"v=$serverSig"
+    c.saslFinal(v)
+    if (!breakSignature) c.authOk()
+  }
+}
+
+class PgWireMockSpec extends AnyFunSuite {
+  import MockPg._
+
+  // ------------------------------------------------------------- auth
+
+  test("trust auth: startup params, ParameterStatus drain, simple query " +
+    "framing incl. NULL") {
+    var sawParams: Map[String, String] = Map.empty
+    val srv = new Server(Seq({ c =>
+      sawParams = c.acceptStartup(_.authOk())
+      val sql = c.expectQuery()
+      require(sql == "SELECT x", s"got: $sql")
+      c.rowDescription("a", "b")
+      c.dataRow(Seq("1", "alpha"))
+      c.dataRow(Seq(null, "beta"))
+      c.commandComplete("SELECT 2")
+      c.readyForQuery()
+      c.drain()
+    }))
+    try {
+      val wire = new PgWire(srv.dsn())
+      val rows = try wire.query("SELECT x") finally wire.close()
+      assert(rows == Seq(Seq("1", "alpha"), Seq(null, "beta")))
+      srv.await()
+      assert(sawParams("user") == "graft" && sawParams("database") == "capdb")
+      assert(sawParams("application_name") == "graft")
+      assert(!sawParams.contains("replication"))
+    } finally srv.close()
+  }
+
+  test("cleartext auth sends the password verbatim") {
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup { s =>
+        s.authCleartext()
+        val b = c.expect('p')
+        val pw = new String(b, 0, b.length - 1, UTF_8)
+        require(pw == "s3cr3t", s"password: $pw")
+        s.authOk()
+      }
+      c.drain()
+    }))
+    try {
+      new PgWire(srv.dsn("s3cr3t")).close()
+      srv.await()
+    } finally srv.close()
+  }
+
+  test("md5 auth computes md5(md5(password + user) + salt)") {
+    val salt = Array[Byte](1, 2, 3, 4)
+    def md5hex(b: Array[Byte]): String =
+      MessageDigest.getInstance("MD5").digest(b).map(x => f"$x%02x").mkString
+    val want = "md5" +
+      md5hex(md5hex("pwgraft".getBytes(UTF_8)).getBytes(UTF_8) ++ salt)
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup { s =>
+        s.authMd5(salt)
+        val b = c.expect('p')
+        val got = new String(b, 0, b.length - 1, UTF_8)
+        require(got == want, s"md5 digest: $got != $want")
+        s.authOk()
+      }
+      c.drain()
+    }))
+    try {
+      new PgWire(srv.dsn()).close()
+      srv.await()
+    } finally srv.close()
+  }
+
+  test("SCRAM-SHA-256: full RFC 7677 exchange with a multi-mechanism " +
+    "NUL list and a mid-auth NoticeResponse") {
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup(s => scramExchange(s, "pw", noticeMidAuth = true))
+      val sql = c.expectQuery()
+      require(sql == "SELECT 1", s"got: $sql")
+      c.rowDescription("one"); c.dataRow(Seq("1"))
+      c.commandComplete("SELECT 1"); c.readyForQuery()
+      c.drain()
+    }))
+    try {
+      val wire = new PgWire(srv.dsn())
+      // the connection must be USABLE after auth, not merely open
+      val rows = try wire.query("SELECT 1") finally wire.close()
+      assert(rows == Seq(Seq("1")))
+      srv.await()
+    } finally srv.close()
+  }
+
+  test("SCRAM rejects a forged server signature (server-auth is " +
+    "mandatory, RFC 5802 §9)") {
+    val srv = new Server(Seq({ c =>
+      // no acceptStartup epilogue and no drain: the client throws on
+      // the forged v= and closes its socket without a Terminate
+      c.readStartup()
+      scramExchange(c, "pw", breakSignature = true)
+    }))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new PgWire(srv.dsn())
+      }
+      assert(e.getMessage.contains("SCRAM server signature mismatch"))
+      srv.await()
+    } finally srv.close()
+  }
+
+  test("SCRAM fails loudly when the server offers no SCRAM-SHA-256") {
+    val srv = new Server(Seq({ c =>
+      c.readStartup()
+      c.authSasl(Seq("SCRAM-SHA-256-PLUS")) // channel binding only
+    }))
+    try {
+      val e = intercept[IllegalArgumentException] { new PgWire(srv.dsn()) }
+      assert(e.getMessage.contains("no SCRAM-SHA-256"))
+      srv.await()
+    } finally srv.close()
+  }
+
+  test("ErrorResponse during auth surfaces as PgError with fields") {
+    val srv = new Server(Seq({ c =>
+      c.readStartup()
+      c.error("28P01", "password authentication failed")
+    }))
+    try {
+      val e = intercept[PgWire.PgError] { new PgWire(srv.dsn()) }
+      assert(e.fields('C') == "28P01")
+      assert(e.getMessage.contains("password authentication failed"))
+      srv.await()
+    } finally srv.close()
+  }
+
+  test("query() surfaces ErrorResponse after draining to ReadyForQuery") {
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup(_.authOk())
+      c.expectQuery()
+      c.error("42P01", "relation does not exist")
+      c.readyForQuery()
+      // the connection must remain usable after the error
+      val sql2 = c.expectQuery()
+      require(sql2 == "SELECT 2", s"got: $sql2")
+      c.rowDescription("two"); c.dataRow(Seq("2"))
+      c.commandComplete("SELECT 1"); c.readyForQuery()
+      c.drain()
+    }))
+    try {
+      val wire = new PgWire(srv.dsn())
+      try {
+        val e = intercept[PgWire.PgError] { wire.query("SELECT * FROM nope") }
+        assert(e.fields('C') == "42P01")
+        assert(wire.query("SELECT 2") == Seq(Seq("2")))
+      } finally wire.close()
+      srv.await()
+    } finally srv.close()
+  }
+
+  // ------------------------------------------------------ replication
+
+  test("CREATE_REPLICATION_SLOT sends a quoted identifier and parses " +
+    "the consistent point") {
+    val srv = new Server(Seq({ c =>
+      val params = c.acceptStartup(_.authOk())
+      require(params.get("replication").contains("database"),
+        "replication=database missing from startup")
+      val sql = c.expectQuery()
+      require(sql ==
+        """CREATE_REPLICATION_SLOT "cap_slot" TEMPORARY LOGICAL pgoutput""",
+        s"got: $sql")
+      c.rowDescription("slot_name", "consistent_point", "snapshot_name",
+        "output_plugin")
+      c.dataRow(Seq("cap_slot", "16/B3748", null, "pgoutput"))
+      c.commandComplete("CREATE_REPLICATION_SLOT")
+      c.readyForQuery()
+      c.drain()
+    }))
+    try {
+      val wire = new PgWire(srv.dsn(), replication = true)
+      val lsn = try wire.createLogicalSlot("cap_slot", temporary = true)
+        finally wire.close()
+      assert(lsn == 0x16000B3748L)
+      srv.await()
+    } finally srv.close()
+  }
+
+  test("START_REPLICATION: COPY-BOTH framing, XLogData delivery, " +
+    "keepalive reply, standby-ack bytes") {
+    val rel = PgOutput.Relation(7, "public", "t_mock", 'd',
+      Seq(PgOutput.Column("id", 20, isKey = true)))
+    val tx1 = Seq(PgOutput.Encoder.relation(rel),
+      PgOutput.Encoder.begin(1000L, 5L, 1),
+      PgOutput.Encoder.insert(rel, Seq("1".getBytes)),
+      PgOutput.Encoder.commit(1000L, 1001L, 5L))
+    val tx2 = Seq(PgOutput.Encoder.begin(2000L, 6L, 2),
+      PgOutput.Encoder.insert(rel, Seq("2".getBytes)),
+      PgOutput.Encoder.commit(2000L, 2001L, 6L))
+    val ackAt = 0xA0000000CL
+    var replyAck: Option[(Long, Long, Long, Byte)] = None
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup(_.authOk())
+      val sql = c.expectQuery()
+      require(sql == """START_REPLICATION SLOT "cap_slot" LOGICAL """ +
+        """A/C ("proto_version" '1', "publication_names" '"cap_pub"')""",
+        s"got: $sql")
+      c.copyBothResponse()
+      (tx1 ++ tx2).zipWithIndex.foreach { case (p, i) =>
+        c.xlogData(ackAt + i, ackAt + i + 1, p)
+      }
+      c.keepalive(ackAt + 100, wantReply = true)
+      replyAck = Some(c.readStandbyStatus())
+      c.copyDone()
+      c.drain()
+    }))
+    try {
+      val wire = new PgWire(srv.dsn(), replication = true)
+      val got = mutable.Buffer.empty[Array[Byte]]
+      val frames = try {
+        wire.startReplication("cap_slot", "cap_pub", ackAt,
+          () => ackAt, deadlineMs = 15000) { x => got += x.payload; true }
+      } finally wire.close()
+      assert(frames == (tx1 ++ tx2).size.toLong)
+      // payloads arrive VERBATIM — byte-for-byte the pgoutput messages
+      got.zip(tx1 ++ tx2).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), "payload bytes diverged")
+      }
+      // and decode through the SAME decoder the segment replay uses
+      val dec = new PgOutput.Decoder
+      val ops = got.toSeq.map(dec.decode)
+        .collect { case ch: PgOutput.Change => ch.op }
+      assert(ops == Seq("INSERT", "INSERT"))
+      srv.await()
+      // the standby status acked exactly ackLsn() in all three fields
+      val (w, f, a, reply) = replyAck.get
+      assert(w == ackAt && f == ackAt && a == ackAt)
+      assert(reply == 0.toByte)
+    } finally srv.close()
+  }
+
+  // ------------------------------------------------- publication DDL
+
+  test("PgPublication.ensure: create when absent, no-op when converged, " +
+    "ALTER on diff — exact DDL and catalog SQL") {
+    val statements = mutable.Buffer.empty[String]
+    def catalogServer(pubExists: Boolean, have: Seq[String]): Conn => Unit = {
+      c =>
+        c.acceptStartup(_.authOk())
+        var go = true
+        while (go) c.nextQuery() match {
+          case None => go = false
+          case Some(sql) =>
+            statements += sql
+            if (sql.startsWith("SELECT 1 FROM pg_publication ")) {
+              c.rowDescription("?column?")
+              if (pubExists) c.dataRow(Seq("1"))
+              c.commandComplete(s"SELECT ${if (pubExists) 1 else 0}")
+            } else if (sql.contains("pg_publication_tables")) {
+              c.rowDescription("qualified")
+              have.foreach(t => c.dataRow(Seq(t)))
+              c.commandComplete(s"SELECT ${have.size}")
+            } else {
+              c.commandComplete("OK") // the DDL itself
+            }
+            c.readyForQuery()
+        }
+    }
+    // absent → CREATE
+    val s1 = new Server(Seq(catalogServer(pubExists = false, Nil)))
+    try {
+      val w = new PgWire(s1.dsn())
+      val ddl = try PgPublication.ensure(w, "cap_pub",
+        Seq("public.T1", "public.t0")) finally w.close()
+      assert(ddl == Seq("""CREATE PUBLICATION "cap_pub" FOR TABLE """ +
+        """"public"."t0", "public"."t1""""))
+      s1.await()
+    } finally s1.close()
+    // converged → no DDL
+    val s2 = new Server(Seq(
+      catalogServer(pubExists = true, Seq("public.t0", "public.t1"))))
+    try {
+      val w = new PgWire(s2.dsn())
+      val ddl = try PgPublication.ensure(w, "cap_pub",
+        Seq("public.t1", "public.t0")) finally w.close()
+      assert(ddl.isEmpty)
+      s2.await()
+    } finally s2.close()
+    // diff → ALTER ... SET TABLE
+    val s3 = new Server(Seq(
+      catalogServer(pubExists = true, Seq("public.t0"))))
+    try {
+      val w = new PgWire(s3.dsn())
+      val ddl = try PgPublication.ensure(w, "cap_pub",
+        Seq("public.t0", "public.t2")) finally w.close()
+      assert(ddl == Seq("""ALTER PUBLICATION "cap_pub" SET TABLE """ +
+        """"public"."t0", "public"."t2""""))
+      s3.await()
+    } finally s3.close()
+    assert(statements.exists(_.startsWith("SELECT 1 FROM pg_publication ")))
+  }
+
+  test("names containing quotes are escaped, never spliced (ADVICE r12)") {
+    // the pub name carries BOTH quote kinds: the single quote must be
+    // doubled in the catalog literal, the double quote in the DDL
+    // identifier
+    val pub = "we\"i'rd"
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup(_.authOk())
+      val q1 = c.expectQuery()
+      require(q1 == "SELECT 1 FROM pg_publication WHERE pubname = " +
+        "'we\"i''rd'", s"literal not escaped: $q1")
+      c.rowDescription("?column?"); c.commandComplete("SELECT 0")
+      c.readyForQuery()
+      val q2 = c.expectQuery()
+      require(q2 == "CREATE PUBLICATION \"we\"\"i'rd\" FOR TABLE " +
+        "\"public\".\"ta\"\"ble\"", s"identifier not escaped: $q2")
+      c.commandComplete("CREATE PUBLICATION"); c.readyForQuery()
+      c.drain()
+    }))
+    try {
+      val w = new PgWire(srv.dsn())
+      val ddl = try PgPublication.ensure(w, pub,
+        Seq("public.ta\"ble")) finally w.close()
+      assert(ddl.head.contains("\"we\"\"i'rd\""))
+      srv.await()
+    } finally srv.close()
+    // and an unqualified table name fails with a diagnosable message
+    val e = intercept[IllegalArgumentException] {
+      PgWire.splitQualified("no_schema")
+    }
+    assert(e.getMessage.contains("no_schema"))
+  }
+
+  // ------------------------------------------------- full charge loop
+
+  test("LiveCapture.run tails the mock server into replayable WalFiles " +
+    "segments (publication DDL + slot + COPY-BOTH end to end)") {
+    val rel = PgOutput.Relation(8, "public", "t_cap", 'd',
+      Seq(PgOutput.Column("id", 20, isKey = true)))
+    def tx(lsn: Long, xid: Int, v: String) = Seq(
+      PgOutput.Encoder.begin(lsn, xid.toLong, xid),
+      PgOutput.Encoder.insert(rel, Seq(v.getBytes)),
+      PgOutput.Encoder.commit(lsn, lsn + 1, xid.toLong))
+
+    val ctl: Conn => Unit = { c =>
+      c.acceptStartup(_.authOk())
+      val q1 = c.expectQuery()
+      require(q1.startsWith("SELECT 1 FROM pg_publication "), q1)
+      c.rowDescription("?column?"); c.commandComplete("SELECT 0")
+      c.readyForQuery()
+      val q2 = c.expectQuery()
+      require(q2 == """CREATE PUBLICATION "cap_pub" FOR TABLE """ +
+        """"public"."t_cap"""", q2)
+      c.commandComplete("CREATE PUBLICATION"); c.readyForQuery()
+      c.drain()
+    }
+    val repl: Conn => Unit = { c =>
+      val params = c.acceptStartup(s => scramExchange(s, "pw"))
+      require(params.get("replication").contains("database"))
+      val q1 = c.expectQuery()
+      require(q1 == """CREATE_REPLICATION_SLOT "cap_slot" LOGICAL pgoutput""",
+        q1)
+      c.rowDescription("slot_name", "consistent_point", "snapshot_name",
+        "output_plugin")
+      c.dataRow(Seq("cap_slot", "0/1000", null, "pgoutput"))
+      c.commandComplete("CREATE_REPLICATION_SLOT")
+      c.readyForQuery()
+      val q2 = c.expectQuery()
+      require(q2.startsWith("""START_REPLICATION SLOT "cap_slot" LOGICAL """ +
+        "0/1000"), q2)
+      c.copyBothResponse()
+      val frames = PgOutput.Encoder.relation(rel) +:
+        (tx(0x2000L, 1, "a") ++ tx(0x3000L, 2, "b"))
+      frames.zipWithIndex.foreach { case (p, i) =>
+        c.xlogData(0x1000L + i, 0x1000L + i + 1, p)
+      }
+      c.drain() // client stops at maxTxs=2: final status + Terminate
+    }
+
+    val dir = Files.createTempDirectory("pgmock-cap").toString
+    val srv = new Server(Seq(ctl, repl))
+    try {
+      val segments = LiveCapture.run(srv.dsn(), dir, "cap_pub", "cap_slot",
+        Seq("public.t_cap"), deadlineMs = 15000, maxTxs = 2, flushTxs = 1)
+      assert(segments == 2L)
+      srv.await()
+      val events = WalFiles.replay(WalFiles.segments(dir).map(_._2)).toSeq
+      assert(events.map(_.change.op) == Seq("INSERT", "INSERT"))
+      assert(events.map(_.cp.lsn) == Seq(0x2000L, 0x3000L))
+      assert(events.forall(_.change.rel.name == "t_cap"))
+      assert(events.map(e => new String(e.change.newTuple.get("id"))) ==
+        Seq("a", "b"))
+    } finally srv.close()
+  }
+
+  test("slot-exists resume queries the durable restart point; a missing " +
+    "row fails diagnosably (ADVICE r12)") {
+    // leg 1: slot exists (42710) and the catalog row carries an LSN —
+    // capture resumes from it
+    val rel = PgOutput.Relation(9, "public", "t_res", 'd',
+      Seq(PgOutput.Column("id", 20, isKey = true)))
+    val ctl: Conn => Unit = { c =>
+      c.acceptStartup(_.authOk())
+      var go = true
+      while (go) c.nextQuery() match {
+        case None => go = false
+        case Some(sql) =>
+          if (sql.startsWith("SELECT 1 FROM pg_publication ")) {
+            c.rowDescription("?column?"); c.dataRow(Seq("1"))
+            c.commandComplete("SELECT 1"); c.readyForQuery()
+          } else if (sql.contains("pg_publication_tables")) {
+            c.rowDescription("qualified"); c.dataRow(Seq("public.t_res"))
+            c.commandComplete("SELECT 1"); c.readyForQuery()
+          } else if (sql.contains("pg_replication_slots")) {
+            require(sql.contains("slot_name = 'res_slot'"), sql)
+            c.rowDescription("lsn"); c.dataRow(Seq("0/5000"))
+            c.commandComplete("SELECT 1"); c.readyForQuery()
+          } else {
+            c.commandComplete("OK"); c.readyForQuery()
+          }
+      }
+    }
+    val repl: Conn => Unit = { c =>
+      c.acceptStartup(_.authOk())
+      c.expectQuery() // CREATE_REPLICATION_SLOT → already exists
+      c.error("42710", "replication slot \"res_slot\" already exists")
+      c.readyForQuery()
+      val q = c.expectQuery()
+      require(q.contains("LOGICAL 0/5000"),
+        s"did not resume from confirmed_flush_lsn: $q")
+      c.copyBothResponse()
+      val frames = PgOutput.Encoder.relation(rel) +:
+        Seq(PgOutput.Encoder.begin(0x6000L, 1L, 1),
+          PgOutput.Encoder.insert(rel, Seq("r".getBytes)),
+          PgOutput.Encoder.commit(0x6000L, 0x6001L, 1L))
+      frames.zipWithIndex.foreach { case (p, i) =>
+        c.xlogData(0x5000L + i, 0x5000L + i + 1, p)
+      }
+      c.drain()
+    }
+    val dir = Files.createTempDirectory("pgmock-res").toString
+    val srv = new Server(Seq(ctl, repl))
+    try {
+      val n = LiveCapture.run(srv.dsn(), dir, "res_pub", "res_slot",
+        Seq("public.t_res"), deadlineMs = 15000, maxTxs = 1, flushTxs = 1)
+      assert(n == 1L)
+      srv.await()
+    } finally srv.close()
+
+    // leg 2: the slot row is GONE (raced drop) — the resume must fail
+    // with the slot name in the message, not NoSuchElementException
+    val ctl2: Conn => Unit = { c =>
+      c.acceptStartup(_.authOk())
+      var go = true
+      while (go) c.nextQuery() match {
+        case None => go = false
+        case Some(sql) =>
+          if (sql.startsWith("SELECT 1 FROM pg_publication ")) {
+            c.rowDescription("?column?"); c.dataRow(Seq("1"))
+            c.commandComplete("SELECT 1"); c.readyForQuery()
+          } else if (sql.contains("pg_publication_tables")) {
+            c.rowDescription("qualified"); c.dataRow(Seq("public.t_res"))
+            c.commandComplete("SELECT 1"); c.readyForQuery()
+          } else if (sql.contains("pg_replication_slots")) {
+            c.rowDescription("lsn") // zero rows: the raced drop
+            c.commandComplete("SELECT 0"); c.readyForQuery()
+          } else { c.commandComplete("OK"); c.readyForQuery() }
+      }
+    }
+    val repl2: Conn => Unit = { c =>
+      c.acceptStartup(_.authOk())
+      c.expectQuery()
+      c.error("42710", "replication slot \"res_slot\" already exists")
+      c.readyForQuery()
+      c.drain()
+    }
+    val srv2 = new Server(Seq(ctl2, repl2))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LiveCapture.run(srv2.dsn(),
+          Files.createTempDirectory("pgmock-res2").toString,
+          "res_pub", "res_slot", Seq("public.t_res"),
+          deadlineMs = 5000, maxTxs = 1)
+      }
+      assert(e.getMessage.contains("res_slot"))
+      srv2.await()
+    } finally srv2.close()
+  }
+}
