@@ -1013,21 +1013,26 @@ object Sketches {
     //      shape, floored at J ≥ 0.25 (below that no operating point
     //      is in play); bin 20 (J = 1) clamps to 19 so midpoints stay
     //      < 1. Scale: the pair-count pipeline is the whole cost; the
-    //      planner itself is O(bins·6) broadcast algebra. Cap caveat
-    //      (the q113 discipline): the overlap count c comes from the
-    //      df-capped postings (MaxGramDf=64) while the oracle counts
-    //      ALL shared grams — lossless on this fixture (max df ≈ 25
-    //      ≪ 64) and at both test SFs, but a corpus with hotter
-    //      boilerplate grams shifts the histogram vs an uncapped
-    //      count; at production scale the cap IS the plan (it drops
-    //      exactly the pairs no operating point would catch). ----
+    //      planner itself is O(bins·6) broadcast algebra. Cap
+    //      MIRRORED in the oracle (r12 ask #3): the overlap count c
+    //      comes from the df-capped postings (MaxGramDf=64), and the
+    //      oracle's gok CTE applies the SAME df window (2..64) to
+    //      its pair join — plan and oracle now agree at ANY fixture,
+    //      not just ones whose max df sits under the cap;
+    //      DfCapFixtureSpec proves the capped semantics on an
+    //      adversarial df > 64 corpus. At production scale the cap
+    //      IS the plan (it drops exactly the pairs no operating
+    //      point would catch). ----
     QueryDef.sql("q299_lsh_operating_point",
       s"""WITH $gramsCte,
          |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
          |  FROM sh),
+         |gok AS (SELECT g FROM e GROUP BY g
+         |  HAVING count(*) BETWEEN 2 AND ${TextOps.MaxGramDf}),
          |pc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.sz AS sz1,
          |    b.sz AS sz2, CAST(count(*) AS BIGINT) AS c
-         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  FROM e a JOIN gok ON gok.g = a.g
+         |  JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3, 4),
          |hist AS (SELECT least((c * 20) // (sz1 + sz2 - c), 19) AS jb,
          |    CAST(count(*) AS BIGINT) AS cnt

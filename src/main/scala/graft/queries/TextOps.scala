@@ -291,6 +291,91 @@ object TextOps {
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The q332 gate assembly from its streamed two-domain state table
+    * (kind, k1, k2, k3, c): drift PSI through the shared [[psiTerms]]
+    * integer core, privacy k=5 risk and the prefilter-funnel
+    * retention both off the SAME kg cell slice — every gate a 1-row
+    * integer fold, so the stream's complete-mode state is the only
+    * corpus-sized object anywhere. */
+  private def releaseGatesTail(state: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ss = state.filter(col("kind") === "len")
+      .select(col("k1").as("source"), col("k2").cast("long").as("v"),
+        col("k3").cast("int").as("ep"), col("c"))
+      .localCheckpoint() // psiTerms reads it four times
+    val kg = state.filter(col("kind") === "kg")
+      .select(col("k1").as("lang"), col("k2").as("source"),
+        col("k3").cast("long").as("lb"), col("c").as("n"))
+      .localCheckpoint() // privacy + funnel legs
+    def gate(name: String, v: org.apache.spark.sql.DataFrame,
+        thr: Long, geq: Boolean) =
+      v.select(lit(name).as("gate"),
+        col("v").cast("long").as("value_micro"),
+        lit(thr).as("threshold_micro"),
+        (if (geq) col("v") >= thr else col("v") <= thr)
+          .cast("int").as("pass"))
+    val funnel = kg.agg(
+        coalesce(sum(when(col("lang").isin("en", "de", "fr", "es")
+          && col("lb") >= 1, col("n"))), lit(0L)).as("r"),
+        sum(col("n")).as("nd"))
+      .select(expr("CAST((r * 1000000) div nd AS BIGINT)").as("v"))
+    val drift = psiTerms(ss)
+      .agg(coalesce(max(expr("CAST(s div 1000000 AS BIGINT)")), lit(0L))
+        .as("v"))
+    val privacy = kg.agg(
+        coalesce(sum(when(col("n") < 5, col("n"))), lit(0L)).as("r"),
+        sum(col("n")).as("nd"))
+      .select(expr("CAST((r * 1000000) div nd AS BIGINT)").as("v"))
+    val gates = gate("funnel_prefilter", funnel, 250000L, geq = true)
+      .unionByName(gate("drift_psi_max", drift, 250000L, geq = false))
+      .unionByName(gate("privacy_k5_risk", privacy, 50000L, geq = false))
+      .localCheckpoint() // 3 rows feed the report AND the summary
+    val summary = gates
+      .agg(sum(lit(1) - col("pass")).cast("long").as("v"))
+      .select(lit("release").as("gate"), col("v").as("value_micro"),
+        lit(0L).as("threshold_micro"),
+        (col("v") === 0).cast("int").as("pass"))
+    gates.unionByName(summary).orderBy(col("gate"))
+  }
+
+  /** Shared DuckDB spine of the multi-scale gram-type family (q316
+    * novelty, q331 contamination): tokenize, explode the {2, 4, 8,
+    * 16} ladder, DISTINCT (source, n, gram) type sets. */
+  private[queries] val gramLadderCte =
+    """t AS (SELECT source,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |ns(n) AS (VALUES (2), (4), (8), (16)),
+      |g0 AS (SELECT source, ns.n,
+      |    unnest(list_transform(range(len(toks) - ns.n + 1),
+      |      i -> array_to_string(toks[i+1:i+ns.n], ' '))) AS gr
+      |  FROM t, ns WHERE len(toks) >= ns.n),
+      |sets AS (SELECT DISTINCT source, n, gr FROM g0)""".stripMargin
+
+  /** Spark twin of [[gramLadderCte]]: the (source, n, gram) DISTINCT
+    * type sets, checkpointed (multiple consumers in both callers).
+    * One tokenize pass feeds the 4-rung ladder; the explode is linear
+    * in corpus tokens per rung, and everything downstream runs on the
+    * type sets — no pair join over documents anywhere. */
+  private def gramTypeSets(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .localCheckpoint() // one tokenize pass feeds the 4-rung ladder
+    toks
+      .withColumn("n", explode(typedLit(Seq(2, 4, 8, 16))))
+      .filter(size(col("toks")) >= col("n"))
+      .select(col("source"), col("n").cast("long").as("n"),
+        explode(expr(
+          """transform(sequence(0, size(toks) - n), i ->
+            |  array_join(slice(toks, i + 1, n), ' '))""".stripMargin))
+          .as("gr"))
+      .distinct()
+      .localCheckpoint() // type sets: per-source counts, exclusivity,
+                         // and (q331) the cross-source overlap join
+  }
+
   /** The q217 PSI assembly from a (source, v, ep, c) support table —
     * shared by the q301 STREAMING twin so batch and stream can never
     * drift: pooled-rank decile bins (a value group never splits
@@ -3517,21 +3602,26 @@ object TextOps {
     //      dup graph, component count, largest component, and its
     //      share of the WHOLE corpus. Scale: one pair-count pipeline
     //      (q31's shape), then 3 CC runs on pair tables that shrink
-    //      as thr rises. Cap caveat (the q113 discipline): the edge
-    //      test's overlap c comes from the df-capped postings
-    //      (MaxGramDf=64) while the oracle counts ALL shared grams —
-    //      lossless on this fixture (max df ≈ 25 ≪ 64) and at both
-    //      test SFs, but a hotter-boilerplate corpus can shift the
-    //      edge set vs an uncapped count; at production scale the cap
-    //      is what keeps the dup graph from welding through
-    //      boilerplate chains in the first place. ----
+    //      as thr rises. Cap MIRRORED in the oracle (r12 ask #3):
+    //      the edge test's overlap c comes from the df-capped
+    //      postings (MaxGramDf=64), and the oracle's gok CTE now
+    //      applies the SAME df window (2..64) to its pair join — so
+    //      plan and oracle compute the same edge set at ANY fixture,
+    //      not just ones whose max df happens to sit under the cap
+    //      (this one's is ≈ 25). DfCapFixtureSpec proves the capped
+    //      semantics on an adversarial df > 64 corpus. At production
+    //      scale the cap is what keeps the dup graph from welding
+    //      through boilerplate chains in the first place. ----
     QueryDef.sql("q307_percolation_sweep",
       s"""WITH RECURSIVE ${Sketches.gramsCte},
          |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g
          |  FROM sh),
+         |gok AS (SELECT g FROM e GROUP BY g
+         |  HAVING count(*) BETWEEN 2 AND $MaxGramDf),
          |pc AS (SELECT a.doc_id AS u, b.doc_id AS v, a.sz AS sz1,
          |    b.sz AS sz2, CAST(count(*) AS BIGINT) AS c
-         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  FROM e a JOIN gok ON gok.g = a.g
+         |  JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3, 4),
          |te AS (SELECT t.thr, pc.u, pc.v
          |  FROM pc JOIN (VALUES (3), (5), (8)) t(thr)
@@ -3745,15 +3835,7 @@ object TextOps {
     //      arrays feeding ONE (n, gram)-keyed distinct + count — no
     //      pair join anywhere, O(sources·4) output. ----
     QueryDef.sql("q316_novelty_profile",
-      """WITH t AS (SELECT source,
-        |    string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |ns(n) AS (VALUES (2), (4), (8), (16)),
-        |g0 AS (SELECT source, ns.n,
-        |    unnest(list_transform(range(len(toks) - ns.n + 1),
-        |      i -> array_to_string(toks[i+1:i+ns.n], ' '))) AS gr
-        |  FROM t, ns WHERE len(toks) >= ns.n),
-        |sets AS (SELECT DISTINCT source, n, gr FROM g0),
+      s"""WITH $gramLadderCte,
         |gc AS (SELECT n, gr, CAST(count(*) AS BIGINT) AS n_sources,
         |    min(source) AS only_src
         |  FROM sets GROUP BY n, gr),
@@ -3768,21 +3850,7 @@ object TextOps {
         |    AS BIGINT) AS novel_micro
         |FROM st LEFT JOIN nv ON nv.source = st.source AND nv.n = st.n
         |ORDER BY st.source, st.n""".stripMargin) { (s, d) =>
-      val toks = t(s, d, "documents")
-        .select(col("source"),
-          split(lower(trim(col("text"))), "\\s+").as("toks"))
-        .localCheckpoint() // one tokenize pass feeds the 4-rung ladder
-      val sets = toks
-        .withColumn("n", explode(typedLit(Seq(2, 4, 8, 16))))
-        .filter(size(col("toks")) >= col("n"))
-        .select(col("source"), col("n").cast("long").as("n"),
-          explode(expr(
-            """transform(sequence(0, size(toks) - n), i ->
-              |  array_join(slice(toks, i + 1, n), ' '))""".stripMargin))
-            .as("gr"))
-        .distinct()
-        .localCheckpoint() // type sets feed the per-source count AND
-                           // the exclusivity count
+      val sets = gramTypeSets(s, d) // shared spine with q331
       val gc = sets.groupBy(col("n"), col("gr"))
         .agg(count(lit(1)).as("n_sources"), min(col("source")).as("only_src"))
       val st = sets.groupBy(col("source"), col("n"))
@@ -3796,6 +3864,67 @@ object TextOps {
         .withColumn("novel_micro",
           expr("CAST(novel_types * 1000000 div src_types AS BIGINT)"))
         .orderBy(col("source"), col("n"))
+    },
+
+    // ---- Cross-source contamination matrix (r12 ask #7a): q316
+    //      says how much of each source is exclusive; THIS says who
+    //      shares with whom, directionally — containment(a, b) =
+    //      |types(b) ∩ types(a)| / |types(b)| at each ladder rung.
+    //      Reading the matrix: a high cell at LONG n means source b's
+    //      passages appear verbatim inside source a (mirroring /
+    //      scraping — one memorized the other); high only at SHORT n
+    //      is shared vocabulary, not shared text. The asymmetric pair
+    //      (big a ⊇ small b vs small b ⊅ big a) is what a symmetric
+    //      overlap score conflates and provenance triage needs. Same
+    //      [[gramLadderCte]] spine as q316; the overlap is ONE
+    //      gram-keyed join of the type sets with per-gram fan-out
+    //      bounded by sources² (a DOMAIN, not the corpus), then the
+    //      dense source×source×rung grid LEFT JOINs shared counts so
+    //      zero cells report loudly. Scale: the type-set distinct is
+    //      the whole corpus cost (shared with q316); the matrix is
+    //      O(sources²·4) rows. ----
+    QueryDef.sql("q331_contamination_matrix",
+      s"""WITH $gramLadderCte,
+         |st AS (SELECT source, n, CAST(count(*) AS BIGINT) AS types
+         |  FROM sets GROUP BY source, n),
+         |ov AS (SELECT a.source AS src_a, b.source AS src_b, a.n,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM sets a JOIN sets b ON a.n = b.n AND a.gr = b.gr
+         |    AND a.source <> b.source
+         |  GROUP BY 1, 2, 3)
+         |SELECT g.src_a AS src_a, g.src_b AS src_b,
+         |  CAST(g.n AS BIGINT) AS n,
+         |  COALESCE(ov.shared, 0) AS shared_types,
+         |  st.types AS b_types,
+         |  CAST(COALESCE(ov.shared, 0) * 1000000 // st.types AS BIGINT)
+         |    AS containment_micro
+         |FROM (SELECT a.source AS src_a, b.source AS src_b, a.n
+         |  FROM st a JOIN st b ON a.n = b.n AND a.source <> b.source) g
+         |LEFT JOIN ov ON ov.src_a = g.src_a AND ov.src_b = g.src_b
+         |  AND ov.n = g.n
+         |JOIN st ON st.source = g.src_b AND st.n = g.n
+         |ORDER BY g.src_a, g.src_b, g.n""".stripMargin) { (s, d) =>
+      val sets = gramTypeSets(s, d)
+      val st = sets.groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("types"))
+        .localCheckpoint() // O(sources·4): grid legs + denominator
+      val ov = sets.as("a").join(sets.as("b"),
+          col("a.n") === col("b.n") && col("a.gr") === col("b.gr")
+            && col("a.source") =!= col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.n").as("n"))
+        .agg(count(lit(1)).as("shared"))
+      val grid = st.select(col("source").as("src_a"), col("n"))
+        .join(st.select(col("source").as("src_b"), col("n"),
+          col("types").as("b_types")), Seq("n"))
+        .filter(col("src_a") =!= col("src_b"))
+      grid.join(ov, Seq("src_a", "src_b", "n"), "left")
+        .withColumn("shared_types", coalesce(col("shared"), lit(0L)))
+        .select(col("src_a"), col("src_b"), col("n"), col("shared_types"),
+          col("b_types"),
+          expr("CAST(shared_types * 1000000 div b_types AS BIGINT)")
+            .as("containment_micro"))
+        .orderBy(col("src_a"), col("src_b"), col("n"))
     },
 
     // ---- Curation release report: the end-to-end GO/NO-GO artifact a
@@ -3984,6 +4113,128 @@ object TextOps {
           lit(0L).as("threshold_micro"),
           (col("v") === 0).cast("int").as("pass"))
       gates.unionByName(summary).orderBy(col("gate"))
+    },
+
+    // ---- STREAMING release gates (r12 ask #7b): the live-monitor
+    //      twin of q317, restricted to the gates a streaming fold can
+    //      carry with DOMAIN-sized state — drift PSI (the q301 state:
+    //      sources · distinct lengths · 2), privacy k=5 risk and the
+    //      prefilter funnel (BOTH derived from one (lang, source,
+    //      length-bucket) cell table — the funnel's lang/length
+    //      stages are per-row predicates, so retention is a SUM over
+    //      cells, no extra state). The two domains ride ONE
+    //      complete-mode fold over a union-typed key (kind, k1, k2,
+    //      k3): each document row contributes exactly one row per
+    //      domain, and the gate assembly (shared [[psiTerms]] integer
+    //      core + 1-row folds) runs AT READ through
+    //      [[releaseGatesTail]] — so the release dashboard is a live
+    //      metric whose batch definition is the oracle itself. The
+    //      dedup gates (exact hash, near-dup CC) need corpus-sized
+    //      state and stay batch-side in q317 (q93/q94 prove the
+    //      underlying streaming dedup separately); a live gate is
+    //      what pages the on-call BEFORE the nightly release job
+    //      reruns the full funnel. ----
+    QueryDef.sql("q332_stream_release_gates",
+      """WITH ss AS (SELECT source, n_chars AS v,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 0 ELSE 1 END AS ep, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars, ep),
+        |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS c
+        |  FROM ss GROUP BY v),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sup),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
+        |    AS lo FROM sup),
+        |bin AS (SELECT cum.v, CAST(least(9, (cum.lo - 1) * 10 // nn.n)
+        |    AS BIGINT) AS b FROM cum, nn),
+        |cell AS (SELECT ss.source, bin.b, ss.ep,
+        |    CAST(sum(ss.c) AS BIGINT) AS c
+        |  FROM ss JOIN bin ON bin.v = ss.v
+        |  GROUP BY ss.source, bin.b, ss.ep),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nbins
+        |  FROM bin),
+        |grid AS (SELECT s.source, bb.b
+        |  FROM (SELECT DISTINCT source FROM ss) s,
+        |  (SELECT DISTINCT b FROM bin) bb),
+        |ee AS (SELECT g.source, g.b,
+        |    COALESCE(max(CASE WHEN cell.ep = 0 THEN cell.c END), 0) AS c0,
+        |    COALESCE(max(CASE WHEN cell.ep = 1 THEN cell.c END), 0) AS c1
+        |  FROM grid g LEFT JOIN cell
+        |    ON cell.source = g.source AND cell.b = g.b
+        |  GROUP BY g.source, g.b),
+        |nss AS (SELECT source, CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1 FROM ee GROUP BY source),
+        |pq AS (SELECT ee.source, ee.b,
+        |    CAST((ee.c0 + 1) * 1000000 // (nss.n0 + nb.nbins) AS BIGINT)
+        |      AS pm,
+        |    CAST((ee.c1 + 1) * 1000000 // (nss.n1 + nb.nbins) AS BIGINT)
+        |      AS qm
+        |  FROM ee JOIN nss ON nss.source = ee.source, nb),
+        |term AS (SELECT source, sum(CAST(qm - pm AS HUGEINT) *
+        |    CAST(round(ln(CAST(qm AS DOUBLE) / pm) * 1000000) AS BIGINT))
+        |    AS s FROM pq GROUP BY source),
+        |kg AS (SELECT lang, source, n_chars // 100 AS lb,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g0 AS (
+        |  SELECT 'funnel_prefilter' AS gate,
+        |    CAST((SELECT COALESCE(sum(CASE WHEN lang IN
+        |        ('en', 'de', 'fr', 'es') AND lb >= 1 THEN n ELSE 0 END),
+        |        0) * 1000000 // sum(n) FROM kg) AS BIGINT) AS value_micro,
+        |    CAST(250000 AS BIGINT) AS threshold_micro, 1 AS dir
+        |  UNION ALL
+        |  SELECT 'drift_psi_max',
+        |    (SELECT CAST(COALESCE(max(s // 1000000), 0) AS BIGINT)
+        |      FROM term),
+        |    CAST(250000 AS BIGINT), -1
+        |  UNION ALL
+        |  SELECT 'privacy_k5_risk',
+        |    (SELECT CAST(COALESCE(sum(CASE WHEN n < 5 THEN n END), 0)
+        |      * 1000000 // sum(n) AS BIGINT) FROM kg),
+        |    CAST(50000 AS BIGINT), -1),
+        |gts AS (SELECT gate, value_micro, threshold_micro,
+        |    CAST(CASE WHEN dir = 1 THEN value_micro >= threshold_micro
+        |      ELSE value_micro <= threshold_micro END AS INTEGER) AS pass
+        |  FROM g0)
+        |SELECT gate, value_micro, threshold_micro, pass FROM gts
+        |UNION ALL
+        |SELECT 'release',
+        |  CAST((SELECT sum(1 - pass) FROM gts) AS BIGINT),
+        |  CAST(0 AS BIGINT),
+        |  CAST((SELECT sum(1 - pass) FROM gts) = 0 AS INTEGER)
+        |ORDER BY gate""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "docmetafeed",
+        idCol = "doc_id", checkSpan = false)(docs)
+      val sink = graft.bench.BenchFeeds.sinkName("q332_gates")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(explode(array(
+            struct(lit("len").as("kind"), col("source").as("k1"),
+              col("n_chars").cast("string").as("k2"),
+              when(substring(md5(col("doc_id").cast("string")
+                .cast("binary")), 1, 1) < "8", "0").otherwise("1")
+                .as("k3")),
+            struct(lit("kg").as("kind"), col("lang").as("k1"),
+              col("source").as("k2"),
+              expr("CAST(n_chars div 100 AS STRING)").as("k3"))))
+            .as("r"))
+          .select(col("r.kind").as("kind"), col("r.k1").as("k1"),
+            col("r.k2").as("k2"), col("r.k3").as("k3"))
+          .groupBy(col("kind"), col("k1"), col("k2"), col("k3"))
+          .agg(count(lit(1)).as("c"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      releaseGatesTail(s.table(sink)
+        .select(col("kind"), col("k1"), col("k2"), col("k3"),
+          col("c").cast("long").as("c"))
+        .localCheckpoint())
     },
 
     // ---- Quota shadow price: what does the per-source quota COST in

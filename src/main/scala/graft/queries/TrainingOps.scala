@@ -3126,13 +3126,21 @@ object TrainingOps {
     //      comparisons carries its strength; an all-zero pair term
     //      contributes 0. nij·10¹² and w·10¹² ride HUGEINT /
     //      DECIMAL(38,0) (the q303 fence): a pair past ~9.2M
-    //      comparisons widens instead of wrapping. Scale: the 256
-    //      md5 buckets are a CONSTANT-FACTOR rebate — Σ bucket² ≈
-    //      corpus²/256, still quadratic in corpus size (unlike the
-    //      df-capped gram pipelines); at 100 TB the duel join needs
-    //      per-bucket sampling or a corpus-scaled bucket key —
-    //      documented cliff, see SCALE.md. The MM rounds themselves
-    //      run on the O(sources²) win matrix. ----
+    //      comparisons widens instead of wrapping. Scale (r12 ask
+    //      #2): the bucket count is CORPUS-DERIVED — B = max(16,
+    //      N div 16), the autoCentroids discipline — so expected
+    //      bucket size stays ~16 docs at ANY corpus and the duel
+    //      join is Σ bucket² ≈ 16·N pair instances: LINEAR in the
+    //      corpus, not the old fixed-256-bucket corpus²/256. Both
+    //      engines derive B from the same count with the same floor
+    //      division, and the bucket key is the same md5 prefix mod B
+    //      (8 hex chars — 32 bits, exact in BIGINT), so the duel set
+    //      is bit-identical. The MM rounds themselves run on the
+    //      O(sources²) win matrix. Oracle CTEs are MATERIALIZED (the
+    //      q248/q279 discipline): DuckDB inlines plain CTEs, and the
+    //      duel→p→s₀→s₄ chain re-computed the corpus-sized bucket
+    //      join 3⁴ times once bk carried the count subquery (14 min
+    //      at sf0.01, measured; 0.06 s materialized). ----
     QueryDef.sql("q302_bradley_terry", {
       val iters = (1 to 4).map { i =>
         s"""d$i AS (SELECT p.i, sum(CASE WHEN a.s + b.s > 0
@@ -3149,24 +3157,28 @@ object TrainingOps {
            |  FROM d$i LEFT JOIN w ON w.i = d$i.i
            |  JOIN s${i - 1} s ON s.src = d$i.i),
            |m$i AS (SELECT max(s) AS m FROM r$i),
-           |s$i AS (SELECT r.src, CASE WHEN m.m > 0
+           |s$i AS MATERIALIZED (SELECT r.src, CASE WHEN m.m > 0
            |    THEN (r.s * 1000000) // m.m ELSE r.s END AS s
            |  FROM r$i r, m$i m)""".stripMargin
       }.mkString(",\n")
-      s"""WITH bk AS (SELECT substring(md5(CAST(doc_id AS VARCHAR)),
-         |    1, 2) AS b, source, n_chars FROM documents),
-         |duel AS (SELECT a.source AS i, b.source AS j,
+      s"""WITH nb AS MATERIALIZED (SELECT greatest(16, count(*) // 16)
+         |  AS b FROM documents),
+         |bk AS MATERIALIZED (SELECT ('0x' ||
+         |    substring(md5(CAST(doc_id AS VARCHAR)),
+         |    1, 8))::BIGINT % nb.b AS b, source, n_chars
+         |  FROM documents, nb),
+         |duel AS MATERIALIZED (SELECT a.source AS i, b.source AS j,
          |    CAST(count(*) AS BIGINT) AS wins
          |  FROM bk a JOIN bk b ON a.b = b.b AND a.source <> b.source
          |    AND a.n_chars > b.n_chars
          |  GROUP BY a.source, b.source),
-         |p AS (SELECT COALESCE(d1.i, d2.j) AS i,
+         |p AS MATERIALIZED (SELECT COALESCE(d1.i, d2.j) AS i,
          |    COALESCE(d1.j, d2.i) AS j,
          |    COALESCE(d1.wins, 0) + COALESCE(d2.wins, 0) AS nij
          |  FROM duel d1 FULL JOIN duel d2
          |    ON d1.i = d2.j AND d1.j = d2.i),
-         |w AS (SELECT i, CAST(sum(wins) AS BIGINT) AS w FROM duel
-         |  GROUP BY i),
+         |w AS MATERIALIZED (SELECT i, CAST(sum(wins) AS BIGINT) AS w
+         |  FROM duel GROUP BY i),
          |s0 AS (SELECT i AS src, CAST(1000000 AS BIGINT) AS s
          |  FROM (SELECT DISTINCT i FROM p)),
          |$iters
@@ -3175,9 +3187,14 @@ object TrainingOps {
          |FROM s4 LEFT JOIN w ON w.i = s4.src
          |ORDER BY source""".stripMargin
     }) { (s, d) =>
-      val bk = t(s, d, "documents")
-        .select(substring(md5(col("doc_id").cast("string")
-          .cast("binary")), 1, 2).as("b"), col("source"), col("n_chars"))
+      val docs = t(s, d, "documents")
+      // corpus-derived bucket count (the autoCentroids discipline):
+      // one footer-metadata count, never a column scan
+      val nBuckets = math.max(16L, docs.count() / 16L)
+      val bk = docs
+        .select((conv(substring(md5(col("doc_id").cast("string")
+            .cast("binary")), 1, 8), 16, 10).cast("long") % nBuckets)
+          .as("b"), col("source"), col("n_chars"))
         .localCheckpoint() // bucket-blocked duel table feeds both legs
       val duel = bk.select(col("b"), col("source").as("i"),
           col("n_chars").as("ca"))
@@ -3345,6 +3362,88 @@ object TrainingOps {
             expr("CAST(sum_b * 1000000 div sum_a AS BIGINT)"))
             .as("b_over_a_micro"))
         .orderBy(col("decile"))
+    },
+
+    // ---- Winner's-curse-CORRECTED leaderboard (r12 ask #7c): q326
+    //      shows the curse (top-decile A-half winners regress in the
+    //      B half); q289 supplies the cure (empirical-Bayes
+    //      shrinkage). THIS composes them: rank users by their
+    //      A-half purchase rate, shrink every rate toward the grand
+    //      mean with the q289 prior (m = mean A-half exposure), and
+    //      report the raw top-10 with raw rank, shrunk rank, and the
+    //      HOLDOUT (B-half) rate — the truth proxy the raw rate
+    //      overshoots and the shrunk rate should land nearer. The
+    //      artifact every "top performers" dashboard should ship
+    //      instead of the raw sort. All integer: rates are micro
+    //      floor divisions, both rankings are row_number over (rate
+    //      DESC, user_id) — deterministic total orders the engines
+    //      share. Scale: one per-user agg; the rank windows run
+    //      single-partition on the O(users) post-agg table (the q326
+    //      note: monster scale swaps in the q63 two-level scheme);
+    //      output is 10 rows. ----
+    QueryDef.sql("q333_corrected_leaderboard",
+      """WITH e AS (SELECT user_id,
+        |    CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |u AS (SELECT user_id, CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(a * y) AS BIGINT) AS ka,
+        |    CAST(count(*) - sum(a) AS BIGINT) AS nb,
+        |    CAST(sum((1 - a) * y) AS BIGINT) AS kb
+        |  FROM e GROUP BY user_id),
+        |uf AS (SELECT * FROM u WHERE na > 0 AND nb > 0),
+        |gl AS (SELECT CAST(sum(ka) * 1000000 // sum(na) AS BIGINT)
+        |      AS pbar,
+        |    CAST(sum(na) // count(*) AS BIGINT) AS m FROM uf),
+        |sc AS (SELECT uf.user_id, uf.na,
+        |    CAST(uf.ka * 1000000 // uf.na AS BIGINT) AS raw_micro,
+        |    CAST((uf.ka * 1000000 + gl.m * gl.pbar) // (uf.na + gl.m)
+        |      AS BIGINT) AS shrunk_micro,
+        |    CAST(uf.kb * 1000000 // uf.nb AS BIGINT) AS b_micro
+        |  FROM uf, gl),
+        |rk AS (SELECT *,
+        |    row_number() OVER (ORDER BY raw_micro DESC, user_id)
+        |      AS raw_rank,
+        |    row_number() OVER (ORDER BY shrunk_micro DESC, user_id)
+        |      AS shrunk_rank
+        |  FROM sc)
+        |SELECT CAST(raw_rank AS BIGINT) AS raw_rank, user_id,
+        |  na AS n_a, raw_micro, shrunk_micro,
+        |  CAST(shrunk_rank AS BIGINT) AS shrunk_rank, b_micro
+        |FROM rk WHERE raw_rank <= 10 ORDER BY raw_rank""".stripMargin) {
+      (s, d) =>
+      val u = t(s, d, "events")
+        .select(col("user_id"),
+          when(substring(md5(col("event_id").cast("string")
+            .cast("binary")), 1, 1) < "8", 1L).otherwise(0L).as("a"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("a")).cast("long").as("na"),
+          sum(col("a") * col("y")).cast("long").as("ka"),
+          (count(lit(1)) - sum(col("a"))).cast("long").as("nb"),
+          sum((lit(1L) - col("a")) * col("y")).cast("long").as("kb"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .localCheckpoint() // O(users): prior agg + the ranked report
+      val gl = u.agg(
+        expr("CAST(sum(ka) * 1000000 div sum(na) AS BIGINT)").as("pbar"),
+        expr("CAST(sum(na) div count(1) AS BIGINT)").as("m"))
+      val sc = u.crossJoin(broadcast(gl))
+        .select(col("user_id"), col("na"),
+          expr("CAST(ka * 1000000 div na AS BIGINT)").as("raw_micro"),
+          expr("CAST((ka * 1000000 + m * pbar) div (na + m) AS BIGINT)")
+            .as("shrunk_micro"),
+          expr("CAST(kb * 1000000 div nb AS BIGINT)").as("b_micro"))
+      val wRaw = Window.orderBy(col("raw_micro").desc, col("user_id"))
+      val wShr = Window.orderBy(col("shrunk_micro").desc, col("user_id"))
+      sc.withColumn("raw_rank", row_number().over(wRaw).cast("long"))
+        .withColumn("shrunk_rank", row_number().over(wShr).cast("long"))
+        .filter(col("raw_rank") <= 10)
+        .select(col("raw_rank"), col("user_id"), col("na").as("n_a"),
+          col("raw_micro"), col("shrunk_micro"), col("shrunk_rank"),
+          col("b_micro"))
+        .orderBy(col("raw_rank"))
     },
 
     // ---- Exact two-sample Kolmogorov–Smirnov drift per source: the

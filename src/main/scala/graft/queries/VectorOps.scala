@@ -2708,6 +2708,194 @@ object VectorOps {
           expr("CAST(hits * 1000000 div (nq * 5) AS BIGINT)")
             .as("recall_micro"))
         .orderBy(col("n_probe"))
+    },
+
+    // ---- Approximate mutual-NN twin (r12 ask #4): the scale path
+    //      for q283. SRP-banded candidates (corpus-wide, NO exact
+    //      N² — candidate volume is what the banding admits), exact
+    //      cosine rescoring of candidates only, mutual check on the
+    //      approx 1-NN table — PLUS the quality audit the q325
+    //      operating-curve discipline demands: a 64-query panel's
+    //      EXACT 1-NN (brute force, O(64·N) — linear) joined against
+    //      the approx table reports agree_micro, the measured recall
+    //      of the approximate path. The sketch is the bit-exact q70
+    //      machinery (md5-derived ±1 planes over integer-quantized
+    //      vectors), so the oracle replays the identical algorithm —
+    //      candidate sets and all. Scale: codes are one map-side
+    //      projection; the (band, code) self-join's volume is the
+    //      banding's admission rate (16/256 of pairs on isotropic
+    //      data, collapsing to near-linear on clustered real
+    //      embeddings); the panel audit is O(panel·N). q283 stays
+    //      the exact tool at verification scale; THIS is the plan
+    //      that survives 100×. ----
+    QueryDef.sql("q329_mutual_nn_approx",
+      s"""WITH s AS (SELECT p.p AS p, d.d AS d,
+         |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' ||
+         |      CAST(d.d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn
+         |  FROM range($SrpPlanes) p(p), range(64) d(d)),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |bits AS (SELECT v.vec_id, s.p,
+         |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END
+         |      AS bit
+         |  FROM v, s GROUP BY v.vec_id, s.p),
+         |codes AS (SELECT vec_id, p // $SrpBandBits AS band,
+         |    sum(bit << (p % $SrpBandBits)) AS code
+         |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+         |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+         |  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
+         |  WHERE a.vec_id <> b.vec_id),
+         |ann AS (SELECT qid, cid FROM (
+         |  SELECT cand.qid, cand.cid,
+         |    row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY round(list_cosine_similarity(qa.emb, qb.emb), 4)
+         |        DESC, cand.cid) AS rn
+         |  FROM cand JOIN v qa ON qa.vec_id = cand.qid
+         |  JOIN v qb ON qb.vec_id = cand.cid) WHERE rn = 1),
+         |mu AS (SELECT x.qid FROM ann x
+         |  JOIN ann y ON y.qid = x.cid AND y.cid = x.qid
+         |  WHERE x.qid < x.cid),
+         |ex AS (SELECT qid, cid FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
+         |        DESC, b.vec_id) AS rn
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 64) WHERE rn = 1),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS panel_agree
+         |  FROM ex JOIN ann ON ann.qid = ex.qid AND ann.cid = ex.cid)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand)
+         |    AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM mu) AS n_mutual_approx,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS panel_n,
+         |  ag.panel_agree,
+         |  CAST(ag.panel_agree * 1000000 // (SELECT count(*) FROM ex)
+         |    AS BIGINT) AS agree_micro
+         |FROM ag""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val codes = srpBandCodes(e).localCheckpoint() // feeds both join legs
+      val cand = codes
+        .join(codes.select(col("vec_id").as("cid"), col("band"),
+          col("code")), Seq("band", "code"))
+        .filter(col("vec_id") =!= col("cid"))
+        .select(col("vec_id").as("qid"), col("cid"))
+        .distinct()
+        .localCheckpoint() // candidate set: feeds the count AND the scoring
+      val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val ann = heapTopK(cand.join(cv, "cid").join(qv, "qid")
+          .withColumn("cos_sim", round(cos("qv", "cv"), 4)), 1)
+        .localCheckpoint() // approx 1-NN: feeds mutual legs + the audit
+      val mu = ann.as("x")
+        .join(ann.as("y"), col("y.qid") === col("x.cid")
+          && col("y.cid") === col("x.qid"))
+        .filter(col("x.qid") < col("x.cid"))
+      val ex = blockTopK(e, e.filter(col("vec_id") < 64), k = 1)
+        .select(col("qid"), col("cid"))
+        .localCheckpoint() // exact panel: O(64·N), feeds count + join
+      val ag = ex.join(ann.select(col("qid"), col("cid")),
+          Seq("qid", "cid"))
+        .agg(count(lit(1)).as("panel_agree"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(mu.agg(count(lit(1)).as("n_mutual_approx")))
+        .crossJoin(ex.agg(count(lit(1)).as("panel_n")))
+        .crossJoin(ag)
+        .select(col("n_candidates"), col("n_mutual_approx"),
+          col("panel_n"), col("panel_agree"),
+          expr("CAST(panel_agree * 1000000 div panel_n AS BIGINT)")
+            .as("agree_micro"))
+    },
+
+    // ---- Approximate hard-negatives twin (r12 ask #4): q237's scale
+    //      path — SRP-banded candidates filtered to different-label
+    //      pairs, exact top-3 rescoring of candidates only, and the
+    //      64-query panel recall audit against the exact top-3
+    //      (blockTopK labelAware on the panel — O(64·N)). recall_micro
+    //      = |approx ∩ exact| / |exact| over the panel rows: the
+    //      operating point's measured quality, in-query, the q325
+    //      discipline. Same bit-exact sketch and candidate replay as
+    //      q329. ----
+    QueryDef.sql("q330_hard_negatives_approx",
+      s"""WITH s AS (SELECT p.p AS p, d.d AS d,
+         |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' ||
+         |      CAST(d.d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn
+         |  FROM range($SrpPlanes) p(p), range(64) d(d)),
+         |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |bits AS (SELECT v.vec_id, s.p,
+         |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END
+         |      AS bit
+         |  FROM v, s GROUP BY v.vec_id, s.p),
+         |codes AS (SELECT vec_id, p // $SrpBandBits AS band,
+         |    sum(bit << (p % $SrpBandBits)) AS code
+         |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+         |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+         |  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
+         |  WHERE a.vec_id <> b.vec_id),
+         |ap AS (SELECT qid, cid FROM (
+         |  SELECT cand.qid, cand.cid,
+         |    row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY round(list_cosine_similarity(qa.emb, qb.emb), 4)
+         |        DESC, cand.cid) AS rn
+         |  FROM cand JOIN v qa ON qa.vec_id = cand.qid
+         |  JOIN v qb ON qb.vec_id = cand.cid
+         |  WHERE qa.label <> qb.label) WHERE rn <= 3),
+         |ex AS (SELECT qid, cid FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
+         |        DESC, b.vec_id) AS rn
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         |    AND a.label <> b.label
+         |  WHERE a.vec_id < 64) WHERE rn <= 3),
+         |hits AS (SELECT CAST(count(*) AS BIGINT) AS panel_hits
+         |  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.cid = ex.cid)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand)
+         |    AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ap) AS n_approx_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS panel_rows,
+         |  hits.panel_hits,
+         |  CAST(hits.panel_hits * 1000000 // (SELECT count(*) FROM ex)
+         |    AS BIGINT) AS recall_micro
+         |FROM hits""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val codes = srpBandCodes(e).localCheckpoint()
+      val cand = codes
+        .join(codes.select(col("vec_id").as("cid"), col("band"),
+          col("code")), Seq("band", "code"))
+        .filter(col("vec_id") =!= col("cid"))
+        .select(col("vec_id").as("qid"), col("cid"))
+        .distinct()
+        .localCheckpoint()
+      val qside = e.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("label").as("qlab"))
+      val cside = e.select(col("vec_id").as("cid"),
+        col("embedding").as("cv"), col("label").as("clab"))
+      val ap = heapTopK(cand.join(cside, "cid").join(qside, "qid")
+          .filter(col("qlab") =!= col("clab"))
+          .withColumn("cos_sim", round(cos("qv", "cv"), 4)), 3)
+        .localCheckpoint() // approx top-3: feeds the count + the audit
+      val ex = blockTopK(e, e.filter(col("vec_id") < 64), k = 3,
+          labelAware = true)
+        .select(col("qid"), col("cid"))
+        .localCheckpoint() // exact panel rows: O(64·N)
+      val hits = ex.join(ap.select(col("qid"), col("cid")),
+          Seq("qid", "cid"))
+        .agg(count(lit(1)).as("panel_hits"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(ap.agg(count(lit(1)).as("n_approx_rows")))
+        .crossJoin(ex.agg(count(lit(1)).as("panel_rows")))
+        .crossJoin(hits)
+        .select(col("n_candidates"), col("n_approx_rows"),
+          col("panel_rows"), col("panel_hits"),
+          expr("CAST(panel_hits * 1000000 div panel_rows AS BIGINT)")
+            .as("recall_micro"))
     })
 
   /** DuckDB oracle for q248: the k-step greedy MMR walk unrolled into

@@ -1626,4 +1626,44 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(r.getLong(r.fieldIndex("risk_micro")) == 1000000L, s"$r")
     }
   }
+
+  test("q331: a single-source corpus has NO cross-source cells — " +
+    "empty matrix, not a self-pair") {
+    // the grid is built from source PAIRS with a <> b; one source ⇒
+    // zero rows on both engines (the oracle's g subquery is likewise
+    // empty), never a degenerate self-containment row
+    assert(run("q331_contamination_matrix").isEmpty)
+  }
+
+  test("q332: gates stay integer-defined on the collapsed corpus") {
+    // single source: the PSI grid is one source wide, privacy groups
+    // collapse — every gate must still read an integer value and an
+    // integer pass, never NULL/NaN (the release row counts fails)
+    val rows = run("q332_stream_release_gates")
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("value_micro")), s"$r")
+      assert(!r.isNullAt(r.fieldIndex("pass")), s"$r")
+    }
+    val release = rows.find(_.getString(0) == "release").get
+    val fails = rows.filter(_.getString(0) != "release")
+      .count(_.getInt(3) == 0)
+    assert(release.getLong(release.fieldIndex("value_micro")) ==
+      fails.toLong, s"release row must count failed gates: $release")
+  }
+
+  test("q333: a one-user population is a one-row leaderboard with " +
+    "both ranks 1 — shrinkage toward a self-mean stays defined") {
+    // every event belongs to user 1, so the leaderboard is that user
+    // alone: grand mean == the user's own A rate, prior m == the
+    // user's own na — the shrinkage algebra runs against itself and
+    // must stay integer-defined, with both rank orders trivially 1
+    val rows = run("q333_corrected_leaderboard")
+    assert(rows.length == 1, rows.mkString(";"))
+    val r = rows(0)
+    assert(r.getLong(r.fieldIndex("raw_rank")) == 1L, s"$r")
+    assert(r.getLong(r.fieldIndex("shrunk_rank")) == 1L, s"$r")
+    assert(!r.isNullAt(r.fieldIndex("shrunk_micro")), s"$r")
+    assert(!r.isNullAt(r.fieldIndex("b_micro")), s"$r")
+  }
 }

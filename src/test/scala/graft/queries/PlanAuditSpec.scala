@@ -950,7 +950,23 @@ class PlanAuditSpec extends AnyFunSuite {
       // q327 = past the checkpointed (source, length) counts: support
       // + margin aggs, the grid join + per-source CDF windows, the
       // argmax agg + result sort — all domain-sized (q217's shape)
-      "q327_ks_drift" -> 5)
+      "q327_ks_drift" -> 5,
+      // q329/q330 = past the checkpointed SRP-candidate / approx-NN /
+      // exact-panel tables: the mutual (q329) reversed-key self-join,
+      // the panel-audit join, and the 1-row count aggs feeding the
+      // report row — every corpus-sized exchange (the (band, code)
+      // candidate join, candidate rescoring into the bounded heap)
+      // executes at checkpoint build
+      "q329_mutual_nn_approx" -> 8,
+      "q330_hard_negatives_approx" -> 6,
+      // q331 = past the checkpointed type-set table: the (n, gr)
+      // overlap join + per-cell agg, the grid join, result sort —
+      // the corpus-sized distinct pays at checkpoint build
+      "q331_contamination_matrix" -> 3,
+      // q333 = the O(users) rank windows + result sort past the
+      // checkpointed per-user split agg (single-partition post-agg —
+      // monster scale swaps in the q63 two-level scheme)
+      "q333_corrected_leaderboard" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
