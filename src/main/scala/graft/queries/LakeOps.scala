@@ -895,30 +895,33 @@ object LakeOps {
     //      semi-joins, all node-keyed. A production solver iterates
     //      to fixpoint with per-round localCheckpoint (the q69 CC
     //      pattern); the 3-round unroll keeps the oracle expressible.
-    //      ----
+    //      Oracle CTEs MATERIALIZED (the q302 lesson, r13): DuckDB
+    //      inlines plain CTEs, and the peel chain re-computed the
+    //      quadratic co-occurrence join per reference — 80 s at
+    //      sf0.01 measured, 0.04 s materialized, identical rows. ----
     QueryDef.sql("q156_kcore_profile",
       """WITH ev AS (SELECT event_type AS et,
         |    epoch_us(ts) // 600000000 AS b, user_id AS u FROM events),
-        |bu AS (SELECT DISTINCT et, b, u FROM ev),
-        |e0 AS (SELECT DISTINCT l.u AS x, r.u AS y FROM bu l
+        |bu AS MATERIALIZED (SELECT DISTINCT et, b, u FROM ev),
+        |e0 AS MATERIALIZED (SELECT DISTINCT l.u AS x, r.u AS y FROM bu l
         |  JOIN bu r ON l.et = r.et AND l.b = r.b AND l.u < r.u),
-        |kk AS (SELECT CAST(3 * ((2 * (SELECT count(*) FROM e0))
+        |kk AS MATERIALIZED (SELECT CAST(3 * ((2 * (SELECT count(*) FROM e0))
         |    // greatest(1, (SELECT count(DISTINCT u) FROM (SELECT x AS u
         |        FROM e0 UNION ALL SELECT y FROM e0)))) // 4 AS BIGINT) AS k),
-        |d0 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
+        |d0 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
         |    SELECT x AS u FROM e0 UNION ALL SELECT y FROM e0) GROUP BY u),
-        |k0 AS (SELECT u FROM d0 WHERE dg >= (SELECT k FROM kk)),
-        |e1 AS (SELECT x, y FROM e0 WHERE x IN (SELECT u FROM k0)
+        |k0 AS MATERIALIZED (SELECT u FROM d0 WHERE dg >= (SELECT k FROM kk)),
+        |e1 AS MATERIALIZED (SELECT x, y FROM e0 WHERE x IN (SELECT u FROM k0)
         |  AND y IN (SELECT u FROM k0)),
-        |d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
+        |d1 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
         |    SELECT x AS u FROM e1 UNION ALL SELECT y FROM e1) GROUP BY u),
-        |k1 AS (SELECT u FROM d1 WHERE dg >= (SELECT k FROM kk)),
-        |e2 AS (SELECT x, y FROM e1 WHERE x IN (SELECT u FROM k1)
+        |k1 AS MATERIALIZED (SELECT u FROM d1 WHERE dg >= (SELECT k FROM kk)),
+        |e2 AS MATERIALIZED (SELECT x, y FROM e1 WHERE x IN (SELECT u FROM k1)
         |  AND y IN (SELECT u FROM k1)),
-        |d2 AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
+        |d2 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
         |    SELECT x AS u FROM e2 UNION ALL SELECT y FROM e2) GROUP BY u),
-        |k2 AS (SELECT u FROM d2 WHERE dg >= (SELECT k FROM kk)),
-        |e3 AS (SELECT x, y FROM e2 WHERE x IN (SELECT u FROM k2)
+        |k2 AS MATERIALIZED (SELECT u FROM d2 WHERE dg >= (SELECT k FROM kk)),
+        |e3 AS MATERIALIZED (SELECT x, y FROM e2 WHERE x IN (SELECT u FROM k2)
         |  AND y IN (SELECT u FROM k2))
         |SELECT round, k, n_nodes, n_edges FROM (
         |  SELECT 0 AS round, (SELECT k FROM kk) AS k,

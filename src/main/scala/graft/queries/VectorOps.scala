@@ -2733,7 +2733,7 @@ object VectorOps {
          |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' ||
          |      CAST(d.d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn
          |  FROM range($SrpPlanes) p(p), range(64) d(d)),
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
          |    list_transform(CAST(embedding AS DOUBLE[]),
          |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
          |  FROM embeddings),
@@ -2741,13 +2741,13 @@ object VectorOps {
          |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END
          |      AS bit
          |  FROM v, s GROUP BY v.vec_id, s.p),
-         |codes AS (SELECT vec_id, p // $SrpBandBits AS band,
+         |codes AS MATERIALIZED (SELECT vec_id, p // $SrpBandBits AS band,
          |    sum(bit << (p % $SrpBandBits)) AS code
          |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
-         |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+         |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
          |  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
          |  WHERE a.vec_id <> b.vec_id),
-         |ann AS (SELECT qid, cid FROM (
+         |ann AS MATERIALIZED (SELECT qid, cid FROM (
          |  SELECT cand.qid, cand.cid,
          |    row_number() OVER (PARTITION BY cand.qid
          |      ORDER BY round(list_cosine_similarity(qa.emb, qb.emb), 4)
@@ -2757,7 +2757,7 @@ object VectorOps {
          |mu AS (SELECT x.qid FROM ann x
          |  JOIN ann y ON y.qid = x.cid AND y.cid = x.qid
          |  WHERE x.qid < x.cid),
-         |ex AS (SELECT qid, cid FROM (
+         |ex AS MATERIALIZED (SELECT qid, cid FROM (
          |  SELECT a.vec_id AS qid, b.vec_id AS cid,
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
@@ -2823,7 +2823,7 @@ object VectorOps {
          |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' ||
          |      CAST(d.d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn
          |  FROM range($SrpPlanes) p(p), range(64) d(d)),
-         |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         |v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
          |    list_transform(CAST(embedding AS DOUBLE[]),
          |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
          |  FROM embeddings),
@@ -2831,13 +2831,13 @@ object VectorOps {
          |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END
          |      AS bit
          |  FROM v, s GROUP BY v.vec_id, s.p),
-         |codes AS (SELECT vec_id, p // $SrpBandBits AS band,
+         |codes AS MATERIALIZED (SELECT vec_id, p // $SrpBandBits AS band,
          |    sum(bit << (p % $SrpBandBits)) AS code
          |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
-         |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+         |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
          |  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
          |  WHERE a.vec_id <> b.vec_id),
-         |ap AS (SELECT qid, cid FROM (
+         |ap AS MATERIALIZED (SELECT qid, cid FROM (
          |  SELECT cand.qid, cand.cid,
          |    row_number() OVER (PARTITION BY cand.qid
          |      ORDER BY round(list_cosine_similarity(qa.emb, qb.emb), 4)
@@ -2845,7 +2845,7 @@ object VectorOps {
          |  FROM cand JOIN v qa ON qa.vec_id = cand.qid
          |  JOIN v qb ON qb.vec_id = cand.cid
          |  WHERE qa.label <> qb.label) WHERE rn <= 3),
-         |ex AS (SELECT qid, cid FROM (
+         |ex AS MATERIALIZED (SELECT qid, cid FROM (
          |  SELECT a.vec_id AS qid, b.vec_id AS cid,
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
@@ -2896,6 +2896,142 @@ object VectorOps {
           col("panel_rows"), col("panel_hits"),
           expr("CAST(panel_hits * 1000000 div panel_rows AS BIGINT)")
             .as("recall_micro"))
+    },
+
+    // ---- SRP operating-curve sweep: the q299/q325 planner
+    //      discipline applied to the THIRD ANN family — before
+    //      re-banding the SRP sketch, what would (r bits, b bands)
+    //      with r·b = 128 DO on this corpus? The key insight is that
+    //      all three operating points derive from the ONE 16×8-bit
+    //      sketch already computed: 4-bit bands are the nibbles of
+    //      each 8-bit code (code % 16 / code div 16), 16-bit bands
+    //      concatenate adjacent band pairs (code(2i) + code(2i+1)·2⁸)
+    //      — no re-projection, pure integer regrouping, bit-exact in
+    //      both engines. Per config the 64-query panel measures
+    //      candidate volume (the cost axis) and recall@5 vs the exact
+    //      blockTopK answer (the quality axis) — r=4 admits most and
+    //      recalls best, r=16 is cheapest and blindest; the curve is
+    //      what picks the operating point. Scale: the corpus pays the
+    //      sketch projection once (map-side) + ONE (r, band, code)
+    //      join against the 64·56-row broadcast panel codes —
+    //      bounded candidate volume O(panel·N), never a corpus
+    //      self-join. ----
+    QueryDef.sql("q334_srp_operating_curve",
+      s"""WITH s AS (SELECT p.p AS p, d.d AS d,
+         |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' ||
+         |      CAST(d.d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn
+         |  FROM range($SrpPlanes) p(p), range(64) d(d)),
+         |v AS MATERIALIZED (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |bits AS (SELECT v.vec_id, s.p,
+         |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END
+         |      AS bit
+         |  FROM v, s GROUP BY v.vec_id, s.p),
+         |codes AS MATERIALIZED (SELECT vec_id,
+         |    p // $SrpBandBits AS band,
+         |    sum(bit << (p % $SrpBandBits)) AS code
+         |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+         |allc AS MATERIALIZED (
+         |  SELECT 4 AS r, vec_id, band * 2 AS band, code % 16 AS code
+         |    FROM codes
+         |  UNION ALL
+         |  SELECT 4, vec_id, band * 2 + 1, code // 16 FROM codes
+         |  UNION ALL
+         |  SELECT 8, vec_id, band, code FROM codes
+         |  UNION ALL
+         |  SELECT 16, vec_id, band // 2,
+         |    CAST(sum(CAST(code AS BIGINT) << (8 * (band % 2)))
+         |      AS BIGINT)
+         |    FROM codes GROUP BY vec_id, band // 2),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.r, a.vec_id AS qid,
+         |    b.vec_id AS cid
+         |  FROM allc a JOIN allc b ON a.r = b.r AND a.band = b.band
+         |    AND a.code = b.code
+         |  WHERE a.vec_id < 64 AND a.vec_id <> b.vec_id),
+         |ap AS (SELECT r, qid, cid FROM (
+         |  SELECT cand.r, cand.qid, cand.cid,
+         |    row_number() OVER (PARTITION BY cand.r, cand.qid
+         |      ORDER BY round(list_cosine_similarity(qa.emb, qb.emb), 4)
+         |        DESC, cand.cid) AS rn
+         |  FROM cand JOIN v qa ON qa.vec_id = cand.qid
+         |  JOIN v qb ON qb.vec_id = cand.cid) WHERE rn <= 5),
+         |ex AS MATERIALIZED (SELECT qid, cid FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
+         |        DESC, b.vec_id) AS rn
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 64) WHERE rn <= 5),
+         |hit AS (SELECT ap.r, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ap JOIN ex ON ex.qid = ap.qid AND ex.cid = ap.cid
+         |  GROUP BY ap.r),
+         |cn AS (SELECT r, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cand GROUP BY r),
+         |nex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex)
+         |SELECT CAST(cn.r AS BIGINT) AS r, CAST(128 // cn.r AS BIGINT)
+         |    AS b,
+         |  cn.n_candidates, COALESCE(hit.hits, 0) AS hits,
+         |  CAST(COALESCE(hit.hits, 0) * 1000000 // nex.n AS BIGINT)
+         |    AS recall_micro
+         |FROM cn LEFT JOIN hit ON hit.r = cn.r, nex
+         |ORDER BY r""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+      val c8 = srpBandCodes(e)
+        .select(col("vec_id"), col("band").cast("int").as("band"),
+          col("code").cast("long").as("code"))
+        .localCheckpoint() // ONE sketch pass feeds all three regroupings
+      val c4 = c8.select(col("vec_id"), (col("band") * 2).as("band"),
+          expr("code % 16").as("code"))
+        .unionAll(c8.select(col("vec_id"), (col("band") * 2 + 1).as("band"),
+          expr("code div 16").as("code")))
+      val c16 = c8.groupBy(col("vec_id"), expr("band div 2").as("band"))
+        .agg(sum(expr("shiftleft(code, (band % 2) * 8)")).as("code"))
+      val allc = c4.select(lit(4L).as("r"), col("vec_id"),
+          col("band").cast("int").as("band"), col("code").cast("long")
+            .as("code"))
+        .unionByName(c8.select(lit(8L).as("r"), col("vec_id"),
+          col("band"), col("code")))
+        .unionByName(c16.select(lit(16L).as("r"), col("vec_id"),
+          col("band").cast("int").as("band"),
+          col("code").cast("long").as("code")))
+        .localCheckpoint() // feeds the panel side AND the corpus side
+      val pc = broadcast(allc.filter(col("vec_id") < 64)
+        .select(col("r"), col("band"), col("code"),
+          col("vec_id").as("qid")))
+      val cand = allc.join(pc, Seq("r", "band", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("r"), col("qid"), col("vec_id").as("cid"))
+        .distinct()
+        .localCheckpoint() // cost count + the scored top-5
+      val qv = broadcast(e.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val cv = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val ap = cand.join(cv, "cid").join(qv, "qid")
+        .withColumn("cs", round(cos("qv", "cv"), 4))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("r"), col("qid"))
+            .orderBy(col("cs").desc, col("cid"))))
+        .filter(col("rn") <= 5)
+        .select(col("r"), col("qid"), col("cid"))
+      val ex = blockTopK(e, e.filter(col("vec_id") < 64), k = 5)
+        .select(col("qid"), col("cid"))
+        .localCheckpoint() // shared exact baseline across the 3 configs
+      val hit = ap.join(ex, Seq("qid", "cid"))
+        .groupBy(col("r")).agg(count(lit(1)).as("hits"))
+      val cn = cand.groupBy(col("r"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val nex = ex.agg(count(lit(1)).as("n"))
+      cn.join(hit, Seq("r"), "left")
+        .crossJoin(broadcast(nex))
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .select(col("r"), expr("CAST(128 div r AS BIGINT)").as("b"),
+          col("n_candidates"), col("hits"),
+          expr("CAST(hits * 1000000 div n AS BIGINT)").as("recall_micro"))
+        .orderBy(col("r"))
     })
 
   /** DuckDB oracle for q248: the k-step greedy MMR walk unrolled into

@@ -966,7 +966,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // q333 = the O(users) rank windows + result sort past the
       // checkpointed per-user split agg (single-partition post-agg —
       // monster scale swaps in the q63 two-level scheme)
-      "q333_corrected_leaderboard" -> 2)
+      "q333_corrected_leaderboard" -> 2,
+      // q334 = past the checkpointed code/candidate/exact-panel
+      // tables: the per-(r, qid) top-5 window, hit/cost aggs, their
+      // join + result sort — all panel-sized; the corpus pays one
+      // map-side sketch + the broadcast panel-code join at build
+      "q334_srp_operating_curve" -> 7)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = plan(q).collect { case s: ShuffleExchangeExec => s }.size
       if (n > budget) Some(s"$q: $n shuffle exchanges, budget $budget") else None
@@ -1069,6 +1074,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // absolute literal bound, not a corpus fraction
       "q38_cosine_topk" -> "10-row query panel (vec_id < 10)",
       "q70_ann_srp_lsh" -> "10-row query panel (codes + vectors)",
+      "q334_srp_operating_curve" ->
+        "64-row query panel (codes + vectors, bounded at any SF)",
       "q112_quantized_recall" -> "10-row query panels (both legs)",
       "q251_ndcg" -> "10-row query panel",
       // the benchmark leg stands in for an external eval suite — a

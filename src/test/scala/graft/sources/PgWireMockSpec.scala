@@ -572,6 +572,46 @@ class PgWireMockSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("an idle COPY-BOTH stream emits periodic standby statuses (the " +
+    "1s poll-timeout branch) and honors the deadline") {
+    // no XLogData at all: the client must keep the connection alive by
+    // sending unsolicited standby statuses on its poll timeout, then
+    // return 0 frames when the deadline passes — the branch a busy
+    // stream never exercises
+    val statuses = mutable.Buffer.empty[Long]
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup(_.authOk())
+      c.expectQuery()
+      c.copyBothResponse()
+      // collect whatever arrives until the client hangs up
+      try {
+        var go = true
+        while (go) {
+          val (t, b) = c.readMsg()
+          if (t == 'd' && b(0).toChar == 'r')
+            statuses += ByteBuffer.wrap(b, 1, 8).getLong
+          if (t == 'X') go = false
+        }
+      } catch {
+        case _: EOFException => ()
+        case _: java.net.SocketException => ()
+      }
+    }))
+    try {
+      val wire = new PgWire(srv.dsn(), replication = true)
+      val frames = try {
+        wire.startReplication("idle_slot", "idle_pub", 0x7000L,
+          () => 0x7000L, deadlineMs = 3500) { _ => true }
+      } finally wire.close()
+      assert(frames == 0L)
+      srv.await()
+      // ≥2 poll-timeout statuses (1s apart inside the 3.5s window)
+      // plus the final one on exit; every ack carries ackLsn()
+      assert(statuses.size >= 3, s"statuses: ${statuses.size}")
+      assert(statuses.forall(_ == 0x7000L))
+    } finally srv.close()
+  }
+
   // ------------------------------------------------- publication DDL
 
   test("PgPublication.ensure: create when absent, no-op when converged, " +
