@@ -2112,11 +2112,11 @@ object LakeOps {
     //      yields ZERO rows — that IS the report. ----
     QueryDef.sql("q280_kleinberg_bursts",
       s"""WITH RECURSIVE $hourlySeriesCte,
-        |agg AS (SELECT etype, min(hidx) AS h0,
+        |agg AS MATERIALIZED (SELECT etype, min(hidx) AS h0,
         |    list(x ORDER BY hidx) AS arr,
         |    CAST(sum(x) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS t
         |  FROM ser GROUP BY etype),
-        |par AS (SELECT etype, h0, arr, t,
+        |par AS MATERIALIZED (SELECT etype, h0, arr, t,
         |    CAST(round(CAST(n AS DOUBLE) / t * 1000000) AS BIGINT) AS lm0,
         |    CAST(round(CAST(n AS DOUBLE) / t * 2000000) AS BIGINT) AS lm1,
         |    CAST(round(ln(CAST(n AS DOUBLE) / t) * 1000000) AS BIGINT)

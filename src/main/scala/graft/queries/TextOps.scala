@@ -1307,11 +1307,11 @@ object TextOps {
         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS grams FROM f),
-        |e AS (SELECT doc_id, unnest(grams) AS g FROM sh),
-        |w AS (SELECT g, 1000000 // count(*) AS w FROM e GROUP BY g),
-        |wd AS (SELECT e.doc_id, CAST(sum(w.w) AS BIGINT) AS wsum
+        |e AS MATERIALIZED (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |w AS MATERIALIZED (SELECT g, 1000000 // count(*) AS w FROM e GROUP BY g),
+        |wd AS MATERIALIZED (SELECT e.doc_id, CAST(sum(w.w) AS BIGINT) AS wsum
         |       FROM e JOIN w USING (g) GROUP BY e.doc_id),
-        |iw AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |iw AS MATERIALIZED (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
         |         CAST(sum(w.w) AS BIGINT) AS iw
         |       FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
         |       JOIN w ON w.g = a.g GROUP BY 1, 2)

@@ -1468,31 +1468,33 @@ object VectorOps {
     //      cluster-pruned EXACT similarity join (q39's operator — no
     //      cartesian), components from the large-star/small-star CC
     //      (q69's), and the neighbor-count/border folds are plain
-    //      integer aggs. The oracle replays it with a recursive CTE.
-    //      ----
+    //      integer aggs. The oracle replays it with a recursive CTE;
+    //      its non-recursive CTEs are MATERIALIZED (q302 discipline,
+    //      r13 — the quadratic ε-join was re-inlined 3×: 63 s → 1.6 s
+    //      at sf0.1, identical rows). ----
     QueryDef.sql("q238_dbscan",
       """WITH RECURSIVE
-        |pr AS (SELECT a.vec_id AS u, b.vec_id AS v
+        |pr AS MATERIALIZED (SELECT a.vec_id AS u, b.vec_id AS v
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])) >= 0.35),
-        |nb AS (SELECT u AS x, v AS y FROM pr
+        |nb AS MATERIALIZED (SELECT u AS x, v AS y FROM pr
         |  UNION ALL SELECT v, u FROM pr),
-        |ncnt AS (SELECT x, count(*) AS c FROM nb GROUP BY x),
-        |core AS (SELECT x FROM ncnt WHERE c >= 3),
-        |ce AS (SELECT pr.u, pr.v FROM pr
+        |ncnt AS MATERIALIZED (SELECT x, count(*) AS c FROM nb GROUP BY x),
+        |core AS MATERIALIZED (SELECT x FROM ncnt WHERE c >= 3),
+        |ce AS MATERIALIZED (SELECT pr.u, pr.v FROM pr
         |  JOIN core c1 ON pr.u = c1.x JOIN core c2 ON pr.v = c2.x),
-        |edges AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+        |edges AS MATERIALIZED (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
         |walk(node, comp) AS (
         |  SELECT DISTINCT u, u FROM edges
         |  UNION
         |  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
         |  WHERE w.comp < e.v),
-        |cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
-        |corec AS (SELECT core.x AS node,
+        |cc AS MATERIALIZED (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+        |corec AS MATERIALIZED (SELECT core.x AS node,
         |    coalesce(cc.comp, core.x) AS cluster
         |  FROM core LEFT JOIN cc ON cc.node = core.x),
-        |border AS (SELECT nb.x AS node, min(corec.cluster) AS cluster
+        |border AS MATERIALIZED (SELECT nb.x AS node, min(corec.cluster) AS cluster
         |  FROM nb JOIN corec ON nb.y = corec.node
         |  WHERE nb.x NOT IN (SELECT x FROM core)
         |  GROUP BY nb.x)
@@ -2262,18 +2264,20 @@ object VectorOps {
     //      same_label reads the pair-mining precision directly.
     //      Scale: shuffle is O(N·blocks) vector copies + heap
     //      partials; the mutual check is a self-join of the O(N)
-    //      1-NN table on its own reversed key. ----
+    //      1-NN table on its own reversed key. Oracle v/nn/mu CTEs
+    //      MATERIALIZED (q302 discipline, r13): the N² ranking
+    //      window was re-inlined per mutual-join leg. ----
     QueryDef.sql("q283_mutual_nn",
-      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[])
+      """WITH v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[])
         |    AS emb FROM embeddings),
-        |nn AS (SELECT qid, cid, cs FROM (
+        |nn AS MATERIALIZED (SELECT qid, cid, cs FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
         |    round(list_cosine_similarity(a.emb, b.emb), 4) AS cs,
         |    row_number() OVER (PARTITION BY a.vec_id
         |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
         |        DESC, b.vec_id) AS rn
         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id) WHERE rn = 1),
-        |mu AS (SELECT x.qid AS id1, x.cid AS id2, x.cs
+        |mu AS MATERIALIZED (SELECT x.qid AS id1, x.cid AS id2, x.cs
         |  FROM nn x JOIN nn y ON y.qid = x.cid AND y.cid = x.qid
         |  WHERE x.qid < x.cid)
         |SELECT mu.id1, mu.id2, mu.cs AS cos_sim,
