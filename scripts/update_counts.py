@@ -56,10 +56,17 @@ def main():
     text = re.sub(
         r"Every query id \(qNN, \d+ total\)",
         f"Every query id (qNN, {nq} total)", text)
-    text = re.sub(
-        r"\(\d+ tests /\n\d+ suites — count from the round-\d+ `sbt test` run log: \d+/\d+ green;",
+    # accept both "green;" and "green," — the trailing punctuation
+    # drifted in r12 and the old strict pattern silently stopped
+    # matching, leaving the header stale (the exact failure mode this
+    # script exists to prevent)
+    text, n_subs = re.subn(
+        r"\(\d+ tests /\n\d+ suites — count from the round-\d+ `sbt test` run log: \d+/\d+ green([;,])",
         f"({nt} tests /\n{ns} suites — count from the round-{rnd or 'N'} `sbt test` run log: "
-        f"{nt}/{nt} green;", text)
+        f"{nt}/{nt} green\\1", text)
+    if n_subs == 0:
+        sys.exit("COVERAGE.md header sentence did not match — fix the "
+                 "pattern instead of letting the counts go stale")
     if nc:  # stamp the canceled count too (ADVICE r12: it was stale at 2)
         text = re.sub(r"plus \d+ CANCELED by design",
                       f"plus {nc} CANCELED by design", text)

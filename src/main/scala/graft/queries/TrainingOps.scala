@@ -3446,6 +3446,67 @@ object TrainingOps {
         .orderBy(col("raw_rank"))
     },
 
+    // ---- STREAMING decontamination monitor: the live leg of the
+    //      q83/q98 trio — q83 prunes the batch corpus exactly, q98 is
+    //      its 100 TB Bloom shape, THIS is the alarm that watches the
+    //      ingest stream and reports per-lang contamination rates as
+    //      documents arrive. The benchmark probe is a PER-ROW
+    //      map-side flag (an `exists` over the doc's own shingles vs
+    //      the banned set — broadcastable at any benchmark size via
+    //      q98's Bloom; no explode, no shuffle before the fold), so
+    //      the complete-mode state is O(langs · 2) counters — the
+    //      q220/q301 DOMAIN bound. Assembly at read is one integer
+    //      division per lang. A contamination-rate step change on
+    //      this monitor is what pages BEFORE a poisoned feed lands in
+    //      the next training mix. ----
+    QueryDef.sql("q335_stream_decontam",
+      """WITH t AS (SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |fl AS (SELECT lang, CASE WHEN len(toks) >= 3 AND
+        |    len(list_filter(list_transform(range(len(toks)-2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]),
+        |      g -> g IN ('stream table hash', 'row column sort',
+        |        'window fast query'))) > 0
+        |  THEN 1 ELSE 0 END AS bad FROM t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(bad) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(bad) * 1000000 // count(*) AS BIGINT)
+        |    AS contam_micro
+        |FROM fl GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "doclangfeed",
+        idCol = "doc_id", checkSpan = false)(docs)
+      val sink = graft.bench.BenchFeeds.sinkName("q335_decontam")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(col("lang"),
+            split(lower(trim(col("text"))), "\\s+").as("toks"))
+          .select(col("lang"),
+            when(size(col("toks")) >= 3 && expr(
+              """exists(transform(sequence(0, size(toks) - 3), i ->
+                |  concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+                |  g -> g IN ('stream table hash', 'row column sort',
+                |    'window fast query'))""".stripMargin),
+              1L).otherwise(0L).as("bad"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("bad")).as("nbad"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select(col("lang"), col("n").cast("long").as("n_docs"),
+          col("nbad").cast("long").as("n_contaminated"),
+          expr("CAST(nbad * 1000000 div n AS BIGINT)")
+            .as("contam_micro"))
+        .orderBy(col("lang"))
+    },
+
     // ---- Exact two-sample Kolmogorov–Smirnov drift per source: the
     //      distribution-free companion to PSI (q217 — binned, tuned)
     //      and Wasserstein (q221 — magnitude-weighted): KS reads the
