@@ -66,8 +66,8 @@ object BenchFeeds {
     * feeds consumed without a watermark. */
   def feed(s: SparkSession, d: String, tag: String,
       idCol: String = "doc_id", checkSpan: Boolean = true)(
-      df: => DataFrame): String =
-    cachedDir(d, tag) { dir =>
+      df: => DataFrame): String = {
+    val dir = cachedDir(d, tag) { dir =>
       val data = df
       data.repartitionByRange(8, col(idCol))
         .write.mode("overwrite").parquet(dir)
@@ -83,6 +83,19 @@ object BenchFeeds {
             "evict streaming state mid-run")
       }
     }
+    // tag-collision guard: feeds cache per (tag, dir, JVM), so two
+    // queries sharing a tag MUST want the same columns — q335 once
+    // inherited q305's (doc_id, lang, n_chars) feed under a reused
+    // tag and failed only in the single-JVM bench run. Schema check
+    // is cheap (footer read) and makes the collision fail AT THE
+    // CALLER with both schemas named.
+    val have = s.read.parquet(dir).schema.fieldNames.toSeq
+    val want = df.schema.fieldNames.toSeq
+    require(have == want,
+      s"feed tag '$tag' is cached with columns $have but this caller " +
+        s"wants $want — use a distinct tag (feeds cache per tag+dir+JVM)")
+    dir
+  }
 
   /** A fresh, empty per-invocation scratch directory (pid + counter
     * suffixed, removed on JVM exit) — for queries that APPEND during

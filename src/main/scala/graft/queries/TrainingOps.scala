@@ -3476,7 +3476,11 @@ object TrainingOps {
         |FROM fl GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-      val feedDir = graft.bench.BenchFeeds.feed(s, d, "doclangfeed",
+      // NOT "doclangfeed": q305 already caches that tag with a
+      // (doc_id, lang, n_chars) schema — feeds cache per (tag, dir,
+      // JVM), and the single-JVM bench run surfaces the collision
+      // the per-query Verify subset cannot
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "doctextfeed",
         idCol = "doc_id", checkSpan = false)(docs)
       val sink = graft.bench.BenchFeeds.sinkName("q335_decontam")
       graft.streaming.StreamRun.withStatePartitions(s, 8) {
