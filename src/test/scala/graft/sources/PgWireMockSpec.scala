@@ -41,6 +41,10 @@ object MockPg {
     * messages, write scripted backend messages. */
   final class Conn(socket: Socket) {
     socket.setSoTimeout(15000) // a silent client must fail the test, not hang it
+
+    /** Shrink the read window for negative probes ("nothing should
+      * arrive within X ms"); callers restore via another call. */
+    def setReadTimeout(ms: Int): Unit = socket.setSoTimeout(ms)
     private val in = new DataInputStream(
       new BufferedInputStream(socket.getInputStream))
     private val out = new DataOutputStream(
@@ -367,6 +371,28 @@ class PgWireMockSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("multi-statement simple query concatenates all result sets " +
+    "(the protocol's implicit-transaction batch)") {
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup(_.authOk())
+      val sql = c.expectQuery()
+      require(sql == "SELECT 1; SELECT 2", s"got: $sql")
+      // two complete result cycles before the single ReadyForQuery —
+      // exactly how the backend answers a multi-statement 'Q'
+      c.rowDescription("a"); c.dataRow(Seq("1")); c.commandComplete("SELECT 1")
+      c.rowDescription("a"); c.dataRow(Seq("2")); c.dataRow(Seq("3"))
+      c.commandComplete("SELECT 2")
+      c.readyForQuery()
+      c.drain()
+    }))
+    try {
+      val wire = new PgWire(srv.dsn())
+      val rows = try wire.query("SELECT 1; SELECT 2") finally wire.close()
+      assert(rows == Seq(Seq("1"), Seq("2"), Seq("3")))
+      srv.await()
+    } finally srv.close()
+  }
+
   test("cleartext auth sends the password verbatim") {
     val srv = new Server(Seq({ c =>
       c.acceptStartup { s =>
@@ -569,6 +595,50 @@ class PgWireMockSpec extends AnyFunSuite {
       val (w, f, a, reply) = replyAck.get
       assert(w == ackAt && f == ackAt && a == ackAt)
       assert(reply == 0.toByte)
+    } finally srv.close()
+  }
+
+  test("a keepalive with reply-not-requested is NOT answered " +
+    "immediately (no ack storm on chatty servers)") {
+    val rel = PgOutput.Relation(11, "public", "t_ka", 'd',
+      Seq(PgOutput.Column("id", 20, isKey = true)))
+    val frames = Seq(PgOutput.Encoder.relation(rel),
+      PgOutput.Encoder.begin(0x9000L, 1L, 1),
+      PgOutput.Encoder.insert(rel, Seq("1".getBytes)),
+      PgOutput.Encoder.commit(0x9000L, 0x9001L, 1L))
+    var sawEarlyStatus = false
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup(_.authOk())
+      c.expectQuery()
+      c.copyBothResponse()
+      // a no-reply keepalive between data frames must not trigger an
+      // immediate 'r' — the client acks on ITS schedule (poll timeout
+      // / reply-requested / exit), not per keepalive
+      c.keepalive(0x9000L, wantReply = false)
+      frames.foreach(p => c.xlogData(0x9000L, 0x9001L, p))
+      // if the client answered the no-reply keepalive, an 'r' arrives
+      // within milliseconds; probe a 400 ms window (well inside the
+      // client's 1 s unsolicited-status cadence, so a poll-timeout
+      // status cannot masquerade as an answer)
+      c.setReadTimeout(400)
+      try {
+        val (t, b) = c.readMsg()
+        if (t == 'd' && b(0).toChar == 'r') sawEarlyStatus = true
+      } catch { case _: java.net.SocketTimeoutException => () }
+      c.setReadTimeout(15000)
+      c.copyDone()
+      c.drain()
+    }))
+    try {
+      val wire = new PgWire(srv.dsn(), replication = true)
+      val n = try {
+        wire.startReplication("ka_slot", "ka_pub", 0x9000L,
+          () => 0x9000L, deadlineMs = 10000) { _ => true }
+      } finally wire.close()
+      assert(n == frames.size.toLong)
+      srv.await()
+      assert(!sawEarlyStatus,
+        "client answered a reply-not-requested keepalive immediately")
     } finally srv.close()
   }
 
