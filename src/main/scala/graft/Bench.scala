@@ -41,6 +41,23 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => None }
 
+  /** HOST core count for the loadavg cap. /proc/loadavg counts ALL
+    * host runnables, so the cap must scale by the host's cores —
+    * `availableProcessors()` is the JVM/cgroup-visible count, which in
+    * a container pinned to SPARK_GRAFT_CPUS vCPUs collapses the cap to
+    * a constant while loadavg stays host-wide (ADVICE r13). cgroups
+    * limit scheduling but do not mask /proc/cpuinfo, so counting its
+    * `processor` stanzas recovers the host view; fall back to the JVM
+    * count when unreadable (non-Linux). */
+  private def hostCores(): Int =
+    (try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try Some(src.getLines().count(_.startsWith("processor")))
+      finally src.close()
+    } catch { case _: Exception => None })
+      .filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -106,9 +123,9 @@ object Bench {
     // Cap = 2·(our vCPUs / host cores): loadavg counts ALL host
     // runnables, so what "too much sibling load" means scales with
     // the machine — a literal 16 misfired on smaller hosts and never
-    // fired on larger ones (ADVICE r12).
-    val loadCap =
-      2.0 * cpus.toInt / Runtime.getRuntime.availableProcessors().toDouble
+    // fired on larger ones (ADVICE r12). Host cores from /proc/cpuinfo,
+    // not availableProcessors() (ADVICE r13: cgroup pinning).
+    val loadCap = 2.0 * cpus.toInt / hostCores().toDouble
     var gateAttempts = List.empty[String]
     var (gSteal, gLoad) = probe()
     var gTries = 0
@@ -161,14 +178,17 @@ object Bench {
     // steal share of the machine's busy time over the measured window;
     // >2-3% means the numbers are contaminated by co-tenant VMs and a
     // slowdown vs a prior record is suspect before any code is blamed
-    val host = (for ((b0, s0) <- ticks0; (b1, s1) <- cpuTicks()) yield {
+    val hostStats = for ((b0, s0) <- ticks0; (b1, s1) <- cpuTicks()) yield {
       val (busy, steal) = (b1 - b0, s1 - s0)
       val pct = if (busy + steal > 0)
         math.round(10000.0 * steal / (busy + steal)) / 100.0 else 0.0
+      (busy, steal, pct)
+    }
+    val host = hostStats.map { case (busy, steal, pct) =>
       val load = (for (l0 <- load0; l1 <- loadAvg()) yield
         s""","loadavg_start":$l0,"loadavg_end":$l1,"cpus":$cpus""").getOrElse("")
       s""","host":{"busy_ticks":$busy,"steal_ticks":$steal,"steal_pct":$pct$load$gateJson}"""
-    }).getOrElse("")
+    }.getOrElse("")
     // Run-instability annotation (r11 ask #3): a re-measured query
     // whose two passes disagree >1.5× got hit by transient load — the
     // record names it so a cross-round delta on it is discounted by
@@ -200,7 +220,31 @@ object Bench {
         s""","first_pass_total":$firstTotal,"passes":$passes}"""
       val dir = new java.io.File("bench")
       dir.mkdirs()
-      val pw = new java.io.PrintWriter(new java.io.File(dir, "last_run.json"))
+      // Record guard (VERDICT r13 ask #1a): the record may only get
+      // cleaner — a candidate whose steal_pct exceeds the clean bar
+      // (max(1%, recorded steal)) is parked under bench/runs/ instead
+      // of clobbering a cleaner committed record.
+      val recFile = new java.io.File(dir, "last_run.json")
+      val existing =
+        if (recFile.isFile) {
+          val src = scala.io.Source.fromFile(recFile)
+          try Some(src.mkString) finally src.close()
+        } else None
+      val candSteal = hostStats.map(_._3).getOrElse(0.0)
+      val target =
+        if (graft.bench.BenchRecord.accepts(existing, candSteal)) recFile
+        else {
+          val park = new java.io.File(dir, "runs")
+          park.mkdirs()
+          val rec = existing.flatMap(graft.bench.BenchRecord.stealPctOf)
+            .getOrElse(Double.NaN)
+          System.err.println(f"[bench] record guard: candidate steal " +
+            f"$candSteal%.2f%% exceeds the clean bar (recorded " +
+            f"$rec%.2f%%) — parking under bench/runs/, record kept")
+          new java.io.File(park,
+            f"rejected_steal$candSteal%.2f_$total%.1fs.json")
+        }
+      val pw = new java.io.PrintWriter(target)
       try pw.println(full) finally pw.close()
     }
     spark.stop()

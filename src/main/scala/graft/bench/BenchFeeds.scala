@@ -67,8 +67,13 @@ object BenchFeeds {
   def feed(s: SparkSession, d: String, tag: String,
       idCol: String = "doc_id", checkSpan: Boolean = true)(
       df: => DataFrame): String = {
+    // evaluated at most once per call (ADVICE r13): the schema guard
+    // below needs the caller's plan even on a cache hit, so the
+    // by-name arg no longer skips plan CONSTRUCTION — only the write
+    // and span-check EXECUTION are cache-skipped (plan building is a
+    // driver-side analysis pass, cheap; double-building it was not)
+    lazy val data = df
     val dir = cachedDir(d, tag) { dir =>
-      val data = df
       data.repartitionByRange(8, col(idCol))
         .write.mode("overwrite").parquet(dir)
       // guard the watermark math ONCE per feed build (pid-suffixed dir
@@ -90,7 +95,7 @@ object BenchFeeds {
     // is cheap (footer read) and makes the collision fail AT THE
     // CALLER with both schemas named.
     val have = s.read.parquet(dir).schema.fieldNames.toSeq
-    val want = df.schema.fieldNames.toSeq
+    val want = data.schema.fieldNames.toSeq
     require(have == want,
       s"feed tag '$tag' is cached with columns $have but this caller " +
         s"wants $want — use a distinct tag (feeds cache per tag+dir+JVM)")

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.bench.BenchRecord
+
+/** The bench record-overwrite guard (VERDICT r13 ask #1a), including
+  * the revert case: the exact r13 accident — a 4.52%-steal candidate
+  * against the committed 1.07%-steal record — must be refused.
+  */
+class BenchRecordSpec extends AnyFunSuite {
+
+  private def rec(steal: Double, gateSteal: Double = 0.17): String =
+    s"""{"metric":"total","value":481.8,"unit":"sec","queries":{},""" +
+      s""""sf":"/root/testdata/sf0.1","host":{"busy_ticks":452482,""" +
+      s""""steal_ticks":21438,"steal_pct":$steal,"loadavg_start":1.89,""" +
+      s""""loadavg_end":6.01,"cpus":32,"gate":{"fired":true,""" +
+      s""""clean_at_start":true,"skipped_attempts":[""" +
+      s"""{"steal_pct":$gateSteal,"loadavg":4.19}]}}}"""
+
+  test("stealPctOf reads the HOST steal, not a gate skipped-attempt") {
+    // host block serializes before the nested gate block; a guard that
+    // matched the gate's 0.17 would accept any dirty candidate
+    assert(BenchRecord.stealPctOf(rec(1.07, gateSteal = 0.17))
+      .contains(1.07))
+  }
+
+  test("r13 revert case: 4.52%-steal candidate refused over 1.07% record") {
+    assert(!BenchRecord.accepts(Some(rec(1.07)), 4.52))
+  }
+
+  test("clean bar: any candidate at or under 1% replaces any record") {
+    assert(BenchRecord.accepts(Some(rec(0.4)), 0.9)) // no ratchet-to-zero
+    assert(BenchRecord.accepts(Some(rec(0.4)), 1.0))
+    assert(!BenchRecord.accepts(Some(rec(0.4)), 1.01))
+  }
+
+  test("dirty record: candidate may match but not exceed its steal") {
+    assert(BenchRecord.accepts(Some(rec(4.52)), 4.52))
+    assert(BenchRecord.accepts(Some(rec(4.52)), 1.3))
+    assert(!BenchRecord.accepts(Some(rec(4.52)), 4.53))
+  }
+
+  test("no record / no host block: accept") {
+    assert(BenchRecord.accepts(None, 99.0))
+    assert(BenchRecord.accepts(Some("""{"metric":"total","value":1}"""), 99.0))
+  }
+
+  test("the committed record parses") {
+    val f = new java.io.File("bench/last_run.json")
+    assume(f.isFile)
+    val src = scala.io.Source.fromFile(f)
+    val json = try src.mkString finally src.close()
+    val steal = BenchRecord.stealPctOf(json)
+    assert(steal.nonEmpty && steal.get >= 0.0 && steal.get <= 100.0)
+  }
+}
