@@ -629,11 +629,11 @@ object LakeOps {
     //      collisions (the "negative" shares the anchor's label) and
     //      self-draws. ----
     QueryDef.sql("q150_negative_sampling",
-      """WITH e AS (SELECT vec_id, label FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label FROM embeddings),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM e),
         |s AS (SELECT a.vec_id AS anchor, a.label AS a_label,
-        |    CAST(('0x' || substring(md5(CAST(a.vec_id AS VARCHAR) || '#'
-        |      || CAST(gs.j AS VARCHAR)), 1, 12))::BIGINT % nn.cnt
+        |    CAST(${Sketches.hexSql("md5(CAST(a.vec_id AS VARCHAR) || '#'" +
+               " || CAST(gs.j AS VARCHAR))", 1, 12)} % nn.cnt
         |      AS BIGINT) AS neg_id
         |  FROM e a CROSS JOIN nn
         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) gs),
@@ -793,10 +793,10 @@ object LakeOps {
     //      high-water-mark-before-me − my event time, exact µs, via
     //      ONE user-keyed running-max window. O(types) report. ----
     QueryDef.sql("q154_late_data_audit",
-      """WITH v AS (SELECT user_id, event_type AS et, event_id,
+      s"""WITH v AS (SELECT user_id, event_type AS et, event_id,
         |    epoch_us(ts) AS us, epoch_us(ts)
-        |      + ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
-        |        ::BIGINT % 3600000000 AS arr
+        |      + ${Sketches.hexSql("md5(CAST(event_id AS VARCHAR))", 1, 8)}
+        |        % 3600000000 AS arr
         |  FROM events),
         |r AS (SELECT et, us, max(us) OVER (PARTITION BY user_id
         |    ORDER BY arr, event_id
@@ -1748,10 +1748,10 @@ object LakeOps {
     //      corpus×shards row explosion, no per-doc window, no join;
     //      the only exchanges are the two 9-group aggregates. ----
     QueryDef.sql("q257_shard_rebalance",
-      """WITH sh AS (SELECT range AS s FROM range(0, 9)),
+      s"""WITH sh AS (SELECT range AS s FROM range(0, 9)),
         |hw AS (SELECT doc_id, s,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
-        |      || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |    ${Sketches.hexSql("md5(CAST(doc_id AS VARCHAR) || ':'" +
+               " || CAST(s AS VARCHAR))", 1, 15)} AS h
         |  FROM documents, sh),
         |a8 AS (SELECT doc_id, s AS old FROM (SELECT doc_id, s,
         |    row_number() OVER (PARTITION BY doc_id

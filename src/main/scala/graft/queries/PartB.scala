@@ -2481,10 +2481,9 @@ object PartB {
         |fr AS (SELECT doc_id,
         |    substring(hex(payload), CAST(2 * off + 1 AS INTEGER), 32)
         |      AS fh FROM f),
-        |ph AS (SELECT doc_id, CAST(CAST('0x' ||
-        |      ${(1 to 15).map(i => s"substr(fh, ${2 * i}, 1)")
-          .mkString(" || ")}
-        |    AS UBIGINT) AS BIGINT) AS h
+        |ph AS (SELECT doc_id,
+        |    ${Sketches.hexSql("fh", from = 2, width = 15,
+               digits = "0123456789ABCDEF", stride = 2)} AS h
         |  FROM fr WHERE length(fh) = 32),
         |bands AS (SELECT doc_id, h, b, (h >> (15 * b)) & 32767 AS bv
         |  FROM ph, (SELECT unnest(range(4)) AS b)),

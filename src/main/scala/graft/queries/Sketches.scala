@@ -34,6 +34,23 @@ object Sketches {
     s"list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', " +
       s"substring(md5($arg), i+1, 1))::BIGINT - 1) << (4*(14-i))))"
 
+  /** DuckDB strpos-fold hex parse: `width` (≤ 15) hex chars of
+    * `strExpr`, read at 1-based positions `from, from+stride,
+    * from+2·stride, …`, as a BIGINT — the version-proof replacement
+    * for the `('0x' || …)::BIGINT` cast, which only parses on
+    * DuckDB ≥ 0.10 (ADVICE r13; the grading driver's engine version
+    * is unknown, so oracles stay on constructs every modern version
+    * shares — the hash60Sql discipline). `digits` is the alphabet to
+    * match: md5() emits lowercase, hex() uppercase. */
+  def hexSql(strExpr: String, from: Int, width: Int,
+      digits: String = "0123456789abcdef", stride: Int = 1): String = {
+    require(width <= 15, s"hexSql width $width would overflow BIGINT")
+    val pos = if (stride == 1) s"i+$from" else s"i*$stride+$from"
+    s"CAST(list_sum(list_transform(range($width), i -> " +
+      s"(strpos('$digits', substring($strExpr, $pos, 1))::BIGINT - 1) " +
+      s"<< (4*(${width - 1}-i)))) AS BIGINT)"
+  }
+
   // Deterministic MinHash permutation parameters: h_i(x) = (a_i·x + b_i) mod P
   // over 31-bit hash values (products stay < 2^62: no overflow). The
   // constants live with the codegen kernel — one definition, no drift
@@ -954,8 +971,8 @@ object Sketches {
          |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
          |  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.8),
          |fd AS (SELECT doc_id,
-         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-         |      ::BIGINT % 5 AS BIGINT) AS fold FROM documents),
+         |    CAST(${hexSql("md5(CAST(doc_id AS VARCHAR))", 1, 4)}
+         |      % 5 AS BIGINT) AS fold FROM documents),
          |fs AS (SELECT fold, CAST(count(*) AS BIGINT) AS nf
          |  FROM fd GROUP BY fold),
          |tt AS (SELECT CAST(sum(nf) AS BIGINT) AS n,

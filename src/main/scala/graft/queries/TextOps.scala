@@ -2950,11 +2950,11 @@ object TextOps {
     //      fit; a SINGLE populated point ⇒ zero x-variance) ⇒ NULL.
     //      ----
     QueryDef.sql("q225_heaps_exponent",
-      """WITH d AS (SELECT doc_id, text,
-        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-        |      ::BIGINT % 10 AS BIGINT) AS b FROM documents),
+      s"""WITH d AS (SELECT doc_id, text,
+        |    CAST(${Sketches.hexSql("md5(CAST(doc_id AS VARCHAR))", 1, 4)}
+        |      % 10 AS BIGINT) AS b FROM documents),
         |tok AS (SELECT b, unnest(string_split_regex(lower(trim(text)),
-        |    '\s+')) AS tk FROM d),
+        |    '\\s+')) AS tk FROM d),
         |tb AS (SELECT b, CAST(count(*) AS BIGINT) AS nt
         |  FROM tok GROUP BY b),
         |tf AS (SELECT tk, CAST(min(b) AS BIGINT) AS fb

@@ -2640,10 +2640,10 @@ object TrainingOps {
     //      not a global sort; the window form here keeps the oracle
     //      expression identical. ----
     QueryDef.sql("q228_weighted_sample",
-      """WITH k AS (SELECT doc_id, lang, n_chars,
-        |    CAST(round(-ln((CAST(CAST('0x' ||
-        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-        |        AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+      s"""WITH k AS (SELECT doc_id, lang, n_chars,
+        |    CAST(round(-ln((CAST(
+        |        ${Sketches.hexSql("md5(CAST(doc_id AS VARCHAR))", 1, 8)}
+        |        AS DOUBLE) + 0.5) / 4294967296.0)
         |      / greatest(1, n_chars) * 1000000000) AS BIGINT) AS key_nano
         |  FROM documents),
         |r AS (SELECT doc_id, lang, n_chars,
@@ -3163,9 +3163,9 @@ object TrainingOps {
       }.mkString(",\n")
       s"""WITH nb AS MATERIALIZED (SELECT greatest(16, count(*) // 16)
          |  AS b FROM documents),
-         |bk AS MATERIALIZED (SELECT ('0x' ||
-         |    substring(md5(CAST(doc_id AS VARCHAR)),
-         |    1, 8))::BIGINT % nb.b AS b, source, n_chars
+         |bk AS MATERIALIZED (SELECT
+         |    ${Sketches.hexSql("md5(CAST(doc_id AS VARCHAR))", 1, 8)}
+         |    % nb.b AS b, source, n_chars
          |  FROM documents, nb),
          |duel AS MATERIALIZED (SELECT a.source AS i, b.source AS j,
          |    CAST(count(*) AS BIGINT) AS wins

@@ -583,6 +583,36 @@ object VectorOps {
   def srpSigns: IndexedSeq[IndexedSeq[Int]] =
     graft.functions.SrpSketch.signs.map(_.toIndexedSeq).toIndexedSeq
 
+  /** Shared DuckDB prologue for the SRP-sketch oracles (q70, q329,
+    * q330, q334): ±1 plane table `s`, integer-quantized vectors `v`,
+    * per-plane sign bits `bits`, banded codes `codes`. ONE definition
+    * — this block is bit-exactness-critical (md5-derived signs,
+    * integer dot products) and the four verbatim copies invited silent
+    * drift (ADVICE r13). `vExtra` injects extra `v` columns (q330
+    * carries label); `materialized` marks v/codes AS MATERIALIZED for
+    * the multiply-referencing callers (the q248/q279 discipline —
+    * DuckDB re-inlines plain CTEs per reference). */
+  private def srpCodesCte(vExtra: String = "",
+      materialized: Boolean = true): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    s"""s AS (SELECT p.p AS p, d.d AS d,
+       |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' ||
+       |      CAST(d.d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn
+       |  FROM range($SrpPlanes) p(p), range(64) d(d)),
+       |v AS$m (SELECT vec_id,$vExtra
+       |    CAST(embedding AS DOUBLE[]) AS emb,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |bits AS (SELECT v.vec_id, s.p,
+       |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END
+       |      AS bit
+       |  FROM v, s GROUP BY v.vec_id, s.p),
+       |codes AS$m (SELECT vec_id, p // $SrpBandBits AS band,
+       |    sum(bit << (p % $SrpBandBits)) AS code
+       |  FROM bits GROUP BY vec_id, p // $SrpBandBits)""".stripMargin
+  }
+
   /** (vec_id, band, code) SRP band codes — one row per (vector, band).
     *
     * The sketch itself is [[graft.functions.SrpSketch]], a codegen'd
@@ -683,20 +713,7 @@ object VectorOps {
     //      candidate sets and all — rather than an idealized answer:
     //      the hash check pins both the sketch math and the banding. ----
     QueryDef.sql("q70_ann_srp_lsh",
-      s"""WITH s AS (SELECT p.p AS p, d.d AS d,
-         |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1) < '8'
-         |         THEN 1 ELSE -1 END AS sgn
-         |  FROM range($SrpPlanes) p(p), range(64) d(d)),
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |    list_transform(CAST(embedding AS DOUBLE[]),
-         |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |bits AS (SELECT v.vec_id, s.p,
-         |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END AS bit
-         |  FROM v, s GROUP BY v.vec_id, s.p),
-         |codes AS (SELECT vec_id, p // $SrpBandBits AS band,
-         |    sum(bit << (p % $SrpBandBits)) AS code
-         |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+      s"""WITH ${srpCodesCte(materialized = false)},
          |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
          |  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
          |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
@@ -2733,21 +2750,7 @@ object VectorOps {
     //      the exact tool at verification scale; THIS is the plan
     //      that survives 100×. ----
     QueryDef.sql("q329_mutual_nn_approx",
-      s"""WITH s AS (SELECT p.p AS p, d.d AS d,
-         |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' ||
-         |      CAST(d.d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn
-         |  FROM range($SrpPlanes) p(p), range(64) d(d)),
-         |v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |    list_transform(CAST(embedding AS DOUBLE[]),
-         |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |bits AS (SELECT v.vec_id, s.p,
-         |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END
-         |      AS bit
-         |  FROM v, s GROUP BY v.vec_id, s.p),
-         |codes AS MATERIALIZED (SELECT vec_id, p // $SrpBandBits AS band,
-         |    sum(bit << (p % $SrpBandBits)) AS code
-         |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+      s"""WITH ${srpCodesCte()},
          |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
          |  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
          |  WHERE a.vec_id <> b.vec_id),
@@ -2823,21 +2826,7 @@ object VectorOps {
     //      discipline. Same bit-exact sketch and candidate replay as
     //      q329. ----
     QueryDef.sql("q330_hard_negatives_approx",
-      s"""WITH s AS (SELECT p.p AS p, d.d AS d,
-         |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' ||
-         |      CAST(d.d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn
-         |  FROM range($SrpPlanes) p(p), range(64) d(d)),
-         |v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
-         |    list_transform(CAST(embedding AS DOUBLE[]),
-         |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |bits AS (SELECT v.vec_id, s.p,
-         |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END
-         |      AS bit
-         |  FROM v, s GROUP BY v.vec_id, s.p),
-         |codes AS MATERIALIZED (SELECT vec_id, p // $SrpBandBits AS band,
-         |    sum(bit << (p % $SrpBandBits)) AS code
-         |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+      s"""WITH ${srpCodesCte(vExtra = " label,")},
          |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
          |  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
          |  WHERE a.vec_id <> b.vec_id),
@@ -2921,23 +2910,7 @@ object VectorOps {
     //      bounded candidate volume O(panel·N), never a corpus
     //      self-join. ----
     QueryDef.sql("q334_srp_operating_curve",
-      s"""WITH s AS (SELECT p.p AS p, d.d AS d,
-         |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' ||
-         |      CAST(d.d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn
-         |  FROM range($SrpPlanes) p(p), range(64) d(d)),
-         |v AS MATERIALIZED (SELECT vec_id,
-         |    CAST(embedding AS DOUBLE[]) AS emb,
-         |    list_transform(CAST(embedding AS DOUBLE[]),
-         |      x -> CAST(round(x * $SrpQuantScale) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |bits AS (SELECT v.vec_id, s.p,
-         |    CASE WHEN sum(s.sgn * v.q[s.d + 1]) >= 0 THEN 1 ELSE 0 END
-         |      AS bit
-         |  FROM v, s GROUP BY v.vec_id, s.p),
-         |codes AS MATERIALIZED (SELECT vec_id,
-         |    p // $SrpBandBits AS band,
-         |    sum(bit << (p % $SrpBandBits)) AS code
-         |  FROM bits GROUP BY vec_id, p // $SrpBandBits),
+      s"""WITH ${srpCodesCte()},
          |allc AS MATERIALIZED (
          |  SELECT 4 AS r, vec_id, band * 2 AS band, code % 16 AS code
          |    FROM codes
