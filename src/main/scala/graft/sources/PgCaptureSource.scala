@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -94,6 +95,12 @@ final class PgCaptureTable(path: String, tablesRegex: Option[String],
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = PgCaptureSource.schema
+        // the Unknown-frame contract (r13 ask #4): skipped wire frames
+        // are COUNTED — Spark sums each reader's task metrics across
+        // executors into these scan-node metrics (streaming and batch
+        // alike; MicroBatchScanExec reads the same declaration)
+        override def supportedCustomMetrics(): Array[CustomMetric] =
+          PgScanMetrics.supported
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new PgCaptureMicroBatchStream(path, tablesRegex, startLsn, plugin,
             maxChanges)
@@ -247,7 +254,9 @@ final class PgWalPartitionReader(p: PgWalPartition)
   WalFiles.warmCatalog(p.dir, decoder)
   WalFiles.warmRelations(prunedSegs, decoder)
 
-  private val it = WalFiles.replay(liveSegs, decoder)
+  private val tally = new WalFiles.SkipTally
+
+  private val it = WalFiles.replay(liveSegs, decoder, tally = tally)
     .filter(e => e.cp.after(p.start) && !e.cp.after(p.end))
     .filter(e => pattern.forall(_.matcher(e.change.rel.name).matches()))
 
@@ -259,7 +268,37 @@ final class PgWalPartitionReader(p: PgWalPartition)
 
   override def get(): InternalRow = PgWalRows.toRow(current)
 
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    PgScanMetrics.values(tally)
+
   override def close(): Unit = ()
+}
+
+/** DSv2 custom metrics for the pgcapture scan: frames the decode path
+  * skips by contract (Unknown tags), split truncate vs other. Sum
+  * semantics — Spark aggregates task values across executors. */
+private[sources] object PgScanMetrics {
+  final class TruncateFrames extends CustomSumMetric {
+    override def name(): String = "truncate_frames"
+    override def description(): String =
+      "truncate-tagged wire frames skipped by the decoder"
+  }
+  final class UnknownFrames extends CustomSumMetric {
+    override def name(): String = "unknown_frames"
+    override def description(): String =
+      "other unknown-tagged wire frames skipped by the decoder"
+  }
+  def supported: Array[CustomMetric] =
+    Array(new TruncateFrames, new UnknownFrames)
+  def values(tally: WalFiles.SkipTally): Array[CustomTaskMetric] = Array(
+    new CustomTaskMetric {
+      override def name(): String = "truncate_frames"
+      override def value(): Long = tally.truncates
+    },
+    new CustomTaskMetric {
+      override def name(): String = "unknown_frames"
+      override def value(): Long = tally.unknowns
+    })
 }
 
 /** Envelope row construction shared by the streaming and batch
@@ -308,9 +347,11 @@ final class PgWalBatchReader(p: PgWalBatchPartition)
   private val decoder = WalFiles.decoderFor(p.plugin)
   p.plan.relFrames.foreach(decoder.decode)
 
+  private val tally = new WalFiles.SkipTally
+
   private val it = WalFiles.replay(
     Seq(java.nio.file.Paths.get(p.plan.path)), decoder,
-    p.plan.startLsn, p.plan.startSeq, p.plan.startCommitUs)
+    p.plan.startLsn, p.plan.startSeq, p.plan.startCommitUs, tally)
     .filter(e => startCp.forall(c => e.cp.after(c)))
     .filter(e => pattern.forall(_.matcher(e.change.rel.name).matches()))
 
@@ -320,6 +361,9 @@ final class PgWalBatchReader(p: PgWalBatchPartition)
     if (it.hasNext) { current = it.next(); true } else false
 
   override def get(): InternalRow = PgWalRows.toRow(current)
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    PgScanMetrics.values(tally)
 
   override def close(): Unit = ()
 }

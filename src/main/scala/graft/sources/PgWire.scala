@@ -111,7 +111,10 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
   socket.setTcpNoDelay(true)
   // A wedged server must not hang recv() forever during startup/auth/
   // simple-query — 30 s bounds every read; startReplication swaps in
-  // its own 1 s poll timeout and restores this one (ADVICE r12).
+  // its own 1 s poll timeout and restores this one (ADVICE r12). A
+  // timeout that fires mid-reply CLOSES the connection (recvSync,
+  // ADVICE r13) — the stream is no longer message-aligned and must
+  // not be reused.
   socket.setSoTimeout(30000)
   private val in = new DataInputStream(
     new BufferedInputStream(socket.getInputStream))
@@ -146,6 +149,22 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
     in.readFully(body)
     (tag, body)
   }
+
+  /** recv() for the synchronous phases (simple query, replication
+    * start): a read timeout here means we are MID-REPLY — the stream
+    * is no longer message-aligned, so the connection is unusable.
+    * Close it and fail cleanly rather than hand the next call a
+    * desynchronized wire (ADVICE r13: a slow-but-healthy control
+    * query would otherwise throw SocketTimeoutException and leave the
+    * half-read reply in the buffer). */
+  private def recvSync(): (Char, Array[Byte]) =
+    try recv() catch {
+      case e: java.net.SocketTimeoutException =>
+        try socket.close() catch { case _: Exception => () }
+        throw new IllegalStateException(
+          "server silent past the read bound mid-reply — connection " +
+            "closed (a half-read reply cannot be resynchronized)", e)
+    }
 
   private def errorOf(body: Array[Byte]): PgError = {
     val f = mutable.Map.empty[Char, String]
@@ -300,7 +319,7 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
     val rows = mutable.Buffer.empty[Seq[String]]
     var err: Option[PgError] = None
     var ready = false
-    while (!ready) recv() match {
+    while (!ready) recvSync() match {
       case ('D', b) =>
         var i = 2
         val n = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
@@ -349,7 +368,7 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
     send('Q', cstr(s"START_REPLICATION SLOT ${quoteIdent(slot)} LOGICAL " +
       s"${PgWire.formatLsn(startLsn)} $opts"))
     var copying = false
-    while (!copying) recv() match {
+    while (!copying) recvSync() match {
       case ('W', _) => copying = true // CopyBothResponse
       case ('E', b) => throw errorOf(b)
       case _ => ()

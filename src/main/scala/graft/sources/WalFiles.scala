@@ -80,6 +80,28 @@ object WalFiles {
   final case class WalEvent(cp: Checkpoint, commitTimeUs: Long,
       change: PgOutput.Change)
 
+  /** Per-reader tally of frames the decode path intentionally skips —
+    * the Unknown contract (r13 ask #4): skip, keep (lsn, seq) exactly
+    * as if the frame were absent, never throw, never emit a phantom
+    * row — and never drop SILENTLY. Truncate ('T') is split out
+    * because a TRUNCATE on a published table is the first Unknown a
+    * real PG11+ slot delivers; the rest ('O'rigin, 'Y' type, 'M'essage,
+    * PG14 streaming frames) land in `unknowns`. Each reader reports
+    * its tally as DSv2 custom task metrics (Spark sums them across
+    * executors into the scan node's metrics); the JVM-level
+    * [[truncateFrames]]/[[unknownFrames]] mirror feeds the
+    * GraftMetricsListener gauge. */
+  final class SkipTally {
+    var truncates: Long = 0L
+    var unknowns: Long = 0L
+  }
+  /** JVM-level skip counters (per-executor on a cluster — the
+    * cluster-wide aggregate is the scan's custom metric; this mirror
+    * is the driver-visible gauge in local mode and a per-executor log
+    * signal otherwise). */
+  val truncateFrames = new java.util.concurrent.atomic.AtomicLong
+  val unknownFrames = new java.util.concurrent.atomic.AtomicLong
+
   /** Replay a segment list into checkpoint-stamped change events,
     * tracking (lsn, seq) the way the reference's fetch loop does
     * (pkg/source/postgres.go:165-248): Begin sets the transaction LSN,
@@ -88,7 +110,7 @@ object WalFiles {
   def replay(segs: Seq[Path],
       decoder: PgOutput.WireDecoder = new PgOutput.Decoder,
       startLsn: Long = 0L, startSeq: Int = 0,
-      startCommitUs: Long = 0L): Iterator[WalEvent] = {
+      startCommitUs: Long = 0L, tally: SkipTally = null): Iterator[WalEvent] = {
     var lsn = startLsn
     var seq = startSeq
     var commitUs = startCommitUs
@@ -99,7 +121,18 @@ object WalFiles {
         case c: PgOutput.Change =>
           seq += 1
           Some(WalEvent(Checkpoint(lsn, seq), commitUs, c))
-        case _ => None // Commit / Relation / Unknown advance no checkpoint
+        case PgOutput.Unknown(tag) =>
+          // skip + advance, never throw, zero rows (r13 ask #4) — but
+          // counted: a truncate in the publication must be visible
+          if (tag == 'T') {
+            truncateFrames.incrementAndGet()
+            if (tally != null) tally.truncates += 1
+          } else {
+            unknownFrames.incrementAndGet()
+            if (tally != null) tally.unknowns += 1
+          }
+          None
+        case _ => None // Commit / Relation advance no checkpoint
       }
     }
   }

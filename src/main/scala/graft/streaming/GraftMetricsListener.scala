@@ -24,6 +24,18 @@ final class GraftMetricsListener(val replicationLag: ReplicationLag = new Replic
   /** Progress events carrying graft metrics (test observability). */
   @volatile var batchesObserved: Long = 0L
 
+  /** Truncate-tagged wire frames skipped by the decode path (r13 ask
+    * #4: counted, never silent — a TRUNCATE on a published table is
+    * the first Unknown a real PG14+ slot delivers). Reads the
+    * JVM-level mirror; the cluster-wide aggregate is the scan node's
+    * `truncate_frames` DSv2 custom metric. */
+  def truncateFramesSkipped: Long =
+    graft.sources.WalFiles.truncateFrames.get()
+  /** Other Unknown-tagged frames skipped ('O'rigin, 'Y', 'M', PG14
+    * streaming tags) — same contract as [[truncateFramesSkipped]]. */
+  def unknownFramesSkipped: Long =
+    graft.sources.WalFiles.unknownFrames.get()
+
   override def onQueryStarted(
       event: StreamingQueryListener.QueryStartedEvent): Unit = ()
 

@@ -249,4 +249,19 @@ class CodecSpec extends AnyFunSuite {
     intercept[CodecException] { new BytesReader(Array[Byte](1, 2)).int32() }
     intercept[CodecException] { new BytesReader(Array[Byte]('a', 'b')).cstring() }
   }
+
+  test("unknown tags decode to Unknown, never throw (r13 ask #4)") {
+    val dec = new PgOutput.Decoder
+    // realistic frames: truncate (PG11+), origin — via the encoder
+    assert(dec.decode(PgOutput.Encoder.truncate(Seq(7, 8), optionBits = 1))
+      == PgOutput.Unknown('T'))
+    assert(dec.decode(PgOutput.Encoder.origin(0x10L, "node_1"))
+      == PgOutput.Unknown('O'))
+    // tag-only frames with arbitrary payloads: 'Y' type, 'M' message,
+    // and the PG14 streaming tags ('S'tream start, 'E'nd, 'A'bort) —
+    // the decoder must classify by tag without reading the body
+    for (tag <- Seq('Y', 'M', 'S', 'E', 'A'))
+      assert(dec.decode(tag.toByte +: Array[Byte](1, 2, 3))
+        == PgOutput.Unknown(tag))
+  }
 }

@@ -101,6 +101,45 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(got4.isEmpty)
   }
 
+  test("unknown frames: skip + advance (lsn,seq), zero rows, counted") {
+    // The Unknown contract (r13 ask #4): 'T'runcate / 'O'rigin frames
+    // interleaved with I/U/D must not throw, must not emit phantom
+    // rows, must leave every real row's (lsn, seq) EXACTLY as if the
+    // frames were absent — and must be counted, never silent. A real
+    // PG slot delivers a truncate first on any published-table
+    // TRUNCATE; PG14+ streaming adds more unknown tags.
+    val walBase = Files.createTempDirectory("walUb").toString
+    val walU = Files.createTempDirectory("walUu").toString
+    val trunc = PgOutput.Encoder.truncate(Seq(rel.relId), optionBits = 2)
+    val orig = PgOutput.Encoder.origin(55L, "src_a")
+    val rows1 = tx(100L, ins(rel, 1, 10))
+    val rows2 = tx(101L, ins(rel, 2, 20), upd(1, 11))
+    WalFiles.writeSegment(walBase, 100L,
+      PgOutput.Encoder.relation(rel) +: (rows1 ++ rows2))
+    // unknowns mid-transaction (between the tx's I frames), before a
+    // Begin, and trailing the last Commit
+    val tx2u = Seq(rows2.head, rows2(1), trunc, rows2(2), rows2(3))
+    WalFiles.writeSegment(walU, 100L,
+      PgOutput.Encoder.relation(rel) +: (rows1 ++ (orig +: tx2u) :+ trunc))
+
+    val t0 = WalFiles.truncateFrames.get()
+    val u0 = WalFiles.unknownFrames.get()
+    val base = runStream(walBase, Files.createTempDirectory("ckUb").toString)
+    val tBase = WalFiles.truncateFrames.get()
+    val withU = runStream(walU, Files.createTempDirectory("ckUu").toString)
+
+    assert(base.nonEmpty)
+    assert(withU == base,
+      "rows (incl lsn/seq) must be identical with unknown frames present")
+    assert(tBase == t0, "the clean feed must count no truncates")
+    assert(WalFiles.truncateFrames.get() - t0 == 2)
+    assert(WalFiles.unknownFrames.get() - u0 == 1)
+    // the listener gauge reads the same mirror
+    val l = new graft.streaming.GraftMetricsListener()
+    assert(l.truncateFramesSkipped == WalFiles.truncateFrames.get())
+    assert(l.unknownFramesSkipped == WalFiles.unknownFrames.get())
+  }
+
   test("resume past pruned segments still knows their relations") {
     // Relation declared ONLY in segment 1; the resume checkpoint lands
     // past later segment boundaries, so the reader prunes segment 1 —
