@@ -261,8 +261,11 @@ object VectorOps {
     math.max(8, math.min(4096, math.sqrt(n.toDouble).toInt))
   }
 
-  /** EXACT top-k for CORPUS-SCALE query sides (q283 mutual-NN, q237
-    * hard negatives) via a block-replicated nested loop. On this
+  /** EXACT top-k via a block-replicated nested loop — the exact probe
+    * behind q283 mutual-NN / q237 hard negatives (panel-bounded query
+    * sides since r14: O(panel·N) linear; the corpus-wide shapes are
+    * the q329/q330 approximate twins) and the q329/q330/q334 exact
+    * audit panels. On this
     * fixture — and any isotropic embedding set — cluster bounds
     * cannot prune: pairwise cosines center on 0 (p99 ≈ 0.29) while
     * cluster radii ≈ √2, so gap = max(0, dist − r) clamps to 0 for
@@ -1443,22 +1446,27 @@ object VectorOps {
               .stripMargin)).as("anisotropy_micro"))
     },
 
-    // ---- Hard-negative mining: per vector, the 3 most similar
+    // ---- Hard-negative mining: per query, the 3 most similar
     //      DIFFERENT-label vectors — the contrastive-training miner
-    //      (the negatives the model most confuses). Corpus-scale
-    //      query side through the block-replicated exact nested loop
-    //      ([[blockTopK]] labelAware — exactness needs no pruning
-    //      argument at all; the r11 lesson is that on THIS isotropic
-    //      fixture the IVF's triangle bounds can never exclude a
-    //      cluster, so the two-pass probe paid kb/probe bookkeeping
-    //      on top of an unavoidable full scan); the oracle is the
-    //      brute-force answer, so the hash asserts the block schedule
-    //      drops nothing. ----
+    //      (the negatives the model most confuses). PANEL-BOUND (r13
+    //      ask #3, option b — the q118 discipline): the exact probe
+    //      searches a 500-query deterministic md5 panel against the
+    //      FULL corpus through the block-replicated exact nested
+    //      loop ([[blockTopK]] labelAware), O(panel·N) — linear in
+    //      the corpus at any scale. The corpus-wide mining shape is
+    //      q330 (SRP-banded approx twin, in-query recall audit); on
+    //      this isotropic fixture IVF bounds cannot prune, which is
+    //      exactly why the exact tool stays panel-bounded. The
+    //      oracle is the brute-force panel answer, so the hash
+    //      asserts the block schedule drops nothing. ----
     QueryDef.sql("q237_hard_negatives",
-      """WITH q AS (SELECT vec_id AS qid, label AS qlab,
-        |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings),
-        |c AS (SELECT vec_id AS cid, label AS clab,
-        |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[])
+        |    AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS qlab, emb AS qv
+        |  FROM (SELECT vec_id, label, emb,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      vec_id) AS rn FROM v) WHERE rn <= 500),
+        |c AS (SELECT vec_id AS cid, label AS clab, emb AS cv FROM v)
         |SELECT qid, cid, neg_label, cos_sim FROM (
         |  SELECT qid, cid, clab AS neg_label,
         |    round(list_cosine_similarity(qv, cv), 4) AS cos_sim,
@@ -1469,7 +1477,11 @@ object VectorOps {
         |WHERE rn <= 3 ORDER BY qid, cid""".stripMargin) { (s, d) =>
       GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
-      blockTopK(e, e, k = 3, labelAware = true)
+      val panel = e
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+          col("vec_id"))
+        .limit(500)
+      blockTopK(e, panel, k = 3, labelAware = true)
         .join(e.select(col("vec_id").as("cid"),
           col("label").as("neg_label")), "cid")
         .select(col("qid"), col("cid"), col("neg_label"), col("cos_sim"))
@@ -2262,67 +2274,88 @@ object VectorOps {
         .orderBy(col("step"))
     },
 
-    // ---- Mutual nearest neighbors (reciprocal 1-NN pairs): the
+    // ---- Mutual nearest neighbors (reciprocal 1-NN audit): the
     //      high-precision pair-mining primitive — bitext mining,
     //      paraphrase pairing, cross-source entity matching all gate
     //      on "we are each other's closest vector", which kills the
     //      hub-dominated false pairs a one-directional 1-NN keeps.
-    //      The 1-NN table comes from the block-replicated exact
-    //      nested loop ([[blockTopK]], k=1, corpus-as-queries — on
-    //      this isotropic fixture IVF bounds cannot prune, so the
-    //      block schedule pays the unavoidable N² compute WITHOUT
-    //      the probe bookkeeping or O(N²) shuffle rows) with the
-    //      (round-4 cosine DESC, cid) tie order both engines share;
-    //      the oracle recomputes it brute-force, so the green hash
-    //      proves the schedule exact at k=1 corpus-wide. A vector
-    //      has ONE nearest neighbor, so each id appears in at most
-    //      one mutual pair (id1 unique ⇒ total order). Labels join
-    //      WITHOUT a broadcast hint (corpus-sized — the q215 rule);
-    //      same_label reads the pair-mining precision directly.
-    //      Scale: shuffle is O(N·blocks) vector copies + heap
-    //      partials; the mutual check is a self-join of the O(N)
-    //      1-NN table on its own reversed key. Oracle v/nn/mu CTEs
-    //      MATERIALIZED (q302 discipline, r13): the N² ranking
-    //      window was re-inlined per mutual-join leg. ----
+    //      PANEL-BOUND (r13 ask #3, option b): the exact probe runs
+    //      the q118 discipline — a 500-query deterministic md5 panel
+    //      searched EXACTLY against the full corpus via the
+    //      block-replicated nested loop ([[blockTopK]], k=1), then a
+    //      second O(panel·N) exact pass over the ≤500 distinct
+    //      counterparts answers "is the edge reciprocal?" — mutual
+    //      iff nn(nn(q)) = q. Total cost is O(panel·N): LINEAR in the
+    //      corpus at any scale; the corpus-wide mutual-pair MINING
+    //      shape is q329 (SRP-banded approx twin with its in-query
+    //      recall audit). Tie order (round-4 cosine DESC, cid) is
+    //      shared by both engines; the oracle recomputes both passes
+    //      brute-force, so the green hash proves the block schedule
+    //      exact at k=1. Labels join WITHOUT a broadcast hint
+    //      (corpus-sized — the q215 rule); same_label reads the
+    //      pair-mining precision directly. Oracle CTEs MATERIALIZED
+    //      (q302 discipline): nn1 feeds cp, nn2, and the result. ----
     QueryDef.sql("q283_mutual_nn",
-      """WITH v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[])
-        |    AS emb FROM embeddings),
-        |nn AS MATERIALIZED (SELECT qid, cid, cs FROM (
-        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-        |    round(list_cosine_similarity(a.emb, b.emb), 4) AS cs,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
+      """WITH v AS MATERIALIZED (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS MATERIALIZED (SELECT vec_id, emb FROM (SELECT vec_id, emb,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      vec_id) AS rn FROM v) WHERE rn <= 500),
+        |nn1 AS MATERIALIZED (SELECT qid, cid, cs FROM (
+        |  SELECT s.vec_id AS qid, b.vec_id AS cid,
+        |    round(list_cosine_similarity(s.emb, b.emb), 4) AS cs,
+        |    row_number() OVER (PARTITION BY s.vec_id
+        |      ORDER BY round(list_cosine_similarity(s.emb, b.emb), 4)
         |        DESC, b.vec_id) AS rn
-        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id) WHERE rn = 1),
-        |mu AS MATERIALIZED (SELECT x.qid AS id1, x.cid AS id2, x.cs
-        |  FROM nn x JOIN nn y ON y.qid = x.cid AND y.cid = x.qid
-        |  WHERE x.qid < x.cid)
-        |SELECT mu.id1, mu.id2, mu.cs AS cos_sim,
+        |  FROM s JOIN v b ON s.vec_id <> b.vec_id) WHERE rn = 1),
+        |cp AS MATERIALIZED (SELECT DISTINCT cid FROM nn1),
+        |nn2 AS MATERIALIZED (SELECT qid AS cid, cid AS back FROM (
+        |  SELECT c.cid AS qid, b.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY c.cid
+        |      ORDER BY round(list_cosine_similarity(cv.emb, b.emb), 4)
+        |        DESC, b.vec_id) AS rn
+        |  FROM cp c JOIN v cv ON cv.vec_id = c.cid
+        |  JOIN v b ON b.vec_id <> c.cid) WHERE rn = 1)
+        |SELECT nn1.qid, nn1.cid, nn1.cs AS cos_sim,
+        |  CAST(CASE WHEN nn2.back = nn1.qid THEN 1 ELSE 0 END AS INTEGER)
+        |    AS mutual,
         |  CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS INTEGER)
         |    AS same_label
-        |FROM mu JOIN v a ON a.vec_id = mu.id1
-        |JOIN v b ON b.vec_id = mu.id2
-        |ORDER BY id1""".stripMargin) { (s, d) =>
+        |FROM nn1 JOIN nn2 ON nn2.cid = nn1.cid
+        |JOIN v a ON a.vec_id = nn1.qid
+        |JOIN v b ON b.vec_id = nn1.cid
+        |ORDER BY qid""".stripMargin) { (s, d) =>
       GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
-      val nn1 = blockTopK(e, e, k = 1)
+      // panel-bound exact probe (r13 ask #3, option b — the q118
+      // discipline): the 500-query md5 panel's EXACT 1-NN over the
+      // full corpus, O(panel·N) linear; the mutual check needs the
+      // counterpart's exact 1-NN too — a second O(panel·N) pass over
+      // the ≤ panel distinct counterparts. TakeOrdered bounds the
+      // panel selection (no global sort shuffle).
+      val panel = e
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+          col("vec_id"))
+        .limit(500)
+      val nn1 = blockTopK(e, panel, k = 1)
         .select(col("qid"), col("cid"), col("cos_sim"))
-        .localCheckpoint() // O(N) 1-NN table feeds both self-join legs
-      val mu = nn1.as("x")
-        .join(nn1.as("y"), col("y.qid") === col("x.cid")
-          && col("y.cid") === col("x.qid"))
-        .filter(col("x.qid") < col("x.cid"))
-        .select(col("x.qid").as("id1"), col("x.cid").as("id2"),
-          col("x.cos_sim").as("cos_sim"))
+        .localCheckpoint() // O(panel) rows: feeds counterparts + result
+      val counterparts = nn1.select(col("cid").as("vec_id")).distinct()
+        .join(e, "vec_id")
+      val nn2 = blockTopK(e, counterparts, k = 1)
+        .select(col("qid").as("cid"), col("cid").as("back"))
       val lab = e.select(col("vec_id"), col("label"))
-      mu.join(lab.select(col("vec_id").as("id1"), col("label").as("la")),
-          "id1")
-        .join(lab.select(col("vec_id").as("id2"), col("label").as("lb")),
-          "id2")
-        .select(col("id1"), col("id2"), col("cos_sim"),
+      nn1.join(nn2, "cid")
+        .join(lab.select(col("vec_id").as("qid"), col("label").as("la")),
+          "qid")
+        .join(lab.select(col("vec_id").as("cid"), col("label").as("lb")),
+          "cid")
+        .select(col("qid"), col("cid"), col("cos_sim"),
+          when(col("back") === col("qid"), 1).otherwise(0)
+            .cast("int").as("mutual"),
           when(col("la") === col("lb"), 1).otherwise(0)
             .cast("int").as("same_label"))
-        .orderBy(col("id1"))
+        .orderBy(col("qid"))
     },
 
     // ---- Reranking eval (cross-encoder stage audit): did the second-

@@ -1069,15 +1069,29 @@ class DegenerateInputSpec extends AnyFunSuite {
     }
   }
 
-  test("q283: mutual pairs stay a matching (each id at most once)") {
-    // a vector has exactly one nearest neighbor, so the reciprocal
-    // pair set must be a matching even with the fixture's singleton
-    // label present
+  test("q283: panel audit is one row per qid; mutual edges reciprocate") {
+    // panel-bound since r14: one exact-1-NN row per panel query, with
+    // a mutuality flag. Invariants even with the fixture's singleton
+    // label: qid unique (a vector has ONE nearest neighbor), flags in
+    // {0,1}, and mutuality is symmetric — when both ends of a
+    // mutual=1 edge sit in the panel, the counterpart row must point
+    // straight back with mutual=1.
     val rows = run("q283_mutual_nn")
-    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
-    assert(ids.distinct.length == ids.length,
-      "an id appeared in two mutual pairs")
-    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    assert(rows.nonEmpty)
+    val qids = rows.map(_.getLong(0))
+    assert(qids.distinct.length == qids.length, "duplicate qid")
+    val byQid = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getInt(r.fieldIndex("mutual")))).toMap
+    rows.foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(1))
+      val m = r.getInt(r.fieldIndex("mutual"))
+      assert(m == 0 || m == 1)
+      assert(qid != cid)
+      if (m == 1) byQid.get(cid).foreach { case (back, bm) =>
+        assert(back == qid && bm == 1,
+          s"mutual edge $qid->$cid not reciprocated: $back/$bm")
+      }
+    }
   }
 
   test("q315: a query with zero relevant candidates reads NULL nDCG") {

@@ -630,10 +630,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q235_markov_transitions" -> 4,
       // band-bucket candidate self-join + distinct + pair fold
       "q236_frame_phash_neardup" -> 3,
-      // label-aware blockTopK: corpus + exploded-query block join
-      // legs, heap top-k (partial map-side), label re-join, sort —
-      // shuffle volume is O(N·blocks) vector copies, never pair rows
-      "q237_hard_negatives" -> 5,
+      // panel-bound (r14): the 500-query panel legs BROADCAST (panel
+      // and its blk-exploded copies are O(panel·blocks) rows at any
+      // corpus — broadcastable by construction, not just by stats),
+      // so the corpus side never exchanges for the join; what remains
+      // is the heap top-k final agg + result sort. Shuffle volume is
+      // O(panel) heap partials — linear-corpus exact probe.
+      "q237_hard_negatives" -> 2,
       // ε-pair blocking (checkpointed) + neighbor-count agg + core
       // joins + CC (internally checkpointed) + border fold
       "q238_dbscan" -> 9,
@@ -781,10 +784,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // the final report agg + sort — 8 exchanges over O(types·days)
       // rows; the corpus pays only the cell agg at checkpoint time
       "q282_jackknife_se" -> 8,
-      // q283 = past the checkpointed O(N) 1-NN table (blockTopK runs
-      // at build): the reversed-key self-join + the un-hinted label
-      // joins + result sort — the label legs broadcast by stats at
-      // this sf and shuffle at scale
+      // q283 = past the checkpointed O(panel) nn1 table (the panel
+      // blockTopK runs at build; panel-bound since r14): the second
+      // exact pass's heap final agg + the counterpart distinct + the
+      // un-hinted label joins + result sort — nn1-sized legs
+      // broadcast by stats at this sf and shuffle at scale
       "q283_mutual_nn" -> 3,
       // q285 = past the checkpointed O(users) lifetime table: q198's
       // exact exchange profile (horizon agg + duration support agg +
