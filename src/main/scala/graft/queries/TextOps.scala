@@ -376,6 +376,62 @@ object TextOps {
                          // and (q331) the cross-source overlap join
   }
 
+  /** Shared oracle of the contamination matrix (q331 and its
+    * STREAMING twin q336) — ONE SQL text, so the two QueryDefs are
+    * provably the same computation (the q322/q324 discipline). */
+  private lazy val contaminationMatrixSql: String =
+    s"""WITH $gramLadderCte,
+       |st AS (SELECT source, n, CAST(count(*) AS BIGINT) AS types
+       |  FROM sets GROUP BY source, n),
+       |ov AS (SELECT a.source AS src_a, b.source AS src_b, a.n,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM sets a JOIN sets b ON a.n = b.n AND a.gr = b.gr
+       |    AND a.source <> b.source
+       |  GROUP BY 1, 2, 3)
+       |SELECT g.src_a AS src_a, g.src_b AS src_b,
+       |  CAST(g.n AS BIGINT) AS n,
+       |  COALESCE(ov.shared, 0) AS shared_types,
+       |  st.types AS b_types,
+       |  CAST(COALESCE(ov.shared, 0) * 1000000 // st.types AS BIGINT)
+       |    AS containment_micro
+       |FROM (SELECT a.source AS src_a, b.source AS src_b, a.n
+       |  FROM st a JOIN st b ON a.n = b.n AND a.source <> b.source) g
+       |LEFT JOIN ov ON ov.src_a = g.src_a AND ov.src_b = g.src_b
+       |  AND ov.n = g.n
+       |JOIN st ON st.source = g.src_b AND st.n = g.n
+       |ORDER BY g.src_a, g.src_b, g.n""".stripMargin
+
+  /** The contamination-matrix assembly from a (source, n, gr) type-set
+    * table — shared by q331 (batch type sets) and q336 (the streamed
+    * type sets) so batch and stream can never drift: per-(source, n)
+    * type counts, the gram-keyed overlap join (per-gram fan-out ≤
+    * sources², a DOMAIN), and the dense grid LEFT JOIN so zero cells
+    * report loudly. Expects `sets` checkpointed/materialized (three
+    * consumers). */
+  private def contaminationTail(sets: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val st = sets.groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("types"))
+      .localCheckpoint() // O(sources·4): grid legs + denominator
+    val ov = sets.as("a").join(sets.as("b"),
+        col("a.n") === col("b.n") && col("a.gr") === col("b.gr")
+          && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("n"))
+      .agg(count(lit(1)).as("shared"))
+    val grid = st.select(col("source").as("src_a"), col("n"))
+      .join(st.select(col("source").as("src_b"), col("n"),
+        col("types").as("b_types")), Seq("n"))
+      .filter(col("src_a") =!= col("src_b"))
+    grid.join(ov, Seq("src_a", "src_b", "n"), "left")
+      .withColumn("shared_types", coalesce(col("shared"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n"), col("shared_types"),
+        col("b_types"),
+        expr("CAST(shared_types * 1000000 div b_types AS BIGINT)")
+          .as("containment_micro"))
+      .orderBy(col("src_a"), col("src_b"), col("n"))
+  }
+
   /** The q217 PSI assembly from a (source, v, ep, c) support table —
     * shared by the q301 STREAMING twin so batch and stream can never
     * drift: pooled-rank decile bins (a value group never splits
@@ -3883,48 +3939,55 @@ object TextOps {
     //      zero cells report loudly. Scale: the type-set distinct is
     //      the whole corpus cost (shared with q316); the matrix is
     //      O(sources²·4) rows. ----
-    QueryDef.sql("q331_contamination_matrix",
-      s"""WITH $gramLadderCte,
-         |st AS (SELECT source, n, CAST(count(*) AS BIGINT) AS types
-         |  FROM sets GROUP BY source, n),
-         |ov AS (SELECT a.source AS src_a, b.source AS src_b, a.n,
-         |    CAST(count(*) AS BIGINT) AS shared
-         |  FROM sets a JOIN sets b ON a.n = b.n AND a.gr = b.gr
-         |    AND a.source <> b.source
-         |  GROUP BY 1, 2, 3)
-         |SELECT g.src_a AS src_a, g.src_b AS src_b,
-         |  CAST(g.n AS BIGINT) AS n,
-         |  COALESCE(ov.shared, 0) AS shared_types,
-         |  st.types AS b_types,
-         |  CAST(COALESCE(ov.shared, 0) * 1000000 // st.types AS BIGINT)
-         |    AS containment_micro
-         |FROM (SELECT a.source AS src_a, b.source AS src_b, a.n
-         |  FROM st a JOIN st b ON a.n = b.n AND a.source <> b.source) g
-         |LEFT JOIN ov ON ov.src_a = g.src_a AND ov.src_b = g.src_b
-         |  AND ov.n = g.n
-         |JOIN st ON st.source = g.src_b AND st.n = g.n
-         |ORDER BY g.src_a, g.src_b, g.n""".stripMargin) { (s, d) =>
-      val sets = gramTypeSets(s, d)
-      val st = sets.groupBy(col("source"), col("n"))
-        .agg(count(lit(1)).as("types"))
-        .localCheckpoint() // O(sources·4): grid legs + denominator
-      val ov = sets.as("a").join(sets.as("b"),
-          col("a.n") === col("b.n") && col("a.gr") === col("b.gr")
-            && col("a.source") =!= col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
-          col("a.n").as("n"))
-        .agg(count(lit(1)).as("shared"))
-      val grid = st.select(col("source").as("src_a"), col("n"))
-        .join(st.select(col("source").as("src_b"), col("n"),
-          col("types").as("b_types")), Seq("n"))
-        .filter(col("src_a") =!= col("src_b"))
-      grid.join(ov, Seq("src_a", "src_b", "n"), "left")
-        .withColumn("shared_types", coalesce(col("shared"), lit(0L)))
-        .select(col("src_a"), col("src_b"), col("n"), col("shared_types"),
-          col("b_types"),
-          expr("CAST(shared_types * 1000000 div b_types AS BIGINT)")
-            .as("containment_micro"))
-        .orderBy(col("src_a"), col("src_b"), col("n"))
+    QueryDef.sql("q331_contamination_matrix", contaminationMatrixSql) {
+      (s, d) => contaminationTail(gramTypeSets(s, d))
+    },
+
+    // ---- STREAMING contamination matrix (r13 ask #6): q331's live
+    //      twin via the shared-tail discipline — the directional
+    //      who-shares-with-whom matrix is the release-gate artifact a
+    //      live feed wants (q332 composes gates but not the matrix;
+    //      q335 monitors exact-probe hits but not cross-source
+    //      containment). The stream tokenizes each arriving doc,
+    //      explodes the {2,4,8,16} ladder, and folds DISTINCT
+    //      (source, n, gram) types with a streaming dropDuplicates —
+    //      the state is the per-(source, n) gram TYPE SET, the same
+    //      vocabulary-shaped state every streaming dedup carries
+    //      (q93/q94's shape; at 100 TB the rungs cap or ride RocksDB
+    //      exactly as there). Each micro-batch appends only
+    //      NEWLY-SEEN types (append mode), so the sink accumulates
+    //      the identical type-set table gramTypeSets builds in batch;
+    //      the matrix assembly is [[contaminationTail]] — the SAME
+    //      function q331 calls, and [[contaminationMatrixSql]] is the
+    //      SAME oracle text, so batch/stream divergence is impossible
+    //      by construction (the q322/q324 discipline). ----
+    QueryDef.sql("q336_stream_contamination_matrix",
+      contaminationMatrixSql) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val feedDir = graft.bench.BenchFeeds.feed(s, d, "docsrcfeed",
+        idCol = "doc_id", checkSpan = false)(docs)
+      val sink = graft.bench.BenchFeeds.sinkName("q336_contam")
+      graft.streaming.StreamRun.withStatePartitions(s, 8) {
+        val q = s.readStream
+          .schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+          .select(col("source"),
+            split(lower(trim(col("text"))), "\\s+").as("toks"))
+          .withColumn("n", explode(typedLit(Seq(2, 4, 8, 16))))
+          .filter(size(col("toks")) >= col("n"))
+          .select(col("source"), col("n").cast("long").as("n"),
+            explode(expr(
+              """transform(sequence(0, size(toks) - n), i ->
+                |  array_join(slice(toks, i + 1, n), ' '))""".stripMargin))
+              .as("gr"))
+          .dropDuplicates("source", "n", "gr")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      contaminationTail(s.table(sink).localCheckpoint())
     },
 
     // ---- Curation release report: the end-to-end GO/NO-GO artifact a
