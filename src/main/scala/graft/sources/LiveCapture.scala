@@ -78,8 +78,19 @@ object LiveCapture {
       // NO WalFiles.writeAck here: the ack file is the downstream
       // CONSUMER's watermark (truncateAcked prunes what Spark has
       // consumed); the producer's durability watermark is the
-      // standby-status ackLsn() to the server only
-      WalFiles.writeSegment(dir, math.max(bufFirstLsn, 0L), buf)
+      // standby-status ackLsn() to the server only.
+      // overwrite = true: after a crash the slot re-delivers from its
+      // last PROCESSED ack, which can sit behind segments already on
+      // disk (flushed-but-unacked window, incl. the exit tail flush —
+      // it lands after the in-stream final status). The re-buffered
+      // transactions are the same WAL bytes grouped by the same
+      // flushTxs from the same commit boundary, so a colliding
+      // segment name re-writes identical bytes (or a superset tail
+      // segment extending a partial one — replay-equivalent either
+      // way); resuming with a DIFFERENT flushTxs voids this and is
+      // the caller's contract (see runRetrying).
+      WalFiles.writeSegment(dir, math.max(bufFirstLsn, 0L), buf,
+        overwrite = true)
       lastFlushedEnd = lastPendingEnd
       buf = Vector.empty
       bufTxs = 0
@@ -87,6 +98,43 @@ object LiveCapture {
       flushed += 1
     }
   }
+
+  /** Durable tail of the local feed: the max Commit end-LSN across
+    * `dir`'s segments (unsigned order), None when the dir is empty.
+    * Tag-level scan of the LAST segment only — segments are named and
+    * ordered by first-tx LSN, so the maximum commit lives in the last
+    * file. pgoutput Commit layout: tag, flags(1), commit_lsn(8),
+    * end_lsn(8), ts(8). */
+  def localTailEnd(dir: String): Option[Long] =
+    WalFiles.segments(dir).lastOption.map { case (_, p) =>
+      var mx = 0L
+      WalFiles.readFrames(p).foreach { f =>
+        if (f.nonEmpty && f(0).toChar == 'C') {
+          val r = new graft.codec.BytesReader(f)
+          r.byte(); r.byte(); r.int64() // tag, flags, commit_lsn
+          val end = r.int64()
+          if (java.lang.Long.compareUnsigned(end, mx) > 0) mx = end
+        }
+      }
+      mx
+    }
+
+  /** WAL-gap guard (r13 ask #2): refuse a resume whose start LSN sits
+    * BEYOND the local feed's durable tail — the WAL between them was
+    * acked (or the slot was advanced/recreated) without ever landing
+    * in `dir`, and streaming from `start` would write a feed with a
+    * silent hole. `start` at or behind the tail is the normal
+    * at-least-once overlap (redelivered segments re-write identical
+    * bytes; the downstream gate drops the replayed prefix). An empty
+    * dir is always fine — nothing to be discontinuous WITH. */
+  private def gapCheck(dir: String, slot: String, start: Long): Unit =
+    localTailEnd(dir).foreach { tail =>
+      require(java.lang.Long.compareUnsigned(start, tail) <= 0,
+        s"WAL gap: slot '$slot' resumes at ${PgWire.formatLsn(start)} " +
+          s"but the local feed's durable tail ends at " +
+          s"${PgWire.formatLsn(tail)} — the WAL between them will never " +
+          s"be delivered; refusing to write a discontinuous feed in $dir")
+    }
 
   /** Tail `dsn` into `dir` until `deadlineMs` passes or `maxTxs`
     * transactions have been captured. Creates the publication
@@ -121,6 +169,7 @@ object LiveCapture {
                   "and restart_lsn are NULL)")
               PgWire.parseLsn(lsnText.get)
           }
+        gapCheck(dir, slot, start)
         val sink = new SegmentSink(dir, flushTxs)
         var txs = 0L
         repl.startReplication(slot, publication, start,
@@ -133,6 +182,55 @@ object LiveCapture {
         sink.segmentsFlushed
       } finally repl.close()
     } finally ctl.close()
+  }
+
+  /** [[run]] wrapped in the reference's retry loop (the behavior of
+    * pkg/source/main.go:85-107): a TRANSIENT failure — the server
+    * dropping the socket mid-COPY-BOTH (EOF / connection reset), an
+    * ErrorResponse mid-replication-stream (PgError) — closes both
+    * connections, waits `backoffMs`, and re-enters [[run]], which
+    * resumes from the slot's durable restart point (the 42710
+    * slot-exists path, reference pkg/source/postgres.go:51-163).
+    * At-least-once holds by construction: unflushed frames were never
+    * acked, so the server re-delivers them; redelivered segments
+    * re-write identical bytes (SegmentSink overwrite — resume MUST
+    * reuse the same `flushTxs`, which this loop does by passing its
+    * own); the downstream consistency gate drops the replayed prefix.
+    * Non-transient failures (the gap guard, a missing slot row — both
+    * IllegalArgumentException) rethrow immediately: retrying a
+    * diagnosis burns the budget to repeat it. Gives up after
+    * `attempts` transient failures, rethrowing the last error.
+    * `deadlineMs`/`maxTxs` bound each ATTEMPT. Returns the number of
+    * durable segments in `dir` — NOT a per-attempt flush sum: a
+    * failed attempt flushes segments whose count dies with its
+    * exception, and the on-disk total is the figure that means
+    * anything after a crash anyway. */
+  def runRetrying(dsn: PgWire.Dsn, dir: String, publication: String,
+      slot: String, tables: Seq[String], deadlineMs: Long = 30000,
+      maxTxs: Long = Long.MaxValue, flushTxs: Int = 16,
+      attempts: Int = 3, backoffMs: Long = 500): Long = {
+    require(attempts > 0, "attempts must be positive")
+    var tried = 0
+    var done = false
+    while (!done) {
+      tried += 1
+      try {
+        run(dsn, dir, publication, slot, tables, deadlineMs,
+          maxTxs, flushTxs)
+        done = true
+      } catch {
+        // the reference retries every source error (main.go:85-107);
+        // here only the DIAGNOSES (gap guard, missing slot row —
+        // IllegalArgumentException by contract) rethrow immediately
+        case scala.util.control.NonFatal(e)
+            if tried < attempts && !e.isInstanceOf[IllegalArgumentException] =>
+          System.err.println(s"[live-capture] attempt $tried failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+            s"retrying in ${backoffMs}ms from the slot's restart point")
+          Thread.sleep(backoffMs)
+      }
+    }
+    WalFiles.segments(dir).size.toLong
   }
 
   /** CLI: `runMain graft.sources.LiveCapture <dsn> <dir> <pub> <slot>

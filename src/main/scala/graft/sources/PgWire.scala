@@ -102,7 +102,8 @@ object PgWire {
   * replication session (replication=database) — simple queries on it
   * are restricted by the server to the replication grammar plus a few
   * catalog reads, which is all the capture path uses. */
-final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
+final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false,
+    soTimeoutMs: Int = 30000)
   extends AutoCloseable {
   import PgWire._
 
@@ -110,12 +111,12 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
   socket.connect(new InetSocketAddress(dsn.host, dsn.port), 10000)
   socket.setTcpNoDelay(true)
   // A wedged server must not hang recv() forever during startup/auth/
-  // simple-query — 30 s bounds every read; startReplication swaps in
-  // its own 1 s poll timeout and restores this one (ADVICE r12). A
-  // timeout that fires mid-reply CLOSES the connection (recvSync,
-  // ADVICE r13) — the stream is no longer message-aligned and must
-  // not be reused.
-  socket.setSoTimeout(30000)
+  // simple-query — `soTimeoutMs` (default 30 s) bounds every read;
+  // startReplication swaps in its own 1 s poll timeout and restores
+  // this one (ADVICE r12). A timeout that fires mid-reply CLOSES the
+  // connection (recvSync, ADVICE r13) — the stream is no longer
+  // message-aligned and must not be reused.
+  socket.setSoTimeout(soTimeoutMs)
   private val in = new DataInputStream(
     new BufferedInputStream(socket.getInputStream))
   private val out = new DataOutputStream(
@@ -411,7 +412,7 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false)
       }
       standbyStatus(false)
       n
-    } finally socket.setSoTimeout(30000)
+    } finally socket.setSoTimeout(soTimeoutMs)
   }
 
   /** Microseconds since the PostgreSQL epoch (2000-01-01). */
