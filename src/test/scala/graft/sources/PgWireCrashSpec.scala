@@ -136,7 +136,16 @@ class PgWireCrashSpec extends AnyFunSuite {
       assert(events.map(_.cp.lsn) == Seq(0x2000L, 0x3000L, 0x4000L))
       assert(events.map(e => new String(e.change.newTuple.get("id"))) ==
         Seq("a", "b", "c"))
+      // the resume above was the gap guard's EQUALITY boundary (resume
+      // 0/2001 == attempt 1's durable tail) — prove the tail read: the
+      // final dir's last segment carries tx3's commit end
+      assert(LiveCapture.localTailEnd(dir).contains(0x4001L))
     } finally srv.close()
+  }
+
+  test("localTailEnd: None on an empty dir, max commit end on a feed") {
+    val empty = Files.createTempDirectory("pgcrash-empty").toString
+    assert(LiveCapture.localTailEnd(empty).isEmpty)
   }
 
   test("flushed-but-unacked redelivery: overlapping segments re-write " +
