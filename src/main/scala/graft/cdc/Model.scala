@@ -13,7 +13,7 @@ package graft.cdc
   * typed projection can decode each datum (see [[graft.codec.PgType]]).
   */
 final case class CdcEvent(
-    op: String,            // INSERT | UPDATE | DELETE | DDL | BEGIN | COMMIT | KEEPALIVE
+    op: String,            // INSERT | UPDATE | DELETE | TRUNCATE | DDL | BEGIN | COMMIT | KEEPALIVE
     schema: String,
     table: String,
     newFields: Map[String, Array[Byte]],
@@ -48,6 +48,9 @@ object CdcOp {
   val Insert = "INSERT"
   val Update = "UPDATE"
   val Delete = "DELETE"
+  /** Table-level clear control row (pgoutput 'T', one per affected
+    * relation — first-class since r15; new/old maps are null). */
+  val Truncate = "TRUNCATE"
   val Ddl = "DDL"
   val Begin = "BEGIN"
   val Commit = "COMMIT"

@@ -94,6 +94,12 @@ object DdlClassifier {
   private val selectIntoRe = """(?is)\binto\s+([\w."]+)\s""".r
   private val dmlInDdlRe =
     """(?is)\b(?:insert\s+into|update|delete\s+from)\s+([\w."]+)""".r
+  // TRUNCATE [TABLE] [ONLY] t [*] [, ...]: replaying the captured DDL
+  // already clears these tables, so the same source tx's wire
+  // op=TRUNCATE control rows must be suppressed (A20 interaction,
+  // r14 ask #1)
+  private val truncateRe =
+    """(?is)\btruncate\s+(?:table\s+)?((?:only\s+)?[\w."]+(?:\s*\*)?(?:\s*,\s*(?:only\s+)?[\w."]+(?:\s*\*)?)*)""".r
 
   def touchedRelations(ddl: String): Set[String] = {
     def strip(n: String) = n.replace("\"", "").split('.').last.toLowerCase
@@ -102,7 +108,10 @@ object DdlClassifier {
       selectIntoRe.findAllMatchIn(ddl).map(m => strip(m.group(1)))
     else Iterator.empty
     val dml = dmlInDdlRe.findAllMatchIn(ddl).map(m => strip(m.group(1)))
-    (ctas ++ into ++ dml).toSet
+    val trunc = truncateRe.findAllMatchIn(ddl).flatMap(_.group(1).split(',')
+      .map(t => strip(t.replaceAll("(?i)^\\s*only\\s+", "")
+        .replaceAll("\\*", "").trim)))
+    (ctas ++ into ++ dml ++ trunc).toSet
   }
 
   /** Statements the sink must not replay (reference strips

@@ -32,6 +32,17 @@ object PgOutput {
   final case class Change(op: String, rel: Relation,
       newTuple: Option[Map[String, Array[Byte]]],
       oldTuple: Option[Map[String, Array[Byte]]]) extends Message
+  /** A TRUNCATE on published tables (wire tag 'T', PG11+). The relid
+    * array already names EVERY affected relation — PostgreSQL expands
+    * CASCADE server-side before emitting the frame — so applying a
+    * per-relation clear reproduces cascade semantics without parsing
+    * the flag; `restartIdentity` is a sequence concern with no
+    * counterpart in the captured tables themselves. The reference
+    * SKIPS this frame (pkg/decode/pgoutput.go:35-43 handles only
+    * B/C/R/I/U/D), leaving replicas silently stale after a primary
+    * truncate — promoted to first-class here (r14 ask #1). */
+  final case class Truncate(rels: Seq[Relation], cascade: Boolean,
+      restartIdentity: Boolean) extends Message
   final case class Unknown(tag: Char) extends Message
 
   /** One tuple image: per-column datum plus the set of unchanged-TOAST
@@ -98,7 +109,17 @@ object PgOutput {
             throw new CodecException(s"expected K/O tuple, got $tag")
           val ot = readTuple(r, rel)
           Change("DELETE", rel, None, Some(oldImage(ot)))
-        case other => Unknown(other) // 'O'rigin, 'Y'(type), 'T'runcate, 'M'essage
+        case 'T' =>
+          // Truncate: Int32 nrels, Int8 option bits (1 = CASCADE,
+          // 2 = RESTART IDENTITY), Int32[] relids — public "Logical
+          // Replication Message Formats". Relids resolve through the
+          // same relation map as I/U/D (the server declares each
+          // relation with an 'R' frame before first reference).
+          val nrels = r.int32()
+          val bits = r.byte()
+          Truncate((0 until nrels).map(_ => rel0(r.int32())),
+            cascade = (bits & 1) != 0, restartIdentity = (bits & 2) != 0)
+        case other => Unknown(other) // 'O'rigin, 'Y'(type), 'M'essage
       }
     }
 
@@ -198,11 +219,11 @@ object PgOutput {
 
     /** A Truncate ('T') message — Int32 nrels, Int8 option bits
       * (1 = CASCADE, 2 = RESTART IDENTITY), then the relids (public
-      * "Logical Replication Message Formats"). The decoder maps it to
-      * [[Unknown]]('T') — the reference's skip posture
-      * (pkg/decode/pgoutput.go:147-151) — and the source COUNTS it
-      * (WalFiles.truncateFrames / the scan's custom metric): a
-      * publication TRUNCATE must never vanish silently (r13 ask #4). */
+      * "Logical Replication Message Formats"). The decoder promotes it
+      * to [[Truncate]] (r14 ask #1 — the reference skips the frame,
+      * pkg/decode/pgoutput.go:147-151, leaving replicas stale); the
+      * source emits one op=TRUNCATE control row per relation and the
+      * applier clears the table in-tx. */
     def truncate(relIds: Seq[Int], optionBits: Int = 0): Array[Byte] = {
       val w = new BytesWriter().byte('T').int32(relIds.length)
         .byte(optionBits.toByte)

@@ -284,6 +284,43 @@ object CodecQueries {
         .orderBy(col("event_type"))
     },
 
+    // ---- TRUNCATE replay (r14 ask #1): the feed carries a real
+    //      pgoutput 'T' frame mid-stream (its own tx at an odd lsn
+    //      between the surrounding inserts' even lsns). The batch
+    //      source decodes it into an op=TRUNCATE control row; the
+    //      post-truncate snapshot is then RELATIONAL — survivors are
+    //      inserts past the table's latest truncate lsn, a broadcast
+    //      join against the (tiny) truncate set, distributed at any
+    //      scale. The oracle recomputes the same snapshot straight
+    //      from parquet with the same integer cutoff, so the encode →
+    //      frame → decode → control-row → snapshot path is
+    //      hash-checked end to end. ----
+    QueryDef.sql("q337_truncate_replay",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(25,10))), 4) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS first_surviving
+        |FROM events
+        |WHERE event_id > (SELECT (max(event_id) * 3) // 5 FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dir = ensureTruncateFeed(s, d)
+      val env = s.read.format("pgcapture").option("path", dir).load()
+      val tmax = env.filter(col("op") === "TRUNCATE")
+        .groupBy(col("table")).agg(max(col("lsn")).as("trunc_lsn"))
+      val live = env.filter(col("op") === "INSERT")
+        .join(broadcast(tmax), Seq("table"), "left")
+        .filter(col("trunc_lsn").isNull || col("lsn") > col("trunc_lsn"))
+      graft.cdc.TypedProjection.project(live, bfRel, mapCol = "new",
+          keep = Seq("lsn"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(25,10)")), 4)
+            .cast("double").as("sum_value"),
+          // insert lsn = 2 * event_id (the truncate tx took the odd
+          // slot) — shift back to the id domain exactly
+          shiftright(min(col("lsn")), 1).as("first_surviving"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- Incremental view maintenance from a CDC change stream: keep
     //      a per-bucket (count, sum) aggregate of a keyed table current
     //      WITHOUT rebuilding the table. Each change row becomes a
@@ -356,6 +393,63 @@ object CodecQueries {
         Option(f.listFiles()).foreach(_.foreach(_.delete()))
         f.delete(); ()
       }))
+
+  /** Write the q337 feed: the q52 shape (one tx per event, one segment
+    * per range partition, relation declared per segment) at lsn =
+    * 2·event_id, plus ONE driver-written truncate transaction at the
+    * odd lsn 2·cutoff+1 (cutoff = ⌊max(event_id)·3/5⌋, integer) — its
+    * own tiny segment, sorted between the insert segments by the
+    * source's lsn ordering. Driver-side work is one single-row max()
+    * collect and a 4-frame file write; the encode fan-out stays
+    * distributed. */
+  private def ensureTruncateFeed(s: SparkSession, d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
+    val full = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val pid = ProcessHandle.current().pid()
+    val dir = new java.io.File(
+      s"/tmp/graft_waltr_${safe}_${full}_$pid").getAbsolutePath
+    CodecQueries.cleanupOnExit(dir)
+    val f = new java.io.File(dir)
+    if (f.isDirectory) f.listFiles().foreach(_.delete())
+    import s.implicits._
+    val rel = bfRel
+    val events = Tables.load(s, d, "events")
+    // bounded by construction: single-row max aggregate (null on an
+    // empty table → cutoff 0, feed = just the truncate tx)
+    val maxRow = events.agg(max(col("event_id"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val cutLsn = (maxId * 3 / 5) * 2 + 1
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)]
+      .repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .mapPartitions { it =>
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var first = -1L
+        it.foreach { case (eid, uid, et, v) =>
+          val lsn = eid * 2
+          if (first < 0) { first = lsn; frames += PgOutput.Encoder.relation(rel) }
+          frames += PgOutput.Encoder.begin(lsn, lsn * 1000L, eid.toInt)
+          frames += PgOutput.Encoder.insert(rel,
+            Seq(encode(Int8, uid), encode(Text, et), encode(Float8, v)))
+          frames += PgOutput.Encoder.commit(lsn, lsn, lsn * 1000L)
+        }
+        if (first >= 0)
+          graft.sources.WalFiles.writeSegment(dir, first, frames.toSeq,
+            overwrite = true)
+        Iterator.single(first)
+      }.collect()
+    // the truncate transaction: real wire frames, one tiny segment
+    graft.sources.WalFiles.writeSegment(dir, cutLsn, Seq(
+      PgOutput.Encoder.relation(rel),
+      PgOutput.Encoder.begin(cutLsn, cutLsn * 1000L, 0),
+      PgOutput.Encoder.truncate(Seq(rel.relId)),
+      PgOutput.Encoder.commit(cutLsn, cutLsn, cutLsn * 1000L)),
+      overwrite = true)
+    dir
+  }
 
   private def ensureBackfillFeed(s: SparkSession, d: String): String = {
     // fixture name = readable path tail + md5 of the FULL path (so

@@ -256,14 +256,25 @@ final class PgWalPartitionReader(p: PgWalPartition)
 
   private val tally = new WalFiles.SkipTally
 
-  private val it = WalFiles.replay(liveSegs, decoder, tally = tally)
+  private val it = WalFiles.replay(liveSegs, decoder, tally = tally,
+      tallyFrom = p.start)
     .filter(e => e.cp.after(p.start) && !e.cp.after(p.end))
     .filter(e => pattern.forall(_.matcher(e.change.rel.name).matches()))
 
   private var current: WalFiles.WalEvent = _
 
   override def next(): Boolean = {
-    if (it.hasNext) { current = it.next(); true } else false
+    if (it.hasNext) {
+      current = it.next()
+      // delivered-truncate gauge: counted AFTER the window + table
+      // filters, so the figure is per-batch-window, never a replay-
+      // pass frame count (ADVICE r14)
+      if (current.change.op == "TRUNCATE") {
+        tally.truncates += 1
+        WalFiles.truncateFrames.incrementAndGet()
+      }
+      true
+    } else false
   }
 
   override def get(): InternalRow = PgWalRows.toRow(current)
@@ -274,19 +285,20 @@ final class PgWalPartitionReader(p: PgWalPartition)
   override def close(): Unit = ()
 }
 
-/** DSv2 custom metrics for the pgcapture scan: frames the decode path
-  * skips by contract (Unknown tags), split truncate vs other. Sum
+/** DSv2 custom metrics for the pgcapture scan: delivered op=TRUNCATE
+  * control rows (first-class since r15) and unknown-tagged frames the
+  * decode path skips by contract, both batch-window-scoped. Sum
   * semantics — Spark aggregates task values across executors. */
 private[sources] object PgScanMetrics {
   final class TruncateFrames extends CustomSumMetric {
     override def name(): String = "truncate_frames"
     override def description(): String =
-      "truncate-tagged wire frames skipped by the decoder"
+      "op=TRUNCATE control rows delivered by the scan"
   }
   final class UnknownFrames extends CustomSumMetric {
     override def name(): String = "unknown_frames"
     override def description(): String =
-      "other unknown-tagged wire frames skipped by the decoder"
+      "unknown-tagged wire frames skipped by the decoder"
   }
   def supported: Array[CustomMetric] =
     Array(new TruncateFrames, new UnknownFrames)
@@ -351,14 +363,22 @@ final class PgWalBatchReader(p: PgWalBatchPartition)
 
   private val it = WalFiles.replay(
     Seq(java.nio.file.Paths.get(p.plan.path)), decoder,
-    p.plan.startLsn, p.plan.startSeq, p.plan.startCommitUs, tally)
+    p.plan.startLsn, p.plan.startSeq, p.plan.startCommitUs, tally,
+    tallyFrom = startCp.getOrElse(Checkpoint.Zero))
     .filter(e => startCp.forall(c => e.cp.after(c)))
     .filter(e => pattern.forall(_.matcher(e.change.rel.name).matches()))
 
   private var current: WalFiles.WalEvent = _
 
   override def next(): Boolean =
-    if (it.hasNext) { current = it.next(); true } else false
+    if (it.hasNext) {
+      current = it.next()
+      if (current.change.op == "TRUNCATE") { // delivered, post-filter
+        tally.truncates += 1
+        WalFiles.truncateFrames.incrementAndGet()
+      }
+      true
+    } else false
 
   override def get(): InternalRow = PgWalRows.toRow(current)
 

@@ -80,37 +80,52 @@ object WalFiles {
   final case class WalEvent(cp: Checkpoint, commitTimeUs: Long,
       change: PgOutput.Change)
 
-  /** Per-reader tally of frames the decode path intentionally skips —
-    * the Unknown contract (r13 ask #4): skip, keep (lsn, seq) exactly
-    * as if the frame were absent, never throw, never emit a phantom
-    * row — and never drop SILENTLY. Truncate ('T') is split out
-    * because a TRUNCATE on a published table is the first Unknown a
-    * real PG11+ slot delivers; the rest ('O'rigin, 'Y' type, 'M'essage,
-    * PG14 streaming frames) land in `unknowns`. Each reader reports
-    * its tally as DSv2 custom task metrics (Spark sums them across
-    * executors into the scan node's metrics); the JVM-level
+  /** Per-reader tally of the decode path's non-row frames. `unknowns`
+    * are frames the decoder intentionally skips (the Unknown contract,
+    * r13 ask #4: skip, keep (lsn, seq) exactly as if the frame were
+    * absent, never throw, never emit a phantom row — never drop
+    * SILENTLY): 'O'rigin, 'Y' type, 'M'essage, PG14 streaming frames.
+    * `truncates` counts DELIVERED op=TRUNCATE control rows — truncate
+    * is first-class since r15 (the decoder promotes 'T' to
+    * [[PgOutput.Truncate]]; the reader emits one control row per
+    * relation), so the figure is batch-window-scoped by the reader's
+    * checkpoint filter, not a per-replay-pass frame count. Each reader
+    * reports its tally as DSv2 custom task metrics (Spark sums them
+    * across executors into the scan node's metrics); the JVM-level
     * [[truncateFrames]]/[[unknownFrames]] mirror feeds the
     * GraftMetricsListener gauge. */
   final class SkipTally {
     var truncates: Long = 0L
     var unknowns: Long = 0L
   }
-  /** JVM-level skip counters (per-executor on a cluster — the
-    * cluster-wide aggregate is the scan's custom metric; this mirror
-    * is the driver-visible gauge in local mode and a per-executor log
-    * signal otherwise). */
+  /** JVM-level counters (per-executor on a cluster — the cluster-wide
+    * aggregate is the scan's custom metric; this mirror is the
+    * driver-visible gauge in local mode and a per-executor log signal
+    * otherwise). [[truncateFrames]] counts delivered truncate control
+    * rows; [[unknownFrames]] counts skipped unknown frames, scoped to
+    * the batch window via `tallyFrom` (ADVICE r14: a frame replayed
+    * across micro-batches must not be recounted). */
   val truncateFrames = new java.util.concurrent.atomic.AtomicLong
   val unknownFrames = new java.util.concurrent.atomic.AtomicLong
 
   /** Replay a segment list into checkpoint-stamped change events,
     * tracking (lsn, seq) the way the reference's fetch loop does
     * (pkg/source/postgres.go:165-248): Begin sets the transaction LSN,
-    * seq increments per message within the transaction.
-    */
+    * seq increments per message within the transaction. A Truncate
+    * frame fans out to one op=TRUNCATE control row per affected
+    * relation, each taking a seq slot (so checkpoints stay dense and
+    * WalTail/planBatch agree on offsets).
+    *
+    * `tallyFrom` windows the unknown-frame count: a reader resuming
+    * mid-segment replays already-delivered frames, and counting those
+    * again every micro-batch overstates the gauge (ADVICE r14) — only
+    * frames whose transaction still has undelivered rows past
+    * `tallyFrom` count. */
   def replay(segs: Seq[Path],
       decoder: PgOutput.WireDecoder = new PgOutput.Decoder,
       startLsn: Long = 0L, startSeq: Int = 0,
-      startCommitUs: Long = 0L, tally: SkipTally = null): Iterator[WalEvent] = {
+      startCommitUs: Long = 0L, tally: SkipTally = null,
+      tallyFrom: Checkpoint = Checkpoint.Zero): Iterator[WalEvent] = {
     var lsn = startLsn
     var seq = startSeq
     var commitUs = startCommitUs
@@ -121,13 +136,22 @@ object WalFiles {
         case c: PgOutput.Change =>
           seq += 1
           Some(WalEvent(Checkpoint(lsn, seq), commitUs, c))
-        case PgOutput.Unknown(tag) =>
-          // skip + advance, never throw, zero rows (r13 ask #4) — but
-          // counted: a truncate in the publication must be visible
-          if (tag == 'T') {
-            truncateFrames.incrementAndGet()
-            if (tally != null) tally.truncates += 1
-          } else {
+        case PgOutput.Truncate(rels, _, _) =>
+          // first-class control rows, one per relation (r14 ask #1);
+          // cascade is already explicit in the relid fan-out and
+          // restart-identity is a sequence concern — neither needs to
+          // ride the envelope
+          rels.map { rel =>
+            seq += 1
+            WalEvent(Checkpoint(lsn, seq), commitUs,
+              PgOutput.Change("TRUNCATE", rel, None, None))
+          }
+        case PgOutput.Unknown(_) =>
+          // skip + advance, never throw, zero rows (r13 ask #4) — and
+          // counted only inside the batch window: the frame sits at
+          // would-be checkpoint (lsn, seq+1), so a tx fully delivered
+          // before `tallyFrom` never recounts on replay
+          if (Checkpoint(lsn, seq + 1).after(tallyFrom)) {
             unknownFrames.incrementAndGet()
             if (tally != null) tally.unknowns += 1
           }
@@ -147,7 +171,9 @@ object WalFiles {
     * per row frame, exactly as [[replay]] does); the only layout
     * difference at plan level is pglogical's flags byte between the
     * Begin tag and its i64 finalLsn + i64 commitTs header
-    * (reference pkg/decode/pglogical.go:43-75 vs pgoutput.go). */
+    * (reference pkg/decode/pglogical.go:43-75 vs pgoutput.go); a
+    * pgoutput 'T' frame advances seq by its relid count (one control
+    * row per relation in replay). */
   final case class SegPlan(path: String, startLsn: Long, startSeq: Int,
       startCommitUs: Long, relFrames: Seq[Array[Byte]])
 
@@ -167,6 +193,15 @@ object WalFiles {
             if (flagsByte) r.byte()
             lsn = r.int64(); cus = r.int64(); seq = 0
           case 'I' | 'U' | 'D' => seq += 1
+          case 'T' if !flagsByte =>
+            // pgoutput Truncate fans out one control row per relid
+            // (replay contract); nrels is the Int32 after the tag.
+            // pglogical has no top-level 'T' message — its decoder
+            // would classify one as Unknown (zero rows), so only the
+            // pgoutput plan advances seq here.
+            val r = new BytesReader(f)
+            r.byte()
+            seq += r.int32()
           case 'R' => rels += f
           case _ => ()
         }
@@ -243,7 +278,7 @@ object WalFiles {
       // commit_ts). Walk back until the boundary is a tx boundary.
       def startsAtTx(p: Path): Boolean =
         readFrames(p)
-          .find(f => f.nonEmpty && "BIUDC".indexOf(f(0).toChar) >= 0)
+          .find(f => f.nonEmpty && "BIUDCT".indexOf(f(0).toChar) >= 0)
           .forall(_(0) == 'B')
       while (keepFrom > 0 && !startsAtTx(all(keepFrom)._2)) keepFrom -= 1
       if (keepFrom <= 0) return 0

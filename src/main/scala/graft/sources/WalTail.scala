@@ -83,8 +83,13 @@ final class WalTail(dir: String, plugin: String = "pgoutput",
           decoder.decode(frame) match {
             case PgOutput.Begin(finalLsn, _, _) =>
               lsn = finalLsn; seq = 0
-            case _: PgOutput.Change =>
-              seq += 1
+            case m @ (_: PgOutput.Change | _: PgOutput.Truncate) =>
+              // a Truncate fans out one op=TRUNCATE control row per
+              // relation in replay — the tail's seq must match
+              seq += (m match {
+                case t: PgOutput.Truncate => t.rels.size
+                case _ => 1
+              })
               lastCp = Checkpoint(lsn, seq)
               if (trackTx) {
                 if (txIndex.nonEmpty && txIndex.last._1 == lsn)

@@ -265,6 +265,15 @@ final class JdbcTxStore(conn: Connection,
     ps.executeUpdate()
   }
 
+  override def truncate(schema: String, table: String): Unit = {
+    // WHERE-less DELETE, not SQL TRUNCATE: DELETE is transactional in
+    // every dialect (Derby refuses TRUNCATE inside a tx with other
+    // statements), and the applier's contract is the clear committing
+    // ATOMICALLY with the rest of the source transaction.
+    val ps = prepared(s"delete from ${SqlBuilder.quoted(schema, table)}")
+    ps.executeUpdate()
+  }
+
   override def executeDdl(sql: String): Unit = {
     val st = conn.createStatement()
     try st.execute(sql) finally st.close()

@@ -26,6 +26,14 @@ import graft.codec.PgType
   */
 object CdcApplier {
 
+  /** APPLIED truncates (store.truncate calls that reached a target),
+    * JVM-wide — the gauge the r14 verdict asked for: the scan-side
+    * `truncate_frames` metric counts DELIVERED control rows; this one
+    * counts the clears that actually landed (skip-set-suppressed rows
+    * are delivered but not applied). Read via
+    * [[GraftMetricsListener.truncatesApplied]]. */
+  val truncatesApplied = new java.util.concurrent.atomic.AtomicLong
+
   /** One decoded change, ordered by (lsn, seq) unsigned.
     *
     * `keys` is the replica-identity column list that was in force when
@@ -59,6 +67,12 @@ object CdcApplier {
     def update(schema: String, table: String, keys: Map[String, Any],
         set: Map[String, Any]): Unit
     def delete(schema: String, table: String, keys: Map[String, Any]): Unit
+    /** Clear every row of the table, inside the CURRENT transaction —
+      * the apply of an op=TRUNCATE control row (r14 ask #1; pgoutput
+      * 'T'). Cascade needs no handling here: PostgreSQL expands
+      * CASCADE into the frame's relid list, so each affected table
+      * gets its own control row. */
+    def truncate(schema: String, table: String): Unit
     /** Replay a captured DDL statement (A20) inside the current tx. */
     def executeDdl(sql: String): Unit
     /** Read committed watermark for a source id (A21 checkpoint recovery). */
@@ -223,6 +237,15 @@ object CdcApplier {
               // empty old image (replident NOTHING / malformed event):
               // skipping beats the WHERE-less DELETE it would become
               if (keyVals.nonEmpty) store.delete(c.schema, c.table, keyVals)
+            case "TRUNCATE" =>
+              // table-level clear, in-tx (r14 ask #1). Rides the same
+              // skip-set guard as DML above: a replayed DDL that was
+              // itself a TRUNCATE statement already cleared the table
+              // (A20), so the wire control row of the same source tx
+              // is suppressed, not double-applied.
+              flushInserts()
+              store.truncate(c.schema, c.table)
+              truncatesApplied.incrementAndGet()
             case _ => ()
           }
         }
@@ -252,6 +275,7 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
   private case class Ins(t: String, row: Map[String, Any], keyCols: Seq[String]) extends OpRec
   private case class Upd(t: String, keys: Map[String, Any], set: Map[String, Any]) extends OpRec
   private case class Del(t: String, keys: Map[String, Any]) extends OpRec
+  private case class Trunc(t: String) extends OpRec
   private case class Ddl(sql: String) extends OpRec
   private case class Wm(id: String, cp: Checkpoint) extends OpRec
 
@@ -259,6 +283,8 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
   val ddlLog = mutable.Buffer.empty[String]
   /** Observed multi-row insert batch sizes (A17 instrumentation). */
   val insertBatchSizes = mutable.Buffer.empty[Int]
+  /** Committed table-level clears (truncate instrumentation). */
+  var truncations = 0
 
   private var staged: mutable.Buffer[OpRec] = _
   var commits = 0
@@ -290,6 +316,9 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
         val tbl = tables.getOrElseUpdate(t, mutable.LinkedHashMap.empty)
         tbl.filterInPlace { case (_, row) =>
           !keys.forall { case (c, v) => row.get(c).contains(v) } }
+      case Trunc(t) =>
+        tables.get(t).foreach(_.clear())
+        truncations += 1
       case Ddl(sql) => ddlLog += sql
       case Wm(id, cp) => watermarks(id) = cp
     }
@@ -317,6 +346,8 @@ final class InMemoryTxStore extends CdcApplier.TxStore {
     require(keys.nonEmpty, s"DELETE on $schema.$table with empty key set")
     stage(Del(s"$schema.$table", keys))
   }
+  override def truncate(schema: String, table: String): Unit =
+    stage(Trunc(s"$schema.$table"))
   override def executeDdl(sql: String): Unit = stage(Ddl(sql))
   override def insertMany(schema: String, table: String,
       rows: Seq[Map[String, Any]], keyCols: Seq[String]): Unit = {

@@ -24,15 +24,21 @@ final class GraftMetricsListener(val replicationLag: ReplicationLag = new Replic
   /** Progress events carrying graft metrics (test observability). */
   @volatile var batchesObserved: Long = 0L
 
-  /** Truncate-tagged wire frames skipped by the decode path (r13 ask
-    * #4: counted, never silent — a TRUNCATE on a published table is
-    * the first Unknown a real PG14+ slot delivers). Reads the
-    * JVM-level mirror; the cluster-wide aggregate is the scan node's
-    * `truncate_frames` DSv2 custom metric. */
-  def truncateFramesSkipped: Long =
+  /** op=TRUNCATE control rows DELIVERED by the scan (first-class since
+    * r15 — the decoder promotes pgoutput 'T'; one row per affected
+    * relation, batch-window-scoped). Reads the JVM-level mirror; the
+    * cluster-wide aggregate is the scan node's `truncate_frames` DSv2
+    * custom metric. */
+  def truncateEventsDelivered: Long =
     graft.sources.WalFiles.truncateFrames.get()
-  /** Other Unknown-tagged frames skipped ('O'rigin, 'Y', 'M', PG14
-    * streaming tags) — same contract as [[truncateFramesSkipped]]. */
+  /** Table clears that actually LANDED on a target store (r14 ask #1:
+    * the gauge counts applied truncates — delivered rows suppressed by
+    * the applier's DDL skip-set are not in this figure). */
+  def truncatesApplied: Long =
+    CdcApplier.truncatesApplied.get()
+  /** Unknown-tagged frames skipped ('O'rigin, 'Y', 'M', PG14 streaming
+    * tags): counted, never silent (r13 ask #4), window-scoped so
+    * replayed frames never recount (ADVICE r14). */
   def unknownFramesSkipped: Long =
     graft.sources.WalFiles.unknownFrames.get()
 

@@ -75,6 +75,36 @@ class DdlSpec extends AnyFunSuite {
     assert(store.ddlLog == Seq("CREATE INDEX i ON t(c)", "DROP INDEX i"))
   }
 
+  test("touchedRelations finds TRUNCATE targets (r14 ask #1)") {
+    assert(DdlClassifier.touchedRelations("TRUNCATE t1") == Set("t1"))
+    assert(DdlClassifier.touchedRelations(
+      "TRUNCATE TABLE ONLY public.t1 *, \"S\".\"Big\" RESTART IDENTITY CASCADE")
+      == Set("t1", "big"))
+  }
+
+  test("captured TRUNCATE DDL suppresses the same tx's wire control row (A20)") {
+    val store = new InMemoryTxStore
+    def truncRow(table: String, lsn: Long, seq: Int) =
+      CdcApplier.Change("TRUNCATE", "public", table,
+        Map.empty, Map.empty, oids, lsn, seq)
+    CdcApplier.applyBatch(store, "s", Seq(
+      dml("INSERT", "t1", 1, 1, 1, 10),
+      dml("INSERT", "t1", 1, 2, 2, 20),
+      // source tx 2: the TRUNCATE statement was captured as DDL AND
+      // the server emitted the wire 'T' frame — replaying the DDL
+      // clears the table; the control row must be suppressed, not
+      // double-applied
+      ddl(2, 1, "TRUNCATE TABLE t1"),
+      truncRow("t1", 2, 2),
+      // NEXT tx: a bare wire truncate (no DDL capture) applies
+      dml("INSERT", "t1", 3, 1, 3, 30),
+      truncRow("t1", 4, 1),
+      dml("INSERT", "t1", 5, 1, 4, 40)), keys)
+    assert(store.ddlLog == Seq("TRUNCATE TABLE t1"))
+    assert(store.truncations == 1, "DDL-covered control row suppressed, bare one applied")
+    assert(store.rows("public.t1").map(_("id")) == Seq(4L))
+  }
+
   test("pgcapture.sources rows are never applied") {
     val store = new InMemoryTxStore
     CdcApplier.applyBatch(store, "s", Seq(

@@ -250,11 +250,31 @@ class CodecSpec extends AnyFunSuite {
     intercept[CodecException] { new BytesReader(Array[Byte]('a', 'b')).cstring() }
   }
 
+  test("truncate decodes first-class (r14 ask #1): relids resolve, flags parse") {
+    val dec = new PgOutput.Decoder
+    val r7 = fixtureRel.copy(relId = 7, name = "t7")
+    val r8 = fixtureRel.copy(relId = 8, name = "t8")
+    dec.decode(PgOutput.Encoder.relation(r7))
+    dec.decode(PgOutput.Encoder.relation(r8))
+    // CASCADE (bit 1) + RESTART IDENTITY (bit 2); relid order preserved
+    dec.decode(PgOutput.Encoder.truncate(Seq(8, 7), optionBits = 3)) match {
+      case PgOutput.Truncate(rels, cascade, restart) =>
+        assert(rels.map(_.name) == Seq("t8", "t7"))
+        assert(cascade && restart)
+      case other => fail(s"expected Truncate, got $other")
+    }
+    dec.decode(PgOutput.Encoder.truncate(Seq(7), optionBits = 0)) match {
+      case PgOutput.Truncate(rels, cascade, restart) =>
+        assert(rels.map(_.relId) == Seq(7) && !cascade && !restart)
+      case other => fail(s"expected Truncate, got $other")
+    }
+    // an undeclared relid fails loudly, same contract as I/U/D
+    intercept[CodecException](
+      dec.decode(PgOutput.Encoder.truncate(Seq(99), optionBits = 0)))
+  }
+
   test("unknown tags decode to Unknown, never throw (r13 ask #4)") {
     val dec = new PgOutput.Decoder
-    // realistic frames: truncate (PG11+), origin — via the encoder
-    assert(dec.decode(PgOutput.Encoder.truncate(Seq(7, 8), optionBits = 1))
-      == PgOutput.Unknown('T'))
     assert(dec.decode(PgOutput.Encoder.origin(0x10L, "node_1"))
       == PgOutput.Unknown('O'))
     // tag-only frames with arbitrary payloads: 'Y' type, 'M' message,

@@ -126,6 +126,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q87_span_dedup" -> 4,
       "q91_containment_dup" -> 4,
       "q104_pii_redact" -> 1,
+      // q337 = tiny truncate-set agg (broadcast build side) + final
+      // event_type agg + result sort; the survivors join is broadcast,
+      // so the big insert leg never shuffles before its partial agg
+      "q337_truncate_replay" -> 3,
       "q105_quality_dedup" -> 4,
       "q106_embed_diversity" -> 4,
       // q109 = the q31 posting shape exactly (fingerprinting itself is

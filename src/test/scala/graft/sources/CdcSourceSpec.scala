@@ -101,13 +101,14 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(got4.isEmpty)
   }
 
-  test("unknown frames: skip + advance (lsn,seq), zero rows, counted") {
-    // The Unknown contract (r13 ask #4): 'T'runcate / 'O'rigin frames
-    // interleaved with I/U/D must not throw, must not emit phantom
-    // rows, must leave every real row's (lsn, seq) EXACTLY as if the
-    // frames were absent — and must be counted, never silent. A real
-    // PG slot delivers a truncate first on any published-table
-    // TRUNCATE; PG14+ streaming adds more unknown tags.
+  test("truncate is first-class; other unknown frames skip — both window-scoped") {
+    // r14 ask #1: a 'T' frame is no longer an Unknown skip — it emits
+    // one op=TRUNCATE control row per relation, TAKING a seq slot (the
+    // checkpoint the next row would have had), so offsets stay dense
+    // and WalTail/planBatch/replay agree. Other unknown tags ('O'rigin
+    // here) keep the r13 contract: skip + advance, zero rows, counted.
+    // Both counters are batch-window-scoped (ADVICE r14): replaying a
+    // segment across micro-batches must not recount old frames.
     val walBase = Files.createTempDirectory("walUb").toString
     val walU = Files.createTempDirectory("walUu").toString
     val trunc = PgOutput.Encoder.truncate(Seq(rel.relId), optionBits = 2)
@@ -116,27 +117,43 @@ class CdcSourceSpec extends AnyFunSuite {
     val rows2 = tx(101L, ins(rel, 2, 20), upd(1, 11))
     WalFiles.writeSegment(walBase, 100L,
       PgOutput.Encoder.relation(rel) +: (rows1 ++ rows2))
-    // unknowns mid-transaction (between the tx's I frames), before a
-    // Begin, and trailing the last Commit
+    // truncate mid-transaction (between tx 101's I and U frames);
+    // origin before tx 101's Begin
     val tx2u = Seq(rows2.head, rows2(1), trunc, rows2(2), rows2(3))
     WalFiles.writeSegment(walU, 100L,
-      PgOutput.Encoder.relation(rel) +: (rows1 ++ (orig +: tx2u) :+ trunc))
+      PgOutput.Encoder.relation(rel) +: (rows1 ++ (orig +: tx2u)))
 
     val t0 = WalFiles.truncateFrames.get()
     val u0 = WalFiles.unknownFrames.get()
     val base = runStream(walBase, Files.createTempDirectory("ckUb").toString)
     val tBase = WalFiles.truncateFrames.get()
-    val withU = runStream(walU, Files.createTempDirectory("ckUu").toString)
+    val ckU = Files.createTempDirectory("ckUu").toString
+    val withU = runStream(walU, ckU)
 
-    assert(base.nonEmpty)
-    assert(withU == base,
-      "rows (incl lsn/seq) must be identical with unknown frames present")
-    assert(tBase == t0, "the clean feed must count no truncates")
-    assert(WalFiles.truncateFrames.get() - t0 == 2)
-    assert(WalFiles.unknownFrames.get() - u0 == 1)
-    // the listener gauge reads the same mirror
+    assert(base.map(e => (e._1, e._3, e._4, e._5)) == Seq(
+      ("INSERT", 1L, 100L, 1), ("INSERT", 2L, 101L, 1), ("UPDATE", 1L, 101L, 2)))
+    // the truncate row rides the stream at its own checkpoint (101,2);
+    // the UPDATE behind it shifts to seq 3 — a seq slot, not a skip
+    assert(withU.map(e => (e._1, e._2, e._3, e._4, e._5)) == Seq(
+      ("INSERT", "t1", 1L, 100L, 1), ("INSERT", "t1", 2L, 101L, 1),
+      ("TRUNCATE", "t1", -1L, 101L, 2), ("UPDATE", "t1", 1L, 101L, 3)))
+    assert(tBase == t0, "the clean feed must deliver no truncates")
+    assert(WalFiles.truncateFrames.get() - t0 == 1, "one delivered control row")
+    assert(WalFiles.unknownFrames.get() - u0 == 1, "one skipped origin frame")
+
+    // window scoping: appending a segment resumes from checkpoint
+    // (101,3), whose CONTAINING segment is replayed from its start —
+    // the old origin/truncate frames pass under the reader again and
+    // must NOT recount (ADVICE r14)
+    WalFiles.writeSegment(walU, 102L, tx(102L, ins(rel, 3, 30)))
+    val got2 = runStream(walU, ckU)
+    assert(got2.map(e => (e._1, e._3)) == Seq(("INSERT", 3L)))
+    assert(WalFiles.truncateFrames.get() - t0 == 1, "no recount on replay")
+    assert(WalFiles.unknownFrames.get() - u0 == 1, "no recount on replay")
+
+    // the listener gauges read the same mirrors
     val l = new graft.streaming.GraftMetricsListener()
-    assert(l.truncateFramesSkipped == WalFiles.truncateFrames.get())
+    assert(l.truncateEventsDelivered == WalFiles.truncateFrames.get())
     assert(l.unknownFramesSkipped == WalFiles.unknownFrames.get())
   }
 

@@ -164,6 +164,7 @@ class ApplierSpec extends TxStoreContract {
       def delete(sc: String, t: String, keys: Map[String, Any]): Unit = {
         keyProbe += keys; inner.delete(sc, t, keys)
       }
+      def truncate(sc: String, t: String): Unit = inner.truncate(sc, t)
       def executeDdl(sql: String): Unit = inner.executeDdl(sql)
       def readWatermark(id: String): Option[Checkpoint] = inner.readWatermark(id)
       def writeWatermark(id: String, cp: Checkpoint): Unit =

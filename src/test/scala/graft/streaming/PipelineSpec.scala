@@ -68,6 +68,35 @@ class PipelineSpec extends AnyFunSuite {
       Set((1L, 100), (2L, 250), (4L, 400)))
   }
 
+  test("end-to-end TRUNCATE: wire 'T' → source control row → applier " +
+    "clears in-tx, later inserts survive (r14 ask #1)") {
+    val walDir = Files.createTempDirectory("ptrunc").toString
+    val ckDir = Files.createTempDirectory("ptck").toString
+    val spark = SparkTestSession.spark
+    val store = new InMemoryTxStore
+    val applied0 = CdcApplier.truncatesApplied.get()
+    graft.sources.WalFiles.writeSegment(walDir, 10L,
+      PgOutput.Encoder.relation(rel) +: (
+        tx(10L, ins(1, 100), ins(2, 200)) ++
+          tx(11L, PgOutput.Encoder.truncate(Seq(rel.relId))) ++
+          tx(12L, ins(3, 300))))
+    val q = CdcPipeline.start(spark, walDir, ckDir, store, "tr")
+    q.awaitTermination(60000)
+    assert(store.rows("public.accounts").map(r => (r("id"), r("bal"))) ==
+      Seq((3L, 300)), "pre-truncate rows cleared, post-truncate insert lands")
+    assert(store.truncations == 1)
+    assert(store.readWatermark("tr").contains(Checkpoint(12, 1)))
+    // the applied-truncates gauge moved with the store clear
+    assert(CdcApplier.truncatesApplied.get() == applied0 + 1)
+    // replay from a fresh checkpoint: the watermark suppresses the
+    // redelivered truncate — the surviving row is NOT re-cleared
+    val q2 = CdcPipeline.start(spark, walDir,
+      Files.createTempDirectory("ptck2").toString, store, "tr")
+    q2.awaitTermination(60000)
+    assert(store.rows("public.accounts").map(_("id")) == Seq(3L))
+    assert(store.truncations == 1, "replayed truncate is a no-op (A12)")
+  }
+
   test("observed metrics reach a StreamingQueryListener (A38 lag gauge)") {
     val walDir = Files.createTempDirectory("pmet").toString
     val ckDir = Files.createTempDirectory("pmetck").toString

@@ -163,4 +163,44 @@ abstract class TxStoreContract extends AnyFunSuite {
       assert(h.store.readWatermark("s").contains(Checkpoint(3, 1)))
     }
   }
+
+  test("TRUNCATE control row clears the table; later inserts survive (r14 ask #1)") {
+    withHarness { h =>
+      def truncRow(lsn: Long) = CdcApplier.Change("TRUNCATE", "public",
+        "test_table", Map.empty, Map.empty, oids, lsn, 1)
+      val slice = Seq(
+        ch("INSERT", 1, 1, 1, Some(10)),
+        ch("INSERT", 2, 1, 2, Some(20)),
+        truncRow(3),
+        ch("INSERT", 4, 1, 3, Some(30)))
+      val cp = CdcApplier.applyBatch(h.store, "srcT", slice, keys)
+      assert(cp == Checkpoint(4, 1))
+      assert(h.rows("public.test_table") == Seq(Map("id" -> 3L, "v" -> 30)),
+        "pre-truncate rows cleared, post-truncate insert survives")
+      // replay idempotence: the redelivered slice sits at or below the
+      // watermark — the clear must NOT re-run over the live table
+      CdcApplier.applyBatch(h.store, "srcT", slice, keys)
+      assert(h.rows("public.test_table") == Seq(Map("id" -> 3L, "v" -> 30)))
+    }
+  }
+
+  test("crash atomicity: an uncommitted truncate rolls back with its watermark") {
+    withHarness { h =>
+      CdcApplier.applyBatch(h.store, "srcT2", Seq(
+        ch("INSERT", 1, 1, 1, Some(10))), keys)
+      val trunc = CdcApplier.Change("TRUNCATE", "public", "test_table",
+        Map.empty, Map.empty, oids, 2, 1)
+      h.failNextCommit()
+      intercept[RuntimeException](
+        CdcApplier.applyBatch(h.store, "srcT2", Seq(trunc), keys))
+      h.clearFailures()
+      assert(h.rows("public.test_table") == Seq(Map("id" -> 1L, "v" -> 10)),
+        "the clear must roll back with the failed store tx")
+      assert(h.store.readWatermark("srcT2").contains(Checkpoint(1, 1)))
+      // the replay applies it exactly once
+      CdcApplier.applyBatch(h.store, "srcT2", Seq(trunc), keys)
+      assert(h.rows("public.test_table").isEmpty)
+      assert(h.store.readWatermark("srcT2").contains(Checkpoint(2, 1)))
+    }
+  }
 }
