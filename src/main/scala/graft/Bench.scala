@@ -230,19 +230,18 @@ object Bench {
           val src = scala.io.Source.fromFile(recFile)
           try Some(src.mkString) finally src.close()
         } else None
-      val candSteal = hostStats.map(_._3).getOrElse(0.0)
+      // None when /proc/stat is unavailable: an unmeasured run must
+      // never overwrite a measured clean record (ADVICE r14)
+      val candSteal = hostStats.map(_._3)
       val target =
         if (graft.bench.BenchRecord.accepts(existing, candSteal)) recFile
         else {
           val park = new java.io.File(dir, "runs")
           park.mkdirs()
-          val rec = existing.flatMap(graft.bench.BenchRecord.stealPctOf)
-            .getOrElse(Double.NaN)
-          System.err.println(f"[bench] record guard: candidate steal " +
-            f"$candSteal%.2f%% exceeds the clean bar (recorded " +
-            f"$rec%.2f%%) — parking under bench/runs/, record kept")
+          System.err.println(
+            graft.bench.BenchRecord.parkMessage(existing, candSteal))
           new java.io.File(park,
-            f"rejected_steal$candSteal%.2f_$total%.1fs.json")
+            f"rejected_steal${candSteal.getOrElse(-1.0)}%.2f_$total%.1fs.json")
         }
       val pw = new java.io.PrintWriter(target)
       try pw.println(full) finally pw.close()

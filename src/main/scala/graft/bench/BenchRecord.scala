@@ -10,28 +10,69 @@ package graft.bench
   * contention gate's own "clean" threshold; without it the record
   * would ratchet monotonically toward 0% and a perfectly clean 0.9%
   * run could never replace a 0.4% one, freezing the record forever.
+  * A candidate with NO steal measurement (cpuTicks unavailable) may
+  * not replace a measured record either (ADVICE r14: an unmeasured
+  * run is not known-clean — the inverse of the guard's intent).
   * Rejected runs are parked under `bench/runs/` so no measurement is
   * lost — they just never become the record.
   */
 object BenchRecord {
 
-  /** The run-level steal_pct of a last_run.json blob. The host block's
-    * steal_pct is serialized BEFORE the nested gate block's
-    * skipped-attempt entries (Bench.scala writes `"host":{...,
-    * "steal_pct":P,...,"gate":{...}}`), so the first match is the
-    * run-level figure. None when the blob has no host block (non-Linux
-    * record) — treated as replaceable by [[accepts]]. */
-  def stealPctOf(json: String): Option[Double] =
-    """"steal_pct"\s*:\s*([0-9.eE+-]+)""".r
+  /** The run-level steal_pct of a last_run.json blob, anchored to the
+    * `"host":{` block (r14 ask #4: a first-match regex depended on the
+    * host block serializing before the gate block's skipped-attempt
+    * entries — a reordering would silently flip the guard's input).
+    * None when the blob has no host block or the block carries no
+    * steal_pct (non-Linux record) — treated as replaceable by
+    * [[accepts]]. */
+  def stealPctOf(json: String): Option[Double] = {
+    val at = json.indexOf("\"host\":{")
+    if (at < 0) None
+    else """"steal_pct"\s*:\s*([0-9.eE+-]+)""".r
+      .findFirstMatchIn(json.substring(at))
+      .flatMap(m => m.group(1).toDoubleOption)
+  }
+
+  /** The run's total seconds (`"value":N` of the top-level metric) —
+    * park-message context so a driver reading the rejection line also
+    * sees the canonical number (r14 ask #5). */
+  def totalOf(json: String): Option[Double] =
+    """"metric"\s*:\s*"total"\s*,\s*"value"\s*:\s*([0-9.eE+-]+)""".r
       .findFirstMatchIn(json)
       .flatMap(m => m.group(1).toDoubleOption)
 
-  /** True iff a candidate run at `candidateStealPct` may overwrite the
-    * record whose JSON is `existing` (None = no record yet: always
-    * accept). */
-  def accepts(existing: Option[String], candidateStealPct: Double): Boolean =
+  /** True iff a candidate run whose measured steal is
+    * `candidateStealPct` (None = no host measurement) may overwrite
+    * the record whose JSON is `existing` (None = no record yet:
+    * always accept). */
+  def accepts(existing: Option[String],
+      candidateStealPct: Option[Double]): Boolean =
     existing.flatMap(stealPctOf) match {
-      case Some(recorded) => candidateStealPct <= math.max(1.0, recorded)
-      case None           => true
+      case Some(recorded) => candidateStealPct match {
+        case Some(cand) => cand <= math.max(1.0, recorded)
+        case None       => false // unmeasured never beats measured
+      }
+      case None => true
     }
+
+  /** Back-compat overload: a measured candidate. */
+  def accepts(existing: Option[String], candidateStealPct: Double): Boolean =
+    accepts(existing, Some(candidateStealPct))
+
+  /** The guard's park message, carrying the kept record's canonical
+    * total + steal alongside the rejection (r14 ask #5) — built here
+    * so BenchRecordSpec pins the format. */
+  def parkMessage(existing: Option[String],
+      candidateStealPct: Option[Double]): String = {
+    val cand = candidateStealPct
+      .map(p => f"candidate steal $p%.2f%%")
+      .getOrElse("candidate has no steal measurement")
+    val rec = existing.map { j =>
+      val pct = stealPctOf(j).map(p => f"$p%.2f%%").getOrElse("?")
+      val tot = totalOf(j).map(t => f"$t%.1f s").getOrElse("?")
+      f" — record kept: $tot @ $pct steal"
+    }.getOrElse("")
+    s"[bench] record guard: $cand exceeds the clean bar$rec" +
+      " — parking under bench/runs/"
+  }
 }

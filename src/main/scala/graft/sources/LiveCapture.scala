@@ -85,12 +85,29 @@ object LiveCapture {
       // it lands after the in-stream final status). The re-buffered
       // transactions are the same WAL bytes grouped by the same
       // flushTxs from the same commit boundary, so a colliding
-      // segment name re-writes identical bytes (or a superset tail
-      // segment extending a partial one — replay-equivalent either
-      // way); resuming with a DIFFERENT flushTxs voids this and is
-      // the caller's contract (see runRetrying).
-      WalFiles.writeSegment(dir, math.max(bufFirstLsn, 0L), buf,
-        overwrite = true)
+      // segment name re-writes identical bytes or a superset tail
+      // segment extending a partial one. The STRICT-PREFIX case is
+      // reachable too (ADVICE r14 medium): a resumed run stopped
+      // earlier (smaller maxTxs, deadline mid-tail) would rewrite
+      // FEWER txs under the same first-LSN name, shrinking durable
+      // data a downstream reader may have consumed — so keep
+      // whichever side carries the higher max commit end-LSN and skip
+      // the write when the existing segment already covers the
+      // candidate. Resuming with a DIFFERENT flushTxs still voids the
+      // identical-bytes property and is the caller's contract (see
+      // runRetrying).
+      val target = java.nio.file.Paths.get(dir,
+        WalFiles.segmentName(math.max(bufFirstLsn, 0L)))
+      val covered = java.nio.file.Files.exists(target) && {
+        val existingEnd = LiveCapture.maxCommitEnd(WalFiles.readFrames(target))
+        java.lang.Long.compareUnsigned(existingEnd,
+          LiveCapture.maxCommitEnd(buf.iterator)) > 0
+      }
+      if (!covered)
+        WalFiles.writeSegment(dir, math.max(bufFirstLsn, 0L), buf,
+          overwrite = true)
+      // either way the buffered txs are durable (written now, or a
+      // prefix of the longer existing segment) — the ack may advance
       lastFlushedEnd = lastPendingEnd
       buf = Vector.empty
       bufTxs = 0
@@ -99,24 +116,30 @@ object LiveCapture {
     }
   }
 
+  /** Max Commit end-LSN across `frames` (unsigned order; 0 when none).
+    * pgoutput Commit layout: tag, flags(1), commit_lsn(8), end_lsn(8),
+    * ts(8). */
+  private[sources] def maxCommitEnd(frames: Iterator[Array[Byte]]): Long = {
+    var mx = 0L
+    frames.foreach { f =>
+      if (f.nonEmpty && f(0).toChar == 'C') {
+        val r = new graft.codec.BytesReader(f)
+        r.byte(); r.byte(); r.int64() // tag, flags, commit_lsn
+        val end = r.int64()
+        if (java.lang.Long.compareUnsigned(end, mx) > 0) mx = end
+      }
+    }
+    mx
+  }
+
   /** Durable tail of the local feed: the max Commit end-LSN across
     * `dir`'s segments (unsigned order), None when the dir is empty.
     * Tag-level scan of the LAST segment only — segments are named and
     * ordered by first-tx LSN, so the maximum commit lives in the last
-    * file. pgoutput Commit layout: tag, flags(1), commit_lsn(8),
-    * end_lsn(8), ts(8). */
+    * file. */
   def localTailEnd(dir: String): Option[Long] =
     WalFiles.segments(dir).lastOption.map { case (_, p) =>
-      var mx = 0L
-      WalFiles.readFrames(p).foreach { f =>
-        if (f.nonEmpty && f(0).toChar == 'C') {
-          val r = new graft.codec.BytesReader(f)
-          r.byte(); r.byte(); r.int64() // tag, flags, commit_lsn
-          val end = r.int64()
-          if (java.lang.Long.compareUnsigned(end, mx) > 0) mx = end
-        }
-      }
-      mx
+      maxCommitEnd(WalFiles.readFrames(p))
     }
 
   /** WAL-gap guard (r13 ask #2): refuse a resume whose start LSN sits
@@ -201,15 +224,17 @@ object LiveCapture {
     * diagnosis burns the budget to repeat it. Gives up after
     * `attempts` transient failures, rethrowing the last error.
     * `deadlineMs`/`maxTxs` bound each ATTEMPT. Returns the number of
-    * durable segments in `dir` — NOT a per-attempt flush sum: a
-    * failed attempt flushes segments whose count dies with its
-    * exception, and the on-disk total is the figure that means
-    * anything after a crash anyway. */
+    * durable segments THIS CALL added to `dir` (end count minus start
+    * count — NOT a per-attempt flush sum: a failed attempt flushes
+    * segments whose count dies with its exception; and not the dir
+    * total either, which would inflate on any resume over a populated
+    * dir, ADVICE r14). */
   def runRetrying(dsn: PgWire.Dsn, dir: String, publication: String,
       slot: String, tables: Seq[String], deadlineMs: Long = 30000,
       maxTxs: Long = Long.MaxValue, flushTxs: Int = 16,
       attempts: Int = 3, backoffMs: Long = 500): Long = {
     require(attempts > 0, "attempts must be positive")
+    val preExisting = WalFiles.segments(dir).size.toLong
     var tried = 0
     var done = false
     while (!done) {
@@ -230,7 +255,7 @@ object LiveCapture {
           Thread.sleep(backoffMs)
       }
     }
-    WalFiles.segments(dir).size.toLong
+    WalFiles.segments(dir).size.toLong - preExisting
   }
 
   /** CLI: `runMain graft.sources.LiveCapture <dsn> <dir> <pub> <slot>

@@ -314,8 +314,25 @@ final class PgWire(dsn: PgWire.Dsn, replication: Boolean = false,
 
   /** Simple-query protocol: runs `sql`, returns text-format rows
     * (NULL → null). Multiple statements are allowed by the protocol;
-    * rows of all of them are concatenated. */
-  def query(sql: String): Seq[Seq[String]] = {
+    * rows of all of them are concatenated.
+    *
+    * `readBoundMs` scopes the read timeout to THIS operation (r14 ask
+    * #6): a slow-but-healthy control query — a catalog read on a
+    * loaded server, a blocking DDL — may legitimately outlive the
+    * connection-level `soTimeoutMs` that protects startup/auth and
+    * the replication poll; the caller opts into a longer bound per
+    * call instead of loosening the whole connection. 0 (default) =
+    * the connection bound. The desync-close contract is unchanged: a
+    * timeout that fires mid-reply still closes the connection. */
+  def query(sql: String, readBoundMs: Int = 0): Seq[Seq[String]] = {
+    val prev = socket.getSoTimeout
+    if (readBoundMs > 0) socket.setSoTimeout(readBoundMs)
+    try queryInner(sql)
+    finally if (readBoundMs > 0 && !socket.isClosed)
+      socket.setSoTimeout(prev)
+  }
+
+  private def queryInner(sql: String): Seq[Seq[String]] = {
     send('Q', cstr(sql))
     val rows = mutable.Buffer.empty[Seq[String]]
     var err: Option[PgError] = None

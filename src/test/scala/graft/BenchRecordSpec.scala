@@ -46,6 +46,33 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(BenchRecord.accepts(Some("""{"metric":"total","value":1}"""), 99.0))
   }
 
+  test("gate-block-first serialization cannot flip the guard (r14 ask #4)") {
+    // a future reordering that serializes the gate's skipped attempts
+    // BEFORE the host block: the anchored parse must still return the
+    // host steal, and a dirty candidate must still be refused
+    val reordered =
+      """{"metric":"total","value":481.8,"unit":"sec","queries":{},""" +
+        """"gate_preview":{"skipped_attempts":[{"steal_pct":0.17}]},""" +
+        """"host":{"busy_ticks":1,"steal_ticks":1,"steal_pct":1.07}}"""
+    assert(BenchRecord.stealPctOf(reordered).contains(1.07))
+    assert(!BenchRecord.accepts(Some(reordered), 4.52))
+  }
+
+  test("unmeasured candidate never overwrites a measured record (ADVICE r14)") {
+    assert(!BenchRecord.accepts(Some(rec(0.66)), None))
+    assert(BenchRecord.accepts(None, None), "no record yet: accept")
+    assert(BenchRecord.accepts(Some("""{"metric":"total","value":1}"""), None),
+      "unmeasured record is replaceable")
+  }
+
+  test("park message carries the kept record's total and steal (r14 ask #5)") {
+    val msg = BenchRecord.parkMessage(Some(rec(0.66)), Some(2.84))
+    assert(msg.contains("candidate steal 2.84%"))
+    assert(msg.contains("record kept: 481.8 s @ 0.66% steal"), msg)
+    val unmeasured = BenchRecord.parkMessage(Some(rec(0.66)), None)
+    assert(unmeasured.contains("no steal measurement"))
+  }
+
   test("the committed record parses") {
     val f = new java.io.File("bench/last_run.json")
     assume(f.isFile)

@@ -117,6 +117,46 @@ class PgLiveSpec extends AnyFunSuite {
     assert(all.map(_.cp.lsn) == Seq(100L, 200L, 300L))
   }
 
+  test("SegmentSink never shrinks a durable segment to a prefix (ADVICE r14)") {
+    val rel = PgOutput.Relation(98, "public", "t_pfx", 'd',
+      Seq(PgOutput.Column("id", 20, isKey = true)))
+    def tx(lsn: Long, id: String): Seq[(Array[Byte], Long)] = Seq(
+      PgOutput.Encoder.begin(lsn, 1L, 1) -> lsn,
+      PgOutput.Encoder.insert(rel, Seq(id.getBytes)) -> lsn,
+      PgOutput.Encoder.commit(lsn, lsn + 1, 1L) -> (lsn + 1))
+
+    val dir = Files.createTempDirectory("pgsinkpfx").toString
+    // run 1: an unacked tail segment of THREE txs from boundary 100
+    val s1 = new LiveCapture.SegmentSink(dir, flushTxs = 16)
+    s1.offer(PgOutput.Encoder.relation(rel), 5L)
+    (tx(100L, "1") ++ tx(200L, "2") ++ tx(300L, "3"))
+      .foreach { case (p, e) => s1.offer(p, e) }
+    s1.flush()
+    assert(WalFiles.segments(dir).size == 1)
+
+    // run 2: resumes from the acked boundary (same first LSN), but a
+    // deadline/maxTxs stop redelivers only the first TWO txs — a
+    // strict prefix. The overwrite must be SKIPPED: tx 300 is durable
+    // and may already be consumed downstream.
+    val s2 = new LiveCapture.SegmentSink(dir, flushTxs = 16)
+    s2.offer(PgOutput.Encoder.relation(rel), 5L)
+    (tx(100L, "1") ++ tx(200L, "2")).foreach { case (p, e) => s2.offer(p, e) }
+    s2.flush()
+    assert(s2.ackLsn() == 201L, "the prefix IS durable — ack advances")
+    val events = WalFiles.replay(WalFiles.segments(dir).map(_._2)).toSeq
+    assert(events.map(_.cp.lsn) == Seq(100L, 200L, 300L),
+      "the longer existing segment must survive a prefix re-flush")
+
+    // run 3: a SUPERSET re-flush (four txs) still replaces it
+    val s3 = new LiveCapture.SegmentSink(dir, flushTxs = 16)
+    s3.offer(PgOutput.Encoder.relation(rel), 5L)
+    (tx(100L, "1") ++ tx(200L, "2") ++ tx(300L, "3") ++ tx(400L, "4"))
+      .foreach { case (p, e) => s3.offer(p, e) }
+    s3.flush()
+    val all = WalFiles.replay(WalFiles.segments(dir).map(_._2)).toSeq
+    assert(all.map(_.cp.lsn) == Seq(100L, 200L, 300L, 400L))
+  }
+
   // --------------------------------------------------- env-gated tests
 
   /** Unique-ish suffix so parallel CI runs don't collide. */

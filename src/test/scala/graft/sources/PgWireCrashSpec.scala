@@ -326,4 +326,35 @@ class PgWireCrashSpec extends AnyFunSuite {
       srv.await()
     } finally srv.close()
   }
+
+  test("a slow-but-healthy control query completes under a per-operation " +
+    "read bound longer than the connection bound (r14 ask #6)") {
+    val srv = new Server(Seq({ c =>
+      c.acceptStartup(_.authOk())
+      c.expectQuery()
+      // the server thinks for LONGER than the connection's read bound
+      // before replying — healthy, just slow (a blocking DDL, a
+      // catalog read on a loaded server)
+      Thread.sleep(900)
+      c.rowDescription("a")
+      c.dataRow(Seq("ok"))
+      c.commandComplete("SELECT 1")
+      c.readyForQuery()
+      // second query: stay silent — the RESTORED connection bound
+      // (300 ms) must fire, proving the longer bound was per-call
+      c.expectQuery()
+      c.drain()
+    }))
+    try {
+      val wire = new PgWire(srv.dsn(), soTimeoutMs = 300)
+      try {
+        // opting into a longer bound for THIS call only
+        val rows = wire.query("SELECT slow()", readBoundMs = 10000)
+        assert(rows == Seq(Seq("ok")))
+        val e = intercept[IllegalStateException](wire.query("SELECT 1"))
+        assert(e.getMessage.contains("mid-reply"), e.getMessage)
+      } finally wire.close()
+      srv.await()
+    } finally srv.close()
+  }
 }
