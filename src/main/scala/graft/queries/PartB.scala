@@ -701,18 +701,22 @@ object PartB {
         .select(col("user_id").as(s"${idAs}_u"), col("event_id").as(idAs),
           col("ts").as(tsAs))
         .withWatermark(tsAs, s"$delayUs microseconds")
-      val sink = graft.bench.BenchFeeds.sinkName("q132_ssj")
+      // FILE sink (r14 ask #3): joined (view, purchase) pairs are
+      // corpus-proportional — they land distributed, not on the driver
+      val outDir = graft.bench.BenchFeeds.scratchDir("q132_out")
+      val ckDir = graft.bench.BenchFeeds.scratchDir("q132_ck")
       graft.streaming.StreamRun.withStatePartitions(s, 8) {
         val q = side("view", "vid", "vts")
           .join(side("purchase", "pid", "pts"),
             expr("""vid_u = pid_u AND pts >= vts
                    |AND pts <= vts + interval 30 minutes""".stripMargin))
           .select(col("vid_u").as("user_id"), col("vid"), col("pid"))
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckDir)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
       }
-      s.table(sink)
+      s.read.parquet(outDir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("vid") + col("pid")).cast("long").as("id_sum"))
@@ -2241,7 +2245,12 @@ object PartB {
         idCol = "event_id", checkSpan = false)(
         t(s, d, "events").select(col("event_id"), col("ts"),
           col("user_id"), col("value")))
-      val sink = graft.bench.BenchFeeds.sinkName("q188_decay")
+      // complete-mode output is (user × active-day)-proportional — too
+      // big for a driver memory table (r14 ask #3). The file-sink
+      // equivalent for complete mode is foreachBatch + overwrite: each
+      // trigger re-lands the full partials table distributed, exactly
+      // the compact-into-partials lake shape the scale note describes.
+      val outDir = graft.bench.BenchFeeds.scratchDir("q188_out")
       graft.streaming.StreamRun.withStatePartitions(s, 8) {
         val q = s.readStream
           .schema(s.read.parquet(feedDir).schema)
@@ -2251,11 +2260,17 @@ object PartB {
           .agg(sum(floor(col("value") * 1000000).cast("long"))
               .cast("long").as("vm"),
             count(lit(1)).as("cnt"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
+          .writeStream
+          .option("checkpointLocation",
+            graft.bench.BenchFeeds.scratchDir("q188_ck"))
+          .outputMode("complete")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(outDir); ()
+          }
+          .start()
         try q.processAllAvailable() finally q.stop()
       }
-      val p = s.table(sink)
+      val p = s.read.parquet(outDir)
       val hz = p.agg(max(col("dd")).as("hz"))
       p.crossJoin(broadcast(hz))
         .select(col("user_id"), col("vm"), col("cnt"),

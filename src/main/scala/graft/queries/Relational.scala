@@ -586,7 +586,10 @@ object Relational {
       val inDir = graft.bench.BenchFeeds.scratchDir("q124_in")
       ev.repartitionByRange(8, col("event_id"))
         .write.mode("overwrite").parquet(inDir)
-      val sink = graft.bench.BenchFeeds.sinkName("q124_sess")
+      // FILE sink (r14 ask #3): closed sessions are corpus-
+      // proportional rows — they land distributed, not on the driver
+      val outDir = graft.bench.BenchFeeds.scratchDir("q124_out")
+      val ckDir = graft.bench.BenchFeeds.scratchDir("q124_ck")
       graft.streaming.StreamRun.withStatePartitions(s, 8) {
         val stream = s.readStream
           .schema(s.read.parquet(inDir).schema)
@@ -595,7 +598,8 @@ object Relational {
         val q = graft.streaming.StreamSessionize
           .sessions(stream, "user_id", "ts", gapUs,
             s"$delayUs microseconds")
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckDir)
           .outputMode("append").start()
         try {
           q.processAllAvailable()
@@ -610,7 +614,7 @@ object Relational {
         } finally q.stop()
       }
       val wSess = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
-      s.table(sink).filter(col("user_id") =!= -1L)
+      s.read.parquet(outDir).filter(col("user_id") =!= -1L)
         .withColumn("session_id", row_number().over(wSess).cast("long"))
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("start_us"), col("dur_us"))

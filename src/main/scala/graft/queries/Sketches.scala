@@ -623,7 +623,10 @@ object Sketches {
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
       val (repDocs, members) = dupCollapse(t(s, d, "documents"))
       val feedDir = graft.bench.BenchFeeds.feed(s, d, "repfeed")(repDocs)
-      val sink = graft.bench.BenchFeeds.sinkName("q93_nd")
+      // FILE sink (r14 ask #3): candidate pairs are corpus-
+      // proportional — they must land distributed, not on the driver
+      val outDir = graft.bench.BenchFeeds.scratchDir("q93_out")
+      val ckDir = graft.bench.BenchFeeds.scratchDir("q93_ck")
       val stream = s.readStream
         .schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 2)
@@ -633,14 +636,15 @@ object Sketches {
         val q = graft.streaming.StreamNearDup
           .candidates(stream, "ts", graft.bench.BenchFeeds.StreamHorizon)
           .toDF()
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckDir)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
       }
       // consumer-side pair dedup (a true pair collides in several
       // bands), then the SAME verify + group expansion the batch pass
       // uses — streaming and batch share their tail end to end
-      val cand = s.table(sink)
+      val cand = s.read.parquet(outDir)
         .select(col("doc1"), col("doc2")).dropDuplicates("doc1", "doc2")
       val sh = shingled(repDocs)
       val repPairs = jaccardVerify(cand, sh, 0.8)
@@ -670,7 +674,11 @@ object Sketches {
          |    AS content_hash_sum
          |FROM u""".stripMargin) { (s, d) =>
       val feedDir = docFeed(s, d)
-      val sink = graft.bench.BenchFeeds.sinkName("q94_dd")
+      // FILE sink (r14 ask #3): the survivor set is row-level corpus-
+      // proportional (doc_id + full text) — the one table a memory
+      // sink must never hold
+      val outDir = graft.bench.BenchFeeds.scratchDir("q94_out")
+      val ckDir = graft.bench.BenchFeeds.scratchDir("q94_ck")
       val stream = s.readStream
         .schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 2)
@@ -682,13 +690,14 @@ object Sketches {
           // (ts sits a day above epoch — see the feed comment: a row
           // AT the initial watermark of 0 would be pre-filtered late)
           .select(col("doc_id"), col("text"))
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckDir)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
       }
       // % 1e9 keeps the 500+-term checksum inside a long (a raw
       // 60-bit-hash sum overflows int64 under ANSI mode)
-      s.table(sink).agg(
+      s.read.parquet(outDir).agg(
         count(lit(1)).as("n_unique"),
         sum(hash60(col("text")) % 1000000000L).cast("long")
           .as("content_hash_sum"))

@@ -3960,14 +3960,20 @@ object TextOps {
     //      the matrix assembly is [[contaminationTail]] — the SAME
     //      function q331 calls, and [[contaminationMatrixSql]] is the
     //      SAME oracle text, so batch/stream divergence is impossible
-    //      by construction (the q322/q324 discipline). ----
+    //      by construction (the q322/q324 discipline). The sink is a
+    //      FILE sink (r14 ask #3): the emitted table is the gram TYPE
+    //      SET — corpus-vocabulary-sized, the one streaming output
+    //      here that grows with the corpus — so it lands distributed
+    //      as parquet and the matrix tail reads it back; a memory
+    //      sink would accumulate the vocabulary on the driver. ----
     QueryDef.sql("q336_stream_contamination_matrix",
       contaminationMatrixSql) { (s, d) =>
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       val feedDir = graft.bench.BenchFeeds.feed(s, d, "docsrcfeed",
         idCol = "doc_id", checkSpan = false)(docs)
-      val sink = graft.bench.BenchFeeds.sinkName("q336_contam")
+      val outDir = graft.bench.BenchFeeds.scratchDir("q336_types")
+      val ckDir = graft.bench.BenchFeeds.scratchDir("q336_ck")
       graft.streaming.StreamRun.withStatePartitions(s, 8) {
         val q = s.readStream
           .schema(s.read.parquet(feedDir).schema)
@@ -3983,11 +3989,12 @@ object TextOps {
                 |  array_join(slice(toks, i + 1, n), ' '))""".stripMargin))
               .as("gr"))
           .dropDuplicates("source", "n", "gr")
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckDir)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
       }
-      contaminationTail(s.table(sink).localCheckpoint())
+      contaminationTail(s.read.parquet(outDir))
     },
 
     // ---- Curation release report: the end-to-end GO/NO-GO artifact a
