@@ -41,6 +41,25 @@ class BusSpec extends AnyFunSuite {
     assert(got.map(_.lsn) == Seq(3L))
   }
 
+  test("TRUNCATE control row rides the bus envelope and applies downstream") {
+    // op is a free-form cstring in the bus wire format, so the r15
+    // first-class truncate needs no format change — pin that a
+    // produced control row (empty maps) round-trips and clears the
+    // table through the consumer→applier leg
+    val dir = Files.createTempDirectory("busT").toString
+    val trunc = CdcApplier.Change("TRUNCATE", "public", "t",
+      Map.empty, Map.empty, Map("id" -> PgType.Int8), 3, 1)
+    val back = Bus.deserialize(Bus.serialize(trunc))
+    assert(back.op == "TRUNCATE" && back.newFields.isEmpty
+      && back.oldFields.isEmpty && back.lsn == 3L)
+    Bus.produce(dir, Seq(ch(1, 1, 10), ch(2, 1, 20), trunc, ch(4, 1, 30)))
+    val store = new InMemoryTxStore
+    val keys: CdcApplier.KeyResolver = (_, _) => Seq("id")
+    CdcApplier.applyBatch(store, "s", Bus.consume(dir), keys)
+    assert(store.rows("public.t").map(_("id")) == Seq(30L))
+    assert(store.truncations == 1)
+  }
+
   test("bus → applier end-to-end preserves exactly-once") {
     val dir = Files.createTempDirectory("bus3").toString
     Bus.produce(dir, Seq(ch(1, 1, 10), ch(2, 1, 20)))
