@@ -51,6 +51,11 @@ object CdcOp {
   /** Table-level clear control row (pgoutput 'T', one per affected
     * relation — first-class since r15; new/old maps are null). */
   val Truncate = "TRUNCATE"
+  /** Logical-decoding message control row (pgoutput 'M', PG14+ —
+    * first-class since r15): table = the message prefix, new image =
+    * (content bytea, transactional bool, message_lsn int8). Not table
+    * DML — the applier passes it over; consumers route on op/prefix. */
+  val Message = "MESSAGE"
   val Ddl = "DDL"
   val Begin = "BEGIN"
   val Commit = "COMMIT"

@@ -43,6 +43,17 @@ object PgOutput {
     * truncate — promoted to first-class here (r14 ask #1). */
   final case class Truncate(rels: Seq[Relation], cascade: Boolean,
       restartIdentity: Boolean) extends Message
+  /** A logical-decoding message (wire tag 'M', PG14+ with the
+    * `messages 'true'` publication option): `pg_logical_emit_message`
+    * payloads — app-level signals, watermarks, audit markers — that
+    * ride the WAL. `transactional` messages are delivered inside
+    * their transaction (and vanish with a rollback); non-transactional
+    * ones arrive immediately between transactions. `msgLsn` is the
+    * message's own WAL position from the frame. The reference skips
+    * the frame (pkg/decode/pgoutput.go:35-43 handles only B/C/R/I/U/D);
+    * promoted to a first-class op=MESSAGE control row here (r15). */
+  final case class LogicalMessage(transactional: Boolean, msgLsn: Long,
+      prefix: String, content: Array[Byte]) extends Message
   final case class Unknown(tag: Char) extends Message
 
   /** One tuple image: per-column datum plus the set of unchanged-TOAST
@@ -119,7 +130,16 @@ object PgOutput {
           val bits = r.byte()
           Truncate((0 until nrels).map(_ => rel0(r.int32())),
             cascade = (bits & 1) != 0, restartIdentity = (bits & 2) != 0)
-        case other => Unknown(other) // 'O'rigin, 'Y'(type), 'M'essage
+        case 'M' =>
+          // Logical message: Int8 flags (1 = transactional), Int64 the
+          // message's WAL lsn, cstring prefix, Int32 length, content
+          // (public "Logical Replication Message Formats", PG14+).
+          val flags = r.byte()
+          val msgLsn = r.int64()
+          val prefix = r.cstring()
+          val content = r.bytes(r.int32())
+          LogicalMessage((flags & 1) != 0, msgLsn, prefix, content)
+        case other => Unknown(other) // 'O'rigin, 'Y'(type), PG14 streaming
       }
     }
 
@@ -230,6 +250,14 @@ object PgOutput {
       relIds.foreach(w.int32)
       w.result()
     }
+
+    /** A logical-decoding message ('M', PG14+) — the
+      * `pg_logical_emit_message` frame [[LogicalMessage]] decodes. */
+    def message(transactional: Boolean, msgLsn: Long, prefix: String,
+        content: Array[Byte]): Array[Byte] =
+      new BytesWriter().byte('M')
+        .byte(if (transactional) 1 else 0).int64(msgLsn)
+        .cstring(prefix).int32(content.length).raw(content).result()
 
     /** An Origin ('O') message — Int64 origin commit LSN + origin
       * name. Decodes to [[Unknown]]('O') (skip, like the reference). */

@@ -321,6 +321,37 @@ object CodecQueries {
         .orderBy(col("event_type"))
     },
 
+    // ---- Logical-decoding messages (r15, the 'M' twin of q337's
+    //      'T'): pg_logical_emit_message payloads — audit markers,
+    //      release gates, app watermarks — ride the WAL and surface
+    //      as op=MESSAGE control rows with table = prefix. The feed
+    //      carries a TRANSACTIONAL message inside every third event's
+    //      tx (content = the event type) plus one NON-transactional
+    //      'ctl'/'eof' message between transactions (stamped at the
+    //      last tx's lsn — the dense-checkpoint contract). The query
+    //      is one filter + one aggregate over the envelope; the
+    //      oracle recomputes counts and max positions from parquet,
+    //      so frame layout, tx-riding lsn stamping, and the
+    //      out-of-tx stamp are all hash-checked. ----
+    QueryDef.sql("q338_logical_messages",
+      """SELECT 'audit' AS prefix, event_type AS content,
+        |  CAST(count(*) AS BIGINT) AS n, max(event_id) AS max_lsn
+        |FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ctl', 'eof', CAST(1 AS BIGINT),
+        |  (SELECT max(event_id) FROM events)
+        |ORDER BY prefix, content""".stripMargin) { (s, d) =>
+      val dir = ensureMessageFeed(s, d)
+      s.read.format("pgcapture").option("path", dir).load()
+        .filter(col("op") === "MESSAGE")
+        .select(col("table").as("prefix"),
+          col("new")("content").cast("string").as("content"),
+          col("lsn"))
+        .groupBy(col("prefix"), col("content"))
+        .agg(count(lit(1)).as("n"), max(col("lsn")).as("max_lsn"))
+        .orderBy(col("prefix"), col("content"))
+    },
+
     // ---- Incremental view maintenance from a CDC change stream: keep
     //      a per-bucket (count, sum) aggregate of a keyed table current
     //      WITHOUT rebuilding the table. Each change row becomes a
@@ -448,6 +479,56 @@ object CodecQueries {
       PgOutput.Encoder.truncate(Seq(rel.relId)),
       PgOutput.Encoder.commit(cutLsn, cutLsn, cutLsn * 1000L)),
       overwrite = true)
+    dir
+  }
+
+  /** Write the q338 feed: the q52 shape at lsn = event_id, plus a
+    * TRANSACTIONAL 'audit' message inside every third event's tx and
+    * one driver-written NON-transactional 'ctl' message between
+    * transactions (its own segment, sorted last). */
+  private def ensureMessageFeed(s: SparkSession, d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
+    val full = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val pid = ProcessHandle.current().pid()
+    val dir = new java.io.File(
+      s"/tmp/graft_walmsg_${safe}_${full}_$pid").getAbsolutePath
+    CodecQueries.cleanupOnExit(dir)
+    val f = new java.io.File(dir)
+    if (f.isDirectory) f.listFiles().foreach(_.delete())
+    import s.implicits._
+    val rel = bfRel
+    val events = Tables.load(s, d, "events")
+    val maxRow = events.agg(max(col("event_id"))).collect()(0) // 1-row agg
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)]
+      .repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .mapPartitions { it =>
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var first = -1L
+        it.foreach { case (eid, uid, et, v) =>
+          if (first < 0) { first = eid; frames += PgOutput.Encoder.relation(rel) }
+          frames += PgOutput.Encoder.begin(eid, eid * 1000L, eid.toInt)
+          frames += PgOutput.Encoder.insert(rel,
+            Seq(encode(Int8, uid), encode(Text, et), encode(Float8, v)))
+          if (eid % 3 == 0) // transactional: rides ITS tx, lsn = eid
+            frames += PgOutput.Encoder.message(transactional = true,
+              eid, "audit", et.getBytes("UTF-8"))
+          frames += PgOutput.Encoder.commit(eid, eid, eid * 1000L)
+        }
+        if (first >= 0)
+          graft.sources.WalFiles.writeSegment(dir, first, frames.toSeq,
+            overwrite = true)
+        Iterator.single(first)
+      }.collect()
+    // non-transactional message BETWEEN transactions: its own segment
+    // after every tx; replay stamps it at the last tx's (lsn, seq+1)
+    graft.sources.WalFiles.writeSegment(dir, maxId + 1, Seq(
+      PgOutput.Encoder.message(transactional = false, maxId + 1,
+        "ctl", "eof".getBytes("UTF-8"))), overwrite = true)
     dir
   }
 

@@ -4,7 +4,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream, FileInputStream, File
 import java.nio.file.{Files, Path, Paths}
 
 import graft.cdc.Checkpoint
-import graft.codec.{BytesReader, BytesWriter, PgOutput}
+import graft.codec.{BytesReader, BytesWriter, PgOutput, PgType}
 
 /** File-backed WAL feed for the pgcapture streaming source.
   *
@@ -80,6 +80,15 @@ object WalFiles {
   final case class WalEvent(cp: Checkpoint, commitTimeUs: Long,
       change: PgOutput.Change)
 
+  /** Synthetic relation carrying an op=MESSAGE control row: table =
+    * the message prefix (routable by the tables regex), columns typed
+    * so the envelope's oids map decodes the image downstream. */
+  private def messageRel(prefix: String): PgOutput.Relation =
+    PgOutput.Relation(0, "", prefix, 'n', Seq(
+      PgOutput.Column("content", PgType.Bytea, isKey = false),
+      PgOutput.Column("transactional", PgType.Bool, isKey = false),
+      PgOutput.Column("message_lsn", PgType.Int8, isKey = false)))
+
   /** Per-reader tally of the decode path's non-row frames. `unknowns`
     * are frames the decoder intentionally skips (the Unknown contract,
     * r13 ask #4: skip, keep (lsn, seq) exactly as if the frame were
@@ -146,6 +155,22 @@ object WalFiles {
             WalEvent(Checkpoint(lsn, seq), commitUs,
               PgOutput.Change("TRUNCATE", rel, None, None))
           }
+        case PgOutput.LogicalMessage(txn, msgLsn, prefix, content) =>
+          // first-class op=MESSAGE control row (r15):
+          // pg_logical_emit_message payloads surface in the envelope
+          // with table = the message prefix (so publication scoping
+          // regexes route them) and a typed new-image carrying the
+          // content, the transactional flag, and the frame's own WAL
+          // lsn. Takes a seq slot like every delivered row; a
+          // non-transactional message between transactions stamps at
+          // the last transaction's (lsn, seq+1) — monotone and dense.
+          seq += 1
+          Some(WalEvent(Checkpoint(lsn, seq), commitUs,
+            PgOutput.Change("MESSAGE", messageRel(prefix), Some(Map(
+              "content" -> content,
+              "transactional" -> PgType.encode(PgType.Bool, txn),
+              "message_lsn" -> PgType.encode(PgType.Int8, msgLsn))),
+              None)))
         case PgOutput.Unknown(_) =>
           // skip + advance, never throw, zero rows (r13 ask #4) — and
           // counted only inside the batch window: the frame sits at
@@ -202,6 +227,10 @@ object WalFiles {
             val r = new BytesReader(f)
             r.byte()
             seq += r.int32()
+          case 'M' if !flagsByte =>
+            // pgoutput logical message → one op=MESSAGE control row
+            // (pglogical classifies 'M' as Unknown: zero rows)
+            seq += 1
           case 'R' => rels += f
           case _ => ()
         }
@@ -278,7 +307,7 @@ object WalFiles {
       // commit_ts). Walk back until the boundary is a tx boundary.
       def startsAtTx(p: Path): Boolean =
         readFrames(p)
-          .find(f => f.nonEmpty && "BIUDCT".indexOf(f(0).toChar) >= 0)
+          .find(f => f.nonEmpty && "BIUDCTM".indexOf(f(0).toChar) >= 0)
           .forall(_(0) == 'B')
       while (keepFrom > 0 && !startsAtTx(all(keepFrom)._2)) keepFrom -= 1
       if (keepFrom <= 0) return 0

@@ -83,9 +83,11 @@ final class WalTail(dir: String, plugin: String = "pgoutput",
           decoder.decode(frame) match {
             case PgOutput.Begin(finalLsn, _, _) =>
               lsn = finalLsn; seq = 0
-            case m @ (_: PgOutput.Change | _: PgOutput.Truncate) =>
+            case m @ (_: PgOutput.Change | _: PgOutput.Truncate |
+                      _: PgOutput.LogicalMessage) =>
               // a Truncate fans out one op=TRUNCATE control row per
-              // relation in replay — the tail's seq must match
+              // relation in replay, a LogicalMessage one op=MESSAGE
+              // row — the tail's seq must match replay exactly
               seq += (m match {
                 case t: PgOutput.Truncate => t.rels.size
                 case _ => 1

@@ -246,6 +246,10 @@ object CdcApplier {
               flushInserts()
               store.truncate(c.schema, c.table)
               truncatesApplied.incrementAndGet()
+            // op=MESSAGE control rows (pg_logical_emit_message) are
+            // not table DML — nothing to apply; the checkpoint still
+            // advances past them (the stream stays dense). Consumers
+            // that want them route on the envelope, not the applier.
             case _ => ()
           }
         }

@@ -273,14 +273,36 @@ class CodecSpec extends AnyFunSuite {
       dec.decode(PgOutput.Encoder.truncate(Seq(99), optionBits = 0)))
   }
 
+  test("logical message decodes first-class (r15): flags, lsn, prefix, content") {
+    val dec = new PgOutput.Decoder
+    val payload = "release-gate:42".getBytes("UTF-8")
+    dec.decode(PgOutput.Encoder.message(transactional = true, 0xABCDL,
+      "audit", payload)) match {
+      case PgOutput.LogicalMessage(txn, lsn, prefix, content) =>
+        assert(txn && lsn == 0xABCDL && prefix == "audit")
+        assert(content.sameElements(payload))
+      case other => fail(s"expected LogicalMessage, got $other")
+    }
+    dec.decode(PgOutput.Encoder.message(transactional = false, 1L,
+      "ctl", Array.emptyByteArray)) match {
+      case PgOutput.LogicalMessage(txn, _, prefix, content) =>
+        assert(!txn && prefix == "ctl" && content.isEmpty)
+      case other => fail(s"expected LogicalMessage, got $other")
+    }
+    // a malformed 'M' frame fails loudly like malformed I/U/D — 'M'
+    // is a KNOWN tag now, not an Unknown skip
+    intercept[CodecException](dec.decode('M'.toByte +: Array[Byte](1, 2)))
+  }
+
   test("unknown tags decode to Unknown, never throw (r13 ask #4)") {
     val dec = new PgOutput.Decoder
     assert(dec.decode(PgOutput.Encoder.origin(0x10L, "node_1"))
       == PgOutput.Unknown('O'))
-    // tag-only frames with arbitrary payloads: 'Y' type, 'M' message,
-    // and the PG14 streaming tags ('S'tream start, 'E'nd, 'A'bort) —
-    // the decoder must classify by tag without reading the body
-    for (tag <- Seq('Y', 'M', 'S', 'E', 'A'))
+    // tag-only frames with arbitrary payloads: 'Y' type and the PG14
+    // streaming tags ('S'tream start, 'E'nd, 'A'bort) — the decoder
+    // must classify by tag without reading the body ('T' and 'M' left
+    // this set in r15: both are first-class messages now)
+    for (tag <- Seq('Y', 'S', 'E', 'A'))
       assert(dec.decode(tag.toByte +: Array[Byte](1, 2, 3))
         == PgOutput.Unknown(tag))
   }

@@ -130,6 +130,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // event_type agg + result sort; the survivors join is broadcast,
       // so the big insert leg never shuffles before its partial agg
       "q337_truncate_replay" -> 3,
+      // q338 = one (prefix, content) partial+final agg + result sort
+      // over the op=MESSAGE filter — the envelope scan never shuffles
+      "q338_logical_messages" -> 2,
       "q105_quality_dedup" -> 4,
       "q106_embed_diversity" -> 4,
       // q109 = the q31 posting shape exactly (fingerprinting itself is

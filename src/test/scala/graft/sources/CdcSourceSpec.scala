@@ -157,6 +157,27 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(l.unknownFramesSkipped == WalFiles.unknownFrames.get())
   }
 
+  test("logical messages are first-class control rows with dense checkpoints (r15)") {
+    val walDir = Files.createTempDirectory("walM").toString
+    val inTx = PgOutput.Encoder.message(transactional = true, 100L,
+      "audit", "mark-a".getBytes("UTF-8"))
+    val between = PgOutput.Encoder.message(transactional = false, 101L,
+      "ctl", "eof".getBytes("UTF-8"))
+    // tx 100: insert, message, insert — the message takes seq 2;
+    // the non-transactional one lands between txs at (100, 4)
+    WalFiles.writeSegment(walDir, 100L,
+      PgOutput.Encoder.relation(rel) +:
+        (tx(100L, ins(rel, 1, 10), inTx, ins(rel, 2, 20)) :+ between))
+    val got = runStream(walDir, Files.createTempDirectory("ckM").toString)
+    assert(got.map(e => (e._1, e._2, e._4, e._5)) == Seq(
+      ("INSERT", "t1", 100L, 1), ("MESSAGE", "audit", 100L, 2),
+      ("INSERT", "t1", 100L, 3), ("MESSAGE", "ctl", 100L, 4)))
+    // prefix routes through the publication-scoping regex like a table
+    val scoped = runStream(walDir,
+      Files.createTempDirectory("ckM2").toString, tables = Some("audit"))
+    assert(scoped.map(_._2) == Seq("audit"))
+  }
+
   test("resume past pruned segments still knows their relations") {
     // Relation declared ONLY in segment 1; the resume checkpoint lands
     // past later segment boundaries, so the reader prunes segment 1 —
