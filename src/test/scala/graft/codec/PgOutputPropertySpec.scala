@@ -138,6 +138,47 @@ class PgOutputPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("truncate round-trip: relid order, flags, undeclared-relid fail-loud (r15)") {
+    val gen = for {
+      rels <- Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, relGen))
+        .map(_.distinctBy(_.relId))
+      bits <- Gen.chooseNum(0, 3)
+    } yield (rels, bits)
+    check("truncate", Prop.forAll(gen) { case (rels, bits) =>
+      val d = new Decoder()
+      rels.foreach(r => d.decode(Encoder.relation(r)))
+      d.decode(Encoder.truncate(rels.map(_.relId), bits)) match {
+        case Truncate(got, cascade, restart) =>
+          got == rels && cascade == ((bits & 1) != 0) &&
+            restart == ((bits & 2) != 0)
+        case _ => false
+      }
+    })
+    check("truncate-undeclared", Prop.forAll(relGen) { rel =>
+      try { new Decoder().decode(Encoder.truncate(Seq(rel.relId))); false }
+      catch { case _: CodecException => true }
+    })
+  }
+
+  test("logical message round-trip: flags, lsn, prefix, content (r15)") {
+    val gen = for {
+      txn <- Gen.oneOf(true, false)
+      lsn <- Gen.long
+      prefix <- ident
+      n <- Gen.chooseNum(0, 64)
+      content <- Gen.listOfN(n,
+        Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    } yield (txn, lsn, prefix, content)
+    check("message", Prop.forAll(gen) { case (txn, lsn, prefix, content) =>
+      new Decoder().decode(Encoder.message(txn, lsn, prefix, content)) match {
+        case LogicalMessage(t2, l2, p2, c2) =>
+          t2 == txn && l2 == lsn && p2 == prefix &&
+            java.util.Arrays.equals(c2, content)
+        case _ => false
+      }
+    })
+  }
+
   test("fuzz: truncation and bit-flips fail loudly or parse — never crash") {
     // the decoder's robustness contract: any corruption of a valid
     // message either still parses to SOME Message (e.g. a flipped
@@ -170,6 +211,16 @@ class PgOutputPropertySpec extends AnyFunSuite {
       val d2 = new Decoder(); d2.decode(relMsg)
       val flipOk = outcomeOk(new Decoder(), flipped(relMsg)) &&
         outcomeOk(d2, flipped(ins))
+      // the r15 first-class frames obey the same robustness contract
+      val trunc = Encoder.truncate(Seq(rel.relId))
+      val msg = Encoder.message(transactional = true, 42L, "p",
+        Array[Byte](1, 2, 3))
+      val d3 = new Decoder(); d3.decode(relMsg)
+      val d4 = new Decoder(); d4.decode(relMsg)
+      val tmOk = outcomeOk(d3, trunc.take(cut % trunc.length)) &&
+        outcomeOk(d4, flipped(trunc)) &&
+        outcomeOk(new Decoder(), msg.take(cut % msg.length)) &&
+        outcomeOk(new Decoder(), flipped(msg))
       // same contract for the pglogical wire format (shared
       // BytesReader underflow discipline, independent framing)
       def plOk(d: PgLogical.Decoder, bytes: Array[Byte]): Boolean =
@@ -184,7 +235,7 @@ class PgOutputPropertySpec extends AnyFunSuite {
         plOk(p1, plIns.take(cut % plIns.length)) &&
         plOk(new PgLogical.Decoder(), flipped(plRel)) &&
         plOk(p2, flipped(plIns))
-      truncOk && flipOk && plFuzzOk
+      truncOk && flipOk && tmOk && plFuzzOk
     })
   }
 
