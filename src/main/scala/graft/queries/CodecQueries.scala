@@ -425,21 +425,30 @@ object CodecQueries {
         f.delete(); ()
       }))
 
-  /** Write the q337 feed: the q52 shape (one tx per event, one segment
-    * per range partition, relation declared per segment) at lsn =
-    * 2·event_id, plus ONE driver-written truncate transaction at the
-    * odd lsn 2·cutoff+1 (cutoff = ⌊max(event_id)·3/5⌋, integer) — its
-    * own tiny segment, sorted between the insert segments by the
-    * source's lsn ordering. Driver-side work is one single-row max()
-    * collect and a 4-frame file write; the encode fan-out stays
-    * distributed. */
-  private def ensureTruncateFeed(s: SparkSession, d: String): String = {
+  /** Shared feed writer for the wire-format fixture queries (q52,
+    * q337, q338): executors each encode their range of events into one
+    * segment — one tx per event at `lsnOf(event_id)`, relation
+    * declared per segment, real pgoutput bytes — with `inTx` able to
+    * append extra frames inside an event's transaction (q338's
+    * transactional messages). Fixture name = readable path tail + md5
+    * of the FULL path (so truncation can't collide two data dirs) +
+    * this JVM's pid (two concurrent runs never share a feed); the dir
+    * is removed on JVM exit. Write is skipped-overwrite-safe: task
+    * retries re-write identical bytes. Regenerated per run — a derived
+    * fixture, not state; a real deployment's feed comes from the
+    * capture agent. Returns (dir, max event_id) — the max is a
+    * single-row bounded collect the callers reuse for their
+    * driver-written extra segment. */
+  private def writeEventFeed(s: SparkSession, d: String, tag: String,
+      lsnOf: Long => Long,
+      inTx: (Long, String) => Seq[Array[Byte]] = (_, _) => Nil):
+      (String, Long) = {
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
     val full = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val pid = ProcessHandle.current().pid()
     val dir = new java.io.File(
-      s"/tmp/graft_waltr_${safe}_${full}_$pid").getAbsolutePath
+      s"/tmp/graft_${tag}_${safe}_${full}_$pid").getAbsolutePath
     CodecQueries.cleanupOnExit(dir)
     val f = new java.io.File(dir)
     if (f.isDirectory) f.listFiles().foreach(_.delete())
@@ -447,10 +456,9 @@ object CodecQueries {
     val rel = bfRel
     val events = Tables.load(s, d, "events")
     // bounded by construction: single-row max aggregate (null on an
-    // empty table → cutoff 0, feed = just the truncate tx)
+    // empty table → 0)
     val maxRow = events.agg(max(col("event_id"))).collect()(0)
     val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    val cutLsn = (maxId * 3 / 5) * 2 + 1
     events
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .as[(Long, Long, String, Double)]
@@ -460,116 +468,57 @@ object CodecQueries {
         val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         var first = -1L
         it.foreach { case (eid, uid, et, v) =>
-          val lsn = eid * 2
+          val lsn = lsnOf(eid)
           if (first < 0) { first = lsn; frames += PgOutput.Encoder.relation(rel) }
           frames += PgOutput.Encoder.begin(lsn, lsn * 1000L, eid.toInt)
           frames += PgOutput.Encoder.insert(rel,
             Seq(encode(Int8, uid), encode(Text, et), encode(Float8, v)))
+          frames ++= inTx(eid, et)
           frames += PgOutput.Encoder.commit(lsn, lsn, lsn * 1000L)
-        }
-        if (first >= 0)
-          graft.sources.WalFiles.writeSegment(dir, first, frames.toSeq,
-            overwrite = true)
-        Iterator.single(first)
-      }.collect()
-    // the truncate transaction: real wire frames, one tiny segment
-    graft.sources.WalFiles.writeSegment(dir, cutLsn, Seq(
-      PgOutput.Encoder.relation(rel),
-      PgOutput.Encoder.begin(cutLsn, cutLsn * 1000L, 0),
-      PgOutput.Encoder.truncate(Seq(rel.relId)),
-      PgOutput.Encoder.commit(cutLsn, cutLsn, cutLsn * 1000L)),
-      overwrite = true)
-    dir
-  }
-
-  /** Write the q338 feed: the q52 shape at lsn = event_id, plus a
-    * TRANSACTIONAL 'audit' message inside every third event's tx and
-    * one driver-written NON-transactional 'ctl' message between
-    * transactions (its own segment, sorted last). */
-  private def ensureMessageFeed(s: SparkSession, d: String): String = {
-    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
-    val full = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val pid = ProcessHandle.current().pid()
-    val dir = new java.io.File(
-      s"/tmp/graft_walmsg_${safe}_${full}_$pid").getAbsolutePath
-    CodecQueries.cleanupOnExit(dir)
-    val f = new java.io.File(dir)
-    if (f.isDirectory) f.listFiles().foreach(_.delete())
-    import s.implicits._
-    val rel = bfRel
-    val events = Tables.load(s, d, "events")
-    val maxRow = events.agg(max(col("event_id"))).collect()(0) // 1-row agg
-    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    events
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .as[(Long, Long, String, Double)]
-      .repartitionByRange(16, col("event_id"))
-      .sortWithinPartitions("event_id")
-      .mapPartitions { it =>
-        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        var first = -1L
-        it.foreach { case (eid, uid, et, v) =>
-          if (first < 0) { first = eid; frames += PgOutput.Encoder.relation(rel) }
-          frames += PgOutput.Encoder.begin(eid, eid * 1000L, eid.toInt)
-          frames += PgOutput.Encoder.insert(rel,
-            Seq(encode(Int8, uid), encode(Text, et), encode(Float8, v)))
-          if (eid % 3 == 0) // transactional: rides ITS tx, lsn = eid
-            frames += PgOutput.Encoder.message(transactional = true,
-              eid, "audit", et.getBytes("UTF-8"))
-          frames += PgOutput.Encoder.commit(eid, eid, eid * 1000L)
-        }
-        if (first >= 0)
-          graft.sources.WalFiles.writeSegment(dir, first, frames.toSeq,
-            overwrite = true)
-        Iterator.single(first)
-      }.collect()
-    // non-transactional message BETWEEN transactions: its own segment
-    // after every tx; replay stamps it at the last tx's (lsn, seq+1)
-    graft.sources.WalFiles.writeSegment(dir, maxId + 1, Seq(
-      PgOutput.Encoder.message(transactional = false, maxId + 1,
-        "ctl", "eof".getBytes("UTF-8"))), overwrite = true)
-    dir
-  }
-
-  private def ensureBackfillFeed(s: SparkSession, d: String): String = {
-    // fixture name = readable path tail + md5 of the FULL path (so
-    // truncation can't collide two data dirs) + this JVM's pid (two
-    // concurrent runs over the same data dir never share a feed, so
-    // one run's regeneration can't delete files the other is reading);
-    // the dir is removed on JVM exit — per-pid names would otherwise
-    // accumulate in /tmp across runs
-    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
-    val full = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val pid = ProcessHandle.current().pid()
-    val dir = new java.io.File(
-      s"/tmp/graft_walbf_${safe}_${full}_$pid").getAbsolutePath
-    CodecQueries.cleanupOnExit(dir)
-    val f = new java.io.File(dir)
-    if (f.isDirectory) f.listFiles().foreach(_.delete())
-    import s.implicits._
-    val rel = bfRel
-    Tables.load(s, d, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .as[(Long, Long, String, Double)]
-      .repartitionByRange(16, col("event_id"))
-      .sortWithinPartitions("event_id")
-      .mapPartitions { it =>
-        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        var first = -1L
-        it.foreach { case (eid, uid, et, v) =>
-          if (first < 0) { first = eid; frames += PgOutput.Encoder.relation(rel) }
-          frames += PgOutput.Encoder.begin(eid, eid * 1000L, eid.toInt)
-          frames += PgOutput.Encoder.insert(rel,
-            Seq(encode(Int8, uid), encode(Text, et), encode(Float8, v)))
-          frames += PgOutput.Encoder.commit(eid, eid, eid * 1000L)
         }
         if (first >= 0) // overwrite: task retries re-write identical bytes
           graft.sources.WalFiles.writeSegment(dir, first, frames.toSeq,
             overwrite = true)
         Iterator.single(first)
       }.collect()
+    (dir, maxId)
+  }
+
+  /** q337 feed: inserts at lsn = 2·event_id plus ONE driver-written
+    * truncate transaction at the odd lsn 2·cutoff+1 (cutoff =
+    * ⌊max(event_id)·3/5⌋, integer) — its own tiny segment, sorted
+    * between the insert segments by the source's lsn ordering. */
+  private def ensureTruncateFeed(s: SparkSession, d: String): String = {
+    val (dir, maxId) = writeEventFeed(s, d, "waltr", _ * 2)
+    val cutLsn = (maxId * 3 / 5) * 2 + 1
+    graft.sources.WalFiles.writeSegment(dir, cutLsn, Seq(
+      PgOutput.Encoder.relation(bfRel),
+      PgOutput.Encoder.begin(cutLsn, cutLsn * 1000L, 0),
+      PgOutput.Encoder.truncate(Seq(bfRel.relId)),
+      PgOutput.Encoder.commit(cutLsn, cutLsn, cutLsn * 1000L)),
+      overwrite = true)
     dir
   }
+
+  /** q338 feed: inserts at lsn = event_id, a TRANSACTIONAL 'audit'
+    * message inside every third event's tx, and one driver-written
+    * NON-transactional 'ctl' message between transactions (its own
+    * segment, sorted last — replay stamps it at the last tx's
+    * (lsn, seq+1)). */
+  private def ensureMessageFeed(s: SparkSession, d: String): String = {
+    val (dir, maxId) = writeEventFeed(s, d, "walmsg", identity,
+      inTx = (eid, et) =>
+        if (eid % 3 == 0) // transactional: rides ITS tx, lsn = eid
+          Seq(PgOutput.Encoder.message(transactional = true,
+            eid, "audit", et.getBytes("UTF-8")))
+        else Nil)
+    graft.sources.WalFiles.writeSegment(dir, maxId + 1, Seq(
+      PgOutput.Encoder.message(transactional = false, maxId + 1,
+        "ctl", "eof".getBytes("UTF-8"))), overwrite = true)
+    dir
+  }
+
+  /** q52 feed: plain inserts at lsn = event_id. */
+  private def ensureBackfillFeed(s: SparkSession, d: String): String =
+    writeEventFeed(s, d, "walbf", identity)._1
 }
