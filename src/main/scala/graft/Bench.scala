@@ -80,11 +80,20 @@ object Bench {
       sys.exit(2)
     }
 
-    def exec(name: String): Double = {
+    // Per-pass steal window (VERDICT r15 ask #3b): /proc/stat deltas
+    // around the timed action stamp each measurement with the steal
+    // share of ITS OWN window, so a partially-contended run still
+    // contributes provably-clean per-query timings (recorded in
+    // last_run.json "passes"/"query_steal") instead of poisoning
+    // cross-round comparison silently. Timing methodology is
+    // untouched — the stamp is metadata, the reported value is still
+    // the same min-of-passes wall time. −1.0 = window unmeasurable.
+    def exec(name: String): (Double, Double) = {
       // settle the heap between queries: without this, one query's
       // garbage lands as a multi-second GC pause inside whichever
       // query runs next — per-query numbers wandered ±3s run to run
       System.gc()
+      val w0 = cpuTicks()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -92,9 +101,15 @@ object Bench {
         // -1.0 marks the break in the JSON, but the WHY must not cost
         // a round to recover (r6: q79's analysis error hid here).
         System.err.println(s"[bench] $name failed: $e")
-        return -1.0
+        return (-1.0, -1.0)
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      val st = (for ((b0, s0) <- w0; (b1, s1) <- cpuTicks()) yield {
+        val (busy, steal) = (b1 - b0, s1 - s0)
+        if (busy + steal > 0)
+          math.round(10000.0 * steal / (busy + steal)) / 100.0 else 0.0
+      }).getOrElse(-1.0)
+      (dt, st)
     }
 
     // Warmup doubling as the CONTENTION PROBE (r11 ask #3): steal is
@@ -112,7 +127,7 @@ object Bench {
       // otherwise the gate self-triggers on its probe
       val load = loadAvg().getOrElse(0.0)
       val t0 = cpuTicks()
-      exec("q01_pricing_summary")
+      exec("q01_pricing_summary")._1: Unit
       val pct = (for ((b0, s0) <- t0; (b1, s1) <- cpuTicks()) yield {
         val (busy, steal) = (b1 - b0, s1 - s0)
         if (busy + steal > 0)
@@ -147,7 +162,7 @@ object Bench {
     // Optional args: run only the named queries (iteration aid).
     val names = if (args.nonEmpty) args.toSeq.sorted
                 else SparkEntry.queries.keys.toSeq.sorted
-    val firstPass = names.map(n => n -> exec(n))
+    val firstPass = names.map(n => n -> exec(n)) // (time, pass steal%)
     // Heavy-tail re-measure, min-of-two: a single-pass number for a
     // multi-second query folds in one-off JIT/codegen of that query's
     // own plan AND any transient machine load — round 6 lost a round
@@ -167,16 +182,18 @@ object Bench {
     // regression — with first+rerun side by side, a noise-inflated
     // number is visible in one file (a big first/rerun gap on a stable
     // query = transient load or one-off JIT, not a code change).
-    val results = firstPass.map { case (n, t1) =>
-      if (t1 <= 1.5) (n, t1, None: Option[Double])
+    val results = firstPass.map { case (n, (t1, st1)) =>
+      if (t1 <= 1.5) (n, t1, None: Option[(Double, Double)], st1)
       else {
-        val t2 = exec(n)
+        val (t2, st2) = exec(n)
         System.err.println(f"[bench] $n rerun: $t1%.2fs -> $t2%.2fs")
         (n, if (t2 >= 0) math.min(t1, t2) else t1,
-          if (t2 >= 0) Some(t2) else None)
+          if (t2 >= 0) Some((t2, st2)) else None,
+          // steal stamp of the pass whose time is reported
+          if (t2 >= 0 && t2 < t1) st2 else st1)
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // steal share of the machine's busy time over the measured window;
@@ -198,8 +215,8 @@ object Bench {
     // record names it so a cross-round delta on it is discounted by
     // the data, not by a judge's forensics.
     val unstable = results.collect {
-      case (n, _, Some(t2)) =>
-        val t1 = firstPass.find(_._1 == n).map(_._2).getOrElse(-1.0)
+      case (n, _, Some((t2, _)), _) =>
+        val t1 = firstPass.find(_._1 == n).map(_._2._1).getOrElse(-1.0)
         (n, if (t2 > 0 && t1 > 0) math.max(t1, t2) / math.min(t1, t2) else 1.0)
     }.filter(_._2 > 1.5).map(_._1)
     val unstableJson =
@@ -214,14 +231,21 @@ object Bench {
     // only — a named-subset iteration run must not overwrite the
     // round's record with a partial one.
     if (args.isEmpty) {
-      val passes = results.map { case (n, _, rerun) =>
-        val t1 = firstPass.find(_._1 == n).map(_._2).getOrElse(-1.0)
-        "\"" + n + "\":{\"first\":" + t1 +
-          rerun.map(t => ",\"rerun\":" + t).getOrElse("") + "}"
+      val passes = results.map { case (n, _, rerun, _) =>
+        val (t1, st1) = firstPass.find(_._1 == n).map(_._2).getOrElse((-1.0, -1.0))
+        "\"" + n + "\":{\"first\":" + t1 + ",\"first_steal\":" + st1 +
+          rerun.map { case (t, st) =>
+            ",\"rerun\":" + t + ",\"rerun_steal\":" + st
+          }.getOrElse("") + "}"
       }.mkString("{", ",", "}")
-      val firstTotal = firstPass.map(_._2).filter(_ >= 0).sum
+      // steal stamp of each query's REPORTED pass, for clean-timing
+      // harvesting across runs (VERDICT r15 ask #3b)
+      val qSteal = results.map { case (n, _, _, st) =>
+        "\"" + n + "\":" + st
+      }.mkString("{", ",", "}")
+      val firstTotal = firstPass.map(_._2._1).filter(_ >= 0).sum
       val full = json.dropRight(1) +
-        s""","first_pass_total":$firstTotal,"passes":$passes}"""
+        s""","first_pass_total":$firstTotal,"passes":$passes,"query_steal":$qSteal}"""
       val dir = new java.io.File("bench")
       dir.mkdirs()
       // Record guard (VERDICT r13 ask #1a): the record may only get

@@ -28,9 +28,20 @@ object BenchRecord {
   def stealPctOf(json: String): Option[Double] = {
     val at = json.indexOf("\"host\":{")
     if (at < 0) None
-    else """"steal_pct"\s*:\s*([0-9.eE+-]+)""".r
-      .findFirstMatchIn(json.substring(at))
-      .flatMap(m => m.group(1).toDoubleOption)
+    else {
+      // Bound the search to the host object's own fields (ADVICE r15):
+      // the nested gate block's skipped_attempts carry their own
+      // steal_pct entries, so a host block that serialized WITHOUT a
+      // run-level steal_pct must read None, not the first nested one.
+      val sub = json.substring(at)
+      val end = sub.indexOf("\"gate\"") match {
+        case -1 => sub.length
+        case i  => i
+      }
+      """"steal_pct"\s*:\s*([0-9.eE+-]+)""".r
+        .findFirstMatchIn(sub.substring(0, end))
+        .flatMap(m => m.group(1).toDoubleOption)
+    }
   }
 
   /** The run's total seconds (`"value":N` of the top-level metric) —

@@ -13,7 +13,7 @@ package graft.cdc
   * typed projection can decode each datum (see [[graft.codec.PgType]]).
   */
 final case class CdcEvent(
-    op: String,            // INSERT | UPDATE | DELETE | TRUNCATE | DDL | BEGIN | COMMIT | KEEPALIVE
+    op: String,            // INSERT | UPDATE | DELETE | TRUNCATE | MESSAGE | DDL | BEGIN | COMMIT | KEEPALIVE
     schema: String,
     table: String,
     newFields: Map[String, Array[Byte]],

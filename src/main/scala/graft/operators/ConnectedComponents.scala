@@ -71,7 +71,13 @@ object ConnectedComponents {
   }
 
   /** large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u}).
-    * Bidirectional neighborhoods; (key, min) aggregate, join back. */
+    * Bidirectional neighborhoods; (key, min) aggregate, join back.
+    *
+    * No trailing `distinct`: the only consumer is [[smallStar]], whose
+    * min aggregate is duplicate-insensitive and whose own round-final
+    * `distinct` cleans the join fan-out — the intermediate dedup was a
+    * full extra exchange per round (a fifth of the round's shuffles)
+    * that changed nothing downstream. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("lo").as("u"), col("hi").as("v"))
       .union(e.select(col("hi").as("u"), col("lo").as("v")))
@@ -83,7 +89,6 @@ object ConnectedComponents {
       .select(least(col("v"), col("m")).as("lo"),
         greatest(col("v"), col("m")).as("hi"))
       .filter(col("lo") =!= col("hi"))
-      .distinct()
   }
 
   /** small-star: orient edges toward the larger endpoint; every smaller

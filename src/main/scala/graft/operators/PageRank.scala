@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * oracle-checked; this can, bit for bit (q137's green hash).
   *
   * Each iteration is one edge-keyed join + one dst-keyed aggregate —
-  * the Pregel shape; plan depth grows linearly in the fixed round
-  * count (an open-ended solver would `localCheckpoint` per round the
-  * way [[ConnectedComponents]] does).
+  * the Pregel shape. The degree-annotated adjacency is materialized
+  * ONCE (`localCheckpoint`) and each round's rank table is
+  * checkpointed before feeding the next round — without both, the
+  * unrolled plan re-expands the whole edge-building pipeline per
+  * round (q272's plan carried 42 scans / 104 exchanges for 4 rounds;
+  * the [[ConnectedComponents]] per-round discipline applied here).
+  * Ranks are exact integers, so materialization cannot change them.
   */
 object PageRank {
 
@@ -25,8 +29,10 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     val dirE = edges.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(edges.select(col("y").as("src"), col("x").as("dst")))
+      .localCheckpoint() // the edge pipeline runs once, not per round
     val deg = dirE.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = dirE.join(deg, "src")
+      .localCheckpoint() // O(edges): joined by every round
     var r = deg.select(col("src").as("u"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
       r = withDeg.join(r, col("src") === col("u"))
@@ -34,6 +40,7 @@ object PageRank {
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
         .select(col("dst").as("u"),
           expr(s"(15 * ${Scale}L) div 100 + (85 * sc) div 100").as("r"))
+        .localCheckpoint() // O(nodes): truncate the per-round lineage
     }
     r
   }
@@ -53,8 +60,10 @@ object PageRank {
       iters: Int): DataFrame = {
     val dirE = edges.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(edges.select(col("y").as("src"), col("x").as("dst")))
+      .localCheckpoint() // the edge pipeline runs once, not per round
     val deg = dirE.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = dirE.join(deg, "src")
+      .localCheckpoint() // O(edges): joined by every round
     val inGraph = seeds.select(col("u"))
       .join(deg.select(col("src").as("u")), "u")
     val ns = inGraph.agg(count(lit(1)).as("ns"))
@@ -74,6 +83,7 @@ object PageRank {
         .select(col("dst").as("u"), expr("(85 * sc) div 100").as("pr"))
         .join(tel, "u")
         .select(col("u"), (col("tel") + col("pr")).as("r"))
+        .localCheckpoint() // O(nodes): truncate the per-round lineage
     }
     r
   }

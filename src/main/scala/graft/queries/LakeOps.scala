@@ -1991,22 +1991,39 @@ object LakeOps {
     //      Deequ/metanome run exactly this) — at 100 TB each check is
     //      one groupBy over its table, checks independent. ----
     QueryDef.sql("q271_fd_audit", fdOracleSql) { (s, d) =>
-      fdChecks.map { case (tbl, det, dep) =>
-        val ab = t(s, d, tbl).select(col(det).as("a"), col(dep).as("b"))
-          .distinct()
-          .localCheckpoint() // the (A,B) domain feeds all three counts
-        val perA = ab.groupBy(col("a")).agg(count(lit(1)).as("nb"))
-          .agg(count(lit(1)).as("n_det"),
-            // coalesce: an empty table must read (0, 0, 0, true) like
-            // the oracle's scalar counts, not NULL sums
-            coalesce(sum(col("nb")), lit(0L)).cast("long")
-              .as("n_det_dep"),
-            coalesce(sum(when(col("nb") > 1, 1L).otherwise(0L)),
-              lit(0L)).cast("long").as("n_violating"))
-        perA.select(lit(s"$tbl: $det -> $dep").as("fd"), col("n_det"),
-          col("n_det_dep"), col("n_violating"),
-          (col("n_det") === col("n_det_dep")).as("holds"))
-      }.reduce(_ unionAll _).orderBy(col("fd"))
+      // The 9 checks are independent, but each one's eager
+      // localCheckpoint is a separate Spark job — launched from one
+      // driver thread they serialize, leaving the cluster idle in
+      // every job's tail (guide §2.6: overlap independent jobs). A
+      // small pool launches the checkpoint jobs concurrently; the
+      // assembled frames and the final union are unchanged, and
+      // distinct counts are deterministic, so the result is identical.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val frames = fdChecks.map { case (tbl, det, dep) =>
+        scala.concurrent.Future {
+          val ab = t(s, d, tbl).select(col(det).as("a"), col(dep).as("b"))
+            .distinct()
+            .localCheckpoint() // the (A,B) domain feeds all three counts
+          val perA = ab.groupBy(col("a")).agg(count(lit(1)).as("nb"))
+            .agg(count(lit(1)).as("n_det"),
+              // coalesce: an empty table must read (0, 0, 0, true) like
+              // the oracle's scalar counts, not NULL sums
+              coalesce(sum(col("nb")), lit(0L)).cast("long")
+                .as("n_det_dep"),
+              coalesce(sum(when(col("nb") > 1, 1L).otherwise(0L)),
+                lit(0L)).cast("long").as("n_violating"))
+          perA.select(lit(s"$tbl: $det -> $dep").as("fd"), col("n_det"),
+            col("n_det_dep"), col("n_violating"),
+            (col("n_det") === col("n_det_dep")).as("holds"))
+        }
+      }
+      try scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(frames),
+          scala.concurrent.duration.Duration.Inf)
+        .reduce(_ unionAll _).orderBy(col("fd"))
+      finally { pool.shutdown(); () }
     },
 
     // ---- Bitemporal as-of audit: the two-clock extension of q141's

@@ -887,10 +887,28 @@ object Sketches {
          |    END AS recall_simhash_micro
          |FROM ca, cb, cm""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val a = minHashPairs(docs, 0.8).select(col("doc1"), col("doc2"))
-        .localCheckpoint()
-      val b = simHashPairs(docs, 3).select(col("doc1"), col("doc2"))
-        .localCheckpoint()
+      // The two detector pipelines are independent and each ends in an
+      // EAGER localCheckpoint — launched from one driver thread they
+      // serialize, leaving cores idle in each job's tail (guide §2.6:
+      // overlap independent jobs). Two threads run them concurrently;
+      // both pair sets are deterministic, so the result is identical.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fa = scala.concurrent.Future {
+        minHashPairs(docs, 0.8).select(col("doc1"), col("doc2"))
+          .localCheckpoint()
+      }
+      val fb = scala.concurrent.Future {
+        simHashPairs(docs, 3).select(col("doc1"), col("doc2"))
+          .localCheckpoint()
+      }
+      val (a, b) =
+        try (scala.concurrent.Await.result(fa,
+            scala.concurrent.duration.Duration.Inf),
+          scala.concurrent.Await.result(fb,
+            scala.concurrent.duration.Duration.Inf))
+        finally { pool.shutdown(); () }
       val ca = a.agg(count(lit(1)).as("a"))
       val cb = b.agg(count(lit(1)).as("b"))
       val cm = a.join(b, Seq("doc1", "doc2")).agg(count(lit(1)).as("m"))

@@ -153,8 +153,14 @@ object TextOps {
     // work at sf0.1); outer explode carries no such constraint and the
     // upstream filters already guarantee non-empty gram arrays
     graft.functions.GraftFunctions.register(sh.sparkSession)
+    // The posting key only needs EQUALITY of grams, so the shuffle
+    // carries xxhash64(gram) (8 bytes) instead of the shingle string
+    // (~30 bytes) — the q87_span_dedup discipline, same w.h.p.
+    // exactness argument (collisions ~n²/2⁶⁵, deterministic, and the
+    // exact-string oracles stay green).
     val e = sh.select(struct(col("doc_id").as("d"),
-      size(col("grams")).as("sz")).as("ds"), explode_outer(col("grams")).as("g"))
+      size(col("grams")).as("sz")).as("ds"),
+      explode_outer(expr("transform(grams, g -> xxhash64(g))")).as("g"))
     val posting = e.groupBy(col("g"))
       .agg(sort_array(collect_list(col("ds"))).as("ds"))
       .filter(size(col("ds")).between(2, MaxGramDf))
@@ -174,7 +180,10 @@ object TextOps {
   def weightedJaccardPairs(sh: org.apache.spark.sql.DataFrame,
       minWj: Double): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(sh.sparkSession)
-    val e = sh.select(col("doc_id"), explode_outer(col("grams")).as("g"))
+    // same map-side xxhash64 proxy as gramPairCounts: the posting key
+    // and the idf weight only need gram EQUALITY / df, never the text
+    val e = sh.select(col("doc_id"),
+      explode_outer(expr("transform(grams, g -> xxhash64(g))")).as("g"))
     val posting = e.groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .withColumn("w", expr("1000000L div size(ds)"))
@@ -356,7 +365,18 @@ object TextOps {
     * type sets, checkpointed (multiple consumers in both callers).
     * One tokenize pass feeds the 4-rung ladder; the explode is linear
     * in corpus tokens per rung, and everything downstream runs on the
-    * type sets — no pair join over documents anywhere. */
+    * type sets — no pair join over documents anywhere.
+    *
+    * `gr` is the 64-bit xxhash64 of the gram, hashed MAP-SIDE as the
+    * ladder explodes (guide §2.3: shuffle keys/metadata, not
+    * payloads): every consumer — the type-set DISTINCT, q316's
+    * exclusivity agg, q331/q336's gram-keyed overlap self-join —
+    * only ever compares grams for EQUALITY, so an 8-byte hash carries
+    * the full computation while the 16-token gram strings
+    * (~100 bytes each) never enter an exchange. Distinctness is
+    * preserved w.h.p. (the [[prefixJaccardPairs]] / SortedOverlap
+    * argument: ~10⁶ distinct grams per rung ⇒ collision odds
+    * ~3·10⁻⁸, deterministic across engines and retries). */
   private def gramTypeSets(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val toks = t(s, d, "documents")
@@ -369,7 +389,8 @@ object TextOps {
       .select(col("source"), col("n").cast("long").as("n"),
         explode(expr(
           """transform(sequence(0, size(toks) - n), i ->
-            |  array_join(slice(toks, i + 1, n), ' '))""".stripMargin))
+            |  xxhash64(array_join(slice(toks, i + 1, n), ' ')))"""
+            .stripMargin))
           .as("gr"))
       .distinct()
       .localCheckpoint() // type sets: per-source counts, exclusivity,
@@ -480,6 +501,11 @@ object TextOps {
           .as("c0"),
         coalesce(max(when(col("ep") === 1, col("c"))), lit(0L))
           .as("c1"))
+      .localCheckpoint() // O(sources·bins): feeds ns AND pq — without
+                         // the cut the ss→cell→ee subtree re-expands
+                         // multiplicatively through pq/term/ns (q301's
+                         // plan carried 66 exchanges for a 20-source
+                         // domain table)
     val ns = ee.groupBy(col("source"))
       .agg(sum(col("c0")).cast("long").as("n0"),
         sum(col("c1")).cast("long").as("n1"))
@@ -1902,6 +1928,10 @@ object TextOps {
         .join(ex, md5(col("text")) === col("h")
           && col("doc_id") === col("keep"))
         .select(col("doc_id"), col("text"))
+        .localCheckpoint() // FOUR consumers (pair pipeline, bad-gram
+                           // leg, its own stage count, st4/st5 anti
+                           // spine): the md5 exact-dedup join re-ran
+                           // per consumer without the cut
       val sh = Sketches.shingled(st3)
       val pairs = prefixJaccardPairs(sh, 3, 10)
         .select(col("doc1"), col("doc2"))
@@ -3709,23 +3739,39 @@ object TextOps {
       val docs = t(s, d, "documents")
       val pc = gramPairCounts(Sketches.shingled(docs))
         .withColumn("un", col("sz1") + col("sz2") - col("c"))
-        .localCheckpoint() // ONE pair-count pipeline feeds all 3 runs
+        .localCheckpoint() // ONE pair-count pipeline feeds all 3 sweeps
       val nd = docs.agg(count(lit(1)).as("ndocs"))
-      val sweeps = Seq(3L, 5L, 8L).map { thr =>
-        val pairs = pc.filter(col("c") * 10 >= col("un") * thr)
-          .select(col("doc1"), col("doc2"))
-        val sz = graft.operators.ConnectedComponents
-          .run(pairs, "doc1", "doc2")
-          .groupBy(col("component"))
-          .agg(count(lit(1)).as("size"))
-        sz.agg(coalesce(sum(col("size")), lit(0L)).cast("long")
-            .as("n_nodes"),
-          count(col("component")).as("n_components"),
-          coalesce(max(col("size")), lit(0L)).cast("long")
-            .as("max_size"))
-          .select(lit(thr * 10).as("thr_pct"), col("n_nodes"),
-            col("n_components"), col("max_size"))
+      // ONE CC run for all 3 thresholds (guide §2.4: the star rounds
+      // are the query's job-count driver — 3 independent multi-round
+      // loops collapse into one loop over the disjoint union, with
+      // each threshold's graph kept disjoint by encoding the threshold
+      // index into the node id (doc_id·4 + idx; components of a
+      // disjoint union are the union of components, so per-threshold
+      // sizes are unchanged). thr falls back out as node mod 4.
+      val thrs = Seq(3L, 5L, 8L)
+      val edges = thrs.zipWithIndex.map { case (thr, i) =>
+        pc.filter(col("c") * 10 >= col("un") * thr)
+          .select((col("doc1") * 4 + i).as("doc1"),
+            (col("doc2") * 4 + i).as("doc2"))
       }.reduce(_ unionByName _)
+      val sz = graft.operators.ConnectedComponents
+        .run(edges, "doc1", "doc2")
+        .groupBy(pmod(col("component"), lit(4L)).as("i"), col("component"))
+        .agg(count(lit(1)).as("size"))
+      val agg = sz.groupBy(col("i"))
+        .agg(sum(col("size")).cast("long").as("n_nodes"),
+          count(col("component")).as("n_components"),
+          max(col("size")).cast("long").as("max_size"))
+      // dense threshold grid: a sweep whose dup graph is empty still
+      // reports a zero row (the oracle's th LEFT JOIN sz)
+      import s.implicits._
+      val grid = thrs.zipWithIndex.map { case (thr, i) => (thr * 10, i.toLong) }
+        .toDF("thr_pct", "i")
+      val sweeps = grid.join(agg, Seq("i"), "left")
+        .select(col("thr_pct"),
+          coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+          coalesce(col("n_components"), lit(0L)).as("n_components"),
+          coalesce(col("max_size"), lit(0L)).as("max_size"))
       sweeps.crossJoin(broadcast(nd))
         .select(col("thr_pct"), col("n_nodes"), col("n_components"),
           col("max_size"),
@@ -3984,9 +4030,13 @@ object TextOps {
           .withColumn("n", explode(typedLit(Seq(2, 4, 8, 16))))
           .filter(size(col("toks")) >= col("n"))
           .select(col("source"), col("n").cast("long").as("n"),
+            // same map-side xxhash64 as gramTypeSets (the batch twin):
+            // the dropDuplicates state and the parquet type-set sink
+            // hold 8-byte gram hashes, never the gram strings
             explode(expr(
               """transform(sequence(0, size(toks) - n), i ->
-                |  array_join(slice(toks, i + 1, n), ' '))""".stripMargin))
+                |  xxhash64(array_join(slice(toks, i + 1, n), ' ')))"""
+                .stripMargin))
               .as("gr"))
           .dropDuplicates("source", "n", "gr")
           .writeStream.format("parquet").option("path", outDir)
@@ -4128,6 +4178,7 @@ object TextOps {
         .join(ex, md5(col("text")) === col("h")
           && col("doc_id") === col("keep"))
         .select(col("doc_id"), col("text"))
+        .localCheckpoint() // same multi-consumer cut as q179's funnel
       val sh = Sketches.shingled(st3)
       val pairs = prefixJaccardPairs(sh, 3, 10)
         .select(col("doc1"), col("doc2"))

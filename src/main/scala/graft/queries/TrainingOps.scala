@@ -1723,30 +1723,44 @@ object TrainingOps {
         |ORDER BY o.etype""".stripMargin) { (s, d) =>
       val e = t(s, d, "events").select(col("event_type").as("etype"),
         col("user_id"), floor(col("value") * 1000000).cast("long").as("vm"))
-      val og = e
+      // Every (re-)labeling is USER-level — md5(user) for the observed
+      // split, md5(user#p) for permutation p — so all events of one
+      // (etype, user) always land in the same arm together. Aggregate
+      // per (etype, user) FIRST (guide §2.3: aggregate before you
+      // shuffle), then label the ~13x smaller per-user table: the ×64
+      // explode and its md5 run over O(etypes·users) rows instead of
+      // O(events) rows, and count/sum over events = sum of per-user
+      // counts/sums — bit-identical arithmetic (decimal sums commute).
+      val eu = e.groupBy(col("etype"), col("user_id"))
+        .agg(count(lit(1)).as("ne"),
+          sum(col("vm").cast("decimal(38,0)")).as("sv"))
+        .localCheckpoint() // feeds the observed split AND the 64 perms
+      val og = eu
         .withColumn("isA", hashBucket(col("user_id")) < "80")
         .groupBy(col("etype"))
-        .agg(count(when(col("isA"), 1)).as("n_a"),
-          count(when(!col("isA"), 1)).as("n_b"),
-          sum(when(col("isA"), col("vm").cast("decimal(38,0)"))
+        .agg(sum(when(col("isA"), col("ne")).otherwise(0L)).as("n_a"),
+          sum(when(!col("isA"), col("ne")).otherwise(0L)).as("n_b"),
+          sum(when(col("isA"), col("sv"))
             .otherwise(lit(0).cast("decimal(38,0)"))).as("sa"),
-          sum(when(!col("isA"), col("vm").cast("decimal(38,0)"))
+          sum(when(!col("isA"), col("sv"))
             .otherwise(lit(0).cast("decimal(38,0)"))).as("sb"))
       val ostat = og.select(col("etype"), col("n_a"), col("n_b"),
         when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
           .otherwise(abs((expr("sa div n_a") - expr("sb div n_b"))
             .cast("long"))).as("obs_stat"))
-      val pa = e
+        .localCheckpoint() // O(etypes) rows: feeds the ge-count
+                           // broadcast AND the final projection
+      val pa = eu
         .withColumn("p", explode(sequence(lit(0), lit(63))))
         .withColumn("isA",
           substring(md5(concat(col("user_id").cast("string"), lit("#"),
             col("p").cast("string")).cast("binary")), 1, 2) < "80")
         .groupBy(col("etype"), col("p"))
-        .agg(count(when(col("isA"), 1)).as("na"),
-          count(when(!col("isA"), 1)).as("nb"),
-          sum(when(col("isA"), col("vm").cast("decimal(38,0)"))
+        .agg(sum(when(col("isA"), col("ne")).otherwise(0L)).as("na"),
+          sum(when(!col("isA"), col("ne")).otherwise(0L)).as("nb"),
+          sum(when(col("isA"), col("sv"))
             .otherwise(lit(0).cast("decimal(38,0)"))).as("sa"),
-          sum(when(!col("isA"), col("vm").cast("decimal(38,0)"))
+          sum(when(!col("isA"), col("sv"))
             .otherwise(lit(0).cast("decimal(38,0)"))).as("sb"))
       val ps = pa.select(col("etype"),
         when(col("na") === 0 || col("nb") === 0, lit(null).cast("long"))

@@ -58,6 +58,22 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!BenchRecord.accepts(Some(reordered), 4.52))
   }
 
+  test("host block without steal_pct: a nested gate steal_pct is NOT " +
+      "read as the run-level figure (ADVICE r15)") {
+    // the host block can serialize without steal_pct (cpuTicks
+    // unreadable) while the gate block's skipped attempts still carry
+    // theirs — the bounded parse must return None, making the record
+    // replaceable-as-unmeasured rather than spuriously 0.17%-clean
+    val noHostSteal =
+      """{"metric":"total","value":481.8,"unit":"sec","queries":{},""" +
+        """"host":{"busy_ticks":452482,"loadavg_start":1.89,"cpus":32,""" +
+        """"gate":{"fired":true,"clean_at_start":true,""" +
+        """"skipped_attempts":[{"steal_pct":0.17,"loadavg":4.19}]}}}"""
+    assert(BenchRecord.stealPctOf(noHostSteal).isEmpty)
+    assert(BenchRecord.accepts(Some(noHostSteal), Some(99.0)),
+      "a record with no run-level steal is replaceable")
+  }
+
   test("unmeasured candidate never overwrites a measured record (ADVICE r14)") {
     assert(!BenchRecord.accepts(Some(rec(0.66)), None))
     assert(BenchRecord.accepts(None, None), "no record yet: accept")
