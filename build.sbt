@@ -1,5 +1,18 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Keep sbt's "[success] Total time: ..." banner off stdout: the bench
+// contract is ONE machine-parseable JSON line as the process's final
+// stdout line, and the banner landed after it — the driver's stdout
+// parse has recovered nothing since r12 (VERDICT r16 ask #2).
+Global / showSuccess := false
+// Pass the forked JVM's stdout/stderr straight through instead of
+// re-logging them as "[info] ..."/"[error] ..." lines: the logger
+// prefix made the bench's JSON line unparseable even when it was the
+// last line (same driver-contract fix as showSuccess above).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+// these keys are read through forkOptions / the command loop; sbt's
+// lint cannot see that and would warn on every invocation
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 name := "pgcapturespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -224,7 +224,6 @@ object Bench {
       else s""","unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}]"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$unstableJson$host}"""
-    println(json)
     // Also persist the complete per-query record in the repo: the
     // driver's captured stdout tail truncates past ~60 queries, which
     // cost round 7 a third of its cross-round comparisons. Full runs
@@ -273,7 +272,19 @@ object Bench {
         }
       val pw = new java.io.PrintWriter(target)
       try pw.println(full) finally pw.close()
+      // The exact stdout contract line, at a fixed path (VERDICT r16
+      // ask #2): the driver's stdout capture keeps only a ~2000-char
+      // tail — shorter than the 338-entry queries map — so its parse
+      // has recovered nothing since r12. The file is the same single
+      // line, machine-readable regardless of how much stdout survives.
+      val lw = new java.io.PrintWriter(new java.io.File(dir, "last_stdout.json"))
+      try lw.println(json) finally lw.close()
     }
     spark.stop()
+    // The contract line is the process's FINAL stdout act (after
+    // spark.stop() and the record guard's stderr messages, with sbt's
+    // success banner suppressed in build.sbt) so a driver that parses
+    // the last stdout line recovers it.
+    println(json)
   }
 }

@@ -58,12 +58,20 @@ object BenchRecord {
     * always accept). */
   def accepts(existing: Option[String],
       candidateStealPct: Option[Double]): Boolean =
-    existing.flatMap(stealPctOf) match {
-      case Some(recorded) => candidateStealPct match {
-        case Some(cand) => cand <= math.max(1.0, recorded)
-        case None       => false // unmeasured never beats measured
+    existing match {
+      case None => true // no record at all: anything beats nothing
+      case Some(rec) => stealPctOf(rec) match {
+        case Some(recorded) => candidateStealPct match {
+          case Some(cand) => cand <= math.max(1.0, recorded)
+          case None       => false // unmeasured never beats measured
+        }
+        // Record exists but carries no run-level steal (non-Linux
+        // write): a MEASURED-dirty candidate still parks — the ratchet
+        // stays monotone (ADVICE r16 #3). An unmeasured candidate on
+        // the same unmeasured host is accepted, so non-Linux records
+        // keep updating.
+        case None => candidateStealPct.forall(_ <= 1.0)
       }
-      case None => true
     }
 
   /** Back-compat overload: a measured candidate. */

@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   *
   * Each iteration is one edge-keyed join + one dst-keyed aggregate —
   * the Pregel shape. The degree-annotated adjacency is materialized
-  * ONCE (`localCheckpoint`) and each round's rank table is
-  * checkpointed before feeding the next round — without both, the
-  * unrolled plan re-expands the whole edge-building pipeline per
-  * round (q272's plan carried 42 scans / 104 exchanges for 4 rounds;
-  * the [[ConnectedComponents]] per-round discipline applied here).
-  * Ranks are exact integers, so materialization cannot change them.
+  * ONCE (`localCheckpoint`) — without it, the unrolled plan
+  * re-expands the whole edge-building pipeline per round (q272's plan
+  * carried 42 scans / 104 exchanges for 4 rounds). Ranks are exact
+  * integers, so materialization cannot change them. The per-round
+  * rank table is NOT checkpointed: unlike [[ConnectedComponents]]
+  * (whose round output feeds two star joins plus a convergence
+  * action), a rank round has exactly ONE consumer — the next round —
+  * so an eager per-round cut bought no reuse, only an extra job plus
+  * block-manager ser/de per round (q137 measurably slower, r16
+  * verdict #4), and the unrolled depth is a fixed ≤5 rounds over the
+  * checkpointed adjacency, whose one exchange the planner reuses
+  * across rounds.
   */
 object PageRank {
 
@@ -40,7 +46,6 @@ object PageRank {
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
         .select(col("dst").as("u"),
           expr(s"(15 * ${Scale}L) div 100 + (85 * sc) div 100").as("r"))
-        .localCheckpoint() // O(nodes): truncate the per-round lineage
     }
     r
   }
@@ -83,7 +88,6 @@ object PageRank {
         .select(col("dst").as("u"), expr("(85 * sc) div 100").as("pr"))
         .join(tel, "u")
         .select(col("u"), (col("tel") + col("pr")).as("r"))
-        .localCheckpoint() // O(nodes): truncate the per-round lineage
     }
     r
   }

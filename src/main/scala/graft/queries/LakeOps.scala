@@ -2001,8 +2001,12 @@ object LakeOps {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // job-group tag so a timed-out wait can CANCEL the outstanding
+      // checkpoint jobs instead of leaving them running (ADVICE r16 #2)
+      val grp = s"q271_fd_audit_${java.util.UUID.randomUUID()}"
       val frames = fdChecks.map { case (tbl, det, dep) =>
         scala.concurrent.Future {
+          s.sparkContext.setJobGroup(grp, "q271 fd check")
           val ab = t(s, d, tbl).select(col(det).as("a"), col(dep).as("b"))
             .distinct()
             .localCheckpoint() // the (A,B) domain feeds all three counts
@@ -2019,10 +2023,17 @@ object LakeOps {
             (col("n_det") === col("n_det_dep")).as("holds"))
         }
       }
+      // generous finite patience: the checks run in seconds — a wait
+      // this long means a wedged job, which must FAIL the query (and
+      // cancel its siblings), not hang the bench loop (ADVICE r16 #2)
       try scala.concurrent.Await
         .result(scala.concurrent.Future.sequence(frames),
-          scala.concurrent.duration.Duration.Inf)
+          scala.concurrent.duration.Duration(10, "min"))
         .reduce(_ unionAll _).orderBy(col("fd"))
+      catch { case e: java.util.concurrent.TimeoutException =>
+        s.sparkContext.cancelJobGroup(grp)
+        throw e
+      }
       finally { pool.shutdown(); () }
     },
 

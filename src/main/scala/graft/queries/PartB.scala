@@ -3741,28 +3741,47 @@ object PartB {
         .groupBy(col("source"), col("n_chars").as("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint() // O(sources·distinct lengths): feeds the
-                           // pair fold and both margins
-      val a = cell.select(col("source").as("s1"), col("v").as("va"),
-        col("c").as("ca"))
-      val b = cell.select(col("source").as("s2"), col("v").as("vb"),
-        col("c").as("cb"))
-      // domain-bounded cell² fold (length cells, not doc pairs); the
-      // broadcast side is the aggregated cell table
-      val pairs = a.join(broadcast(b), col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2"))
-        .agg(sum(when(col("va") > col("vb"),
-            col("ca").cast("decimal(38,0)") * col("cb")).otherwise(lit(0)))
-            .cast("long").as("gt"),
-          sum(when(col("va") < col("vb"),
-            col("ca").cast("decimal(38,0)") * col("cb")).otherwise(lit(0)))
-            .cast("long").as("lt"))
+                           // grid, the cumulative table, both margins
       val n = cell.groupBy(col("source"))
         .agg(sum(col("c")).cast("long").as("n"))
-      pairs
-        .join(broadcast(n.select(col("source").as("s1"), col("n").as("n1"))),
-          Seq("s1"))
-        .join(broadcast(n.select(col("source").as("s2"), col("n").as("n2"))),
-          Seq("s2"))
+      // O(cells·sources) pair fold (guide §1.2 — fix the algorithm):
+      // gt(s1,s2) = Σ_{va>vb} c1·c2 = Σ_v c1(v)·below2(v) with
+      // below2/above2 the counterpart's STRICTLY-below/above
+      // cumulative counts over the GLOBAL value grid (cum-minus-self
+      // excludes ties from both, exactly like the va>vb / va<vb
+      // predicates). This replaces the cells² nested-loop fold
+      // (distinct-length cells squared — quadratic in the length
+      // domain) with one window over the densified grid plus one
+      // v-keyed equi-join. Exact integers throughout: cumulative
+      // counts are longs, products decimal(38,0) like the fold they
+      // replace, and integer sums commute — bit-identical results.
+      val dense = cell.select(col("v")).distinct()
+        .crossJoin(broadcast(n)) // n doubles as the source list
+        .join(broadcast(cell), Seq("source", "v"), "left")
+        .select(col("source"), col("v"), col("n"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("v"))
+      val other = dense.withColumn("cum", sum(col("c")).over(w))
+        .select(col("source").as("s2"), col("v"),
+          (col("cum") - col("c")).as("below"),
+          (col("n") - col("cum")).as("above"),
+          col("n").as("n2"))
+      // both margins fall out of the SAME aggregate: within a (s1,s2)
+      // group each s1 cell appears exactly once (the v-join matches
+      // every source at every grid value), so Σ ca IS n1, and n2 is
+      // constant per group — no margin joins, no re-read of `n`
+      cell
+        .select(col("source").as("s1"), col("v"), col("c").as("ca"))
+        .join(broadcast(other), Seq("v"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(sum(col("ca")).cast("long").as("n1"),
+          max(col("n2")).as("n2"),
+          sum(col("ca").cast("decimal(38,0)") * col("below"))
+            .cast("long").as("gt"),
+          sum(col("ca").cast("decimal(38,0)") * col("above"))
+            .cast("long").as("lt"))
         .select(col("s1"), col("s2"), col("n1"), col("n2"),
           col("gt"), col("lt"),
           (when(col("gt") >= col("lt"), 1L).otherwise(-1L)

@@ -895,19 +895,28 @@ object Sketches {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       implicit val ec =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // job-group tag + finite patience: a wedged detector job must
+      // fail the query (cancelling its sibling), not hang the bench
+      // loop forever (ADVICE r16 #2)
+      val grp = s"q210_recall_${java.util.UUID.randomUUID()}"
+      val patience = scala.concurrent.duration.Duration(10, "min")
       val fa = scala.concurrent.Future {
+        s.sparkContext.setJobGroup(grp, "q210 minhash detector")
         minHashPairs(docs, 0.8).select(col("doc1"), col("doc2"))
           .localCheckpoint()
       }
       val fb = scala.concurrent.Future {
+        s.sparkContext.setJobGroup(grp, "q210 simhash detector")
         simHashPairs(docs, 3).select(col("doc1"), col("doc2"))
           .localCheckpoint()
       }
       val (a, b) =
-        try (scala.concurrent.Await.result(fa,
-            scala.concurrent.duration.Duration.Inf),
-          scala.concurrent.Await.result(fb,
-            scala.concurrent.duration.Duration.Inf))
+        try (scala.concurrent.Await.result(fa, patience),
+          scala.concurrent.Await.result(fb, patience))
+        catch { case e: java.util.concurrent.TimeoutException =>
+          s.sparkContext.cancelJobGroup(grp)
+          throw e
+        }
         finally { pool.shutdown(); () }
       val ca = a.agg(count(lit(1)).as("a"))
       val cb = b.agg(count(lit(1)).as("b"))

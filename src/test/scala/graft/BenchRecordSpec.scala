@@ -41,9 +41,13 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!BenchRecord.accepts(Some(rec(4.52)), 4.53))
   }
 
-  test("no record / no host block: accept") {
+  test("no record: accept anything; unmeasured record: clean-bar only") {
     assert(BenchRecord.accepts(None, 99.0))
-    assert(BenchRecord.accepts(Some("""{"metric":"total","value":1}"""), 99.0))
+    // an unmeasured record is replaceable by a CLEAN measured candidate
+    assert(BenchRecord.accepts(Some("""{"metric":"total","value":1}"""), 0.9))
+    // ... but a measured-dirty candidate still parks — the ratchet
+    // stays monotone even over an unmeasured record (ADVICE r16 #3)
+    assert(!BenchRecord.accepts(Some("""{"metric":"total","value":1}"""), 99.0))
   }
 
   test("gate-block-first serialization cannot flip the guard (r14 ask #4)") {
@@ -70,8 +74,10 @@ class BenchRecordSpec extends AnyFunSuite {
         """"gate":{"fired":true,"clean_at_start":true,""" +
         """"skipped_attempts":[{"steal_pct":0.17,"loadavg":4.19}]}}}"""
     assert(BenchRecord.stealPctOf(noHostSteal).isEmpty)
-    assert(BenchRecord.accepts(Some(noHostSteal), Some(99.0)),
-      "a record with no run-level steal is replaceable")
+    assert(BenchRecord.accepts(Some(noHostSteal), Some(0.9)),
+      "a record with no run-level steal is replaceable by a clean run")
+    assert(!BenchRecord.accepts(Some(noHostSteal), Some(99.0)),
+      "... but not by a measured-dirty one (ADVICE r16 #3)")
   }
 
   test("unmeasured candidate never overwrites a measured record (ADVICE r14)") {

@@ -831,10 +831,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // is corpus-sized
       "q292_good_turing" -> 4,
       // q293 = past the checkpointed O(sources·lengths) cell table:
-      // the pair-fold agg (the theta join broadcasts the aggregated
-      // cell side), the margin agg, the final stats-broadcast joins'
-      // exchanges + result sort — all domain-, not corpus-, sized
-      "q293_cliffs_delta" -> 4,
+      // the grid distinct, the margin agg, the per-source cumulative
+      // window, the pair-fold agg + result sort — ONE more exchange
+      // than the old shape (the window), but every exchange is
+      // domain-sized and the fold itself dropped from cells² to
+      // cells·sources (r17: the cumulative-grid rewrite)
+      "q293_cliffs_delta" -> 5,
       // q294 = past the checkpointed (lang, v, fold) count support
       // (shared with the q305 streaming twin): three lang-keyed fold
       // aggs + the O(langs·scores) support agg/window + the report
