@@ -78,12 +78,18 @@ object LshIndex {
     val s = corpus.sparkSession
     for (t <- Seq(s"${name}_postings", s"${name}_grams"))
       dropTableAndDir(s, t)
-    graft.Tables.bucketize(
-      postings(corpus).withColumn("batch_id", lit(-1L)),
-      s"${name}_postings", buckets, "band", "h1", "h2")
-    graft.Tables.bucketize(
-      Sketches.shingled(corpus).withColumn("batch_id", lit(-1L)),
-      s"${name}_grams", buckets, "doc_id")
+    // the shingle projection feeds both table builds — compute it once
+    // (scoped persist, released before return), and run the two
+    // independent writes concurrently (guide §2.6, same as appends)
+    val sh = Sketches.shingled(corpus).persist()
+    try bothTables(
+      () => graft.Tables.bucketize(
+        postingsFromShingled(sh).withColumn("batch_id", lit(-1L)),
+        s"${name}_postings", buckets, "band", "h1", "h2"),
+      () => graft.Tables.bucketize(
+        sh.withColumn("batch_id", lit(-1L)),
+        s"${name}_grams", buckets, "doc_id"))
+    finally { sh.unpersist(); () }
   }
 
   /** Append a landed batch into the index, preserving the bucket
@@ -146,6 +152,25 @@ object LshIndex {
     ()
   }
 
+  /** Run the two independent index-table writes concurrently: each is
+    * its own small Spark job (gate probe + bucket shuffle + commit),
+    * and launched from one driver thread they serialize, leaving the
+    * cluster idle in each job's tail (guide §2.6). The per-table
+    * replay gates already heal ANY crash interleaving — parallelism
+    * adds no new window. Finite patience so a wedged write fails the
+    * caller loudly instead of hanging the ingest loop. */
+  private def bothTables(left: () => Unit, right: () => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val (fa, fb) =
+      (scala.concurrent.Future(left()), scala.concurrent.Future(right()))
+    val patience = scala.concurrent.duration.Duration(10, "min")
+    try {
+      scala.concurrent.Await.result(fa, patience)
+      scala.concurrent.Await.result(fb, patience)
+    } finally { pool.shutdown(); () }
+  }
+
   /** [[append]] from pre-computed postings + shingles (the ingest-loop
     * path: both frames are scoped-persisted by the caller, so the two
     * table writes don't recompute the minhash kernels). Each write is
@@ -157,22 +182,23 @@ object LshIndex {
   private[queries] def appendPrepared(post: DataFrame, sh: DataFrame,
       name: String, buckets: Int = 8, batchId: Long = -1L): Unit = {
     val s = post.sparkSession
-    if (shouldAppend(s, s"${name}_postings", batchId)) {
-      post.withColumn("batch_id", lit(batchId))
-        .repartition(buckets, col("band"), col("h1"), col("h2"))
-        .write.mode("append")
-        .bucketBy(buckets, "band", "h1", "h2").sortBy("band", "h1", "h2")
-        .format("parquet").saveAsTable(s"${name}_postings")
-      recordAppended(s"${name}_postings", batchId)
-    }
-    if (shouldAppend(s, s"${name}_grams", batchId)) {
-      sh.withColumn("batch_id", lit(batchId))
-        .repartition(buckets, col("doc_id"))
-        .write.mode("append")
-        .bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .format("parquet").saveAsTable(s"${name}_grams")
-      recordAppended(s"${name}_grams", batchId)
-    }
+    bothTables(
+      () => if (shouldAppend(s, s"${name}_postings", batchId)) {
+        post.withColumn("batch_id", lit(batchId))
+          .repartition(buckets, col("band"), col("h1"), col("h2"))
+          .write.mode("append")
+          .bucketBy(buckets, "band", "h1", "h2").sortBy("band", "h1", "h2")
+          .format("parquet").saveAsTable(s"${name}_postings")
+        recordAppended(s"${name}_postings", batchId)
+      },
+      () => if (shouldAppend(s, s"${name}_grams", batchId)) {
+        sh.withColumn("batch_id", lit(batchId))
+          .repartition(buckets, col("doc_id"))
+          .write.mode("append")
+          .bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .format("parquet").saveAsTable(s"${name}_grams")
+        recordAppended(s"${name}_grams", batchId)
+      })
   }
 
   /** Rewrite both index tables down to one file per bucket, keeping

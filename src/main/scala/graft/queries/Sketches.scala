@@ -732,19 +732,20 @@ object Sketches {
     },
 
     // ---- The INDEX-MAINTENANCE loop, streamed end to end: every
-    //      micro-batch screens against the persisted bucketed index
-    //      (cross-batch pairs), finds its own within-batch pairs
-    //      (q35's path), appends itself into the index, and the
-    //      accumulated pair set answers to q35's EXACT all-pairs
-    //      oracle. The detected set is ARRIVAL-ORDER-INDEPENDENT:
-    //      batches are disjoint, so every near-dup pair is found
-    //      exactly once — in the within-batch leg if both docs share a
-    //      batch, else in the screen leg when the later doc lands.
-    //      This is the operational twin of q93's in-memory streaming
-    //      near-dup: state here is the ON-DISK index (survives
-    //      restarts, shared by other jobs), and the screen only
-    //      shuffles the batch side (the q99 bucketed-join contract).
-    //      ----
+    //      micro-batch appends itself into the persisted bucketed
+    //      index, screens against the index (which now contains the
+    //      batch, so ONE bucket-aligned probe finds cross-batch AND
+    //      within-batch pairs), and the accumulated pair set answers
+    //      to q35's EXACT all-pairs oracle. The detected set is
+    //      ARRIVAL-ORDER-INDEPENDENT: batches are disjoint, so every
+    //      near-dup pair is found when its LATER doc lands (or twice,
+    //      once per direction, when both share a batch — the
+    //      consumer-side pair dedup collapses that exactly like band
+    //      collisions). This is the operational twin of q93's
+    //      in-memory streaming near-dup: state here is the ON-DISK
+    //      index (survives restarts, shared by other jobs), and the
+    //      screen only shuffles the batch side (the q99 bucketed-join
+    //      contract). ----
     QueryDef.sql("q138_stream_index_loop",
       s"""WITH $gramsCte,
          |e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh)
@@ -771,59 +772,47 @@ object Sketches {
         .option("checkpointLocation",
           graft.bench.BenchFeeds.scratchDir("q138_ck"))
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // the batch's shingles and band postings feed FOUR consumers
-          // (screen candidates, screen verify sidecar, both append
-          // writes) — compute each ONCE per batch under a scoped
-          // persist (released before the trigger ends; the r3/r4 rule
-          // forbids LEAKED persists, not scoped ones). The per-batch
-          // jobs also run at 8 shuffle partitions (the q92-q94 state-
-          // sizing lesson applied to foreachBatch: a quarter-corpus
-          // batch over the session's 32-wide shuffles pays 4x the
-          // task overhead for no parallelism gain).
-          val bp = batch.persist()
-          val sh = shingled(bp).persist()
+          // the batch's shingles and band postings feed THREE
+          // consumers (both append writes, the screen) — compute each
+          // ONCE per batch under a scoped persist (released before
+          // the trigger ends; the r3/r4 rule forbids LEAKED persists,
+          // not scoped ones). The per-batch jobs also run at 8
+          // shuffle partitions (the q92-q94 state-sizing lesson
+          // applied to foreachBatch: a quarter-corpus batch over the
+          // session's 32-wide shuffles pays 4x the task overhead for
+          // no parallelism gain).
+          val sh = shingled(batch).persist()
           val post = LshIndex.postingsFromShingled(sh).persist()
           try {
-            val cross = LshIndex.screenPrepared(post, sh, name, 0.8)
+            // APPEND FIRST, then screen against the index THAT NOW
+            // CONTAINS THE BATCH: one bucket-aligned probe finds the
+            // cross-batch pairs AND the within-batch pairs in the
+            // same candidate join (a bucket's join expansion is the
+            // identical pair set the old separate within-leg built
+            // from collect_list buckets), deleting that whole second
+            // pipeline — its bucket agg, pair explode and verify
+            // joins were ~half the per-trigger jobs (r17, guide
+            // §1.2/§2.4). A within pair surfaces once per direction
+            // (each doc probes the other's posting); least/greatest +
+            // the consumer-side dropDuplicates collapse them — the
+            // same dedup band collisions already need. Replay safety
+            // is unchanged: the appends are batch_id-gated, so a
+            // replayed batch skips them and screens against the SAME
+            // index state, rewriting identical pairs into its own
+            // batch=<id> partition (overwrite).
+            LshIndex.appendPrepared(post, sh, name, batchId = batchId)
+            LshIndex.screenPrepared(post, sh, name, 0.8)
               .select(least(col("doc1"), col("doc2")).as("doc1"),
                 greatest(col("doc1"), col("doc2")).as("doc2"),
                 col("jaccard"))
-            // within-batch pairs from the SAME cached postings: the
-            // posting rows ARE the band buckets (group → sorted doc
-            // list → lossless pair expansion → exact verify against
-            // the cached shingles). Equivalent to minHashPairs minus
-            // the dup-collapse stage — exact either way, because
-            // elementPairs is lossless at any bucket size and
-            // identical docs verify at J = 1 ≥ θ; skipping it here
-            // trades its md5 agg + re-shingle for clique-sized
-            // buckets, the right trade at batch granularity.
-            val buckets = post
-              .groupBy(struct(col("band"), col("h1"), col("h2")).as("bk"))
-              .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-            val within = jaccardVerify(
-              elementPairs(buckets, MaxBucketSize)
-                .select(col("p.x").as("doc1"), col("p.y").as("doc2"))
-                .dropDuplicates("doc1", "doc2"),
-              sh, 0.8)
-              .select(col("doc1"), col("doc2"),
-                round(col("jaccard"), 6).as("jaccard"))
-            // foreachBatch is at-least-once, so every side effect is
-            // replay-idempotent: the pair leg OVERWRITES its own
-            // batch=<id> partition (a replayed batch rewrites the same
-            // deterministic content), and the index appends are gated
-            // per table on the stamped batch_id (LshIndex). Compaction
-            // is wired in behind a files-per-bucket threshold — a
-            // no-op on short runs, a bounded rewrite on long ones.
-            cross.unionByName(within)
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-            LshIndex.appendPrepared(post, sh, name, batchId = batchId)
             // the compaction PROBE is itself a file listing — run it
             // every 8th trigger, not every trigger (a real compactor's
             // cadence); the threshold inside maybeCompact still
             // decides whether a rewrite is due
             if (batchId % 8 == 7) LshIndex.maybeCompact(name)
           } finally {
-            post.unpersist(); sh.unpersist(); bp.unpersist(); ()
+            post.unpersist(); sh.unpersist(); ()
           }
         }
         .start()

@@ -97,11 +97,15 @@ class LshIndexSpec extends AnyFunSuite {
 
   /** The q138 ingest loop's crash story: foreachBatch is
     * at-least-once, so a batch whose side effects LANDED but whose
-    * checkpoint commit didn't is re-run on restart. The injected
-    * crash throws AFTER the pair write and the index appends of
-    * batch 1 — the worst case — and the restart must (a) replay
-    * batch 1 (observed), (b) not double-append it (batch_id gate),
-    * (c) still produce exactly the brute-force near-dup pair set. */
+    * checkpoint commit didn't is re-run on restart. The loop is the
+    * r17 append-FIRST shape: the batch lands in the index, then one
+    * bucket-aligned screen against the index (which now contains the
+    * batch) finds cross-batch AND within-batch pairs — no separate
+    * within-leg. The injected crash throws AFTER the index appends
+    * and the pair write of batch 1 — the worst case — and the
+    * restart must (a) replay batch 1 (observed), (b) not
+    * double-append it (batch_id gate), (c) still produce exactly the
+    * brute-force near-dup pair set, within-batch pairs included. */
   test("ingest loop: a replayed batch cannot double-append the index") {
     import scala.jdk.CollectionConverters._
     val docs = Seq(
@@ -127,24 +131,13 @@ class LshIndexSpec extends AnyFunSuite {
             val sh = Sketches.shingled(batch).persist()
             val post = LshIndex.postingsFromShingled(sh).persist()
             try {
-              val cross = LshIndex.screenPrepared(post, sh, name, 0.8)
+              LshIndex.appendPrepared(post, sh, name, buckets = 4,
+                batchId = batchId)
+              LshIndex.screenPrepared(post, sh, name, 0.8)
                 .select(least(col("doc1"), col("doc2")).as("doc1"),
                   greatest(col("doc1"), col("doc2")).as("doc2"),
                   col("jaccard"))
-              val buckets = post
-                .groupBy(struct(col("band"), col("h1"), col("h2")).as("bk"))
-                .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-              val within = Sketches.jaccardVerify(
-                Sketches.elementPairs(buckets, Sketches.MaxBucketSize)
-                  .select(col("p.x").as("doc1"), col("p.y").as("doc2"))
-                  .dropDuplicates("doc1", "doc2"),
-                sh, 0.8)
-                .select(col("doc1"), col("doc2"),
-                  round(col("jaccard"), 6).as("jaccard"))
-              cross.unionByName(within)
                 .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-              LshIndex.appendPrepared(post, sh, name, buckets = 4,
-                batchId = batchId)
               if (batchId == 1 && !crashed) {
                 crashed = true
                 sys.error("injected crash AFTER batch 1's side effects")
